@@ -1,0 +1,59 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tuned for the driver's local[32] harness but written for a real cluster:
+AQE on (runtime coalescing + skew-join splitting), partition counts sized
+from cores, Arrow enabled for the few Pandas-UDF paths, UTC session time
+so timestamp semantics match the (naive-timestamp) parquet test data.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def _cpus() -> int:
+    try:
+        return max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+    except ValueError:
+        return 32
+
+
+def get_spark(app_name: str = "streamprocessing-spark", master: str | None = None) -> SparkSession:
+    """Build (or reuse) a SparkSession with the engine's defaults.
+
+    On a real cluster, drop ``master`` and submit with spark-submit; every
+    other setting below is cluster-safe:
+
+    - ``spark.sql.adaptive.*``: AQE re-plans at runtime — coalesces tiny
+      post-shuffle partitions and splits skewed ones, which is exactly what
+      a 100 TB join with hot keys needs.
+    - ``spark.sql.shuffle.partitions``: a static floor; AQE coalesces down
+      from it. At cluster scale this should be ~2-3x total cores.
+    - Arrow: vectorized Python<->JVM transfer for the Pandas-UDF operators
+      (similarity search, multimodal decode) — the only places we leave the
+      JVM.
+    """
+    cpus = _cpus()
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
+        .config("spark.default.parallelism", str(max(cpus, 8)))
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # events.parquet stores TIMESTAMP(NANOS); read as long, converted
+        # to a micro-precision timestamp in sources.readers.load_table.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    return builder.getOrCreate()

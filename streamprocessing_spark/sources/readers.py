@@ -1,0 +1,61 @@
+"""Table sources.
+
+The reference reads byte blobs from its own replicated DFS ("HyDFS",
+/root/reference/dht/dht.go:253-398) and re-parses CSV inside each operator
+executable (ops/app1op2/app1op2.go:11-17). Here storage is any
+Hadoop-compatible FS and data is columnar parquet: schema is declared once
+at the scan, Catalyst prunes columns and pushes filters into the reader.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def _ensure_confs(spark: SparkSession) -> None:
+    """Make queries self-sufficient on ANY session (the driver builds its
+    own, without session.py's settings): nanos parquet timestamps readable,
+    deterministic UTC timestamp semantics. Both confs are runtime-settable
+    and idempotent."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one test table. Parquet scans get predicate pushdown, column
+    pruning and (on a cluster) partition pruning for free."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _ensure_confs(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events":
+        # ts is parquet TIMESTAMP(NANOS) — Spark reads it as long (see
+        # session.py nanosAsLong); rebuild a micro-precision timestamp with
+        # integer division (truncation), matching DuckDB's nanos→micros cast.
+        from pyspark.sql import functions as F  # local import: keep module light
+
+        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return df
+
+
+def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {t: load_table(spark, sf_dir, t) for t in TABLES}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> None:
+    """Register every table as a temp view so queries can use spark.sql."""
+    for t in TABLES:
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
