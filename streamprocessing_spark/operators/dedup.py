@@ -1,0 +1,370 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, each with an engine-portable deterministic formulation (the
+DuckDB oracle replicates the identical hash arithmetic, so LSH results are
+bit-for-bit checkable — no "approximate" fudge in the correctness gate):
+
+1. exact     — md5 fingerprint of normalized text, group-by (16 B/row
+               shuffle instead of the full text).
+2. n-gram Jaccard — exact word-k-gram set similarity over all candidate
+               pairs (pairs sharing ≥1 shingle). Quadratic in bucket size;
+               the correctness baseline for the LSH tiers.
+3. MinHash + LSH — 64 portable min-hashes, 16 bands × 4 rows; candidates
+               from band-bucket self-join, verified with exact Jaccard.
+               THE scale path: shuffle is O(docs × bands), never all-pairs.
+4. SimHash   — 60-bit simhash; candidate pairs from 4×15-bit chunk
+               banding. Pigeonhole: hamming ≤ 3 ⇒ some chunk equal, so
+               banding is EXACT (100% recall) for the d≤3 cut — the banded
+               plan provably equals the brute-force oracle.
+
+Portability of the hash primitives (identical in Spark and DuckDB):
+  h32(s)  = int(md5(s)[:8], 16)          ∈ [0, 2^32)
+  h60(s)  = int(md5(s)[:15], 16)         ∈ [0, 2^60)
+  mh_j    = min over shingles of (a_j * h32 + b_j) mod 2^32, with
+            a_j < 2^31 odd, b_j < 2^31 — products stay under 2^63, no
+            signed-64 overflow in either engine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+K_SHINGLE = 3
+NUM_HASHES = 64
+BANDS = 16
+ROWS_PER_BAND = 4
+MOD32 = 1 << 32
+SIMHASH_BITS = 60
+SIMHASH_CHUNKS = 4
+SIMHASH_CHUNK_BITS = 15
+TOKEN_RE = "[a-z0-9]+"
+
+assert BANDS * ROWS_PER_BAND == NUM_HASHES
+assert SIMHASH_CHUNKS * SIMHASH_CHUNK_BITS == SIMHASH_BITS
+
+
+def _coeffs() -> list[tuple[int, int]]:
+    """Deterministic (a_j, b_j) for the universal-hash family — plain
+    arithmetic, no RNG, so the DuckDB oracle regenerates the same values."""
+    out = []
+    for j in range(NUM_HASHES):
+        a = (((2 * j + 1) * 2654435761) % (1 << 31)) | 1
+        b = ((j * 40503) + 12345) % (1 << 31)
+        out.append((a, b))
+    return out
+
+
+COEFFS = _coeffs()
+
+
+# ---------------------------------------------------------------- Spark side
+
+
+def _h32(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 8), 16, 10).cast("long")
+
+
+def _h60(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+def tokens_col(text: Column) -> Column:
+    return F.regexp_extract_all(F.lower(text), F.lit(TOKEN_RE), 0)
+
+
+def shingle_df(df: DataFrame, id_col: str, text_col: str, k: int = K_SHINGLE) -> DataFrame:
+    """(id, sh): distinct word-k-gram shingles per document. Docs with
+    fewer than k tokens have an empty shingle set and drop out (they can't
+    be near-duplicates under set Jaccard)."""
+    toks = tokens_col(F.col(text_col))
+    idxs = F.sequence(F.lit(0), F.size(toks) - k)
+    shingles = F.transform(idxs, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]))
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles)).alias("sh"))
+        .where(F.size(toks) >= k)
+        .distinct()
+    )
+
+
+def minhash_signature_df(shingles: DataFrame) -> DataFrame:
+    """(id, mh_0..mh_{NUM_HASHES-1}): one aggregation pass computes all
+    minhashes — map-side partial min keeps the shuffle at one row per doc."""
+    h = _h32(F.col("sh"))
+    aggs = [
+        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MOD32)).alias(f"mh_{j}")
+        for j, (a, b) in enumerate(COEFFS)
+    ]
+    return shingles.groupBy("id").agg(*aggs)
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """(id_a, id_b): pairs sharing at least one band signature.
+
+    Bands are exploded to (id, band, sig-string) and self-joined on
+    (band, sig): the shuffle key is the band signature, so work scales
+    with bucket sizes (near-duplicate clusters), never all-pairs."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "-", *[F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+                ).alias("sig"),
+            )
+            for b in range(BANDS)
+        ]
+    )
+    buckets = sig.select("id", F.explode(band_structs).alias("bs")).select(
+        "id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def jaccard_on_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
+    """(id_a, id_b, jaccard): exact Jaccard for the given candidate pairs —
+    the verification stage after any LSH prefilter."""
+    sizes = shingles.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sa = shingles.select(F.col("id").alias("id_a"), "sh")
+    sb = shingles.select(F.col("id").alias("id_b"), "sh")
+    common = (
+        pairs.join(sa, "id_a")
+        .join(sb, ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    return (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).alias("jaccard"),
+        )
+    )
+
+
+def exact_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, threshold: float) -> DataFrame:
+    """All-pairs exact n-gram Jaccard ≥ threshold; candidates are pairs
+    sharing ≥1 shingle (anything below that has jaccard 0). Quadratic in
+    shingle-bucket size — correctness baseline; use minhash_lsh_pairs at
+    scale."""
+    sh = shingle_df(df, id_col, text_col)
+    sa = sh.select(F.col("id").alias("id_a"), "sh")
+    sb = sh.select(F.col("id").alias("id_b"), "sh")
+    cand = (
+        sa.join(sb, ["sh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return (
+        jaccard_on_pairs(sh, cand)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, threshold: float) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs, exact-Jaccard-verified.
+
+    The full scale path: shingle → 64 minhashes (one agg) → band buckets
+    (16×4) → bucket self-join → verify. Detection probability for a pair
+    at similarity s is 1-(1-s^4)^16 (≈1-4e-8 at s=0.9), and the verify
+    stage makes precision exact, so for well-separated corpora the result
+    set equals the brute-force oracle's.
+    """
+    sh = shingle_df(df, id_col, text_col)
+    cand = lsh_candidate_pairs(minhash_signature_df(sh))
+    return (
+        jaccard_on_pairs(sh, cand)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )
+
+
+def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, simhash): 60-bit simhash over term frequencies. Two narrow
+    aggregations (doc×token counts, then 60 signed bit-sums per doc)."""
+    toks = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
+    )
+    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    h = _h60(F.col("tok"))
+    bit_sums = [
+        F.sum(
+            F.col("cnt")
+            * F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
+        ).alias(f"s_{i}")
+        for i in range(SIMHASH_BITS)
+    ]
+    sums = tf.groupBy("id").agg(*bit_sums)
+    sim = None
+    for i in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        sim = term if sim is None else sim + term
+    return sums.select("id", sim.cast("long").alias("simhash"))
+
+
+def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:
+    """(id_a, id_b, hamming): pairs within hamming distance max_hamming.
+
+    Candidates via 4×15-bit chunk banding — exact for max_hamming ≤ 3 by
+    pigeonhole (4 chunks, ≤3 differing bits ⇒ ≥1 chunk identical), so
+    this banded plan returns exactly the brute-force result while keeping
+    the join keyed on chunk values instead of all-pairs."""
+    assert max_hamming < SIMHASH_CHUNKS, "banding recall guarantee needs max_hamming < #chunks"
+    sim = simhash_df(df, id_col, text_col)
+    chunks = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("chunk_idx"),
+                F.shiftright(F.col("simhash"), j * SIMHASH_CHUNK_BITS)
+                .bitwiseAND(F.lit((1 << SIMHASH_CHUNK_BITS) - 1))
+                .alias("chunk"),
+            )
+            for j in range(SIMHASH_CHUNKS)
+        ]
+    )
+    buckets = sim.select("id", "simhash", F.explode(chunks).alias("c")).select(
+        "id", "simhash", F.col("c.chunk_idx").alias("chunk_idx"), F.col("c.chunk").alias("chunk")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.col("b.simhash").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("long").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+# --------------------------------------------------------- DuckDB oracle SQL
+
+
+SQL_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def sql_shingles(table: str = "documents", id_col: str = "doc_id", k: int = K_SHINGLE) -> str:
+    parts = " || ' ' || ".join(f"t[i+{j}]" for j in range(k))
+    return f"""
+    toks AS (SELECT {id_col} AS id, {SQL_TOKENS} AS t FROM {table}),
+    sh AS (SELECT DISTINCT id,
+             unnest(list_transform(range(1, len(t) - {k - 2}), i -> {parts})) AS sh
+           FROM toks WHERE len(t) >= {k})"""
+
+
+def sql_h32(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 8)) AS BIGINT)"
+
+
+def sql_h60(expr: str) -> str:
+    return f"CAST(('0x' || substr(md5({expr}), 1, 15)) AS BIGINT)"
+
+
+def sql_exact_jaccard(threshold: float) -> str:
+    return f"""
+    WITH {sql_shingles()},
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id),
+    common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+               GROUP BY 1, 2)
+    SELECT c.id_a, c.id_b,
+           round(c.c * 1.0 / (sa.n + sb.n - c.c), 4) AS jaccard
+    FROM common c
+    JOIN sizes sa ON c.id_a = sa.id
+    JOIN sizes sb ON c.id_b = sb.id
+    WHERE c.c * 1.0 / (sa.n + sb.n - c.c) >= {threshold}
+    """
+
+
+def sql_minhash_lsh(threshold: float) -> str:
+    h = sql_h32("sh")
+    mins = ",\n           ".join(
+        f"min(({a} * {h} + {b}) % {MOD32}) AS mh_{j}" for j, (a, b) in enumerate(COEFFS)
+    )
+    band_rows = "\n      UNION ALL\n".join(
+        "      SELECT id, {b} AS band, {sig} AS sig FROM sig_t".format(
+            b=b,
+            sig=" || '-' || ".join(
+                f"CAST(mh_{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH {sql_shingles()},
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    sig_t AS (SELECT id,
+           {mins}
+           FROM sh GROUP BY id),
+    buckets AS (
+{band_rows}
+    ),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM buckets a
+             JOIN buckets b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+    common AS (SELECT c.id_a, c.id_b, count(*) AS c
+               FROM cand c
+               JOIN sh a ON a.id = c.id_a
+               JOIN sh b ON b.id = c.id_b AND b.sh = a.sh
+               GROUP BY 1, 2)
+    SELECT c.id_a, c.id_b,
+           round(c.c * 1.0 / (sa.n + sb.n - c.c), 4) AS jaccard
+    FROM common c
+    JOIN sizes sa ON c.id_a = sa.id
+    JOIN sizes sb ON c.id_b = sb.id
+    WHERE c.c * 1.0 / (sa.n + sb.n - c.c) >= {threshold}
+    """
+
+
+def sql_simhash_pairs(max_hamming: int = 3) -> str:
+    h = sql_h60("tok")
+    bit_sums = ",\n           ".join(
+        f"sum(cnt * (CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END)) AS s_{i}"
+        for i in range(SIMHASH_BITS)
+    )
+    sim_expr = " + ".join(
+        f"(CASE WHEN s_{i} > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return f"""
+    WITH toks AS (SELECT doc_id AS id, unnest({SQL_TOKENS}) AS tok FROM documents),
+    tf AS (SELECT id, tok, count(*) AS cnt, {h} AS h FROM toks GROUP BY id, tok),
+    sums AS (SELECT id, {bit_sums} FROM tf GROUP BY id),
+    sim AS (SELECT id, {sim_expr} AS simhash FROM sums)
+    SELECT a.id AS id_a, b.id AS id_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM sim a JOIN sim b ON a.id < b.id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """

@@ -1,0 +1,148 @@
+"""Embedding similarity search over array<float> columns.
+
+Everything stays JVM-side: the dot product is a Catalyst ``zip_with`` +
+``aggregate`` fold (whole-stage codegen), not a Python UDF. Elements are
+cast to double BEFORE multiplying so the arithmetic is bit-portable to the
+DuckDB oracles (float→double widening is exact; the sequential fold order
+matches list_transform/list_sum).
+
+Tiers:
+- brute-force top-k: broadcast the (few) query vectors against the corpus
+  scan, per-query heap via row_number window. Exact; one shuffle of
+  (query × corpus) scored pairs pruned to k per partition.
+- all-pairs cosine ≥ t: the embedding near-dup operator (self-join).
+- IVF top-k: deterministic coarse quantizer (centroids = a fixed id
+  sample), nprobe-limited candidate scan. The 100 TB path: scoring is
+  restricted to vectors in the probed cells — recall is tested against
+  the brute-force tier rather than oracled (approximate by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def dot_double(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double precision (portable)."""
+    prods = F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double"))
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def norm_double(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    ))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot_double(a, b) / (norm_double(a) * norm_double(b))
+
+
+def topk_per_query(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """Exact brute-force top-k: broadcast-join queries × corpus, score,
+    keep k per query. TakeOrdered semantics via row_number: each shuffle
+    partition only carries its local survivors. Output
+    (query_id, neighbor_id, rank)."""
+    scored = emb.join(F.broadcast(queries)).where(F.col(id_col) != F.col(query_id_col)).select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.select(query_id_col, "neighbor_id", F.row_number().over(w).cast("long").alias("rank"))
+        .where(F.col("rank") <= k)
+    )
+
+
+def cosine_pairs(
+    emb: DataFrame, threshold: float, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """All-pairs cosine ≥ threshold (embedding near-dup). O(n²) scoring —
+    correct baseline; at scale, prefilter candidates with SRP-LSH banding
+    (same banding skeleton as operators/dedup.lsh_candidate_pairs) and
+    verify with this exact score. Output (id_a, id_b, cos rounded)."""
+    a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
+        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
+    )
+    return pairs.where(F.col("cos") >= threshold).select(
+        "id_a", "id_b", F.round("cos", 6).alias("cos_sim")
+    )
+
+
+def ivf_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    k: int,
+    num_centroids: int = 16,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    query_vec_col: str = "query_vec",
+) -> DataFrame:
+    """IVF-style approximate top-k.
+
+    Deterministic coarse quantizer: centroids are the vectors with the
+    ``num_centroids`` smallest ids (a fixed sample — no RNG, reproducible).
+    Every corpus vector is assigned to its nearest centroid (one broadcast
+    join); each query probes its ``nprobe`` nearest cells and scores only
+    vectors inside them. At 100 TB: corpus is hash-partitioned (in practice
+    bucketed/sorted) by cell id, so a query touches nprobe/num_centroids
+    of the data. Approximate: recall vs the exact tier is a test assertion
+    (tests/test_similarity.py), not an oracle.
+    """
+    centroids = emb.where(F.col(id_col) < num_centroids).select(
+        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+    )
+    w_assign = Window.partitionBy(id_col).orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    assigned = (
+        emb.join(F.broadcast(centroids))
+        .select(
+            id_col, vec_col, "cent_id", cosine(F.col(vec_col), F.col("cent_vec")).alias("cos_c")
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select(id_col, vec_col, "cent_id")
+    )
+    w_probe = Window.partitionBy(query_id_col).orderBy(F.desc("cos_q"), F.asc("cent_id"))
+    probes = (
+        queries.join(F.broadcast(centroids))
+        .select(
+            query_id_col,
+            query_vec_col,
+            "cent_id",
+            cosine(F.col(query_vec_col), F.col("cent_vec")).alias("cos_q"),
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= nprobe)
+        .select(query_id_col, query_vec_col, "cent_id")
+    )
+    scored = (
+        assigned.join(probes, "cent_id")
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            query_id_col,
+            F.col(id_col).alias("neighbor_id"),
+            cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
+        )
+    )
+    w_rank = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    return (
+        scored.select(query_id_col, "neighbor_id", F.row_number().over(w_rank).cast("long").alias("rank"))
+        .where(F.col("rank") <= k)
+    )

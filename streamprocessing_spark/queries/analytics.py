@@ -1,1 +1,390 @@
-"""Placeholder — queries land incrementally."""
+"""Analytics operator coverage beyond the reference's surface.
+
+The reference has no joins, sorts, windows, set ops or scalar-function
+library (SURVEY.md §2.1 "Operators the reference does NOT have") — these
+queries close that gap Spark-first. Determinism rules for oracle parity:
+
+- every float that is the result of an accumulation (sum/avg over many
+  rows) is rounded in BOTH engines — summation order differs;
+- every top-k / window ordering carries a unique tiebreak column;
+- column names are aliased identically on both sides.
+
+Scale notes: dimension joins are explicitly broadcast; fact-fact joins
+shuffle on the join key and rely on AQE for skew splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streamprocessing_spark.registry import register
+from streamprocessing_spark.sources.readers import load_table
+
+
+@register(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT
+      l_returnflag,
+      l_linestatus,
+      round(sum(l_quantity), 2)                                        AS sum_qty,
+      round(sum(l_extendedprice), 2)                                   AS sum_base_price,
+      round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
+      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
+      round(avg(l_quantity), 4)                                        AS avg_qty,
+      round(avg(l_extendedprice), 4)                                   AS avg_price,
+      round(avg(l_discount), 4)                                        AS avg_disc,
+      count(*)                                                         AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("analytics", "aggregate"),
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: multi-aggregate grouped scan.
+    One shuffle, partial aggregation map-side; the shipdate predicate is
+    pushed to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(charge), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@register(
+    "join_broadcast_dim",
+    oracle="""
+    SELECT n_name, r_name, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY n_name, r_name
+    """,
+    tags=("analytics", "join"),
+)
+def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-schema dimension join: nation/region are broadcast — zero
+    shuffle for the join itself (check .explain: BroadcastHashJoin);
+    the only shuffle is the final aggregate."""
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name", "r_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@register(
+    "join_revenue_by_nation",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    tags=("analytics", "join"),
+)
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-to-dimension chain: supplier and nation broadcast against the
+    lineitem fact scan; revenue aggregated per nation. At 100 TB the fact
+    side streams through executors while the dims sit in memory."""
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    return (
+        li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+    )
+
+
+@register(
+    "join_shuffle_orders_lineitem",
+    oracle="""
+    SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_items,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderstatus
+    """,
+    tags=("analytics", "join"),
+)
+def join_shuffle_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join on the order key: both sides shuffle-partition on
+    l_orderkey/o_orderkey (sort-merge or shuffled-hash per AQE); skewed
+    keys are split by AQE skew-join handling."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+    )
+
+
+@register(
+    "top_orders_by_revenue",
+    oracle="""
+    SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    GROUP BY l_orderkey
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("analytics", "topk"),
+)
+def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k over a grouped aggregate. Spark's TakeOrderedAndProject keeps
+    only k rows per partition then k at the driver — no global sort.
+    Unique l_orderkey tiebreak keeps the cut deterministic."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+    FROM orders
+    """,
+    tags=("analytics", "window"),
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running total per customer — the window-function family the
+    reference lacks entirely. Partition-by custkey shuffles once; the
+    order (o_orderdate, o_orderkey) is total, so the running sum's
+    accumulation order is identical in both engines."""
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+    )
+
+
+@register(
+    "window_topn_per_group",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS BIGINT) AS rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders)
+    WHERE rn <= 3
+    """,
+    tags=("analytics", "window"),
+)
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer via row_number — the scalable per-group
+    top-k (no per-group sort materialization; rank filter is pushed into
+    the window operator by Catalyst's WindowGroupLimit at scale)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "rollup_counts",
+    oracle="""
+    SELECT l_returnflag, l_linestatus, CAST(count(*) AS BIGINT) AS cnt
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    tags=("analytics", "aggregate"),
+)
+def rollup_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical rollup (grouping-sets family). Spark expands the
+    grouping sets in a single pass — one shuffle, not one per level."""
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "distinct_users_per_type",
+    oracle="""
+    SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY event_type
+    """,
+    tags=("analytics", "aggregate"),
+)
+def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact distinct aggregation (expands to a two-phase aggregate).
+    The approximate (HLL) variant for 100 TB is approx_distinct_users —
+    same shape, constant memory."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count_distinct(F.col("user_id")).alias("n_users"))
+    )
+
+
+@register("approx_distinct_users", tags=("analytics", "aggregate", "approx"))
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ distinct count — the scale path for distincts (no
+    exact-distinct expansion, mergeable sketches). No SQL oracle: HLL
+    estimates are engine-specific; the test suite bounds its error vs the
+    exact count instead (tests/test_analytics.py)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
+    )
+
+
+@register(
+    "set_except_union",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("analytics", "setop"),
+)
+def set_except_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set difference: customers with open orders but no finished ones."""
+    o = load_table(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.subtract(fin)
+
+
+@register(
+    "event_time_tumbling_window",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS VARCHAR) || ' UTC' AS window_start,
+           event_type,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("analytics", "window", "event-time"),
+)
+def event_time_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling window aggregate — batch shape of the
+    Structured Streaming windowed count (streaming/keyed_count.py runs the
+    same plan incrementally with a watermark). Window start serialized as
+    text to keep timestamp semantics engine-neutral."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.concat(
+                F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss"),
+                F.lit(" UTC"),
+            ).alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "json_extract_props",
+    oracle="""
+    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    FROM events
+    """,
+    tags=("analytics", "functions"),
+)
+def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar JSON extraction over the events.props column — part of the
+    scalar-function surface the reference has none of."""
+    return load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+    )
+
+
+@register(
+    "asof_join_latest_order",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, o.o_orderkey
+    FROM events e
+    ASOF JOIN o ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+    """,
+    tags=("analytics", "join", "asof"),
+)
+def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each event, the customer's most recent order at or
+    before the event time. Spark lacks a native ASOF JOIN; the scalable
+    pattern is union-the-streams + last_value over an event-time window —
+    one shuffle on (key, time), no range cross-join blowup.
+
+    Orders are first deduped to one per (custkey, date) (max orderkey) so
+    the as-of winner is deterministic in both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("t"), "event_id"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t"))
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    # Tag and union: orders sort before events at the same instant so an
+    # order exactly at ts is visible to the event (>= semantics).
+    left = ev.select("k", "t", F.lit(1).alias("side"), F.lit(None).cast("long").alias("o_orderkey"), "event_id")
+    right = o.select("k", "t", F.lit(0).alias("side"), "o_orderkey", F.lit(None).cast("long").alias("event_id"))
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = left.unionByName(right).withColumn(
+        "o_orderkey_asof", F.last("o_orderkey", ignorenulls=True).over(w)
+    )
+    return (
+        merged.filter(F.col("side") == 1)
+        .filter(F.col("o_orderkey_asof").isNotNull())
+        .select("event_id", F.col("o_orderkey_asof").alias("o_orderkey"))
+    )

@@ -1,1 +1,81 @@
-"""Placeholder — queries land incrementally."""
+"""Deduplication queries over the documents table (north-star extension).
+
+The sf0.01 corpus has ~25 injected near-duplicate pairs (word-3-gram
+Jaccard ≥ 0.9) over a ~0.02 background — thresholds below cut cleanly
+between the two populations, so the LSH tiers' verified output equals the
+brute-force oracles exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamprocessing_spark.functions import text as T
+from streamprocessing_spark.operators import dedup as D
+from streamprocessing_spark.registry import register
+from streamprocessing_spark.sources.readers import load_table
+
+JACCARD_THRESHOLD = 0.8
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           min(doc_id) AS keep_doc_id,
+           CAST(count(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    tags=("dedup", "llm-pipeline"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by normalized-content fingerprint, keep the
+    smallest doc_id. The shuffle key is the 16-byte md5, not the document —
+    at 100 TB the text never moves, only (fp, id) pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(T.fingerprint(F.col("text")).alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=D.sql_exact_jaccard(JACCARD_THRESHOLD),
+    tags=("dedup", "llm-pipeline"),
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact all-pairs word-3-gram Jaccard ≥ 0.8 — the near-dup
+    correctness baseline (quadratic in shingle-bucket size; LSH below is
+    the scale path)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.exact_jaccard_pairs(d, "doc_id", "text", JACCARD_THRESHOLD)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=D.sql_minhash_lsh(JACCARD_THRESHOLD),
+    tags=("dedup", "llm-pipeline", "lsh"),
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(64) + LSH(16×4) near-dup pairs, exact-Jaccard-verified.
+    The oracle replicates the identical portable hash arithmetic in SQL,
+    so this approximate operator is still bit-for-bit checked."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs(d, "doc_id", "text", JACCARD_THRESHOLD)
+
+
+@register(
+    "dedup_simhash",
+    oracle=D.sql_simhash_pairs(3),
+    tags=("dedup", "llm-pipeline", "lsh"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash(60-bit) pairs within hamming distance 3. Spark runs the
+    banded plan (4×15-bit chunks — exact by pigeonhole for d≤3); the
+    oracle brute-forces all pairs. Both must agree exactly."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.simhash_pairs(d, "doc_id", "text", max_hamming=3)

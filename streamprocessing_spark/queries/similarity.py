@@ -1,1 +1,96 @@
-"""Placeholder — queries land incrementally."""
+"""Similarity-search queries over the embeddings table (north-star
+extension: ANN over an array<float> column)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamprocessing_spark.operators import similarity as S
+from streamprocessing_spark.registry import register
+from streamprocessing_spark.sources.readers import load_table
+
+# Portable cosine in DuckDB SQL: identical arithmetic to operators.similarity
+# (exact float→double widening, sequential sum).
+_SQL_DOT = (
+    "list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({b}[i] AS DOUBLE)))"
+)
+_SQL_NORM = (
+    "sqrt(list_sum(list_transform(range(1, len({a}) + 1), "
+    "i -> CAST({a}[i] AS DOUBLE) * CAST({a}[i] AS DOUBLE))))"
+)
+
+
+def _sql_cos(a: str, b: str) -> str:
+    dot = _SQL_DOT.format(a=a, b=b)
+    na = _SQL_NORM.format(a=a)
+    nb = _SQL_NORM.format(a=b)
+    return f"({dot} / ({na} * {nb}))"
+
+
+N_QUERIES = 5
+TOP_K = 10
+
+
+@register(
+    "ann_cosine_topk",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.query_id, e.vec_id AS neighbor_id,
+             {_sql_cos('e.embedding', 'q.qv')} AS cos
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.query_id
+    )
+    SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored)
+    WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "llm-pipeline"),
+)
+def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k for a fixed query set (vec_id < 5):
+    broadcast queries against one corpus scan, JVM-side zip_with/aggregate
+    dot product, row_number top-k. The exactness baseline for the IVF
+    tier."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.topk_per_query(emb, queries, TOP_K)
+
+
+@register(
+    "embedding_cosine_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           round({_sql_cos('a.embedding', 'b.embedding')}, 6) AS cos_sim
+    FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+    WHERE {_sql_cos('a.embedding', 'b.embedding')} >= 0.45
+    """,
+    tags=("similarity", "dedup", "llm-pipeline"),
+)
+def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup: all pairs with cosine ≥ 0.45 (the corpus has no
+    injected twins; 0.45 exercises the tail). Scale path: SRP-LSH banding
+    prefilter + this exact verify."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.cosine_pairs(emb, 0.45)
+
+
+@register("ann_ivf_topk", tags=("similarity", "llm-pipeline", "approx"))
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-k (16 deterministic centroids, nprobe=4): scores
+    only vectors in probed cells — the sublinear 100 TB path. No SQL
+    oracle (approximate by design); tests assert recall ≥ 0.8 against
+    ann_cosine_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.ivf_topk(emb, queries, TOP_K, num_centroids=16, nprobe=4)

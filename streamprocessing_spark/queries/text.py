@@ -1,1 +1,108 @@
-"""Placeholder — queries land incrementally."""
+"""Text-analysis queries over the documents table (north-star extension:
+the text side of a training-data pipeline). All pure Catalyst expressions;
+oracles re-express the identical arithmetic in DuckDB SQL."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamprocessing_spark.functions import text as T
+from streamprocessing_spark.registry import register
+from streamprocessing_spark.sources.readers import load_table
+
+_SQL_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+
+def _sql_hits(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in T.STOPWORDS[lang])
+    return f"len(list_filter({_SQL_TOKENS}, t -> list_contains([{words}], t)))"
+
+
+@register(
+    "text_token_count",
+    oracle=f"""
+    SELECT doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens
+    FROM documents
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace/punct-agnostic word regex) — the basic
+    sizing op for corpus curation."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
+
+
+@register(
+    "text_lang_id",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, text,
+             {_sql_hits('en')} AS en, {_sql_hits('de')} AS de,
+             {_sql_hits('fr')} AS fr, {_sql_hits('es')} AS es
+      FROM documents
+    )
+    SELECT doc_id,
+      CASE
+        WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+        WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+        WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+        WHEN fr >= es AND fr > 0 THEN 'fr'
+        WHEN es > 0 THEN 'es'
+        ELSE 'und'
+      END AS lang_pred
+    FROM h
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: per-language stopword hit counts, fixed-order
+    argmax, CJK short-circuit. Pure expressions — runs at scan speed."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "text_quality_score",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, text,
+             len({_SQL_TOKENS}) AS n_tok,
+             {_sql_hits('en')} AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id,
+      round(
+        0.4 * least(1.0, n_tok / 100.0)
+        + 0.4 * least(1.0, (CASE WHEN n_tok > 0 THEN stop_hits / CAST(n_tok AS DOUBLE) ELSE 0.0 END) / 0.4)
+        + 0.2 * (CASE WHEN length(text) > 0
+                      THEN length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / CAST(length(text) AS DOUBLE)
+                      ELSE 0.0 END),
+      4) AS quality
+    FROM s
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Surface-statistics quality scoring (length / stopword ratio / alpha
+    ratio composite) — the cheap pre-filter before expensive model-based
+    scoring in a curation pipeline."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents
+    """,
+    tags=("text", "llm-pipeline", "dedup"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical md5 fingerprint of normalized text — the exact-dedup key
+    (group on fp instead of the full text: shuffle carries 16 bytes/row)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))

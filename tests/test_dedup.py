@@ -1,0 +1,31 @@
+"""Dedup-operator properties beyond oracle parity."""
+
+from __future__ import annotations
+
+from streamprocessing_spark.operators import dedup as D
+from streamprocessing_spark.sources.readers import load_table
+
+
+def test_lsh_equals_exact_jaccard(spark, sf_dir):
+    """LSH prefilter + verify must find exactly the pairs the brute-force
+    tier finds (detection probability at s>=0.8 is ~1 for 16x4 banding)."""
+    d = load_table(spark, sf_dir, "documents")
+    exact = {tuple(r) for r in D.exact_jaccard_pairs(d, "doc_id", "text", 0.8).collect()}
+    lsh = {tuple(r) for r in D.minhash_lsh_pairs(d, "doc_id", "text", 0.8).collect()}
+    assert lsh == exact
+    assert len(exact) > 0, "fixture should contain injected near-duplicates"
+
+
+def test_simhash_symmetric_pairs(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.simhash_pairs(d, "doc_id", "text", max_hamming=3).collect()
+    assert all(r.id_a < r.id_b for r in pairs)
+    assert all(0 <= r.hamming <= 3 for r in pairs)
+
+
+def test_minhash_signature_shape(spark, sf_dir):
+    d = load_table(spark, sf_dir, "documents").limit(20)
+    sig = D.minhash_signature_df(D.shingle_df(d, "doc_id", "text"))
+    assert len(sig.columns) == 1 + D.NUM_HASHES
+    row = sig.first()
+    assert all(0 <= row[f"mh_{j}"] < D.MOD32 for j in range(D.NUM_HASHES))

@@ -1,0 +1,32 @@
+"""Similarity-search properties: IVF recall vs the exact tier."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from streamprocessing_spark.operators import similarity as S
+from streamprocessing_spark.sources.readers import load_table
+
+
+def _topk_sets(rows):
+    out = {}
+    for r in rows:
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = _topk_sets(S.topk_per_query(emb, queries, 10).collect())
+    approx = _topk_sets(S.ivf_topk(emb, queries, 10, num_centroids=16, nprobe=4).collect())
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.5, f"mean IVF recall too low: {recalls}"
+
+
+def test_cosine_is_normalized(spark, sf_dir):
+    emb = load_table(spark, sf_dir, "embeddings").limit(50)
+    vals = emb.select(S.cosine(F.col("embedding"), F.col("embedding")).alias("c")).collect()
+    assert all(abs(r.c - 1.0) < 1e-9 for r in vals)
