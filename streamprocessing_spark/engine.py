@@ -1,0 +1,179 @@
+"""RainStorm-compatible job facade: job spec → DataFrame graph.
+
+The reference submits jobs as
+``RainStorm <op1_exe> <op2_exe> <src> <dest> <num_tasks> [pattern]``
+(main.go:206-222) where each op is an external executable forked once per
+record; the framework classifies each invocation's stdout to pick the
+operator semantics (rainstorm/server.go:334-361):
+
+    0 lines  → record filtered out
+    1 line   → stateful count: state[line] += 1, emit (line, count)
+    ≥2 lines → flatMap: consecutive line pairs become (key, value) records
+
+This module is the Spark-first re-expression. A job is two pluggable ops
+over a keyed string-record DataFrame (columns ``key``, ``value`` — the
+reference's Record model, rainstorm/types.go:53-57). Ops come in two
+flavors:
+
+- ``NativeOp``: a declarative DataFrame→DataFrame transform — the fast
+  path; Catalyst optimizes through it (predicate pushdown, codegen).
+- ``PluginOp``: an arbitrary Python callable ``(key, value, pattern) →
+  None | str | list[(key, value)]`` mirroring the stdout contract
+  (None=filtered, str=count-key, list=flatMap). Executed over Arrow
+  batches via mapInPandas — one Python invocation per ~batch instead of
+  the reference's fork/exec per record (SURVEY.md §4.2: ~10^4× cheaper).
+  A single op may mix return kinds per record, exactly like the
+  reference; count-keyed records are aggregated and re-emitted as
+  (key, running-total-as-string) records.
+
+Everything the reference's engine did besides the ops — task placement,
+per-record RPC + ack + retry, WAL, dedup, failure recovery
+(server.go:186-408) — is deliberately absent: Spark's scheduler, shuffle
+and (in streaming) checkpointed state store provide those guarantees.
+"""
+
+from __future__ import annotations
+
+import csv
+import io
+from collections.abc import Callable, Iterator
+from dataclasses import dataclass, field
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import StringType, StructField, StructType
+
+PluginFn = Callable[[str, str, str | None], None | str | list[tuple[str, str]]]
+
+RECORD_SCHEMA = StructType(
+    [StructField("key", StringType()), StructField("value", StringType())]
+)
+_TAGGED_SCHEMA = StructType(
+    [
+        StructField("kind", StringType()),
+        StructField("key", StringType()),
+        StructField("value", StringType()),
+    ]
+)
+
+
+@dataclass(frozen=True)
+class NativeOp:
+    """Declarative operator: any DataFrame→DataFrame transform over the
+    (key, value) record model. Preferred whenever the op is expressible —
+    stays inside whole-stage codegen."""
+
+    transform: Callable[[DataFrame, str | None], DataFrame]
+
+    def apply(self, records: DataFrame, pattern: str | None) -> DataFrame:
+        return self.transform(records, pattern)
+
+
+@dataclass(frozen=True)
+class PluginOp:
+    """Arbitrary-code operator under the reference's stdout contract."""
+
+    fn: PluginFn
+
+    def apply(self, records: DataFrame, pattern: str | None) -> DataFrame:
+        from streamprocessing_spark.shipping import ensure_shippable
+
+        ensure_shippable()
+        fn = self.fn
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                kinds: list[str] = []
+                keys: list[str] = []
+                vals: list[str] = []
+                for k, v in zip(pdf["key"], pdf["value"]):
+                    r = fn(k, v, pattern)
+                    if r is None:
+                        continue
+                    if isinstance(r, str):
+                        kinds.append("count")
+                        keys.append(r)
+                        vals.append("")
+                    else:
+                        for nk, nv in r:
+                            kinds.append("emit")
+                            keys.append(nk)
+                            vals.append(nv)
+                yield pd.DataFrame({"kind": kinds, "key": keys, "value": vals})
+
+        tagged = records.mapInPandas(kernel, _TAGGED_SCHEMA)
+        emits = tagged.where(F.col("kind") == "emit").select("key", "value")
+        counts = (
+            tagged.where(F.col("kind") == "count")
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).cast("string").alias("value"))
+        )
+        # Either side may be empty; the union keeps the mixed-contract
+        # semantics of the reference framework.
+        return emits.unionByName(counts)
+
+
+Op = NativeOp | PluginOp
+
+
+@dataclass(frozen=True)
+class RainStormJob:
+    """The reference's job spec (rainstorm/types.go:8-25) minus placement:
+    two ops, an optional pattern, and an optional inter-stage partition
+    count.
+
+    ``num_tasks`` mirrors ``Hash(key) % NumTasks`` routing
+    (server.go:376-408). Leave it None in practice: an explicit
+    repartition between stages is only worth its shuffle when the
+    downstream op needs co-location; AQE picks partition counts
+    otherwise.
+    """
+
+    op1: Op
+    op2: Op
+    pattern: str | None = None
+    num_tasks: int | None = None
+
+    def run(self, records: DataFrame) -> DataFrame:
+        """records (key, value) → op1 → [repartition] → op2."""
+        out = self.op1.apply(records, self.pattern)
+        if self.num_tasks is not None:
+            out = out.repartition(self.num_tasks, F.col("key"))
+        return self.op2.apply(out, self.pattern)
+
+
+# ---------------------------------------------------------------------------
+# The four shipped operator executables, re-expressed as plugin callables
+# (the plugin path exists to run arbitrary user code; these four are also
+# trivially expressible as NativeOps).
+
+
+def parse_csv_line(value: str) -> list[str]:
+    """Real CSV semantics (quoted fields, embedded commas) — the reference
+    ops parse with encoding/csv (ops/app1op2/app1op2.go:11-14), so naive
+    split(',') would diverge on quoted input."""
+    return next(csv.reader(io.StringIO(value)))
+
+
+def app1_op1(key: str, value: str, pattern: str | None):
+    """Substring filter (ops/app1op1/app1op1.go:9-18)."""
+    return [(key, value)] if pattern is not None and pattern in value else None
+
+
+def app1_op2(key: str, value: str, pattern: str | None):
+    """CSV projection to (col2, col3) (ops/app1op2/app1op2.go:10-19)."""
+    row = parse_csv_line(value)
+    return [(row[2], row[3])]
+
+
+def app2_op1(key: str, value: str, pattern: str | None):
+    """Equality filter on col6, project (col8, "1")
+    (ops/app2op1/app2op1.go:10-22)."""
+    row = parse_csv_line(value)
+    return [(row[8], "1")] if row[6] == pattern else None
+
+
+def app2_op2(key: str, value: str, pattern: str | None):
+    """Key passthrough → count path (ops/app2op2/app2op2.go:8-14)."""
+    return key

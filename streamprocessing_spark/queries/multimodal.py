@@ -1,1 +1,55 @@
-"""Placeholder — queries land incrementally."""
+"""Multimodal-column queries: binary payload plumbing with the decode
+kernel stubbed deterministically (codec libs absent in this container —
+see operators/multimodal.py). The document text stands in for media bytes;
+every byte-level value (length, sha256, md5-h32) is engine-portable, so
+even the mapInPandas path is oracle-checked."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamprocessing_spark.operators import multimodal as M
+from streamprocessing_spark.registry import register
+from streamprocessing_spark.sources.readers import load_table
+
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+    tags=("multimodal", "llm-pipeline"),
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed metadata over opaque binary payloads (byte length + content
+    hash) — computed JVM-side at scan speed, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    media = M.attach_payload(d, "doc_id", "text")
+    return media.select(
+        "media_id",
+        F.col("meta.n_bytes").alias("n_bytes"),
+        F.col("meta.sha256").alias("sha256"),
+    )
+
+
+@register(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS h32
+    FROM documents
+    """,
+    tags=("multimodal", "llm-pipeline", "pandas-udf"),
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Arrow-batched mapInPandas decode path (stub kernel). The
+    portable outputs (n_bytes, md5-h32) are oracle-checked; the fake
+    decode dims are covered by tests/test_multimodal.py."""
+    d = load_table(spark, sf_dir, "documents")
+    media = M.attach_payload(d, "doc_id", "text")
+    return M.extract_features(media).select("media_id", "n_bytes", "h32")

@@ -1,0 +1,81 @@
+"""The reference's two demo applications run END-TO-END through the
+RainStormJob facade with the real plugin path (mapInPandas over the
+stdout-contract callables) — oracle-checked like every other query.
+
+The record stream is a TrafficSigns-shaped CSV line built from orders
+(FIXTURES.md §1: the ops hardcode column positions 2,3 / 6,8)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamprocessing_spark import engine as E
+from streamprocessing_spark.registry import register
+from streamprocessing_spark.sources.readers import load_table
+
+# 0-based CSV layout of the synthetic line (mirrors the demo dataset's
+# semantic columns): 2=objectid, 3=sign_type, 6=sign_post, 8=category.
+_LINE_COLS = (
+    "o_orderkey",      # 0
+    "'a'",             # 1 filler
+    "o_orderkey",      # 2 objectid
+    "o_orderpriority", # 3 sign_type (contains-filter target)
+    "'sz'",            # 4 filler
+    "'sup'",           # 5 filler
+    "o_orderstatus",   # 6 sign_post (equality target)
+    "'yr'",            # 7 filler
+    "o_orderpriority", # 8 category (count key)
+    "'note'",          # 9 filler
+)
+
+_SQL_LINE = " || ',' || ".join(
+    c if c.startswith("'") else f"CAST({c} AS VARCHAR)" for c in _LINE_COLS
+)
+
+
+def _record_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(key, value) records: key = 'orders:<orderkey>' (the reference's
+    '<file>:<lineNo>' source key, server.go:439), value = the CSV line."""
+    o = load_table(spark, sf_dir, "orders")
+    line = F.concat_ws(
+        ",", *[F.expr(c) if c.startswith("'") else F.col(c).cast("string") for c in _LINE_COLS]
+    )
+    return o.select(
+        F.concat(F.lit("orders:"), F.col("o_orderkey").cast("string")).alias("key"),
+        line.alias("value"),
+    )
+
+
+@register(
+    "rainstorm_plugin_app1",
+    oracle=f"""
+    SELECT CAST(o_orderkey AS VARCHAR) AS key, o_orderpriority AS value
+    FROM orders
+    WHERE ({_SQL_LINE}) LIKE '%URGENT%'
+    """,
+    tags=("reference", "engine", "plugin", "pandas-udf"),
+)
+def rainstorm_plugin_app1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """App1 (pattern grep → CSV projection) through the plugin path:
+    RainStorm op1=app1op1 op2=app1op2 pattern='URGENT' (SURVEY.md §5)."""
+    job = E.RainStormJob(op1=E.PluginOp(E.app1_op1), op2=E.PluginOp(E.app1_op2), pattern="URGENT")
+    return job.run(_record_stream(spark, sf_dir))
+
+
+@register(
+    "rainstorm_plugin_app2",
+    oracle="""
+    SELECT o_orderpriority AS key, CAST(count(*) AS VARCHAR) AS value
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    tags=("reference", "engine", "plugin", "pandas-udf"),
+)
+def rainstorm_plugin_app2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """App2 (equality filter → stateful category count) through the plugin
+    path, including the 1-line count contract:
+    RainStorm op1=app2op1 op2=app2op2 pattern='F'."""
+    job = E.RainStormJob(op1=E.PluginOp(E.app2_op1), op2=E.PluginOp(E.app2_op2), pattern="F")
+    return job.run(_record_stream(spark, sf_dir))

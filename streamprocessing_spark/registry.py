@@ -42,6 +42,7 @@ _QUERY_MODULES = (
     "streamprocessing_spark.queries.text",
     "streamprocessing_spark.queries.multimodal",
     "streamprocessing_spark.queries.streaming",
+    "streamprocessing_spark.queries.rainstorm",
 )
 
 
@@ -64,6 +65,11 @@ def register(
 def _load() -> None:
     for mod in _QUERY_MODULES:
         importlib.import_module(mod)
+    # Python-side operators (mapInPandas kernels) must serialize by value
+    # so executors never need this package on their sys.path.
+    from streamprocessing_spark.shipping import ensure_shippable
+
+    ensure_shippable()
 
 
 def all_specs() -> dict[str, QuerySpec]:

@@ -1,0 +1,69 @@
+"""Structured Streaming replay of the driver's bounded tables.
+
+The reference's notion of a "stream" is a bounded replay of a DFS file
+(rainstorm/server.go:411-448): records flow through the pipeline and the
+job ends when the file is exhausted. The Structured Streaming equivalent
+is a file source driven with Trigger.AvailableNow — the same incremental,
+stateful, checkpointed execution a live stream gets, but terminating when
+the backlog is drained. Results land in a memory sink so the caller gets
+an ordinary DataFrame back; correctness is defined against the batch
+oracle at end-of-stream (SURVEY.md §4.3.1/§5).
+
+On a real deployment the source line is the only thing that changes
+(readStream.format("kafka")...): every transformation, watermark and sink
+below is production Structured Streaming.
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamprocessing_spark.sources.readers import _ensure_confs
+
+
+def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """readStream over events.parquet with the same ts normalization as the
+    batch loader (nanos→micros). Schema comes from a batch peek — file
+    stream sources need it declared."""
+    _ensure_confs(spark)
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    # The file stream source lists a DIRECTORY; events.parquet is a single
+    # file, so stream the parent dir with a glob restricted to it.
+    df = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+
+
+def run_to_memory_sink(
+    df: DataFrame,
+    output_mode: str,
+    query_name: str | None = None,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion (AvailableNow) into a
+    memory sink; return the sink contents as a DataFrame.
+
+    Memory sinks are a test/driver harness device — production jobs write
+    parquet/Kafka with the same trigger + checkpointLocation arguments.
+    """
+    name = query_name or f"sink_{uuid.uuid4().hex[:12]}"
+    writer = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+    )
+    ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="sp_ckpt_")
+    writer = writer.option("checkpointLocation", ckpt)
+    q = writer.start()
+    q.awaitTermination()
+    return df.sparkSession.table(name)

@@ -1,0 +1,82 @@
+"""RainStormJob facade: plugin contract semantics (the reference's
+stdout-line classification), CSV quoting fidelity, native/plugin parity."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from streamprocessing_spark import engine as E
+
+
+@pytest.fixture()
+def records(spark):
+    rows = [
+        ("f:1", "10,a,1,Stop Sign,\"16\\\" X 42\\\"\",s,Punched Telespar,2010,Warning,n"),
+        ("f:2", "11,a,2,\"Streetname, Mast Arm\",sz,s,Square Tube,2011,Regulatory,n"),
+        ("f:3", "12,a,3,Yield,sz,s,Punched Telespar,2012,Warning,n"),
+    ]
+    return spark.createDataFrame(rows, E.RECORD_SCHEMA)
+
+
+def test_csv_quoting_respected(spark, records):
+    """Quoted fields with embedded commas must parse as ONE column
+    (FIXTURES.md: the reference uses encoding/csv, not split(','))."""
+    job = E.RainStormJob(op1=E.PluginOp(E.app1_op1), op2=E.PluginOp(E.app1_op2), pattern="Mast Arm")
+    out = {(r.key, r.value) for r in job.run(records).collect()}
+    assert out == {("2", "Streetname, Mast Arm")}
+
+
+def test_count_contract(spark, records):
+    """op returning a bare string routes into the count path and the
+    framework emits (key, running-total) — server.go:344-355."""
+    job = E.RainStormJob(op1=E.PluginOp(E.app2_op1), op2=E.PluginOp(E.app2_op2), pattern="Punched Telespar")
+    out = {(r.key, r.value) for r in job.run(records).collect()}
+    assert out == {("Warning", "2")}
+
+
+def test_mixed_contract_single_op(spark, records):
+    """One op may filter, count and flatMap per record in the same run —
+    the classification is per record, as in the reference framework."""
+
+    def chaotic(key, value, pattern):
+        n = int(value.split(",")[0])
+        if n == 10:
+            return None  # filtered
+        if n == 11:
+            return "bucket"  # count path
+        return [("a", "1"), ("b", "2")]  # flatMap
+
+    job = E.RainStormJob(op1=E.PluginOp(chaotic), op2=E.PluginOp(lambda k, v, p: [(k, v)]))
+    out = sorted((r.key, r.value) for r in job.run(records).collect())
+    assert out == [("a", "1"), ("b", "2"), ("bucket", "1")]
+
+
+def test_native_equals_plugin(spark, records):
+    """The declarative fast path must agree with the plugin path."""
+    native = E.RainStormJob(
+        op1=E.NativeOp(lambda df, p: df.filter(F.col("value").contains(p))),
+        op2=E.NativeOp(
+            lambda df, p: df.select(
+                F.split_part(F.col("value"), F.lit(","), F.lit(3)).alias("key"),
+                F.split_part(F.col("value"), F.lit(","), F.lit(4)).alias("value"),
+            )
+        ),
+        pattern="Yield",
+    )
+    plugin = E.RainStormJob(
+        op1=E.PluginOp(E.app1_op1), op2=E.PluginOp(E.app1_op2), pattern="Yield"
+    )
+    n_out = {(r.key, r.value) for r in native.run(records).collect()}
+    p_out = {(r.key, r.value) for r in plugin.run(records).collect()}
+    assert n_out == p_out == {("3", "Yield")}
+
+
+def test_num_tasks_repartition(spark, records):
+    job = E.RainStormJob(
+        op1=E.PluginOp(E.app1_op1),
+        op2=E.PluginOp(lambda k, v, p: [(k, v)]),
+        pattern="Sign",
+        num_tasks=3,
+    )
+    assert job.run(records).count() == 1

@@ -1,0 +1,179 @@
+"""Streaming-only semantics the batch oracle can't express:
+
+- update-mode emission per micro-batch (the reference emits a running
+  count per input record — rainstorm/server.go:344-355);
+- checkpoint recovery across a stop/restart (the Spark analogue of
+  RainStormWithFail's kill-2-workers chaos test, main.go:223-243);
+- a custom stateful operator via applyInPandasWithState (the pluggable
+  stateful-op surface).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import StructType
+
+from streamprocessing_spark.sources.readers import load_table
+
+
+def _extract_part_file(chunk_dir: str, dest_file: str) -> None:
+    """The file stream source lists plain files (no recursion): flatten a
+    one-part parquet dir into a single .parquet file."""
+    part = next(f for f in os.listdir(chunk_dir) if f.endswith(".parquet"))
+    shutil.copyfile(f"{chunk_dir}/{part}", dest_file)
+
+
+@pytest.fixture()
+def staged_events(spark, sf_dir):
+    """events split into two single-file parquet 'chunks' in a temp dir, so
+    tests can control micro-batch boundaries and simulate late files."""
+    base = tempfile.mkdtemp(prefix="sp_stream_")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type")
+    ev.where(F.col("event_id") % 2 == 0).coalesce(1).write.parquet(f"{base}/chunk1_dir")
+    ev.where(F.col("event_id") % 2 == 1).coalesce(1).write.parquet(f"{base}/chunk2_dir")
+    _extract_part_file(f"{base}/chunk1_dir", f"{base}/chunk1.parquet")
+    _extract_part_file(f"{base}/chunk2_dir", f"{base}/chunk2.parquet")
+    schema = ev.schema
+    yield base, schema, ev
+    shutil.rmtree(base, ignore_errors=True)
+
+
+def _start_count_query(spark, src_dir, schema, ckpt, name):
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src_dir)
+    )
+    counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def test_checkpoint_recovery_across_restart(spark, staged_events):
+    """Stop after chunk1, 'fail over', restart with the same checkpoint:
+    the state store must resume (not recount chunk1) and converge to the
+    batch totals — the reference achieves this with WAL replay
+    (rainstorm/server.go:186-278)."""
+    base, schema, ev = staged_events
+    src = f"{base}/src"
+    os.makedirs(src)
+    shutil.copyfile(f"{base}/chunk1.parquet", f"{src}/c1.parquet")
+    ckpt = f"{base}/ckpt"
+
+    q1 = _start_count_query(spark, src, schema, ckpt, "recov_phase1")
+    q1.awaitTermination()
+    phase1 = {r.event_type: r.cnt for r in spark.table("recov_phase1").collect()}
+
+    # new files arrive while "down"
+    shutil.copyfile(f"{base}/chunk2.parquet", f"{src}/c2.parquet")
+    q2 = _start_count_query(spark, src, schema, ckpt, "recov_phase2")
+    q2.awaitTermination()
+    phase2 = {r.event_type: r.cnt for r in spark.table("recov_phase2").collect()}
+
+    expected = {r.event_type: r.cnt for r in
+                ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert phase2 == expected
+    assert sum(phase1.values()) < sum(expected.values())  # phase1 saw only chunk1
+
+
+def test_update_mode_emits_running_counts(spark, staged_events):
+    """Update mode re-emits a key's count every micro-batch it changes in —
+    the reference's per-input running-count emission, aggregated to
+    micro-batch granularity (SURVEY.md §4.3.1)."""
+    base, schema, ev = staged_events
+    src = f"{base}/src_upd"
+    os.makedirs(src)
+    shutil.copyfile(f"{base}/chunk1.parquet", f"{src}/c1.parquet")
+    shutil.copyfile(f"{base}/chunk2.parquet", f"{src}/c2.parquet")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    counts = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    name = f"upd_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sp_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emissions = spark.table(name).collect()
+    final = {r.event_type: r.cnt for r in
+             ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    # more emissions than keys → intermediate (running) counts were emitted
+    assert len(emissions) > len(final)
+    # the max emission per key is the final count
+    maxes: dict[str, int] = {}
+    for r in emissions:
+        maxes[r.event_type] = max(maxes.get(r.event_type, 0), r.cnt)
+    assert maxes == final
+
+
+def test_custom_stateful_running_count(spark, staged_events):
+    """Custom keyed state via applyInPandasWithState: a hand-rolled running
+    count (the reference framework's count path, rainstorm/server.go:39,
+    344-355) — demonstrates the pluggable stateful-operator surface."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    base, schema, ev = staged_events
+    src = f"{base}/src_state"
+    os.makedirs(src)
+    shutil.copyfile(f"{base}/chunk1.parquet", f"{src}/c1.parquet")
+    shutil.copyfile(f"{base}/chunk2.parquet", f"{src}/c2.parquet")
+
+    out_schema = StructType(
+        [StructField("event_type", StringType()), StructField("cnt", LongType())]
+    )
+    state_schema = StructType([StructField("n", LongType())])
+
+    def running_count(key, pdf_iter, state: GroupState):
+        n = state.get[0] if state.exists else 0
+        for pdf in pdf_iter:
+            n += len(pdf)
+        state.update((n,))
+        yield pd.DataFrame({"event_type": [key[0]], "cnt": [n]})
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    counts = stream.groupBy("event_type").applyInPandasWithState(
+        running_count, out_schema, state_schema, "update", GroupStateTimeout.NoTimeout
+    )
+    name = f"state_{uuid.uuid4().hex[:8]}"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="sp_ckpt_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emissions = spark.table(name).collect()
+    final = {r.event_type: r.cnt for r in
+             ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    maxes: dict[str, int] = {}
+    for r in emissions:
+        maxes[r.event_type] = max(maxes.get(r.event_type, 0), r.cnt)
+    assert maxes == final
