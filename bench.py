@@ -24,6 +24,7 @@ from streamprocessing_spark.session import get_spark
 # LLM-pipeline operators. Kept explicit so bench timings stay comparable
 # across rounds even as the registry grows.
 HEADLINE = [
+    # reference-derived pipelines
     "source_scan",
     "filter_contains",
     "count_by_key",
@@ -31,6 +32,20 @@ HEADLINE = [
     "dedup_by_id",
     "app1_pipeline",
     "app2_pipeline",
+    "rainstorm_plugin_app2",
+    # analytics
+    "q1_pricing_summary",
+    "join_revenue_by_nation",
+    "join_shuffle_orders_lineitem",
+    "top_orders_by_revenue",
+    "window_topn_per_group",
+    "asof_join_latest_order",
+    # LLM-pipeline extensions
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "text_quality_score",
+    "multimodal_features",
 ]
 
 
@@ -47,9 +62,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):  # best-of-2: damps JIT/page-cache/GC variance
+            t0 = time.time()
+            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     print(
         json.dumps(

@@ -87,7 +87,9 @@ class PluginOp:
                 kinds: list[str] = []
                 keys: list[str] = []
                 vals: list[str] = []
-                for k, v in zip(pdf["key"], pdf["value"]):
+                # tolist(): plain-list iteration is ~2× faster than
+                # iterating pandas Series in this per-record hot loop
+                for k, v in zip(pdf["key"].tolist(), pdf["value"].tolist()):
                     r = fn(k, v, pattern)
                     if r is None:
                         continue

@@ -39,16 +39,18 @@ def stopword_hits(toks: Column, lang: str) -> Column:
     return F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).cast("long")
 
 
-def lang_id(text: Column) -> Column:
-    """Argmax-of-stopword-hits language guess with CJK short-circuit.
+def lang_pick(hits: dict[str, Column], text: Column) -> Column:
+    """Argmax-of-stopword-hits language guess with CJK short-circuit, over
+    ALREADY-MATERIALIZED per-language hit columns (each hit column is
+    referenced up to 4× below — inlining the token pipeline into every
+    reference would re-run the tokenizer per comparison; see
+    operators/dedup.shingle_df for the measured cost of that pattern).
 
     Deterministic tiebreak: languages compared in the fixed order
     en > de > fr > es (>= keeps the earlier language on ties); all-zero
     hits → 'und'. A CJK codepoint anywhere → 'zh' (token heuristics don't
     apply to unsegmented scripts).
     """
-    toks = tokens(text)
-    hits = {lang: stopword_hits(toks, lang) for lang in STOPWORDS}
     best = (
         F.when(
             (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["es"]) & (hits["en"] > 0),
@@ -63,8 +65,18 @@ def lang_id(text: Column) -> Column:
     return F.when(has_cjk, F.lit("zh")).otherwise(best)
 
 
-def quality_score(text: Column) -> Column:
-    """Composite document-quality score in [0,1] from cheap surface stats:
+def lang_id(text: Column) -> Column:
+    """Single-column convenience form of lang_pick (tokenizes inline —
+    fine for ad-hoc use; the registered query materializes the token array
+    and hit counts in projections first)."""
+    toks = tokens(text)
+    return lang_pick({lang: stopword_hits(toks, lang) for lang in STOPWORDS}, text)
+
+
+def quality_from_stats(n_tok: Column, stop_hits: Column, n_chars: Column, n_alpha: Column) -> Column:
+    """Composite document-quality score in [0,1] from pre-materialized
+    surface stats (materialize them in a projection — each is referenced
+    more than once here):
 
     - length_score: min(1, n_tokens/100) — too-short docs score low;
     - stopword_ratio: fraction of tokens that are (en) stopwords — natural
@@ -75,17 +87,23 @@ def quality_score(text: Column) -> Column:
     Single-pass arithmetic — identical in any engine; no accumulation
     ordering concerns.
     """
-    toks = tokens(text)
-    n_tok = F.size(toks)
     length_score = F.least(F.lit(1.0), n_tok / F.lit(100.0))
-    stop_ratio = F.when(n_tok > 0, stopword_hits(toks, "en") / n_tok).otherwise(F.lit(0.0))
+    stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
     stop_score = F.least(F.lit(1.0), stop_ratio / F.lit(0.4))
-    n_chars = F.length(text)
-    alpha_ratio = F.when(
-        n_chars > 0,
-        F.length(F.regexp_replace(text, r"[^A-Za-z0-9]", "")) / n_chars,
-    ).otherwise(F.lit(0.0))
+    alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
     return F.round(0.4 * length_score + 0.4 * stop_score + 0.2 * alpha_ratio, 4)
+
+
+def alpha_count(text: Column) -> Column:
+    return F.length(F.regexp_replace(text, r"[^A-Za-z0-9]", ""))
+
+
+def quality_score(text: Column) -> Column:
+    """Single-column convenience form of quality_from_stats."""
+    toks = tokens(text)
+    return quality_from_stats(
+        F.size(toks), stopword_hits(toks, "en"), F.length(text), alpha_count(text)
+    )
 
 
 def fingerprint(text: Column) -> Column:

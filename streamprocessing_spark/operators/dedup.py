@@ -76,26 +76,40 @@ def tokens_col(text: Column) -> Column:
 def shingle_df(df: DataFrame, id_col: str, text_col: str, k: int = K_SHINGLE) -> DataFrame:
     """(id, sh): distinct word-k-gram shingles per document. Docs with
     fewer than k tokens have an empty shingle set and drop out (they can't
-    be near-duplicates under set Jaccard)."""
-    toks = tokens_col(F.col(text_col))
-    idxs = F.sequence(F.lit(0), F.size(toks) - k)
-    shingles = F.transform(idxs, lambda i: F.concat_ws(" ", *[F.element_at(toks, i + j + 1) for j in range(k)]))
+    be near-duplicates under set Jaccard).
+
+    The token array is materialized in its own projection BEFORE the
+    shingle lambda touches it: inlined, every element_at re-evaluates the
+    regexp tokenizer (~3×shingle-count times per row — measured 10× slower
+    at sf0.1). array_distinct already dedupes within a doc, so no extra
+    distinct shuffle is needed."""
+    toked = df.select(F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t"))
+    t = F.col("t")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(t) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(k)]),
+    )
     return (
-        df.select(F.col(id_col).alias("id"), F.explode(F.array_distinct(shingles)).alias("sh"))
-        .where(F.size(toks) >= k)
-        .distinct()
+        toked.where(F.size(t) >= k)
+        .select("id", F.explode(F.array_distinct(shingles)).alias("sh"))
     )
 
 
 def minhash_signature_df(shingles: DataFrame) -> DataFrame:
     """(id, mh_0..mh_{NUM_HASHES-1}): one aggregation pass computes all
-    minhashes — map-side partial min keeps the shuffle at one row per doc."""
-    h = _h32(F.col("sh"))
+    minhashes — map-side partial min keeps the shuffle at one row per doc.
+
+    The md5-derived base hash is materialized ONCE per shingle in a
+    projection before the aggregate: Catalyst does not CSE across
+    aggregate expressions, so inlining it would evaluate md5 64× per row
+    (measured ~4× slower end-to-end at sf0.1)."""
+    hashed = shingles.select("id", _h32(F.col("sh")).alias("h"))
+    h = F.col("h")
     aggs = [
         F.min((F.lit(a) * h + F.lit(b)) % F.lit(MOD32)).alias(f"mh_{j}")
         for j, (a, b) in enumerate(COEFFS)
     ]
-    return shingles.groupBy("id").agg(*aggs)
+    return hashed.groupBy("id").agg(*aggs)
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
@@ -186,6 +200,13 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, threshold: floa
     stage makes precision exact, so for well-separated corpora the result
     set equals the brute-force oracle's.
     """
+    # The shingle set feeds both the signature and the verify join; persist
+    # it so the tokenize+explode runs once, not twice (at cluster scale
+    # this is a checkpoint/exchange-reuse; in-memory persist locally).
+    # Measured: persisting the exploded shingle set costs more than
+    # recomputing it for the verify join (materialization + lost
+    # pipelining), so both branches recompute from the (columnar, pruned)
+    # scan.
     sh = shingle_df(df, id_col, text_col)
     cand = lsh_candidate_pairs(minhash_signature_df(sh))
     return (
@@ -202,7 +223,10 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
     )
     tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    h = _h60(F.col("tok"))
+    # materialize the 60-bit hash once per (doc, token): Catalyst does not
+    # CSE across the 60 aggregate expressions below
+    tf = tf.select("id", "cnt", _h60(F.col("tok")).alias("h"))
+    h = F.col("h")
     bit_sums = [
         F.sum(
             F.col("cnt")

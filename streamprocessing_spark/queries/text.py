@@ -58,9 +58,17 @@ def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-ID heuristic: per-language stopword hit counts, fixed-order
-    argmax, CJK short-circuit. Pure expressions — runs at scan speed."""
+    argmax, CJK short-circuit. Pure expressions — runs at scan speed. The
+    token array and hit counts are materialized in staged projections so
+    the tokenizer runs once per row, not once per CASE comparison."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", T.lang_id(F.col("text")).alias("lang_pred"))
+    toked = d.select("doc_id", "text", T.tokens(F.col("text")).alias("t"))
+    hit_cols = {
+        lang: T.stopword_hits(F.col("t"), lang).alias(f"hits_{lang}") for lang in T.STOPWORDS
+    }
+    scored = toked.select("doc_id", "text", *hit_cols.values())
+    hits = {lang: F.col(f"hits_{lang}") for lang in T.STOPWORDS}
+    return scored.select("doc_id", T.lang_pick(hits, F.col("text")).alias("lang_pred"))
 
 
 @register(
@@ -87,9 +95,22 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Surface-statistics quality scoring (length / stopword ratio / alpha
     ratio composite) — the cheap pre-filter before expensive model-based
-    scoring in a curation pipeline."""
+    scoring in a curation pipeline. Stats materialized once per row."""
     d = load_table(spark, sf_dir, "documents")
-    return d.select("doc_id", T.quality_score(F.col("text")).alias("quality"))
+    toked = d.select("doc_id", "text", T.tokens(F.col("text")).alias("t"))
+    stats = toked.select(
+        "doc_id",
+        F.size(F.col("t")).alias("n_tok"),
+        T.stopword_hits(F.col("t"), "en").alias("stop_hits"),
+        F.length(F.col("text")).alias("n_chars"),
+        T.alpha_count(F.col("text")).alias("n_alpha"),
+    )
+    return stats.select(
+        "doc_id",
+        T.quality_from_stats(
+            F.col("n_tok"), F.col("stop_hits"), F.col("n_chars"), F.col("n_alpha")
+        ).alias("quality"),
+    )
 
 
 @register(

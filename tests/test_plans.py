@@ -1,0 +1,59 @@
+"""Plan-quality gates: the properties that decide whether a query survives
+a 100× scale-up — pushdown reaching the scan, column pruning, broadcast
+joins for dims, and no redundant shuffles."""
+
+from __future__ import annotations
+
+from streamprocessing_spark.plans import explain as X
+from streamprocessing_spark.registry import all_specs
+
+SPECS = all_specs()
+
+
+def test_filter_contains_pushdown(spark, sf_dir):
+    df = SPECS["filter_contains"].fn(spark, sf_dir)
+    assert X.has_pushed_filters(df, "p_type"), X.formatted_plan(df)
+
+
+def test_equality_filter_pushdown(spark, sf_dir):
+    df = SPECS["filter_equality_project"].fn(spark, sf_dir)
+    assert X.has_pushed_filters(df, "o_orderstatus"), X.formatted_plan(df)
+
+
+def test_projection_prunes_columns(spark, sf_dir):
+    df = SPECS["project_columns"].fn(spark, sf_dir)
+    scans = X.read_schema_columns(df)
+    assert scans and all(set(s) <= {"o_orderkey", "o_orderpriority"} for s in scans), scans
+
+
+def test_q1_scan_prunes_to_needed_columns(spark, sf_dir):
+    df = SPECS["q1_pricing_summary"].fn(spark, sf_dir)
+    needed = {
+        "l_returnflag", "l_linestatus", "l_quantity",
+        "l_extendedprice", "l_discount", "l_tax", "l_shipdate",
+    }
+    scans = X.read_schema_columns(df)
+    assert scans and all(set(s) <= needed for s in scans), scans
+
+
+def test_dim_joins_are_broadcast(spark, sf_dir):
+    for name in ("join_broadcast_dim", "join_revenue_by_nation"):
+        df = SPECS[name].fn(spark, sf_dir)
+        assert X.has_broadcast_join(df), name
+
+
+def test_single_shuffle_for_grouped_count(spark, sf_dir):
+    df = SPECS["count_by_key"].fn(spark, sf_dir)
+    assert X.count_exchanges(df) == 1, X.formatted_plan(df)
+
+
+def test_broadcast_dim_join_has_one_shuffle(spark, sf_dir):
+    # only the final aggregate may shuffle; the two dim joins must not
+    df = SPECS["join_broadcast_dim"].fn(spark, sf_dir)
+    assert X.count_exchanges(df) == 1, X.formatted_plan(df)
+
+
+def test_app_pipelines_fuse_into_scan_stage(spark, sf_dir):
+    # filter→project composes into the scan: zero shuffles
+    df = SPECS["app1_pipeline"].fn(spark, sf_dir)
+    assert X.count_exchanges(df) == 0, X.formatted_plan(df)
