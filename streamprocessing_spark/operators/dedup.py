@@ -392,3 +392,73 @@ def sql_simhash_pairs(max_hamming: int = 3) -> str:
     FROM sim a JOIN sim b ON a.id < b.id
     WHERE bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
     """
+
+
+def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
+    """(id, component): connected components over an undirected pair graph,
+    by iterative min-label propagation — the clustering step that turns
+    near-duplicate PAIRS into dedup GROUPS (keep min id per component).
+
+    Each iteration: every node takes the min label among itself and its
+    neighbors; converged when no label changes. Iteration count is
+    O(diameter); near-dup clusters are tiny cliques, so 2-3 rounds in
+    practice. At extreme scale swap in the large-star/small-star
+    contraction (same join skeleton, fewer rounds on long chains). The
+    driver-side loop is inherent to iterative graph algorithms — each
+    round is still a fully distributed shuffle-join, nothing is
+    collected except the 1-row convergence count.
+    """
+    edges = (
+        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        .distinct()
+    )
+    labels = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.col("id").alias("component")
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.id)
+            .groupBy("src")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
+                ).alias("component"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def sql_connected_components(pairs_sql: str) -> str:
+    """Recursive-CTE oracle: min reachable id per node over the same pair
+    graph (exact reachability enumeration — fine at oracle scale)."""
+    return f"""
+    WITH RECURSIVE pair_t AS ({pairs_sql}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pair_t
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pair_t
+    ),
+    reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.src AS id, reach.r AS r
+      FROM edges e JOIN reach ON e.dst = reach.id
+    )
+    SELECT id, min(r) AS component FROM reach GROUP BY id
+    """

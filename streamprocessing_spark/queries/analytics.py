@@ -388,3 +388,157 @@ def asof_join_latest_order(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_orderkey_asof").isNotNull())
         .select("event_id", F.col("o_orderkey_asof").alias("o_orderkey"))
     )
+
+
+@register(
+    "pivot_status_by_priority",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS BIGINT) AS F,
+           CAST(count(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS BIGINT) AS O,
+           CAST(count(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS BIGINT) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+    tags=("analytics", "aggregate", "pivot"),
+)
+def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (cross-tab): one shuffle, statuses become columns. The value
+    list is declared explicitly — at scale an undeclared pivot needs an
+    extra distinct pass to discover values."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderpriority")
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+    )
+
+
+@register(
+    "percentiles_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+           round(quantile_cont(c_acctbal, 0.95), 4) AS p95
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("analytics", "aggregate"),
+)
+def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolation percentiles per group (Spark
+    ``percentile`` == DuckDB ``quantile_cont``). The constant-memory scale
+    variant is percentile_approx (KLL/GK sketch) — same query shape,
+    tested for error bounds rather than oracled."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(c_acctbal, 0.95)"), 4).alias("p95"),
+    )
+
+
+@register(
+    "join_semi_open_orders",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderstatus = 'O')
+    """,
+    tags=("analytics", "join"),
+)
+def join_semi_open_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi join (EXISTS): customers with ≥1 open order. Semi joins
+    ship only the join key of the probe side — no payload duplication."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_semi").select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti_no_finished_orders",
+    oracle="""
+    SELECT c_custkey FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+    tags=("analytics", "join"),
+)
+def join_anti_no_finished_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti join (NOT EXISTS): customers with no finished order."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "F")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select("c_custkey")
+
+
+@register(
+    "scalar_function_showcase",
+    oracle="""
+    SELECT o_orderkey,
+           year(o_orderdate) AS yr,
+           month(o_orderdate) AS mo,
+           CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
+           upper(o_orderstatus) || '-' || CAST(length(o_orderpriority) AS VARCHAR) AS tag,
+           round(log10(o_totalprice + 1), 6) AS log_price,
+           round(sqrt(o_totalprice), 6) AS sqrt_price,
+           CASE WHEN o_totalprice < 50000 THEN 'low'
+                WHEN o_totalprice < 150000 THEN 'mid'
+                ELSE 'high' END AS bucket,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_decoded,
+           datediff('day', DATE '1995-01-01', o_orderdate) AS days_since_95
+    FROM orders
+    """,
+    tags=("analytics", "functions"),
+)
+def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scalar-function library the reference lacks entirely
+    (SURVEY.md §2.1): date parts, string ops, math, CASE buckets, null
+    handling, date arithmetic — all JVM-side codegen'd expressions."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("yr"),
+        F.month("o_orderdate").alias("mo"),
+        F.substring("o_orderpriority", 1, 1).cast("int").alias("prio_num"),
+        F.concat(
+            F.upper("o_orderstatus"), F.lit("-"), F.length("o_orderpriority").cast("string")
+        ).alias("tag"),
+        F.round(F.log10(F.col("o_totalprice") + 1), 6).alias("log_price"),
+        F.round(F.sqrt("o_totalprice"), 6).alias("sqrt_price"),
+        F.when(F.col("o_totalprice") < 50000, "low")
+        .when(F.col("o_totalprice") < 150000, "mid")
+        .otherwise("high")
+        .alias("bucket"),
+        F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")).alias(
+            "status_decoded"
+        ),
+        F.date_diff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_95"
+        ),
+    )
+
+
+@register(
+    "source_csv_roundtrip",
+    oracle="""
+    SELECT doc_id, text, lang FROM documents
+    """,
+    tags=("reference", "source", "csv"),
+)
+def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CSV source with declared schema (the reference's input format,
+    parsed per-record inside ops — app1op2.go:11-14): write the corpus out
+    as quoted CSV, read it back through the schema'd CSV scanner. Proves
+    quoting/escaping fidelity end-to-end."""
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
+    out = tempfile.mkdtemp(prefix="sp_csv_")
+    d.write.mode("overwrite").option("header", "true").csv(out)
+    schema = StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+            StructField("lang", StringType()),
+        ]
+    )
+    return spark.read.schema(schema).option("header", "true").csv(out)

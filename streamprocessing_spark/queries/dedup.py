@@ -79,3 +79,17 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle brute-forces all pairs. Both must agree exactly."""
     d = load_table(spark, sf_dir, "documents")
     return D.simhash_pairs(d, "doc_id", "text", max_hamming=3)
+
+
+@register(
+    "dedup_cluster_components",
+    oracle=D.sql_connected_components(D.sql_exact_jaccard(JACCARD_THRESHOLD)),
+    tags=("dedup", "llm-pipeline", "iterative"),
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERING: connected components over the Jaccard≥0.8
+    pair graph (iterative min-label propagation; recursive-CTE oracle).
+    The component id is the canonical keeper for each dup group."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.exact_jaccard_pairs(d, "doc_id", "text", JACCARD_THRESHOLD)
+    return D.connected_components(pairs)

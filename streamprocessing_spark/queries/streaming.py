@@ -106,3 +106,102 @@ def streaming_windowed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return run_to_memory_sink(counts, "complete")
+
+
+@register(
+    "streaming_session_window",
+    oracle="""
+    WITH marked AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 2 HOUR
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM marked)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') || ' UTC' AS session_start,
+           count(*) AS n_events
+    FROM sess GROUP BY user_id, sess_id
+    """,
+    tags=("streaming", "window", "event-time", "session"),
+)
+def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (2-hour inactivity gap) — gap-based sessionization
+    with managed state, an operator class the reference cannot express.
+    The oracle rebuilds identical sessions with the SQL islands technique
+    (new-session flag -> running sum -> group)."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "2 hours")
+    sessions = (
+        ev.groupBy(F.session_window("ts", "2 hours"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.concat(
+                F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss"),
+                F.lit(" UTC"),
+            ).alias("session_start"),
+            "n_events",
+        )
+    )
+    return run_to_memory_sink(sessions, "complete")
+
+
+@register(
+    "streaming_sliding_window",
+    oracle="""
+    WITH win AS (
+      SELECT date_trunc('hour', ts) AS ws, event_type FROM events
+      UNION ALL
+      SELECT date_trunc('hour', ts) - INTERVAL 1 HOUR AS ws, event_type FROM events
+    )
+    SELECT strftime(ws, '%Y-%m-%d %H:%M:%S') || ' UTC' AS window_start,
+           event_type, count(*) AS cnt
+    FROM win GROUP BY 1, 2
+    """,
+    tags=("streaming", "window", "event-time"),
+)
+def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding windows (2 h width, 1 h slide): every event lands in exactly
+    two windows; the oracle materializes both grid alignments with a
+    UNION ALL."""
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    counts = (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss"), F.lit(" UTC")
+            ).alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+    return run_to_memory_sink(counts, "complete")
+
+
+@register(
+    "streaming_static_join",
+    oracle="""
+    SELECT c.c_mktsegment, count(*) AS cnt, round(sum(e.value), 2) AS total_value
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    tags=("streaming", "join"),
+)
+def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static join: each micro-batch joins against the (broadcast)
+    customer dimension — the standard enrichment topology; state is only
+    held for the aggregate, not the join."""
+    from streamprocessing_spark.sources.readers import load_table
+
+    ev = stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value")
+    )
+    return run_to_memory_sink(agg, "complete")
