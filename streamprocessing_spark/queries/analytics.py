@@ -15,6 +15,8 @@ shuffle on the join key and rely on AQE for skew splitting.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -542,3 +544,75 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     return spark.read.schema(schema).option("header", "true").csv(out)
+
+
+@register(
+    "cube_counts",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    tags=("analytics", "aggregate"),
+)
+def cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full cube over two dimensions (all 4 grouping sets in one shuffle)."""
+    return (
+        load_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+@register(
+    "array_agg_per_user",
+    oracle="""
+    SELECT user_id,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types_seen,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM events GROUP BY user_id
+    """,
+    tags=("analytics", "aggregate", "array"),
+)
+def array_agg_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collection aggregate with deterministic output: collect_set order is
+    nondeterministic, so the array is sorted before joining — the rule for
+    ANY collection aggregate that feeds a comparison or a sink."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.array_join(F.sort_array(F.collect_set("event_type")), ",").alias("types_seen"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+@register(
+    "udaf_geometric_mean",
+    oracle="""
+    SELECT o_orderstatus,
+           round(exp(avg(ln(o_totalprice))), 4) AS geo_mean_price
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("analytics", "aggregate", "pandas-udf"),
+)
+def udaf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom aggregate via a grouped-agg Pandas UDF (Arrow-vectorized) —
+    the UDAF registration surface the reference lacks. The oracle is the
+    closed form exp(avg(ln x))."""
+    from pyspark.sql.functions import pandas_udf
+
+    from streamprocessing_spark.shipping import ensure_shippable
+
+    ensure_shippable()
+
+    @pandas_udf("double")
+    def geo_mean(v: pd.Series) -> float:
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    return (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(F.round(geo_mean("o_totalprice"), 4).alias("geo_mean_price"))
+    )

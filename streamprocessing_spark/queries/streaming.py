@@ -205,3 +205,43 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value")
     )
     return run_to_memory_sink(agg, "complete")
+
+
+@register(
+    "streaming_interval_join",
+    oracle="""
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts >= p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    """,
+    tags=("streaming", "join", "event-time"),
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks in the hour before it. Watermarks on BOTH sides bound
+    the join state (the reference cannot express any join, let alone a
+    time-bounded streaming one). State is keyed by user and pruned as the
+    watermark passes ts + 1 h."""
+    ev = lambda t, pre: (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == t)
+        .select(
+            F.col("user_id").alias(f"{pre}_user"),
+            F.col("ts").alias(f"{pre}_ts"),
+            F.col("event_id").alias(f"{pre}_id"),
+        )
+        .withWatermark(f"{pre}_ts", "1 hour")
+    )
+    p, c = ev("purchase", "p"), ev("click", "c")
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    return run_to_memory_sink(
+        joined.select(F.col("p_id").alias("purchase_id"), F.col("c_id").alias("click_id")),
+        "append",
+    )

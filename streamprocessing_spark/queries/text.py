@@ -127,3 +127,47 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     (group on fp instead of the full text: shuffle carries 16 bytes/row)."""
     d = load_table(spark, sf_dir, "documents")
     return d.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+
+
+@register(
+    "udtf_bigrams",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           t[i] || ' ' || t[i+1] AS bigram,
+           CAST(i - 1 AS INTEGER) AS pos
+    FROM toks, unnest(range(1, greatest(len(t), 1))) AS u(i)
+    WHERE len(t) >= 2
+    """,
+    tags=("text", "llm-pipeline", "udtf"),
+)
+def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF (table function) emitting positional bigrams per
+    document — the UDTF surface the reference lacks; used via a lateral
+    join. (The same result is expressible declaratively with
+    transform+explode; the point here is the arbitrary-code table-function
+    contract.)"""
+    from pyspark.sql.functions import lit, udtf
+
+    from streamprocessing_spark.shipping import ensure_shippable
+
+    ensure_shippable()
+
+    @udtf(returnType="bigram: string, pos: int")
+    class Bigrams:
+        def eval(self, doc_id: int, text: str):
+            import re
+
+            toks = re.findall(r"[a-z0-9]+", (text or "").lower())
+            for i in range(len(toks) - 1):
+                yield f"{toks[i]} {toks[i + 1]}", i
+
+    spark.udtf.register("sp_bigrams", Bigrams)
+    load_table(spark, sf_dir, "documents").createOrReplaceTempView("sp_docs_udtf")
+    return spark.sql(
+        "SELECT d.doc_id, b.bigram, b.pos "
+        "FROM sp_docs_udtf d, LATERAL sp_bigrams(d.doc_id, d.text) b"
+    )

@@ -32,6 +32,19 @@ def _ensure_confs(spark: SparkSession) -> None:
     and idempotent."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # On a local master still running Spark's untouched 200-partition
+    # default, size shuffles to the machine (stateful streaming stages
+    # run one task per partition — 200 tiny state-store tasks dominate
+    # wall-clock locally). Deliberate non-default settings are respected;
+    # cluster masters are never touched.
+    try:
+        if (
+            spark.sparkContext.master.startswith("local")
+            and spark.conf.get("spark.sql.shuffle.partitions") == "200"
+        ):
+            spark.conf.set("spark.sql.shuffle.partitions", "32")
+    except Exception:  # noqa: BLE001 - conf introspection must never fail a read
+        pass
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
