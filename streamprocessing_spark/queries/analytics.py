@@ -616,3 +616,49 @@ def udaf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderstatus")
         .agg(F.round(geo_mean("o_totalprice"), 4).alias("geo_mean_price"))
     )
+
+
+@register(
+    "salted_count_by_user",
+    oracle="""
+    SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id
+    """,
+    tags=("analytics", "aggregate", "skew"),
+)
+def salted_count_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation — the manual skew-mitigation pattern
+    for when one key carries a pathological share of rows: stage 1
+    aggregates on (key, salt) spreading the hot key over 16 reducers,
+    stage 2 merges the partials per key. Result is identical to the plain
+    groupBy (the oracle). For built-in aggregates Spark's map-side partial
+    aggregation makes this mostly redundant — the pattern matters for
+    non-combinable custom aggregates and skewed JOIN keys."""
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("_salt", F.pmod(F.hash("event_id"), F.lit(16)))
+    partial = salted.groupBy("user_id", "_salt").agg(F.count(F.lit(1)).alias("c"))
+    return partial.groupBy("user_id").agg(F.sum("c").alias("cnt"))
+
+
+@register(
+    "latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events)
+    WHERE rn = 1
+    """,
+    tags=("analytics", "window", "compaction"),
+)
+def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Latest-record-per-key compaction (the upsert/changelog-collapse
+    operator): one shuffle on the key, rank filter inside the window
+    operator. Deterministic tiebreak (ts DESC, event_id DESC)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts"), F.desc("event_id"))
+    return (
+        ev.select("user_id", "event_id", "event_type", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") == 1)
+        .drop("rn")
+    )

@@ -94,3 +94,31 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return S.ivf_topk(emb, queries, TOP_K, num_centroids=16, nprobe=4)
+
+
+@register(
+    "embedding_centroid_per_label",
+    oracle="""
+    WITH flat AS (
+      SELECT label,
+             CAST(unnest(range(0, len(embedding))) AS INTEGER) AS dim,
+             unnest(list_transform(range(1, len(embedding) + 1),
+                                   i -> CAST(embedding[i] AS DOUBLE))) AS v
+      FROM embeddings
+    )
+    SELECT label, dim, round(avg(v), 6) AS centroid
+    FROM flat GROUP BY label, dim
+    """,
+    tags=("similarity", "llm-pipeline", "aggregate"),
+)
+def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise centroid per label (the 'train a coarse quantizer'
+    primitive): posexplode + group by (label, dim). One shuffle of
+    (label, dim, value) triples; at 100 TB this is the map-side-combining
+    formulation — avg partials merge without materializing vectors."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("dim", "v"))
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
+    )

@@ -171,3 +171,48 @@ def udtf_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, b.bigram, b.pos "
         "FROM sp_docs_udtf d, LATERAL sp_bigrams(d.doc_id, d.text) b"
     )
+
+
+@register(
+    "vocabulary_topk",
+    oracle=f"""
+    SELECT word, cnt FROM (
+      SELECT word, CAST(count(*) AS BIGINT) AS cnt,
+             row_number() OVER (ORDER BY count(*) DESC, word) AS rn
+      FROM (SELECT unnest({_SQL_TOKENS}) AS word FROM documents)
+      GROUP BY word
+    ) WHERE rn <= 50
+    """,
+    tags=("text", "llm-pipeline", "topk"),
+)
+def vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary: top-50 tokens by frequency (tokenizer-training /
+    BPE-prep primitive). Explode → count → TakeOrdered; deterministic
+    tiebreak on the word."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(T.tokens(F.col("text"))).alias("word"))
+    return (
+        toks.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("word"))
+        .limit(50)
+    )
+
+
+@register(
+    "doc_length_histogram",
+    oracle=f"""
+    SELECT CAST(least(len({_SQL_TOKENS}) // 10, 9) AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs
+    FROM documents GROUP BY 1
+    """,
+    tags=("text", "llm-pipeline", "aggregate"),
+)
+def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-length histogram (10-token buckets, capped at bucket 9) —
+    the curation dashboard primitive."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = F.least(F.floor(T.token_count(F.col("text")) / 10), F.lit(9)).cast("int")
+    return d.select(bucket.alias("bucket")).groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
