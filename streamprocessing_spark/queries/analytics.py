@@ -496,8 +496,8 @@ def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     return o.select(
         "o_orderkey",
-        F.year("o_orderdate").alias("yr"),
-        F.month("o_orderdate").alias("mo"),
+        F.year("o_orderdate").cast("long").alias("yr"),
+        F.month("o_orderdate").cast("long").alias("mo"),
         F.substring("o_orderpriority", 1, 1).cast("int").alias("prio_num"),
         F.concat(
             F.upper("o_orderstatus"), F.lit("-"), F.length("o_orderpriority").cast("string")
@@ -511,9 +511,7 @@ def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.nullif("o_orderstatus", F.lit("P")), F.lit("PENDING")).alias(
             "status_decoded"
         ),
-        F.date_diff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).alias(
-            "days_since_95"
-        ),
+        F.date_diff(F.col("o_orderdate"), F.lit("1995-01-01").cast("date")).cast("long").alias("days_since_95"),
     )
 
 

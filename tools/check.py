@@ -76,6 +76,21 @@ def check_query(spark, con, name, spec, sf_dir) -> dict:
     if sorted(s_cols) != sorted(d_cols):
         out["detail"] = f"schema mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
         return out
+    # column TYPES must align too (the driver may compare typed schemas)
+    duck_to_spark = {
+        "BIGINT": "bigint", "INTEGER": "int", "DOUBLE": "double", "FLOAT": "float",
+        "VARCHAR": "string", "BLOB": "binary", "TIMESTAMP": "timestamp",
+        "DATE": "date", "BOOLEAN": "boolean",
+    }
+    s_types = dict(sdf.dtypes)
+    d_types = dict(zip(rel.columns, [str(t) for t in rel.types]))
+    for col, dt in d_types.items():
+        expected = duck_to_spark.get(dt, dt.lower())
+        if s_types.get(col) != expected:
+            out["detail"] = (
+                f"type mismatch on {col!r}: spark={s_types.get(col)} duck={dt}"
+            )
+            return out
     if len(s_rows) != len(d_rows):
         out["detail"] = f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
         return out
