@@ -69,6 +69,19 @@ def main() -> None:
             best = min(best, time.time() - t0)
         timings[name] = round(best, 3)
 
+    # Throughput on the reference's own workloads (BASELINE.md measures
+    # records/s for App-1/App-2; its Spark rows are ~800 rec/s on 10 VMs):
+    # input rows ÷ end-to-end seconds for the two demo pipelines.
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    throughput = {
+        "app1_records_per_s": round(n_docs / max(timings.get("app1_pipeline", 1e-9), 1e-9)),
+        "app2_records_per_s": round(n_orders / max(timings.get("app2_pipeline", 1e-9), 1e-9)),
+        "app2_plugin_records_per_s": round(
+            n_orders / max(timings.get("rainstorm_plugin_app2", 1e-9), 1e-9)
+        ),
+    }
+
     print(
         json.dumps(
             {
@@ -76,6 +89,7 @@ def main() -> None:
                 "value": round(sum(timings.values()), 3),
                 "unit": "sec",
                 "queries": timings,
+                "throughput": throughput,
                 "sf": sf,
             }
         )
