@@ -660,3 +660,118 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+@register(
+    "q5_regional_volume",
+    oracle="""
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA' AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    tags=("analytics", "join"),
+)
+def q5_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped six-table join (local supplier volume): two fact
+    tables + four dims with a same-nation constraint. Declared flat and
+    left to Catalyst: dims broadcast, facts shuffle once on the order key,
+    the region/date filters push into the scans. The plan to eyeball at
+    scale: no fact table should be joined before its pushed filter."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(
+            F.broadcast(s),
+            (li.l_suppkey == s.s_suppkey) & (c.c_nationkey == s.s_nationkey),
+        )
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "inter_event_gap_stats",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id,
+             epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+      FROM events)
+    SELECT user_id,
+           CAST(count(gap_us) AS BIGINT) AS n_gaps,
+           round(avg(gap_us) / 1000000.0, 2) AS avg_gap_s,
+           CAST(max(gap_us) AS BIGINT) AS max_gap_us
+    FROM gaps WHERE gap_us IS NOT NULL GROUP BY user_id
+    """,
+    tags=("analytics", "window", "time-series"),
+)
+def inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap statistics per user (lag over event time) — the
+    time-series feature primitive behind sessionization thresholds and
+    burst detection. Deterministic order: (ts, event_id)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))).alias("gap_us"),
+    ).where(F.col("gap_us").isNotNull())
+    return gaps.groupBy("user_id").agg(
+        F.count("gap_us").alias("n_gaps"),
+        F.round(F.avg("gap_us") / 1000000.0, 2).alias("avg_gap_s"),
+        F.max("gap_us").alias("max_gap_us"),
+    )
+
+
+@register(
+    "source_jsonl_roundtrip",
+    oracle="""
+    SELECT event_id, event_type, round(value, 6) AS value FROM events
+    """,
+    tags=("reference", "source", "json"),
+)
+def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-lines source with declared schema: write events as JSONL, read
+    back through the schema'd JSON scanner (float round-trips via JSON
+    text are exact for doubles printed with enough digits; rounded here
+    only to keep the oracle comparison canonical)."""
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    out = tempfile.mkdtemp(prefix="sp_jsonl_")
+    ev.write.mode("overwrite").json(out)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+        ]
+    )
+    rd = spark.read.schema(schema).json(out)
+    return rd.select("event_id", "event_type", F.round("value", 6).alias("value"))
