@@ -222,10 +222,12 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = df.select(
         F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
     )
-    tf = toks.groupBy("id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
-    # materialize the 60-bit hash once per (doc, token): Catalyst does not
-    # CSE across the 60 aggregate expressions below
-    tf = tf.select("id", "cnt", _h60(F.col("tok")).alias("h"))
+    # Hash BEFORE the shuffle: grouping on (id, h) ships 16 bytes/row
+    # instead of token strings, and the md5 runs map-side exactly once.
+    # Grouping by the 60-bit hash instead of the token is exact up to md5
+    # collisions (~n²/2⁶¹); the oracle groups by the same hash.
+    hashed = toks.select("id", _h60(F.col("tok")).alias("h"))
+    tf = hashed.groupBy("id", "h").agg(F.count(F.lit(1)).alias("cnt"))
     h = F.col("h")
     bit_sums = [
         F.sum(
@@ -384,7 +386,7 @@ def sql_simhash_pairs(max_hamming: int = 3) -> str:
     )
     return f"""
     WITH toks AS (SELECT doc_id AS id, unnest({SQL_TOKENS}) AS tok FROM documents),
-    tf AS (SELECT id, tok, count(*) AS cnt, {h} AS h FROM toks GROUP BY id, tok),
+    tf AS (SELECT id, {h} AS h, count(*) AS cnt FROM toks GROUP BY id, {h}),
     sums AS (SELECT id, {bit_sums} FROM tf GROUP BY id),
     sim AS (SELECT id, {sim_expr} AS simhash FROM sums)
     SELECT a.id AS id_a, b.id AS id_b,
@@ -461,4 +463,48 @@ def sql_connected_components(pairs_sql: str) -> str:
       FROM edges e JOIN reach ON e.dst = reach.id
     )
     SELECT id, min(r) AS component FROM reach GROUP BY id
+    """
+
+
+def char_shingle_df(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> DataFrame:
+    """(id, sh): distinct character k-gram shingles over the normalized
+    text — the classic variant for short/low-vocabulary texts where word
+    shingles are too coarse. Same downstream machinery (jaccard_on_pairs /
+    minhash) as word shingles."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+    toked = df.select(F.col(id_col).alias("id"), norm.alias("s"))
+    sgrams = F.transform(
+        F.sequence(F.lit(1), F.length(F.col("s")) - k + 1),
+        lambda i: F.col("s").substr(i, F.lit(k)),
+    )
+    return (
+        toked.where(F.length(F.col("s")) >= k)
+        .select("id", F.explode(F.array_distinct(sgrams)).alias("sh"))
+    )
+
+
+def sql_char_shingles(k: int = 5) -> str:
+    return f"""
+    toks AS (SELECT doc_id AS id,
+                    trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+             FROM documents),
+    sh AS (SELECT DISTINCT id,
+             unnest(list_transform(range(1, length(s) - {k - 2}),
+                    i -> substr(s, i, {k}))) AS sh
+           FROM toks WHERE length(s) >= {k})"""
+
+
+def sql_char_jaccard(threshold: float, k: int = 5) -> str:
+    return f"""
+    WITH {sql_char_shingles(k)},
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+               GROUP BY 1, 2)
+    SELECT c.id_a, c.id_b,
+           round(c.c * 1.0 / (sa.n + sb.n - c.c), 4) AS jaccard
+    FROM common c
+    JOIN sizes sa ON c.id_a = sa.id
+    JOIN sizes sb ON c.id_b = sb.id
+    WHERE c.c * 1.0 / (sa.n + sb.n - c.c) >= {threshold}
     """

@@ -775,3 +775,66 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rd = spark.read.schema(schema).json(out)
     return rd.select("event_id", "event_type", F.round("value", 6).alias("value"))
+
+
+@register(
+    "map_lookup_enrich",
+    oracle="""
+    SELECT o_orderkey,
+           CASE o_orderstatus WHEN 'F' THEN 'finished'
+                              WHEN 'O' THEN 'open'
+                              WHEN 'P' THEN 'pending'
+                              ELSE 'unknown' END AS status_label
+    FROM orders
+    """,
+    tags=("analytics", "functions", "map"),
+)
+def map_lookup_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Literal-map dimension decode (create_map + element_at): the tiny
+    lookup-table enrichment that needs no join at all — the map literal is
+    part of the plan and ships inside the task binary."""
+    status_map = F.create_map(
+        F.lit("F"), F.lit("finished"),
+        F.lit("O"), F.lit("open"),
+        F.lit("P"), F.lit("pending"),
+    )
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.coalesce(
+            F.element_at(status_map, F.col("o_orderstatus")), F.lit("unknown")
+        ).alias("status_label"),
+    )
+
+
+@register(
+    "data_quality_audit",
+    oracle="""
+    SELECT
+      CAST(count(*) AS BIGINT)                                   AS n_rows,
+      CAST(count(*) - count(o_custkey) AS BIGINT)                AS null_custkey,
+      CAST(count(DISTINCT o_orderstatus) AS BIGINT)              AS n_statuses,
+      round(min(o_totalprice), 2)                                AS min_price,
+      round(max(o_totalprice), 2)                                AS max_price,
+      CAST(count(CASE WHEN o_totalprice <= 0 THEN 1 END) AS BIGINT) AS nonpositive_prices,
+      CAST(count(CASE WHEN o_orderdate > TIMESTAMP '2026-01-01 00:00:00' THEN 1 END) AS BIGINT) AS future_dates
+    FROM orders
+    """,
+    tags=("analytics", "llm-pipeline", "quality"),
+)
+def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-pass data-quality audit (null/violation/range profile) — the
+    validation gate a curation pipeline runs before training jobs; all
+    checks fold into one scan + one 1-row aggregate."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (F.count(F.lit(1)) - F.count("o_custkey")).alias("null_custkey"),
+        F.count_distinct("o_orderstatus").alias("n_statuses"),
+        F.round(F.min("o_totalprice"), 2).alias("min_price"),
+        F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        F.count(F.when(F.col("o_totalprice") <= 0, 1)).alias("nonpositive_prices"),
+        F.count(
+            F.when(F.col("o_orderdate") > F.lit("2026-01-01 00:00:00").cast("timestamp"), 1)
+        ).alias("future_dates"),
+    )

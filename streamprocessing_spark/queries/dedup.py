@@ -93,3 +93,26 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     pairs = D.exact_jaccard_pairs(d, "doc_id", "text", JACCARD_THRESHOLD)
     return D.connected_components(pairs)
+
+
+@register(
+    "dedup_char_ngram_jaccard",
+    oracle=D.sql_char_jaccard(0.75, k=5),
+    tags=("dedup", "llm-pipeline"),
+)
+def dedup_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character 5-gram Jaccard ≥ 0.75 — the shingle variant for short or
+    low-vocabulary texts where word 3-grams are too coarse. Shares the
+    candidate/verify machinery with the word tier."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.char_shingle_df(d, "doc_id", "text", k=5)
+    sa = sh.select(F.col("id").alias("id_a"), "sh")
+    sb = sh.select(F.col("id").alias("id_b"), "sh")
+    cand = (
+        sa.join(sb, ["sh"]).where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
+    )
+    return (
+        D.jaccard_on_pairs(sh, cand)
+        .where(F.col("jaccard") >= 0.75)
+        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    )

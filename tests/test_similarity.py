@@ -23,7 +23,8 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     exact = _topk_sets(S.topk_per_query(emb, queries, 10).collect())
     approx = _topk_sets(S.ivf_topk(emb, queries, 10, num_centroids=16, nprobe=4).collect())
     recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
-    assert sum(recalls) / len(recalls) >= 0.5, f"mean IVF recall too low: {recalls}"
+    # measured 0.88 at sf0.001 / 0.92 at sf0.01 with 16 cells, nprobe=4
+    assert sum(recalls) / len(recalls) >= 0.7, f"mean IVF recall too low: {recalls}"
 
 
 def test_cosine_is_normalized(spark, sf_dir):
