@@ -26,6 +26,7 @@ from streamprocessing_spark.session import get_spark
 HEADLINE = [
     # reference-derived pipelines
     "source_scan",
+    "project_columns",
     "filter_contains",
     "count_by_key",
     "flatmap_explode",
@@ -74,12 +75,15 @@ def main() -> None:
     # input rows ÷ end-to-end seconds for the two demo pipelines.
     n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    n_lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    tp = lambda rows, key: round(rows / max(timings.get(key, 1e-9), 1e-9))
     throughput = {
-        "app1_records_per_s": round(n_docs / max(timings.get("app1_pipeline", 1e-9), 1e-9)),
-        "app2_records_per_s": round(n_orders / max(timings.get("app2_pipeline", 1e-9), 1e-9)),
-        "app2_plugin_records_per_s": round(
-            n_orders / max(timings.get("rainstorm_plugin_app2", 1e-9), 1e-9)
-        ),
+        "app1_records_per_s": tp(n_docs, "app1_pipeline"),
+        "app2_records_per_s": tp(n_orders, "app2_pipeline"),
+        "app2_plugin_records_per_s": tp(n_orders, "rainstorm_plugin_app2"),
+        # BASELINE.md's simple/complex task rows (project vs grouped agg)
+        "simple_task_records_per_s": tp(n_orders, "project_columns"),
+        "complex_task_records_per_s": tp(n_lineitem, "q1_pricing_summary"),
     }
 
     print(

@@ -838,3 +838,33 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.col("o_orderdate") > F.lit("2026-01-01 00:00:00").cast("timestamp"), 1)
         ).alias("future_dates"),
     )
+
+
+@register(
+    "window_moving_spend_30d",
+    oracle="""
+    SELECT o_orderkey,
+           round(sum(o_totalprice) OVER (
+             PARTITION BY o_custkey
+             ORDER BY datediff('day', DATE '1990-01-01', o_orderdate)
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS spend_30d
+    FROM orders
+    """,
+    tags=("analytics", "window", "time-series"),
+)
+def window_moving_spend_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE-frame window: per-customer trailing-30-day spend. Unlike ROWS
+    frames, the RANGE frame is defined on the VALUE of the ordering column
+    (days), so ties and gaps behave correctly — the moving-aggregate
+    primitive for time-series features."""
+    o = load_table(spark, sf_dir, "orders")
+    days = F.date_diff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date")).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(days)
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return o.select(
+        "o_orderkey",
+        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+    )

@@ -29,3 +29,37 @@ def test_minhash_signature_shape(spark, sf_dir):
     assert len(sig.columns) == 1 + D.NUM_HASHES
     row = sig.first()
     assert all(0 <= row[f"mh_{j}"] < D.MOD32 for j in range(D.NUM_HASHES))
+
+
+def test_custom_lsh_agrees_with_spark_ml_minhash(spark, sf_dir):
+    """Independent cross-validation: pyspark.ml's MinHashLSH (different
+    hash family, different banding) must find the same near-dup pairs as
+    the custom portable-hash LSH at matching thresholds (jaccard >= 0.8
+    == jaccard distance <= 0.2) on the cleanly-separated fixture corpus."""
+    from pyspark.ml.feature import CountVectorizer, MinHashLSH
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_df(d, "doc_id", "text")
+    docs = sh.groupBy("id").agg(F.collect_list("sh").alias("shingles"))
+    feat = (
+        CountVectorizer(inputCol="shingles", outputCol="features", binary=True)
+        .fit(docs)
+        .transform(docs)
+    )
+    mhm = MinHashLSH(
+        inputCol="features", outputCol="hashes", numHashTables=32, seed=42
+    ).fit(feat)
+    ml_pairs = {
+        (r.a, r.b)
+        for r in mhm.approxSimilarityJoin(feat, feat, 0.2, distCol="jd")
+        .where(F.col("datasetA.id") < F.col("datasetB.id"))
+        .select(F.col("datasetA.id").alias("a"), F.col("datasetB.id").alias("b"))
+        .collect()
+    }
+    my_pairs = {
+        (r.id_a, r.id_b)
+        for r in D.minhash_lsh_pairs(d, "doc_id", "text", 0.8).collect()
+    }
+    assert ml_pairs == my_pairs
+    assert len(my_pairs) > 0
