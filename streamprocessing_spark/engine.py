@@ -105,6 +105,14 @@ class PluginOp:
                 yield pd.DataFrame({"kind": kinds, "key": keys, "value": vals})
 
         tagged = records.mapInPandas(kernel, _TAGGED_SCHEMA)
+        # Both union branches consume `tagged`; without a persist each
+        # branch re-executes the Python kernel over the full input (2× per
+        # op, 4× for two chained PluginOps), and a non-deterministic user
+        # fn could split records inconsistently between the branches.
+        # Batch: persist the tagged output once. Streaming: persist is not
+        # applicable — each micro-batch is evaluated once per sink anyway.
+        if not tagged.isStreaming:
+            tagged = tagged.persist()
         emits = tagged.where(F.col("kind") == "emit").select("key", "value")
         counts = (
             tagged.where(F.col("kind") == "count")

@@ -170,22 +170,43 @@ def jaccard_on_pairs(shingles: DataFrame, pairs: DataFrame) -> DataFrame:
     )
 
 
-def exact_jaccard_pairs(df: DataFrame, id_col: str, text_col: str, threshold: float) -> DataFrame:
+def exact_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    shingler=None,
+) -> DataFrame:
     """All-pairs exact n-gram Jaccard ≥ threshold; candidates are pairs
     sharing ≥1 shingle (anything below that has jaccard 0). Quadratic in
     shingle-bucket size — correctness baseline; use minhash_lsh_pairs at
-    scale."""
-    sh = shingle_df(df, id_col, text_col)
+    scale.
+
+    ONE shingle self-join: the common-shingle count comes straight from
+    grouping the join output (exactly the oracle's ``common`` CTE) — no
+    separate candidate pass + re-join. ``shingler`` selects the shingle
+    function (word shingle_df by default; char_shingle_df for short
+    texts)."""
+    sh = (shingler or shingle_df)(df, id_col, text_col)
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("id").alias("id_a"), "sh")
     sb = sh.select(F.col("id").alias("id_b"), "sh")
-    cand = (
+    common = (
         sa.join(sb, ["sh"])
         .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
-        .distinct()
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
     )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
     return (
-        jaccard_on_pairs(sh, cand)
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).alias("jaccard"),
+        )
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
     )
@@ -410,10 +431,15 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
     round is still a fully distributed shuffle-join, nothing is
     collected except the 1-row convergence count.
     """
+    # localCheckpoint (eager) per round: truncates the join lineage so
+    # iteration i does not re-execute rounds 1..i-1 (and the full pair
+    # generation) on every convergence check, and keeps the logical plan
+    # from deepening unboundedly — the standard iterative-Spark pattern.
     edges = (
         pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
         .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
         .distinct()
+        .localCheckpoint(eager=True)
     )
     labels = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.col("id").alias("component")
@@ -432,6 +458,7 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
                 ).alias("component"),
             )
+            .localCheckpoint(eager=True)
         )
         changed = (
             new_labels.alias("n")
@@ -442,8 +469,12 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
         )
         labels = new_labels
         if changed == 0:
-            break
-    return labels
+            return labels
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iterations} iterations "
+        "(graph diameter exceeds the bound); raise max_iterations or switch to "
+        "large-star/small-star contraction"
+    )
 
 
 def sql_connected_components(pairs_sql: str) -> str:

@@ -412,6 +412,9 @@ def pivot_status_by_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .pivot("o_orderstatus", ["F", "O", "P"])
         .count()
+        # absent (priority, status) cells pivot to NULL; the oracle's
+        # count(CASE ...) yields 0 — align explicitly
+        .na.fill(0, ["F", "O", "P"])
     )
 
 
@@ -527,13 +530,19 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     parsed per-record inside ops — app1op2.go:11-14): write the corpus out
     as quoted CSV, read it back through the schema'd CSV scanner. Proves
     quoting/escaping fidelity end-to-end."""
+    import hashlib
+    import os
     import tempfile
 
     from pyspark.sql.types import LongType, StringType, StructField, StructType
 
     d = load_table(spark, sf_dir, "documents").select("doc_id", "text", "lang")
-    out = tempfile.mkdtemp(prefix="sp_csv_")
-    d.write.mode("overwrite").option("header", "true").csv(out)
+    # deterministic per-sf staging dir (mode=overwrite): repeated runs
+    # reuse one directory instead of leaking a new mkdtemp each call
+    out = os.path.join(
+        tempfile.gettempdir(), "sp_csv_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    )
+    d.write.mode("overwrite").option("header", "true").option("escape", '"').csv(out)
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -541,7 +550,15 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             StructField("lang", StringType()),
         ]
     )
-    return spark.read.schema(schema).option("header", "true").csv(out)
+    # multiLine: documents containing embedded newlines round-trip as
+    # quoted multi-line fields; without it the reader would split them.
+    return (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("escape", '"')
+        .csv(out)
+    )
 
 
 @register(
@@ -753,6 +770,8 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     back through the schema'd JSON scanner (float round-trips via JSON
     text are exact for doubles printed with enough digits; rounded here
     only to keep the oracle comparison canonical)."""
+    import hashlib
+    import os
     import tempfile
 
     from pyspark.sql.types import (
@@ -764,7 +783,9 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
-    out = tempfile.mkdtemp(prefix="sp_jsonl_")
+    out = os.path.join(
+        tempfile.gettempdir(), "sp_jsonl_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    )
     ev.write.mode("overwrite").json(out)
     schema = StructType(
         [

@@ -105,14 +105,6 @@ def dedup_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     low-vocabulary texts where word 3-grams are too coarse. Shares the
     candidate/verify machinery with the word tier."""
     d = load_table(spark, sf_dir, "documents")
-    sh = D.char_shingle_df(d, "doc_id", "text", k=5)
-    sa = sh.select(F.col("id").alias("id_a"), "sh")
-    sb = sh.select(F.col("id").alias("id_b"), "sh")
-    cand = (
-        sa.join(sb, ["sh"]).where(F.col("id_a") < F.col("id_b")).select("id_a", "id_b").distinct()
-    )
-    return (
-        D.jaccard_on_pairs(sh, cand)
-        .where(F.col("jaccard") >= 0.75)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+    return D.exact_jaccard_pairs(
+        d, "doc_id", "text", 0.75, shingler=lambda df, i, t: D.char_shingle_df(df, i, t, k=5)
     )

@@ -40,7 +40,7 @@ def streaming_count_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_append_sink",
     oracle="""
-    SELECT event_id AS key, CAST(value AS VARCHAR) AS value
+    SELECT event_id AS key, printf('%.4f', value) AS value
     FROM events WHERE event_type = 'purchase'
     """,
     tags=("streaming", "reference", "sink"),
@@ -53,7 +53,13 @@ def streaming_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = (
         stream_events(spark, sf_dir)
         .where(F.col("event_type") == "purchase")
-        .select(F.col("event_id").alias("key"), F.col("value").cast("string").alias("value"))
+        .select(
+            F.col("event_id").alias("key"),
+            # printf-style formatting: double→string rendering differs
+            # between engines (Java scientific vs shortest-decimal);
+            # a fixed format is deterministic in both
+            F.format_string("%.4f", F.col("value")).alias("value"),
+        )
     )
     return run_to_memory_sink(out, "append")
 

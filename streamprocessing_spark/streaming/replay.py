@@ -16,6 +16,7 @@ below is production Structured Streaming.
 
 from __future__ import annotations
 
+import shutil
 import tempfile
 import uuid
 
@@ -55,14 +56,26 @@ def run_to_memory_sink(
     parquet/Kafka with the same trigger + checkpointLocation arguments.
     """
     name = query_name or f"sink_{uuid.uuid4().hex[:12]}"
+    spark = df.sparkSession
+    # A previous run under the same name would leave its memory table
+    # pinned in driver heap; replace rather than accumulate.
+    try:
+        spark.catalog.dropTempView(name)
+    except Exception:  # noqa: BLE001
+        pass
     writer = (
         df.writeStream.format("memory")
         .queryName(name)
         .outputMode(output_mode)
         .trigger(availableNow=True)
     )
+    own_ckpt = checkpoint_dir is None
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="sp_ckpt_")
     writer = writer.option("checkpointLocation", ckpt)
     q = writer.start()
     q.awaitTermination()
-    return df.sparkSession.table(name)
+    if own_ckpt:
+        # the replay is complete and the result lives in the memory sink;
+        # a throwaway checkpoint has no further use
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return spark.table(name)
