@@ -10,6 +10,18 @@ from __future__ import annotations
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
+
+def portable_round(col: Column, digits: int) -> Column:
+    """Engine-portable rounding for PER-ROW ratios whose unrounded double
+    is bit-identical across engines: floor(x*10^d + 0.5)/10^d evaluates to
+    the same double everywhere, unlike round(), whose halfway handling
+    differs between Spark (decimal-string HALF_UP) and DuckDB (scaled
+    float) — observed diverging on 1 of 5000 quality scores at sf0.1.
+    Only for non-negative per-row values; aggregates keep round() (their
+    inputs already differ across engines by accumulation order)."""
+    k = float(10 ** digits)
+    return F.floor(col * k + F.lit(0.5)) / F.lit(k)
+
 # Word tokens: runs of ASCII alphanumerics over the lowercased text.
 TOKEN_RE = "[a-z0-9]+"
 
@@ -91,7 +103,7 @@ def quality_from_stats(n_tok: Column, stop_hits: Column, n_chars: Column, n_alph
     stop_ratio = F.when(n_tok > 0, stop_hits / n_tok).otherwise(F.lit(0.0))
     stop_score = F.least(F.lit(1.0), stop_ratio / F.lit(0.4))
     alpha_ratio = F.when(n_chars > 0, n_alpha / n_chars).otherwise(F.lit(0.0))
-    return F.round(0.4 * length_score + 0.4 * stop_score + 0.2 * alpha_ratio, 4)
+    return portable_round(0.4 * length_score + 0.4 * stop_score + 0.2 * alpha_ratio, 4)
 
 
 def alpha_count(text: Column) -> Column:

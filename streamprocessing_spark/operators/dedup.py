@@ -30,6 +30,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from streamprocessing_spark.functions.text import portable_round
+
 K_SHINGLE = 3
 NUM_HASHES = 64
 BANDS = 16
@@ -208,7 +210,7 @@ def exact_jaccard_pairs(
             (F.col("c") / (F.col("na") + F.col("nb") - F.col("c"))).alias("jaccard"),
         )
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .select("id_a", "id_b", portable_round(F.col("jaccard"), 4).alias("jaccard"))
     )
 
 
@@ -233,7 +235,7 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, threshold: floa
     return (
         jaccard_on_pairs(sh, cand)
         .where(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard"))
+        .select("id_a", "id_b", portable_round(F.col("jaccard"), 4).alias("jaccard"))
     )
 
 
@@ -347,7 +349,7 @@ def sql_exact_jaccard(threshold: float) -> str:
                FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
                GROUP BY 1, 2)
     SELECT c.id_a, c.id_b,
-           round(c.c * 1.0 / (sa.n + sb.n - c.c), 4) AS jaccard
+           floor((c.c * 1.0 / (sa.n + sb.n - c.c)) * 10000.0 + 0.5) / 10000.0 AS jaccard
     FROM common c
     JOIN sizes sa ON c.id_a = sa.id
     JOIN sizes sb ON c.id_b = sb.id
@@ -387,7 +389,7 @@ def sql_minhash_lsh(threshold: float) -> str:
                JOIN sh b ON b.id = c.id_b AND b.sh = a.sh
                GROUP BY 1, 2)
     SELECT c.id_a, c.id_b,
-           round(c.c * 1.0 / (sa.n + sb.n - c.c), 4) AS jaccard
+           floor((c.c * 1.0 / (sa.n + sb.n - c.c)) * 10000.0 + 0.5) / 10000.0 AS jaccard
     FROM common c
     JOIN sizes sa ON c.id_a = sa.id
     JOIN sizes sb ON c.id_b = sb.id
@@ -533,7 +535,7 @@ def sql_char_jaccard(threshold: float, k: int = 5) -> str:
                FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
                GROUP BY 1, 2)
     SELECT c.id_a, c.id_b,
-           round(c.c * 1.0 / (sa.n + sb.n - c.c), 4) AS jaccard
+           floor((c.c * 1.0 / (sa.n + sb.n - c.c)) * 10000.0 + 0.5) / 10000.0 AS jaccard
     FROM common c
     JOIN sizes sa ON c.id_a = sa.id
     JOIN sizes sb ON c.id_b = sb.id

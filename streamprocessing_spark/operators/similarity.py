@@ -79,8 +79,10 @@ def cosine_pairs(
     pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
         "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
     )
+    from streamprocessing_spark.functions.text import portable_round
+
     return pairs.where(F.col("cos") >= threshold).select(
-        "id_a", "id_b", F.round("cos", 6).alias("cos_sim")
+        "id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim")
     )
 
 

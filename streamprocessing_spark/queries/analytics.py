@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from streamprocessing_spark.functions import text as T
 from streamprocessing_spark.registry import register
 from streamprocessing_spark.sources.readers import load_table
 
@@ -481,8 +482,8 @@ def join_anti_no_finished_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
            month(o_orderdate) AS mo,
            CAST(substr(o_orderpriority, 1, 1) AS INTEGER) AS prio_num,
            upper(o_orderstatus) || '-' || CAST(length(o_orderpriority) AS VARCHAR) AS tag,
-           round(log10(o_totalprice + 1), 6) AS log_price,
-           round(sqrt(o_totalprice), 6) AS sqrt_price,
+           floor(log10(o_totalprice + 1) * 1000000.0 + 0.5) / 1000000.0 AS log_price,
+           floor(sqrt(o_totalprice) * 1000000.0 + 0.5) / 1000000.0 AS sqrt_price,
            CASE WHEN o_totalprice < 50000 THEN 'low'
                 WHEN o_totalprice < 150000 THEN 'mid'
                 ELSE 'high' END AS bucket,
@@ -505,8 +506,8 @@ def scalar_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.upper("o_orderstatus"), F.lit("-"), F.length("o_orderpriority").cast("string")
         ).alias("tag"),
-        F.round(F.log10(F.col("o_totalprice") + 1), 6).alias("log_price"),
-        F.round(F.sqrt("o_totalprice"), 6).alias("sqrt_price"),
+        T.portable_round(F.log10(F.col("o_totalprice") + 1), 6).alias("log_price"),
+        T.portable_round(F.sqrt("o_totalprice"), 6).alias("sqrt_price"),
         F.when(F.col("o_totalprice") < 50000, "low")
         .when(F.col("o_totalprice") < 150000, "mid")
         .otherwise("high")

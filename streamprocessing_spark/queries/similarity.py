@@ -69,7 +69,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_cosine_pairs",
     oracle=f"""
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           round({_sql_cos('a.embedding', 'b.embedding')}, 6) AS cos_sim
+           floor({_sql_cos('a.embedding', 'b.embedding')} * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE {_sql_cos('a.embedding', 'b.embedding')} >= 0.45
     """,

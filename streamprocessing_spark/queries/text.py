@@ -81,13 +81,13 @@ def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM documents
     )
     SELECT doc_id,
-      round(
+      floor((
         0.4 * least(1.0, n_tok / 100.0)
         + 0.4 * least(1.0, (CASE WHEN n_tok > 0 THEN stop_hits / CAST(n_tok AS DOUBLE) ELSE 0.0 END) / 0.4)
         + 0.2 * (CASE WHEN length(text) > 0
                       THEN length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) / CAST(length(text) AS DOUBLE)
-                      ELSE 0.0 END),
-      4) AS quality
+                      ELSE 0.0 END)
+      ) * 10000.0 + 0.5) / 10000.0 AS quality
     FROM s
     """,
     tags=("text", "llm-pipeline"),
