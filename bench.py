@@ -65,6 +65,10 @@ def main() -> None:
     for name in names:
         best = float("inf")
         for _ in range(2):  # best-of-2: damps JIT/page-cache/GC variance
+            # identical plans would otherwise hit the CacheManager via the
+            # persisted intermediates some operators create (e.g. PluginOp)
+            # — rep 2 must measure computation, not a cache read
+            spark.catalog.clearCache()
             t0 = time.time()
             specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)

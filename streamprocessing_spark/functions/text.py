@@ -23,7 +23,10 @@ def portable_round(col: Column, digits: int) -> Column:
     return F.floor(col * k + F.lit(0.5)) / F.lit(k)
 
 # Word tokens: runs of ASCII alphanumerics over the lowercased text.
+# CANONICAL definition — operators/dedup.py and the SQL oracles import
+# these; the oracle comparisons rely on byte-for-byte agreement.
 TOKEN_RE = "[a-z0-9]+"
+SQL_TOKENS = f"regexp_extract_all(lower(text), '{TOKEN_RE}')"
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
 # heuristic. Deliberately small: the heuristic must be cheap enough to run

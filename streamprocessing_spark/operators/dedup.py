@@ -30,7 +30,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from streamprocessing_spark.functions.text import portable_round
+from streamprocessing_spark.functions.text import SQL_TOKENS, TOKEN_RE, portable_round
 
 K_SHINGLE = 3
 NUM_HASHES = 64
@@ -40,7 +40,6 @@ MOD32 = 1 << 32
 SIMHASH_BITS = 60
 SIMHASH_CHUNKS = 4
 SIMHASH_CHUNK_BITS = 15
-TOKEN_RE = "[a-z0-9]+"
 
 assert BANDS * ROWS_PER_BAND == NUM_HASHES
 assert SIMHASH_CHUNKS * SIMHASH_CHUNK_BITS == SIMHASH_BITS
@@ -317,9 +316,6 @@ def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 
 
 
 # --------------------------------------------------------- DuckDB oracle SQL
-
-
-SQL_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
 
 
 def sql_shingles(table: str = "documents", id_col: str = "doc_id", k: int = K_SHINGLE) -> str:

@@ -541,7 +541,7 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # deterministic per-sf staging dir (mode=overwrite): repeated runs
     # reuse one directory instead of leaking a new mkdtemp each call
     out = os.path.join(
-        tempfile.gettempdir(), "sp_csv_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        tempfile.gettempdir(), f"sp_csv_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}"
     )
     d.write.mode("overwrite").option("header", "true").option("escape", '"').csv(out)
     schema = StructType(
@@ -785,7 +785,7 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
     out = os.path.join(
-        tempfile.gettempdir(), "sp_jsonl_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        tempfile.gettempdir(), f"sp_jsonl_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}"
     )
     ev.write.mode("overwrite").json(out)
     schema = StructType(

@@ -40,7 +40,8 @@ def streaming_count_update(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_append_sink",
     oracle="""
-    SELECT event_id AS key, printf('%.4f', value) AS value
+    SELECT event_id AS key,
+           CAST(CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS VARCHAR) AS value
     FROM events WHERE event_type = 'purchase'
     """,
     tags=("streaming", "reference", "sink"),
@@ -55,10 +56,10 @@ def streaming_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_type") == "purchase")
         .select(
             F.col("event_id").alias("key"),
-            # printf-style formatting: double→string rendering differs
-            # between engines (Java scientific vs shortest-decimal);
-            # a fixed format is deterministic in both
-            F.format_string("%.4f", F.col("value")).alias("value"),
+            # double→string rendering differs across engines (scientific
+            # vs shortest-decimal; printf halfway modes differ too) —
+            # scale to integer first: integer→string is identical anywhere
+            F.floor(F.col("value") * 10000 + 0.5).cast("long").cast("string").alias("value"),
         )
     )
     return run_to_memory_sink(out, "append")

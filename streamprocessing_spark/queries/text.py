@@ -11,7 +11,7 @@ from streamprocessing_spark.functions import text as T
 from streamprocessing_spark.registry import register
 from streamprocessing_spark.sources.readers import load_table
 
-_SQL_TOKENS = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+_SQL_TOKENS = T.SQL_TOKENS
 
 
 def _sql_hits(lang: str) -> str:

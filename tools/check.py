@@ -96,8 +96,16 @@ def check_query(spark, con, name, spec, sf_dir) -> dict:
         return out
     ns, nd = _norm_rows(s_cols, s_rows), _norm_rows(d_cols, d_rows)
     if ns != nd:
-        diffs = [(a, b) for a, b in zip(ns, nd) if a != b][:3]
-        out["detail"] = f"value mismatch ({sum(a != b for a, b in zip(ns, nd))} rows), e.g. {diffs}"
+        # multiset difference (zip of two sorted lists misaligns after the
+        # first differing row and misreports everything downstream)
+        from collections import Counter
+
+        only_spark = list((Counter(ns) - Counter(nd)).elements())
+        only_duck = list((Counter(nd) - Counter(ns)).elements())
+        out["detail"] = (
+            f"value mismatch ({len(only_spark)} rows differ); "
+            f"spark-only e.g. {only_spark[:2]}, oracle-only e.g. {only_duck[:2]}"
+        )
         return out
     out["ok"] = True
     out["detail"] = f"{len(s_rows)} rows match"
