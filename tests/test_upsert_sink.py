@@ -1,0 +1,130 @@
+"""foreachBatch upsert sink + AQE skew handling — the two production
+patterns SCALE.md prescribes that aren't expressible as oracle queries."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from streamprocessing_spark.sources.readers import load_table
+
+def _latest_w():
+    # built lazily: Column construction needs the JVM, absent at import
+    return Window.partitionBy("user_id").orderBy(F.desc("event_id"))
+
+
+def test_foreachbatch_upsert_latest_per_key(spark, sf_dir):
+    """Changelog → keyed table via foreachBatch: each micro-batch merges
+    into a latest-per-key parquet state (read-modify-overwrite; at scale a
+    Delta/Iceberg MERGE). Batch ids make the writer idempotent under
+    micro-batch retry. End state must equal the batch latest-per-key
+    compaction over the whole stream."""
+    base = tempfile.mkdtemp(prefix="sp_upsert_")
+    table = f"{base}/state"
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
+
+        def upsert(batch_df, batch_id):
+            batch_latest = (
+                batch_df.withColumn(
+                    "rn",
+                    F.row_number().over(_latest_w()),
+                )
+                .where(F.col("rn") == 1)
+                .drop("rn")
+            )
+            if os.path.exists(table):
+                current = batch_df.sparkSession.read.parquet(table)
+                merged = (
+                    current.unionByName(batch_latest)
+                    .withColumn(
+                        "rn",
+                        F.row_number().over(_latest_w()),
+                    )
+                    .where(F.col("rn") == 1)
+                    .drop("rn")
+                )
+            else:
+                merged = batch_latest
+            # write-then-swap: never read and overwrite the same path in
+            # one job (the read is lazy)
+            tmp = f"{table}.tmp{batch_id}"
+            merged.write.mode("overwrite").parquet(tmp)
+            if os.path.exists(table):
+                shutil.rmtree(table)
+            os.rename(tmp, table)
+
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(_staged(spark, ev, base))
+        )
+        q = (
+            stream.writeStream.foreachBatch(upsert)
+            .option("checkpointLocation", f"{base}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+        expected = (
+            ev.withColumn("rn", F.row_number().over(_latest_w()))
+            .where(F.col("rn") == 1)
+            .drop("rn")
+        )
+        got = spark.read.parquet(table)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, expected.collect()))
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def _staged(spark, df, base):
+    """Split df into two single-file parquet chunks under base/src."""
+    src = f"{base}/src"
+    os.makedirs(src, exist_ok=True)
+    for i, cond in enumerate([F.col("event_id") % 2 == 0, F.col("event_id") % 2 == 1]):
+        d = f"{base}/chunk{i}"
+        df.where(cond).coalesce(1).write.mode("overwrite").parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        shutil.copyfile(f"{d}/{part}", f"{src}/c{i}.parquet")
+    return src
+
+
+def test_aqe_splits_skewed_join(spark, sf_dir):
+    """A pathologically hot join key is split by AQE's skew-join handling
+    (thresholds lowered to trigger at test scale); the join result must be
+    identical to the unskewed-machinery result."""
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.autoBroadcastJoinThreshold",
+        )
+    }
+    try:
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "32KB")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        # hot key: every lineitem row mapped to key 0; a few cold keys
+        li = load_table(spark, sf_dir, "lineitem").select(
+            F.when(F.col("l_linenumber") == 1, F.col("l_orderkey") % 5).otherwise(0).alias("k"),
+            "l_quantity",
+        )
+        dim = spark.range(5).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+        joined = li.join(dim, "k").agg(
+            F.count(F.lit(1)).alias("n"), F.round(F.sum(F.col("l_quantity") * F.col("w")), 2).alias("s")
+        )
+        row = joined.first()
+        expected_n = li.join(dim.hint("broadcast"), "k").count()
+        assert row.n == expected_n
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
