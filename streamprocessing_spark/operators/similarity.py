@@ -19,6 +19,8 @@ Tiers:
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
@@ -83,6 +85,102 @@ def cosine_pairs(
 
     return pairs.where(F.col("cos") >= threshold).select(
         "id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim")
+    )
+
+
+# ------------------------------------------------------------------ SRP-LSH
+# Signed-random-projection LSH: bit j of a vector's signature is the sign of
+# its dot product with hyperplane j. P(bit agrees) = 1 - angle/pi, so banding
+# the bits yields a cosine-similarity candidate filter — the embedding
+# analogue of MinHash banding (operators/dedup.lsh_candidate_pairs). The
+# hyperplanes are md5-derived (no RNG): both engines regenerate the exact
+# same weights, so the whole pipeline — signatures, bands, candidates,
+# verified pairs — is deterministic and bit-for-bit oracle-checkable.
+
+SRP_BITS = 16
+SRP_BANDS = 4
+SRP_ROWS_PER_BAND = 4
+
+assert SRP_BANDS * SRP_ROWS_PER_BAND == SRP_BITS
+
+
+def srp_weights(dim: int, nbits: int = SRP_BITS) -> list[list[float]]:
+    """Deterministic hyperplane weights in [-1, 1): w[j][d] =
+    h32("srp:j:d") / 2^31 - 1. All three steps (int→double, divide by a
+    power of two, subtract 1.0) are exact IEEE ops, so Python, Spark and
+    DuckDB produce identical doubles from the same md5."""
+    return [
+        [
+            int(hashlib.md5(f"srp:{j}:{d}".encode()).hexdigest()[:8], 16) / 2147483648.0 - 1.0
+            for d in range(dim)
+        ]
+        for j in range(nbits)
+    ]
+
+
+def _srp_band_structs(vec: Column, weights: list[list[float]]) -> Column:
+    """Array of (band, sig) structs for one vector. The weights are plan
+    literals (computed driver-side once) — each bit is a zip_with/aggregate
+    fold entirely inside codegen, no Python at execution time."""
+    bits = []
+    for w in weights:
+        warr = F.array(*[F.lit(x) for x in w])
+        prods = F.zip_with(vec, warr, lambda a, b: a.cast("double") * b)
+        dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat(*bits[b * SRP_ROWS_PER_BAND : (b + 1) * SRP_ROWS_PER_BAND]).alias("sig"),
+            )
+            for b in range(SRP_BANDS)
+        ]
+    )
+
+
+def srp_lsh_cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SRP-LSH near-duplicate pairs, exact-cosine-verified.
+
+    The 100 TB path for embedding near-dup: candidates come from a
+    self-join keyed on (band, sig) — shuffle scales with bucket sizes,
+    never all-pairs — then only candidates pay the exact cosine. Precision
+    is exact (every emitted pair passed the true threshold); recall is the
+    banding probability (1-(1-p^r)^b, p = 1-θ/π), tested against the
+    brute-force tier. Output (id_a, id_b, cos_sim) — a deterministic
+    subset of cosine_pairs(emb, threshold)."""
+    weights = srp_weights(dim)
+    buckets = emb.select(
+        F.col(id_col).alias("id"),
+        F.explode(_srp_band_structs(F.col(vec_col), weights)).alias("bs"),
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    from streamprocessing_spark.functions.text import portable_round
+
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim"))
     )
 
 

@@ -83,6 +83,77 @@ def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.cosine_pairs(emb, 0.45)
 
 
+def _sql_srp_bit(j: int) -> str:
+    """One SRP signature bit in DuckDB SQL: sign of the dot product with
+    the md5-derived hyperplane j (identical arithmetic to
+    operators.similarity.srp_weights — exact int→double, /2^31, -1.0)."""
+    w = (
+        f"(CAST(('0x' || substr(md5('srp:{j}:' || CAST(i - 1 AS VARCHAR)), 1, 8)) AS BIGINT)"
+        " / 2147483648.0 - 1.0)"
+    )
+    dot = (
+        "list_sum(list_transform(range(1, len(embedding) + 1), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * {w}))"
+    )
+    return f"(CASE WHEN {dot} >= 0 THEN '1' ELSE '0' END)"
+
+
+def _sql_srp_oracle(threshold: float) -> str:
+    from streamprocessing_spark.operators.similarity import (
+        SRP_BANDS,
+        SRP_BITS,
+        SRP_ROWS_PER_BAND,
+    )
+
+    bit_cols = ",\n             ".join(f"{_sql_srp_bit(j)} AS bit_{j}" for j in range(SRP_BITS))
+    band_rows = "\n      UNION ALL\n".join(
+        "      SELECT id, {b} AS band, {sig} AS sig FROM sig_t".format(
+            b=b,
+            sig=" || ".join(f"bit_{b * SRP_ROWS_PER_BAND + r}" for r in range(SRP_ROWS_PER_BAND)),
+        )
+        for b in range(SRP_BANDS)
+    )
+    cos = _sql_cos("ea.embedding", "eb.embedding")
+    return f"""
+    WITH sig_t AS (
+      SELECT vec_id AS id,
+             {bit_cols}
+      FROM embeddings
+    ),
+    buckets AS (
+{band_rows}
+    ),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM buckets a
+             JOIN buckets b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id)
+    SELECT c.id_a, c.id_b,
+           floor({cos} * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE {cos} >= {threshold}
+    """
+
+
+SRP_THRESHOLD = 0.45
+
+
+@register(
+    "srp_lsh_cosine_pairs",
+    oracle=_sql_srp_oracle(SRP_THRESHOLD),
+    tags=("similarity", "dedup", "llm-pipeline", "lsh"),
+)
+def srp_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup via SRP-LSH banding + exact cosine verify — the
+    sublinear scale path for embedding_cosine_pairs (candidates from a
+    (band, sig)-keyed self-join instead of all-pairs). Deterministic
+    md5-derived hyperplanes make the full pipeline oracle-checkable;
+    recall vs the exact tier is asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    return S.srp_lsh_cosine_pairs(emb, SRP_THRESHOLD, dim)
+
+
 @register("ann_ivf_topk", tags=("similarity", "llm-pipeline", "approx"))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (16 deterministic centroids, nprobe=4): scores

@@ -27,6 +27,23 @@ def test_ivf_recall_vs_brute_force(spark, sf_dir):
     assert sum(recalls) / len(recalls) >= 0.7, f"mean IVF recall too low: {recalls}"
 
 
+def test_srp_lsh_precision_and_recall(spark, sf_dir):
+    """SRP-LSH pairs must be a strict subset of the exact all-pairs result
+    (precision 1.0 — every candidate passed the true cosine verify) with
+    banding-probability recall. Everything is deterministic (md5-derived
+    hyperplanes), so the measured recall is stable run-to-run."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    t = 0.45
+    exact = {(r.id_a, r.id_b) for r in S.cosine_pairs(emb, t).collect()}
+    srp = {(r.id_a, r.id_b) for r in S.srp_lsh_cosine_pairs(emb, t, dim).collect()}
+    assert srp <= exact, f"false positives: {srp - exact}"
+    if exact:
+        recall = len(srp) / len(exact)
+        # measured 9/14 = 0.64 at sf0.01 with 16 bits, 4 bands x 4 rows
+        assert recall >= 0.5, f"SRP recall too low: {recall} ({len(srp)}/{len(exact)})"
+
+
 def test_cosine_is_normalized(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(50)
     vals = emb.select(S.cosine(F.col("embedding"), F.col("embedding")).alias("c")).collect()
