@@ -34,6 +34,7 @@ HEADLINE = [
     "app1_pipeline",
     "app2_pipeline",
     "rainstorm_plugin_app2",
+    "rainstorm_vectorized_app2",
     # analytics
     "q1_pricing_summary",
     "join_revenue_by_nation",
@@ -85,6 +86,7 @@ def main() -> None:
         "app1_records_per_s": tp(n_docs, "app1_pipeline"),
         "app2_records_per_s": tp(n_orders, "app2_pipeline"),
         "app2_plugin_records_per_s": tp(n_orders, "rainstorm_plugin_app2"),
+        "app2_vectorized_records_per_s": tp(n_orders, "rainstorm_vectorized_app2"),
         # BASELINE.md's simple/complex task rows (project vs grouped agg)
         "simple_task_records_per_s": tp(n_orders, "project_columns"),
         "complex_task_records_per_s": tp(n_lineitem, "q1_pricing_summary"),

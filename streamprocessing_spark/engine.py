@@ -45,6 +45,9 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import StringType, StructField, StructType
 
 PluginFn = Callable[[str, str, str | None], None | str | list[tuple[str, str]]]
+# Vectorized plugin: whole pandas batch in, tagged batch out
+# (columns kind/key/value, kind ∈ {"emit", "count"}).
+BatchPluginFn = Callable[[pd.DataFrame, "str | None"], pd.DataFrame]
 
 RECORD_SCHEMA = StructType(
     [StructField("key", StringType()), StructField("value", StringType())]
@@ -105,26 +108,73 @@ class PluginOp:
                 yield pd.DataFrame({"kind": kinds, "key": keys, "value": vals})
 
         tagged = records.mapInPandas(kernel, _TAGGED_SCHEMA)
-        # Both union branches consume `tagged`; without a persist each
-        # branch re-executes the Python kernel over the full input (2× per
-        # op, 4× for two chained PluginOps), and a non-deterministic user
-        # fn could split records inconsistently between the branches.
-        # Batch: persist the tagged output once. Streaming: persist is not
-        # applicable — each micro-batch is evaluated once per sink anyway.
-        if not tagged.isStreaming:
-            tagged = tagged.persist()
-        emits = tagged.where(F.col("kind") == "emit").select("key", "value")
-        counts = (
-            tagged.where(F.col("kind") == "count")
-            .groupBy("key")
-            .agg(F.count(F.lit(1)).cast("string").alias("value"))
-        )
-        # Either side may be empty; the union keeps the mixed-contract
-        # semantics of the reference framework.
-        return emits.unionByName(counts)
+        return _collapse_tagged(tagged)
 
 
-Op = NativeOp | PluginOp
+def _collapse_tagged(tagged: DataFrame) -> DataFrame:
+    """Tagged (kind, key, value) stream → the op's output records:
+    'emit' rows pass through, 'count' rows aggregate to
+    (key, total-as-string) — the framework half of the stdout contract
+    (server.go:334-361)."""
+    # Both union branches consume `tagged`; without a persist each
+    # branch re-executes the Python kernel over the full input (2× per
+    # op, 4× for two chained PluginOps), and a non-deterministic user
+    # fn could split records inconsistently between the branches.
+    # Batch: persist the tagged output once. Streaming: persist is not
+    # applicable — each micro-batch is evaluated once per sink anyway.
+    if not tagged.isStreaming:
+        tagged = tagged.persist()
+    emits = tagged.where(F.col("kind") == "emit").select("key", "value")
+    counts = (
+        tagged.where(F.col("kind") == "count")
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).cast("string").alias("value"))
+    )
+    # Either side may be empty; the union keeps the mixed-contract
+    # semantics of the reference framework.
+    return emits.unionByName(counts)
+
+
+_EMPTY_TAGGED = {
+    "kind": pd.Series([], dtype=str),
+    "key": pd.Series([], dtype=str),
+    "value": pd.Series([], dtype=str),
+}
+
+
+@dataclass(frozen=True)
+class BatchPluginOp:
+    """Arrow-vectorized plugin: the op consumes a whole pandas batch of
+    (key, value) records and returns a tagged (kind, key, value) batch —
+    same contract semantics as PluginOp, minus the per-record Python loop.
+
+    This is the translation layer for plugin shapes that ARE vectorizable
+    (regex filters, CSV projections, passthrough counts): the hot loop
+    becomes pandas column ops over Arrow batches while the RainStormJob
+    facade, count aggregation, and mixed-contract union stay identical.
+    Measured ~1.3× end-to-end at sf0.1 (150k rows — fixed job overhead
+    dominates there); the eliminated cost is the per-record Python loop,
+    which grows linearly with rows while the batch ops stay vectorized,
+    so the gap widens with scale (bench pair: rainstorm_vectorized_app2
+    vs rainstorm_plugin_app2)."""
+
+    fn: BatchPluginFn
+
+    def apply(self, records: DataFrame, pattern: str | None) -> DataFrame:
+        from streamprocessing_spark.shipping import ensure_shippable
+
+        ensure_shippable()
+        fn = self.fn
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in batches:
+                out = fn(pdf, pattern)
+                yield out[["kind", "key", "value"]]
+
+        return _collapse_tagged(records.mapInPandas(kernel, _TAGGED_SCHEMA))
+
+
+Op = NativeOp | PluginOp | BatchPluginOp
 
 
 @dataclass(frozen=True)
@@ -187,3 +237,64 @@ def app2_op1(key: str, value: str, pattern: str | None):
 def app2_op2(key: str, value: str, pattern: str | None):
     """Key passthrough → count path (ops/app2op2/app2op2.go:8-14)."""
     return key
+
+
+# ---------------------------------------------------------------------------
+# The same four ops as vectorized batch plugins. The batch CSV parse feeds
+# the whole batch through one pandas read_csv (real quoting semantics, same
+# as encoding/csv) — valid because source records are single lines by
+# construction (the reference reads its stream line-by-line,
+# server.go:411-448, so a value can never contain a newline).
+
+
+def _parse_csv_batch(values: pd.Series) -> pd.DataFrame:
+    return pd.read_csv(
+        io.StringIO("\n".join(values.tolist())),
+        header=None,
+        dtype=str,
+        keep_default_na=False,
+    )
+
+
+def _tagged(kind: str, keys, vals) -> pd.DataFrame:
+    return pd.DataFrame(
+        {
+            "kind": pd.Series(kind, index=keys.index, dtype=str) if len(keys) else pd.Series([], dtype=str),
+            "key": keys.astype(str),
+            "value": vals if isinstance(vals, pd.Series) else pd.Series(vals, index=keys.index, dtype=str),
+        }
+    )
+
+
+def vec_app1_op1(pdf: pd.DataFrame, pattern: str | None) -> pd.DataFrame:
+    """Vectorized substring filter (app1op1): one str.contains over the
+    batch."""
+    if pattern is None or pdf.empty:
+        return pd.DataFrame(_EMPTY_TAGGED)
+    m = pdf["value"].str.contains(pattern, regex=False)
+    kept = pdf.loc[m]
+    return _tagged("emit", kept["key"], kept["value"])
+
+
+def vec_app1_op2(pdf: pd.DataFrame, pattern: str | None) -> pd.DataFrame:
+    """Vectorized CSV projection to (col2, col3) (app1op2)."""
+    if pdf.empty:
+        return pd.DataFrame(_EMPTY_TAGGED)
+    cols = _parse_csv_batch(pdf["value"])
+    return _tagged("emit", cols[2], cols[3].astype(str))
+
+
+def vec_app2_op1(pdf: pd.DataFrame, pattern: str | None) -> pd.DataFrame:
+    """Vectorized equality filter on col6 → (col8, "1") (app2op1)."""
+    if pdf.empty:
+        return pd.DataFrame(_EMPTY_TAGGED)
+    cols = _parse_csv_batch(pdf["value"])
+    kept = cols.loc[cols[6] == pattern]
+    return _tagged("emit", kept[8], "1")
+
+
+def vec_app2_op2(pdf: pd.DataFrame, pattern: str | None) -> pd.DataFrame:
+    """Vectorized key passthrough → count path (app2op2)."""
+    if pdf.empty:
+        return pd.DataFrame(_EMPTY_TAGGED)
+    return _tagged("count", pdf["key"], "")

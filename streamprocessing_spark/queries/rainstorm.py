@@ -47,13 +47,23 @@ def _record_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "rainstorm_plugin_app1",
-    oracle=f"""
+_APP1_ORACLE = f"""
     SELECT CAST(o_orderkey AS VARCHAR) AS key, o_orderpriority AS value
     FROM orders
     WHERE ({_SQL_LINE}) LIKE '%URGENT%'
-    """,
+    """
+
+_APP2_ORACLE = """
+    SELECT o_orderpriority AS key, CAST(count(*) AS VARCHAR) AS value
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """
+
+
+@register(
+    "rainstorm_plugin_app1",
+    oracle=_APP1_ORACLE,
     tags=("reference", "engine", "plugin", "pandas-udf"),
 )
 def rainstorm_plugin_app1(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,12 +75,7 @@ def rainstorm_plugin_app1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "rainstorm_plugin_app2",
-    oracle="""
-    SELECT o_orderpriority AS key, CAST(count(*) AS VARCHAR) AS value
-    FROM orders
-    WHERE o_orderstatus = 'F'
-    GROUP BY o_orderpriority
-    """,
+    oracle=_APP2_ORACLE,
     tags=("reference", "engine", "plugin", "pandas-udf"),
 )
 def rainstorm_plugin_app2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -78,4 +83,34 @@ def rainstorm_plugin_app2(spark: SparkSession, sf_dir: str) -> DataFrame:
     path, including the 1-line count contract:
     RainStorm op1=app2op1 op2=app2op2 pattern='F'."""
     job = E.RainStormJob(op1=E.PluginOp(E.app2_op1), op2=E.PluginOp(E.app2_op2), pattern="F")
+    return job.run(_record_stream(spark, sf_dir))
+
+
+@register(
+    "rainstorm_vectorized_app1",
+    oracle=_APP1_ORACLE,
+    tags=("reference", "engine", "plugin", "vectorized"),
+)
+def rainstorm_vectorized_app1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """App1 through the vectorized batch-plugin path (BatchPluginOp):
+    identical contract and oracle as rainstorm_plugin_app1, with the hot
+    loop as pandas column ops instead of per-record Python."""
+    job = E.RainStormJob(
+        op1=E.BatchPluginOp(E.vec_app1_op1), op2=E.BatchPluginOp(E.vec_app1_op2), pattern="URGENT"
+    )
+    return job.run(_record_stream(spark, sf_dir))
+
+
+@register(
+    "rainstorm_vectorized_app2",
+    oracle=_APP2_ORACLE,
+    tags=("reference", "engine", "plugin", "vectorized"),
+)
+def rainstorm_vectorized_app2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """App2 through the vectorized batch-plugin path: same oracle as the
+    per-record plugin variant — the bench pair quantifying what
+    vectorizing a plugin shape buys."""
+    job = E.RainStormJob(
+        op1=E.BatchPluginOp(E.vec_app2_op1), op2=E.BatchPluginOp(E.vec_app2_op2), pattern="F"
+    )
     return job.run(_record_stream(spark, sf_dir))

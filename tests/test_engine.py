@@ -27,6 +27,22 @@ def test_csv_quoting_respected(spark, records):
     assert out == {("2", "Streetname, Mast Arm")}
 
 
+def test_vectorized_equals_plugin(spark, records):
+    """BatchPluginOp (pandas column ops) must reproduce the per-record
+    PluginOp output exactly on both demo apps, including CSV quoting."""
+    for ops_pr, ops_vec, pattern in [
+        ((E.app1_op1, E.app1_op2), (E.vec_app1_op1, E.vec_app1_op2), "Mast Arm"),
+        ((E.app2_op1, E.app2_op2), (E.vec_app2_op1, E.vec_app2_op2), "Punched Telespar"),
+    ]:
+        pr = E.RainStormJob(op1=E.PluginOp(ops_pr[0]), op2=E.PluginOp(ops_pr[1]), pattern=pattern)
+        vec = E.RainStormJob(
+            op1=E.BatchPluginOp(ops_vec[0]), op2=E.BatchPluginOp(ops_vec[1]), pattern=pattern
+        )
+        got_pr = {(r.key, r.value) for r in pr.run(records).collect()}
+        got_vec = {(r.key, r.value) for r in vec.run(records).collect()}
+        assert got_vec == got_pr, f"pattern={pattern}: {got_vec} != {got_pr}"
+
+
 def test_count_contract(spark, records):
     """op returning a bare string routes into the count path and the
     framework emits (key, running-total) — server.go:344-355."""
