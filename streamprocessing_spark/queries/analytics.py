@@ -858,6 +858,59 @@ def inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sessionize_events",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    sess AS (
+      SELECT user_id, ts, event_id,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM ordered
+    )
+    SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0, 2) AS duration_s
+    FROM sess GROUP BY user_id, session_idx
+    """,
+    tags=("analytics", "window", "time-series", "session"),
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min inactivity gap): the classic
+    lag → new-session flag → running-sum session index, then per-session
+    stats. One shuffle on user_id shared by both window passes and the
+    final aggregate (same partitioning — Catalyst reuses the exchange).
+    The streaming twin is streaming_session_window (native session
+    window + watermark); this shape is for backfills over stored data."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0).alias("new_sess"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("session_idx"),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(
+            (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 1_000_000.0, 2
+        ).alias("duration_s"),
+    )
+
+
+@register(
     "source_jsonl_roundtrip",
     oracle="""
     SELECT event_id, event_type, round(value, 6) AS value FROM events

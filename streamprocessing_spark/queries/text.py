@@ -200,6 +200,87 @@ def vocabulary_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS term FROM documents),
+    tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+           FROM toks GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             floor(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) * 10000.0 + 0.5) / 10000.0 AS tfidf
+      FROM tf JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM scored)
+    WHERE rn <= 3
+    """,
+    tags=("text", "llm-pipeline", "aggregate"),
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (idf = ln((N+1)/(df+1))) — the
+    keyword-extraction / relevance-weighting primitive. Two aggregations
+    (doc×term counts, then per-term doc frequency) + one join on term;
+    at scale the df table is vocabulary-sized — usually broadcastable,
+    left to AQE here. The window's ORDER BY uses the ROUNDED score so
+    the rank cut is engine-portable (ties resolve on the term)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(df_, "term").select(
+        "doc_id",
+        "term",
+        T.portable_round(
+            F.col("tf") * F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)), 4
+        ).alias("tfidf"),
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.select(
+            "doc_id", "term", "tfidf", F.row_number().over(w).cast("long").alias("rank")
+        ).where(F.col("rank") <= 3)
+    )
+
+
+@register(
+    "train_test_split",
+    oracle="""
+    SELECT doc_id,
+           CASE WHEN h < 80 THEN 'train'
+                WHEN h < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS h
+          FROM documents)
+    """,
+    tags=("text", "llm-pipeline", "sampling"),
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/valid/test assignment by hashing the
+    document id (md5 → bucket 0-99) — the reproducible-split primitive
+    for training pipelines: no RNG, no seed files, stable under
+    re-partitioning and re-runs, and any engine recomputes the identical
+    assignment (the property random() splits lose). Pure per-row
+    expression — scan-speed at any scale."""
+    from streamprocessing_spark.operators.dedup import _h32
+
+    d = load_table(spark, sf_dir, "documents")
+    h = _h32(F.col("doc_id").cast("string")) % 100
+    return d.select(
+        "doc_id",
+        F.when(h < 80, "train").when(h < 90, "valid").otherwise("test").alias("split"),
+    )
+
+
+@register(
     "doc_length_histogram",
     oracle=f"""
     SELECT CAST(least(len({_SQL_TOKENS}) // 10, 9) AS INTEGER) AS bucket,
