@@ -1,0 +1,149 @@
+"""Curation-stage operators for training-data pipelines: deterministic
+stratified sampling, embedding quantization, and the Q3-shaped
+filter-join-aggregate-topk composite. All engine-portable arithmetic
+(md5-hash ordering, exact rational scaling) so every query is oracled."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streamprocessing_spark.operators.dedup import _h32
+from streamprocessing_spark.registry import register
+from streamprocessing_spark.sources.readers import load_table
+
+SAMPLE_PER_LABEL = 20
+
+
+@register(
+    "stratified_sample_per_label",
+    oracle=f"""
+    SELECT vec_id, label FROM (
+      SELECT vec_id, label,
+             row_number() OVER (
+               PARTITION BY label
+               ORDER BY CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                        vec_id) AS rn
+      FROM embeddings)
+    WHERE rn <= {SAMPLE_PER_LABEL}
+    """,
+    tags=("curation", "llm-pipeline", "sampling"),
+)
+def stratified_sample_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sample: exactly N rows per label, chosen
+    by md5-hash order — a reproducible 'random' draw with no RNG state,
+    stable across engines, partitionings and re-runs (the property
+    sample()/TABLESAMPLE lose). One shuffle on the label; the rank filter
+    runs inside the window operator so per-group state is O(N). The
+    balanced-class subsampling primitive for training sets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    w = Window.partitionBy("label").orderBy(
+        _h32(F.col("vec_id").cast("string")), F.col("vec_id")
+    )
+    return (
+        emb.select("vec_id", "label", F.row_number().over(w).alias("rn"))
+        .where(F.col("rn") <= SAMPLE_PER_LABEL)
+        .select("vec_id", "label")
+    )
+
+
+@register(
+    "quantize_embeddings_int8",
+    oracle="""
+    WITH scaled AS (
+      SELECT vec_id,
+             list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS mx
+      FROM embeddings
+    )
+    SELECT e.vec_id,
+           CAST(i - 1 AS INTEGER) AS dim,
+           CAST(CASE WHEN s.mx = 0 THEN 0
+                ELSE floor(CAST(e.embedding[i] AS DOUBLE) * 127.0 / s.mx + 0.5)
+                END AS BIGINT) AS q
+    FROM embeddings e
+    JOIN scaled s ON e.vec_id = s.vec_id,
+    unnest(range(1, len(e.embedding) + 1)) AS u(i)
+    """,
+    tags=("curation", "llm-pipeline", "similarity"),
+)
+def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization per vector (q = round(x*127/max|x|),
+    round-half-up): the 4× memory/IO compression step before ANN index
+    build. Exact rational arithmetic — floor(x+0.5) is engine-portable
+    (same IEEE ops both sides), no RNG, no accumulation. Pure per-row
+    transform + posexplode: scan-speed, zero shuffle. Output exploded to
+    (vec_id, dim, q) for the comparison; production keeps the int8 array
+    + scale column."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mx = F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double"))))
+    return (
+        emb.select("vec_id", "embedding", mx.alias("mx"))
+        .select("vec_id", "mx", F.posexplode("embedding").alias("dim", "x"))
+        .select(
+            "vec_id",
+            F.col("dim").cast("int").alias("dim"),
+            F.when(F.col("mx") == 0, F.lit(0))
+            .otherwise(F.floor(F.col("x").cast("double") * 127.0 / F.col("mx") + 0.5))
+            .cast("long")
+            .alias("q"),
+        )
+    )
+
+
+@register(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    tags=("analytics", "join", "topk"),
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped (shipping priority): segment-filtered customer
+    broadcast against date-filtered orders⋈lineitem, grouped revenue,
+    top-10. Both date predicates push into the fact scans; the only big
+    shuffle is orders⋈lineitem on the order key. Top-k via
+    TakeOrderedAndProject (no global sort), unique-key tiebreak."""
+    cutoff = F.lit("1995-03-15 00:00:00").cast("timestamp")
+    c = (
+        load_table(spark, sf_dir, "customer")
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select("c_custkey")
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderdate") < cutoff)
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .where(F.col("l_shipdate") > cutoff)
+        .select("l_orderkey", "l_extendedprice", "l_discount")
+    )
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "revenue"
+            )
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .limit(10)
+    )
