@@ -46,7 +46,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
+    "srp_lsh_cosine_pairs",
     "text_quality_score",
+    "tfidf_top_terms",
+    "sessionize_events",
     "multimodal_features",
 ]
 

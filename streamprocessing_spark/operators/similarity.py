@@ -171,14 +171,29 @@ def srp_lsh_cosine_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
-    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    # Norms are computed ONCE per vector and joined to the pairs: the
+    # higher-order-function folds are interpreted (not codegen'd), so
+    # per-pair cosine = dot + 2 norms would triple the dominant cost.
+    # The joined norm is the same double the per-pair fold would produce —
+    # bit-identical to the oracle's per-pair norm arithmetic.
+    va = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        norm_double(F.col(vec_col)).alias("na"),
+    )
+    vb = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        norm_double(F.col(vec_col)).alias("nb"),
+    )
     from streamprocessing_spark.functions.text import portable_round
 
     return (
         cand.join(va, "id_a")
         .join(vb, "id_b")
-        .select("id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos"))
+        .select(
+            "id_a",
+            "id_b",
+            (dot_double(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim"))
     )

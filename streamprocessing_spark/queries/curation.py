@@ -90,6 +90,52 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+PACK_CONTEXT_TOKENS = 2048
+
+
+@register(
+    "pack_documents_greedy",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT doc_id, n_tokens,
+             sum(n_tokens) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM sized
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST((cum_tokens - n_tokens) // {PACK_CONTEXT_TOKENS} AS BIGINT) AS bin_id
+    FROM cum
+    """,
+    tags=("curation", "llm-pipeline", "packing"),
+)
+def pack_documents_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk): documents are laid end-to-end
+    in doc_id order and cut into PACK_CONTEXT_TOKENS-token context windows;
+    bin_id = tokens-before-me // capacity — the streaming-concatenation
+    packing used for LLM pretraining batches (deterministic, no
+    bin-search). The global ordered window is a single-partition sort at
+    this shape; at 100 TB packing runs per shard (partitionBy(shard) added
+    to the window) — bins never cross shard boundaries, which is also
+    what a distributed loader wants."""
+    from streamprocessing_spark.functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return sized.select(
+        "doc_id",
+        "n_tokens",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_CONTEXT_TOKENS)
+        .cast("long")
+        .alias("bin_id"),
+    )
+
+
 @register(
     "q3_shipping_priority",
     oracle="""
