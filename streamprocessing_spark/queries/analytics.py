@@ -858,6 +858,75 @@ def inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "funnel_click_to_purchase",
+    oracle="""
+    SELECT b.event_id,
+           CAST(count(a.event_id) AS BIGINT) AS n_clicks_6h
+    FROM events b
+    LEFT JOIN events a
+      ON a.user_id = b.user_id
+     AND a.event_type = 'click'
+     AND a.ts >= b.ts - INTERVAL 6 HOUR
+     AND a.ts < b.ts
+    WHERE b.event_type = 'purchase'
+    GROUP BY b.event_id
+    """,
+    tags=("analytics", "join", "range", "time-series"),
+)
+def funnel_click_to_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Funnel attribution via an equi+range self-join: for every purchase,
+    the number of clicks by the same user in the preceding 6 hours. The
+    equi key (user_id) bounds the join — both sides shuffle once on the
+    user and the range predicate evaluates inside each user's partition,
+    so there is no cross-join blowup (the trap of pure range joins). For
+    a keyless range join the scale pattern is time-bucketing: join on
+    floor(ts/width) ± 1 buckets, then apply the exact range filter."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        "event_id", F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts")
+    )
+    joined = purchases.join(
+        clicks,
+        (F.col("pu") == F.col("cu"))
+        & (F.col("cts") >= F.col("pts") - F.expr("INTERVAL 6 HOURS"))
+        & (F.col("cts") < F.col("pts")),
+        "left",
+    )
+    return joined.groupBy("event_id").agg(F.count("cts").alias("n_clicks_6h"))
+
+
+@register(
+    "unpivot_lineitem_metrics",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS value
+    FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+    UNION ALL
+    SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+    """,
+    tags=("analytics", "reshape"),
+)
+def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): wide metric columns → long (metric, value) rows —
+    the inverse of pivot and the feed shape for generic metric pipelines.
+    Spark's unpivot is a zero-shuffle narrow op (each row fans out to 4
+    in place); values pass through unchanged so no rounding is needed."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "metric",
+        "value",
+    )
+
+
+@register(
     "sessionize_events",
     oracle="""
     WITH ordered AS (

@@ -137,6 +137,47 @@ def pack_documents_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "fuzzy_name_pairs",
+    oracle="""
+    WITH n AS (SELECT DISTINCT p_name FROM part)
+    SELECT a.p_name AS name_a, b.p_name AS name_b,
+           CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+    FROM n a JOIN n b
+      ON a.p_name < b.p_name
+     AND abs(length(a.p_name) - length(b.p_name)) <= 2
+    WHERE levenshtein(a.p_name, b.p_name) <= 2
+    """,
+    tags=("curation", "dedup", "fuzzy"),
+)
+def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string matching (edit distance ≤ 2) over distinct part names
+    — the entity-resolution primitive for catalog/name dedup. The
+    length-band prefilter is LOSSLESS blocking (levenshtein ≥ |len
+    difference|), cutting candidate pairs before the O(len²) distance
+    runs. At 100 TB the distinct-name set is the small derived table
+    (names repeat heavily); for huge name sets add a sorted-neighborhood
+    or q-gram block key to the join."""
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    return (
+        a.join(
+            b,
+            (F.col("name_a") < F.col("name_b"))
+            & (
+                F.abs(F.length("name_a") - F.length("name_b")) <= 2
+            ),
+        )
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= 2)
+    )
+
+
+@register(
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
