@@ -248,12 +248,24 @@ def app2_op2(key: str, value: str, pattern: str | None):
 
 
 def _parse_csv_batch(values: pd.Series) -> pd.DataFrame:
-    return pd.read_csv(
+    """Batch CSV parse with the per-record contract's failure semantics:
+    the per-record ops raise on empty/short records (csv.reader yields
+    nothing / row[i] IndexErrors), so the batch path must fail loudly
+    too — pandas would otherwise silently drop blank lines
+    (skip_blank_lines) and pad short rows with NaN, turning malformed
+    input into wrong output instead of an error."""
+    if (values == "").any():
+        raise ValueError("empty CSV record in batch (per-record contract raises)")
+    parsed = pd.read_csv(
         io.StringIO("\n".join(values.tolist())),
         header=None,
         dtype=str,
         keep_default_na=False,
+        skip_blank_lines=False,
     )
+    if parsed.isna().any().any():
+        raise ValueError("ragged CSV batch: some records have fewer columns")
+    return parsed
 
 
 def _tagged(kind: str, keys, vals) -> pd.DataFrame:

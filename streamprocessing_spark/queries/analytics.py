@@ -945,7 +945,7 @@ def unpivot_lineitem_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
            CAST(count(*) AS BIGINT) AS n_events,
-           round((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0, 2) AS duration_s
+           floor((max(epoch_us(ts)) - min(epoch_us(ts))) / 1000000.0 * 100.0 + 0.5) / 100.0 AS duration_s
     FROM sess GROUP BY user_id, session_idx
     """,
     tags=("analytics", "window", "time-series", "session"),
@@ -971,9 +971,15 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts",
         F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("session_idx"),
     )
+    # portable_round, not round(): max/min of exact integer micros are
+    # bit-identical across engines, so this is the per-row-ratio case
+    # where Spark's HALF_UP and DuckDB's scaled-float round() diverge on
+    # decimal halfway values (e.g. 2345000us -> 2.345s).
+    from streamprocessing_spark.functions.text import portable_round
+
     return sess.groupBy("user_id", "session_idx").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(
+        portable_round(
             (F.max(F.unix_micros("ts")) - F.min(F.unix_micros("ts"))) / 1_000_000.0, 2
         ).alias("duration_s"),
     )

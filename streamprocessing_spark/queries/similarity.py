@@ -150,7 +150,10 @@ def srp_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     md5-derived hyperplanes make the full pipeline oracle-checkable;
     recall vs the exact tier is asserted in tests/test_similarity.py."""
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").head()[0])
+    # one-row probe for the dataset-constant dimension; empty table →
+    # dim 1, the pipeline then yields an empty result like any query
+    row = emb.select("embedding").head()
+    dim = len(row[0]) if row else 1
     return S.srp_lsh_cosine_pairs(emb, SRP_THRESHOLD, dim)
 
 

@@ -19,11 +19,22 @@ SCALE.md; the writer line is the only thing that changes):
   contract (rainstorm/server.go:292-298) at file granularity.
 - ``compact`` rewrites all current data into ``target_files`` files via
   write-then-swap: the new fileset is fully materialized under a temp
-  directory before an atomic-rename swap, so readers never observe a
-  half-compacted table, and a crashed compaction leaves the original
-  intact. Compacted data lands in a ``batch=-1`` directory — the sink
-  keeps accepting post-compaction batches (their ids keep growing, never
-  colliding) and repeated compactions fold everything down again.
+  directory before the directory swap. Compacted data lands in a
+  ``batch=-1`` directory — the sink keeps accepting post-compaction
+  batches (their ids keep growing, never colliding) and repeated
+  compactions fold everything down again.
+
+Concurrency contract: ``compact`` must run while no stream is WRITING
+(between runs, or during a maintenance quiesce) — a batch committed
+between the compaction read and the swap would be deleted by the swap
+while the checkpoint believes it durable. Concurrent READERS can race
+the two-rename swap window; the swap is crash-recoverable (leftover
+``.compacting``/``.old`` directories are healed on the next call) but
+not atomic for readers. At distributed scale both gaps close by making
+the swap a metastore/manifest pointer flip (Delta OPTIMIZE / Iceberg
+rewrite_data_files run exactly this read-rewrite-commit loop under
+optimistic concurrency); the parquet layout here keeps the batch-id
+idempotence and rewrite mechanics, not the transaction log.
 
 Read the table with ``read_table`` (plain ``spark.read.parquet`` over the
 base dir, partition-discovery column dropped).
@@ -69,15 +80,29 @@ class CompactingParquetSink:
             out.extend(os.path.join(root, f) for f in files if f.endswith(".parquet"))
         return sorted(out)
 
+    def _recover(self) -> None:
+        """Heal leftovers of a compaction that crashed mid-swap:
+        - data dir present → any .old/.compacting remnants are stale;
+        - data dir missing but .old present → the crash hit between the
+          two renames; the original data is intact in .old — restore it.
+        """
+        tmp = f"{self.data_dir}.compacting"
+        old = f"{self.data_dir}.old"
+        if not os.path.exists(self.data_dir) and os.path.exists(old):
+            os.rename(old, self.data_dir)
+        shutil.rmtree(old, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+
     def compact(self, spark: SparkSession, target_files: int = 1) -> None:
         """Rewrite the whole table into ``target_files`` files.
 
-        Write-then-swap: materialize the compacted fileset in a sibling
-        temp dir, then replace the data dir in one rename. At distributed
-        scale the swap is a metastore/manifest pointer flip (Delta commit,
-        Iceberg snapshot); the local filesystem rename models the same
-        all-or-nothing visibility.
+        Write-then-swap with crash recovery: the compacted fileset is
+        fully materialized in a sibling temp dir before the swap, so a
+        crash at any point leaves the original data recoverable (healed
+        by ``_recover`` on the next call). MUST NOT run concurrently with
+        an active writer — see the module docstring's contract.
         """
+        self._recover()
         tmp = f"{self.data_dir}.compacting"
         old = f"{self.data_dir}.old"
         (

@@ -4,32 +4,20 @@ streaming small-file problem)."""
 
 from __future__ import annotations
 
-import os
 import shutil
 import tempfile
 
 from streamprocessing_spark.sources.readers import load_table
 from streamprocessing_spark.streaming.compaction import CompactingParquetSink
 
-
-def _staged(spark, df, base, n_chunks=3):
-    """Split df into n single-file parquet chunks under base/src so
-    maxFilesPerTrigger=1 yields one micro-batch per chunk."""
-    src = f"{base}/src"
-    os.makedirs(src, exist_ok=True)
-    for i in range(n_chunks):
-        d = f"{base}/chunk{i}"
-        df.where((df.event_id % n_chunks) == i).coalesce(1).write.mode("overwrite").parquet(d)
-        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
-        shutil.copyfile(f"{d}/{part}", f"{src}/c{i}.parquet")
-    return src
+from conftest import stage_single_file_chunks
 
 
 def test_compacting_sink_exactly_once_and_compaction(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="sp_compact_")
     try:
         ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "event_type")
-        src = _staged(spark, ev, base)
+        src = stage_single_file_chunks(ev, base, n_chunks=3)
         sink = CompactingParquetSink(base=f"{base}/table")
 
         stream = (
@@ -78,5 +66,31 @@ def test_compacting_sink_exactly_once_and_compaction(spark, sf_dir):
         sink.compact(spark, target_files=1)
         assert len(sink.data_files()) == 1
         assert len(sink.read_table(spark).collect()) == len(expected) + len(batch0_rows)
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
+def test_compaction_crash_recovery(spark, sf_dir):
+    """A compaction crash between the two swap renames leaves the data in
+    .old; the next compact() must restore it and proceed — no data loss,
+    no stuck leftovers."""
+    import os
+
+    base = tempfile.mkdtemp(prefix="sp_compact_crash_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select("event_id", "user_id").limit(100)
+        sink = CompactingParquetSink(base=f"{base}/table")
+        sink.foreach_batch(ev.coalesce(1), 0)
+        expected = sorted(map(tuple, sink.read_table(spark).collect()))
+
+        # simulate the worst crash point: data_dir renamed away, new
+        # fileset not yet swapped in, stale temp dir also present
+        os.rename(sink.data_dir, f"{sink.data_dir}.old")
+        os.makedirs(f"{sink.data_dir}.compacting/batch=-1", exist_ok=True)
+
+        sink.compact(spark, target_files=1)
+        assert sorted(map(tuple, sink.read_table(spark).collect())) == expected
+        assert not os.path.exists(f"{sink.data_dir}.old")
+        assert not os.path.exists(f"{sink.data_dir}.compacting")
     finally:
         shutil.rmtree(base, ignore_errors=True)
