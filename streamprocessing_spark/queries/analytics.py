@@ -858,6 +858,166 @@ def inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouping_sets_custom",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS cnt,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    tags=("analytics", "aggregate"),
+)
+def grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arbitrary GROUPING SETS (not the rollup/cube lattice): per-status,
+    per-priority, and grand total in ONE pass — one scan, one expanded
+    shuffle, versus three separate aggregations. The general form of the
+    grouping-sets family (rollup_counts / cube_counts cover the
+    hierarchical and full-lattice cases)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("sp_orders_gs")
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS cnt,
+               round(sum(o_totalprice), 2) AS total
+        FROM sp_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    )
+
+
+@register(
+    "window_rank_functions",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(rank() OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(ntile(4) OVER (PARTITION BY o_orderpriority
+                               ORDER BY o_orderkey) AS BIGINT) AS quartile,
+           floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+           floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cdist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+    tags=("analytics", "window"),
+)
+def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank-function family (rank / dense_rank / ntile /
+    percent_rank / cume_dist) in one pass over one window partition —
+    completes the window-function surface beyond row_number. One shuffle
+    on the partition key; the ordering (price, key) is total so every
+    rank is deterministic. ntile uses its own key-ordered window (ties in
+    price would make bucket boundaries order-dependent otherwise)."""
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    wk = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.rank().over(w).cast("long").alias("rnk"),
+        F.dense_rank().over(w).cast("long").alias("drnk"),
+        F.ntile(4).over(wk).cast("long").alias("quartile"),
+        T.portable_round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        T.portable_round(F.cume_dist().over(w), 6).alias("cdist"),
+    )
+
+
+@register(
+    "join_full_outer_daily_activity",
+    oracle="""
+    WITH p AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_purchases
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    e AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_errors
+      FROM events WHERE event_type = 'error' GROUP BY user_id
+    )
+    SELECT coalesce(p.user_id, e.user_id) AS user_id,
+           coalesce(p.n_purchases, 0) AS n_purchases,
+           coalesce(e.n_errors, 0) AS n_errors
+    FROM p FULL OUTER JOIN e ON p.user_id = e.user_id
+    """,
+    tags=("analytics", "join"),
+)
+def join_full_outer_daily_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full outer join: align two per-user aggregates keeping users that
+    appear on either side — the reconciliation join (metrics A vs
+    metrics B). Completes the join-type surface (inner / broadcast /
+    semi / anti / left / as-of / full outer). Full outer can never
+    broadcast — both sides shuffle on the key."""
+    ev = load_table(spark, sf_dir, "events")
+    p = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_purchases"))
+    )
+    e = (
+        ev.where(F.col("event_type") == "error")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_errors"))
+    )
+    return (
+        p.join(e, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("n_errors", F.lit(0)).alias("n_errors"),
+        )
+    )
+
+
+@register(
+    "scd2_user_type_history",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, event_type, ts, event_id,
+             lag(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    starts AS (
+      SELECT user_id, event_type, ts, event_id
+      FROM changes
+      WHERE prev_type IS NULL OR prev_type <> event_type
+    )
+    SELECT user_id, event_type,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           coalesce(strftime(lead(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id),
+                             '%Y-%m-%d %H:%M:%S.%f'), 'current') AS valid_to
+    FROM starts
+    """,
+    tags=("analytics", "window", "scd"),
+)
+def scd2_user_type_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD-2 history build: collapse an event stream into validity
+    intervals per user (each interval = a run of the same event_type;
+    open intervals marked 'current') — the slowly-changing-dimension
+    pattern for change capture. lag detects run starts, lead closes the
+    interval; both windows share one user_id shuffle. Timestamps are
+    serialized to text (engine-neutral)."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.select(
+        "user_id", "event_type", "ts", "event_id",
+        F.lag("event_type").over(w).alias("prev_type"),
+    )
+    starts = changes.where(
+        F.col("prev_type").isNull() | (F.col("prev_type") != F.col("event_type"))
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return starts.select(
+        "user_id",
+        "event_type",
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("ts").over(w), fmt), F.lit("current")
+        ).alias("valid_to"),
+    )
+
+
+@register(
     "funnel_click_to_purchase",
     oracle="""
     SELECT b.event_id,
