@@ -57,3 +57,31 @@ def test_app_pipelines_fuse_into_scan_stage(spark, sf_dir):
     # filter→project composes into the scan: zero shuffles
     df = SPECS["app1_pipeline"].fn(spark, sf_dir)
     assert X.count_exchanges(df) == 0, X.formatted_plan(df)
+
+
+def test_q3_date_filters_reach_scans(spark, sf_dir):
+    """Both Q3 date predicates must push into the fact scans — a scan
+    reading unfiltered orders/lineitem at 100 TB is the query's death."""
+    df = SPECS["q3_shipping_priority"].fn(spark, sf_dir)
+    assert X.has_pushed_filters(df, "o_orderdate"), X.formatted_plan(df)
+    assert X.has_pushed_filters(df, "l_shipdate"), X.formatted_plan(df)
+    assert X.has_broadcast_join(df), X.formatted_plan(df)
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """Both window passes and the session aggregate share ONE user_id
+    exchange — the lag/flag/cumsum/agg chain must not re-shuffle."""
+    df = SPECS["sessionize_events"].fn(spark, sf_dir)
+    assert X.count_exchanges(df) == 1, X.formatted_plan(df)
+
+
+def test_unpivot_is_zero_shuffle(spark, sf_dir):
+    df = SPECS["unpivot_lineitem_metrics"].fn(spark, sf_dir)
+    assert X.count_exchanges(df) == 0, X.formatted_plan(df)
+
+
+def test_scd2_single_shuffle(spark, sf_dir):
+    """lag (run starts) and lead (interval close) share the user_id
+    partitioning — one exchange for the whole history build."""
+    df = SPECS["scd2_user_type_history"].fn(spark, sf_dir)
+    assert X.count_exchanges(df) == 1, X.formatted_plan(df)
