@@ -61,6 +61,67 @@ def _start_count_query(spark, src_dir, schema, ckpt, name):
     )
 
 
+def test_left_outer_interval_join_emits_unmatched(spark, sf_dir):
+    """Stream-stream LEFT OUTER interval join: purchases joined to the
+    same user's clicks in the preceding hour; a purchase with no click
+    must be emitted with a NULL click once the watermark passes its join
+    window. Watermark semantics to note: rows whose window the final
+    watermark never passes stay in state — so assertions are restricted
+    to the emittable region (ts ≤ max_ts - 2h), which is exactly what a
+    live stream would have emitted by now."""
+    from streamprocessing_spark.streaming.replay import run_to_memory_sink, stream_events
+
+    def side(t, pre):
+        return (
+            stream_events(spark, sf_dir)
+            .where(F.col("event_type") == t)
+            .select(
+                F.col("user_id").alias(f"{pre}_user"),
+                F.col("ts").alias(f"{pre}_ts"),
+                F.col("event_id").alias(f"{pre}_id"),
+            )
+            .withWatermark(f"{pre}_ts", "1 hour")
+        )
+
+    p, c = side("purchase", "p"), side("click", "c")
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "left_outer",
+    ).select("p_id", "p_ts", "c_id")
+    got = run_to_memory_sink(joined, "append").collect()
+
+    ev = load_table(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    import datetime
+
+    cutoff = max_ts - datetime.timedelta(hours=2)
+    emitted = {(r.p_id, r.c_id) for r in got if r.p_ts <= cutoff}
+
+    purchases = ev.where(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("cts"), F.col("event_id").alias("cid")
+    )
+    batch = purchases.join(
+        clicks,
+        (F.col("user_id") == F.col("cu"))
+        & (F.col("cts") >= F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("cts") <= F.col("ts")),
+        "left_outer",
+    )
+    expected = {
+        (r.event_id, r.cid)
+        for r in batch.collect()
+        if r.ts <= cutoff
+    }
+    assert emitted == expected
+    # sanity: the emittable region must contain unmatched purchases,
+    # otherwise the null-emission path wasn't exercised
+    assert any(c is None for _p, c in expected)
+
+
 def test_checkpoint_recovery_across_restart(spark, staged_events):
     """Stop after chunk1, 'fail over', restart with the same checkpoint:
     the state store must resume (not recount chunk1) and converge to the
