@@ -91,6 +91,96 @@ def decode_image_stub(payload: bytes) -> tuple[int, int]:
     return width, height
 
 
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("thumb_w", IntegerType()),
+        StructField("thumb_h", IntegerType()),
+        StructField("thumb_sha256", StringType()),
+    ]
+)
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_fp", StringType()),
+    ]
+)
+
+
+def resize_image_stub(payload: bytes, target_w: int, target_h: int) -> bytes:
+    """Deterministic fake resize: the 'thumbnail' bytes are the sha256 of
+    (payload_hex || :WxH) repeated to the target byte count. The real
+    kernel is one Pillow/libvips call with the same signature."""
+    seed = _thumb_seed(payload, target_w, target_h).encode()
+    return (seed * ((target_w * target_h * 3) // len(seed) + 1))[: target_w * target_h * 3]
+
+
+def _thumb_seed(payload: bytes, target_w: int, target_h: int) -> str:
+    """Derived-asset fingerprint: sha256 over (hex(sha256(payload)) ||
+    ':WxH'). Stays in the hex-string domain end-to-end because DuckDB's
+    sha256 only accepts VARCHAR — the oracle computes
+    sha256(sha256(text) || ':WxH') verbatim."""
+    hex_payload = hashlib.sha256(payload).hexdigest()
+    return hashlib.sha256(f"{hex_payload}:{target_w}x{target_h}".encode()).hexdigest()
+
+
+def resize_thumbnails(media: DataFrame, target_w: int = 8, target_h: int = 8) -> DataFrame:
+    """Arrow-batched resize over mapInPandas: bytes in, thumbnail bytes
+    out, one Python call per batch. Output carries the thumbnail's
+    dimensions + deterministic fingerprint (the dedup/verification key
+    for derived assets). Zero shuffle — a pure per-row kernel at scan
+    parallelism."""
+    from streamprocessing_spark.shipping import ensure_shippable
+
+    ensure_shippable()
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            # the kernel produces real thumbnail bytes (resize_image_stub)
+            # and records their fingerprint; the fingerprint doubles as
+            # the bytes' seed so the oracle can reproduce it
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "thumb_w": pd.Series(target_w, index=pdf.index, dtype="int32"),
+                    "thumb_h": pd.Series(target_h, index=pdf.index, dtype="int32"),
+                    "thumb_sha256": [
+                        _thumb_seed(p, target_w, target_h) for p in pdf["payload"]
+                    ],
+                }
+            )
+
+    return media.mapInPandas(kernel, RESIZE_SCHEMA)
+
+
+FRAME_STRIDE = 30
+
+
+def frame_sample(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
+    """Frame sampling for video-shaped payloads: the stub derives a fake
+    frame count from the byte length (1 + n_bytes % 240), emits every
+    ``stride``-th frame index with a deterministic per-frame fingerprint
+    (md5 of sha256hex:idx). One input row → N output rows (the flatMap
+    shape of real frame extraction); pure JVM expressions here — a real
+    decoder would swap in a mapInPandas kernel with the same output
+    schema, the plumbing (explode, schema, downstream joins) unchanged."""
+    n_frames = F.lit(1) + F.col("meta.n_bytes") % 240
+    idxs = F.sequence(F.lit(0), n_frames - 1, F.lit(stride))
+    return media.select(
+        "media_id",
+        F.col("meta.sha256").alias("sha"),
+        F.explode(idxs).alias("frame_idx"),
+    ).select(
+        "media_id",
+        F.col("frame_idx").cast("long").alias("frame_idx"),
+        F.md5(
+            F.concat(F.col("sha"), F.lit(":"), F.col("frame_idx").cast("string")).cast("binary")
+        ).alias("frame_fp"),
+    )
+
+
 def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     """Arrow-batched feature extraction over mapInPandas.
 

@@ -37,6 +37,54 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_resize",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(8 AS INTEGER) AS thumb_w,
+           CAST(8 AS INTEGER) AS thumb_h,
+           sha256(sha256(text) || ':8x8') AS thumb_sha256
+    FROM documents
+    """,
+    tags=("multimodal", "llm-pipeline", "pandas-udf"),
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/thumbnail kernel over mapInPandas (stubbed codec): derived
+    asset per payload with a deterministic fingerprint the oracle
+    reproduces — proves the bytes-in/bytes-out kernel plumbing at batch
+    granularity."""
+    d = load_table(spark, sf_dir, "documents")
+    media = M.attach_payload(d, "doc_id", "text")
+    return M.resize_thumbnails(media, 8, 8)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH media AS (
+      SELECT doc_id AS media_id,
+             CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+             sha256(text) AS sha
+      FROM documents
+    )
+    SELECT media_id,
+           CAST(u.i AS BIGINT) AS frame_idx,
+           md5(sha || ':' || CAST(u.i AS VARCHAR)) AS frame_fp
+    FROM media,
+    unnest(range(0, 1 + n_bytes % 240, {M.FRAME_STRIDE})) AS u(i)
+    """,
+    tags=("multimodal", "llm-pipeline", "flatmap"),
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video-shaped payloads: every 30th frame index
+    with a per-frame fingerprint — the 1→N flatMap shape of real frame
+    extraction, JVM-side here (a real decoder swaps in a mapInPandas
+    kernel with the same output schema)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = M.attach_payload(d, "doc_id", "text")
+    return M.frame_sample(media)
+
+
+@register(
     "multimodal_features",
     oracle="""
     SELECT doc_id AS media_id,
