@@ -858,6 +858,51 @@ def inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "array_function_showcase",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, list_sort(list(DISTINCT event_type)) AS types
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(types) AS INTEGER) AS n_types,
+           types[1] AS first_type,
+           list_contains(types, 'purchase') AS has_purchase,
+           array_to_string(list_sort(list_intersect(types, ['click', 'purchase'])), ',') AS funnel_types,
+           array_to_string(types[1:2], ',') AS first_two,
+           array_to_string(list_sort(list_filter(types, t -> t <> 'error')), ',') AS non_error
+    FROM per_user
+    """,
+    tags=("analytics", "functions", "array"),
+)
+def array_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The array-function library over collected-per-key arrays: size,
+    indexing, membership, intersection, slicing, lambda filter — all
+    JVM-side expressions on the grouped result (one shuffle for the
+    collect, everything after is a narrow projection). Arrays are sorted
+    before any output or set op: collection order is nondeterministic,
+    sorted form is the engine-portable canonical one."""
+    ev = load_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("types")
+    )
+    t = F.col("types")
+    return per_user.select(
+        "user_id",
+        F.size(t).alias("n_types"),
+        F.element_at(t, 1).alias("first_type"),
+        F.array_contains(t, "purchase").alias("has_purchase"),
+        F.array_join(
+            F.sort_array(F.array_intersect(t, F.array(F.lit("click"), F.lit("purchase")))), ","
+        ).alias("funnel_types"),
+        F.array_join(F.slice(t, 1, 2), ",").alias("first_two"),
+        F.array_join(
+            F.sort_array(F.filter(t, lambda x: x != "error")), ","
+        ).alias("non_error"),
+    )
+
+
+@register(
     "grouping_sets_custom",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
