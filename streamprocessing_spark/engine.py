@@ -251,21 +251,24 @@ def _parse_csv_batch(values: pd.Series) -> pd.DataFrame:
     """Batch CSV parse with the per-record contract's failure semantics:
     the per-record ops raise on empty/short records (csv.reader yields
     nothing / row[i] IndexErrors), so the batch path must fail loudly
-    too — pandas would otherwise silently drop blank lines
-    (skip_blank_lines) and pad short rows with NaN, turning malformed
-    input into wrong output instead of an error."""
-    if (values == "").any():
+    too. Built on the C csv module rather than pandas.read_csv because
+    the latter cannot distinguish a missing trailing field from a
+    present-but-empty one (both become ''), silently padding ragged rows;
+    csv.reader preserves the exact field count per record."""
+    rows = list(csv.reader(values.tolist()))
+    if len(rows) != len(values):
+        # a quoted field with an embedded newline spans records — violates
+        # the single-line record precondition (see module comment)
+        raise ValueError("CSV record count mismatch: embedded newline in a record?")
+    if not rows:
+        return pd.DataFrame()
+    widths = {len(r) for r in rows}
+    if 0 in widths:
         raise ValueError("empty CSV record in batch (per-record contract raises)")
-    parsed = pd.read_csv(
-        io.StringIO("\n".join(values.tolist())),
-        header=None,
-        dtype=str,
-        keep_default_na=False,
-        skip_blank_lines=False,
-    )
-    if parsed.isna().any().any():
-        raise ValueError("ragged CSV batch: some records have fewer columns")
-    return parsed
+    if len(widths) > 1:
+        raise ValueError(f"ragged CSV batch: differing field counts {sorted(widths)}")
+    out = pd.DataFrame(rows, index=values.index)
+    return out.astype(str)
 
 
 def _tagged(kind: str, keys, vals) -> pd.DataFrame:
