@@ -728,6 +728,122 @@ def q5_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "q6_forecast_revenue",
+    oracle="""
+    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    tags=("analytics", "aggregate"),
+)
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue change): pure filter + global aggregate
+    — the canonical pushdown benchmark. All three predicates reach the
+    parquet scan (min/max row-group pruning at scale); no shuffle beyond
+    the single-row final aggregate."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
+    "q14_promo_revenue",
+    oracle="""
+    WITH sums AS (
+      SELECT
+        round(sum(CASE WHEN p_type = 'PROMO'
+                       THEN l_extendedprice * (1 - l_discount) END), 2) AS promo_revenue,
+        round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
+    )
+    SELECT promo_revenue, total_revenue,
+           floor(100.0 * promo_revenue / total_revenue * 100.0 + 0.5) / 100.0 AS promo_pct
+    FROM sums
+    """,
+    tags=("analytics", "join", "aggregate"),
+)
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-shaped (promotion effect): conditional aggregate over a
+    part-dimension join — part broadcasts against the date-filtered
+    lineitem scan. The percentage is derived from the ROUNDED sums so
+    both engines divide identical doubles (a ratio of two raw
+    accumulations would differ in the last ulp)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sums = (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        )
+        .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(F.sum(F.when(F.col("p_type") == "PROMO", disc)), 2).alias("promo_revenue"),
+            F.round(F.sum(disc), 2).alias("total_revenue"),
+        )
+    )
+    return sums.select(
+        "promo_revenue",
+        "total_revenue",
+        (F.floor(100.0 * F.col("promo_revenue") / F.col("total_revenue") * 100.0 + F.lit(0.5)) / 100.0).alias("promo_pct"),
+    )
+
+
+@register(
+    "q19_disjunctive_predicates",
+    oracle="""
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
+       OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
+       OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+    """,
+    tags=("analytics", "join", "aggregate"),
+)
+def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-shaped (discounted revenue, disjunctive predicates):
+    three OR'd brand/quantity/size conjunctions across the join. Catalyst
+    pushes the common-side disjuncts to each scan (brand/size to part,
+    quantity to lineitem) and evaluates the cross-side residual after the
+    broadcast join — the predicate-decomposition case simple planners
+    fumble into a full cross-filter."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    q, b, s = F.col("l_quantity"), F.col("p_brand"), F.col("p_size")
+    cond = (
+        ((b == "Brand#12") & q.between(1, 11) & s.between(1, 5))
+        | ((b == "Brand#23") & q.between(10, 20) & s.between(1, 10))
+        | ((b == "Brand#34") & q.between(20, 30) & s.between(1, 15))
+    )
+    return (
+        li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
+        .where(cond)
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+@register(
     "q18_large_volume_customers",
     oracle="""
     SELECT c_name, c_custkey, o_orderkey,
