@@ -895,6 +895,88 @@ def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "scalar_subquery_max_order",
+    oracle="""
+    SELECT c_custkey,
+           (SELECT round(max(o_totalprice), 2) FROM orders
+            WHERE o_custkey = c_custkey) AS max_order_price
+    FROM customer
+    """,
+    tags=("analytics", "subquery"),
+)
+def scalar_subquery_max_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subquery: each customer's max order price inline.
+    Catalyst de-correlates this into an aggregate + left outer join (one
+    shuffle on the key) — no per-row subquery execution; customers with
+    no orders get NULL, exactly the SQL scalar-subquery semantics."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sp_cust_sq")
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("sp_ord_sq")
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               (SELECT round(max(o_totalprice), 2) FROM sp_ord_sq
+                WHERE o_custkey = c_custkey) AS max_order_price
+        FROM sp_cust_sq
+        """
+    )
+
+
+@register(
+    "q10_returned_item_customers",
+    oracle="""
+    SELECT c_custkey, c_name,
+           floor(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT))
+                 / 10000.0 * 100.0 + 0.5) / 100.0 AS revenue,
+           n_name
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+    GROUP BY c_custkey, c_name, n_name
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20
+    """,
+    tags=("analytics", "join", "topk"),
+)
+def q10_returned_item_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-shaped (returned item reporting): top-20 customers by
+    revenue lost to returns in a quarter-ish window. Date filter pushes
+    into the orders scan, returnflag into lineitem; nation broadcasts;
+    one fact-fact shuffle + TakeOrdered for the cut.
+
+    Revenue accumulates in exact integer ten-thousandths (each item's
+    4-decimal disc price scaled per-row, summed as BIGINT): integer sums
+    are accumulation-order-INsensitive, so the value — and the top-20
+    rank cut on it — is bit-identical across engines. round(sum(double))
+    here straddled a half-cent on 1 of 312 groups at sf0.01."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 10000.0 + F.lit(0.5)
+    ).cast("long")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            (F.floor(F.sum(cents) / 10000.0 * 100.0 + F.lit(0.5)) / 100.0).alias("revenue")
+        )
+        .select("c_custkey", "c_name", "revenue", "n_name")
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
     "q21_sole_blamed_supplier",
     oracle="""
     SELECT s_name, CAST(count(DISTINCT l1.l_orderkey) AS BIGINT) AS numwait
