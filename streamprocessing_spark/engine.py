@@ -267,8 +267,8 @@ def _parse_csv_batch(values: pd.Series) -> pd.DataFrame:
         raise ValueError("empty CSV record in batch (per-record contract raises)")
     if len(widths) > 1:
         raise ValueError(f"ragged CSV batch: differing field counts {sorted(widths)}")
-    out = pd.DataFrame(rows, index=values.index)
-    return out.astype(str)
+    # csv.reader yields str cells already — no astype copy needed
+    return pd.DataFrame(rows, index=values.index)
 
 
 def _tagged(kind: str, keys, vals) -> pd.DataFrame:
@@ -296,7 +296,7 @@ def vec_app1_op2(pdf: pd.DataFrame, pattern: str | None) -> pd.DataFrame:
     if pdf.empty:
         return pd.DataFrame(_EMPTY_TAGGED)
     cols = _parse_csv_batch(pdf["value"])
-    return _tagged("emit", cols[2], cols[3].astype(str))
+    return _tagged("emit", cols[2], cols[3])
 
 
 def vec_app2_op1(pdf: pd.DataFrame, pattern: str | None) -> pd.DataFrame:

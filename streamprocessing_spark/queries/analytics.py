@@ -814,7 +814,7 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem JOIN part ON l_partkey = p_partkey
     WHERE (p_brand = 'Brand#12' AND l_quantity BETWEEN 1 AND 11 AND p_size BETWEEN 1 AND 5)
        OR (p_brand = 'Brand#23' AND l_quantity BETWEEN 10 AND 20 AND p_size BETWEEN 1 AND 10)
-       OR (p_brand = 'Brand#34' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
+       OR (p_brand = 'Brand#25' AND l_quantity BETWEEN 20 AND 30 AND p_size BETWEEN 1 AND 15)
     """,
     tags=("analytics", "join", "aggregate"),
 )
@@ -831,7 +831,7 @@ def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     cond = (
         ((b == "Brand#12") & q.between(1, 11) & s.between(1, 5))
         | ((b == "Brand#23") & q.between(10, 20) & s.between(1, 10))
-        | ((b == "Brand#34") & q.between(20, 30) & s.between(1, 15))
+        | ((b == "Brand#25") & q.between(20, 30) & s.between(1, 15))
     )
     return (
         li.join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))

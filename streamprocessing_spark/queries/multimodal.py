@@ -42,6 +42,7 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS media_id,
            CAST(8 AS INTEGER) AS thumb_w,
            CAST(8 AS INTEGER) AS thumb_h,
+           CAST(8 * 8 * 3 AS BIGINT) AS thumb_n_bytes,
            sha256(sha256(text) || ':8x8') AS thumb_sha256
     FROM documents
     """,

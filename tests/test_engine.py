@@ -43,16 +43,15 @@ def test_vectorized_equals_plugin(spark, records):
         assert got_vec == got_pr, f"pattern={pattern}: {got_vec} != {got_pr}"
 
 
-def test_batch_csv_parse_fails_loudly_on_malformed_input(spark):
+def test_batch_csv_parse_fails_loudly_on_malformed_input():
     """The per-record ops raise on empty/short CSV records; the batch
     parse must fail loudly too, never silently drop or NaN-pad
-    (engine._parse_csv_batch)."""
+    (engine._parse_csv_batch). Pure-pandas unit test — no Spark."""
     import pandas as pd
-    import pytest as _pytest
 
-    with _pytest.raises(ValueError, match="empty CSV record"):
+    with pytest.raises(ValueError, match="empty CSV record"):
         E._parse_csv_batch(pd.Series(["a,b,c", ""]))
-    with _pytest.raises(ValueError, match="ragged CSV"):
+    with pytest.raises(ValueError, match="ragged CSV"):
         E._parse_csv_batch(pd.Series(["a,b,c", "x,y"]))
     ok = E._parse_csv_batch(pd.Series(["a,b,c", "x,y,z"]))
     assert ok.shape == (2, 3) and ok.iloc[1, 2] == "z"
