@@ -655,6 +655,44 @@ def salted_count_by_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("user_id").agg(F.sum("c").alias("cnt"))
 
 
+SALT_BUCKETS = 8
+
+
+@register(
+    "salted_join_events_customer",
+    oracle="""
+    SELECT e.user_id, c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_events
+    FROM events e JOIN customer c ON e.user_id = c.c_custkey
+    GROUP BY e.user_id, c.c_mktsegment
+    """,
+    tags=("analytics", "join", "skew"),
+)
+def salted_join_events_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manual skew-salting for a JOIN (the companion to
+    salted_count_by_user's salted aggregation): the big (possibly
+    hot-keyed) side gets a random-free deterministic salt from its row
+    id, the small side is exploded across all salt values, and the join
+    runs on (key, salt) — a pathological key's rows now spread over
+    SALT_BUCKETS reducers instead of one. Result must equal the plain
+    join (the oracle). AQE's skew-join split makes this manual pattern
+    unnecessary for sort-merge joins it can observe — it remains THE
+    tool for skewed stream-stream joins and non-splittable operators."""
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    salted_big = ev.withColumn("_salt", F.pmod(F.hash("event_id"), F.lit(SALT_BUCKETS)))
+    salts = F.array(*[F.lit(i) for i in range(SALT_BUCKETS)])
+    exploded_small = c.withColumn("_salt", F.explode(salts))
+    return (
+        salted_big.join(
+            exploded_small,
+            (salted_big.user_id == exploded_small.c_custkey)
+            & (salted_big._salt == exploded_small._salt),
+        )
+        .groupBy("user_id", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+
 @register(
     "latest_event_per_user",
     oracle="""
