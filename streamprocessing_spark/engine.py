@@ -75,9 +75,23 @@ class NativeOp:
 
 @dataclass(frozen=True)
 class PluginOp:
-    """Arbitrary-code operator under the reference's stdout contract."""
+    """Arbitrary-code operator under the reference's stdout contract.
+
+    ``contract`` statically narrows the op's output kind:
+    - "mixed" (default): records may be emits or counts — the general
+      batch contract; the output unions both branches.
+    - "emit": the op never returns count records → output is the emit
+      stream only. Required for streaming append mode.
+    - "count": the op only returns count keys → output is the keyed
+      aggregate only. Required for streaming: the mixed union of an
+      aggregate with a stateless branch trips Spark's global-watermark
+      correctness checker (and genuinely mixes append/update semantics).
+    The reference never needed the distinction because its sink printed
+    whatever arrived; Spark's sink modes make the contract explicit.
+    """
 
     fn: PluginFn
+    contract: str = "mixed"
 
     def apply(self, records: DataFrame, pattern: str | None) -> DataFrame:
         from streamprocessing_spark.shipping import ensure_shippable
@@ -108,14 +122,23 @@ class PluginOp:
                 yield pd.DataFrame({"kind": kinds, "key": keys, "value": vals})
 
         tagged = records.mapInPandas(kernel, _TAGGED_SCHEMA)
-        return _collapse_tagged(tagged)
+        return _collapse_tagged(tagged, self.contract)
 
 
-def _collapse_tagged(tagged: DataFrame) -> DataFrame:
+def _collapse_tagged(tagged: DataFrame, contract: str = "mixed") -> DataFrame:
     """Tagged (kind, key, value) stream → the op's output records:
     'emit' rows pass through, 'count' rows aggregate to
     (key, total-as-string) — the framework half of the stdout contract
-    (server.go:334-361)."""
+    (server.go:334-361). A static 'emit'/'count' contract drops the
+    other branch entirely (see PluginOp.contract)."""
+    if contract == "emit":
+        return tagged.where(F.col("kind") == "emit").select("key", "value")
+    if contract == "count":
+        return (
+            tagged.where(F.col("kind") == "count")
+            .groupBy("key")
+            .agg(F.count(F.lit(1)).cast("string").alias("value"))
+        )
     # Both union branches consume `tagged`; without a persist each
     # branch re-executes the Python kernel over the full input (2× per
     # op, 4× for two chained PluginOps), and a non-deterministic user
@@ -159,6 +182,7 @@ class BatchPluginOp:
     vs rainstorm_plugin_app2)."""
 
     fn: BatchPluginFn
+    contract: str = "mixed"  # same semantics as PluginOp.contract
 
     def apply(self, records: DataFrame, pattern: str | None) -> DataFrame:
         from streamprocessing_spark.shipping import ensure_shippable
@@ -171,7 +195,7 @@ class BatchPluginOp:
                 out = fn(pdf, pattern)
                 yield out[["kind", "key", "value"]]
 
-        return _collapse_tagged(records.mapInPandas(kernel, _TAGGED_SCHEMA))
+        return _collapse_tagged(records.mapInPandas(kernel, _TAGGED_SCHEMA), self.contract)
 
 
 Op = NativeOp | PluginOp | BatchPluginOp

@@ -61,6 +61,58 @@ def _start_count_query(spark, src_dir, schema, ckpt, name):
     )
 
 
+def test_rainstorm_plugin_jobs_on_true_stream(spark):
+    """The reference's ACTUAL operating mode: both demo apps through the
+    plugin facade over a real readStream, drained with AvailableNow —
+    end-of-stream results must equal the batch run. Static op contracts
+    ('emit'/'count') give the streaming planner clean append/complete
+    semantics; the default mixed union is batch-only (it trips Spark's
+    global-watermark correctness checker on streams)."""
+    from streamprocessing_spark import engine as E
+    from streamprocessing_spark.streaming.replay import run_to_memory_sink
+
+    base = tempfile.mkdtemp(prefix="sp_rs_stream_")
+    try:
+        rows = [
+            (
+                f"f:{i}",
+                f"{i},a,{i},URGENT-{i % 3},sz,sup,{'F' if i % 2 else 'O'},yr,PRI-{i % 3},note",
+            )
+            for i in range(100)
+        ]
+        batch_df = spark.createDataFrame(rows, E.RECORD_SCHEMA)
+        batch_df.coalesce(1).write.parquet(f"{base}/src")
+        make_stream = lambda: spark.readStream.schema(E.RECORD_SCHEMA).parquet(f"{base}/src")
+
+        # App2: equality filter (emit) -> keyed count (count), complete mode
+        job2 = E.RainStormJob(
+            op1=E.PluginOp(E.app2_op1, contract="emit"),
+            op2=E.PluginOp(E.app2_op2, contract="count"),
+            pattern="F",
+        )
+        got2 = {
+            (r.key, r.value)
+            for r in run_to_memory_sink(job2.run(make_stream()), "complete").collect()
+        }
+        want2 = {(r.key, r.value) for r in job2.run(batch_df).collect()}
+        assert got2 == want2 and got2
+
+        # App1: substring filter -> CSV projection, both pure emit, append mode
+        job1 = E.RainStormJob(
+            op1=E.PluginOp(E.app1_op1, contract="emit"),
+            op2=E.PluginOp(E.app1_op2, contract="emit"),
+            pattern="URGENT-1",
+        )
+        got1 = {
+            (r.key, r.value)
+            for r in run_to_memory_sink(job1.run(make_stream()), "append").collect()
+        }
+        want1 = {(r.key, r.value) for r in job1.run(batch_df).collect()}
+        assert got1 == want1 and got1
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
+
+
 def test_left_outer_interval_join_emits_unmatched(spark, sf_dir):
     """Stream-stream LEFT OUTER interval join: purchases joined to the
     same user's clicks in the preceding hour; a purchase with no click
