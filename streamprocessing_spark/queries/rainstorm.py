@@ -34,10 +34,12 @@ _SQL_LINE = " || ',' || ".join(
 )
 
 
-def _record_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _record_stream(spark: SparkSession, sf_dir: str, orders: DataFrame | None = None) -> DataFrame:
     """(key, value) records: key = 'orders:<orderkey>' (the reference's
-    '<file>:<lineNo>' source key, server.go:439), value = the CSV line."""
-    o = load_table(spark, sf_dir, "orders")
+    '<file>:<lineNo>' source key, server.go:439), value = the CSV line.
+    Pass a streaming ``orders`` frame to build a streaming record source
+    (the construction is a narrow projection either way)."""
+    o = orders if orders is not None else load_table(spark, sf_dir, "orders")
     line = F.concat_ws(
         ",", *[F.expr(c) if c.startswith("'") else F.col(c).cast("string") for c in _LINE_COLS]
     )
@@ -84,6 +86,36 @@ def rainstorm_plugin_app2(spark: SparkSession, sf_dir: str) -> DataFrame:
     RainStorm op1=app2op1 op2=app2op2 pattern='F'."""
     job = E.RainStormJob(op1=E.PluginOp(E.app2_op1), op2=E.PluginOp(E.app2_op2), pattern="F")
     return job.run(_record_stream(spark, sf_dir))
+
+
+@register(
+    "rainstorm_streaming_app2",
+    oracle=_APP2_ORACLE,
+    tags=("reference", "engine", "plugin", "streaming"),
+)
+def rainstorm_streaming_app2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """App2 through the plugin facade on a TRUE stream — the reference's
+    actual operating mode (a RainStorm job over a replayed file,
+    server.go:411-448): readStream over orders, the same op callables
+    with statically-narrowed contracts (emit → count), drained with
+    AvailableNow into a complete-mode sink. End-of-stream counts must
+    equal the batch oracle — the same correctness definition the
+    reference's demo used (SURVEY.md §4.3.1)."""
+    from streamprocessing_spark.streaming.replay import run_to_memory_sink
+
+    schema = load_table(spark, sf_dir, "orders").schema
+    orders_stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+    job = E.RainStormJob(
+        op1=E.PluginOp(E.app2_op1, contract="emit"),
+        op2=E.PluginOp(E.app2_op2, contract="count"),
+        pattern="F",
+    )
+    out = job.run(_record_stream(spark, sf_dir, orders=orders_stream))
+    return run_to_memory_sink(out, "complete")
 
 
 @register(
