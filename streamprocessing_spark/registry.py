@@ -37,6 +37,7 @@ _REGISTRY: dict[str, QuerySpec] = {}
 _QUERY_MODULES = (
     "streamprocessing_spark.queries.core",
     "streamprocessing_spark.queries.analytics",
+    "streamprocessing_spark.queries.tpch_extra",
     "streamprocessing_spark.queries.curation",
     "streamprocessing_spark.queries.dedup",
     "streamprocessing_spark.queries.similarity",

@@ -85,3 +85,44 @@ def test_scd2_single_shuffle(spark, sf_dir):
     partitioning — one exchange for the whole history build."""
     df = SPECS["scd2_user_type_history"].fn(spark, sf_dir)
     assert X.count_exchanges(df) == 1, X.formatted_plan(df)
+
+
+def test_q2_correlated_min_uses_window_not_self_join(spark, sf_dir):
+    """Q2's correlated-min subquery must compile to a window min over the
+    candidate set — a second aggregate + self-join would re-scan and
+    re-shuffle lineitem. Dims broadcast, the part-size filter reaches the
+    part scan, and the top-100 is TakeOrdered (no global sort exchange)."""
+    df = SPECS["q2_min_cost_supplier"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert X.has_broadcast_join(df), plan
+    assert X.has_pushed_filters(df, "p_size"), plan
+    assert "TakeOrderedAndProject" in plan, plan
+    # ps aggregate + window repartition on partkey — nothing else shuffles
+    assert X.count_exchanges(df) <= 2, plan
+
+
+def test_q7_q15_q20_date_filters_reach_lineitem_scan(spark, sf_dir):
+    """The ship-date windows must prune the fact scan (row-group pruning
+    at 100 TB); every dim chain must broadcast."""
+    for name in ("q7_volume_shipping", "q15_top_supplier", "q20_heavy_part_suppliers"):
+        df = SPECS[name].fn(spark, sf_dir)
+        assert X.has_pushed_filters(df, "l_shipdate"), name
+
+
+def test_q16_exclusion_is_broadcast_anti_join(spark, sf_dir):
+    """The NOT-IN supplier exclusion list is tiny — it must ship as a
+    broadcast anti join, never a shuffle."""
+    df = SPECS["q16_part_supplier_variety"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan
+    # the only exchange is the distinct-count aggregate
+    assert X.count_exchanges(df) <= 2, plan
+
+
+def test_q17_avg_decorrelation_single_fact_aggregate(spark, sf_dir):
+    """The correlated-avg decorrelates to one per-part aggregate joined
+    back on partkey; the brand filter must reach the part scan."""
+    df = SPECS["q17_small_quantity_revenue"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert X.has_pushed_filters(df, "p_brand"), plan
+    assert X.has_broadcast_join(df), plan
