@@ -20,6 +20,9 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from pyspark.sql import Column
+
+from streamprocessing_spark.functions import money as M
 from streamprocessing_spark.functions import text as T
 from streamprocessing_spark.registry import register
 from streamprocessing_spark.sources.readers import load_table
@@ -31,13 +34,19 @@ from streamprocessing_spark.sources.readers import load_table
     SELECT
       l_returnflag,
       l_linestatus,
-      round(sum(l_quantity), 2)                                        AS sum_qty,
-      round(sum(l_extendedprice), 2)                                   AS sum_base_price,
-      round(sum(l_extendedprice * (1 - l_discount)), 2)                AS sum_disc_price,
-      round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)  AS sum_charge,
-      round(avg(l_quantity), 4)                                        AS avg_qty,
-      round(avg(l_extendedprice), 4)                                   AS avg_price,
-      round(avg(l_discount), 4)                                        AS avg_disc,
+      sum(CAST(floor(l_quantity * 10000.0 + 0.5) AS BIGINT)) / 10000.0 AS sum_qty,
+      floor(sum(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS BIGINT))
+            / 10000.0 * 100.0 + 0.5) / 100.0                           AS sum_base_price,
+      floor(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT))
+            / 10000.0 * 100.0 + 0.5) / 100.0                           AS sum_disc_price,
+      floor(sum(CAST(floor(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 1000000.0 + 0.5) AS BIGINT))
+            / 1000000.0 * 100.0 + 0.5) / 100.0                         AS sum_charge,
+      floor(CAST(sum(CAST(floor(l_quantity * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+            / count(*) + 0.5) / 10000.0                                AS avg_qty,
+      floor(CAST(sum(CAST(floor(l_extendedprice * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+            / count(*) + 0.5) / 10000.0                                AS avg_price,
+      floor(CAST(sum(CAST(floor(l_discount * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+            / count(*) + 0.5) / 10000.0                                AS avg_disc,
       count(*)                                                         AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -48,21 +57,40 @@ from streamprocessing_spark.sources.readers import load_table
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-shaped pricing summary: multi-aggregate grouped scan.
     One shuffle, partial aggregation map-side; the shipdate predicate is
-    pushed to the parquet scan."""
+    pushed to the parquet scan.
+
+    Every money sum accumulates in exact integer ten-thousandths (charge
+    carries 6 decimals → millionths) — order-insensitive BIGINT sums are
+    bit-identical across engines (functions/money.py); the averages round
+    the exact scaled sum over count(*). round(sum(double)) would straddle
+    half-cents between Spark and DuckDB."""
     li = load_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     charge = disc_price * (1 + F.col("l_tax"))
+    qty_tt = M.tt(F.col("l_quantity"))
+    price_tt = M.tt(F.col("l_extendedprice"))
+    disc_price_tt = M.tt(disc_price)
+    charge_mm = F.floor(charge * F.lit(1000000.0) + F.lit(0.5)).cast("long")
+    disc_tt = M.tt(F.col("l_discount"))
+    n = F.count(F.lit(1))
+
+    def avg4(sum_tt: Column) -> Column:
+        return F.floor(sum_tt.cast("double") / n + F.lit(0.5)) / F.lit(10000.0)
+
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(charge), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            (F.sum(qty_tt) / F.lit(10000.0)).alias("sum_qty"),
+            M.money(F.sum(price_tt)).alias("sum_base_price"),
+            M.money(F.sum(disc_price_tt)).alias("sum_disc_price"),
+            (
+                F.floor(F.sum(charge_mm) / F.lit(1000000.0) * F.lit(100.0) + F.lit(0.5))
+                / F.lit(100.0)
+            ).alias("sum_charge"),
+            avg4(F.sum(qty_tt)).alias("avg_qty"),
+            avg4(F.sum(price_tt)).alias("avg_price"),
+            avg4(F.sum(disc_tt)).alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -97,7 +125,9 @@ def join_broadcast_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "join_revenue_by_nation",
     oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           floor(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT))
+                 / 10000.0 * 100.0 + 0.5) / 100.0 AS revenue
     FROM lineitem
     JOIN supplier ON l_suppkey = s_suppkey
     JOIN nation ON s_nationkey = n_nationkey
@@ -116,7 +146,7 @@ def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("n_name")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .agg(M.money(F.sum(M.tt(F.col("l_extendedprice") * (1 - F.col("l_discount"))))).alias("revenue"))
     )
 
 
@@ -149,10 +179,13 @@ def join_shuffle_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "top_orders_by_revenue",
     oracle="""
-    SELECT l_orderkey, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT l_orderkey,
+           floor(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT))
+                 / 10000.0 * 100.0 + 0.5) / 100.0 AS revenue
     FROM lineitem
     GROUP BY l_orderkey
-    ORDER BY revenue DESC, l_orderkey
+    ORDER BY sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)) DESC,
+             l_orderkey
     LIMIT 10
     """,
     tags=("analytics", "topk"),
@@ -160,13 +193,16 @@ def join_shuffle_orders_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
 def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k over a grouped aggregate. Spark's TakeOrderedAndProject keeps
     only k rows per partition then k at the driver — no global sort.
-    Unique l_orderkey tiebreak keeps the cut deterministic."""
+    Unique l_orderkey tiebreak keeps the cut deterministic; the rank ORDER
+    is on the exact BIGINT revenue (a rank on rounded doubles could cut
+    differently across engines when two orders straddle a half-cent)."""
     li = load_table(spark, sf_dir, "lineitem")
     return (
         li.groupBy("l_orderkey")
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
-        .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+        .agg(F.sum(M.tt(F.col("l_extendedprice") * (1 - F.col("l_discount")))).alias("rev_tt"))
+        .orderBy(F.desc("rev_tt"), F.asc("l_orderkey"))
         .limit(10)
+        .select("l_orderkey", M.money(F.col("rev_tt")).alias("revenue"))
     )
 
 
@@ -174,18 +210,21 @@ def top_orders_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_sum",
     oracle="""
     SELECT o_custkey, o_orderkey,
-           round(sum(o_totalprice) OVER (
+           floor(sum(CAST(floor(o_totalprice * 10000.0 + 0.5) AS BIGINT)) OVER (
              PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_spend
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             / 10000.0 * 100.0 + 0.5) / 100.0 AS running_spend
     FROM orders
     """,
     tags=("analytics", "window"),
 )
 def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running total per customer — the window-function family the
-    reference lacks entirely. Partition-by custkey shuffles once; the
-    order (o_orderdate, o_orderkey) is total, so the running sum's
-    accumulation order is identical in both engines."""
+    reference lacks entirely. Partition-by custkey shuffles once. The
+    frame sum accumulates exact BIGINT ten-thousandths: even with a total
+    ordering, double window sums aren't portable — DuckDB evaluates
+    frames with segment trees while Spark does running adds, so the
+    summation TREE differs, not just the order."""
     w = (
         Window.partitionBy("o_custkey")
         .orderBy("o_orderdate", "o_orderkey")
@@ -194,7 +233,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "orders").select(
         "o_custkey",
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("running_spend"),
+        M.money(F.sum(M.tt(F.col("o_totalprice"))).over(w)).alias("running_spend"),
     )
 
 
@@ -296,12 +335,33 @@ def set_except_union(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "set_intersect_statuses",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    tags=("analytics", "setop"),
+)
+def set_intersect_statuses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (completes the set-op family with
+    set_except_union): customers holding BOTH open and finished orders.
+    Spark plans INTERSECT as a distinct + left-semi join — one shuffle
+    per side on the full row as key."""
+    o = load_table(spark, sf_dir, "orders")
+    open_ = o.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    fin = o.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return open_.intersect(fin)
+
+
+@register(
     "event_time_tumbling_window",
     oracle="""
     SELECT CAST(date_trunc('hour', ts) AS VARCHAR) || ' UTC' AS window_start,
            event_type,
            CAST(count(*) AS BIGINT) AS cnt,
-           round(sum(value), 2) AS sum_value
+           floor(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT))
+                 / 10000.0 * 100.0 + 0.5) / 100.0 AS sum_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -323,7 +383,10 @@ def event_time_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            # exact ten-thousandths accumulation (functions/money.py):
+            # value quantizes at 4 decimals before the order-insensitive
+            # BIGINT sum
+            M.money(F.sum(M.tt(F.col("value")))).alias("sum_value"),
         )
     )
 
@@ -721,7 +784,9 @@ def latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q5_regional_volume",
     oracle="""
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           floor(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT))
+                 / 10000.0 * 100.0 + 0.5) / 100.0 AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -758,8 +823,8 @@ def q5_regional_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            M.money(
+                F.sum(M.tt(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
             ).alias("revenue")
         )
     )
@@ -807,7 +872,8 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q6_forecast_revenue",
     oracle="""
-    SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+    SELECT floor(sum(CAST(floor(l_extendedprice * l_discount * 10000.0 + 0.5) AS BIGINT))
+                 / 10000.0 * 100.0 + 0.5) / 100.0 AS revenue,
            CAST(count(*) AS BIGINT) AS n_items
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -832,7 +898,7 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("l_quantity") < 24)
         )
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"),
+            M.money(F.sum(M.tt(F.col("l_extendedprice") * F.col("l_discount")))).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -843,9 +909,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH sums AS (
       SELECT
-        round(sum(CASE WHEN p_type = 'PROMO'
-                       THEN l_extendedprice * (1 - l_discount) END), 2) AS promo_revenue,
-        round(sum(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+        floor(sum(CASE WHEN p_type = 'PROMO'
+                       THEN CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT) END)
+              / 10000.0 * 100.0 + 0.5) / 100.0 AS promo_revenue,
+        floor(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT))
+              / 10000.0 * 100.0 + 0.5) / 100.0 AS total_revenue
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         AND l_shipdate <  TIMESTAMP '1996-07-01 00:00:00'
@@ -859,12 +927,12 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q14-shaped (promotion effect): conditional aggregate over a
     part-dimension join — part broadcasts against the date-filtered
-    lineitem scan. The percentage is derived from the ROUNDED sums so
-    both engines divide identical doubles (a ratio of two raw
-    accumulations would differ in the last ulp)."""
+    lineitem scan. Both sums accumulate in exact BIGINT ten-thousandths
+    (functions/money.py); the percentage is derived from the rounded
+    dollar outputs so both engines divide identical doubles."""
     li = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    disc_tt = M.tt(F.col("l_extendedprice") * (1 - F.col("l_discount")))
     sums = (
         li.where(
             (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
@@ -872,8 +940,8 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
-            F.round(F.sum(F.when(F.col("p_type") == "PROMO", disc)), 2).alias("promo_revenue"),
-            F.round(F.sum(disc), 2).alias("total_revenue"),
+            M.money(F.sum(F.when(F.col("p_type") == "PROMO", disc_tt))).alias("promo_revenue"),
+            M.money(F.sum(disc_tt)).alias("total_revenue"),
         )
     )
     return sums.select(
@@ -1182,7 +1250,8 @@ def array_function_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
            CAST(count(*) AS BIGINT) AS cnt,
-           round(sum(o_totalprice), 2) AS total
+           floor(sum(CAST(floor(o_totalprice * 10000.0 + 0.5) AS BIGINT))
+                 / 10000.0 * 100.0 + 0.5) / 100.0 AS total
     FROM orders
     GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
     """,
@@ -1200,7 +1269,10 @@ def grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS cnt,
-               round(sum(o_totalprice), 2) AS total
+               -- 'D' suffix: Spark SQL parses bare decimal literals as
+               -- DECIMAL, which would turn the division into decimal math
+               floor(sum(CAST(floor(o_totalprice * 10000.0D + 0.5D) AS BIGINT))
+                     / 10000.0D * 100.0D + 0.5D) / 100.0D AS total
         FROM sp_orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         """
@@ -1572,10 +1644,11 @@ def data_quality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_moving_spend_30d",
     oracle="""
     SELECT o_orderkey,
-           round(sum(o_totalprice) OVER (
+           floor(sum(CAST(floor(o_totalprice * 10000.0 + 0.5) AS BIGINT)) OVER (
              PARTITION BY o_custkey
              ORDER BY datediff('day', DATE '1990-01-01', o_orderdate)
-             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW), 2) AS spend_30d
+             RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+             / 10000.0 * 100.0 + 0.5) / 100.0 AS spend_30d
     FROM orders
     """,
     tags=("analytics", "window", "time-series"),
@@ -1594,5 +1667,5 @@ def window_moving_spend_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return o.select(
         "o_orderkey",
-        F.round(F.sum("o_totalprice").over(w), 2).alias("spend_30d"),
+        M.money(F.sum(M.tt(F.col("o_totalprice"))).over(w)).alias("spend_30d"),
     )

@@ -8,6 +8,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from streamprocessing_spark.functions import money as M
+
 from streamprocessing_spark.operators.dedup import _h32
 from streamprocessing_spark.registry import register
 from streamprocessing_spark.sources.readers import load_table
@@ -181,7 +183,8 @@ def fuzzy_name_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           floor(sum(CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT))
+                 / 10000.0 * 100.0 + 0.5) / 100.0 AS revenue,
            strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
@@ -222,9 +225,9 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate")
         .agg(
-            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
-                "revenue"
-            )
+            M.money(
+                F.sum(M.tt(F.col("l_extendedprice") * (1 - F.col("l_discount"))))
+            ).alias("revenue")
         )
         .select(
             "l_orderkey",

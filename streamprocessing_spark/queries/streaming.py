@@ -12,6 +12,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from streamprocessing_spark.functions import money as M
+
 from streamprocessing_spark.registry import register
 from streamprocessing_spark.streaming.replay import run_to_memory_sink, stream_events
 
@@ -193,7 +195,8 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_static_join",
     oracle="""
-    SELECT c.c_mktsegment, count(*) AS cnt, round(sum(e.value), 2) AS total_value
+    SELECT c.c_mktsegment, count(*) AS cnt, floor(sum(CAST(floor(e.value * 10000.0 + 0.5) AS BIGINT))
+                                          / 10000.0 * 100.0 + 0.5) / 100.0 AS total_value
     FROM events e JOIN customer c ON e.user_id = c.c_custkey
     GROUP BY c.c_mktsegment
     """,
@@ -209,7 +212,8 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
     joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
     agg = joined.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("cnt"), F.round(F.sum("value"), 2).alias("total_value")
+        F.count(F.lit(1)).alias("cnt"),
+        M.money(F.sum(M.tt(F.col("value")))).alias("total_value"),
     )
     return run_to_memory_sink(agg, "complete")
 

@@ -25,24 +25,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from streamprocessing_spark.functions.money import money, tt
 from streamprocessing_spark.registry import register
 from streamprocessing_spark.sources.readers import load_table
 
-# --- exact-money helpers (Spark side) -----------------------------------
-# SQL-side equivalents are inlined in each oracle with the identical
-# expression tree so both engines evaluate the same IEEE operations.
-
-
-def tt(expr: Column) -> Column:
-    """Per-row exact integer ten-thousandths of a money expression."""
-    return F.floor(expr * F.lit(10000.0) + F.lit(0.5)).cast("long")
-
-
-def money(sum_tt: Column) -> Column:
-    """BIGINT sum of ten-thousandths → 2-decimal dollars (portable)."""
-    return F.floor(sum_tt / F.lit(10000.0) * F.lit(100.0) + F.lit(0.5)) / F.lit(100.0)
-
-
+# DuckDB spelling of tt(discounted price) — oracles inline it verbatim so
+# both engines evaluate the identical expression tree.
 DISC_PRICE_TT = "CAST(floor(l_extendedprice * (1 - l_discount) * 10000.0 + 0.5) AS BIGINT)"
 
 
