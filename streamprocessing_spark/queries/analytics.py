@@ -504,6 +504,21 @@ def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("approx_percentiles_by_segment", tags=("analytics", "aggregate", "approx"))
+def approx_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate percentiles (GK sketch via percentile_approx) — the
+    constant-memory scale path for percentiles_by_segment: the sketch is
+    mergeable across partitions, so no per-group sort/materialization at
+    100 TB. No SQL oracle: sketch outputs are engine-specific; the test
+    suite bounds its error against the exact tier instead
+    (tests/test_approx_aggregates.py)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.groupBy("c_mktsegment").agg(
+        F.expr("percentile_approx(c_acctbal, 0.5, 10000)").alias("p50_approx"),
+        F.expr("percentile_approx(c_acctbal, 0.95, 10000)").alias("p95_approx"),
+    )
+
+
 @register(
     "join_semi_open_orders",
     oracle="""

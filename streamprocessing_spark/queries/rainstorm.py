@@ -119,6 +119,36 @@ def rainstorm_streaming_app2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "rainstorm_streaming_app1",
+    oracle=_APP1_ORACLE,
+    tags=("reference", "engine", "plugin", "streaming"),
+)
+def rainstorm_streaming_app1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """App1 through the plugin facade on a TRUE stream — the stateless
+    twin of rainstorm_streaming_app2: both ops are pure emit (filter /
+    flatMap transform), so the job runs in APPEND output mode with no
+    state store at all — each micro-batch's survivors flow straight to
+    the sink, the streaming topology the reference's App1 actually has
+    (filtered records appended to the HyDFS dest file, server.go:306-310).
+    End-of-stream contents must equal the batch oracle."""
+    from streamprocessing_spark.streaming.replay import run_to_memory_sink
+
+    schema = load_table(spark, sf_dir, "orders").schema
+    orders_stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "orders.parquet")
+        .parquet(sf_dir)
+    )
+    job = E.RainStormJob(
+        op1=E.PluginOp(E.app1_op1, contract="emit"),
+        op2=E.PluginOp(E.app1_op2, contract="emit"),
+        pattern="URGENT",
+    )
+    out = job.run(_record_stream(spark, sf_dir, orders=orders_stream))
+    return run_to_memory_sink(out, "append")
+
+
+@register(
     "rainstorm_vectorized_app1",
     oracle=_APP1_ORACLE,
     tags=("reference", "engine", "plugin", "vectorized"),

@@ -28,11 +28,16 @@ def test_hll_distinct_within_rsd(spark, sf_dir):
 
 
 def test_approx_percentile_close_to_exact(spark, sf_dir):
-    c = load_table(spark, sf_dir, "customer")
-    rows = c.groupBy("c_mktsegment").agg(
-        F.expr("percentile(c_acctbal, 0.5)").alias("exact_p50"),
-        F.expr("percentile_approx(c_acctbal, 0.5, 10000)").alias("approx_p50"),
-    ).collect()
-    for r in rows:
-        spread = abs(r.exact_p50) + 1
-        assert abs(r.approx_p50 - r.exact_p50) <= 0.05 * spread, r
+    exact = {
+        r.c_mktsegment: (r.p50, r.p95)
+        for r in SPECS["percentiles_by_segment"].fn(spark, sf_dir).collect()
+    }
+    approx = {
+        r.c_mktsegment: (r.p50_approx, r.p95_approx)
+        for r in SPECS["approx_percentiles_by_segment"].fn(spark, sf_dir).collect()
+    }
+    assert set(exact) == set(approx)
+    for k, (e50, e95) in exact.items():
+        a50, a95 = approx[k]
+        assert abs(a50 - e50) <= 0.05 * (abs(e50) + 1), (k, e50, a50)
+        assert abs(a95 - e95) <= 0.05 * (abs(e95) + 1), (k, e95, a95)
