@@ -97,20 +97,23 @@ def shingle_df(df: DataFrame, id_col: str, text_col: str, k: int = K_SHINGLE) ->
 
 
 def minhash_signature_df(shingles: DataFrame) -> DataFrame:
-    """(id, mh_0..mh_{NUM_HASHES-1}): one aggregation pass computes all
-    minhashes — map-side partial min keeps the shuffle at one row per doc.
+    """(id, mh: array<bigint>[NUM_HASHES]): one aggregation pass computes
+    all minhashes — map-side partial min keeps the shuffle at one row per
+    doc.
 
     The md5-derived base hash is materialized ONCE per shingle in a
     projection before the aggregate: Catalyst does not CSE across
     aggregate expressions, so inlining it would evaluate md5 64× per row
-    (measured ~4× slower end-to-end at sf0.1)."""
+    (measured ~4× slower end-to-end at sf0.1).
+
+    The 64 min-aggregates are built as ONE SQL expression string rather
+    than 64 Column trees: each pyspark Column operator is a py4j
+    round-trip, and the per-query driver cost of ~400 round-trips
+    (~0.5 s) dwarfed the JVM-side work at bench scale. Same Catalyst
+    plan, one parse."""
     hashed = shingles.select("id", _h32(F.col("sh")).alias("h"))
-    h = F.col("h")
-    aggs = [
-        F.min((F.lit(a) * h + F.lit(b)) % F.lit(MOD32)).alias(f"mh_{j}")
-        for j, (a, b) in enumerate(COEFFS)
-    ]
-    return hashed.groupBy("id").agg(*aggs)
+    mins = ", ".join(f"min(({a} * h + {b}) % {MOD32})" for a, b in COEFFS)
+    return hashed.groupBy("id").agg(F.expr(f"array({mins})").alias("mh"))
 
 
 def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
@@ -119,18 +122,14 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
     Bands are exploded to (id, band, sig-string) and self-joined on
     (band, sig): the shuffle key is the band signature, so work scales
     with bucket sizes (near-duplicate clusters), never all-pairs."""
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    "-", *[F.col(f"mh_{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
-                ).alias("sig"),
-            )
-            for b in range(BANDS)
-        ]
+    band_structs = ", ".join(
+        "struct({b} AS band, concat_ws('-', {cols}) AS sig)".format(
+            b=b,
+            cols=", ".join(f"mh[{b * ROWS_PER_BAND + r}]" for r in range(ROWS_PER_BAND)),
+        )
+        for b in range(BANDS)
     )
-    buckets = sig.select("id", F.explode(band_structs).alias("bs")).select(
+    buckets = sig.select("id", F.explode(F.expr(f"array({band_structs})")).alias("bs")).select(
         "id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
     a, b = buckets.alias("a"), buckets.alias("b")
@@ -250,20 +249,19 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     # collisions (~n²/2⁶¹); the oracle groups by the same hash.
     hashed = toks.select("id", _h60(F.col("tok")).alias("h"))
     tf = hashed.groupBy("id", "h").agg(F.count(F.lit(1)).alias("cnt"))
-    h = F.col("h")
-    bit_sums = [
-        F.sum(
-            F.col("cnt")
-            * F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1))
-        ).alias(f"s_{i}")
+    # Both the 60 bit-sums and the bit-reassembly are single SQL
+    # expression strings: building them as Column trees cost ~500 py4j
+    # round-trips (~0.6 s driver time) per query construction.
+    bit_sums = ", ".join(
+        f"sum(cnt * (CASE WHEN shiftright(h, {i}) & 1 = 1 THEN 1 ELSE -1 END))"
         for i in range(SIMHASH_BITS)
-    ]
-    sums = tf.groupBy("id").agg(*bit_sums)
-    sim = None
-    for i in range(SIMHASH_BITS):
-        term = F.when(F.col(f"s_{i}") > 0, F.lit(1 << i)).otherwise(F.lit(0))
-        sim = term if sim is None else sim + term
-    return sums.select("id", sim.cast("long").alias("simhash"))
+    )
+    sums = tf.groupBy("id").agg(F.expr(f"array({bit_sums})").alias("s"))
+    sim = " + ".join(
+        f"(CASE WHEN s[{i}] > 0 THEN CAST({1 << i} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for i in range(SIMHASH_BITS)
+    )
+    return sums.select("id", F.expr(sim).cast("long").alias("simhash"))
 
 
 def simhash_pairs(df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3) -> DataFrame:

@@ -118,25 +118,40 @@ def srp_weights(dim: int, nbits: int = SRP_BITS) -> list[list[float]]:
     ]
 
 
-def _srp_band_structs(vec: Column, weights: list[list[float]]) -> Column:
-    """Array of (band, sig) structs for one vector. The weights are plan
-    literals (computed driver-side once) — each bit is a zip_with/aggregate
-    fold entirely inside codegen, no Python at execution time."""
+def _srp_band_structs(vec_col: str, weights: list[list[float]]) -> Column:
+    """Array of (band, sig) structs for one vector column. The weights are
+    plan literals (computed driver-side once) — each bit is a
+    zip_with/aggregate fold evaluated JVM-side, no Python at execution
+    time.
+
+    The whole thing is ONE SQL expression string (16 hyperplanes × dim
+    double literals): Column-tree construction cost ~1000 py4j round-trips
+    (~0.9 s driver time) per query. `repr(float)` round-trips exactly
+    through both Python and the SQL parser (shortest correctly-rounded
+    decimal), and the `D` suffix forces DOUBLE (bare decimal literals
+    parse as DECIMAL in Spark SQL)."""
+
+    def _dlit(x: float) -> str:
+        r = repr(x)
+        # Spark's double-literal suffix needs plain decimal notation; repr
+        # may emit exponent form for tiny values — CAST parses those.
+        return f"{r}D" if "e" not in r and "E" not in r else f"CAST('{r}' AS DOUBLE)"
+
     bits = []
     for w in weights:
-        warr = F.array(*[F.lit(x) for x in w])
-        prods = F.zip_with(vec, warr, lambda a, b: a.cast("double") * b)
-        dot = F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
-        bits.append(F.when(dot >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat(*bits[b * SRP_ROWS_PER_BAND : (b + 1) * SRP_ROWS_PER_BAND]).alias("sig"),
-            )
-            for b in range(SRP_BANDS)
-        ]
+        warr = "array(" + ", ".join(_dlit(x) for x in w) + ")"
+        dot = (
+            f"aggregate(zip_with({vec_col}, {warr}, (a, b) -> CAST(a AS DOUBLE) * b), "
+            "0.0D, (acc, x) -> acc + x)"
+        )
+        bits.append(f"(CASE WHEN {dot} >= 0.0D THEN '1' ELSE '0' END)")
+    structs = ", ".join(
+        "struct({b} AS band, concat({bs}) AS sig)".format(
+            b=b, bs=", ".join(bits[b * SRP_ROWS_PER_BAND : (b + 1) * SRP_ROWS_PER_BAND])
+        )
+        for b in range(SRP_BANDS)
     )
+    return F.expr(f"array({structs})")
 
 
 def srp_lsh_cosine_pairs(
@@ -158,7 +173,7 @@ def srp_lsh_cosine_pairs(
     weights = srp_weights(dim)
     buckets = emb.select(
         F.col(id_col).alias("id"),
-        F.explode(_srp_band_structs(F.col(vec_col), weights)).alias("bs"),
+        F.explode(_srp_band_structs(vec_col, weights)).alias("bs"),
     ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (

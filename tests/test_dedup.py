@@ -26,9 +26,10 @@ def test_simhash_symmetric_pairs(spark, sf_dir):
 def test_minhash_signature_shape(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents").limit(20)
     sig = D.minhash_signature_df(D.shingle_df(d, "doc_id", "text"))
-    assert len(sig.columns) == 1 + D.NUM_HASHES
+    assert sig.columns == ["id", "mh"]
     row = sig.first()
-    assert all(0 <= row[f"mh_{j}"] < D.MOD32 for j in range(D.NUM_HASHES))
+    assert len(row.mh) == D.NUM_HASHES
+    assert all(0 <= v < D.MOD32 for v in row.mh)
 
 
 def test_custom_lsh_agrees_with_spark_ml_minhash(spark, sf_dir):
