@@ -237,3 +237,63 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))
         .limit(10)
     )
+
+
+NGRAM_N = 8  # tokens per decontamination shingle (GPT-3-style 8-gram rule)
+
+
+@register(
+    "decontaminate_benchmark_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - {NGRAM_N - 2})) AS i
+      FROM toks WHERE len(t) >= {NGRAM_N}
+    ),
+    sh AS (
+      SELECT doc_id, array_to_string(t[i:i + {NGRAM_N - 1}], ' ') AS sh FROM idx
+    ),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 11 = 0),
+    train AS (SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id % 11 <> 0)
+    SELECT t.doc_id, count(*) AS n_shared_shingles
+    FROM train t JOIN bench b USING (sh)
+    GROUP BY t.doc_id
+    """,
+    tags=("curation", "llm-pipeline", "dedup"),
+)
+def decontaminate_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    8-token shingle with the held-out benchmark slice (doc_id % 11 == 0
+    stands in for an eval set), reporting how many distinct shingles leak.
+    The GPT-3/PaLM n-gram-overlap decontamination rule as a dataflow:
+    tokenize (functions/text.py canonical tokenizer) → slide an 8-token
+    window (transform over sequence — no UDF) → explode → distinct →
+    semi-ish inner join on the shingle string.
+
+    Scale: the benchmark side is distinct-ed first and is orders of
+    magnitude smaller than the corpus, so Catalyst broadcasts it; the
+    train side never shuffles its full shingle set. On 100 TB the shingle
+    string would be replaced by xxhash64(shingle) to cut shuffle width —
+    kept as text here so the oracle join is byte-identical."""
+    from streamprocessing_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens(F.col("text")).alias("t")
+    )
+    sh = docs.filter(F.size("t") >= NGRAM_N).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, size(t) - {NGRAM_N - 1}),"
+                f" i -> array_join(slice(t, i, {NGRAM_N}), ' '))"
+            )
+        ).alias("sh"),
+    )
+    bench = sh.filter(F.col("doc_id") % 11 == 0).select("sh").distinct()
+    train = sh.filter(F.col("doc_id") % 11 != 0).select("doc_id", "sh").distinct()
+    return train.join(bench, "sh").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared_shingles")
+    )

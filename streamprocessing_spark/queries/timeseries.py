@@ -1,0 +1,343 @@
+"""Time-series and order-statistics operators.
+
+The reference has no notion of event time at all (SURVEY.md §2.1: keys
+carry no time; ordering is processing-order), yet every real stream the
+RainStorm design targets is a time-series. This module adds the standard
+time-series toolkit a warehouse user expects, each as a pure Catalyst
+plan with a DuckDB oracle:
+
+- ``forward_fill_last_value`` — gap-fill nulls with the last observation
+  (``last(ignorenulls)`` over an ordered frame);
+- ``time_bucket_gapfill`` — dense daily buckets with zero-fill (dimension
+  generation via ``sequence`` + broadcast grid join);
+- ``merge_overlapping_intervals`` — interval union per key
+  (gaps-and-islands via running max, one shuffle);
+- ``regression_value_by_hour`` — least-squares slope + Pearson r from
+  EXACT integer moment sums (the functions/money.py discipline extended
+  to second moments);
+- ``mode_event_type_per_user`` — statistical mode with a deterministic
+  tiebreak;
+- ``skyline_orders`` — Pareto frontier in O(n log n) via a running-max
+  window, oracled against the O(n²) NOT-EXISTS dominance definition.
+
+Determinism rules follow the house style (queries/analytics.py): unique
+tiebreak columns in every ordering, exact integer accumulation for any
+float that crosses an aggregation, identical column aliases both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streamprocessing_spark.registry import register
+from streamprocessing_spark.sources.readers import load_table
+
+
+@register(
+    "forward_fill_last_value",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'click' THEN NULL ELSE value END AS v
+      FROM events
+    )
+    SELECT event_id, user_id,
+           LAST_VALUE(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value
+    FROM base
+    """,
+    tags=("timeseries", "window"),
+)
+def forward_fill_last_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill (LOCF) per user: null out 'click' readings, then carry
+    the last non-null value down an ordered frame. One shuffle on user_id;
+    the raw double is copied, never accumulated, so parity is bit-exact.
+    Rows before a user's first observation stay NULL — both engines agree.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    v = F.when(F.col("event_type") == "click", F.lit(None).cast("double")).otherwise(
+        F.col("value")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(v, ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+@register(
+    "time_bucket_gapfill",
+    oracle="""
+    WITH ev AS (SELECT CAST(ts AS DATE) AS day, event_type FROM events),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM ev),
+    days AS (
+      SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM b
+    ),
+    types AS (SELECT DISTINCT event_type FROM ev),
+    counts AS (SELECT day, event_type, count(*) AS n_events FROM ev GROUP BY 1, 2)
+    SELECT d.day, ty.event_type, COALESCE(c.n_events, 0) AS n_events
+    FROM days d
+    CROSS JOIN types ty
+    LEFT JOIN counts c ON c.day = d.day AND c.event_type = ty.event_type
+    """,
+    tags=("timeseries", "join"),
+)
+def time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense daily counts per event type with zero-filled gaps.
+
+    The (day × type) grid is generated, not scanned: ``sequence(min, max,
+    interval 1 day)`` exploded against the distinct types, then a LEFT
+    join onto the real counts. At 100 TB the grid stays tiny (days ×
+    types), so it broadcasts; the only real shuffle is the count itself.
+    """
+    ev = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "event_type"
+    )
+    days = ev.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    types = ev.select("event_type").distinct()
+    counts = ev.groupBy("day", "event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    grid = days.crossJoin(types)
+    return grid.join(counts, ["day", "event_type"], "left").select(
+        "day", "event_type", F.coalesce("n_events", F.lit(0)).alias("n_events")
+    )
+
+
+@register(
+    "merge_overlapping_intervals",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s_us,
+             epoch_us(ts) + (60 + event_id % 240) * 1000000 AS e_us
+      FROM events
+    ),
+    flagged AS (
+      SELECT user_id, s_us, e_us,
+             CASE WHEN max(e_us) OVER (
+                    PARTITION BY user_id ORDER BY s_us, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= s_us
+                  THEN 0 ELSE 1 END AS new_island
+      FROM iv
+    ),
+    islands AS (
+      SELECT user_id, s_us, e_us,
+             sum(new_island) OVER (
+               PARTITION BY user_id ORDER BY s_us, e_us
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      FROM flagged
+    )
+    SELECT user_id,
+           make_timestamp(min(s_us)) AS interval_start,
+           make_timestamp(max(e_us)) AS interval_end,
+           count(*) AS n_merged
+    FROM islands
+    GROUP BY user_id, island
+    """,
+    tags=("timeseries", "window"),
+)
+def merge_overlapping_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval union (gaps-and-islands): each event opens an interval of
+    60 + (event_id % 240) seconds; overlapping or touching intervals per
+    user merge into one row (start, end, member count).
+
+    All comparisons run on integer epoch-micros (no timestamp arithmetic
+    divergence between engines); a new island starts when the running max
+    of prior interval ends is strictly before the current start. One
+    shuffle on user_id; both window passes share the same sort.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    iv = ev.select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s_us"),
+        (F.unix_micros("ts") + (60 + F.col("event_id") % 240) * F.lit(1000000)).alias(
+            "e_us"
+        ),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    flagged = iv.select(
+        "user_id",
+        "s_us",
+        "e_us",
+        F.when(F.max("e_us").over(w_prev) >= F.col("s_us"), F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s_us", "e_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.select(
+        "user_id", "s_us", "e_us", F.sum("new_island").over(w_run).alias("island")
+    )
+    return islands.groupBy("user_id", "island").agg(
+        F.timestamp_micros(F.min("s_us")).alias("interval_start"),
+        F.timestamp_micros(F.max("e_us")).alias("interval_end"),
+        F.count(F.lit(1)).alias("n_merged"),
+    ).drop("island")
+
+
+@register(
+    "regression_value_by_hour",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(hour(ts) AS BIGINT) AS x,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+      FROM events
+      WHERE value IS NOT NULL
+    ),
+    mom AS (
+      SELECT event_type,
+             count(*) AS n,
+             CAST(sum(x) AS DOUBLE) AS sx,
+             CAST(sum(y) AS DOUBLE) AS sy,
+             CAST(sum(x * y) AS DOUBLE) AS sxy,
+             CAST(sum(x * x) AS DOUBLE) AS sxx,
+             CAST(sum(y * y) AS DOUBLE) AS syy
+      FROM pts GROUP BY event_type
+    )
+    SELECT event_type, n AS n_points,
+           floor((n * sxy - sx * sy) / (n * sxx - sx * sx) / 100.0 * 1000000.0 + 0.5)
+             / 1000000.0 AS slope,
+           floor((n * sxy - sx * sy)
+                 / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 * 1000000.0 + 0.5) / 1000000.0 AS corr_r
+    FROM mom
+    """,
+    tags=("timeseries", "aggregate"),
+)
+def regression_value_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of value (per hour-of-day) and Pearson r per
+    event type — ``regr_slope``/``corr`` semantics, but deterministic.
+
+    Spark's and DuckDB's native regr_/corr aggregates accumulate doubles
+    in partition order, so their last bits differ run-to-run. Here every
+    moment (Σx, Σy, Σxy, Σx², Σy²) is an EXACT integer sum (value scaled
+    to cents: max 56k cents → y² ≈ 3e9 per row, ~3e15 per million rows,
+    far inside BIGINT), and only the final closed-form combination runs in
+    float — an identical IEEE expression tree in both engines, rounded to
+    6 dp. Map-side partial aggregation applies; one shuffle."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value").isNotNull())
+    pts = ev.select(
+        "event_type",
+        F.hour("ts").cast("long").alias("x"),
+        F.floor(F.col("value") * F.lit(100.0) + F.lit(0.5)).cast("long").alias("y"),
+    )
+    mom = pts.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxy, sxx, syy = F.col("sxy"), F.col("sxx"), F.col("syy")
+    cov_n = n * sxy - sx * sy
+    var_x_n = n * sxx - sx * sx
+    var_y_n = n * syy - sy * sy
+    r6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    return mom.select(
+        "event_type",
+        n.alias("n_points"),
+        r6(cov_n / var_x_n / F.lit(100.0)).alias("slope"),
+        r6(cov_n / F.sqrt(var_x_n * var_y_n)).alias("corr_r"),
+    )
+
+
+@register(
+    "mode_event_type_per_user",
+    oracle="""
+    WITH c AS (
+      SELECT user_id, event_type, count(*) AS n_events
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT user_id, event_type, n_events,
+             row_number() OVER (
+               PARTITION BY user_id
+               ORDER BY n_events DESC, event_type) AS rn
+      FROM c
+    )
+    SELECT user_id, event_type AS modal_type, n_events FROM r WHERE rn = 1
+    """,
+    tags=("timeseries", "aggregate", "window"),
+)
+def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical mode per group with a deterministic tiebreak
+    (alphabetically first among equally-frequent types). Spark's native
+    ``F.mode`` is non-deterministic on ties, so the mode is derived as
+    count → row_number — two window-free shuffles collapse to one because
+    the groupBy and the window share the user_id partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n_events"))
+    w = Window.partitionBy("user_id").orderBy(F.desc("n_events"), "event_type")
+    return (
+        c.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("modal_type"), "n_events")
+    )
+
+
+@register(
+    "skyline_orders",
+    oracle="""
+    SELECT o_orderkey, o_totalprice, o_orderdate
+    FROM orders o
+    WHERE NOT EXISTS (
+      SELECT 1 FROM orders d
+      WHERE d.o_totalprice <= o.o_totalprice
+        AND d.o_orderdate >= o.o_orderdate
+        AND (d.o_totalprice < o.o_totalprice OR d.o_orderdate > o.o_orderdate)
+    )
+    """,
+    tags=("analytics", "window"),
+)
+def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto frontier (skyline): orders not dominated on (price ↓,
+    date ↑). An order is dominated iff some other order is no more
+    expensive AND no older, strictly better on at least one axis.
+
+    The oracle states the O(n²) NOT-EXISTS definition; the Spark plan is
+    the O(n log n) sweep: collapse to one row per distinct price (max
+    date), run a running max of date over strictly-cheaper prices, then
+    keep rows where (a) no cheaper order has an equal-or-later date and
+    (b) no same-price order has a strictly later date. The running max
+    runs over the DISTINCT-price table (tiny after the groupBy); at true
+    scale the single-partition window would become a range-partitioned
+    prefix scan — see SCALE.md."""
+    # parquet stores o_orderdate unadjusted-to-UTC → Spark infers NTZ; the
+    # session runs UTC so the cast to (LTZ) timestamp is value-identity and
+    # matches the oracle's TIMESTAMP type.
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", F.col("o_orderdate").cast("timestamp").alias("o_orderdate")
+    )
+    byprice = o.groupBy("o_totalprice").agg(F.max("o_orderdate").alias("pmax"))
+    w = Window.orderBy("o_totalprice").rowsBetween(Window.unboundedPreceding, -1)
+    run = byprice.withColumn("run_lt", F.max("pmax").over(w))
+    return (
+        o.join(run, "o_totalprice")
+        .filter(
+            (F.col("run_lt").isNull() | (F.col("run_lt") < F.col("o_orderdate")))
+            & (F.col("o_orderdate") == F.col("pmax"))
+        )
+        .select("o_orderkey", "o_totalprice", "o_orderdate")
+    )
