@@ -126,3 +126,34 @@ def test_q17_avg_decorrelation_single_fact_aggregate(spark, sf_dir):
     plan = X.formatted_plan(df)
     assert X.has_pushed_filters(df, "p_brand"), plan
     assert X.has_broadcast_join(df), plan
+
+
+def test_forward_fill_single_shuffle(spark, sf_dir):
+    # one window over user_id: exactly one exchange, scan pruned
+    df = SPECS["forward_fill_last_value"].fn(spark, sf_dir)
+    assert X.count_exchanges(df) == 1, X.formatted_plan(df)
+    scans = X.read_schema_columns(df)
+    needed = {"event_id", "user_id", "ts", "event_type", "value"}
+    assert scans and all(set(s) <= needed for s in scans), scans
+
+
+def test_regression_single_shuffle_and_pruned_scan(spark, sf_dir):
+    # exact-moment sums partial-aggregate map-side: one exchange on
+    # event_type; the scan reads only the three needed columns
+    df = SPECS["regression_value_by_hour"].fn(spark, sf_dir)
+    assert X.count_exchanges(df) == 1, X.formatted_plan(df)
+    scans = X.read_schema_columns(df)
+    assert scans and all(set(s) <= {"event_type", "ts", "value"} for s in scans), scans
+
+
+def test_interval_merge_shares_user_partitioning(spark, sf_dir):
+    # both windows sort within the same user_id shuffle; only the final
+    # (user_id, island) aggregate adds a second exchange
+    df = SPECS["merge_overlapping_intervals"].fn(spark, sf_dir)
+    assert X.count_exchanges(df) <= 2, X.formatted_plan(df)
+
+
+def test_decontaminate_scan_prunes_to_id_and_text(spark, sf_dir):
+    df = SPECS["decontaminate_benchmark_overlap"].fn(spark, sf_dir)
+    scans = X.read_schema_columns(df)
+    assert scans and all(set(s) <= {"doc_id", "text"} for s in scans), scans
