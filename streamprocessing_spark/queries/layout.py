@@ -1,0 +1,126 @@
+"""Storage-layout planning operators.
+
+At 100 TB the difference between a table you can query and one you can't
+is layout: multi-dimensional clustering for data skipping, and range
+partition boundaries for balanced shuffles/writes. Both are computed here
+as exact, oracle-checked dataflows (the planning step itself must be
+deterministic — a boundary that moves between runs reshuffles petabytes).
+
+- ``zorder_key_orders`` — bit-interleaved Morton (Z-order) key over
+  (customer, order-date): rows sorted by this key cluster BOTH dimensions,
+  so parquet row-group min/max stats prune on either predicate. Pure
+  integer bit arithmetic, identical text in both engines.
+- ``range_partition_boundaries`` — exact equi-depth split points via a
+  cumulative histogram over DISTINCT values (no global per-row sort: the
+  window runs over |distinct| rows, which is what makes exact boundaries
+  computable at scale; Spark's own ``repartitionByRange`` samples instead
+  and is non-deterministic).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streamprocessing_spark.registry import register
+from streamprocessing_spark.sources.readers import load_table
+
+# 16-bit × 16-bit Morton interleave: x occupies even bits, y odd bits.
+# Disjoint bit positions → the terms combine with +. The SAME text runs as
+# a Spark SQL expression and inside the DuckDB oracle.
+ZORDER_EXPR = " + ".join(
+    f"(((x >> {i}) & 1) << {2 * i}) + (((y >> {i}) & 1) << {2 * i + 1})"
+    for i in range(16)
+)
+
+
+@register(
+    "zorder_key_orders",
+    oracle=f"""
+    WITH xy AS (
+      SELECT o_orderkey,
+             o_custkey & 65535 AS x,
+             CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) & 65535 AS y
+      FROM orders
+    )
+    SELECT o_orderkey, {ZORDER_EXPR} AS zval FROM xy
+    """,
+    tags=("layout", "scale"),
+)
+def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over (o_custkey, order date).
+
+    ``df.repartitionByRange(N, zval).sortWithinPartitions(zval)`` before a
+    parquet write yields files whose row-group min/max stats are tight in
+    BOTH dimensions — point/range predicates on either column skip most of
+    a 100 TB table. The interleave is 32 shift-and-mask terms of plain
+    integer arithmetic (one codegen'd projection, no UDF, no shuffle);
+    both engines evaluate the identical expression text."""
+    o = load_table(spark, sf_dir, "orders")
+    xy = o.select(
+        "o_orderkey",
+        F.expr("o_custkey & 65535").alias("x"),
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01') AS BIGINT)"
+            " & 65535"
+        ).alias("y"),
+    )
+    return xy.select("o_orderkey", F.expr(ZORDER_EXPR).alias("zval"))
+
+
+N_BUCKETS = 8
+
+
+@register(
+    "range_partition_boundaries",
+    oracle=f"""
+    WITH c AS (
+      SELECT o_totalprice AS p, count(*) AS n FROM orders GROUP BY 1
+    ),
+    cum AS (
+      SELECT p, sum(n) OVER (
+        ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM c
+    ),
+    tot AS (SELECT count(*) AS total FROM orders),
+    targets AS (
+      SELECT unnest(range(1, {N_BUCKETS})) AS bucket_id,
+             (total * unnest(range(1, {N_BUCKETS})) + {N_BUCKETS - 1})
+               // {N_BUCKETS} AS target_rank
+      FROM tot
+    )
+    SELECT t.bucket_id, t.target_rank, min(cum.p) AS boundary
+    FROM targets t JOIN cum ON cum.cum >= t.target_rank
+    GROUP BY t.bucket_id, t.target_rank
+    """,
+    tags=("layout", "scale", "window"),
+)
+def range_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT equi-depth range-partition boundaries for o_totalprice into
+    8 buckets: boundary_i = the smallest value whose cumulative row count
+    reaches ceil(total·i/8).
+
+    The trick that scales: aggregate to DISTINCT values first (one
+    shuffle, map-side combine), then run the cumulative sum window over
+    the distinct-value table — |distinct| rows, not |table| rows. The
+    ceil is integer arithmetic ((total·i + 7) div 8), so the chosen ranks
+    are exact in both engines; the boundary lookup is a tiny
+    inequality join the optimizer turns into a broadcast."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy(F.col("o_totalprice").alias("p")).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = c.select("p", F.sum("n").over(w).alias("cum"))
+    tot = o.agg(F.count(F.lit(1)).alias("total"))
+    targets = tot.select(
+        F.explode(F.sequence(F.lit(1), F.lit(N_BUCKETS - 1))).alias("b"),
+        F.col("total"),
+    ).select(
+        F.col("b").cast("long").alias("bucket_id"),
+        F.expr(f"(total * b + {N_BUCKETS - 1}) div {N_BUCKETS}").alias("target_rank"),
+    )
+    return (
+        targets.join(cum, cum.cum >= targets.target_rank)
+        .groupBy("bucket_id", "target_rank")
+        .agg(F.min("p").alias("boundary"))
+    )

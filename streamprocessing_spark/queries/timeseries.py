@@ -341,3 +341,43 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_orderkey", "o_totalprice", "o_orderdate")
     )
+
+
+@register(
+    "cohort_retention",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    cohorts AS (
+      SELECT user_id, min(day) AS cohort_day FROM activity GROUP BY user_id
+    )
+    SELECT c.cohort_day,
+           CAST(date_diff('day', c.cohort_day, a.day) AS BIGINT) AS day_offset,
+           count(*) AS n_active
+    FROM activity a JOIN cohorts c USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("timeseries", "aggregate", "join"),
+)
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention triangle: users grouped by first-active day; for
+    every (cohort, day-offset) cell, how many are active. Pure distinct
+    counts — no floats anywhere, so parity is trivial; the rate is left to
+    the consumer (cell ÷ offset-0 cell).
+
+    Scale: the distinct (user, day) activity set is the only big
+    intermediate — one shuffle to dedup, one to the per-user min (both
+    partial-aggregated), and the cohort map joins back keyed on user_id,
+    re-using the activity partitioning."""
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (
+        activity.join(cohorts, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.date_diff("day", "cohort_day").cast("long").alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )

@@ -40,6 +40,7 @@ _QUERY_MODULES = (
     "streamprocessing_spark.queries.tpch_extra",
     "streamprocessing_spark.queries.curation",
     "streamprocessing_spark.queries.timeseries",
+    "streamprocessing_spark.queries.layout",
     "streamprocessing_spark.queries.dedup",
     "streamprocessing_spark.queries.similarity",
     "streamprocessing_spark.queries.text",
