@@ -1,0 +1,160 @@
+"""Graph / market-basket operators over the order-item relation.
+
+The co-purchase graph (parts appearing in the same order) exercises two
+shapes the reference engine cannot express at all: association-rule
+mining (self-join + exact ratio aggregates) and iterative graph traversal
+(driver-side loop of distributed frontier joins, recursive-CTE oracle —
+the same pattern as operators/dedup.connected_components).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamprocessing_spark.registry import register
+from streamprocessing_spark.sources.readers import load_table
+
+MIN_SUPPORT = 2  # co-occurrence count threshold (both SF scales non-empty)
+MAX_HOPS = 3
+
+
+@register(
+    "copurchase_lift",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    tot AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM op),
+    pc AS (SELECT l_partkey, count(*) AS n_p FROM op GROUP BY 1),
+    pairs AS (
+      SELECT a.l_partkey AS p_a, b.l_partkey AS p_b, count(*) AS n_ab
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT p_a, p_b, n_ab,
+           floor(CAST(n_ab AS DOUBLE) * t.n_orders / (ca.n_p * cb.n_p)
+                 * 1000000.0 + 0.5) / 1000000.0 AS lift
+    FROM pairs
+    JOIN pc ca ON ca.l_partkey = p_a
+    JOIN pc cb ON cb.l_partkey = p_b
+    CROSS JOIN tot t
+    WHERE n_ab >= {MIN_SUPPORT}
+    """,
+    tags=("graph", "analytics", "join"),
+)
+def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association: part pairs co-occurring in ≥2 orders,
+    with lift = P(a,b) / (P(a)·P(b)) = n_ab·N / (n_a·n_b).
+
+    All inputs to the lift are exact integers; the single double division
+    is the same IEEE expression in both engines, rounded to 6 dp. The
+    pair self-join keys on the order — each order contributes C(items,2)
+    pairs, so the shuffle is O(orders · basket²), not O(parts²); the
+    per-part counts are a broadcast-sized dimension joined back after
+    aggregation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    tot = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p_a"), F.col("b.l_partkey").alias("p_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= MIN_SUPPORT)
+    )
+    ca = pc.select(F.col("l_partkey").alias("p_a"), F.col("n_p").alias("n_a"))
+    cb = pc.select(F.col("l_partkey").alias("p_b"), F.col("n_p").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ca), "p_a")
+        .join(F.broadcast(cb), "p_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "p_a",
+            "p_b",
+            "n_ab",
+            (
+                F.floor(
+                    F.col("n_ab").cast("double")
+                    * F.col("n_orders")
+                    / (F.col("n_a") * F.col("n_b"))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("lift"),
+        )
+    )
+
+
+@register(
+    "basket_bfs_part_hops",
+    oracle=f"""
+    WITH RECURSIVE op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    seed AS (SELECT min(l_partkey) AS id FROM op),
+    walk AS (
+      SELECT id, 0 AS hops FROM seed
+      UNION
+      SELECT e.dst AS id, w.hops + 1 AS hops
+      FROM walk w JOIN edges e ON e.src = w.id
+      WHERE w.hops < {MAX_HOPS}
+    )
+    SELECT id AS l_partkey, CAST(min(hops) AS BIGINT) AS hops
+    FROM walk GROUP BY id
+    """,
+    tags=("graph", "iterative"),
+)
+def basket_bfs_part_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS over the co-purchase graph: minimum hop count (≤ 3)
+    from the lowest part key to every reachable part.
+
+    Iterative frontier expansion as in connected_components: each round
+    joins the frontier to the edge list, anti-joins the visited set, and
+    localCheckpoints to truncate lineage. Every round is a distributed
+    shuffle join — only the frontier-empty check touches the driver. The
+    recursive-CTE oracle enumerates (node, hops) pairs with UNION
+    dedup, so both engines compute the same min-hop map."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    frontier = op.agg(F.min("l_partkey").alias("id")).withColumn("hops", F.lit(0))
+    visited = frontier.localCheckpoint(eager=True)
+    for h in range(1, MAX_HOPS + 1):
+        nxt = (
+            edges.join(frontier, edges.src == frontier.id)
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(visited.select("id"), "id", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return visited.select(
+        F.col("id").alias("l_partkey"), F.col("hops").cast("long").alias("hops")
+    )

@@ -41,6 +41,7 @@ _QUERY_MODULES = (
     "streamprocessing_spark.queries.curation",
     "streamprocessing_spark.queries.timeseries",
     "streamprocessing_spark.queries.layout",
+    "streamprocessing_spark.queries.graph",
     "streamprocessing_spark.queries.dedup",
     "streamprocessing_spark.queries.similarity",
     "streamprocessing_spark.queries.text",
