@@ -34,15 +34,36 @@ ZORDER_EXPR = " + ".join(
 )
 
 
+# min-max normalize a raw dimension onto 0..65535 with pure integer
+# arithmetic — same text both engines. Without this, a dimension with a
+# narrower domain contributes only low-order bits and the z-curve
+# degenerates to sorting by the wider dimension alone (measured: 8
+# z-range files at sf0.001 had full-range custkey spans before
+# normalization; tests/test_storage_layouts.py asserts both spans narrow).
+_NORM = "(({col} - {col}_min) * 65535) div (CASE WHEN {col}_max > {col}_min THEN {col}_max - {col}_min ELSE 1 END)"
+_NORM_DUCK = _NORM.replace(" div ", " // ")
+
+
 @register(
     "zorder_key_orders",
     oracle=f"""
-    WITH xy AS (
+    WITH raw AS (
       SELECT o_orderkey,
-             o_custkey & 65535 AS x,
+             CAST(o_custkey AS BIGINT) AS xr,
              CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
-                  AS BIGINT) & 65535 AS y
+                  AS BIGINT) AS yr
       FROM orders
+    ),
+    b AS (
+      SELECT min(xr) AS xr_min, max(xr) AS xr_max,
+             min(yr) AS yr_min, max(yr) AS yr_max
+      FROM raw
+    ),
+    xy AS (
+      SELECT o_orderkey,
+             {_NORM_DUCK.format(col="xr")} AS x,
+             {_NORM_DUCK.format(col="yr")} AS y
+      FROM raw CROSS JOIN b
     )
     SELECT o_orderkey, {ZORDER_EXPR} AS zval FROM xy
     """,
@@ -54,17 +75,32 @@ def zorder_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``df.repartitionByRange(N, zval).sortWithinPartitions(zval)`` before a
     parquet write yields files whose row-group min/max stats are tight in
     BOTH dimensions — point/range predicates on either column skip most of
-    a 100 TB table. The interleave is 32 shift-and-mask terms of plain
-    integer arithmetic (one codegen'd projection, no UDF, no shuffle);
-    both engines evaluate the identical expression text."""
+    a 100 TB table (tests/test_storage_layouts.py measures the spans).
+
+    Two steps, both codegen'd projections with no UDF: (1) min-max
+    normalize each dimension onto the full 16-bit range in integer
+    arithmetic — skipping this lets the wider-domain dimension own all
+    the significant bits and the curve degenerates to a 1-D sort; the
+    1-row global bounds broadcast. (2) interleave with 32 shift-and-mask
+    terms, identical expression text in both engines."""
     o = load_table(spark, sf_dir, "orders")
-    xy = o.select(
+    raw = o.select(
         "o_orderkey",
-        F.expr("o_custkey & 65535").alias("x"),
+        F.col("o_custkey").cast("long").alias("xr"),
         F.expr(
             "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01') AS BIGINT)"
-            " & 65535"
-        ).alias("y"),
+        ).alias("yr"),
+    )
+    b = raw.agg(
+        F.min("xr").alias("xr_min"),
+        F.max("xr").alias("xr_max"),
+        F.min("yr").alias("yr_min"),
+        F.max("yr").alias("yr_max"),
+    )
+    xy = raw.crossJoin(F.broadcast(b)).select(
+        "o_orderkey",
+        F.expr(_NORM.format(col="xr")).alias("x"),
+        F.expr(_NORM.format(col="yr")).alias("y"),
     )
     return xy.select("o_orderkey", F.expr(ZORDER_EXPR).alias("zval"))
 

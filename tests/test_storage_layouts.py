@@ -61,3 +61,71 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir):
         assert rd.count() == expected
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_zorder_layout_enables_2d_skipping(spark, sf_dir):
+    """Z-order clustering (queries/layout.py zorder_key_orders) must make
+    parquet row-group stats selective in BOTH dimensions at once: files
+    written in z-value ranges carry tight (custkey, orderdate) min/max
+    envelopes, so a 2-D box predicate can skip most files on footer stats
+    alone. Compared against the same data range-partitioned by custkey
+    only, where the date dimension degenerates to full-range per file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from streamprocessing_spark.registry import all_specs
+
+    zdf = all_specs()["zorder_key_orders"].fn(spark, sf_dir)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("x", F.col("o_custkey").cast("long"))
+        .withColumn(
+            "y",
+            F.expr(
+                "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01')"
+                " AS BIGINT)"
+            ),
+        )
+        .select("o_orderkey", "x", "y")
+        .join(zdf, "o_orderkey")
+    )
+
+    def per_file_spans(sort_col):
+        """Write range-partitioned on sort_col; return per-file (x, y)
+        min/max span from the parquet footers."""
+        tmp = tempfile.mkdtemp()
+        try:
+            o.repartitionByRange(8, F.col(sort_col)).sortWithinPartitions(
+                sort_col
+            ).write.mode("overwrite").parquet(tmp)
+            spans = []
+            for f in glob.glob(f"{tmp}/*.parquet"):
+                md = pq.read_metadata(f)
+                cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+                mins, maxs = {}, {}
+                for rg in range(md.num_row_groups):
+                    for c in ("x", "y"):
+                        st = md.row_group(rg).column(cols[c]).statistics
+                        mins[c] = min(mins.get(c, st.min), st.min)
+                        maxs[c] = max(maxs.get(c, st.max), st.max)
+                spans.append({c: maxs[c] - mins[c] for c in ("x", "y")})
+            return spans
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+
+    z_spans = per_file_spans("zval")
+    x_spans = per_file_spans("x")
+    g = o.agg(
+        (F.max("x") - F.min("x")).alias("sx"),
+        (F.max("y") - F.min("y")).alias("sy"),
+    ).first()
+
+    def avg_frac(spans, c, global_span):
+        return sum(s[c] / max(global_span, 1) for s in spans) / len(spans)
+
+    # custkey-only layout: x is tight but y degenerates to full range
+    assert avg_frac(x_spans, "y", g.sy) > 0.9
+    # z-order: BOTH dimensions substantially narrowed per file
+    assert avg_frac(z_spans, "x", g.sx) < 0.6
+    assert avg_frac(z_spans, "y", g.sy) < 0.6
