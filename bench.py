@@ -51,6 +51,11 @@ HEADLINE = [
     "tfidf_top_terms",
     "sessionize_events",
     "multimodal_features",
+    # round-1 continuation additions
+    "merge_overlapping_intervals",
+    "decontaminate_benchmark_overlap",
+    "copurchase_lift",
+    "zorder_key_orders",
 ]
 
 

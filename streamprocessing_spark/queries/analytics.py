@@ -1684,3 +1684,42 @@ def window_moving_spend_30d(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderkey",
         M.money(F.sum(M.tt(F.col("o_totalprice"))).over(w)).alias("spend_30d"),
     )
+
+
+@register(
+    "source_orc_roundtrip",
+    oracle="""
+    SELECT o_orderkey, o_orderstatus, o_totalprice,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+    FROM orders
+    """,
+    tags=("reference", "source", "orc"),
+)
+def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC source: write orders out as ORC, read it back. Together with
+    the CSV/JSONL roundtrips this covers Spark's three built-in
+    file-source families beyond parquet (avro needs the external
+    spark-avro package — gated out here). Types survive the roundtrip:
+    the timestamp is cast to session-TZ (UTC, value-identity) so the
+    read-back schema matches the oracle's TIMESTAMP."""
+    import hashlib
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"sp_orc_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}",
+    )
+    o.write.mode("overwrite").orc(out)
+    return spark.read.orc(out).select(
+        "o_orderkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
+    )

@@ -297,3 +297,59 @@ def doc_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(bucket.alias("bucket")).groupBy("bucket").agg(
         F.count(F.lit(1)).alias("n_docs")
     )
+
+
+@register(
+    "pii_redact_docs",
+    oracle="""
+    WITH enriched AS (
+      SELECT doc_id,
+             text || ' contact user' || CAST(doc_id AS VARCHAR)
+                  || '@example.com or +1-555-' || CAST(1000 + doc_id % 9000 AS VARCHAR)
+                  || ' ref ' || CAST(doc_id * 7919 AS VARCHAR) AS t
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))
+                + len(regexp_extract_all(t, '\\+?[0-9][0-9()\\s.-]{6,}[0-9]'))
+                AS BIGINT) AS n_redactions,
+           regexp_replace(
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                            '<EMAIL>', 'g'),
+             '\\+?[0-9][0-9()\\s.-]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+    FROM enriched
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (emails + phone-like digit runs → placeholder
+    tokens) with a per-doc redaction count — the scrub step every
+    training-data pipeline runs before release. The corpus has no PII,
+    so deterministic synthetic contact strings are appended first (same
+    construction in both engines); the patterns use only regex syntax
+    shared by Java and RE2. Pure codegen'd projections, zero shuffle.
+
+    Order matters: emails are redacted FIRST so the phone pattern can't
+    eat the digits inside an address's local part."""
+    d = load_table(spark, sf_dir, "documents")
+    t = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +1-555-"),
+        (F.lit(1000) + F.col("doc_id") % 9000).cast("string"),
+        F.lit(" ref "),
+        (F.col("doc_id") * 7919).cast("string"),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9][0-9()\s.-]{6,}[0-9]"
+    enriched = d.select("doc_id", t.alias("t"))
+    return enriched.select(
+        "doc_id",
+        (F.regexp_count("t", F.lit(email)) + F.regexp_count("t", F.lit(phone)))
+        .cast("long")
+        .alias("n_redactions"),
+        F.regexp_replace(
+            F.regexp_replace("t", email, "<EMAIL>"), phone, "<PHONE>"
+        ).alias("redacted"),
+    )
