@@ -53,7 +53,13 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-part counts are a broadcast-sized dimension joined back after
     aggregation."""
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # three consumers (pair self-join sides, per-part counts, total) —
+    # materialize the distinct projection once instead of re-scanning and
+    # re-deduplicating lineitem per consumer (same pattern as the BFS edge
+    # list below). The pair AGGREGATION dominates the runtime either way:
+    # a basket-collect + combination-explode formulation measured within
+    # 5% of this self-join at sf0.1, so the simpler join stays.
+    op = li.select("l_orderkey", "l_partkey").distinct().localCheckpoint(eager=True)
     tot = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
     a, b = op.alias("a"), op.alias("b")

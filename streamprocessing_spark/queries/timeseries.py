@@ -124,7 +124,7 @@ def time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     ),
     flagged AS (
-      SELECT user_id, s_us, e_us,
+      SELECT user_id, event_id, s_us, e_us,
              CASE WHEN max(e_us) OVER (
                     PARTITION BY user_id ORDER BY s_us, event_id
                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) >= s_us
@@ -134,7 +134,7 @@ def time_bucket_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     islands AS (
       SELECT user_id, s_us, e_us,
              sum(new_island) OVER (
-               PARTITION BY user_id ORDER BY s_us, e_us
+               PARTITION BY user_id ORDER BY s_us, event_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
       FROM flagged
     )
@@ -173,15 +173,20 @@ def merge_overlapping_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     flagged = iv.select(
         "user_id",
+        "event_id",
         "s_us",
         "e_us",
         F.when(F.max("e_us").over(w_prev) >= F.col("s_us"), F.lit(0))
         .otherwise(F.lit(1))
         .alias("new_island"),
     )
+    # both windows order by the UNIQUE (s_us, event_id) key: with a tied
+    # sort key, a running sum's per-row value depends on peer order, which
+    # neither engine defines — the unique tiebreak is what makes the
+    # island ids reproducible (house determinism rule).
     w_run = (
         Window.partitionBy("user_id")
-        .orderBy("s_us", "e_us")
+        .orderBy("s_us", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     islands = flagged.select(
