@@ -1,0 +1,203 @@
+"""Independent verification of the time-series / layout / graph
+operators: pure-Python reference implementations recompute each result
+from the raw tables — a SECOND oracle, independent of both Spark and
+DuckDB, plus structural invariants the value-hash comparison can't
+express (antichain-ness, disjointness, exact order statistics)."""
+
+from __future__ import annotations
+
+from collections import Counter, defaultdict
+
+import duckdb
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from streamprocessing_spark.registry import all_specs
+from streamprocessing_spark.sources.readers import load_table
+
+SPECS = all_specs()
+
+
+def _events(spark, sf_dir):
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type", "value"
+    ).collect()
+
+
+def test_interval_merge_matches_python_reference(spark, sf_dir):
+    rows = _events(spark, sf_dir)
+    by_user = defaultdict(list)
+    for r in rows:
+        s = int(r.ts.timestamp() * 1_000_000)
+        e = s + (60 + r.event_id % 240) * 1_000_000
+        by_user[r.user_id].append((s, r.event_id, e))
+    expected = set()
+    for uid, ivs in by_user.items():
+        ivs.sort()
+        cur_s, cur_e, n = ivs[0][0], ivs[0][2], 1
+        for s, _eid, e in ivs[1:]:
+            if s <= cur_e:  # touching merges
+                cur_e, n = max(cur_e, e), n + 1
+            else:
+                expected.add((uid, cur_s, cur_e, n))
+                cur_s, cur_e, n = s, e, 1
+        expected.add((uid, cur_s, cur_e, n))
+    got = {
+        (
+            r.user_id,
+            int(r.interval_start.timestamp() * 1_000_000),
+            int(r.interval_end.timestamp() * 1_000_000),
+            r.n_merged,
+        )
+        for r in SPECS["merge_overlapping_intervals"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+    # structural invariant: per user, islands are disjoint and ordered
+    per_user = defaultdict(list)
+    for uid, s, e, _n in got:
+        per_user[uid].append((s, e))
+    for uid, ivs in per_user.items():
+        ivs.sort()
+        for (s1, e1), (s2, _e2) in zip(ivs, ivs[1:]):
+            assert e1 < s2, f"user {uid}: islands overlap or touch"
+
+
+def test_skyline_matches_bruteforce_and_is_antichain(spark, sf_dir):
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderdate"
+    ).collect()
+    pts = [(r.o_orderkey, r.o_totalprice, r.o_orderdate) for r in orders]
+
+    def dominated(p, q):  # q dominates p
+        return (
+            q[1] <= p[1]
+            and q[2] >= p[2]
+            and (q[1] < p[1] or q[2] > p[2])
+        )
+
+    expected = {
+        p[0] for p in pts if not any(dominated(p, q) for q in pts)
+    }
+    got_rows = SPECS["skyline_orders"].fn(spark, sf_dir).collect()
+    got = {r.o_orderkey for r in got_rows}
+    assert got == expected
+    # antichain: no member dominates another
+    by_key = {p[0]: p for p in pts}
+    sky = [by_key[k] for k in got]
+    for p in sky:
+        assert not any(dominated(p, q) for q in sky if q[0] != p[0])
+
+
+def test_regression_matches_exact_python_moments(spark, sf_dir):
+    rows = _events(spark, sf_dir)
+    mom = defaultdict(lambda: [0, 0, 0, 0, 0, 0])  # n, sx, sy, sxy, sxx, syy
+    for r in rows:
+        if r.value is None:
+            continue
+        x = r.ts.hour
+        y = int(r.value * 100.0 + 0.5)  # floor(v*100+0.5), v >= 0
+        m = mom[r.event_type]
+        m[0] += 1
+        m[1] += x
+        m[2] += y
+        m[3] += x * y
+        m[4] += x * x
+        m[5] += y * y
+    import math
+
+    expected = {}
+    for et, (n, sx, sy, sxy, sxx, syy) in mom.items():
+        n_, sx_, sy_ = float(n), float(sx), float(sy)
+        sxy_, sxx_, syy_ = float(sxy), float(sxx), float(syy)
+        cov = n_ * sxy_ - sx_ * sy_
+        vx = n_ * sxx_ - sx_ * sx_
+        vy = n_ * syy_ - sy_ * sy_
+        r6 = lambda v: math.floor(v * 1e6 + 0.5) / 1e6
+        expected[et] = (n, r6(cov / vx / 100.0), r6(cov / math.sqrt(vx * vy)))
+    got = {
+        r.event_type: (r.n_points, r.slope, r.corr_r)
+        for r in SPECS["regression_value_by_hour"].fn(spark, sf_dir).collect()
+    }
+    assert got == expected
+
+
+def test_range_boundaries_are_exact_order_statistics(spark, sf_dir):
+    prices = sorted(
+        r.o_totalprice
+        for r in load_table(spark, sf_dir, "orders").select("o_totalprice").collect()
+    )
+    n = len(prices)
+    got = SPECS["range_partition_boundaries"].fn(spark, sf_dir).collect()
+    assert len(got) == 7
+    for r in got:
+        target = (n * r.bucket_id + 7) // 8
+        assert r.target_rank == target
+        # boundary is the target-th smallest value (1-indexed)
+        assert r.boundary == prices[target - 1], (r.bucket_id, target)
+
+
+def test_cohort_retention_accounting(spark, sf_dir):
+    rows = SPECS["cohort_retention"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").collect()
+    activity = {(r.user_id, r.ts.date()) for r in ev}
+    cohort = {}
+    for uid, day in activity:
+        cohort[uid] = min(cohort.get(uid, day), day)
+    # offset-0 cell of each cohort equals the cohort's size
+    cohort_sizes = Counter(cohort.values())
+    zero_cells = {r.cohort_day: r.n_active for r in rows if r.day_offset == 0}
+    assert zero_cells == dict(cohort_sizes)
+    # total cells account for every distinct (user, day) pair
+    assert sum(r.n_active for r in rows) == len(activity)
+    assert all(r.day_offset >= 0 for r in rows)
+
+
+def test_bfs_matches_python_bfs(spark, sf_dir):
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect()
+    by_order = defaultdict(set)
+    for r in li:
+        by_order[r.l_orderkey].add(r.l_partkey)
+    adj = defaultdict(set)
+    for parts in by_order.values():
+        for a in parts:
+            for b in parts:
+                if a != b:
+                    adj[a].add(b)
+    seed = min(p for parts in by_order.values() for p in parts)
+    dist = {seed: 0}
+    frontier = [seed]
+    for h in range(1, 4):
+        nxt = []
+        for u in frontier:
+            for v in adj[u]:
+                if v not in dist:
+                    dist[v] = h
+                    nxt.append(v)
+        frontier = nxt
+    got = {
+        r.l_partkey: r.hops
+        for r in SPECS["basket_bfs_part_hops"].fn(spark, sf_dir).collect()
+    }
+    assert got == dist
+
+
+@given(
+    st.integers(min_value=0, max_value=65535),
+    st.integers(min_value=0, max_value=65535),
+)
+@settings(max_examples=200, deadline=None)
+def test_zorder_expression_matches_python_interleave(x, y):
+    """The shared ZORDER_EXPR text computes the textbook Morton
+    interleave — verified against pure Python via DuckDB evaluation
+    (cheap per-example; the Spark side runs the same expression text,
+    and oracle parity covers Spark≡DuckDB)."""
+    from streamprocessing_spark.queries.layout import ZORDER_EXPR
+
+    expected = 0
+    for i in range(16):
+        expected |= ((x >> i) & 1) << (2 * i)
+        expected |= ((y >> i) & 1) << (2 * i + 1)
+    got = duckdb.sql(
+        f"SELECT {ZORDER_EXPR} AS z FROM (SELECT {x}::BIGINT AS x, {y}::BIGINT AS y)"
+    ).fetchone()[0]
+    assert got == expected
