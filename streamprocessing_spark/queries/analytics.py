@@ -1723,3 +1723,116 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
     )
+
+
+@register(
+    "asof_join_next_order_7d",
+    oracle="""
+    WITH o AS (
+      SELECT o_custkey AS k, o_orderdate AS t, max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY o_custkey, o_orderdate
+    ),
+    -- MATERIALIZED: stops the tolerance predicate folding into the ASOF
+    -- join (DuckDB allows exactly one inequality there)
+    j AS MATERIALIZED (
+      SELECT e.event_id, e.ts AS e_t, o.t AS o_t, o.o_orderkey
+      FROM events e
+      ASOF JOIN o ON e.user_id = o.k AND e.ts < o.t
+    )
+    SELECT event_id, o_orderkey
+    FROM j
+    WHERE o_t <= e_t + INTERVAL 7 DAY
+    """,
+    tags=("analytics", "join", "asof"),
+)
+def asof_join_next_order_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance: for each event, the customer's
+    next order strictly after the event, kept only if within 7 days —
+    the attribution-window shape ("did a purchase follow this click?").
+
+    Same union + ordered-window pattern as the backward as-of
+    (asof_join_latest_order), mirrored: events sort AFTER orders at the
+    same instant (side tag), and each event takes the FIRST order in the
+    forward frame — strictly-later semantics fall out of the sort order,
+    no range cross-join. The tolerance is applied to the picked
+    candidate in integer epoch-micros, identical in both engines."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("k"), F.col("ts").alias("t"), "event_id"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t"))
+        .agg(F.max("o_orderkey").alias("o_orderkey"))
+    )
+    # side: orders 0, events 1 — an order at the exact event instant sorts
+    # BEFORE the event, so the event's forward frame excludes it (strict >).
+    left = ev.select(
+        "k", "t", F.lit(1).alias("side"),
+        F.lit(None).cast("long").alias("o_orderkey"),
+        F.lit(None).cast("timestamp").alias("o_t"),
+        "event_id",
+    )
+    right = o.select(
+        "k", "t", F.lit(0).alias("side"), "o_orderkey",
+        F.col("t").alias("o_t"),
+        F.lit(None).cast("long").alias("event_id"),
+    )
+    w = (
+        Window.partitionBy("k")
+        .orderBy("t", "side")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    picked = F.first(
+        F.when(F.col("side") == 0, F.struct("o_t", "o_orderkey")), ignorenulls=True
+    ).over(w)
+    merged = left.unionByName(right).withColumn("nxt", picked)
+    return (
+        merged.filter(F.col("side") == 1)
+        .filter(F.col("nxt").isNotNull())
+        .filter(
+            F.unix_micros(F.col("nxt.o_t"))
+            <= F.unix_micros(F.col("t")) + F.lit(7 * 86400 * 1000000)
+        )
+        .select("event_id", F.col("nxt.o_orderkey").alias("o_orderkey"))
+    )
+
+
+@register(
+    "schema_evolution_union",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderpriority END
+             AS o_orderpriority,
+           o_totalprice
+    FROM orders
+    """,
+    tags=("analytics", "source", "schema-evolution"),
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema evolution across file generations: generation 1 (even keys)
+    was written BEFORE the o_orderpriority column existed; generation 2
+    (odd keys) has it. One mergeSchema read reconciles both — old rows
+    surface NULL for the added column. This is how a 100 TB table ingests
+    a schema change without rewriting history; at cluster scale the merged
+    schema comes from the metastore rather than footer-sampling every
+    file (mergeSchema's cost grows with file count)."""
+    import hashlib
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders")
+    base = os.path.join(
+        tempfile.gettempdir(),
+        f"sp_evo_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}",
+    )
+    o.filter(F.col("o_orderkey") % 2 == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(f"{base}/gen=1")
+    o.filter(F.col("o_orderkey") % 2 != 0).select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    ).write.mode("overwrite").parquet(f"{base}/gen=2")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(base)
+        .select("o_orderkey", "o_orderpriority", "o_totalprice")
+    )
