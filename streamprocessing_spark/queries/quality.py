@@ -1,0 +1,206 @@
+"""Corpus-quality filters over the documents table (north-star extension:
+the Gopher/C4-style heuristic filter stage of a training-data pipeline;
+generalizes the reference's per-record filter operators,
+/root/reference/ops/app1op1/app1op1.go:9-18, from substring predicates to
+corpus statistics).
+
+All pure Catalyst expressions — no UDFs; every ratio is computed from
+exact integer counts and rounded with the engine-portable floor(x*k+0.5)/k
+so the DuckDB oracles match bit-for-bit. At 100 TB these are scan-shaped
+(per-row projections + one groupBy where noted): they pipeline inside
+whole-stage codegen and shuffle at most once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from streamprocessing_spark.functions import text as T
+from streamprocessing_spark.registry import register
+from streamprocessing_spark.sources.readers import load_table
+
+_SQL_TOKENS = T.SQL_TOKENS
+
+# Gopher-style acceptance bounds (Rae et al. 2021, "Scaling Language
+# Models: ... Gopher", §A1.1 — adapted to this synthetic corpus's scale).
+MIN_WORDS, MAX_WORDS = 20, 100_000
+MIN_MEAN_LEN, MAX_MEAN_LEN = 2.0, 10.0
+MIN_STOP_HITS = 2
+
+
+@register(
+    "repetition_top_bigram_fraction",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t, len({_SQL_TOKENS}) AS n_tok
+      FROM documents
+    ),
+    big AS (
+      SELECT doc_id, n_tok, t[i] || ' ' || t[i + 1] AS bigram
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+      WHERE n_tok >= 2
+    ),
+    cnt AS (
+      SELECT doc_id, n_tok, bigram, count(*) AS c
+      FROM big GROUP BY doc_id, n_tok, bigram
+    ),
+    top AS (
+      SELECT doc_id, n_tok, bigram, c,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY c DESC, bigram) AS rn
+      FROM cnt
+    )
+    SELECT doc_id, bigram AS top_bigram, CAST(c AS BIGINT) AS top_n,
+           floor((2.0 * c / n_tok) * 1000000.0 + 0.5) / 1000000.0 AS top_frac
+    FROM top WHERE rn = 1
+    """,
+    tags=("quality", "text", "llm-pipeline"),
+)
+def repetition_top_bigram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition rule: fraction of the document covered by its most
+    frequent word bigram (2·count/len). High values flag boilerplate /
+    TEMPLATE spam. Tiebreak on the bigram string keeps the winner
+    deterministic. Plan shape: scan → explode (1→n-1) → two-level hash agg
+    → per-doc window on the already-grouped (doc, bigram) rows — the
+    explode never leaves the scan stage, and the window partitions by
+    doc_id so state is one doc's distinct bigrams, not the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id",
+        T.tokens(F.col("text")).alias("t"),
+        T.token_count(F.col("text")).alias("n_tok"),
+    ).where(F.col("n_tok") >= 2)
+    bigrams = toked.select(
+        "doc_id",
+        "n_tok",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), (F.col("n_tok") - 1).cast("int")),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("t", i.cast("int")),
+                    F.element_at("t", (i + 1).cast("int")),
+                ),
+            )
+        ).alias("bigram"),
+    )
+    cnt = bigrams.groupBy("doc_id", "n_tok", "bigram").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("doc_id").orderBy(F.col("c").desc(), F.col("bigram"))
+    return (
+        cnt.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            F.col("bigram").alias("top_bigram"),
+            F.col("c").cast("long").alias("top_n"),
+            T.portable_round(F.lit(2.0) * F.col("c") / F.col("n_tok"), 6).alias("top_frac"),
+        )
+    )
+
+
+@register(
+    "doc_type_token_ratio",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id,
+             len({_SQL_TOKENS}) AS n_tokens,
+             len(list_distinct({_SQL_TOKENS})) AS n_distinct
+      FROM documents
+    )
+    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           floor((1.0 * n_distinct / n_tokens) * 1000000.0 + 0.5) / 1000000.0 AS ttr
+    FROM toks WHERE n_tokens > 0
+    """,
+    tags=("quality", "text", "llm-pipeline"),
+)
+def doc_type_token_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-token ratio (distinct words / words) — the lexical-diversity
+    quality signal (low TTR ⇒ repetitive/generated text). Pure per-row
+    array expressions: runs at scan speed, no shuffle at all."""
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    n_tok = F.size("t").cast("long")
+    n_dis = F.size(F.array_distinct("t")).cast("long")
+    return (
+        toked.select(
+            "doc_id",
+            n_tok.alias("n_tokens"),
+            n_dis.alias("n_distinct"),
+        )
+        .where(F.col("n_tokens") > 0)
+        .withColumn(
+            "ttr",
+            T.portable_round(F.lit(1.0) * F.col("n_distinct") / F.col("n_tokens"), 6),
+        )
+    )
+
+
+def _sql_stop_hits_en() -> str:
+    words = ", ".join(f"'{w}'" for w in T.STOPWORDS["en"])
+    return f"len(list_filter({_SQL_TOKENS}, t -> list_contains([{words}], t)))"
+
+
+@register(
+    "gopher_quality_flags",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             len({_SQL_TOKENS}) AS n_tokens,
+             list_sum(list_transform({_SQL_TOKENS}, t -> length(t))) AS sum_len,
+             {_sql_stop_hits_en()} AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(n_tokens AS BIGINT) AS n_tokens,
+           floor((1.0 * sum_len / n_tokens) * 10000.0 + 0.5) / 10000.0 AS mean_word_len,
+           CAST(stop_hits AS BIGINT) AS stop_hits,
+           CAST(n_tokens BETWEEN {MIN_WORDS} AND {MAX_WORDS} AS BIGINT) AS flag_wordcount,
+           CAST(1.0 * sum_len / n_tokens BETWEEN {MIN_MEAN_LEN} AND {MAX_MEAN_LEN}
+                AS BIGINT) AS flag_meanlen,
+           CAST(stop_hits >= {MIN_STOP_HITS} OR lang <> 'en' AS BIGINT) AS flag_stop,
+           CAST((n_tokens BETWEEN {MIN_WORDS} AND {MAX_WORDS})
+            AND (1.0 * sum_len / n_tokens BETWEEN {MIN_MEAN_LEN} AND {MAX_MEAN_LEN})
+            AND (stop_hits >= {MIN_STOP_HITS} OR lang <> 'en') AS BIGINT) AS passes
+    FROM s WHERE n_tokens > 0
+    """,
+    tags=("quality", "text", "llm-pipeline"),
+)
+def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style per-document quality gate: word-count bounds, mean
+    word length bounds, stopword-presence floor (English only — other
+    languages pass the stopword rule vacuously, as Gopher applies it to
+    English text). Every flag is derived from exact integer counts; the
+    mean-length comparison happens on the identical double both engines
+    compute from (sum_len, n_tokens). Scan-shaped: zero shuffles, flags
+    emitted per row so the downstream filter is a free predicate."""
+    d = load_table(spark, sf_dir, "documents")
+    sum_len = F.aggregate(
+        "t", F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    s = d.select(
+        "doc_id",
+        "lang",
+        T.tokens(F.col("text")).alias("t"),
+    ).select(
+        "doc_id",
+        "lang",
+        F.size("t").cast("long").alias("n_tokens"),
+        sum_len.alias("sum_len"),
+        T.stopword_hits(F.col("t"), "en").alias("stop_hits"),
+    ).where(F.col("n_tokens") > 0)
+    mean_len = F.lit(1.0) * F.col("sum_len") / F.col("n_tokens")
+    flag_wc = F.col("n_tokens").between(MIN_WORDS, MAX_WORDS)
+    flag_ml = mean_len.between(MIN_MEAN_LEN, MAX_MEAN_LEN)
+    flag_st = (F.col("stop_hits") >= MIN_STOP_HITS) | (F.col("lang") != "en")
+    return s.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        T.portable_round(mean_len, 4).alias("mean_word_len"),
+        F.col("stop_hits").cast("long").alias("stop_hits"),
+        flag_wc.cast("long").alias("flag_wordcount"),
+        flag_ml.cast("long").alias("flag_meanlen"),
+        flag_st.cast("long").alias("flag_stop"),
+        (flag_wc & flag_ml & flag_st).cast("long").alias("passes"),
+    )

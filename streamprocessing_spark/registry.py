@@ -39,6 +39,7 @@ _QUERY_MODULES = (
     "streamprocessing_spark.queries.analytics",
     "streamprocessing_spark.queries.tpch_extra",
     "streamprocessing_spark.queries.curation",
+    "streamprocessing_spark.queries.quality",
     "streamprocessing_spark.queries.timeseries",
     "streamprocessing_spark.queries.layout",
     "streamprocessing_spark.queries.graph",
