@@ -47,6 +47,30 @@ def _ensure_confs(spark: SparkSession) -> None:
         pass
 
 
+def normalize_timestamps(df: DataFrame) -> DataFrame:
+    """Normalize timestamp encodings across testdata generations so every
+    query sees session-TZ TIMESTAMP columns regardless of how the parquet
+    was written:
+
+    - ``events.ts`` as parquet TIMESTAMP(NANOS) reads as long under
+      session.py's nanosAsLong — rebuild a micro-precision timestamp with
+      integer division (truncation), matching DuckDB's nanos→micros cast.
+    - Naive parquet timestamps (pyarrow ``timestamp[us]``,
+      isAdjustedToUTC=false) read as TIMESTAMP_NTZ — cast to TIMESTAMP;
+      with the UTC session timezone the instants are identical and DuckDB
+      reads the same files as plain (naive) TIMESTAMP.
+    """
+    from pyspark.sql import functions as F  # local import: keep module light
+    from pyspark.sql import types as T
+
+    for field in df.schema.fields:
+        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+            df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        elif isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
+    return df
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one test table. Parquet scans get predicate pushdown, column
     pruning and (on a cluster) partition pruning for free."""
@@ -54,14 +78,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events":
-        # ts is parquet TIMESTAMP(NANOS) — Spark reads it as long (see
-        # session.py nanosAsLong); rebuild a micro-precision timestamp with
-        # integer division (truncation), matching DuckDB's nanos→micros cast.
-        from pyspark.sql import functions as F  # local import: keep module light
-
-        df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-    return df
+    return normalize_timestamps(df)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

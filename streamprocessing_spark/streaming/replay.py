@@ -21,15 +21,14 @@ import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
-from streamprocessing_spark.sources.readers import _ensure_confs
+from streamprocessing_spark.sources.readers import _ensure_confs, normalize_timestamps
 
 
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over events.parquet with the same ts normalization as the
-    batch loader (nanos→micros). Schema comes from a batch peek — file
-    stream sources need it declared."""
+    batch loader (see readers.normalize_timestamps). Schema comes from a
+    batch peek — file stream sources need it declared."""
     _ensure_confs(spark)
     path = f"{sf_dir}/events.parquet"
     schema = spark.read.parquet(path).schema
@@ -40,7 +39,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+    return normalize_timestamps(df)
 
 
 def run_to_memory_sink(
