@@ -125,6 +125,60 @@ class PluginOp:
         return _collapse_tagged(tagged, self.contract)
 
 
+class _PluginCacheRegistry:
+    """Mixed-contract tagged caches awaiting eviction, oldest first. The
+    cache must outlive _collapse_tagged (the returned union is lazy — the
+    caller materializes it later), so eviction is deferred: a long-lived
+    session calls release_plugin_caches() between jobs, and the registry
+    is bounded so even a caller that never releases pins at most a few
+    jobs' worth of partitions.
+
+    The registry is strictly driver-side state: it pickles as EMPTY
+    (__reduce__), because this module ships by value to executors
+    (shipping.ensure_shippable) and cached DataFrames hold a
+    SparkContext, which must never ride along in a serialized task."""
+
+    KEEP = 4  # jobs' caches kept live before oldest-first eviction
+
+    def __init__(self) -> None:
+        self.dfs: list[DataFrame] = []
+
+    def __reduce__(self):
+        return (_PluginCacheRegistry, ())
+
+    def add(self, df: DataFrame) -> None:
+        self.dfs.append(df)
+        while len(self.dfs) > self.KEEP:
+            old = self.dfs.pop(0)
+            try:
+                old.unpersist(False)
+            except Exception:  # noqa: BLE001
+                pass
+
+    def release(self, blocking: bool = False) -> int:
+        n = 0
+        while self.dfs:
+            df = self.dfs.pop()
+            try:
+                df.unpersist(blocking)
+            except Exception:  # noqa: BLE001 - a stopped session has nothing to release
+                pass
+            n += 1
+        return n
+
+
+_PLUGIN_CACHES = _PluginCacheRegistry()
+
+
+def release_plugin_caches(blocking: bool = False) -> int:
+    """Unpersist every tagged cache left by mixed-contract plugin runs;
+    returns how many were released. Safe at any time: an unpersisted
+    result that is re-collected later just recomputes (correct for the
+    deterministic ops this engine ships; a non-deterministic user fn
+    should be released only after its output is materialized)."""
+    return _PLUGIN_CACHES.release(blocking)
+
+
 def _collapse_tagged(tagged: DataFrame, contract: str = "mixed") -> DataFrame:
     """Tagged (kind, key, value) stream → the op's output records:
     'emit' rows pass through, 'count' rows aggregate to
@@ -143,10 +197,12 @@ def _collapse_tagged(tagged: DataFrame, contract: str = "mixed") -> DataFrame:
     # branch re-executes the Python kernel over the full input (2× per
     # op, 4× for two chained PluginOps), and a non-deterministic user
     # fn could split records inconsistently between the branches.
-    # Batch: persist the tagged output once. Streaming: persist is not
-    # applicable — each micro-batch is evaluated once per sink anyway.
+    # Batch: persist the tagged output once; eviction is deferred via
+    # _register_plugin_cache (the union is lazy). Streaming: persist is
+    # not applicable — each micro-batch is evaluated once per sink anyway.
     if not tagged.isStreaming:
         tagged = tagged.persist()
+        _PLUGIN_CACHES.add(tagged)
     emits = tagged.where(F.col("kind") == "emit").select("key", "value")
     counts = (
         tagged.where(F.col("kind") == "count")
@@ -198,7 +254,75 @@ class BatchPluginOp:
         return _collapse_tagged(records.mapInPandas(kernel, _TAGGED_SCHEMA), self.contract)
 
 
-Op = NativeOp | PluginOp | BatchPluginOp
+@dataclass(frozen=True)
+class ExecOp:
+    """The reference's LITERAL operator contract: an external executable
+    invoked as ``<exe> <key> <value> [pattern]`` once per record
+    (rainstorm/server.go:320-331), its stdout classified by line count
+    (server.go:334-361):
+
+        0 lines  → record filtered out
+        1 line   → count path: the framework counts that line as a key
+        ≥2 lines → consecutive line pairs become (key, value) records
+
+    This is the compatibility adapter for binary-only user ops — an
+    existing op executable runs unchanged. It is deliberately the SLOW
+    path: fork/exec per record costs ~10^4× more than an Arrow batch
+    (SURVEY.md §4.2), which is why PluginOp (Python callable) and
+    BatchPluginOp (vectorized) are the recommended surfaces; ExecOp
+    exists so reference parity includes the argv contract itself.
+    Forks happen executor-side inside mapInPandas partitions, so the
+    cost parallelizes across cores/executors and nothing flows through
+    the driver."""
+
+    exe: str
+    contract: str = "mixed"
+
+    def apply(self, records: DataFrame, pattern: str | None) -> DataFrame:
+        from streamprocessing_spark.shipping import ensure_shippable
+
+        ensure_shippable()
+        exe = self.exe
+
+        def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            import subprocess
+
+            for pdf in batches:
+                kinds: list[str] = []
+                keys: list[str] = []
+                vals: list[str] = []
+                for k, v in zip(pdf["key"].tolist(), pdf["value"].tolist()):
+                    argv = [exe, k, v]
+                    if pattern is not None:
+                        argv.append(pattern)
+                    proc = subprocess.run(argv, capture_output=True, text=True)
+                    if proc.returncode != 0:
+                        # fail the task (Spark retries it) rather than
+                        # silently dropping the record — the reference
+                        # logs and skips (server.go:327-331), but a
+                        # crashing op is a bug we surface
+                        raise RuntimeError(
+                            f"op {exe!r} exited {proc.returncode}: {proc.stderr[:500]}"
+                        )
+                    lines = proc.stdout.splitlines()
+                    if not lines:
+                        continue
+                    if len(lines) == 1:
+                        kinds.append("count")
+                        keys.append(lines[0])
+                        vals.append("")
+                    else:
+                        for i in range(0, len(lines) - 1, 2):
+                            kinds.append("emit")
+                            keys.append(lines[i])
+                            vals.append(lines[i + 1])
+                yield pd.DataFrame({"kind": kinds, "key": keys, "value": vals})
+
+        tagged = records.mapInPandas(kernel, _TAGGED_SCHEMA)
+        return _collapse_tagged(tagged, self.contract)
+
+
+Op = NativeOp | PluginOp | BatchPluginOp | ExecOp
 
 
 @dataclass(frozen=True)

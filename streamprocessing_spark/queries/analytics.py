@@ -1725,12 +1725,25 @@ def source_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Forward-as-of fixture alignment: events span 2024-01-01..01-30 while
+# o_orderdate spans 1995..2001 (driver testdata, all SFs), so a forward
+# join on the raw dates can never match. The order TIME is therefore
+# synthesized into the events window with key-derived arithmetic —
+# identical integer expressions both engines, deterministic, collision-
+# grouped — so the tolerance/window logic is exercised on real matches.
+_ASOF_BASE_US = 1_704_067_200_000_000  # 2024-01-01 00:00:00 UTC in micros
+_ASOF_SPAN_US = 30 * 86_400 * 1_000_000  # the 30-day events window
+_ASOF_MIX = 2_654_435_761  # Knuth multiplicative-hash constant
+
+
 @register(
     "asof_join_next_order_7d",
-    oracle="""
+    oracle=f"""
     WITH o AS (
-      SELECT o_custkey AS k, o_orderdate AS t, max(o_orderkey) AS o_orderkey
-      FROM orders GROUP BY o_custkey, o_orderdate
+      SELECT o_custkey AS k,
+             make_timestamp({_ASOF_BASE_US} + (o_orderkey * {_ASOF_MIX}) % {_ASOF_SPAN_US}) AS t,
+             max(o_orderkey) AS o_orderkey
+      FROM orders GROUP BY 1, 2
     ),
     -- MATERIALIZED: stops the tolerance predicate folding into the ASOF
     -- join (DuckDB allows exactly one inequality there)
@@ -1755,13 +1768,21 @@ def asof_join_next_order_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
     same instant (side tag), and each event takes the FIRST order in the
     forward frame — strictly-later semantics fall out of the sort order,
     no range cross-join. The tolerance is applied to the picked
-    candidate in integer epoch-micros, identical in both engines."""
+    candidate in integer epoch-micros, identical in both engines.
+
+    Order times are synthesized into the events month (see _ASOF_BASE_US
+    above): the fixture's raw o_orderdate range (1995-2001) never
+    overlaps events (2024-01), which would make every run vacuously
+    empty."""
     ev = load_table(spark, sf_dir, "events").select(
         F.col("user_id").alias("k"), F.col("ts").alias("t"), "event_id"
     )
+    synth_t = F.timestamp_micros(
+        F.lit(_ASOF_BASE_US) + (F.col("o_orderkey") * F.lit(_ASOF_MIX)) % F.lit(_ASOF_SPAN_US)
+    )
     o = (
         load_table(spark, sf_dir, "orders")
-        .groupBy(F.col("o_custkey").alias("k"), F.col("o_orderdate").alias("t"))
+        .groupBy(F.col("o_custkey").alias("k"), synth_t.alias("t"))
         .agg(F.max("o_orderkey").alias("o_orderkey"))
     )
     # side: orders 0, events 1 — an order at the exact event instant sorts

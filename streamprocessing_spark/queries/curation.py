@@ -93,6 +93,7 @@ def quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 PACK_CONTEXT_TOKENS = 2048
+PACK_SHARDS = 16  # packing shards; at 100 TB size so one shard ≈ one loader worker's slice
 
 
 @register(
@@ -100,16 +101,18 @@ PACK_CONTEXT_TOKENS = 2048
     oracle=f"""
     WITH sized AS (
       SELECT doc_id,
+             doc_id % {PACK_SHARDS} AS shard_id,
              len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
       FROM documents
     ),
     cum AS (
-      SELECT doc_id, n_tokens,
-             sum(n_tokens) OVER (ORDER BY doc_id
+      SELECT doc_id, shard_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
                                  ROWS UNBOUNDED PRECEDING) AS cum_tokens
       FROM sized
     )
-    SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+    SELECT doc_id, CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(n_tokens AS BIGINT) AS n_tokens,
            CAST((cum_tokens - n_tokens) // {PACK_CONTEXT_TOKENS} AS BIGINT) AS bin_id
     FROM cum
     """,
@@ -117,20 +120,32 @@ PACK_CONTEXT_TOKENS = 2048
 )
 def pack_documents_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (concat-and-chunk): documents are laid end-to-end
-    in doc_id order and cut into PACK_CONTEXT_TOKENS-token context windows;
-    bin_id = tokens-before-me // capacity — the streaming-concatenation
-    packing used for LLM pretraining batches (deterministic, no
-    bin-search). The global ordered window is a single-partition sort at
-    this shape; at 100 TB packing runs per shard (partitionBy(shard) added
-    to the window) — bins never cross shard boundaries, which is also
-    what a distributed loader wants."""
+    in doc_id order WITHIN a shard and cut into PACK_CONTEXT_TOKENS-token
+    context windows; bin_id = tokens-before-me-in-shard // capacity — the
+    streaming-concatenation packing used for LLM pretraining batches
+    (deterministic, no bin-search). Packing runs per shard (deterministic
+    hash bucket of doc_id, the train_test_split pattern): the cumulative
+    window partitions by shard, so the sort distributes over PACK_SHARDS
+    concurrent tasks instead of pulling the whole corpus through one —
+    the shape that survives 100 TB. Bins never cross shard boundaries,
+    which is also what a distributed loader wants: (shard_id, bin_id) is
+    the global bin key, and each loader worker reads only its shard."""
     from streamprocessing_spark.functions import text as T
 
     d = load_table(spark, sf_dir, "documents")
-    sized = d.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sized = d.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).cast("long").alias("shard_id"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     return sized.select(
         "doc_id",
+        "shard_id",
         "n_tokens",
         F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / PACK_CONTEXT_TOKENS)
         .cast("long")

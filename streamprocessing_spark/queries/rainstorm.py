@@ -176,3 +176,41 @@ def rainstorm_vectorized_app2(spark: SparkSession, sf_dir: str) -> DataFrame:
         op1=E.BatchPluginOp(E.vec_app2_op1), op2=E.BatchPluginOp(E.vec_app2_op2), pattern="F"
     )
     return job.run(_record_stream(spark, sf_dir))
+
+
+_EXEC_APP2_ORACLE = """
+    SELECT o_orderpriority AS key, CAST(count(*) AS VARCHAR) AS value
+    FROM orders
+    WHERE o_orderstatus = 'F' AND o_orderkey % 30 = 0
+    GROUP BY o_orderpriority
+    """
+
+
+@register(
+    "rainstorm_exec_app2",
+    oracle=_EXEC_APP2_ORACLE,
+    tags=("reference", "engine", "exec", "subprocess"),
+)
+def rainstorm_exec_app2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """App2 through engine.ExecOp — the reference's LITERAL operator
+    surface: external executables invoked ``<exe> <key> <value> <pattern>``
+    per record, stdout classified 0/1/N lines (rainstorm/server.go:320-361).
+    The op scripts (streamprocessing_spark/ops/app2op*.py) are argv/stdout
+    twins of the reference's Go binaries; a user's existing op executables
+    run unchanged under this adapter.
+
+    Runs on a 1-in-30 keyed slice of orders: fork/exec per record is the
+    contract's inherent cost (~10^4x an Arrow batch, SURVEY.md §4.2) and
+    the adapter exists for parity, not throughput — the bounded slice
+    keeps the correctness gate cheap while exercising the full path. The
+    forks run executor-side, in parallel across partitions."""
+    import os
+
+    ops_dir = os.path.join(os.path.dirname(os.path.dirname(__file__)), "ops")
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_orderkey") % 30 == 0)
+    job = E.RainStormJob(
+        op1=E.ExecOp(os.path.join(ops_dir, "app2op1.py")),
+        op2=E.ExecOp(os.path.join(ops_dir, "app2op2.py")),
+        pattern="F",
+    )
+    return job.run(_record_stream(spark, sf_dir, orders=o))

@@ -5,6 +5,14 @@ Streaming, still oracle-checked: each stream is replayed to completion
 Streaming-only semantics (update-mode emission per input, checkpoint
 recovery across restarts — the RainStormWithFail analogue) are asserted in
 tests/test_streaming.py, where a batch oracle can't express them.
+
+Execution shape: all eight pipelines are independent bounded replays of
+the same source, so the first query call starts ALL of them concurrently
+and awaits the batch (start_memory_sink); results are memoized per
+(session, sf_dir). Eight sequential drains each pay stream startup +
+state-store spin-up; the concurrent batch costs roughly the slowest one.
+This mirrors a production deployment too — multiple streaming queries
+sharing one SparkSession is the normal multi-sink topology.
 """
 
 from __future__ import annotations
@@ -15,7 +23,175 @@ from pyspark.sql import functions as F
 from streamprocessing_spark.functions import money as M
 
 from streamprocessing_spark.registry import register
-from streamprocessing_spark.streaming.replay import run_to_memory_sink, stream_events
+from streamprocessing_spark.streaming.replay import (
+    run_to_memory_sink,
+    start_memory_sink,
+    stream_events,
+)
+
+# ---------------------------------------------------------------------------
+# Pipeline builders: (spark, sf_dir) -> streaming DataFrame, plus the output
+# mode each needs. Registered query fns below are thin memoized wrappers.
+
+
+def _build_count_update(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        stream_events(spark, sf_dir)
+        .select(F.col("event_type").alias("key"))
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def _build_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        stream_events(spark, sf_dir)
+        .where(F.col("event_type") == "purchase")
+        .select(
+            F.col("event_id").alias("key"),
+            # double→string rendering differs across engines (scientific
+            # vs shortest-decimal; printf halfway modes differ too) —
+            # scale to integer first: integer→string is identical anywhere
+            F.floor(F.col("value") * 10000 + 0.5).cast("long").cast("string").alias("value"),
+        )
+    )
+
+
+def _build_dedup_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        stream_events(spark, sf_dir)
+        .select("event_id", "event_type")
+        .dropDuplicates(["event_id"])
+    )
+
+
+def _build_windowed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    return (
+        ev.groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss"), F.lit(" UTC")
+            ).alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def _build_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "2 hours")
+    return (
+        ev.groupBy(F.session_window("ts", "2 hours"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.concat(
+                F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss"),
+                F.lit(" UTC"),
+            ).alias("session_start"),
+            "n_events",
+        )
+    )
+
+
+def _build_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss"), F.lit(" UTC")
+            ).alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
+def _build_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessing_spark.sources.readers import load_table
+
+    ev = stream_events(spark, sf_dir)
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        M.money(F.sum(M.tt(F.col("value")))).alias("total_value"),
+    )
+
+
+def _build_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def ev(t: str, pre: str) -> DataFrame:
+        return (
+            stream_events(spark, sf_dir)
+            .where(F.col("event_type") == t)
+            .select(
+                F.col("user_id").alias(f"{pre}_user"),
+                F.col("ts").alias(f"{pre}_ts"),
+                F.col("event_id").alias(f"{pre}_id"),
+            )
+            .withWatermark(f"{pre}_ts", "1 hour")
+        )
+
+    p, c = ev("purchase", "p"), ev("click", "c")
+    joined = p.join(
+        c,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+    )
+    return joined.select(F.col("p_id").alias("purchase_id"), F.col("c_id").alias("click_id"))
+
+
+_PIPELINES: dict[str, tuple] = {
+    "streaming_count_update": (_build_count_update, "complete"),
+    "streaming_append_sink": (_build_append_sink, "append"),
+    "streaming_dedup_by_id": (_build_dedup_by_id, "append"),
+    "streaming_windowed_count": (_build_windowed_count, "complete"),
+    "streaming_session_window": (_build_session_window, "complete"),
+    "streaming_sliding_window": (_build_sliding_window, "complete"),
+    "streaming_static_join": (_build_static_join, "complete"),
+    "streaming_interval_join": (_build_interval_join, "append"),
+}
+
+# (applicationId, sf_dir) -> {query_name: memory-sink table name}
+_DRAINED: dict[tuple[str, str], dict[str, str]] = {}
+
+
+def _drained(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Return `name`'s end-of-stream result, draining ALL pipelines
+    concurrently on first use (memoized per session + sf_dir). Falls back
+    to a solo sequential drain if the batch start fails."""
+    key = (spark.sparkContext.applicationId, sf_dir)
+    sinks = _DRAINED.get(key)
+    if sinks is not None and name in sinks:
+        return spark.table(sinks[name])
+    started = []
+    try:
+        table_names: dict[str, str] = {}
+        for qname, (build, mode) in _PIPELINES.items():
+            q, sink_name, cleanup = start_memory_sink(build(spark, sf_dir), mode)
+            started.append((q, cleanup))
+            table_names[qname] = sink_name
+        for q, cleanup in started:
+            q.awaitTermination()
+            cleanup()
+        _DRAINED[key] = table_names
+        return spark.table(table_names[name])
+    except Exception:
+        # concurrent batch failed (e.g. another test holds conflicting
+        # session state) — stop stragglers, run just the requested
+        # pipeline sequentially, unmemoized
+        for q, _cleanup in started:
+            try:
+                q.stop()
+            except Exception:  # noqa: BLE001
+                pass
+        build, mode = _PIPELINES[name]
+        return run_to_memory_sink(build(spark, sf_dir), mode)
 
 
 @register(
@@ -30,13 +206,7 @@ def streaming_count_update(spark: SparkSession, sf_dir: str) -> DataFrame:
     count with managed state, replayed to end-of-stream. The state store
     plays the role of the reference's in-memory map + WAL replay; the
     batch oracle checks the final counts (SURVEY.md §4.3.1)."""
-    counts = (
-        stream_events(spark, sf_dir)
-        .select(F.col("event_type").alias("key"))
-        .groupBy("key")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-    )
-    return run_to_memory_sink(counts, "complete")
+    return _drained(spark, sf_dir, "streaming_count_update")
 
 
 @register(
@@ -53,18 +223,7 @@ def streaming_append_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     filter+project streamed to an append sink. The reference's 500 ms
     batch flush is the micro-batch trigger; here AvailableNow drains the
     bounded replay."""
-    out = (
-        stream_events(spark, sf_dir)
-        .where(F.col("event_type") == "purchase")
-        .select(
-            F.col("event_id").alias("key"),
-            # double→string rendering differs across engines (scientific
-            # vs shortest-decimal; printf halfway modes differ too) —
-            # scale to integer first: integer→string is identical anywhere
-            F.floor(F.col("value") * 10000 + 0.5).cast("long").cast("string").alias("value"),
-        )
-    )
-    return run_to_memory_sink(out, "append")
+    return _drained(spark, sf_dir, "streaming_append_sink")
 
 
 @register(
@@ -79,12 +238,7 @@ def streaming_dedup_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     dropDuplicates over the stream holds seen-ids in the state store — the
     reference's unbounded processedRecordIDs map (SURVEY.md §4.3.4), which
     production jobs bound with withWatermark before dropDuplicates."""
-    deduped = (
-        stream_events(spark, sf_dir)
-        .select("event_id", "event_type")
-        .dropDuplicates(["event_id"])
-    )
-    return run_to_memory_sink(deduped, "append")
+    return _drained(spark, sf_dir, "streaming_dedup_by_id")
 
 
 @register(
@@ -102,19 +256,7 @@ def streaming_windowed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference lacks entirely (SURVEY.md §2.1: no event-time, no
     watermarks). Complete output mode so end-of-stream equals the batch
     rollup including still-open windows."""
-    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
-    counts = (
-        ev.groupBy(F.window("ts", "1 hour"), "event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            F.concat(
-                F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss"), F.lit(" UTC")
-            ).alias("window_start"),
-            "event_type",
-            "cnt",
-        )
-    )
-    return run_to_memory_sink(counts, "complete")
+    return _drained(spark, sf_dir, "streaming_windowed_count")
 
 
 @register(
@@ -143,20 +285,7 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     with managed state, an operator class the reference cannot express.
     The oracle rebuilds identical sessions with the SQL islands technique
     (new-session flag -> running sum -> group)."""
-    ev = stream_events(spark, sf_dir).withWatermark("ts", "2 hours")
-    sessions = (
-        ev.groupBy(F.session_window("ts", "2 hours"), "user_id")
-        .agg(F.count(F.lit(1)).alias("n_events"))
-        .select(
-            "user_id",
-            F.concat(
-                F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss"),
-                F.lit(" UTC"),
-            ).alias("session_start"),
-            "n_events",
-        )
-    )
-    return run_to_memory_sink(sessions, "complete")
+    return _drained(spark, sf_dir, "streaming_session_window")
 
 
 @register(
@@ -177,19 +306,7 @@ def streaming_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding windows (2 h width, 1 h slide): every event lands in exactly
     two windows; the oracle materializes both grid alignments with a
     UNION ALL."""
-    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
-    counts = (
-        ev.groupBy(F.window("ts", "2 hours", "1 hour"), "event_type")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .select(
-            F.concat(
-                F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss"), F.lit(" UTC")
-            ).alias("window_start"),
-            "event_type",
-            "cnt",
-        )
-    )
-    return run_to_memory_sink(counts, "complete")
+    return _drained(spark, sf_dir, "streaming_sliding_window")
 
 
 @register(
@@ -206,16 +323,7 @@ def streaming_static_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream-static join: each micro-batch joins against the (broadcast)
     customer dimension — the standard enrichment topology; state is only
     held for the aggregate, not the join."""
-    from streamprocessing_spark.sources.readers import load_table
-
-    ev = stream_events(spark, sf_dir)
-    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
-    joined = ev.join(F.broadcast(cust), ev.user_id == cust.c_custkey)
-    agg = joined.groupBy("c_mktsegment").agg(
-        F.count(F.lit(1)).alias("cnt"),
-        M.money(F.sum(M.tt(F.col("value")))).alias("total_value"),
-    )
-    return run_to_memory_sink(agg, "complete")
+    return _drained(spark, sf_dir, "streaming_static_join")
 
 
 @register(
@@ -235,24 +343,4 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     the join state (the reference cannot express any join, let alone a
     time-bounded streaming one). State is keyed by user and pruned as the
     watermark passes ts + 1 h."""
-    ev = lambda t, pre: (
-        stream_events(spark, sf_dir)
-        .where(F.col("event_type") == t)
-        .select(
-            F.col("user_id").alias(f"{pre}_user"),
-            F.col("ts").alias(f"{pre}_ts"),
-            F.col("event_id").alias(f"{pre}_id"),
-        )
-        .withWatermark(f"{pre}_ts", "1 hour")
-    )
-    p, c = ev("purchase", "p"), ev("click", "c")
-    joined = p.join(
-        c,
-        (F.col("p_user") == F.col("c_user"))
-        & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
-        & (F.col("c_ts") <= F.col("p_ts")),
-    )
-    return run_to_memory_sink(
-        joined.select(F.col("p_id").alias("purchase_id"), F.col("c_id").alias("click_id")),
-        "append",
-    )
+    return _drained(spark, sf_dir, "streaming_interval_join")

@@ -45,8 +45,10 @@ def get_spark(app_name: str = "streamprocessing-spark", master: str | None = Non
         .config("spark.default.parallelism", str(max(cpus, 8)))
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # events.parquet stores TIMESTAMP(NANOS); read as long, converted
-        # to a micro-precision timestamp in sources.readers.load_table.
+        # Legacy testdata generations wrote events.ts as TIMESTAMP(NANOS);
+        # this conf makes those read as long (rebuilt into a micros
+        # timestamp by sources.readers.normalize_timestamps). Current
+        # generations write micros NTZ and ignore it.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
@@ -55,5 +57,10 @@ def get_spark(app_name: str = "streamprocessing-spark", master: str | None = Non
     if master is not None:
         builder = builder.master(master)
     elif not os.environ.get("SPARK_MASTER"):
-        builder = builder.master(f"local[{cpus}]")
+        # local[n, 2]: allow one task retry, like a real cluster
+        # (spark.task.maxFailures defaults to 4 there but 1 in plain
+        # local mode) — required for the mid-run failure-injection tests
+        # (the RainStormWithFail analogue) and generally truer to the
+        # deployment the engine targets.
+        builder = builder.master(f"local[{cpus},2]")
     return builder.getOrCreate()

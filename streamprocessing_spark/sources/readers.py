@@ -47,7 +47,14 @@ def _ensure_confs(spark: SparkSession) -> None:
         pass
 
 
-def normalize_timestamps(df: DataFrame) -> DataFrame:
+# Tables whose LongType 'ts' is a legacy TIMESTAMP(NANOS) column read
+# under nanosAsLong. Only events ever shipped that encoding; a future
+# table with a genuine bigint ts (e.g. epoch millis) must NOT be
+# silently rebuilt, so the rewrite is gated on the table name.
+_NANOS_TS_TABLES = frozenset({"events"})
+
+
+def normalize_timestamps(df: DataFrame, table: str | None = None) -> DataFrame:
     """Normalize timestamp encodings across testdata generations so every
     query sees session-TZ TIMESTAMP columns regardless of how the parquet
     was written:
@@ -55,16 +62,25 @@ def normalize_timestamps(df: DataFrame) -> DataFrame:
     - ``events.ts`` as parquet TIMESTAMP(NANOS) reads as long under
       session.py's nanosAsLong — rebuild a micro-precision timestamp with
       integer division (truncation), matching DuckDB's nanos→micros cast.
+      Applied only when ``table`` is a known nanos-legacy table (or is
+      unknown/None, the permissive compatibility default for callers
+      outside load_table).
     - Naive parquet timestamps (pyarrow ``timestamp[us]``,
-      isAdjustedToUTC=false) read as TIMESTAMP_NTZ — cast to TIMESTAMP;
-      with the UTC session timezone the instants are identical and DuckDB
-      reads the same files as plain (naive) TIMESTAMP.
-    """
+      isAdjustedToUTC=false) read as TIMESTAMP_NTZ — cast to TIMESTAMP.
+
+    Both rewrites (and driver-side collect() of TimestampType values)
+    are only value-identical to DuckDB under a UTC session timezone, so
+    it is enforced here rather than assumed from the caller."""
     from pyspark.sql import functions as F  # local import: keep module light
     from pyspark.sql import types as T
 
+    df.sparkSession.conf.set("spark.sql.session.timeZone", "UTC")
     for field in df.schema.fields:
-        if field.name == "ts" and isinstance(field.dataType, T.LongType):
+        if (
+            field.name == "ts"
+            and isinstance(field.dataType, T.LongType)
+            and (table is None or table in _NANOS_TS_TABLES)
+        ):
             df = df.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
         elif isinstance(field.dataType, T.TimestampNTZType):
             df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
@@ -78,7 +94,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     _ensure_confs(spark)
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    return normalize_timestamps(df)
+    return normalize_timestamps(df, table=name)
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

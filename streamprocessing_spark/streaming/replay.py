@@ -25,13 +25,21 @@ from pyspark.sql import DataFrame, SparkSession
 from streamprocessing_spark.sources.readers import _ensure_confs, normalize_timestamps
 
 
+_SCHEMA_CACHE: dict[tuple[str, str], object] = {}
+
+
 def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """readStream over events.parquet with the same ts normalization as the
     batch loader (see readers.normalize_timestamps). Schema comes from a
-    batch peek — file stream sources need it declared."""
+    batch peek (memoized per session+path — file stream sources need it
+    declared, and the peek costs a footer read per query otherwise)."""
     _ensure_confs(spark)
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    cache_key = (spark.sparkContext.applicationId, path)
+    schema = _SCHEMA_CACHE.get(cache_key)
+    if schema is None:
+        schema = spark.read.parquet(path).schema
+        _SCHEMA_CACHE[cache_key] = schema
     # The file stream source lists a DIRECTORY; events.parquet is a single
     # file, so stream the parent dir with a glob restricted to it.
     df = (
@@ -39,7 +47,7 @@ def stream_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
     )
-    return normalize_timestamps(df)
+    return normalize_timestamps(df, table="events")
 
 
 def run_to_memory_sink(
@@ -54,6 +62,26 @@ def run_to_memory_sink(
     Memory sinks are a test/driver harness device — production jobs write
     parquet/Kafka with the same trigger + checkpointLocation arguments.
     """
+    q, name, cleanup = start_memory_sink(df, output_mode, query_name, checkpoint_dir)
+    q.awaitTermination()
+    cleanup()
+    return df.sparkSession.table(name)
+
+
+def start_memory_sink(
+    df: DataFrame,
+    output_mode: str,
+    query_name: str | None = None,
+    checkpoint_dir: str | None = None,
+):
+    """Start (without awaiting) a streaming DataFrame into a memory sink.
+
+    Returns ``(query, sink_name, cleanup)``; the caller awaits termination
+    then calls ``cleanup()`` to drop the throwaway checkpoint. Splitting
+    start from await lets independent replays run CONCURRENTLY — n bounded
+    drains cost roughly the slowest one instead of the sum (each query is
+    its own checkpointed Structured Streaming job; concurrency is the
+    normal multi-query deployment shape, not a test trick)."""
     name = query_name or f"sink_{uuid.uuid4().hex[:12]}"
     spark = df.sparkSession
     # A previous run under the same name would leave its memory table
@@ -72,9 +100,11 @@ def run_to_memory_sink(
     ckpt = checkpoint_dir or tempfile.mkdtemp(prefix="sp_ckpt_")
     writer = writer.option("checkpointLocation", ckpt)
     q = writer.start()
-    q.awaitTermination()
-    if own_ckpt:
-        # the replay is complete and the result lives in the memory sink;
-        # a throwaway checkpoint has no further use
-        shutil.rmtree(ckpt, ignore_errors=True)
-    return spark.table(name)
+
+    def cleanup() -> None:
+        if own_ckpt:
+            # the replay is complete and the result lives in the memory
+            # sink; a throwaway checkpoint has no further use
+            shutil.rmtree(ckpt, ignore_errors=True)
+
+    return q, name, cleanup

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from streamprocessing_spark.queries.curation import (
     PACK_CONTEXT_TOKENS,
+    PACK_SHARDS,
     SAMPLE_PER_LABEL,
 )
 from streamprocessing_spark.registry import all_specs
@@ -15,17 +16,23 @@ SPECS = all_specs()
 
 
 def test_packing_respects_capacity(spark, sf_dir):
-    """Concat-and-chunk invariant: the tokens a bin receives BEFORE its
-    last document fit the capacity (only the final doc may spill over the
-    boundary — that's the chunk cut), and bin ids are dense from 0."""
+    """Concat-and-chunk invariant, now per shard: within each shard the
+    tokens a bin receives BEFORE its last document fit the capacity (only
+    the final doc may spill over the boundary — that's the chunk cut),
+    bin ids are dense from 0 per shard, and every doc's shard is its
+    deterministic hash bucket."""
     packed = SPECS["pack_documents_greedy"].fn(spark, sf_dir).collect()
-    bins: dict[int, list[int]] = {}
+    bins: dict[tuple[int, int], list[int]] = {}
     for r in sorted(packed, key=lambda r: r.doc_id):
-        bins.setdefault(r.bin_id, []).append(r.n_tokens)
-    assert sorted(bins) == list(range(len(bins))), "bin ids must be dense from 0"
-    for b, toks in bins.items():
+        assert r.shard_id == r.doc_id % PACK_SHARDS
+        bins.setdefault((r.shard_id, r.bin_id), []).append(r.n_tokens)
+    shards = {s for s, _b in bins}
+    for s in shards:
+        shard_bins = sorted(b for sh, b in bins if sh == s)
+        assert shard_bins == list(range(len(shard_bins))), f"shard {s} bins not dense"
+    for (s, b), toks in bins.items():
         if len(toks) > 1:
-            assert sum(toks[:-1]) < PACK_CONTEXT_TOKENS, f"bin {b} overfilled before its last doc"
+            assert sum(toks[:-1]) < PACK_CONTEXT_TOKENS, f"shard {s} bin {b} overfilled"
 
 
 def test_stratified_sample_exact_counts_and_determinism(spark, sf_dir):

@@ -157,3 +157,12 @@ def test_decontaminate_scan_prunes_to_id_and_text(spark, sf_dir):
     df = SPECS["decontaminate_benchmark_overlap"].fn(spark, sf_dir)
     scans = X.read_schema_columns(df)
     assert scans and all(set(s) <= {"doc_id", "text"} for s in scans), scans
+
+
+def test_pack_documents_distributes_over_shards(spark, sf_dir):
+    # the packing window partitions by shard_id: the sort must distribute
+    # (hashpartitioning exchange), never collapse to a single partition
+    df = SPECS["pack_documents_greedy"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "SinglePartition" not in plan, plan
+    assert X.count_exchanges(df) == 1, plan

@@ -290,3 +290,79 @@ def test_custom_stateful_running_count(spark, staged_events):
     for r in emissions:
         maxes[r.event_type] = max(maxes.get(r.event_type, 0), r.cnt)
     assert maxes == final
+
+
+def test_midrun_task_failure_exactly_once(spark, tmp_path):
+    """The RainStormWithFail analogue (main.go:223-243,
+    rainstorm/server.go:553-572): the reference kills 2 workers mid-job
+    and recovers by WAL replay. Here a plugin kernel KILLS ITS OWN TASK
+    on the first attempt, mid-micro-batch; Spark's task retry
+    (local[n,2] — spark.task.maxFailures=2, see session.py) re-runs it,
+    the failed attempt's partial output is discarded, and the
+    end-of-stream counts must equal the clean batch run — exactly-once
+    through a mid-run failure, no dups, no losses."""
+    from streamprocessing_spark import engine as E
+    from streamprocessing_spark.streaming.replay import run_to_memory_sink
+
+    marker = str(tmp_path / "injected_failures.log")
+
+    def flaky_app2_op1(key, value, pattern):
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        if tc is not None and tc.partitionId() == 0 and tc.attemptNumber() == 0:
+            with open(marker, "a") as f:
+                f.write(f"killed stage={tc.stageId()} attempt={tc.attemptNumber()}\n")
+            raise RuntimeError("injected mid-run worker failure")
+        return E.app2_op1(key, value, pattern)
+
+    base = tempfile.mkdtemp(prefix="sp_fail_")
+    try:
+        rows = [
+            (
+                f"f:{i}",
+                f"{i},a,{i},URGENT-{i % 3},sz,sup,{'F' if i % 2 else 'O'},yr,PRI-{i % 3},note",
+            )
+            for i in range(200)
+        ]
+        batch_df = spark.createDataFrame(rows, E.RECORD_SCHEMA)
+        # two single-file chunks -> two micro-batches (failure + retry in each)
+        batch_df.where(F.expr("CAST(split(value, ',')[0] AS INT) % 2 = 0")).coalesce(
+            1
+        ).write.parquet(f"{base}/c0")
+        batch_df.where(F.expr("CAST(split(value, ',')[0] AS INT) % 2 = 1")).coalesce(
+            1
+        ).write.parquet(f"{base}/c1")
+        src = f"{base}/src"
+        os.makedirs(src)
+        _extract_part_file(f"{base}/c0", f"{src}/c0.parquet")
+        _extract_part_file(f"{base}/c1", f"{src}/c1.parquet")
+
+        flaky_job = E.RainStormJob(
+            op1=E.PluginOp(flaky_app2_op1, contract="emit"),
+            op2=E.PluginOp(E.app2_op2, contract="count"),
+            pattern="F",
+        )
+        stream = (
+            spark.readStream.schema(E.RECORD_SCHEMA)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        got = {
+            (r.key, r.value)
+            for r in run_to_memory_sink(flaky_job.run(stream), "complete").collect()
+        }
+
+        clean_job = E.RainStormJob(
+            op1=E.PluginOp(E.app2_op1, contract="emit"),
+            op2=E.PluginOp(E.app2_op2, contract="count"),
+            pattern="F",
+        )
+        want = {(r.key, r.value) for r in clean_job.run(batch_df).collect()}
+        assert got == want and got
+        # the chaos must actually have fired: at least one task was killed
+        with open(marker) as f:
+            kills = f.read().splitlines()
+        assert len(kills) >= 1, "failure injection never triggered"
+    finally:
+        shutil.rmtree(base, ignore_errors=True)

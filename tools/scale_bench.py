@@ -1,0 +1,149 @@
+"""Scale-curve bench for the top-cost operators.
+
+VERDICT r01 asked for measured evidence that the LSH tiers scale the way
+their docstrings claim (shuffle O(docs x bands), candidate pairs from
+band buckets — never all-pairs) before the 100x story is trusted. The
+driver ships sf0.1 at most, so this tool synthesizes a 10x "sf1.0 proxy"
+from sf0.1 and measures the sf0.1 -> sf1.0 wall-clock ratio of:
+
+- dedup_minhash_lsh   (documents, 10x rows)
+- dedup_simhash       (documents, 10x rows)
+- srp_lsh_cosine_pairs (embeddings, 10x rows)
+- copurchase_lift     (lineitem, 10x orders)
+
+Proxy construction (deterministic, no RNG):
+- documents: 10 replicas; replica k>0 suffixes every token with the
+  replica digit — intra-replica duplicate structure is preserved (the
+  corpus dup-rate stays constant, as a real bigger crawl would) while
+  cross-replica similarity is zero (no artificial 10-way dup blowup).
+- embeddings: 10 replicas; replica k rotates each vector by k positions
+  — norms and pairwise-similarity distribution preserved within a
+  replica, near-zero correlation across replicas.
+- lineitem: 10 replicas with shifted order keys, same part keys — 10x
+  orders, identical basket-size distribution (the quantity that drives
+  the O(orders x basket^2) pair join).
+
+A linear operator should land near ratio 10 (modulo fixed overheads,
+which push it BELOW 10 at these sizes); a quadratic one lands near 100.
+
+Usage: python tools/scale_bench.py [--base /root/testdata/sf0.1]
+Prints one JSON line with per-query seconds at both scales and ratios.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from streamprocessing_spark.registry import all_specs  # noqa: E402
+from streamprocessing_spark.session import get_spark  # noqa: E402
+
+QUERIES = (
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "srp_lsh_cosine_pairs",
+    "copurchase_lift",
+)
+REPLICAS = 10
+PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
+
+
+def build_proxy(spark, base: str, out: str) -> None:
+    docs = spark.read.parquet(f"{base}/documents.parquet")
+    emb = spark.read.parquet(f"{base}/embeddings.parquet")
+    li = spark.read.parquet(f"{base}/lineitem.parquet")
+    n_docs = docs.count()
+    n_emb = emb.count()
+
+    doc_parts = []
+    for k in range(REPLICAS):
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * n_docs))
+        if k:
+            # suffix every token with the replica digit: replica-local
+            # shingles/minhashes shift, cross-replica similarity -> 0
+            d = d.withColumn(
+                "text", F.regexp_replace(F.col("text"), r"(\w+)", rf"$1{k}")
+            )
+        doc_parts.append(d)
+    _union_all(doc_parts).coalesce(8).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+
+    emb_parts = []
+    for k in range(REPLICAS):
+        e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * n_emb))
+        if k:
+            e = e.withColumn(
+                "embedding",
+                F.expr(
+                    f"concat(slice(embedding, {k + 1}, size(embedding) - {k}),"
+                    f" slice(embedding, 1, {k}))"
+                ),
+            )
+        emb_parts.append(e)
+    _union_all(emb_parts).coalesce(8).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
+
+    li_parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * 10_000_000))
+        for k in range(REPLICAS)
+    ]
+    _union_all(li_parts).coalesce(16).write.mode("overwrite").parquet(
+        f"{out}/lineitem.parquet"
+    )
+
+
+def _union_all(dfs):
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out
+
+
+def time_query(spec, spark, sf_dir: str) -> tuple[float, int]:
+    t0 = time.time()
+    n = spec.fn(spark, sf_dir).count()
+    return time.time() - t0, n
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--base", default="/root/testdata/sf0.1")
+    ap.add_argument("--rebuild", action="store_true")
+    args = ap.parse_args()
+
+    spark = get_spark("scale-bench")
+    if args.rebuild or not os.path.isdir(f"{PROXY_DIR}/documents.parquet"):
+        build_proxy(spark, args.base, PROXY_DIR)
+
+    specs = all_specs()
+    result: dict = {"base_sf": 0.1, "proxy_sf": 1.0, "queries": {}}
+    for name in QUERIES:
+        spec = specs[name]
+        # warm (JIT/codegen/broadcast-threshold effects), then measure
+        time_query(spec, spark, args.base)
+        small_s, small_n = time_query(spec, spark, args.base)
+        big_s, big_n = time_query(spec, spark, PROXY_DIR)
+        result["queries"][name] = {
+            "sf0.1_sec": round(small_s, 3),
+            "sf1.0_sec": round(big_s, 3),
+            "ratio": round(big_s / small_s, 2),
+            "sf0.1_rows": small_n,
+            "sf1.0_rows": big_n,
+        }
+        print(f"# {name}: {small_s:.2f}s -> {big_s:.2f}s (x{big_s / small_s:.1f})",
+              file=sys.stderr)
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()
