@@ -108,3 +108,46 @@ def dedup_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.exact_jaccard_pairs(
         d, "doc_id", "text", 0.75, shingler=lambda df, i, t: D.char_shingle_df(df, i, t, k=5)
     )
+
+
+@register(
+    "dedup_keep_canonical",
+    oracle=f"""
+    WITH RECURSIVE pair_t AS ({D.sql_minhash_lsh(JACCARD_THRESHOLD)}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pair_t
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pair_t
+    ),
+    reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.src AS id, reach.r AS r
+      FROM edges e JOIN reach ON e.dst = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT d.doc_id
+    FROM documents d
+    LEFT JOIN comp c ON d.doc_id = c.id AND c.component <> c.id
+    WHERE c.id IS NULL
+    """,
+    tags=("dedup", "llm-pipeline", "lsh", "iterative"),
+)
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MATERIALIZED deduplicated corpus — the full production near-dup
+    pipeline composed end-to-end: MinHash+LSH candidates → exact-Jaccard
+    verify → connected components → anti-join, keeping exactly one
+    document per duplicate cluster (the min doc_id, i.e. the component
+    label) plus every singleton. This is the operator a training-data
+    pipeline actually ships: its output IS the training corpus.
+
+    Scale shape: every stage is the already-audited scale path (banded
+    LSH self-join, O(diameter) label propagation on the tiny pair graph),
+    and the final step is a LEFT ANTI join of the corpus against the
+    non-canonical member ids — a broadcast anti-join in practice, since
+    dup-cluster members are a sliver of the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, "doc_id", "text", JACCARD_THRESHOLD)
+    comp = D.connected_components(pairs)
+    losers = comp.where(F.col("component") != F.col("id")).select(F.col("id").alias("doc_id"))
+    return d.select("doc_id").join(F.broadcast(losers), "doc_id", "left_anti")

@@ -196,3 +196,91 @@ def embedding_centroid_per_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("label", "dim")
         .agg(F.round(F.avg(F.col("v").cast("double")), 6).alias("centroid"))
     )
+
+
+KNN_K = 5
+
+
+@register(
+    "knn_label_audit",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS qa, b.vec_id AS qb, b.label AS nl,
+             {_sql_cos('a.embedding', 'b.embedding')} AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    nn AS (
+      SELECT qa, nl FROM (
+        SELECT qa, nl,
+               row_number() OVER (PARTITION BY qa ORDER BY cos DESC, qb) AS rn
+        FROM scored)
+      WHERE rn <= {KNN_K}
+    ),
+    votes AS (SELECT qa, nl, count(*) AS v FROM nn GROUP BY qa, nl),
+    maj AS (
+      SELECT qa, pred_label, v FROM (
+        SELECT qa, nl AS pred_label, v,
+               row_number() OVER (PARTITION BY qa ORDER BY v DESC, nl) AS r
+        FROM votes)
+      WHERE r = 1
+    )
+    SELECT e.vec_id, e.label, m.pred_label,
+           CAST(m.v AS BIGINT) AS n_votes,
+           CAST(CASE WHEN m.pred_label = e.label THEN 1 ELSE 0 END AS BIGINT)
+             AS label_agrees
+    FROM embeddings e JOIN maj m ON e.vec_id = m.qa
+    """,
+    tags=("similarity", "llm-pipeline", "quality"),
+)
+def knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-noise audit (confident-learning style): each vector's label
+    is compared against the majority label of its 5 nearest cosine
+    neighbors; rows with label_agrees = 0 are mislabeling candidates —
+    the curation op that finds bad labels before they poison a
+    classifier head or a quality filter.
+
+    Ranking and voting are deterministic (cos desc, id asc; votes desc,
+    label asc), and the cosine is the same sequential-fold double both
+    engines compute bit-identically. The neighbor search here is the
+    exact all-pairs baseline, O(n²) like embedding_cosine_pairs and
+    labeled the same way; at 100 TB the candidate generation swaps to
+    the IVF cells (ann_ivf_topk) or SRP banding with the audit
+    aggregation — votes, majority, agreement — unchanged and linear."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql.window import Window
+
+    a = emb.select(F.col("vec_id").alias("qa"), F.col("embedding").alias("va"))
+    b = emb.select(
+        F.col("vec_id").alias("qb"), F.col("embedding").alias("vb"),
+        F.col("label").alias("nl"),
+    )
+    scored = a.join(b, F.col("qa") != F.col("qb")).select(
+        "qa", "qb", "nl", S.cosine(F.col("va"), F.col("vb")).alias("cos")
+    )
+    w_nn = Window.partitionBy("qa").orderBy(F.desc("cos"), F.asc("qb"))
+    nn = (
+        scored.withColumn("rn", F.row_number().over(w_nn))
+        .where(F.col("rn") <= KNN_K)
+        .select("qa", "nl")
+    )
+    votes = nn.groupBy("qa", "nl").agg(F.count(F.lit(1)).alias("v"))
+    w_maj = Window.partitionBy("qa").orderBy(F.desc("v"), F.asc("nl"))
+    maj = (
+        votes.withColumn("r", F.row_number().over(w_maj))
+        .where(F.col("r") == 1)
+        .select("qa", F.col("nl").alias("pred_label"), "v")
+    )
+    return (
+        emb.select("vec_id", "label")
+        .join(maj, emb.vec_id == maj.qa)
+        .select(
+            "vec_id",
+            "label",
+            "pred_label",
+            F.col("v").cast("long").alias("n_votes"),
+            F.when(F.col("pred_label") == F.col("label"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("label_agrees"),
+        )
+    )

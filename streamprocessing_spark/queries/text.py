@@ -353,3 +353,65 @@ def pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("t", email, "<EMAIL>"), phone, "<PHONE>"
         ).alias("redacted"),
     )
+
+
+RARE_FREQ_CUTOFF = 3  # corpus frequency below which a token counts as rare
+
+
+@register(
+    "token_rarity_score",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest({T.SQL_TOKENS}) AS tok FROM documents
+    ),
+    cf AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok)
+    SELECT t.doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(sum(c) AS BIGINT) AS sum_freq,
+           CAST(sum(CASE WHEN c < {RARE_FREQ_CUTOFF} THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+           floor(CAST(sum(CASE WHEN c < {RARE_FREQ_CUTOFF} THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 1000000.0 + 0.5) / 1000000.0 AS rare_frac
+    FROM toks t JOIN cf USING (tok)
+    GROUP BY t.doc_id
+    """,
+    tags=("text", "llm-pipeline", "quality"),
+)
+def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-frequency quality signal per document — the integer-exact
+    stand-in for unigram-LM perplexity scoring (CCNet-style): documents
+    dominated by tokens the corpus has never seen (OCR noise, boilerplate
+    hashes, mojibake) surface as a high rare-token fraction, and
+    sum_freq/n_tokens is the mean token commonness. All aggregates are
+    exact integer sums — fully engine-portable, unlike log-prob sums
+    whose float accumulation is order-dependent.
+
+    Two passes over the token stream, both linear: (1) corpus term
+    frequencies (groupBy token — map-side combined, shuffle carries the
+    vocabulary, Zipf-small relative to the corpus); (2) tokens join the
+    frequency table (vocabulary is the broadcast-or-AQE small side) and
+    re-aggregate per document. At 100 TB the frequency table is the only
+    shared state and it's orders of magnitude smaller than the text."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    cf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        toks.join(cf, "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("c").alias("sum_freq"),
+            F.sum(F.when(F.col("c") < RARE_FREQ_CUTOFF, 1).otherwise(0)).alias("n_rare"),
+        )
+        .select(
+            "doc_id",
+            "n_tokens",
+            "sum_freq",
+            "n_rare",
+            (
+                F.floor(
+                    F.col("n_rare").cast("double") / F.col("n_tokens") * 1000000.0 + 0.5
+                )
+                / 1000000.0
+            ).alias("rare_frac"),
+        )
+    )

@@ -4,6 +4,7 @@ from __future__ import annotations
 
 from streamprocessing_spark.operators import dedup as D
 from streamprocessing_spark.sources.readers import load_table
+from streamprocessing_spark.registry import all_specs
 
 
 def test_lsh_equals_exact_jaccard(spark, sf_dir):
@@ -64,3 +65,22 @@ def test_custom_lsh_agrees_with_spark_ml_minhash(spark, sf_dir):
     }
     assert ml_pairs == my_pairs
     assert len(my_pairs) > 0
+
+
+def test_keep_canonical_partition(spark, sf_dir):
+    """dedup_keep_canonical must keep exactly: all docs minus non-canonical
+    dup-cluster members; every cluster keeps precisely its min-id doc."""
+    specs = all_specs()
+    kept = {r.doc_id for r in specs["dedup_keep_canonical"].fn(spark, sf_dir).collect()}
+    comp = {
+        (r.id, r.component)
+        for r in specs["dedup_cluster_components"].fn(spark, sf_dir).collect()
+    }
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    losers = {i for i, c in comp if c != i}
+    # components uses the exact-jaccard pair graph; keep_canonical uses the
+    # (verified) minhash pair graph — identical on this fixture by design
+    assert kept == set(range(n_docs)) - losers
+    for i, c in comp:
+        if c != i:
+            assert c in kept  # the canonical member survives

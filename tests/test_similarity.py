@@ -6,6 +6,9 @@ from pyspark.sql import functions as F
 
 from streamprocessing_spark.operators import similarity as S
 from streamprocessing_spark.sources.readers import load_table
+from streamprocessing_spark.registry import all_specs
+
+SPECS = all_specs()
 
 
 def _topk_sets(rows):
@@ -48,3 +51,16 @@ def test_cosine_is_normalized(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(50)
     vals = emb.select(S.cosine(F.col("embedding"), F.col("embedding")).alias("c")).collect()
     assert all(abs(r.c - 1.0) < 1e-9 for r in vals)
+
+
+def test_knn_label_audit_structure(spark, sf_dir):
+    """One audit row per vector; votes bounded by k; agreement flag
+    consistent with the labels it compares."""
+    from streamprocessing_spark.queries.similarity import KNN_K
+
+    rows = SPECS["knn_label_audit"].fn(spark, sf_dir).collect()
+    n = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert len(rows) == n
+    for r in rows:
+        assert 1 <= r.n_votes <= KNN_K
+        assert r.label_agrees == (1 if r.pred_label == r.label else 0)

@@ -16,9 +16,15 @@ Proxy construction (deterministic, no RNG):
   replica digit — intra-replica duplicate structure is preserved (the
   corpus dup-rate stays constant, as a real bigger crawl would) while
   cross-replica similarity is zero (no artificial 10-way dup blowup).
-- embeddings: 10 replicas; replica k rotates each vector by k positions
-  — norms and pairwise-similarity distribution preserved within a
-  replica, near-zero correlation across replicas.
+- embeddings: 10 replicas; replica k multiplies element d by the sign
+  bit of md5(k, d) — norms and intra-replica pairwise similarities are
+  EXACTLY preserved (cos(v*p, w*p) == cos(v, w) for a shared +-1
+  pattern), while cross-replica cosines are near zero (the product
+  pattern p_k * p_j is itself a ~random +-1 vector). A rotation was
+  tried first and rejected: rotated copies keep substantial
+  autocorrelation with their originals, which inflated the true pair
+  count ~12x and made the operator look superlinear when the WORKLOAD
+  was superlinear.
 - lineitem: 10 replicas with shifted order keys, same part keys — 10x
   orders, identical basket-size distribution (the quantity that drives
   the O(orders x basket^2) pair join).
@@ -77,15 +83,23 @@ def build_proxy(spark, base: str, out: str) -> None:
         f"{out}/documents.parquet"
     )
 
+    import hashlib
+
+    dim = len(emb.select("embedding").head()[0])
     emb_parts = []
     for k in range(REPLICAS):
         e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * n_emb))
         if k:
+            signs = [
+                1.0 if int(hashlib.md5(f"sb:{k}:{d}".encode()).hexdigest()[:2], 16) % 2 else -1.0
+                for d in range(dim)
+            ]
+            sign_arr = "array(" + ", ".join(f"{s}D" for s in signs) + ")"
             e = e.withColumn(
                 "embedding",
                 F.expr(
-                    f"concat(slice(embedding, {k + 1}, size(embedding) - {k}),"
-                    f" slice(embedding, 1, {k}))"
+                    f"zip_with(embedding, {sign_arr},"
+                    " (v, s) -> CAST(CAST(v AS DOUBLE) * s AS FLOAT))"
                 ),
             )
         emb_parts.append(e)
