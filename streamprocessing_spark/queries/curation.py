@@ -312,3 +312,49 @@ def decontaminate_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFra
     return train.join(bench, "sh").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shared_shingles")
     )
+
+
+@register(
+    "winsorize_values_by_type",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type,
+           round(CASE WHEN e.value < b.lo THEN b.lo
+                      WHEN e.value > b.hi THEN b.hi
+                      ELSE e.value END, 4) AS value_w
+    FROM events e JOIN b USING (event_type)
+    """,
+    tags=("curation", "llm-pipeline", "aggregate"),
+)
+def winsorize_values_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (outlier clipping) per group: values are clipped to
+    each event type's exact [p05, p95] band — the robust-statistics
+    preprocessing step before any metric that a fat tail would poison
+    (loss weighting, per-source quality means). Exact interpolated
+    percentiles (Spark `percentile` == DuckDB `quantile_cont`, parity
+    proven by percentiles_by_segment); the clip is a pure projection.
+
+    Shape: one aggregation shuffle to compute per-group bounds (a
+    groups-sized table), broadcast back onto the fact scan — the fact
+    rows never shuffle. At 100 TB swap the exact percentile for
+    percentile_approx (mergeable sketch) with the identical topology."""
+    ev = load_table(spark, sf_dir, "events")
+    b = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    return ev.join(F.broadcast(b), "event_type").select(
+        "event_id",
+        "event_type",
+        F.round(
+            F.when(F.col("value") < F.col("lo"), F.col("lo"))
+            .when(F.col("value") > F.col("hi"), F.col("hi"))
+            .otherwise(F.col("value")),
+            4,
+        ).alias("value_w"),
+    )

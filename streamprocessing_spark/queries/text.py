@@ -415,3 +415,95 @@ def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rare_frac"),
         )
     )
+
+
+COOC_VOCAB = 100  # top-N document-frequency vocabulary for co-occurrence
+COOC_MIN_SUPPORT = 5
+
+
+@register(
+    "token_cooccurrence_lift",
+    oracle=f"""
+    WITH dt AS (
+      SELECT DISTINCT doc_id, unnest({T.SQL_TOKENS}) AS tok FROM documents
+    ),
+    df_t AS (SELECT tok, count(*) AS n FROM dt GROUP BY tok),
+    vocab AS (
+      SELECT tok, n FROM (
+        SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok) AS r FROM df_t)
+      WHERE r <= {COOC_VOCAB}
+    ),
+    dv AS (SELECT dt.doc_id, dt.tok FROM dt JOIN vocab USING (tok)),
+    tot AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS n_ab
+      FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2
+    )
+    SELECT tok_a, tok_b, n_ab,
+           floor(CAST(n_ab AS DOUBLE) * t.n_docs / (va.n * vb.n)
+                 * 1000000.0 + 0.5) / 1000000.0 AS lift
+    FROM pairs
+    JOIN vocab va ON va.tok = tok_a
+    JOIN vocab vb ON vb.tok = tok_b
+    CROSS JOIN tot t
+    WHERE n_ab >= {COOC_MIN_SUPPORT}
+    """,
+    tags=("text", "llm-pipeline", "graph"),
+)
+def token_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence association over the top-{COOC_VOCAB}
+    document-frequency vocabulary: lift = P(a,b)/(P(a)P(b)) per token
+    pair at document granularity — exp(PMI) over exact integer counts,
+    the topic/collocation-mining primitive (PMI itself is ln(lift); the
+    exponentiated form keeps the arithmetic to one portable IEEE
+    division instead of engine-specific ln rounding).
+
+    Scale: the vocabulary cap bounds the pair join — per-doc work is
+    O(min(v_doc, V)²) with V = {COOC_VOCAB} broadcast to the scan, so
+    the shuffle carries doc×vocab hits, never raw text or unbounded
+    token pairs. Same skeleton as copurchase_lift (order-keyed pair
+    self-join, broadcast marginals)."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    dt = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")).distinct()
+    df_t = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.desc("n"), F.asc("tok"))
+    vocab = (
+        df_t.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= COOC_VOCAB)
+        .select("tok", "n")
+    )
+    dv = dt.join(F.broadcast(vocab.select("tok")), "tok").select("doc_id", "tok")
+    tot = d.select(F.countDistinct("doc_id").alias("n_docs"))
+    a = dv.select(F.col("doc_id").alias("d"), F.col("tok").alias("tok_a"))
+    b = dv.select(F.col("doc_id").alias("d"), F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, (F.col("tok_a") < F.col("tok_b")) & (a.d == b.d))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= COOC_MIN_SUPPORT)
+    )
+    va = vocab.select(F.col("tok").alias("tok_a"), F.col("n").alias("na"))
+    vb = vocab.select(F.col("tok").alias("tok_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(F.broadcast(va), "tok_a")
+        .join(F.broadcast(vb), "tok_b")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_ab",
+            (
+                F.floor(
+                    F.col("n_ab").cast("double")
+                    * F.col("n_docs")
+                    / (F.col("na") * F.col("nb"))
+                    * F.lit(1000000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1000000.0)
+            ).alias("lift"),
+        )
+    )

@@ -166,3 +166,21 @@ def test_pack_documents_distributes_over_shards(spark, sf_dir):
     plan = X.formatted_plan(df)
     assert "SinglePartition" not in plan, plan
     assert X.count_exchanges(df) == 1, plan
+
+
+def test_token_rarity_broadcasts_vocabulary(spark, sf_dir):
+    # the corpus-frequency table is the small side: must broadcast, and
+    # only (doc_id, text) may be scanned
+    df = SPECS["token_rarity_score"].fn(spark, sf_dir)
+    assert X.has_broadcast_join(df), X.formatted_plan(df)
+    scans = X.read_schema_columns(df)
+    assert scans and all(set(s) <= {"doc_id", "text"} for s in scans), scans
+
+
+def test_keep_canonical_antijoin_is_broadcast(spark, sf_dir):
+    # dup-cluster losers are a sliver of the corpus: the final anti-join
+    # must broadcast them, and the corpus leg reads only doc_id
+    df = SPECS["dedup_keep_canonical"].fn(spark, sf_dir)
+    assert X.has_broadcast_join(df), X.formatted_plan(df)
+    scans = X.read_schema_columns(df)
+    assert scans and all(set(s) <= {"doc_id"} for s in scans), scans
