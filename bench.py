@@ -56,6 +56,15 @@ HEADLINE = [
     "decontaminate_benchmark_overlap",
     "copurchase_lift",
     "zorder_key_orders",
+    # round-2 additions (knn_label_audit and rainstorm_exec_app2 are
+    # deliberately excluded: the quadratic audit baseline and the
+    # fork-per-record compatibility adapter are measured cost floors,
+    # not throughput paths — see SCALEBENCH.json / their docstrings)
+    "dedup_keep_canonical",
+    "token_rarity_score",
+    "token_cooccurrence_lift",
+    "winsorize_values_by_type",
+    "pack_documents_greedy",
 ]
 
 

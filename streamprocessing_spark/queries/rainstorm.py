@@ -213,4 +213,8 @@ def rainstorm_exec_app2(spark: SparkSession, sf_dir: str) -> DataFrame:
         op2=E.ExecOp(os.path.join(ops_dir, "app2op2.py")),
         pattern="F",
     )
-    return job.run(_record_stream(spark, sf_dir, orders=o))
+    # fork latency, not data volume, is the cost: spread the records over
+    # every core (a parquet file this small scans as a couple of splits,
+    # which would serialize thousands of fork/execs behind 2-3 tasks)
+    records = _record_stream(spark, sf_dir, orders=o).repartition(64)
+    return job.run(records)

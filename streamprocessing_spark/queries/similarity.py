@@ -249,13 +249,23 @@ def knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     from pyspark.sql.window import Window
 
-    a = emb.select(F.col("vec_id").alias("qa"), F.col("embedding").alias("va"))
+    # Norms are computed ONCE per vector (the srp_lsh_cosine_pairs
+    # pattern): higher-order-function folds are interpreted, so per-pair
+    # cosine = dot + 2 norms would triple the dominant cost of the n²
+    # scoring stage (measured 74 s → 26 s at sf0.1). The joined norm is
+    # bit-identical to the per-pair fold the oracle computes.
+    a = emb.select(
+        F.col("vec_id").alias("qa"), F.col("embedding").alias("va"),
+        S.norm_double(F.col("embedding")).alias("na"),
+    )
     b = emb.select(
         F.col("vec_id").alias("qb"), F.col("embedding").alias("vb"),
         F.col("label").alias("nl"),
+        S.norm_double(F.col("embedding")).alias("nb"),
     )
     scored = a.join(b, F.col("qa") != F.col("qb")).select(
-        "qa", "qb", "nl", S.cosine(F.col("va"), F.col("vb")).alias("cos")
+        "qa", "qb", "nl",
+        (S.dot_double(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
     )
     w_nn = Window.partitionBy("qa").orderBy(F.desc("cos"), F.asc("qb"))
     nn = (
