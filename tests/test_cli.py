@@ -1,0 +1,62 @@
+"""CLI parity: the reference's `RainStorm op1 op2 src dest n [pattern]`
+invocation (main.go:206-222) must run end-to-end through the engine, for
+both built-in plugin ops and external executables."""
+
+from __future__ import annotations
+
+import csv
+import glob
+import os
+
+from streamprocessing_spark.cli import main
+
+_LINES = [
+    f"{i},a,{i},URGENT-{i % 3},sz,sup,{'F' if i % 2 else 'O'},yr,PRI-{i % 3},note"
+    for i in range(60)
+]
+
+
+def _write_src(tmp_path) -> str:
+    src = str(tmp_path / "input.csv")
+    with open(src, "w") as f:
+        f.write("\n".join(_LINES) + "\n")
+    return src
+
+
+def _read_out(dest: str) -> set[tuple[str, str]]:
+    rows = set()
+    for p in glob.glob(os.path.join(dest, "*.csv")):
+        with open(p) as f:
+            rd = csv.reader(f)
+            header = next(rd, None)
+            assert header == ["key", "value"]
+            rows.update((k, v) for k, v in rd)
+    return rows
+
+
+def test_cli_rainstorm_builtin_ops(spark, tmp_path):
+    """App2 through built-in plugin ops: category counts of 'F' rows."""
+    src = _write_src(tmp_path)
+    dest = str(tmp_path / "out_builtin")
+    rc = main(["rainstorm", "app2op1", "app2op2", src, dest, "4", "F"])
+    assert rc == 0
+    got = _read_out(dest)
+    want = {("PRI-0", "10"), ("PRI-1", "10"), ("PRI-2", "10")}
+    assert got == want
+
+
+def test_cli_rainstorm_exec_ops(spark, tmp_path):
+    """The same job with the reference's argv/stdout contract: external
+    executable ops produce identical output to the built-ins."""
+    ops_dir = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "streamprocessing_spark",
+        "ops",
+    )
+    src = _write_src(tmp_path)
+    dest = str(tmp_path / "out_exec")
+    rc = main(
+        ["rainstorm", f"{ops_dir}/app2op1.py", f"{ops_dir}/app2op2.py", src, dest, "4", "F"]
+    )
+    assert rc == 0
+    assert _read_out(dest) == {("PRI-0", "10"), ("PRI-1", "10"), ("PRI-2", "10")}
