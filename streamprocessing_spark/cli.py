@@ -56,6 +56,41 @@ def _resolve_op(arg: str) -> E.Op:
     )
 
 
+def _chaos_wrap(op: E.Op) -> E.Op:
+    """RainStormWithFail analogue (main.go:223-243, server.go:553-572):
+    the reference kills 2 workers mid-job and recovers by WAL replay.
+    Here the op's task kills ITSELF on its first attempt in partitions 0
+    and 1; Spark's task retry (session.py runs local[n,2]) replays them
+    and the job must still produce exactly-once output. Only PluginOp /
+    ExecOp wrap (they run in tasks); NativeOp has no task-side hook."""
+    if not isinstance(op, (E.PluginOp, E.ExecOp)):
+        return op
+
+    inner_fn = op.fn if isinstance(op, E.PluginOp) else None
+    inner_exe = op.exe if isinstance(op, E.ExecOp) else None
+
+    def chaotic(key: str, value: str, pattern: str | None):
+        from pyspark import TaskContext
+
+        tc = TaskContext.get()
+        if tc is not None and tc.partitionId() < 2 and tc.attemptNumber() == 0:
+            raise RuntimeError("chaos: injected worker failure (RainStormWithFail)")
+        if inner_fn is not None:
+            return inner_fn(key, value, pattern)
+        import subprocess
+
+        argv = [inner_exe, key, value] + ([pattern] if pattern is not None else [])
+        out = subprocess.run(argv, capture_output=True, text=True, check=True).stdout
+        lines = out.splitlines()
+        if not lines:
+            return None
+        if len(lines) == 1:
+            return lines[0]
+        return [(lines[i], lines[i + 1]) for i in range(0, len(lines) - 1, 2)]
+
+    return E.PluginOp(chaotic, contract=op.contract)
+
+
 def _cmd_rainstorm(args: argparse.Namespace) -> int:
     from pyspark.sql import functions as F
 
@@ -70,9 +105,12 @@ def _cmd_rainstorm(args: argparse.Namespace) -> int:
         ),
         F.col("value"),
     )
+    op1, op2 = _resolve_op(args.op1), _resolve_op(args.op2)
+    if args.with_fail:
+        op1, op2 = _chaos_wrap(op1), _chaos_wrap(op2)
     job = E.RainStormJob(
-        op1=_resolve_op(args.op1),
-        op2=_resolve_op(args.op2),
+        op1=op1,
+        op2=op2,
         pattern=args.pattern,
         num_tasks=args.num_tasks,
     )
@@ -121,6 +159,12 @@ def main(argv: list[str] | None = None) -> int:
     rs.add_argument("dest")
     rs.add_argument("num_tasks", type=int)
     rs.add_argument("pattern", nargs="?", default=None)
+    rs.add_argument(
+        "--with-fail",
+        action="store_true",
+        help="chaos mode: kill first-attempt tasks mid-job and recover via "
+        "task retry (the reference's RainStormWithFail, main.go:223-243)",
+    )
     rs.set_defaults(fn=_cmd_rainstorm)
 
     ls = sub.add_parser("list", help="list registered queries")

@@ -60,3 +60,13 @@ def test_cli_rainstorm_exec_ops(spark, tmp_path):
     )
     assert rc == 0
     assert _read_out(dest) == {("PRI-0", "10"), ("PRI-1", "10"), ("PRI-2", "10")}
+
+
+def test_cli_rainstorm_with_fail_exactly_once(spark, tmp_path):
+    """--with-fail (the RainStormWithFail analogue): first-attempt tasks
+    are killed mid-job; output must still equal the clean run exactly."""
+    src = _write_src(tmp_path)
+    dest = str(tmp_path / "out_chaos")
+    rc = main(["rainstorm", "app2op1", "app2op2", src, dest, "4", "F", "--with-fail"])
+    assert rc == 0
+    assert _read_out(dest) == {("PRI-0", "10"), ("PRI-1", "10"), ("PRI-2", "10")}
