@@ -65,6 +65,16 @@ def _build_dedup_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        stream_events(spark, sf_dir)
+        .select("event_id", "event_type", "ts")
+        .withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id", "event_type")
+    )
+
+
 def _build_windowed_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
     return (
@@ -150,6 +160,7 @@ _PIPELINES: dict[str, tuple] = {
     "streaming_count_update": (_build_count_update, "complete"),
     "streaming_append_sink": (_build_append_sink, "append"),
     "streaming_dedup_by_id": (_build_dedup_by_id, "append"),
+    "streaming_dedup_watermarked": (_build_dedup_watermarked, "append"),
     "streaming_windowed_count": (_build_windowed_count, "complete"),
     "streaming_session_window": (_build_session_window, "complete"),
     "streaming_sliding_window": (_build_sliding_window, "complete"),
@@ -239,6 +250,25 @@ def streaming_dedup_by_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's unbounded processedRecordIDs map (SURVEY.md §4.3.4), which
     production jobs bound with withWatermark before dropDuplicates."""
     return _drained(spark, sf_dir, "streaming_dedup_by_id")
+
+
+@register(
+    "streaming_dedup_watermarked",
+    oracle="""
+    SELECT event_id, event_type FROM events
+    """,
+    tags=("streaming", "reference", "dedup", "watermark"),
+)
+def streaming_dedup_watermarked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The BOUNDED-state form of streaming_dedup_by_id —
+    dropDuplicatesWithinWatermark holds a seen-id only until the
+    watermark passes its event time, fixing the reference's unbounded
+    processedRecordIDs map (rainstorm/server.go:34,292-298; SURVEY.md
+    §4.3.4 flags exactly this leak). On this bounded replay every id is
+    unique, so end-of-stream output equals the plain dedup; on an
+    infinite stream this variant is the only one whose state does not
+    grow forever."""
+    return _drained(spark, sf_dir, "streaming_dedup_watermarked")
 
 
 @register(
