@@ -118,13 +118,16 @@ def test_mixed_contract_cache_released(spark, records):
     RDDs behind — a long-lived session running many jobs must not
     accumulate cached partitions (VERDICT r01 'What's wrong' #3)."""
     E.release_plugin_caches(blocking=True)
+    # baseline, not zero: other tests' localCheckpoint RDDs (e.g.
+    # connected components) stay pinned until GC and are not ours to evict
+    baseline = len(spark.sparkContext._jsc.getPersistentRDDs())
     job = E.RainStormJob(op1=E.PluginOp(E.app2_op1), op2=E.PluginOp(E.app2_op2), pattern="F")
     out = job.run(records)
     out.collect()
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) > 0  # cache was live
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) > baseline  # cache was live
     released = E.release_plugin_caches(blocking=True)
     assert released >= 1
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= baseline
 
 
 def test_plugin_cache_registry_bounded(spark, records):
@@ -132,12 +135,13 @@ def test_plugin_cache_registry_bounded(spark, records):
     running many mixed-contract jobs keeps at most _PLUGIN_CACHE_KEEP
     tagged caches pinned (oldest evicted first)."""
     E.release_plugin_caches(blocking=True)
+    baseline = len(spark.sparkContext._jsc.getPersistentRDDs())
     job = E.RainStormJob(op1=E.PluginOp(E.app2_op1), op2=E.PluginOp(E.app2_op2), pattern="F")
     for _ in range(E._PluginCacheRegistry.KEEP + 3):
         job.run(records).collect()
     assert len(E._PLUGIN_CACHES.dfs) <= E._PluginCacheRegistry.KEEP
     E.release_plugin_caches(blocking=True)
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == 0
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= baseline
 
 
 def test_exec_op_matches_plugin(spark, records):
