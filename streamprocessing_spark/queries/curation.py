@@ -358,3 +358,66 @@ def winsorize_values_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("value_w"),
     )
+
+
+@register(
+    "decontaminate_hashed",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ),
+    idx AS (
+      SELECT doc_id, t, unnest(range(1, len(t) - {NGRAM_N - 2})) AS i
+      FROM toks WHERE len(t) >= {NGRAM_N}
+    ),
+    sh AS (
+      SELECT doc_id, array_to_string(t[i:i + {NGRAM_N - 1}], ' ') AS sh FROM idx
+    ),
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 11 = 0),
+    train AS (SELECT DISTINCT doc_id, sh FROM sh WHERE doc_id % 11 <> 0)
+    SELECT t.doc_id, count(*) AS n_shared_shingles
+    FROM train t JOIN bench b USING (sh)
+    GROUP BY t.doc_id
+    """,
+    tags=("curation", "llm-pipeline", "dedup"),
+)
+def decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """decontaminate_benchmark_overlap's 100 TB form: shingles are
+    xxhash64-hashed BEFORE the join, so the shuffle carries 8-byte longs
+    instead of ~50-byte shingle strings (~6× narrower wire format for
+    the dominant exchange, and fixed-width keys sort/compare faster).
+    The text-tier docstring promises exactly this swap; here it is as a
+    verified query.
+
+    The oracle is the TEXT-based join: results are identical unless two
+    distinct shingles collide in 64 bits, which over s shingles has
+    probability ≤ s²/2^65 (~1e-10 at this corpus's ~10^5 shingles, and
+    still ~1e-4 at 10^9 shingles) — and a collision can only ADD a
+    spurious overlap count, never lose one, which for a
+    decontamination FILTER errs on the safe side."""
+    from streamprocessing_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens(F.col("text")).alias("t")
+    )
+    sh = (
+        docs.filter(F.size("t") >= NGRAM_N)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"transform(sequence(1, size(t) - {NGRAM_N - 1}),"
+                    f" i -> array_join(slice(t, i, {NGRAM_N}), ' '))"
+                )
+            ).alias("sh"),
+        )
+        # hash in a separate projection (a generator cannot nest inside
+        # an expression); Catalyst fuses both into the same codegen stage
+        .select("doc_id", F.xxhash64("sh").alias("h"))
+    )
+    bench = sh.filter(F.col("doc_id") % 11 == 0).select("h").distinct()
+    train = sh.filter(F.col("doc_id") % 11 != 0).select("doc_id", "h").distinct()
+    return train.join(bench, "h").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_shared_shingles")
+    )

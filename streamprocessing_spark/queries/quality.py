@@ -204,3 +204,67 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         flag_st.cast("long").alias("flag_stop"),
         (flag_wc & flag_ml & flag_st).cast("long").alias("passes"),
     )
+
+
+@register(
+    "corpus_composition_card",
+    oracle=f"""
+    WITH f AS (
+      SELECT source, lang, doc_id,
+             len({_SQL_TOKENS}) AS n_tokens,
+             md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+      FROM documents
+    ),
+    m AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS keeper FROM f)
+    SELECT source, lang,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dups,
+           floor(CAST(sum(n_tokens) AS DOUBLE) / count(*) * 100.0 + 0.5) / 100.0
+             AS mean_tokens,
+           floor(CAST(sum(CASE WHEN doc_id <> keeper THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*) * 1000000.0 + 0.5) / 1000000.0 AS dup_frac
+    FROM m GROUP BY source, lang
+    """,
+    tags=("quality", "llm-pipeline", "aggregate"),
+)
+def corpus_composition_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The corpus datasheet ("data card") aggregation: per (source, lang)
+    slice — document count, total tokens, mean document length, and the
+    exact-duplicate rate (documents whose normalized-content fingerprint
+    already appeared under a smaller doc_id). This is the composition
+    table every training-data release publishes, and the monitoring
+    signal that catches a source suddenly flooding duplicates.
+
+    Two shuffles, both narrow: the fingerprint window moves (fp, doc_id)
+    pairs (16-byte keys, never text), and the final groupBy is
+    cardinality-bounded by sources × languages. All counts exact
+    integers; the two ratios are single portable divisions."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fp")
+    sized = d.select(
+        "source", "lang", "doc_id",
+        T.token_count(F.col("text")).alias("n_tokens"),
+        T.fingerprint(F.col("text")).alias("fp"),
+    ).withColumn("keeper", F.min("doc_id").over(w))
+    is_dup = F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0)
+    return (
+        sized.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.sum(is_dup).alias("n_exact_dups"),
+        )
+        .select(
+            "source", "lang", "n_docs", "total_tokens", "n_exact_dups",
+            (F.floor(F.col("total_tokens").cast("double") / F.col("n_docs") * 100.0 + 0.5) / 100.0)
+            .alias("mean_tokens"),
+            (
+                F.floor(
+                    F.col("n_exact_dups").cast("double") / F.col("n_docs") * 1000000.0 + 0.5
+                )
+                / 1000000.0
+            ).alias("dup_frac"),
+        )
+    )
