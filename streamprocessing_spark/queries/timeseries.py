@@ -386,3 +386,43 @@ def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("n_active"))
     )
+
+
+@register(
+    "event_path_trigrams",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type AS t1,
+             lead(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS t2,
+             lead(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS t3
+      FROM events
+    )
+    SELECT t1, t2, t3, count(*) AS n
+    FROM s WHERE t2 IS NOT NULL AND t3 IS NOT NULL
+    GROUP BY 1, 2, 3
+    """,
+    tags=("timeseries", "analytics", "sequence"),
+)
+def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Behavioral path mining: counts of consecutive event-type trigrams
+    per user journey ("view→click→purchase appears 214 times") — the
+    sequence-pattern primitive behind funnel discovery and next-action
+    models. Expressed as two leads over the (user, time) window instead
+    of collecting arrays: no per-user materialization, state is two rows
+    deep, and the trigram alphabet keeps the final aggregate tiny.
+    Ordering is total (ts, event_id tiebreak) so both engines see
+    identical sequences. One shuffle on user_id, one bounded aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    )
+    return (
+        s.where(F.col("t2").isNotNull() & F.col("t3").isNotNull())
+        .groupBy("t1", "t2", "t3")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

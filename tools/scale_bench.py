@@ -57,6 +57,14 @@ QUERIES = (
     "dedup_simhash",
     "srp_lsh_cosine_pairs",
     "copurchase_lift",
+    # documents-table linear ops: curve + the text-vs-hashed
+    # decontamination head-to-head (quantifies the 8-byte-key shuffle win)
+    "dedup_exact",
+    "decontaminate_benchmark_overlap",
+    "decontaminate_hashed",
+    "token_rarity_score",
+    "corpus_composition_card",
+    "pack_documents_greedy",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
