@@ -77,16 +77,7 @@ def _chaos_wrap(op: E.Op) -> E.Op:
             raise RuntimeError("chaos: injected worker failure (RainStormWithFail)")
         if inner_fn is not None:
             return inner_fn(key, value, pattern)
-        import subprocess
-
-        argv = [inner_exe, key, value] + ([pattern] if pattern is not None else [])
-        out = subprocess.run(argv, capture_output=True, text=True, check=True).stdout
-        lines = out.splitlines()
-        if not lines:
-            return None
-        if len(lines) == 1:
-            return lines[0]
-        return [(lines[i], lines[i + 1]) for i in range(0, len(lines) - 1, 2)]
+        return E.exec_op_record(inner_exe, key, value, pattern)
 
     return E.PluginOp(chaotic, contract=op.contract)
 
@@ -114,14 +105,19 @@ def _cmd_rainstorm(args: argparse.Namespace) -> int:
         pattern=args.pattern,
         num_tasks=args.num_tasks,
     )
-    out = job.run(records)
-    out.write.mode("overwrite").option("header", "true").csv(args.dest)
-    rows = out.limit(20).collect()
-    for r in rows:
-        print(f"<{r.key}, {r.value}>")  # the leader's console format (types.go:75-81)
-    n = out.count()
-    print(f"rainstorm: {n} output records -> {args.dest}", file=sys.stderr)
-    E.release_plugin_caches()
+    # persist so the write, the console preview, and the count are one
+    # compute pass, not three (the op kernels are the expensive part)
+    out = job.run(records).persist()
+    try:
+        out.write.mode("overwrite").option("header", "true").csv(args.dest)
+        rows = out.limit(20).collect()
+        for r in rows:
+            print(f"<{r.key}, {r.value}>")  # the leader's console format (types.go:75-81)
+        n = out.count()
+        print(f"rainstorm: {n} output records -> {args.dest}", file=sys.stderr)
+    finally:
+        out.unpersist()
+        E.release_plugin_caches()
     return 0
 
 

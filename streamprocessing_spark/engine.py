@@ -254,6 +254,31 @@ class BatchPluginOp:
         return _collapse_tagged(records.mapInPandas(kernel, _TAGGED_SCHEMA), self.contract)
 
 
+def exec_op_record(exe: str, key: str, value: str, pattern: str | None):
+    """Invoke one op executable for one record and classify its stdout
+    under the reference contract (server.go:320-361): None = filtered,
+    str = count key, list of (key, value) pairs = flatMap output. The
+    single shared implementation behind ExecOp and the CLI's chaos
+    wrapper — the contract must not fork."""
+    import subprocess
+
+    argv = [exe, key, value]
+    if pattern is not None:
+        argv.append(pattern)
+    proc = subprocess.run(argv, capture_output=True, text=True)
+    if proc.returncode != 0:
+        # fail the task (Spark retries it) rather than silently dropping
+        # the record — the reference logs and skips (server.go:327-331),
+        # but a crashing op is a bug we surface
+        raise RuntimeError(f"op {exe!r} exited {proc.returncode}: {proc.stderr[:500]}")
+    lines = proc.stdout.splitlines()
+    if not lines:
+        return None
+    if len(lines) == 1:
+        return lines[0]
+    return [(lines[i], lines[i + 1]) for i in range(0, len(lines) - 1, 2)]
+
+
 @dataclass(frozen=True)
 class ExecOp:
     """The reference's LITERAL operator contract: an external executable
@@ -285,37 +310,23 @@ class ExecOp:
         exe = self.exe
 
         def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-            import subprocess
-
             for pdf in batches:
                 kinds: list[str] = []
                 keys: list[str] = []
                 vals: list[str] = []
                 for k, v in zip(pdf["key"].tolist(), pdf["value"].tolist()):
-                    argv = [exe, k, v]
-                    if pattern is not None:
-                        argv.append(pattern)
-                    proc = subprocess.run(argv, capture_output=True, text=True)
-                    if proc.returncode != 0:
-                        # fail the task (Spark retries it) rather than
-                        # silently dropping the record — the reference
-                        # logs and skips (server.go:327-331), but a
-                        # crashing op is a bug we surface
-                        raise RuntimeError(
-                            f"op {exe!r} exited {proc.returncode}: {proc.stderr[:500]}"
-                        )
-                    lines = proc.stdout.splitlines()
-                    if not lines:
+                    r = exec_op_record(exe, k, v, pattern)
+                    if r is None:
                         continue
-                    if len(lines) == 1:
+                    if isinstance(r, str):
                         kinds.append("count")
-                        keys.append(lines[0])
+                        keys.append(r)
                         vals.append("")
                     else:
-                        for i in range(0, len(lines) - 1, 2):
+                        for nk, nv in r:
                             kinds.append("emit")
-                            keys.append(lines[i])
-                            vals.append(lines[i + 1])
+                            keys.append(nk)
+                            vals.append(nv)
                 yield pd.DataFrame({"kind": kinds, "key": keys, "value": vals})
 
         tagged = records.mapInPandas(kernel, _TAGGED_SCHEMA)

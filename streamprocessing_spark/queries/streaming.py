@@ -192,15 +192,25 @@ def _drained(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             cleanup()
         _DRAINED[key] = table_names
         return spark.table(table_names[name])
-    except Exception:
+    except Exception as exc:
         # concurrent batch failed (e.g. another test holds conflicting
-        # session state) — stop stragglers, run just the requested
-        # pipeline sequentially, unmemoized
-        for q, _cleanup in started:
+        # session state) — surface the root cause (a silent fallback
+        # would hide a broken pipeline behind uniformly slow results),
+        # stop stragglers and drop their throwaway checkpoints, then run
+        # just the requested pipeline sequentially, unmemoized
+        import sys
+
+        print(
+            f"streaming concurrent drain failed ({type(exc).__name__}: {exc}); "
+            f"falling back to a solo drain of {name!r}",
+            file=sys.stderr,
+        )
+        for q, cleanup in started:
             try:
                 q.stop()
             except Exception:  # noqa: BLE001
                 pass
+            cleanup()
         build, mode = _PIPELINES[name]
         return run_to_memory_sink(build(spark, sf_dir), mode)
 

@@ -467,7 +467,15 @@ def token_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
-    dt = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok")).distinct()
+    # three consumers (vocab aggregate, both pair-join sides) — materialize
+    # the tokenize+distinct projection once instead of re-scanning and
+    # re-tokenizing the corpus per consumer (same pattern as
+    # graph.copurchase_lift's order/part projection)
+    dt = (
+        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
     df_t = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
     w = Window.orderBy(F.desc("n"), F.asc("tok"))
     vocab = (

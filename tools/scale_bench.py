@@ -144,8 +144,20 @@ def main() -> None:
     args = ap.parse_args()
 
     spark = get_spark("scale-bench")
-    if args.rebuild or not os.path.isdir(f"{PROXY_DIR}/documents.parquet"):
+    # the cached proxy is only valid for the base it was derived from —
+    # key the cache on the base path so `--base X` after a run with base Y
+    # rebuilds instead of silently measuring against a stale proxy
+    marker = f"{PROXY_DIR}/.base"
+    base_key = os.path.abspath(args.base)
+    stale = True
+    if os.path.isdir(f"{PROXY_DIR}/documents.parquet") and os.path.isfile(marker):
+        with open(marker) as fh:
+            stale = fh.read().strip() != base_key
+    if args.rebuild or stale:
         build_proxy(spark, args.base, PROXY_DIR)
+        os.makedirs(PROXY_DIR, exist_ok=True)
+        with open(marker, "w") as fh:
+            fh.write(base_key)
 
     specs = all_specs()
     result: dict = {"base_sf": 0.1, "proxy_sf": 1.0, "queries": {}}
