@@ -6,10 +6,10 @@ Streaming-only semantics (update-mode emission per input, checkpoint
 recovery across restarts — the RainStormWithFail analogue) are asserted in
 tests/test_streaming.py, where a batch oracle can't express them.
 
-Execution shape: all eight pipelines are independent bounded replays of
+Execution shape: all the pipelines are independent bounded replays of
 the same source, so the first query call starts ALL of them concurrently
 and awaits the batch (start_memory_sink); results are memoized per
-(session, sf_dir). Eight sequential drains each pay stream startup +
+(session, sf_dir). Sequential drains would each pay stream startup +
 state-store spin-up; the concurrent batch costs roughly the slowest one.
 This mirrors a production deployment too — multiple streaming queries
 sharing one SparkSession is the normal multi-sink topology.
@@ -156,6 +156,12 @@ def _build_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(F.col("p_id").alias("purchase_id"), F.col("c_id").alias("click_id"))
 
 
+def _build_stateful_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessing_spark.streaming.stateful import threshold_crossing_alerts
+
+    return threshold_crossing_alerts(stream_events(spark, sf_dir))
+
+
 _PIPELINES: dict[str, tuple] = {
     "streaming_count_update": (_build_count_update, "complete"),
     "streaming_append_sink": (_build_append_sink, "append"),
@@ -166,6 +172,7 @@ _PIPELINES: dict[str, tuple] = {
     "streaming_sliding_window": (_build_sliding_window, "complete"),
     "streaming_static_join": (_build_static_join, "complete"),
     "streaming_interval_join": (_build_interval_join, "append"),
+    "streaming_stateful_alerts": (_build_stateful_alerts, "append"),
 }
 
 # (applicationId, sf_dir) -> {query_name: memory-sink table name}
@@ -384,3 +391,35 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     time-bounded streaming one). State is keyed by user and pruned as the
     watermark passes ts + 1 h."""
     return _drained(spark, sf_dir, "streaming_interval_join")
+
+
+@register(
+    "streaming_stateful_alerts",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v
+      FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT user_id, event_id, ts, v,
+             sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS UNBOUNDED PRECEDING) AS cum
+      FROM s)
+    SELECT user_id, event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') || ' UTC' AS ts,
+           CAST(cum // 5000000 AS BIGINT) AS crossing_n
+    FROM c
+    WHERE cum // 5000000 > (cum - v) // 5000000
+    """,
+    tags=("streaming", "stateful", "custom-operator"),
+)
+def streaming_stateful_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """USER-DEFINED stateful operator (applyInPandasWithState): per-user
+    running purchase total emitting an alert row each time the total
+    crosses a new multiple of 500.00 — the reference's arbitrary-stateful
+    -op contract (rainstorm/server.go:344-361) beyond what built-in
+    streaming aggregates express (conditional, data-dependent emission).
+    Exact-integer money arithmetic makes the crossing sequence
+    reproducible by the batch running-sum oracle; see
+    streaming/stateful.py for the determinism contract."""
+    return _drained(spark, sf_dir, "streaming_stateful_alerts")

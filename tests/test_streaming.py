@@ -366,3 +366,60 @@ def test_midrun_task_failure_exactly_once(spark, tmp_path):
         assert len(kills) >= 1, "failure injection never triggered"
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_stateful_alerts_state_carries_across_batches(spark, sf_dir, tmp_path):
+    """threshold_crossing_alerts holds its per-user accumulator in the
+    state store ACROSS micro-batches: replaying events as two time-ordered
+    files (one per trigger) must produce the same crossing sequence as the
+    single-batch drain — a crossing whose straddle spans the batch
+    boundary only exists if batch 2 resumed from batch 1's total."""
+    import time as _time
+
+    from streamprocessing_spark.sources.readers import load_table
+    from streamprocessing_spark.streaming.replay import run_to_memory_sink
+    from streamprocessing_spark.streaming.stateful import threshold_crossing_alerts
+
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    mid = span.lo + (span.hi - span.lo) / 2
+    base = str(tmp_path / "alerts_src")
+    os.makedirs(base)
+    early = ev.where(F.col("ts") <= F.lit(mid)).coalesce(1)
+    late = ev.where(F.col("ts") > F.lit(mid)).coalesce(1)
+    early.write.parquet(f"{base}/c0")
+    late.write.parquet(f"{base}/c1")
+    src = f"{base}/src"
+    os.makedirs(src)
+    _extract_part_file(f"{base}/c0", f"{src}/a_early.parquet")
+    _extract_part_file(f"{base}/c1", f"{src}/b_late.parquet")
+    # the file source processes oldest-modified first: force the order
+    now = _time.time()
+    os.utime(f"{src}/a_early.parquet", (now - 60, now - 60))
+    os.utime(f"{src}/b_late.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    got = {
+        tuple(r)
+        for r in run_to_memory_sink(threshold_crossing_alerts(stream), "append").collect()
+    }
+
+    single = {
+        tuple(r)
+        for r in run_to_memory_sink(
+            threshold_crossing_alerts(
+                spark.readStream.schema(ev.schema)
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(src)
+            ),
+            "append",
+        ).collect()
+    }
+    assert got == single and got
+    # sanity: both batches contributed alerts (state straddled the boundary)
+    n_early_alerts = sum(1 for (_, _, ts, _) in got if ts <= f"{mid}"[:19] + " UTC")
+    assert 0 < n_early_alerts < len(got)
