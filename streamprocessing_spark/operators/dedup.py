@@ -446,10 +446,13 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
             .groupBy("src")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # carry the previous label through the checkpoint so convergence
+        # is a filter over the materialized frame, not another join
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
             .select(
                 "id",
+                F.col("component").alias("prev_component"),
                 F.least(
                     F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
                 ).alias("component"),
@@ -457,13 +460,9 @@ def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFram
             .localCheckpoint(eager=True)
         )
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .where(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
+            new_labels.where(F.col("component") != F.col("prev_component")).limit(1).count()
         )
-        labels = new_labels
+        labels = new_labels.select("id", "component")
         if changed == 0:
             return labels
     raise RuntimeError(
