@@ -421,3 +421,68 @@ def decontaminate_hashed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train.join(bench, "h").groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_shared_shingles")
     )
+
+
+TEMP_SAMPLE_TARGET = 200
+
+from streamprocessing_spark.functions.text import SQL_TOKENS as _SQL_TOKENS  # noqa: E402
+
+
+@register(
+    "temperature_sample_by_source",
+    oracle=f"""
+    WITH tc AS (
+      SELECT source, doc_id,
+             len({_SQL_TOKENS}) AS n_tok
+      FROM documents),
+    c AS (SELECT source, sum(n_tok) AS toks FROM tc GROUP BY source),
+    w AS (SELECT source, CAST(floor(sqrt(toks)) AS BIGINT) AS wt FROM c),
+    t AS (SELECT CAST(sum(wt) AS BIGINT) AS tot FROM w),
+    q AS (SELECT source, CAST(({TEMP_SAMPLE_TARGET} * wt) // tot AS BIGINT) AS quota
+          FROM w, t),
+    r AS (SELECT doc_id, source,
+            row_number() OVER (
+              PARTITION BY source
+              ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT),
+                       doc_id) AS rn
+          FROM documents)
+    SELECT r.doc_id, r.source FROM r JOIN q USING (source) WHERE r.rn <= q.quota
+    """,
+    tags=("curation", "llm-pipeline", "sampling"),
+)
+def temperature_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted corpus mixing (alpha = 0.5): each source gets
+    a quota proportional to sqrt(its token mass), flattening the natural
+    size distribution the way multilingual / multi-source training mixes
+    do (cf. the sampling-temperature scheme in the XLM-R / T5 papers),
+    then fills the quota with a deterministic md5-ordered draw.
+
+    Portability discipline: weights are floor(sqrt(tokens)) — one
+    correctly-rounded IEEE sqrt floored to an INTEGER — so the quota
+    arithmetic (integer multiply, integer floor-division by the exact
+    integer weight total) is bit-identical across engines; no
+    float-accumulation ever crosses an aggregate. Two shuffles (token
+    count per source, per-source rank); quotas are a broadcast join."""
+    from streamprocessing_spark.functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "source", T.token_count(F.col("text")).alias("n_tok"))
+    counts = tok.groupBy("source").agg(F.sum("n_tok").alias("toks"))
+    wts = counts.select("source", F.floor(F.sqrt(F.col("toks"))).cast("long").alias("wt"))
+    tot = wts.agg(F.sum("wt").alias("tot"))
+    quota = (
+        wts.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            F.expr(f"({TEMP_SAMPLE_TARGET} * wt) div tot").cast("long").alias("quota"),
+        )
+    )
+    w = Window.partitionBy("source").orderBy(
+        _h32(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    ranked = d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+    return (
+        ranked.join(F.broadcast(quota), "source")
+        .where(F.col("rn") <= F.col("quota"))
+        .select("doc_id", "source")
+    )

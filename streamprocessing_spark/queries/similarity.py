@@ -294,3 +294,54 @@ def knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("label_agrees"),
         )
     )
+
+
+@register(
+    "semantic_dedup_keep",
+    oracle=f"""
+    WITH RECURSIVE pair_t AS ({_sql_srp_oracle(SRP_THRESHOLD)}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pair_t
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pair_t
+    ),
+    reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.src AS id, reach.r AS r
+      FROM edges e JOIN reach ON e.dst = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT e.vec_id
+    FROM embeddings e
+    LEFT JOIN comp c ON e.vec_id = c.id AND c.component <> c.id
+    WHERE c.id IS NULL
+    """,
+    tags=("similarity", "dedup", "llm-pipeline", "lsh", "iterative"),
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style SEMANTIC dedup, materialized: SRP-LSH candidate
+    pairs ≥ {SRP_THRESHOLD} cosine → exact-cosine verify → connected
+    components → keep one vector per semantic cluster (the min vec_id)
+    plus every singleton. The embedding-space counterpart of
+    dedup_keep_canonical: where MinHash removes near-verbatim text
+    copies, this removes MEANING-level duplicates (paraphrases,
+    re-encodings) that share no shingles — the two compose into the
+    standard curation cascade (lexical pass, then semantic pass).
+
+    Scale shape identical to the audited text pipeline: banded LSH
+    self-join (never all-pairs), O(diameter) label propagation over the
+    tiny pair graph, then a broadcast LEFT ANTI of the corpus against
+    the non-canonical ids (dup-cluster members are a sliver of the
+    corpus)."""
+    from streamprocessing_spark.operators.dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.select("embedding").head()
+    dim = len(row[0]) if row else 1
+    pairs = S.srp_lsh_cosine_pairs(emb, SRP_THRESHOLD, dim)
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("component") != F.col("id")).select(
+        F.col("id").alias("vec_id")
+    )
+    return emb.select("vec_id").join(F.broadcast(losers), "vec_id", "left_anti")

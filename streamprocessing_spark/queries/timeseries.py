@@ -426,3 +426,44 @@ def event_path_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t1", "t2", "t3")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "rolling_user_activity_1h",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(count(*) OVER w AS BIGINT) AS n_1h,
+           CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) OVER w
+                AS BIGINT) AS value_1h_x10k
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("timeseries", "window", "feature-engineering"),
+)
+def rolling_user_activity_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-1-hour activity features per event: how many events (and
+    how much scaled value) the same user generated in the hour ending at
+    this event — the RANGE-frame (time-interval) window, the standard
+    feature-engineering primitive for fraud/abuse/engagement models.
+    A RANGE frame is value-based: all rows whose timestamp falls in the
+    interval count, including equal-timestamp peers, so the result is
+    deterministic under ties without a tiebreak column.
+
+    Both engines order by exact integer epoch-MICROSECONDS (unix_micros /
+    epoch_us) so the frame boundary is bit-identical; money is scaled to
+    int64 before summing. One shuffle on user_id; the frame scan is a
+    sliding two-pointer over each partition's sort, O(n) amortized."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    scaled = F.floor(F.col("value") * 10000.0 + 0.5).cast("long")
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.count(F.lit(1)).over(w).alias("n_1h"),
+        F.sum(scaled).over(w).alias("value_1h_x10k"),
+    )
