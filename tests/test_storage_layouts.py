@@ -25,25 +25,36 @@ def bucketed_tables(spark):
 
 
 def test_bucketed_join_avoids_shuffle(spark, sf_dir, bucketed_tables):
-    """Both fact tables bucketed on the join key → sort-merge join with
-    ZERO exchanges: the co-located join layout for repeated 100 TB joins."""
+    """Both fact tables bucketed on the join key (sources/bucketing.py) →
+    sort-merge join AND the follow-on group-by with ZERO exchanges: the
+    co-located layout for repeated 100 TB joins. The merge hint keeps the
+    small test side from broadcasting, which would trivially show zero
+    exchanges and prove nothing about bucketing."""
+    from streamprocessing_spark.sources.bucketing import write_bucketed
+
     o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
-    o.write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("t_orders_b")
-    li.write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("t_lineitem_b")
+    write_bucketed(o, "t_orders_b", ["o_orderkey"], 8, sort_cols=["o_orderkey"])
+    write_bucketed(li, "t_lineitem_b", ["l_orderkey"], 8, sort_cols=["l_orderkey"])
     ob, lb = spark.table("t_orders_b"), spark.table("t_lineitem_b")
-    joined = ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+    joined = (
+        ob.hint("merge")
+        .join(lb, ob.o_orderkey == lb.l_orderkey)
+        .groupBy("o_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
     assert X.count_exchanges(joined) == 0, X.formatted_plan(joined)
-    # and it still computes the right thing
-    expected = (
+    # and the co-located plan returns the same rows as the plain scan
+    plain = (
         load_table(spark, sf_dir, "orders")
         .join(
             load_table(spark, sf_dir, "lineitem"),
             F.col("o_orderkey") == F.col("l_orderkey"),
         )
-        .count()
+        .groupBy("o_orderkey")
+        .agg(F.sum("l_quantity").alias("qty"))
     )
-    assert joined.count() == expected
+    assert sorted(map(tuple, joined.collect())) == sorted(map(tuple, plain.collect()))
 
 
 def test_partitioned_write_prunes_partitions(spark, sf_dir):
