@@ -164,3 +164,103 @@ def basket_bfs_part_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     return visited.select(
         F.col("id").alias("l_partkey"), F.col("hops").cast("long").alias("hops")
     )
+
+
+PR_ITERS = 3
+PR_SCALE = 1_000_000_000  # initial rank mass per node, scaled integer
+
+
+def _sql_pr_round(prev: str, out: str) -> str:
+    """One PageRank round in DuckDB SQL over CTEs `edges`/`deg`: integer
+    contributions (rank div out-degree), damping 7/8 as exact integer
+    shifts — identical arithmetic to the Spark loop."""
+    return f"""
+    c_{out} AS (
+      SELECT e.dst AS id, CAST(sum({prev}.r // deg.d) AS BIGINT) AS c
+      FROM edges e
+      JOIN {prev} ON e.src = {prev}.id
+      JOIN deg ON deg.src = e.src
+      GROUP BY e.dst),
+    {out} AS (
+      SELECT {prev}.id,
+             CAST({PR_SCALE} // 8 + (7 * coalesce(c_{out}.c, 0)) // 8 AS BIGINT) AS r
+      FROM {prev} LEFT JOIN c_{out} ON {prev}.id = c_{out}.id)"""
+
+
+@register(
+    "pagerank_copurchase",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    edges AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    deg AS (SELECT src, count(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT DISTINCT src AS id, CAST({PR_SCALE} AS BIGINT) AS r FROM edges),
+    {_sql_pr_round('r0', 'r1')},
+    {_sql_pr_round('r1', 'r2')},
+    {_sql_pr_round('r2', 'r3')}
+    SELECT id AS l_partkey, r AS pr_scaled FROM r3
+    """,
+    tags=("graph", "iterative", "analytics"),
+)
+def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the co-purchase graph, {PR_ITERS} fixed iterations —
+    the canonical iterative-join workload (the popularity/centrality
+    signal for recommendation and curation ranking).
+
+    ENGINE-EXACT arithmetic: ranks are scaled BIGINTs, per-edge
+    contributions use integer division by out-degree, and the damping
+    factor is 7/8 applied as integer multiply-then-floor-divide — no
+    float ever crosses an aggregate, so both engines produce identical
+    ranks (the standard float PageRank is accumulation-order-dependent
+    and cannot be oracled exactly). The co-purchase graph is symmetric,
+    so there are no dangling nodes and the rank mass stays put.
+
+    Scale shape: each round is one shuffle join (edges × ranks on src)
+    plus one aggregation on dst — the partitioning on src is REUSED
+    across all {PR_ITERS} rounds; localCheckpoint truncates lineage per
+    round exactly as in connected_components. Edge count is
+    O(orders · basket²), the same bound as copurchase_lift; driver sees
+    nothing but the loop counter (no convergence collect needed for a
+    fixed-iteration rank)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        # reuse one src partitioning for the degree agg and every round's
+        # rank join: one shuffle up front instead of one per consumer
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ranks = edges.select(F.col("src").alias("id")).distinct().select(
+        "id", F.lit(PR_SCALE).cast("long").alias("r")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks, edges.src == ranks.id)
+            .join(deg, "src")
+            .select("dst", F.expr("r div d").alias("cb"))
+            .groupBy("dst")
+            .agg(F.sum("cb").alias("c"))
+        )
+        ranks = (
+            ranks.join(contrib, ranks.id == contrib.dst, "left")
+            .select(
+                "id",
+                (
+                    F.lit(PR_SCALE // 8)
+                    + F.expr("(7 * coalesce(c, CAST(0 AS BIGINT))) div 8")
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("id").alias("l_partkey"), F.col("r").alias("pr_scaled"))
