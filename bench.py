@@ -65,6 +65,11 @@ HEADLINE = [
     "token_cooccurrence_lift",
     "winsorize_values_by_type",
     "pack_documents_greedy",
+    # round-2 late additions
+    "semantic_dedup_keep",
+    "rolling_user_activity_1h",
+    "temperature_sample_by_source",
+    "pagerank_copurchase",
 ]
 
 

@@ -240,14 +240,16 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition("src")
         .localCheckpoint(eager=True)
     )
+    # attach the out-degree to the edge list ONCE — the loop then pays a
+    # single join + aggregation per round instead of two joins
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    edges = edges.join(deg, "src").localCheckpoint(eager=True)
     ranks = edges.select(F.col("src").alias("id")).distinct().select(
         "id", F.lit(PR_SCALE).cast("long").alias("r")
     )
     for _ in range(PR_ITERS):
         contrib = (
             edges.join(ranks, edges.src == ranks.id)
-            .join(deg, "src")
             .select("dst", F.expr("r div d").alias("cb"))
             .groupBy("dst")
             .agg(F.sum("cb").alias("c"))
