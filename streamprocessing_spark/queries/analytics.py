@@ -1857,3 +1857,39 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(base)
         .select("o_orderkey", "o_orderpriority", "o_totalprice")
     )
+
+
+@register(
+    "lateral_top2_customers_per_nation",
+    oracle="""
+    SELECT n.n_name, c.c_name, c.c_acctbal
+    FROM nation n,
+         LATERAL (SELECT c_name, c_acctbal FROM customer
+                  WHERE c_nationkey = n.n_nationkey
+                  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+    """,
+    tags=("join", "lateral", "analytics"),
+)
+def lateral_top2_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATERAL correlated-subquery join: per nation, its top-2 customers
+    by account balance — the SQL-standard per-row-subquery shape (TPC-DS
+    and modern ELT SQL use it heavily; the reference has no join at
+    all). Catalyst DECORRELATES it: the plan rewrites to a window top-k
+    over the customer side joined back to nation — verify with
+    .explain() that no nested-loop-per-nation survives — so the
+    execution cost is one shuffle on c_nationkey, identical to the
+    window formulation a user would hand-write, while keeping the
+    LATERAL surface available. c_acctbal is a per-row value (never
+    accumulated), so float parity is exact; the (balance, name) ordering
+    is a deterministic total order."""
+    load_table(spark, sf_dir, "nation").createOrReplaceTempView("sp_nation_lat")
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("sp_cust_lat")
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM sp_nation_lat n,
+             LATERAL (SELECT c_name, c_acctbal FROM sp_cust_lat
+                      WHERE c_nationkey = n.n_nationkey
+                      ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        """
+    )

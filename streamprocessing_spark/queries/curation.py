@@ -486,3 +486,55 @@ def temperature_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= F.col("quota"))
         .select("doc_id", "source")
     )
+
+
+@register(
+    "zscore_outlier_events",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, count(*) AS n,
+             CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s1,
+             CAST(sum(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)
+                      * CAST(floor(value * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s2
+      FROM events GROUP BY event_type)
+    SELECT event_id, event_type, z FROM (
+      SELECT e.event_id, e.event_type,
+             round((CAST(floor(e.value * 10000.0 + 0.5) AS BIGINT)
+                    - CAST(s.s1 AS DOUBLE) / s.n)
+                   / sqrt(CAST(s.s2 AS DOUBLE) / s.n
+                          - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n)),
+                   4) AS z
+      FROM events e JOIN s USING (event_type))
+    WHERE abs(z) > 3.0
+    """,
+    tags=("curation", "quality", "aggregate"),
+)
+def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score outlier detection per event type: events more than 3
+    population standard deviations from their type's mean — the
+    complementary robust-stats filter to winsorize_values_by_type
+    (flagging instead of clipping). Mean and variance come from EXACT
+    integer moment sums (n, Σv, Σv² over money-scaled int64, the
+    regression_value_by_hour discipline — re-scale if values exceed
+    ~10⁶ cents per million rows); the z expression is then the identical
+    IEEE double formula in both engines, so the flags and the rounded
+    scores match bit-for-bit.
+
+    Shape: one aggregation shuffle for the per-type moments (a
+    groups-sized table) broadcast back onto the fact scan — fact rows
+    never shuffle, same topology as winsorize."""
+    ev = load_table(spark, sf_dir, "events")
+    v = F.floor(F.col("value") * 10000.0 + 0.5).cast("long")
+    s = ev.select("event_type", v.alias("v")).groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s1"),
+        F.sum(F.col("v") * F.col("v")).alias("s2"),
+    )
+    mean = F.col("s1").cast("double") / F.col("n")
+    var = F.col("s2").cast("double") / F.col("n") - mean * mean
+    z = F.round((v - mean) / F.sqrt(var), 4)
+    return (
+        ev.join(F.broadcast(s), "event_type")
+        .select("event_id", "event_type", z.alias("z"))
+        .where(F.abs(F.col("z")) > 3.0)
+    )

@@ -184,3 +184,33 @@ def test_keep_canonical_antijoin_is_broadcast(spark, sf_dir):
     assert X.has_broadcast_join(df), X.formatted_plan(df)
     scans = X.read_schema_columns(df)
     assert scans and all(set(s) <= {"doc_id"} for s in scans), scans
+
+
+def test_lateral_join_decorrelates_to_window(spark, sf_dir):
+    # Catalyst must rewrite the LATERAL per-nation subquery to a window
+    # top-k — a surviving per-row nested loop would be quadratic at scale
+    df = SPECS["lateral_top2_customers_per_nation"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "NestedLoop" not in plan, plan
+    assert "Window" in plan, plan
+    assert X.count_exchanges(df) == 1, plan
+
+
+def test_zscore_moments_broadcast_back(spark, sf_dir):
+    # per-type moments are a groups-sized table: fact rows must not
+    # shuffle — one Exchange (the aggregation), stats joined by broadcast
+    df = SPECS["zscore_outlier_events"].fn(spark, sf_dir)
+    assert X.has_broadcast_join(df), X.formatted_plan(df)
+    assert X.count_exchanges(df) == 1, X.formatted_plan(df)
+
+
+def test_temperature_sample_quota_is_broadcast(spark, sf_dir):
+    # quotas are a source-count-sized table; the ranked corpus must join
+    # them by broadcast, never shuffle the documents twice
+    df = SPECS["temperature_sample_by_source"].fn(spark, sf_dir)
+    assert X.has_broadcast_join(df), X.formatted_plan(df)
+
+
+def test_rolling_range_window_single_shuffle(spark, sf_dir):
+    df = SPECS["rolling_user_activity_1h"].fn(spark, sf_dir)
+    assert X.count_exchanges(df) == 1, X.formatted_plan(df)
