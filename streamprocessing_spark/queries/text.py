@@ -515,3 +515,93 @@ def token_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lift"),
         )
     )
+
+
+BM25_TERMS = ("hash", "join", "filter")
+BM25_TOP = 20
+
+
+@register(
+    "bm25_rank_docs",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+    dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
+    stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+    tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+           FROM toks WHERE tok IN ('hash', 'join', 'filter') GROUP BY 1, 2),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    per AS (
+      SELECT tf.doc_id, tf.tok,
+             ln((s.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * tf.tf * 2.2
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl
+                                 / (CAST(s.sum_dl AS DOUBLE) / s.n_docs))) AS sc
+      FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats s),
+    tot AS (
+      SELECT doc_id,
+             coalesce(max(CASE WHEN tok = 'hash' THEN sc END), 0.0)
+             + coalesce(max(CASE WHEN tok = 'join' THEN sc END), 0.0)
+             + coalesce(max(CASE WHEN tok = 'filter' THEN sc END), 0.0) AS s
+      FROM per GROUP BY doc_id)
+    SELECT doc_id, round(s, 4) AS score
+    FROM tot ORDER BY round(s, 4) DESC, doc_id LIMIT {BM25_TOP}
+    """,
+    tags=("text", "llm-pipeline", "ranking"),
+)
+def bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 relevance ranking (k1 = 1.2, b = 0.75) of the corpus against
+    the fixed query {{hash, join, filter}} — the lexical-retrieval
+    primitive for RAG / retrieval-pipeline curation.
+
+    Determinism: tf, df, dl, N are exact integers; every float step is
+    the same literal IEEE expression in both engines. The per-term
+    scores are summed in a FIXED order (one conditional aggregate per
+    query term, added left-to-right) because a float SUM() across terms
+    would be accumulation-order-dependent. ln() appears on only
+    len(terms) distinct rational inputs — engine libm agreement on
+    those specific values is asserted by the oracle comparison itself.
+
+    Shape: one explode+count pass for tf and dl (shared scan), df and
+    the corpus stats are broadcast single-row/handful tables, the final
+    top-{BM25_TOP} is orderBy+limit (distributed TakeOrdered, no global
+    sort)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        toks.where(F.col("tok").isin(*BM25_TERMS))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    sc = (
+        F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+        * F.col("tf")
+        * 2.2
+        / (F.col("tf") + 1.2 * (0.25 + 0.75 * F.col("dl") / avgdl))
+    )
+    per = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("doc_id", "tok", sc.alias("sc"))
+    )
+
+    def term(t: str):
+        return F.coalesce(
+            F.max(F.when(F.col("tok") == t, F.col("sc"))), F.lit(0.0)
+        )
+
+    tot = per.groupBy("doc_id").agg(
+        (term("hash") + term("join") + term("filter")).alias("s")
+    )
+    return (
+        tot.select("doc_id", F.round(F.col("s"), 4).alias("score"))
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(BM25_TOP)
+    )

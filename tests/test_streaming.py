@@ -423,3 +423,74 @@ def test_stateful_alerts_state_carries_across_batches(spark, sf_dir, tmp_path):
     # sanity: both batches contributed alerts (state straddled the boundary)
     n_early_alerts = sum(1 for (_, _, ts, _) in got if ts <= f"{mid}"[:19] + " UTC")
     assert 0 < n_early_alerts < len(got)
+
+
+def test_stateful_alerts_exactly_once_through_task_failure(spark, sf_dir, tmp_path):
+    """Mid-batch task failure inside the applyInPandasWithState kernel:
+    the first attempt of partition 0 kills itself AFTER folding rows into
+    its (uncommitted) state; Spark's task retry (local[n,2]) re-runs it
+    against the last committed state-store version, so the alert sequence
+    must equal the clean run — no double-counted accumulator, no lost or
+    duplicated alerts (the state-store analogue of the reference's WAL
+    replay, rainstorm/server.go:553-572)."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    from streamprocessing_spark.sources.readers import load_table
+    from streamprocessing_spark.streaming.replay import run_to_memory_sink
+    from streamprocessing_spark.streaming.stateful import (
+        _OUT_SCHEMA,
+        _STATE_SCHEMA,
+        _crossings_kernel,
+        threshold_crossing_alerts,
+    )
+
+    marker = str(tmp_path / "stateful_kills.log")
+
+    def flaky_kernel(key, pdf_iter, state):
+        from pyspark import TaskContext
+
+        # fold the rows into (uncommitted) state FIRST, then die: the
+        # retry only sees the last committed version or the replay is
+        # corrupt. Every stateful task's first attempt fails — not just
+        # partition 0, which may hold no key groups at tiny SF.
+        out = list(_crossings_kernel(key, pdf_iter, state))
+        tc = TaskContext.get()
+        if tc is not None and tc.attemptNumber() == 0:
+            with open(marker, "a") as f:
+                f.write(f"killed partition={tc.partitionId()} attempt=0 key={key}\n")
+            raise RuntimeError("injected stateful-op task failure")
+        yield from out
+
+    ev = load_table(spark, sf_dir, "events")
+
+    def build(kernel):
+        stream = (
+            spark.readStream.schema(ev.schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+        return (
+            stream.where(stream.event_type == "purchase")
+            .select("user_id", "event_id", "ts", "value")
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                kernel, _OUT_SCHEMA, _STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+            )
+        )
+
+    got = {tuple(r) for r in run_to_memory_sink(build(flaky_kernel), "append").collect()}
+    want = {
+        tuple(r)
+        for r in run_to_memory_sink(
+            threshold_crossing_alerts(
+                spark.readStream.schema(ev.schema)
+                .option("pathGlobFilter", "events.parquet")
+                .parquet(sf_dir)
+            ),
+            "append",
+        ).collect()
+    }
+    assert got == want and got
+    with open(marker) as f:
+        kills = f.read().splitlines()
+    assert len(kills) >= 1, "failure injection never triggered"
