@@ -413,62 +413,103 @@ def sql_simhash_pairs(max_hamming: int = 3) -> str:
     """
 
 
-def connected_components(pairs: DataFrame, max_iterations: int = 20) -> DataFrame:
-    """(id, component): connected components over an undirected pair graph,
-    by iterative min-label propagation — the clustering step that turns
-    near-duplicate PAIRS into dedup GROUPS (keep min id per component).
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., 'Connected Components in
+    MapReduce and Beyond'): every node attaches its strictly-LARGER
+    neighbors to the minimum of its closed neighborhood. One groupBy for
+    the neighborhood min, one join back — both keyed on the same node."""
+    both = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    m = both.groupBy("u").agg(F.min("v").alias("mn"))
+    m = m.select("u", F.least(F.col("u"), F.col("mn")).alias("m"))
+    return (
+        both.join(m, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
 
-    Each iteration: every node takes the min label among itself and its
-    neighbors; converged when no label changes. Iteration count is
-    O(diameter); near-dup clusters are tiny cliques, so 2-3 rounds in
-    practice. At extreme scale swap in the large-star/small-star
-    contraction (same join skeleton, fewer rounds on long chains). The
-    driver-side loop is inherent to iterative graph algorithms — each
-    round is still a fully distributed shuffle-join, nothing is
-    collected except the 1-row convergence count.
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Small-star round: orient every edge toward its larger endpoint,
+    then attach each node's smaller-or-equal neighbors (and itself) to
+    the neighborhood minimum."""
+    oriented = edges.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    m = oriented.groupBy("u").agg(F.min("v").alias("m"))
+    attach_nbrs = (
+        oriented.join(m, "u")
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    attach_self = m.select("u", F.col("m").alias("v"))
+    return (
+        attach_nbrs.unionByName(attach_self)
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def connected_components(pairs: DataFrame, max_iterations: int = 30) -> DataFrame:
+    """(id, component): connected components over an undirected pair graph
+    — the clustering step that turns near-duplicate PAIRS into dedup
+    GROUPS (keep min id per component).
+
+    Algorithm: alternating large-star / small-star contraction (Kiveris
+    et al., 'Connected Components in MapReduce and Beyond', 2014) — the
+    published MapReduce-scale CC algorithm. Unlike min-label propagation
+    (O(diameter) rounds: a single long chain means hundreds of shuffles
+    — observed on the 10× scale proxy, whose sign-flipped replicas build
+    chain-shaped near-dup components), star contraction rewrites the
+    EDGE SET itself toward a star forest and converges in O(log² n)
+    rounds regardless of diameter; each round is two groupBy+join passes
+    over the current (shrinking) edge list. Converged when a full
+    large+small round leaves the edge set unchanged; the final edges are
+    exactly (member → component-min) stars. The driver-side loop is
+    inherent to iterative graph algorithms — each round is fully
+    distributed; only the 1-row convergence check touches the driver.
     """
-    # localCheckpoint (eager) per round: truncates the join lineage so
-    # iteration i does not re-execute rounds 1..i-1 (and the full pair
-    # generation) on every convergence check, and keeps the logical plan
-    # from deepening unboundedly — the standard iterative-Spark pattern.
+    # localCheckpoint (eager) per round truncates the join lineage so
+    # round i does not re-execute rounds 1..i-1 (and the full pair
+    # generation) on every convergence check — the standard
+    # iterative-Spark pattern.
     edges = (
-        pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
-        .unionByName(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    labels = edges.select(F.col("src").alias("id")).distinct().select(
-        "id", F.col("id").alias("component")
+    nodes = (
+        edges.select(F.col("u").alias("id"))
+        .unionByName(edges.select(F.col("v").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
     )
+    prev_count = edges.count()
     for _ in range(max_iterations):
-        neighbor_min = (
-            edges.join(labels, edges.dst == labels.id)
-            .groupBy("src")
-            .agg(F.min("component").alias("nbr_component"))
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        new_count = new_edges.count()
+        # star forest ⇒ both ops are no-ops ⇒ edge set unchanged; compare
+        # by count + one-sided set difference (both distinct)
+        if new_count == prev_count and new_edges.exceptAll(edges).isEmpty():
+            edges = new_edges
+            break
+        edges, prev_count = new_edges, new_count
+    else:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iterations} "
+            "large/small-star rounds — pathological input or a bug; "
+            "raise max_iterations"
         )
-        # carry the previous label through the checkpoint so convergence
-        # is a filter over the materialized frame, not another join
-        new_labels = (
-            labels.join(neighbor_min, labels.id == neighbor_min.src, "left")
-            .select(
-                "id",
-                F.col("component").alias("prev_component"),
-                F.least(
-                    F.col("component"), F.coalesce(F.col("nbr_component"), F.col("component"))
-                ).alias("component"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.where(F.col("component") != F.col("prev_component")).limit(1).count()
-        )
-        labels = new_labels.select("id", "component")
-        if changed == 0:
-            return labels
-    raise RuntimeError(
-        f"connected_components did not converge in {max_iterations} iterations "
-        "(graph diameter exceeds the bound); raise max_iterations or switch to "
-        "large-star/small-star contraction"
+    # final star edges point member -> component min; roots (the mins)
+    # appear only on the right side, singleton-in-pair-graph nodes keep
+    # themselves
+    member = edges.select(F.col("u").alias("id"), F.col("v").alias("component"))
+    return (
+        nodes.join(member, "id", "left")
+        .select("id", F.coalesce(F.col("component"), F.col("id")).alias("component"))
     )
 
 

@@ -499,11 +499,16 @@ def temperature_sample_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events GROUP BY event_type)
     SELECT event_id, event_type, z FROM (
       SELECT e.event_id, e.event_type,
-             round((CAST(floor(e.value * 10000.0 + 0.5) AS BIGINT)
-                    - CAST(s.s1 AS DOUBLE) / s.n)
-                   / sqrt(CAST(s.s2 AS DOUBLE) / s.n
-                          - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n)),
-                   4) AS z
+             CASE WHEN sqrt(greatest(CAST(s.s2 AS DOUBLE) / s.n
+                          - (CAST(s.s1 AS DOUBLE) / s.n) * (CAST(s.s1 AS DOUBLE) / s.n),
+                          0.0)) > 0.0
+                  THEN round((CAST(floor(e.value * 10000.0 + 0.5) AS BIGINT)
+                              - CAST(s.s1 AS DOUBLE) / s.n)
+                             / sqrt(greatest(CAST(s.s2 AS DOUBLE) / s.n
+                                    - (CAST(s.s1 AS DOUBLE) / s.n)
+                                      * (CAST(s.s1 AS DOUBLE) / s.n), 0.0)),
+                             4)
+             END AS z
       FROM events e JOIN s USING (event_type))
     WHERE abs(z) > 3.0
     """,
@@ -518,7 +523,11 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     regression_value_by_hour discipline — re-scale if values exceed
     ~10⁶ cents per million rows); the z expression is then the identical
     IEEE double formula in both engines, so the flags and the rounded
-    scores match bit-for-bit.
+    scores match bit-for-bit. The variance is clamped at 0 before the
+    sqrt (when Σv²/n and mean² both exceed 2^53 their double difference
+    can cancel to a tiny negative — sqrt would error in the oracle and
+    NaN in Spark), and a zero/degenerate deviation yields NULL z, which
+    the |z| filter drops in both engines.
 
     Shape: one aggregation shuffle for the per-type moments (a
     groups-sized table) broadcast back onto the fact scan — fact rows
@@ -532,7 +541,8 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mean = F.col("s1").cast("double") / F.col("n")
     var = F.col("s2").cast("double") / F.col("n") - mean * mean
-    z = F.round((v - mean) / F.sqrt(var), 4)
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    z = F.when(sd > 0.0, F.round((v - mean) / sd, 4))
     return (
         ev.join(F.broadcast(s), "event_type")
         .select("event_id", "event_type", z.alias("z"))

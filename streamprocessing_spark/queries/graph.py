@@ -205,7 +205,7 @@ def _sql_pr_round(prev: str, out: str) -> str:
     tags=("graph", "iterative", "analytics"),
 )
 def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank over the co-purchase graph, {PR_ITERS} fixed iterations —
+    """PageRank over the co-purchase graph, PR_ITERS (3) fixed iterations —
     the canonical iterative-join workload (the popularity/centrality
     signal for recommendation and curation ranking).
 
@@ -219,7 +219,7 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: each round is one shuffle join (edges × ranks on src)
     plus one aggregation on dst — the partitioning on src is REUSED
-    across all {PR_ITERS} rounds; localCheckpoint truncates lineage per
+    across all rounds; localCheckpoint truncates lineage per
     round exactly as in connected_components. Edge count is
     O(orders · basket²), the same bound as copurchase_lift; driver sees
     nothing but the loop counter (no convergence collect needed for a

@@ -321,7 +321,7 @@ def knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-style SEMANTIC dedup, materialized: SRP-LSH candidate
-    pairs ≥ {SRP_THRESHOLD} cosine → exact-cosine verify → connected
+    pairs at the SRP_THRESHOLD (0.45) cosine bar → exact-cosine verify → connected
     components → keep one vector per semantic cluster (the min vec_id)
     plus every singleton. The embedding-space counterpart of
     dedup_keep_canonical: where MinHash removes near-verbatim text

@@ -520,6 +520,14 @@ def token_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 BM25_TERMS = ("hash", "join", "filter")
 BM25_TOP = 20
 
+# Both the oracle's IN-list and its fixed-order term sum are GENERATED
+# from BM25_TERMS so the constant stays the single source of truth —
+# the Spark aggregate below folds the same tuple in the same order.
+_BM25_IN = ", ".join(f"'{t}'" for t in BM25_TERMS)
+_BM25_SQL_SUM = "\n             + ".join(
+    f"coalesce(max(CASE WHEN tok = '{t}' THEN sc END), 0.0)" for t in BM25_TERMS
+)
+
 
 @register(
     "bm25_rank_docs",
@@ -529,7 +537,7 @@ BM25_TOP = 20
     stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
                      CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
     tf AS (SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
-           FROM toks WHERE tok IN ('hash', 'join', 'filter') GROUP BY 1, 2),
+           FROM toks WHERE tok IN ({_BM25_IN}) GROUP BY 1, 2),
     df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
     per AS (
       SELECT tf.doc_id, tf.tok,
@@ -540,9 +548,7 @@ BM25_TOP = 20
       FROM tf JOIN df USING (tok) JOIN dl USING (doc_id) CROSS JOIN stats s),
     tot AS (
       SELECT doc_id,
-             coalesce(max(CASE WHEN tok = 'hash' THEN sc END), 0.0)
-             + coalesce(max(CASE WHEN tok = 'join' THEN sc END), 0.0)
-             + coalesce(max(CASE WHEN tok = 'filter' THEN sc END), 0.0) AS s
+             {_BM25_SQL_SUM} AS s
       FROM per GROUP BY doc_id)
     SELECT doc_id, round(s, 4) AS score
     FROM tot ORDER BY round(s, 4) DESC, doc_id LIMIT {BM25_TOP}
@@ -551,7 +557,7 @@ BM25_TOP = 20
 )
 def bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """BM25 relevance ranking (k1 = 1.2, b = 0.75) of the corpus against
-    the fixed query {{hash, join, filter}} — the lexical-retrieval
+    the fixed BM25_TERMS query (hash, join, filter) — the lexical-retrieval
     primitive for RAG / retrieval-pipeline curation.
 
     Determinism: tf, df, dl, N are exact integers; every float step is
@@ -564,7 +570,7 @@ def bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Shape: one explode+count pass for tf and dl (shared scan), df and
     the corpus stats are broadcast single-row/handful tables, the final
-    top-{BM25_TOP} is orderBy+limit (distributed TakeOrdered, no global
+    top-BM25_TOP (20) is orderBy+limit (distributed TakeOrdered, no global
     sort)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
@@ -597,9 +603,10 @@ def bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max(F.when(F.col("tok") == t, F.col("sc"))), F.lit(0.0)
         )
 
-    tot = per.groupBy("doc_id").agg(
-        (term("hash") + term("join") + term("filter")).alias("s")
-    )
+    total = term(BM25_TERMS[0])
+    for t in BM25_TERMS[1:]:
+        total = total + term(t)
+    tot = per.groupBy("doc_id").agg(total.alias("s"))
     return (
         tot.select("doc_id", F.round(F.col("s"), 4).alias("score"))
         .orderBy(F.desc("score"), F.asc("doc_id"))

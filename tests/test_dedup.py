@@ -84,3 +84,20 @@ def test_keep_canonical_partition(spark, sf_dir):
     for i, c in comp:
         if c != i:
             assert c in kept  # the canonical member survives
+
+
+def test_connected_components_long_chain_converges_fast(spark):
+    """A 64-node path graph has diameter 63: plain neighbor-min label
+    propagation needs ~63 rounds (the pre-pointer-jumping code raised its
+    20-iteration bound on exactly this shape, found via the 10× scale
+    proxy); with pointer jumping each round roughly halves path lengths,
+    so the chain must converge within the default bound — and to the
+    right answer (every node labeled with the chain's minimum id)."""
+    from streamprocessing_spark.operators.dedup import connected_components
+
+    n = 64
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    )
+    comp = {r.id: r.component for r in connected_components(pairs).collect()}
+    assert comp == {i: 0 for i in range(n)}

@@ -65,6 +65,10 @@ QUERIES = (
     "token_rarity_score",
     "corpus_composition_card",
     "pack_documents_greedy",
+    # round-2 late additions: iterative graph, semantic dedup, ranking
+    "pagerank_copurchase",
+    "semantic_dedup_keep",
+    "bm25_rank_docs",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
@@ -115,8 +119,13 @@ def build_proxy(spark, base: str, out: str) -> None:
         f"{out}/embeddings.parquet"
     )
 
+    # shift BOTH keys per replica: orderkey alone would replicate rows but
+    # leave the distinct part universe — and thus the co-purchase graph
+    # (distinct part pairs) — unchanged, so graph operators (pagerank,
+    # lift's distinct pairs) would never actually grow 10×
     li_parts = [
         li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * 10_000_000))
+        .withColumn("l_partkey", F.col("l_partkey") + F.lit(k * 10_000_000))
         for k in range(REPLICAS)
     ]
     _union_all(li_parts).coalesce(16).write.mode("overwrite").parquet(
@@ -154,6 +163,11 @@ def main() -> None:
         with open(marker) as fh:
             stale = fh.read().strip() != base_key
     if args.rebuild or stale:
+        # drop the marker FIRST: a failed/interrupted build must leave the
+        # cache invalid, not a half-overwritten mixed-base proxy that the
+        # next run validates
+        if os.path.isfile(marker):
+            os.remove(marker)
         build_proxy(spark, args.base, PROXY_DIR)
         os.makedirs(PROXY_DIR, exist_ok=True)
         with open(marker, "w") as fh:
