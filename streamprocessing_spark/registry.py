@@ -103,9 +103,33 @@ _FAMILY_PRIORITY = (
 )
 
 
+# Operators added this round: presented immediately after the core ops so
+# the driver's bounded correctness budget reaches them THIS round (older
+# still-unverified queries follow — they have had, and will keep having,
+# chances in adjacent rounds).
+_ROUND_NEW = frozenset(
+    {
+        "streaming_stateful_alerts",
+        "semantic_dedup_keep",
+        "rolling_user_activity_1h",
+        "temperature_sample_by_source",
+        "pagerank_copurchase",
+        "zscore_outlier_events",
+        "lateral_top2_customers_per_nation",
+        "bm25_rank_docs",
+        "event_path_trigrams",
+        "winsorize_values_by_type",
+        "token_cooccurrence_lift",
+        "corpus_composition_card",
+        "decontaminate_hashed",
+    }
+)
+
+
 def _presentation_order(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     """Stable re-ordering of the registry for the driver: core reference
-    ops, then driver-unverified queries by family priority, then the
+    ops, then this round's new operators, then the remaining
+    driver-unverified queries by family priority, then the
     round-1-verified remainder (original registration order within each
     group)."""
     fam_rank = {
@@ -118,10 +142,12 @@ def _presentation_order(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
         mod = spec.fn.__module__
         if mod == "streamprocessing_spark.queries.core":
             group = 0
-        elif name not in _R01_DRIVER_VERIFIED:
+        elif name in _ROUND_NEW:
             group = 1
-        else:
+        elif name not in _R01_DRIVER_VERIFIED:
             group = 2
+        else:
+            group = 3
         return (group, fam_rank.get(mod, len(_FAMILY_PRIORITY)), reg_index[name])
 
     return {name: registry[name] for name in sorted(registry, key=key)}
