@@ -612,3 +612,55 @@ def bm25_rank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("doc_id"))
         .limit(BM25_TOP)
     )
+
+
+BPE_TOP_PAIRS = 20
+
+
+@register(
+    "bpe_merge_pair_counts",
+    oracle=f"""
+    WITH words AS (
+      SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_SQL_TOKENS}) AS tok FROM documents)
+      GROUP BY tok),
+    pairs AS (
+      SELECT substr(word, i, 2) AS pair, cnt
+      FROM words, unnest(range(1, length(word))) AS u(i)
+      WHERE length(word) >= 2)
+    SELECT pair, CAST(sum(cnt) AS BIGINT) AS n
+    FROM pairs GROUP BY pair
+    ORDER BY n DESC, pair LIMIT {BPE_TOP_PAIRS}
+    """,
+    tags=("text", "llm-pipeline", "tokenizer"),
+)
+def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE merge step of tokenizer training: corpus-weighted
+    counts of adjacent character pairs, top-BPE_TOP_PAIRS (20) — the pair
+    with the max count is the first merge a byte-pair encoder learns.
+
+    Scale shape: the heavy text scan collapses to the DISTINCT word
+    vocabulary with counts FIRST (one shuffle of (word, count) — the
+    vocabulary is tiny relative to the corpus), then the char-pair
+    explosion runs over vocabulary entries only, weighted by the counts:
+    the classic word-count-then-symbol-statistics factoring every BPE
+    trainer uses. All integers; deterministic (count, pair) ordering."""
+    d = load_table(spark, sf_dir, "documents")
+    words = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .where(F.length("word") >= 2)
+    )
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))")
+        ).alias("pair"),
+        "cnt",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("cnt").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(BPE_TOP_PAIRS)
+    )

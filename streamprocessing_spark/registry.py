@@ -117,6 +117,7 @@ _ROUND_NEW = frozenset(
         "zscore_outlier_events",
         "lateral_top2_customers_per_nation",
         "bm25_rank_docs",
+        "bpe_merge_pair_counts",
         "event_path_trigrams",
         "winsorize_values_by_type",
         "token_cooccurrence_lift",
