@@ -475,15 +475,18 @@ def connected_components(pairs: DataFrame, max_iterations: int = 30) -> DataFram
     # round i does not re-execute rounds 1..i-1 (and the full pair
     # generation) on every convergence check — the standard
     # iterative-Spark pattern.
-    edges = (
-        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .where(F.col("u") != F.col("v"))
+    # nodes come from the UNFILTERED pairs: a reflexive pair (x, x)
+    # contributes no edge but node x must still appear (component = x),
+    # matching the recursive-CTE oracle and the old implementation
+    nodes = (
+        pairs.select(F.col("id_a").alias("id"))
+        .unionByName(pairs.select(F.col("id_b").alias("id")))
         .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = (
-        edges.select(F.col("u").alias("id"))
-        .unionByName(edges.select(F.col("v").alias("id")))
+    edges = (
+        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint(eager=True)
     )

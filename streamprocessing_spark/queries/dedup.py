@@ -88,7 +88,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-duplicate CLUSTERING: connected components over the Jaccard≥0.8
-    pair graph (iterative min-label propagation; recursive-CTE oracle).
+    pair graph (large-star/small-star contraction; recursive-CTE oracle).
     The component id is the canonical keeper for each dup group."""
     d = load_table(spark, sf_dir, "documents")
     pairs = D.exact_jaccard_pairs(d, "doc_id", "text", JACCARD_THRESHOLD)
@@ -142,7 +142,7 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipeline actually ships: its output IS the training corpus.
 
     Scale shape: every stage is the already-audited scale path (banded
-    LSH self-join, O(diameter) label propagation on the tiny pair graph),
+    LSH self-join, O(log² n) star-contraction components on the tiny pair graph),
     and the final step is a LEFT ANTI join of the corpus against the
     non-canonical member ids — a broadcast anti-join in practice, since
     dup-cluster members are a sliver of the corpus."""

@@ -330,7 +330,7 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard curation cascade (lexical pass, then semantic pass).
 
     Scale shape identical to the audited text pipeline: banded LSH
-    self-join (never all-pairs), O(diameter) label propagation over the
+    self-join (never all-pairs), O(log² n) star-contraction components over the
     tiny pair graph, then a broadcast LEFT ANTI of the corpus against
     the non-canonical ids (dup-cluster members are a sliver of the
     corpus)."""

@@ -101,3 +101,15 @@ def test_connected_components_long_chain_converges_fast(spark):
     )
     comp = {r.id: r.component for r in connected_components(pairs).collect()}
     assert comp == {i: 0 for i in range(n)}
+
+
+def test_connected_components_keeps_reflexive_pair_nodes(spark):
+    """A reflexive pair (x, x) contributes no edge but its node must stay
+    in the output with component = x — matching the recursive-CTE oracle,
+    which keeps (x, x) in its edge enumeration. Guards the star-contraction
+    rewrite's node derivation (nodes from PAIRS, not from filtered edges)."""
+    from streamprocessing_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame([(1, 2), (3, 3)], "id_a long, id_b long")
+    got = sorted((r.id, r.component) for r in connected_components(pairs).collect())
+    assert got == [(1, 1), (2, 1), (3, 3)]

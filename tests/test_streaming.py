@@ -433,10 +433,11 @@ def test_stateful_alerts_exactly_once_through_task_failure(spark, sf_dir, tmp_pa
     must equal the clean run — no double-counted accumulator, no lost or
     duplicated alerts (the state-store analogue of the reference's WAL
     replay, rainstorm/server.go:553-572)."""
+    from collections import Counter
+
     from pyspark.sql.streaming.state import GroupStateTimeout
 
-    from streamprocessing_spark.sources.readers import load_table
-    from streamprocessing_spark.streaming.replay import run_to_memory_sink
+    from streamprocessing_spark.streaming.replay import run_to_memory_sink, stream_events
     from streamprocessing_spark.streaming.stateful import (
         _OUT_SCHEMA,
         _STATE_SCHEMA,
@@ -461,36 +462,32 @@ def test_stateful_alerts_exactly_once_through_task_failure(spark, sf_dir, tmp_pa
             raise RuntimeError("injected stateful-op task failure")
         yield from out
 
-    ev = load_table(spark, sf_dir, "events")
-
-    def build(kernel):
-        stream = (
-            spark.readStream.schema(ev.schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-        )
+    def flaky_pipeline():
+        # the PRODUCTION source (stream_events: raw schema + ts
+        # normalization) with only the kernel swapped — the plan under
+        # test is threshold_crossing_alerts' plan, not a hand-rebuilt one
+        ev = stream_events(spark, sf_dir)
         return (
-            stream.where(stream.event_type == "purchase")
+            ev.where(ev.event_type == "purchase")
             .select("user_id", "event_id", "ts", "value")
             .groupBy("user_id")
             .applyInPandasWithState(
-                kernel, _OUT_SCHEMA, _STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+                flaky_kernel, _OUT_SCHEMA, _STATE_SCHEMA, "append",
+                GroupStateTimeout.NoTimeout,
             )
         )
 
-    got = {tuple(r) for r in run_to_memory_sink(build(flaky_kernel), "append").collect()}
-    want = {
+    # Counter, not set: a retried batch re-emitting identical alert rows
+    # is precisely the at-least-once violation this test exists to catch
+    got = Counter(tuple(r) for r in run_to_memory_sink(flaky_pipeline(), "append").collect())
+    want = Counter(
         tuple(r)
         for r in run_to_memory_sink(
-            threshold_crossing_alerts(
-                spark.readStream.schema(ev.schema)
-                .option("pathGlobFilter", "events.parquet")
-                .parquet(sf_dir)
-            ),
-            "append",
+            threshold_crossing_alerts(stream_events(spark, sf_dir)), "append"
         ).collect()
-    }
+    )
     assert got == want and got
+    assert max(want.values()) == 1, "clean run itself emitted duplicates"
     with open(marker) as f:
         kills = f.read().splitlines()
     assert len(kills) >= 1, "failure injection never triggered"

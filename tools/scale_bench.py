@@ -25,9 +25,13 @@ Proxy construction (deterministic, no RNG):
   autocorrelation with their originals, which inflated the true pair
   count ~12x and made the operator look superlinear when the WORKLOAD
   was superlinear.
-- lineitem: 10 replicas with shifted order keys, same part keys — 10x
-  orders, identical basket-size distribution (the quantity that drives
-  the O(orders x basket^2) pair join).
+- lineitem: 10 replicas with BOTH keys shifted (order AND part) — 10x
+  orders and a 10x distinct-part universe with identical basket-size
+  distribution, so the pair join's O(orders x basket^2) driver AND the
+  co-purchase graph (distinct part pairs — what pagerank/BFS/components
+  traverse) both genuinely grow; shifting only the orderkey replicated
+  rows while leaving the graph unchanged, silently exempting the
+  iterative operators from the measurement.
 
 A linear operator should land near ratio 10 (modulo fixed overheads,
 which push it BELOW 10 at these sizes); a quadratic one lands near 100.
@@ -157,7 +161,11 @@ def main() -> None:
     # key the cache on the base path so `--base X` after a run with base Y
     # rebuilds instead of silently measuring against a stale proxy
     marker = f"{PROXY_DIR}/.base"
-    base_key = os.path.abspath(args.base)
+    # the key embeds a proxy-format version: bump it whenever build_proxy
+    # changes so proxies built by older code self-invalidate (a stale
+    # pre-partkey-shift proxy would silently exempt the graph operators
+    # from the 10x measurement)
+    base_key = f"v2:{os.path.abspath(args.base)}"
     stale = True
     if os.path.isdir(f"{PROXY_DIR}/documents.parquet") and os.path.isfile(marker):
         with open(marker) as fh:
