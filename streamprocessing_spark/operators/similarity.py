@@ -214,6 +214,101 @@ def srp_lsh_cosine_pairs(
     )
 
 
+IVF_PAIR_NASSIGN = 3
+
+
+def ivf_cosine_pairs(
+    emb: DataFrame,
+    threshold: float,
+    nassign: int = IVF_PAIR_NASSIGN,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-cell candidate generation for embedding near-dup pairs — the
+    documented remedy (SCALE.md) for fixed-(r,b) SRP banding's n²·c^r
+    candidate law.
+
+    Coarse quantizer: the K = ceil(sqrt(n)) smallest-id vectors are the
+    centroids (deterministic — no RNG, no training step; K is computed
+    from the corpus count via a broadcast single-row aggregate, so the
+    resolution SCALES WITH n instead of being frozen at build time, which
+    is exactly the knob fixed-signature LSH lacks). Every vector joins its
+    ``nassign`` nearest cells; candidate pairs share a cell; only
+    candidates pay the exact cosine verify against ``threshold``.
+
+    Cost shape: assignment is n·K = n^1.5 single-vector cosines;
+    candidates are K·(n·nassign/K)² = n^1.5·nassign² verifies — both
+    stages n^1.5, vs n² for all-pairs and n²·c^r (r frozen) for banding.
+    At 100 TB the corpus is written bucketed by cell id, so the pair join
+    is cell-partitioned with no global shuffle.
+
+    Precision is exact (every emitted pair passed the true threshold).
+    Recall is the probability that a qualifying pair co-assigns — near 1
+    for true near-duplicates (θ ≥ 0.85: vectors that close rank cells
+    nearly identically), lower in the similarity TAIL (the sf0.1 corpus
+    has no injected twins, so the θ=0.45 query measures exactly that tail
+    — recall vs the exact tier is asserted in tests/test_similarity.py).
+    Everything — centroid choice, assignment ranking, tie-breaks, the
+    verify arithmetic — is deterministic, so the full pipeline is
+    bit-for-bit oracle-checkable, like srp_lsh_cosine_pairs."""
+    k = emb.agg(F.ceil(F.sqrt(F.count(F.lit(1)))).cast("long").alias("k"))
+    centroids = (
+        emb.crossJoin(F.broadcast(k))
+        .where(F.col(id_col) < F.col("k"))
+        .select(
+            F.col(id_col).alias("cent_id"),
+            F.col(vec_col).alias("cent_vec"),
+            norm_double(F.col(vec_col)).alias("nc"),
+        )
+    )
+    # Norms once per vector (the srp_lsh_cosine_pairs discipline): the
+    # HOF folds are interpreted, so cosine = dot + 2 inline norms would
+    # triple both hot stages. norm-once == norm-inline bit-for-bit.
+    vecs = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        norm_double(F.col(vec_col)).alias("nv"),
+    )
+    w_assign = Window.partitionBy("id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    assigned = (
+        vecs.join(F.broadcast(centroids))
+        .select(
+            "id",
+            "cent_id",
+            (dot_double(F.col("v"), F.col("cent_vec")) / (F.col("nv") * F.col("nc"))).alias(
+                "cos_c"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") <= nassign)
+        .select("id", "cent_id")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.cent_id") == F.col("b.cent_id")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nv").alias("na"))
+    vb = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nv").alias("nb"))
+    from streamprocessing_spark.functions.text import portable_round
+
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (dot_double(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim"))
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,

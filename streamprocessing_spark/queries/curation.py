@@ -548,3 +548,91 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_id", "event_type", z.alias("z"))
         .where(F.abs(F.col("z")) > 3.0)
     )
+
+
+@register(
+    "mad_outlier_events",
+    oracle="""
+    WITH v AS (SELECT event_id, event_type,
+                      CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v
+               FROM events),
+    n AS (SELECT event_type, count(*) AS n FROM v GROUP BY event_type),
+    vc AS (SELECT event_type, v, count(*) AS c FROM v GROUP BY event_type, v),
+    vcum AS (SELECT event_type, v,
+                    sum(c) OVER (PARTITION BY event_type ORDER BY v) AS cum
+             FROM vc),
+    med AS (SELECT vcum.event_type, min(v) AS med
+            FROM vcum JOIN n ON n.event_type = vcum.event_type
+            WHERE cum >= (n.n + 1) // 2 GROUP BY vcum.event_type),
+    d AS (SELECT event_id, v.event_type, abs(v.v - med.med) AS dev
+          FROM v JOIN med ON med.event_type = v.event_type),
+    dc AS (SELECT event_type, dev, count(*) AS c FROM d GROUP BY event_type, dev),
+    dcum AS (SELECT event_type, dev,
+                    sum(c) OVER (PARTITION BY event_type ORDER BY dev) AS cum
+             FROM dc),
+    mad AS (SELECT dcum.event_type, min(dev) AS mad
+            FROM dcum JOIN n ON n.event_type = dcum.event_type
+            WHERE cum >= (n.n + 1) // 2 GROUP BY dcum.event_type)
+    SELECT d.event_id, d.event_type,
+           CAST(d.dev AS BIGINT) AS dev_x10k, CAST(mad.mad AS BIGINT) AS mad_x10k
+    FROM d JOIN mad ON mad.event_type = d.event_type
+    WHERE mad.mad > 0 AND d.dev > 3 * mad.mad
+    """,
+    tags=("curation", "quality", "aggregate"),
+)
+def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Median-absolute-deviation outliers per event type: events whose
+    |value − median| exceeds 3·MAD — the ROBUST companion to
+    zscore_outlier_events (a z-score's mean and σ are themselves dragged
+    by the outliers being hunted; the median/MAD pair is immune to 50%
+    contamination).
+
+    Exactness: values are money-scaled int64; both medians are DISCRETE
+    (lower median = smallest value whose cumulative count reaches
+    ⌈n/2⌉) so deviations, the MAD, and the 3·MAD flag are pure integer
+    arithmetic end-to-end — no interpolation, no floats, bit-exact vs
+    the oracle by construction. Degenerate types (MAD = 0, i.e. a
+    majority-constant value) are excluded rather than flagging every
+    non-modal row.
+
+    Scale: each median comes from the distinct-VALUE histogram (count
+    per (type, value), cumulative sum over the ordered distinct values)
+    — the shuffle carries one row per distinct value, not per event, and
+    the fact scan is only touched twice (once to histogram, once to
+    flag, with the tiny medians broadcast back). The
+    range-partition-boundaries op uses the same cumulative-histogram
+    trick; an exact per-row sort at 100 TB would be the wrong plan."""
+    ev = load_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("v"),
+    )
+    n = v.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+    def _discrete_median(df: DataFrame, col: str, out: str) -> DataFrame:
+        vc = df.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("c"))
+        w = Window.partitionBy("event_type").orderBy(col)
+        vcum = vc.select("event_type", col, F.sum("c").over(w).alias("cum"))
+        return (
+            vcum.join(F.broadcast(n), "event_type")
+            .where(F.col("cum") >= F.expr("(n + 1) div 2"))
+            .groupBy("event_type")
+            .agg(F.min(col).alias(out))
+        )
+
+    med = _discrete_median(v, "v", "med")
+    d = v.join(F.broadcast(med), "event_type").select(
+        "event_id", "event_type", F.abs(F.col("v") - F.col("med")).alias("dev")
+    )
+    mad = _discrete_median(d, "dev", "mad")
+    return (
+        d.join(F.broadcast(mad), "event_type")
+        .where((F.col("mad") > 0) & (F.col("dev") > 3 * F.col("mad")))
+        .select(
+            "event_id",
+            "event_type",
+            F.col("dev").cast("long").alias("dev_x10k"),
+            F.col("mad").cast("long").alias("mad_x10k"),
+        )
+    )

@@ -266,3 +266,102 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint(eager=True)
         )
     return ranks.select(F.col("id").alias("l_partkey"), F.col("r").alias("pr_scaled"))
+
+
+# Orientation key for triangle counting: one BIGINT packing (degree, id) —
+# edges point from the lexicographically smaller (deg, id) endpoint to the
+# larger, the node-iterator++ trick that bounds wedge generation by the
+# graph's arboricity (a hub of degree D no longer emits D² wedges; its
+# edges mostly point INTO it). Degrees here are < 10^9 and part keys
+# < 10^9, so the packing is collision-free and fits a BIGINT exactly in
+# both engines.
+_OK = 1_000_000_000
+
+
+@register(
+    "triangle_count_copurchase",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY src),
+    okey AS (SELECT id, d * {_OK} + id AS ok FROM deg),
+    oe AS (
+      SELECT e.src AS u, e.dst AS v, ks.ok AS oku, kd.ok AS okv
+      FROM und e
+      JOIN okey ks ON ks.id = e.src
+      JOIN okey kd ON kd.id = e.dst
+      WHERE ks.ok < kd.ok),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM oe e1
+      JOIN oe e2 ON e2.u = e1.u AND e1.okv < e2.okv
+      JOIN oe e3 ON e3.u = e1.v AND e3.v = e2.v),
+    nodes AS (
+      SELECT a AS l_partkey FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri)
+    SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+    FROM nodes GROUP BY l_partkey
+    """,
+    tags=("graph", "analytics", "join"),
+)
+def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-part triangle counts in the co-purchase graph (parts that
+    co-occur in an order are adjacent) — the clustering-structure
+    primitive under community detection and local clustering
+    coefficients.
+
+    Degree-oriented node-iterator++: every undirected edge is directed
+    from its smaller (degree, id) endpoint to the larger (packed into one
+    BIGINT key), wedges are generated only at each edge's SMALL end, and
+    a wedge (u→v, u→w) closes into a triangle iff the oriented edge v→w
+    exists. Each triangle is found exactly once. At 100 TB this is the
+    standard MapReduce triangle algorithm: wedge volume is bounded by
+    O(m^1.5) regardless of degree skew — a degree-D hub emits no D²
+    wedge blow-up because its edges point into it. All arithmetic is
+    integer; both engines compute the identical oriented edge set, so
+    the count is exact, not sampled."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)  # three consumers: deg + two okey joins
+    )
+    okey = (
+        und.groupBy(F.col("src").alias("id"))
+        .agg(F.count(F.lit(1)).alias("d"))
+        .select("id", (F.col("d") * _OK + F.col("id")).cast("long").alias("ok"))
+    )
+    ks = okey.select(F.col("id").alias("src"), F.col("ok").alias("oku"))
+    kd = okey.select(F.col("id").alias("dst"), F.col("ok").alias("okv"))
+    oe = (
+        und.join(ks, "src")
+        .join(kd, "dst")
+        .where(F.col("oku") < F.col("okv"))
+        .select(F.col("src").alias("u"), F.col("dst").alias("v"), "okv")
+        .localCheckpoint(eager=True)  # consumed by e1, e2, e3
+    )
+    e1 = oe.select(F.col("u"), F.col("v").alias("b_"), F.col("okv").alias("ok1"))
+    e2 = oe.select(F.col("u"), F.col("v").alias("c_"), F.col("okv").alias("ok2"))
+    wedges = e1.join(e2, "u").where(F.col("ok1") < F.col("ok2"))
+    closer = oe.select(F.col("u").alias("b_"), F.col("v").alias("c_"))
+    tri = wedges.join(closer, ["b_", "c_"]).select(
+        F.col("u").alias("a_"), "b_", "c_"
+    )
+    return (
+        tri.select(
+            F.explode(F.array(F.col("a_"), F.col("b_"), F.col("c_"))).alias("l_partkey")
+        )
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )

@@ -157,6 +157,55 @@ def srp_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.srp_lsh_cosine_pairs(emb, SRP_THRESHOLD, dim)
 
 
+def _sql_ivf_pairs_oracle(threshold: float, nassign: int) -> str:
+    """DuckDB mirror of operators.similarity.ivf_cosine_pairs: identical
+    centroid choice (K = ceil(sqrt(n)) smallest ids), identical assignment
+    ranking/tie-breaks, identical verify arithmetic."""
+    return f"""
+    WITH k AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, embedding AS cv
+             FROM embeddings, k WHERE vec_id < k.k),
+    scored AS (
+      SELECT e.vec_id AS id, c.cent_id,
+             {_sql_cos('e.embedding', 'c.cv')} AS cos_c
+      FROM embeddings e CROSS JOIN cent c),
+    assigned AS (
+      SELECT id, cent_id FROM (
+        SELECT id, cent_id,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY cos_c DESC, cent_id) AS rn
+        FROM scored)
+      WHERE rn <= {nassign}),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM assigned a
+             JOIN assigned b ON a.cent_id = b.cent_id AND a.id < b.id)
+    SELECT c.id_a, c.id_b,
+           floor({_sql_cos('ea.embedding', 'eb.embedding')} * 1000000.0 + 0.5)
+             / 1000000.0 AS cos_sim
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE {_sql_cos('ea.embedding', 'eb.embedding')} >= {threshold}
+    """
+
+
+@register(
+    "ivf_cosine_pairs",
+    oracle=_sql_ivf_pairs_oracle(SRP_THRESHOLD, 3),
+    tags=("similarity", "dedup", "llm-pipeline", "approx"),
+)
+def ivf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup with IVF-CELL candidate generation — the scale
+    remedy SCALE.md prescribes for fixed-(r,b) SRP banding: the quantizer
+    resolution K = ceil(sqrt(n)) grows with the corpus, keeping both the
+    assignment and the verify at n^1.5 instead of banding's n²·c^r with
+    frozen r. Same exact-cosine verify, same bit-exact oracle discipline
+    as srp_lsh_cosine_pairs; recall vs the exact tier asserted in
+    tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.ivf_cosine_pairs(emb, SRP_THRESHOLD, nassign=3)
+
+
 @register("ann_ivf_topk", tags=("similarity", "llm-pipeline", "approx"))
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (16 deterministic centroids, nprobe=4): scores

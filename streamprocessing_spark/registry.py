@@ -109,6 +109,9 @@ _FAMILY_PRIORITY = (
 # chances in adjacent rounds).
 _ROUND_NEW = frozenset(
     {
+        "ivf_cosine_pairs",
+        "triangle_count_copurchase",
+        "mad_outlier_events",
         "streaming_stateful_alerts",
         "semantic_dedup_keep",
         "rolling_user_activity_1h",

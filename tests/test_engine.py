@@ -118,16 +118,21 @@ def test_mixed_contract_cache_released(spark, records):
     RDDs behind — a long-lived session running many jobs must not
     accumulate cached partitions (VERDICT r01 'What's wrong' #3)."""
     E.release_plugin_caches(blocking=True)
-    # baseline, not zero: other tests' localCheckpoint RDDs (e.g.
-    # connected components) stay pinned until GC and are not ours to evict
-    baseline = len(spark.sparkContext._jsc.getPersistentRDDs())
+    # Track RDD *ids*, not counts: other tests' localCheckpoint RDDs (e.g.
+    # connected components) stay pinned until GC and may disappear between
+    # the two measurements — only ids NEW since the baseline are ours.
+    def _ids():
+        return set(spark.sparkContext._jsc.getPersistentRDDs().keySet().toArray())
+
+    baseline = _ids()
     job = E.RainStormJob(op1=E.PluginOp(E.app2_op1), op2=E.PluginOp(E.app2_op2), pattern="F")
     out = job.run(records)
     out.collect()
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) > baseline  # cache was live
+    ours = _ids() - baseline
+    assert ours  # cache was live
     released = E.release_plugin_caches(blocking=True)
     assert released >= 1
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= baseline
+    assert not (_ids() & ours)
 
 
 def test_plugin_cache_registry_bounded(spark, records):

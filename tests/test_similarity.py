@@ -47,6 +47,24 @@ def test_srp_lsh_precision_and_recall(spark, sf_dir):
         assert recall >= 0.5, f"SRP recall too low: {recall} ({len(srp)}/{len(exact)})"
 
 
+def test_ivf_pairs_precision_and_recall(spark, sf_dir):
+    """IVF-cell pairs must be a strict subset of the exact all-pairs
+    result (precision 1.0 — every candidate passed the true cosine
+    verify). Recall at θ=0.45 measures the similarity TAIL (this corpus
+    has no injected near-dup twins; max pairwise cosine ≈ 0.51 at
+    sf0.01), where locality pruning is inherently weakest — measured
+    10/14 = 0.71 at sf0.01 with nassign=3. Deterministic quantizer, so
+    the number is stable run-to-run."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    t = 0.45
+    exact = {(r.id_a, r.id_b) for r in S.cosine_pairs(emb, t).collect()}
+    ivf = {(r.id_a, r.id_b) for r in S.ivf_cosine_pairs(emb, t, nassign=3).collect()}
+    assert ivf <= exact, f"false positives: {ivf - exact}"
+    if exact:
+        recall = len(ivf) / len(exact)
+        assert recall >= 0.5, f"IVF recall too low: {recall} ({len(ivf)}/{len(exact)})"
+
+
 def test_cosine_is_normalized(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings").limit(50)
     vals = emb.select(S.cosine(F.col("embedding"), F.col("embedding")).alias("c")).collect()

@@ -60,6 +60,9 @@ QUERIES = (
     "dedup_minhash_lsh",
     "dedup_simhash",
     "srp_lsh_cosine_pairs",
+    # the SAME near-dup task with IVF-cell candidates (K grows with n):
+    # the head-to-head that measures the banding-law remedy
+    "ivf_cosine_pairs",
     "copurchase_lift",
     # documents-table linear ops: curve + the text-vs-hashed
     # decontamination head-to-head (quantifies the 8-byte-key shuffle win)
