@@ -151,3 +151,132 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     comp = D.connected_components(pairs)
     losers = comp.where(F.col("component") != F.col("id")).select(F.col("id").alias("doc_id"))
     return d.select("doc_id").join(F.broadcast(losers), "doc_id", "left_anti")
+
+
+SPAN_GRAM = 8  # exact-substring dedup granularity (tokens)
+
+
+@register(
+    "duplicate_span_coverage",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {T.SQL_TOKENS} AS t, len({T.SQL_TOKENS}) AS n
+      FROM documents),
+    grams AS (
+      SELECT doc_id, n, CAST(unnest(range(0, n - {SPAN_GRAM} + 1)) AS BIGINT) AS pos,
+             array_to_string(list_slice(t, unnest(range(0, n - {SPAN_GRAM} + 1)) + 1,
+                                        unnest(range(0, n - {SPAN_GRAM} + 1)) + {SPAN_GRAM}),
+                             ' ') AS gram
+      FROM toks WHERE n >= {SPAN_GRAM}),
+    gcnt AS (SELECT gram, count(*) AS c FROM grams GROUP BY gram),
+    dup AS (
+      SELECT g.doc_id, g.pos
+      FROM grams g JOIN gcnt ON gcnt.gram = g.gram
+      WHERE gcnt.c >= 2),
+    isl AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > coalesce(
+                    max(pos + {SPAN_GRAM} - 1) OVER (
+                      PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                  THEN 1 ELSE 0 END AS new_island
+      FROM dup),
+    isl2 AS (
+      SELECT doc_id, pos,
+             sum(new_island) OVER (PARTITION BY doc_id ORDER BY pos
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island
+      FROM isl),
+    cov AS (
+      SELECT doc_id, sum(max_pos - min_pos + {SPAN_GRAM}) AS covered
+      FROM (SELECT doc_id, island, min(pos) AS min_pos, max(pos) AS max_pos
+            FROM isl2 GROUP BY doc_id, island)
+      GROUP BY doc_id)
+    SELECT toks.doc_id, CAST(toks.n AS BIGINT) AS n_tokens,
+           CAST(coalesce(cov.covered, 0) AS BIGINT) AS dup_covered_tokens
+    FROM toks LEFT JOIN cov ON cov.doc_id = toks.doc_id
+    WHERE toks.n > 0
+    """,
+    tags=("dedup", "llm-pipeline", "quality"),
+)
+def duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication coverage: for every document, how many
+    of its token positions sit inside an 8-gram that occurs ≥ 2 times
+    anywhere in the corpus — the per-document metric behind
+    exact-substring dedup (remove or down-weight documents whose text is
+    largely boilerplate shared with other documents). Complements the
+    document-LEVEL MinHash tier: MinHash finds near-identical DOCUMENTS;
+    this finds duplicated SPANS inside otherwise-distinct documents.
+
+    Every duplicated 8-gram start covers positions [pos, pos+7]; the
+    covered-token count is the length of the UNION of those intervals,
+    computed with the gaps-and-islands window (new island when a start
+    clears the running max end — same integer logic as
+    merge_value_intervals). All counts are exact integers.
+
+    Scale: the gram shuffle is O(total tokens) rows keyed by the gram
+    text (at 100 TB the key becomes an 8-byte hash — the
+    decontaminate_hashed trick, which that operator measures at ~1.5×
+    shuffle-width win); the island window partitions by document, so no
+    global sort anywhere."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", T.tokens(F.col("text")).alias("t"), T.token_count(F.col("text")).alias("n")
+    )
+    grams = (
+        toks.where(F.col("n") >= SPAN_GRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(CAST(0 AS BIGINT), n - {SPAN_GRAM})")
+            ).alias("pos"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.array_join(
+                F.expr(f"slice(t, CAST(pos + 1 AS INT), {SPAN_GRAM})"), " "
+            ).alias("gram"),
+        )
+    )
+    gcnt = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    dup = grams.join(gcnt.where(F.col("c") >= 2), "gram").select("doc_id", "pos")
+    from pyspark.sql.window import Window
+
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = dup.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.max(F.col("pos") + SPAN_GRAM - 1).over(w_prev), F.lit(-1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    ).select("doc_id", "pos", F.sum("new_island").over(w_run).alias("island"))
+    cov = (
+        isl.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("min_pos"), F.max("pos").alias("max_pos"))
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("max_pos") - F.col("min_pos") + SPAN_GRAM).alias("covered"))
+    )
+    return (
+        toks.where(F.col("n") > 0)
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("covered"), F.lit(0)).cast("long").alias("dup_covered_tokens"),
+        )
+    )

@@ -664,3 +664,60 @@ def bpe_merge_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(BPE_TOP_PAIRS)
     )
+
+
+CHUNK_W = 32  # tokens per training chunk
+CHUNK_S = 24  # stride (8-token overlap between adjacent chunks)
+
+
+@register(
+    "chunk_documents_windows",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t, len({_SQL_TOKENS}) AS n
+      FROM documents),
+    starts AS (
+      SELECT doc_id, t, n, CAST(unnest(range(0, n, {CHUNK_S})) AS BIGINT) AS start
+      FROM toks WHERE n > 0)
+    SELECT doc_id,
+           CAST(start // {CHUNK_S} AS BIGINT) AS chunk_id,
+           start AS start_tok,
+           CAST(least(n - start, {CHUNK_W}) AS BIGINT) AS chunk_tokens,
+           array_to_string(list_slice(t, start + 1, start + {CHUNK_W}), ' ')
+             AS chunk_text
+    FROM starts
+    """,
+    tags=("text", "llm-pipeline", "flatmap"),
+)
+def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunker: split every document into 32-token
+    windows with stride 24 (adjacent chunks overlap by 8 tokens so
+    no training span straddles a hard cut) — the standard pre-tokenizer
+    step between curation and sequence packing. Output one row per
+    (doc, chunk) with its position, length, and re-joined text.
+
+    Pure flatMap shape: tokens are materialized ONCE per row, the start
+    offsets come from an in-row `sequence`, and the chunk text is an
+    array_slice + join — all Catalyst expressions, no Python, no
+    shuffle at all (narrow transform of the scan; at 100 TB this runs at
+    I/O speed and composes with pack_documents_greedy downstream, which
+    packs the resulting chunks per shard). Byte-exact oracle: both
+    engines slice the same canonical token array."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", T.tokens(F.col("text")).alias("t"), T.token_count(F.col("text")).alias("n")
+    ).where(F.col("n") > 0)
+    return toks.select(
+        "doc_id",
+        F.explode(F.expr(f"sequence(CAST(0 AS BIGINT), n - 1, {CHUNK_S})")).alias("start"),
+        F.col("t"),
+        F.col("n"),
+    ).select(
+        "doc_id",
+        F.expr(f"start div {CHUNK_S}").cast("long").alias("chunk_id"),
+        F.col("start").alias("start_tok"),
+        F.least(F.col("n") - F.col("start"), F.lit(CHUNK_W)).cast("long").alias("chunk_tokens"),
+        F.array_join(F.expr(f"slice(t, CAST(start + 1 AS INT), {CHUNK_W})"), " ").alias(
+            "chunk_text"
+        ),
+    )

@@ -110,6 +110,8 @@ _FAMILY_PRIORITY = (
 _ROUND_NEW = frozenset(
     {
         "ivf_cosine_pairs",
+        "chunk_documents_windows",
+        "duplicate_span_coverage",
         "triangle_count_copurchase",
         "mad_outlier_events",
         "streaming_stateful_alerts",
