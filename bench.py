@@ -70,6 +70,12 @@ HEADLINE = [
     "rolling_user_activity_1h",
     "temperature_sample_by_source",
     "pagerank_copurchase",
+    # round-2 continuation additions
+    "ivf_cosine_pairs",
+    "triangle_count_copurchase",
+    "mad_outlier_events",
+    "chunk_documents_windows",
+    "duplicate_span_coverage",
 ]
 
 

@@ -317,6 +317,31 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("hll_sketch_rollup_users", tags=("analytics", "aggregate", "approx"))
+def hll_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch rollup — THE 100 TB distinct-count architecture:
+    build one Datasketches HLL sketch of user_id per (event_type, day)
+    partition (`hll_sketch_agg`), then UNION the daily sketches up to the
+    event_type level (`hll_union_agg`) and read the estimate. Unlike
+    approx_count_distinct (a one-shot aggregate), the intermediate
+    sketches are storable columns: a real deployment materializes the
+    per-day sketch table once and answers any later rollup (weekly,
+    monthly, all-time, cross-type) by merging kilobyte sketches instead
+    of rescanning petabytes of raw events.
+
+    No SQL oracle (sketch estimates are engine-specific);
+    tests/test_approx_aggregates.py bounds the estimate against the
+    exact distinct count and asserts the union-of-parts estimate equals
+    the single-pass sketch estimate (merge correctness)."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.hll_sketch_agg("user_id").alias("sketch")
+    )
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("long").alias("n_users_est")
+    )
+
+
 @register(
     "set_except_union",
     oracle="""

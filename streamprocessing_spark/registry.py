@@ -112,6 +112,7 @@ _ROUND_NEW = frozenset(
         "ivf_cosine_pairs",
         "chunk_documents_windows",
         "duplicate_span_coverage",
+        "hll_sketch_rollup_users",
         "triangle_count_copurchase",
         "mad_outlier_events",
         "streaming_stateful_alerts",

@@ -41,3 +41,30 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
         a50, a95 = approx[k]
         assert abs(a50 - e50) <= 0.05 * (abs(e50) + 1), (k, e50, a50)
         assert abs(a95 - e95) <= 0.05 * (abs(e95) + 1), (k, e95, a95)
+
+
+def test_hll_sketch_rollup_merge_correctness(spark, sf_dir):
+    """The union of per-day sketches must (a) land within HLL tolerance of
+    the exact distinct count and (b) estimate EXACTLY what a single-pass
+    sketch over the same rows estimates — merging loses nothing (the
+    property that makes materialized per-partition sketch tables answer
+    any later rollup)."""
+    ev = load_table(spark, sf_dir, "events")
+    exact = {
+        r.event_type: r.n_users
+        for r in SPECS["distinct_users_per_type"].fn(spark, sf_dir).collect()
+    }
+    rolled = {
+        r.event_type: r.n_users_est
+        for r in SPECS["hll_sketch_rollup_users"].fn(spark, sf_dir).collect()
+    }
+    single = {
+        r.event_type: r.est
+        for r in ev.groupBy("event_type")
+        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("long").alias("est"))
+        .collect()
+    }
+    assert set(exact) == set(rolled)
+    for k, v in exact.items():
+        assert abs(rolled[k] - v) <= max(0.1 * v, 3), (k, v, rolled[k])
+        assert rolled[k] == single[k], (k, rolled[k], single[k])
