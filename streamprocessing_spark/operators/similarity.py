@@ -282,6 +282,12 @@ def ivf_cosine_pairs(
         .withColumn("rn", F.row_number().over(w_assign))
         .where(F.col("rn") <= nassign)
         .select("id", "cent_id")
+        # the assignment pipeline (n·K interpreted dot folds + a window)
+        # feeds BOTH sides of the candidate self-join: materialize it once
+        # instead of evaluating it twice (measured 2× the dominant stage
+        # at the 10× proxy) — same multi-consumer discipline as the
+        # co-purchase edge list
+        .localCheckpoint(eager=True)
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     cand = (

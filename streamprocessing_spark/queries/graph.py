@@ -325,6 +325,14 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     integer; both engines compute the identical oriented edge set, so
     the count is exact, not sampled."""
     li = load_table(spark, sf_dir, "lineitem")
+    _, counts = _copurchase_triangles(li)
+    return counts
+
+
+def _copurchase_triangles(li: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(undirected edge list, per-node triangle counts) for the
+    co-purchase graph — shared by triangle_count_copurchase and
+    clustering_coefficient_parts."""
     op = li.select("l_orderkey", "l_partkey").distinct()
     a, b = op.alias("a"), op.alias("b")
     und = (
@@ -358,10 +366,84 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     tri = wedges.join(closer, ["b_", "c_"]).select(
         F.col("u").alias("a_"), "b_", "c_"
     )
-    return (
+    counts = (
         tri.select(
             F.explode(F.array(F.col("a_"), F.col("b_"), F.col("c_"))).alias("l_partkey")
         )
         .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return und, counts
+
+
+# shared CTE prefix: identical text in both graph-triangle oracles
+_TRI_CTES = f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    und AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey),
+    deg AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS d FROM und GROUP BY src),
+    okey AS (SELECT id, d * {_OK} + id AS ok FROM deg),
+    oe AS (
+      SELECT e.src AS u, e.dst AS v, ks.ok AS oku, kd.ok AS okv
+      FROM und e
+      JOIN okey ks ON ks.id = e.src
+      JOIN okey kd ON kd.id = e.dst
+      WHERE ks.ok < kd.ok),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM oe e1
+      JOIN oe e2 ON e2.u = e1.u AND e1.okv < e2.okv
+      JOIN oe e3 ON e3.u = e1.v AND e3.v = e2.v),
+    nodes AS (
+      SELECT a AS l_partkey FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri),
+    tcnt AS (SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_triangles
+             FROM nodes GROUP BY l_partkey)"""
+
+
+@register(
+    "clustering_coefficient_parts",
+    oracle=f"""{_TRI_CTES}
+    SELECT deg.id AS l_partkey, deg.d AS degree,
+           CAST(coalesce(tcnt.n_triangles, 0) AS BIGINT) AS n_triangles,
+           floor(2.0 * coalesce(tcnt.n_triangles, 0) / (deg.d * (deg.d - 1))
+                 * 1000000.0 + 0.5) / 1000000.0 AS lcc
+    FROM deg LEFT JOIN tcnt ON tcnt.l_partkey = deg.id
+    WHERE deg.d >= 2
+    """,
+    tags=("graph", "analytics"),
+)
+def clustering_coefficient_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per part: lcc = 2·T / (d·(d−1)) — how
+    close each node's neighborhood is to a clique, the per-node community
+    signal on top of the exact triangle counts. Nodes of degree < 2 have
+    no defined coefficient and are excluded; triangle-free nodes get 0.
+
+    T and d are the same exact integers both engines derive; the single
+    double division is the identical IEEE expression, rounded to 6 dp —
+    the copurchase_lift discipline. Cost is the triangle pipeline plus
+    one broadcast-sized left join of the degree table against the
+    triangle counts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    und, counts = _copurchase_triangles(li)
+    deg = und.groupBy(F.col("src").alias("l_partkey")).agg(
+        F.count(F.lit(1)).cast("long").alias("degree")
+    )
+    from streamprocessing_spark.functions.text import portable_round
+
+    t = F.coalesce(F.col("n_triangles"), F.lit(0))
+    return (
+        deg.where(F.col("degree") >= 2)
+        .join(counts, "l_partkey", "left")
+        .select(
+            "l_partkey",
+            "degree",
+            t.cast("long").alias("n_triangles"),
+            portable_round(
+                F.lit(2.0) * t / (F.col("degree") * (F.col("degree") - 1)), 6
+            ).alias("lcc"),
+        )
     )

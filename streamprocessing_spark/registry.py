@@ -114,6 +114,7 @@ _ROUND_NEW = frozenset(
         "duplicate_span_coverage",
         "hll_sketch_rollup_users",
         "triangle_count_copurchase",
+        "clustering_coefficient_parts",
         "mad_outlier_events",
         "streaming_stateful_alerts",
         "semantic_dedup_keep",

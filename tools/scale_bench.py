@@ -157,6 +157,7 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument("queries", nargs="*", help="subset of QUERIES to run")
     args = ap.parse_args()
 
     spark = get_spark("scale-bench")
@@ -186,7 +187,8 @@ def main() -> None:
 
     specs = all_specs()
     result: dict = {"base_sf": 0.1, "proxy_sf": 1.0, "queries": {}}
-    for name in QUERIES:
+    run_list = args.queries or QUERIES
+    for name in run_list:
         spec = specs[name]
         # warm (JIT/codegen/broadcast-threshold effects), then measure
         time_query(spec, spark, args.base)
