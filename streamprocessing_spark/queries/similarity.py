@@ -346,6 +346,50 @@ def knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "semantic_dedup_keep_ivf",
+    oracle=f"""
+    WITH RECURSIVE pair_t AS ({_sql_ivf_pairs_oracle(SRP_THRESHOLD, 3)}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pair_t
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pair_t
+    ),
+    reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.src AS id, reach.r AS r
+      FROM edges e JOIN reach ON e.dst = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT e.vec_id
+    FROM embeddings e
+    LEFT JOIN comp c ON e.vec_id = c.id AND c.component <> c.id
+    WHERE c.id IS NULL
+    """,
+    tags=("similarity", "dedup", "llm-pipeline", "iterative", "approx"),
+)
+def semantic_dedup_keep_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup_keep with its pair stage swapped from SRP banding to
+    IVF-cell candidates — the composition SCALE.md's curve table points
+    at: the pair stage dominates the cascade's cost (SRP ×12.6 at the
+    10× proxy), and the IVF tier halves its growth exponent, so the
+    whole dedup inherits the n^1.5 curve. Components and the keep-set
+    anti-join are unchanged. Keeps slightly different (IVF-recall) dup
+    clusters — both variants are exact-verified at the same θ, so every
+    removed vector really does have a ≥θ twin; only the candidate
+    generator differs."""
+    from streamprocessing_spark.operators.dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.ivf_cosine_pairs(emb, SRP_THRESHOLD, nassign=3)
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("component") != F.col("id")).select(
+        F.col("id").alias("vec_id")
+    )
+    return emb.select("vec_id").join(F.broadcast(losers), "vec_id", "left_anti")
+
+
+@register(
     "semantic_dedup_keep",
     oracle=f"""
     WITH RECURSIVE pair_t AS ({_sql_srp_oracle(SRP_THRESHOLD)}),

@@ -115,6 +115,7 @@ _ROUND_NEW = frozenset(
         "hll_sketch_rollup_users",
         "triangle_count_copurchase",
         "clustering_coefficient_parts",
+        "semantic_dedup_keep_ivf",
         "mad_outlier_events",
         "streaming_stateful_alerts",
         "semantic_dedup_keep",

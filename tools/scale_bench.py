@@ -75,6 +75,8 @@ QUERIES = (
     # round-2 late additions: iterative graph, semantic dedup, ranking
     "pagerank_copurchase",
     "semantic_dedup_keep",
+    # the same cascade on the IVF pair stage: inherits the n^1.5 curve
+    "semantic_dedup_keep_ivf",
     "bm25_rank_docs",
 )
 REPLICAS = 10
