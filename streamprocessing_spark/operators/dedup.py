@@ -116,12 +116,9 @@ def minhash_signature_df(shingles: DataFrame) -> DataFrame:
     return hashed.groupBy("id").agg(F.expr(f"array({mins})").alias("mh"))
 
 
-def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
-    """(id_a, id_b): pairs sharing at least one band signature.
-
-    Bands are exploded to (id, band, sig-string) and self-joined on
-    (band, sig): the shuffle key is the band signature, so work scales
-    with bucket sizes (near-duplicate clusters), never all-pairs."""
+def _band_buckets(sig: DataFrame) -> DataFrame:
+    """(id, band, sig-string): each signature exploded into its LSH band
+    buckets — the join key of every candidate-generation variant."""
     band_structs = ", ".join(
         "struct({b} AS band, concat_ws('-', {cols}) AS sig)".format(
             b=b,
@@ -129,9 +126,18 @@ def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
         )
         for b in range(BANDS)
     )
-    buckets = sig.select("id", F.explode(F.expr(f"array({band_structs})")).alias("bs")).select(
+    return sig.select("id", F.explode(F.expr(f"array({band_structs})")).alias("bs")).select(
         "id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
+
+
+def lsh_candidate_pairs(sig: DataFrame) -> DataFrame:
+    """(id_a, id_b): pairs sharing at least one band signature.
+
+    Bands are exploded to (id, band, sig-string) and self-joined on
+    (band, sig): the shuffle key is the band signature, so work scales
+    with bucket sizes (near-duplicate clusters), never all-pairs."""
+    buckets = _band_buckets(sig)
     a, b = buckets.alias("a"), buckets.alias("b")
     return (
         a.join(
@@ -210,6 +216,87 @@ def exact_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", portable_round(F.col("jaccard"), 4).alias("jaccard"))
     )
+
+
+def minhash_incremental_pairs(
+    new_df: DataFrame, old_df: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """Incremental-ingest dedup: (new_id, dup_of, jaccard) for NEW-batch
+    documents that near-duplicate an EXISTING-corpus document — the
+    daily-crawl pattern where a fresh increment is deduplicated against
+    everything already ingested without re-pairing the whole corpus.
+
+    Candidates come from joining the new batch's band buckets against
+    the corpus bucket table on (band, sig): work is O(new × bands) probe
+    rows against bucketed state, never corpus × corpus. In production
+    the corpus side's signatures/buckets are the PERSISTED output of
+    prior runs (a bucketed table keyed on (band, sig) — zero-shuffle
+    probe via sources/bucketing); here both sides derive from the same
+    scan so the oracle can replay the whole computation. Verification is
+    the usual exact-Jaccard stage over the union of shingle sets."""
+    sh_new = shingle_df(new_df, id_col, text_col)
+    sh_old = shingle_df(old_df, id_col, text_col)
+    bn = _band_buckets(minhash_signature_df(sh_new)).alias("a")
+    bo = _band_buckets(minhash_signature_df(sh_old)).alias("b")
+    cand = (
+        bn.join(
+            bo,
+            (F.col("a.band") == F.col("b.band")) & (F.col("a.sig") == F.col("b.sig")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sh_all = sh_new.unionByName(sh_old)
+    return (
+        jaccard_on_pairs(sh_all, cand)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", portable_round(F.col("jaccard"), 4).alias("jaccard"))
+    )
+
+
+def sql_minhash_incremental(threshold: float, new_pred: str) -> str:
+    """DuckDB mirror of minhash_incremental_pairs: identical shingles,
+    hash family, banding; candidates join new-side buckets against
+    old-side buckets (``new_pred`` over ``id`` selects the new batch)."""
+    h = sql_h32("sh")
+    mins = ",\n           ".join(
+        f"min(({a} * {h} + {b}) % {MOD32}) AS mh_{j}" for j, (a, b) in enumerate(COEFFS)
+    )
+    band_rows = "\n      UNION ALL\n".join(
+        "      SELECT id, {b} AS band, {sig} AS sig FROM sig_t".format(
+            b=b,
+            sig=" || '-' || ".join(
+                f"CAST(mh_{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    return f"""
+    WITH {sql_shingles()},
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    sig_t AS (SELECT id,
+           {mins}
+           FROM sh GROUP BY id),
+    buckets AS (
+{band_rows}
+    ),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM buckets a
+             JOIN buckets b ON a.band = b.band AND a.sig = b.sig
+             WHERE ({new_pred.format(id='a.id')})
+               AND NOT ({new_pred.format(id='b.id')})),
+    common AS (SELECT c.id_a, c.id_b, count(*) AS c
+               FROM cand c
+               JOIN sh a ON a.id = c.id_a
+               JOIN sh b ON b.id = c.id_b AND b.sh = a.sh
+               GROUP BY 1, 2)
+    SELECT c.id_a, c.id_b,
+           floor((c.c * 1.0 / (sa.n + sb.n - c.c)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM common c
+    JOIN sizes sa ON c.id_a = sa.id
+    JOIN sizes sb ON c.id_b = sb.id
+    WHERE c.c * 1.0 / (sa.n + sb.n - c.c) >= {threshold}
+    """
 
 
 def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, threshold: float) -> DataFrame:

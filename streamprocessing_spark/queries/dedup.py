@@ -280,3 +280,30 @@ def duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("covered"), F.lit(0)).cast("long").alias("dup_covered_tokens"),
         )
     )
+
+
+# The "new batch" of the incremental-ingest scenario: a deterministic 10%
+# slice of the corpus (doc_id ending in 7) arriving against the other 90%.
+_NEW_PRED = "{id} % 10 = 7"
+
+
+@register(
+    "dedup_incremental_batch",
+    oracle=D.sql_minhash_incremental(JACCARD_THRESHOLD, _NEW_PRED),
+    tags=("dedup", "llm-pipeline", "lsh"),
+)
+def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-ingest dedup — the production shape MinHash actually
+    runs in: a NEW batch (here the deterministic 10% of docs with
+    doc_id ≡ 7 mod 10, standing in for today's crawl) is deduplicated
+    against the EXISTING corpus (the other 90%) by probing the corpus
+    band-bucket table with only the new batch's signatures. Work per
+    ingest is O(batch × bands) probes, independent of corpus size when
+    the bucket table is persisted bucketed-by-(band, sig); the full
+    corpus is never re-paired. Emits (id_a=new doc, id_b=existing dup,
+    exact verified Jaccard) — the rows a pipeline would use to drop or
+    link today's duplicates before appending the batch."""
+    d = load_table(spark, sf_dir, "documents")
+    new_df = d.where(F.col("doc_id") % 10 == 7)
+    old_df = d.where(F.col("doc_id") % 10 != 7)
+    return D.minhash_incremental_pairs(new_df, old_df, "doc_id", "text", JACCARD_THRESHOLD)

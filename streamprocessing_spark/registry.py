@@ -116,6 +116,7 @@ _ROUND_NEW = frozenset(
         "triangle_count_copurchase",
         "clustering_coefficient_parts",
         "semantic_dedup_keep_ivf",
+        "dedup_incremental_batch",
         "mad_outlier_events",
         "streaming_stateful_alerts",
         "semantic_dedup_keep",
