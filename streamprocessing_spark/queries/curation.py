@@ -636,3 +636,98 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("mad").cast("long").alias("mad_x10k"),
         )
     )
+
+
+def _sql_manifest_oracle() -> str:
+    from streamprocessing_spark.operators import dedup as D
+    from streamprocessing_spark.queries.dedup import JACCARD_THRESHOLD
+    from streamprocessing_spark.queries.quality import (
+        MAX_MEAN_LEN,
+        MAX_WORDS,
+        MIN_MEAN_LEN,
+        MIN_STOP_HITS,
+        MIN_WORDS,
+        _sql_stop_hits_en,
+    )
+    from streamprocessing_spark.functions.text import SQL_TOKENS
+
+    return f"""
+    WITH RECURSIVE pair_t AS ({D.sql_minhash_lsh(JACCARD_THRESHOLD)}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pair_t
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pair_t
+    ),
+    reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.src AS id, reach.r AS r
+      FROM edges e JOIN reach ON e.dst = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    keepers AS (
+      SELECT d.doc_id FROM documents d
+      LEFT JOIN comp c ON d.doc_id = c.id AND c.component <> c.id
+      WHERE c.id IS NULL),
+    q AS (
+      SELECT doc_id, lang, source,
+             len({SQL_TOKENS}) AS n_tokens,
+             list_sum(list_transform({SQL_TOKENS}, t -> length(t))) AS sum_len,
+             {_sql_stop_hits_en()} AS stop_hits
+      FROM documents),
+    passing AS (
+      SELECT doc_id, lang, source, CAST(n_tokens AS BIGINT) AS n_tokens
+      FROM q
+      WHERE n_tokens > 0
+        AND n_tokens BETWEEN {MIN_WORDS} AND {MAX_WORDS}
+        AND 1.0 * sum_len / n_tokens BETWEEN {MIN_MEAN_LEN} AND {MAX_MEAN_LEN}
+        AND (stop_hits >= {MIN_STOP_HITS} OR lang <> 'en'))
+    SELECT p.doc_id, p.lang, p.source, p.n_tokens,
+           CASE WHEN h.h < 80 THEN 'train'
+                WHEN h.h < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM passing p
+    JOIN keepers k ON k.doc_id = p.doc_id
+    JOIN (SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+                   % 100 AS h
+          FROM documents) h ON h.doc_id = p.doc_id
+    """
+
+
+@register(
+    "curation_manifest_end2end",
+    oracle=_sql_manifest_oracle(),
+    tags=("curation", "llm-pipeline", "dedup", "quality", "iterative"),
+)
+def curation_manifest_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole curation funnel as ONE query — the training-data
+    manifest a pipeline actually ships: Gopher quality gate (word-count /
+    mean-word-length / stopword rules) ∩ lexical dedup survivors
+    (MinHash-LSH → exact verify → connected components → canonical
+    keeper per cluster) ⋈ deterministic 80/10/10 split, emitting
+    (doc_id, lang, source, n_tokens, split) for every document that
+    makes the cut. Demonstrates that the engine's stages COMPOSE — the
+    oracle replays the entire funnel (including the recursive-CTE
+    component closure) in one SQL statement and matches bit-for-bit.
+
+    Scale shape: three independent per-doc signals (flags, split) are
+    scan-cheap; the dedup leg is the audited LSH path; the final
+    intersection is two id-only joins (keepers and flags are slivers /
+    per-row predicates — at 100 TB the planner turns these into
+    semi-joins on the id column alone)."""
+    from streamprocessing_spark.queries.dedup import dedup_keep_canonical
+    from streamprocessing_spark.queries.quality import gopher_quality_flags
+    from streamprocessing_spark.queries.text import train_test_split
+
+    flags = gopher_quality_flags(spark, sf_dir)
+    passing = flags.where(F.col("passes") == 1).select("doc_id", "lang", "n_tokens")
+    keepers = dedup_keep_canonical(spark, sf_dir)
+    split = train_test_split(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    return (
+        passing.join(keepers, "doc_id")
+        .join(split, "doc_id")
+        .join(src, "doc_id")
+        .select("doc_id", "lang", "source", "n_tokens", "split")
+    )

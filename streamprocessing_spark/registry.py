@@ -117,6 +117,7 @@ _ROUND_NEW = frozenset(
         "clustering_coefficient_parts",
         "semantic_dedup_keep_ivf",
         "dedup_incremental_batch",
+        "curation_manifest_end2end",
         "mad_outlier_events",
         "streaming_stateful_alerts",
         "semantic_dedup_keep",
