@@ -214,3 +214,36 @@ def test_temperature_sample_quota_is_broadcast(spark, sf_dir):
 def test_rolling_range_window_single_shuffle(spark, sf_dir):
     df = SPECS["rolling_user_activity_1h"].fn(spark, sf_dir)
     assert X.count_exchanges(df) == 1, X.formatted_plan(df)
+
+
+def test_chunker_is_narrow(spark, sf_dir):
+    # tokenize -> explode -> slice composes into the scan: zero shuffles
+    df = SPECS["chunk_documents_windows"].fn(spark, sf_dir)
+    assert X.count_exchanges(df) == 0, X.formatted_plan(df)
+
+
+def test_mad_outliers_never_shuffle_fact_rows(spark, sf_dir):
+    # medians come from distinct-value histograms joined back by
+    # broadcast: every Exchange in the plan carries (type, value) or
+    # (type, dev) histogram rows, never a per-event shuffle — so the
+    # only hash-partitionings allowed are the two histogram groupings
+    # and their cumulative windows
+    df = SPECS["mad_outlier_events"].fn(spark, sf_dir)
+    assert X.has_broadcast_join(df), X.formatted_plan(df)
+    plan = X.formatted_plan(df)
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_ivf_pairs_broadcasts_centroids(spark, sf_dir):
+    # the n·K assignment join must broadcast the K=ceil(sqrt(n)) centroid
+    # side, never shuffle the corpus against it
+    df = SPECS["ivf_cosine_pairs"].fn(spark, sf_dir)
+    assert X.has_broadcast_join(df), X.formatted_plan(df)
+
+
+def test_manifest_pushes_down_to_id_joins(spark, sf_dir):
+    # the funnel intersection is id-keyed; the quality and split legs are
+    # scan-shaped, so the plan must broadcast the keeper sliver rather
+    # than shuffling the full document rows three times
+    df = SPECS["curation_manifest_end2end"].fn(spark, sf_dir)
+    assert X.has_broadcast_join(df), X.formatted_plan(df)

@@ -62,31 +62,43 @@ def test_chunker_reconstructs_documents(spark, sf_dir):
         assert r.covered_end == n, (r.doc_id, n, r.covered_end)
 
 
-def test_span_coverage_bounds_and_exact_dups(spark, sf_dir):
-    """Coverage is bounded by the doc length, and a document with an
-    exact-duplicate twin (same fingerprint, ≥ 8 tokens) is covered
-    end-to-end — all its 8-grams occur at least twice corpus-wide."""
+def test_span_coverage_matches_pure_python_oracle(spark, sf_dir):
+    """Coverage is bounded by the doc length, non-vacuous on the fixture,
+    and equals an independent pure-Python recomputation over the whole
+    corpus (second oracle in a different engine family, like
+    tests/test_hash_portability.py's style)."""
+    import re
+
     cov = {
         r.doc_id: (r.n_tokens, r.dup_covered_tokens)
         for r in SPECS["duplicate_span_coverage"].fn(spark, sf_dir).collect()
     }
     for n, c in cov.values():
         assert 0 <= c <= n
-    dup_groups = (
-        load_table(spark, sf_dir, "documents")
-        .groupBy(F.md5(F.col("text")).alias("fp"))
-        .agg(F.count(F.lit(1)).alias("c"), F.collect_list("doc_id").alias("ids"))
-        .where(F.col("c") >= 2)
-        .collect()
-    )
-    checked = 0
-    for g in dup_groups:
-        for doc_id in g.ids:
-            if doc_id in cov and cov[doc_id][0] >= 8:
-                n, c = cov[doc_id]
-                assert c == n, (doc_id, n, c)
-                checked += 1
-    assert checked > 0, "fixture has no exact-dup docs with >= 8 tokens"
+    assert any(c > 0 for _, c in cov.values()), "span metric vacuous on fixture"
+
+    docs = {
+        r.doc_id: re.findall(r"[a-z0-9]+", r.text.lower())
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    from collections import Counter
+
+    gram_counts: Counter = Counter()
+    grams_by_doc = {}
+    for doc_id, t in docs.items():
+        grams = [" ".join(t[i : i + 8]) for i in range(len(t) - 7)] if len(t) >= 8 else []
+        grams_by_doc[doc_id] = grams
+        gram_counts.update(grams)
+    expected = {}
+    for doc_id, t in docs.items():
+        if not t:
+            continue
+        covered: set[int] = set()
+        for i, g in enumerate(grams_by_doc[doc_id]):
+            if gram_counts[g] >= 2:
+                covered.update(range(i, i + 8))
+        expected[doc_id] = (len(t), len(covered))
+    assert cov == expected
 
 
 def test_triangle_conservation_and_lcc_range(spark, sf_dir):
