@@ -1,0 +1,122 @@
+"""Streaming ingest-time dedup: every micro-batch of documents is
+deduplicated against the corpus ingested so far — the streaming twin of
+``queries.dedup.dedup_incremental_batch`` (the daily-crawl pattern run
+continuously instead of nightly).
+
+Mechanics per micro-batch (foreachBatch):
+
+1. signature the batch (same shingle → 64-minhash → band-bucket pipeline
+   as the batch tier — ``operators.dedup``);
+2. probe the PERSISTED bucket store with the batch's buckets on
+   (band, sig) — candidate work is O(batch × bands) against bucketed
+   state, independent of corpus size; the corpus is never re-paired;
+3. exact-Jaccard verify candidates (corpus shingles re-derived from the
+   stored docs for just the candidate ids — an id-pushdown read);
+4. append the batch's docs and buckets to the stores.
+
+Exactly-once: all four writes land under ``batch=<id>`` subdirectories
+with mode=overwrite — a retried batch (Spark re-runs foreachBatch with
+the same batch_id) overwrites its own directories instead of appending
+duplicates, the CompactingParquetSink idempotence contract. Reads glob
+the whole store, so a half-written retry directory is healed by its
+overwrite.
+
+At 100 TB the bucket store is written bucketed by (band, sig)
+(sources/bucketing) so the probe join is a zero-shuffle bucket lookup,
+and the doc store is the ingested table itself. Dedup policy (drop the
+new duplicate, link it, or keep-with-weight) is the caller's choice —
+this emits the verified (new_id, dup_of, jaccard) pairs per batch.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from streamprocessing_spark.functions.text import portable_round
+from streamprocessing_spark.operators.dedup import (
+    _band_buckets,
+    jaccard_on_pairs,
+    minhash_signature_df,
+    shingle_df,
+)
+
+
+@dataclass(frozen=True)
+class IngestDedup:
+    base: str
+    threshold: float
+    id_col: str = "doc_id"
+    text_col: str = "text"
+
+    @property
+    def docs_dir(self) -> str:
+        return os.path.join(self.base, "docs")
+
+    @property
+    def buckets_dir(self) -> str:
+        return os.path.join(self.base, "buckets")
+
+    @property
+    def dups_dir(self) -> str:
+        return os.path.join(self.base, "dups")
+
+    def _read(self, spark: SparkSession, path: str) -> DataFrame | None:
+        if not os.path.isdir(path) or not any(
+            e.name.startswith("batch=") for e in os.scandir(path)
+        ):
+            return None
+        return spark.read.option("basePath", path).parquet(f"{path}/batch=*")
+
+    def foreach_batch(self, batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        batch = batch.select(self.id_col, self.text_col).localCheckpoint(eager=True)
+        sh_new = shingle_df(batch, self.id_col, self.text_col)
+        b_new = _band_buckets(minhash_signature_df(sh_new)).localCheckpoint(eager=True)
+
+        stored_buckets = self._read(spark, self.buckets_dir)
+        if stored_buckets is not None:
+            cand = (
+                b_new.alias("a")
+                .join(
+                    stored_buckets.select("id", "band", "sig").alias("b"),
+                    (F.col("a.band") == F.col("b.band"))
+                    & (F.col("a.sig") == F.col("b.sig")),
+                )
+                .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+                .distinct()
+            )
+            # corpus shingles only for candidate ids: id-pushdown read of
+            # the doc store (a semi-join; with a bucketed store, a lookup)
+            old_ids = cand.select(F.col("id_b").alias(self.id_col)).distinct()
+            old_docs = self._read(spark, self.docs_dir)
+            assert old_docs is not None  # buckets exist => docs exist
+            sh_old = shingle_df(
+                old_docs.join(old_ids, self.id_col, "left_semi"),
+                self.id_col,
+                self.text_col,
+            )
+            dups = (
+                jaccard_on_pairs(sh_new.unionByName(sh_old), cand)
+                .where(F.col("jaccard") >= self.threshold)
+                .select(
+                    "id_a", "id_b", portable_round(F.col("jaccard"), 4).alias("jaccard")
+                )
+            )
+        else:
+            dups = spark.createDataFrame(
+                [], "id_a bigint, id_b bigint, jaccard double"
+            )
+        dups.write.mode("overwrite").parquet(f"{self.dups_dir}/batch={batch_id}")
+        batch.write.mode("overwrite").parquet(f"{self.docs_dir}/batch={batch_id}")
+        b_new.write.mode("overwrite").parquet(f"{self.buckets_dir}/batch={batch_id}")
+
+    def dup_pairs(self, spark: SparkSession) -> DataFrame:
+        """All (new_id, dup_of, jaccard) pairs emitted so far."""
+        df = self._read(spark, self.dups_dir)
+        if df is None:
+            return spark.createDataFrame([], "id_a bigint, id_b bigint, jaccard double")
+        return df.drop("batch")

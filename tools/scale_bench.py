@@ -74,6 +74,7 @@ QUERIES = (
     "pack_documents_greedy",
     # round-2 late additions: iterative graph, semantic dedup, ranking
     "pagerank_copurchase",
+    "triangle_count_copurchase",
     "semantic_dedup_keep",
     # the same cascade on the IVF pair stage: inherits the n^1.5 curve
     "semantic_dedup_keep_ivf",
