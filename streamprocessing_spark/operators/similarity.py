@@ -377,3 +377,83 @@ def ivf_topk(
         scored.select(query_id_col, "neighbor_id", F.row_number().over(w_rank).cast("long").alias("rank"))
         .where(F.col("rank") <= k)
     )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 3
+KMEANS_SCALE = 10000
+
+
+def _km_dist_expr(xi: str, s: str, cnt: str) -> str:
+    """Squared euclidean distance between a quantized vector and a
+    centroid held as (integer sum array, count) — the division is the
+    only float op, and the fold is the same sequential
+    zip_with/aggregate both engines run, so the value is bit-portable."""
+    d = f"(CAST(x AS DOUBLE) - CAST(sv AS DOUBLE) / {cnt})"
+    return (
+        f"aggregate(zip_with({xi}, {s}, (x, sv) -> {d} * {d}), "
+        "0.0D, (acc, v) -> acc + v)"
+    )
+
+
+def kmeans_assign(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means, made deterministic and oracle-checkable:
+
+    - vectors are quantized ONCE to integer ten-thousandths (the
+      quantize_embeddings_int8 discipline), so centroid STATE is exact —
+      a centroid is its members' (BIGINT sum array, count), never a
+      float average. Sums are order-independent, so AQE re-planning
+      can't change a bit.
+    - assignment distance divides the sums by the count in double inside
+      the same sequential zip_with/aggregate fold both engines run; ties
+      break on cluster id.
+    - init is the k smallest-id vectors (no RNG); iterations are a fixed
+      unrolled count, mirrored by an unrolled-CTE oracle (the
+      pagerank_copurchase pattern).
+
+    Shape per iteration: n×k broadcast-join distance folds (centroids
+    are k rows), one posexplode shuffle of (k, dim, x) for the new sums
+    — both map-side-combinable. The driver loop never collects;
+    empty clusters simply drop out (both engines agree). At 100 TB this
+    is exactly distributed Lloyd's: broadcast centroids, partial-sum
+    combiners, no iteration barrier beyond the aggregation itself."""
+    q = emb.select(
+        F.col(id_col).alias("id"),
+        F.expr(
+            f"transform({vec_col}, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}.0 + 0.5) AS BIGINT))"
+        ).alias("xi"),
+    ).localCheckpoint(eager=True)  # re-scored every iteration
+    cent = q.where(F.col("id") < k).select(
+        F.col("id").alias("k"), F.col("xi").alias("s"), F.lit(1).cast("long").alias("cnt")
+    )
+    asg = None
+    for _ in range(iters):
+        w = Window.partitionBy("id").orderBy(F.asc("dist"), F.asc("k"))
+        asg = (
+            q.join(F.broadcast(cent))
+            .select("id", "k", F.expr(_km_dist_expr("xi", "s", "cnt")).alias("dist"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("id", "k")
+        )
+        sums = (
+            asg.join(q, "id")
+            .select("k", F.posexplode("xi").alias("dim", "x"))
+            .groupBy("k", "dim")
+            .agg(F.sum("x").alias("sd"))
+        )
+        cnt = asg.groupBy("k").agg(F.count(F.lit(1)).alias("cnt"))
+        cent = (
+            sums.groupBy("k")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "sd"))).alias("ps"))
+            .select("k", F.expr("transform(ps, p -> p.sd)").alias("s"))
+            .join(cnt, "k")
+        )
+    return asg.select(F.col("id").alias(id_col), F.col("k").cast("long").alias("cluster"))

@@ -438,3 +438,80 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").alias("vec_id")
     )
     return emb.select("vec_id").join(F.broadcast(losers), "vec_id", "left_anti")
+
+
+def _sql_km_assign(prev_cent: str, out: str) -> str:
+    """One Lloyd assignment round in DuckDB SQL over CTEs `q`/{prev_cent}:
+    the same duplicated-difference distance fold and (dist, k) tie-break
+    the Spark operator evaluates."""
+    d = f"(CAST(q.xi[i] AS DOUBLE) - CAST(c.s[i] AS DOUBLE) / c.cnt)"
+    dist = (
+        f"list_sum(list_transform(range(1, len(q.xi) + 1), i -> {d} * {d}))"
+    )
+    return f"""
+    {out} AS (
+      SELECT id, k FROM (
+        SELECT q.id, c.k,
+               row_number() OVER (PARTITION BY q.id ORDER BY {dist} ASC, c.k) AS rn
+        FROM q CROSS JOIN {prev_cent} c)
+      WHERE rn = 1)"""
+
+
+def _sql_km_centroids(asg: str, out: str) -> str:
+    return f"""
+    sums_{out} AS (
+      SELECT a.k, CAST(u.i - 1 AS INTEGER) AS dim, sum(q.xi[u.i]) AS sd
+      FROM {asg} a
+      JOIN q ON q.id = a.id,
+      unnest(range(1, len(q.xi) + 1)) AS u(i)
+      GROUP BY a.k, u.i),
+    cnt_{out} AS (SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM {asg} GROUP BY k),
+    {out} AS (
+      SELECT s.k, list(s.sd ORDER BY s.dim) AS s, any_value(c.cnt) AS cnt
+      FROM sums_{out} s JOIN cnt_{out} c ON c.k = s.k
+      GROUP BY s.k)"""
+
+
+def _sql_kmeans_oracle() -> str:
+    from streamprocessing_spark.operators.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        KMEANS_SCALE,
+    )
+
+    parts = [
+        f"""WITH q AS (
+      SELECT vec_id AS id,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}.0 + 0.5) AS BIGINT)) AS xi
+      FROM embeddings),
+    c0 AS (SELECT id AS k, xi AS s, CAST(1 AS BIGINT) AS cnt
+           FROM q WHERE id < {KMEANS_K})"""
+    ]
+    for it in range(1, KMEANS_ITERS + 1):
+        parts.append("," + _sql_km_assign(f"c{it - 1}", f"a{it}"))
+        if it < KMEANS_ITERS:
+            parts.append("," + _sql_km_centroids(f"a{it}", f"c{it}"))
+    parts.append(
+        f"\n    SELECT id AS vec_id, CAST(k AS BIGINT) AS cluster FROM a{KMEANS_ITERS}"
+    )
+    return "".join(parts)
+
+
+@register(
+    "kmeans_embeddings",
+    oracle=_sql_kmeans_oracle(),
+    tags=("similarity", "llm-pipeline", "iterative", "aggregate"),
+)
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=8, 3 unrolled iterations) over the
+    embedding corpus — the quantizer-training primitive under IVF/PQ
+    indexes and SemDeDup-style cluster pruning, here made fully
+    deterministic: integer-quantized inputs, centroids kept as exact
+    (BIGINT sum, count) pairs instead of float means, smallest-id init,
+    (dist, k) tie-breaks. Bit-for-bit oracle-checkable against an
+    unrolled-CTE replay (the pagerank_copurchase discipline) — a
+    property float-mean k-means fundamentally lacks, since its centroid
+    arithmetic depends on accumulation order."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.kmeans_assign(emb)

@@ -118,6 +118,7 @@ _ROUND_NEW = frozenset(
         "semantic_dedup_keep_ivf",
         "dedup_incremental_batch",
         "curation_manifest_end2end",
+        "kmeans_embeddings",
         "mad_outlier_events",
         "streaming_stateful_alerts",
         "semantic_dedup_keep",

@@ -82,3 +82,16 @@ def test_knn_label_audit_structure(spark, sf_dir):
     for r in rows:
         assert 1 <= r.n_votes <= KNN_K
         assert r.label_agrees == (1 if r.pred_label == r.label else 0)
+
+
+def test_kmeans_deterministic_and_nontrivial(spark, sf_dir):
+    """k-means assignments are deterministic across runs (integer-exact
+    centroid state), every vector is assigned, and the fixture splits
+    into more than one non-empty cluster."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a1 = {(r.vec_id, r.cluster) for r in S.kmeans_assign(emb).collect()}
+    a2 = {(r.vec_id, r.cluster) for r in S.kmeans_assign(emb).collect()}
+    assert a1 == a2
+    assert len(a1) == emb.count()
+    clusters = {c for _, c in a1}
+    assert len(clusters) > 1

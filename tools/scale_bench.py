@@ -78,6 +78,7 @@ QUERIES = (
     "semantic_dedup_keep",
     # the same cascade on the IVF pair stage: inherits the n^1.5 curve
     "semantic_dedup_keep_ivf",
+    "kmeans_embeddings",
     "bm25_rank_docs",
 )
 REPLICAS = 10
