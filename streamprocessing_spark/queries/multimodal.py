@@ -102,3 +102,58 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = M.attach_payload(d, "doc_id", "text")
     return M.extract_features(media).select("media_id", "n_bytes", "h32")
+
+
+@register(
+    "source_binaryfile_ingest",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256
+    FROM documents
+    """,
+    tags=("multimodal", "source", "llm-pipeline"),
+)
+def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real multimodal INGESTION path: raw per-media files on disk
+    read through Spark's `binaryFile` source (path, length, content per
+    file), the media id parsed from the filename, metadata derived from
+    the bytes. Staging writes each payload as one `<id>.bin` file from
+    the executors (foreachPartition — distributed, filename-idempotent),
+    then the scan proves the round trip: (media_id, n_bytes, sha256)
+    must equal the metadata computed straight from the source column.
+    At 100 TB this is exactly how image/audio corpora land: a manifest
+    scan over object-store files, driven by the same binaryFile reader,
+    with decode kernels (operators/multimodal.py) downstream."""
+    import hashlib
+    import os
+    import tempfile
+
+    d = load_table(spark, sf_dir, "documents")
+    media = M.attach_payload(d, "doc_id", "text")
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"sp_bin_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}",
+    )
+    os.makedirs(out, exist_ok=True)
+
+    def _write_part(rows):
+        import os as _os
+
+        for r in rows:
+            tmp = _os.path.join(out, f".{r.media_id}.tmp")
+            with open(tmp, "wb") as fh:
+                fh.write(bytes(r.payload))
+            _os.replace(tmp, _os.path.join(out, f"{r.media_id}.bin"))
+
+    media.select("media_id", "payload").foreachPartition(_write_part)
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(out)
+        .select(
+            F.regexp_extract(F.col("path"), r"(\d+)\.bin$", 1).cast("long").alias("media_id"),
+            F.col("length").cast("long").alias("n_bytes"),
+            F.sha2(F.col("content"), 256).alias("sha256"),
+        )
+    )

@@ -119,6 +119,7 @@ _ROUND_NEW = frozenset(
         "dedup_incremental_batch",
         "curation_manifest_end2end",
         "kmeans_embeddings",
+        "source_binaryfile_ingest",
         "mad_outlier_events",
         "streaming_stateful_alerts",
         "semantic_dedup_keep",
