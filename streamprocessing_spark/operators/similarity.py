@@ -457,3 +457,63 @@ def kmeans_assign(
             .join(cnt, "k")
         )
     return asg.select(F.col("id").alias(id_col), F.col("k").cast("long").alias("cluster"))
+
+
+def srp_lsh_cosine_pairs_fast(
+    emb: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """srp_lsh_cosine_pairs with the exact-cosine VERIFY swapped from
+    interpreted Catalyst higher-order-function folds to an Arrow-batched
+    numpy kernel (mapInPandas) — the measured fast path for the stage
+    that dominates every all-pairs tier.
+
+    Same candidates, same threshold; numerically the scores differ from
+    the fold tier only by summation order (numpy pairwise summation vs
+    sequential fold — sub-ulp-scale), so this variant is rows-only
+    rather than bit-oracled: the DuckDB oracle can replay a sequential
+    fold but not numpy's tree sum. tests/test_similarity.py asserts the
+    PAIR SET matches the bit-exact tier away from the threshold
+    boundary. Use this tier when throughput matters and the consumer
+    thresholds, buckets, or ranks the score; use the fold tier when a
+    downstream system must reproduce the exact doubles."""
+    weights = srp_weights(dim)
+    buckets = emb.select(
+        F.col(id_col).alias("id"),
+        F.explode(_srp_band_structs(vec_col, weights)).alias("bs"),
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    joined = cand.join(va, "id_a").join(vb, "id_b")
+
+    def _verify(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            va_m = np.stack(pdf["va"].to_numpy()).astype(np.float64)
+            vb_m = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
+            cos = (va_m * vb_m).sum(axis=1) / (
+                np.linalg.norm(va_m, axis=1) * np.linalg.norm(vb_m, axis=1)
+            )
+            keep = cos >= threshold
+            out = pdf.loc[keep, ["id_a", "id_b"]].copy()
+            out["cos_sim"] = np.floor(cos[keep] * 1e6 + 0.5) / 1e6
+            yield out
+
+    return joined.mapInPandas(_verify, "id_a bigint, id_b bigint, cos_sim double")

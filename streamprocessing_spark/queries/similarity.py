@@ -515,3 +515,22 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetic depends on accumulation order."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.kmeans_assign(emb)
+
+
+@register(
+    "srp_lsh_cosine_pairs_fast",
+    tags=("similarity", "dedup", "llm-pipeline", "lsh", "approx", "pandas-udf"),
+)
+def srp_lsh_cosine_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SRP near-dup pipeline with its dominant stage — the exact
+    cosine verify — on the Arrow/numpy fast path (mapInPandas) instead
+    of interpreted Catalyst folds. Rows-only by design (numpy's pairwise
+    summation re-orders the adds, so the doubles differ from any
+    SQL-replayable fold at sub-ulp scale); the pair SET is asserted
+    equal to the bit-exact tier away from the threshold boundary in
+    tests/test_similarity.py, and the wall-clock win is measured in
+    SCALE.md."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.select("embedding").head()
+    dim = len(row[0]) if row else 1
+    return S.srp_lsh_cosine_pairs_fast(emb, SRP_THRESHOLD, dim)

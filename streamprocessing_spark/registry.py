@@ -120,6 +120,7 @@ _ROUND_NEW = frozenset(
         "curation_manifest_end2end",
         "kmeans_embeddings",
         "source_binaryfile_ingest",
+        "srp_lsh_cosine_pairs_fast",
         "mad_outlier_events",
         "streaming_stateful_alerts",
         "semantic_dedup_keep",
