@@ -325,11 +325,14 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style approximate top-k.
 
     Deterministic coarse quantizer: centroids are the vectors with the
-    ``num_centroids`` smallest ids (a fixed sample — no RNG, reproducible).
+    ``num_centroids`` smallest ids (a fixed sample — no RNG, reproducible)
+    unless a trained ``centroids`` frame (cent_id, cent_vec) is supplied —
+    e.g. kmeans_centroids, which is what production IVF actually probes.
     Every corpus vector is assigned to its nearest centroid (one broadcast
     join); each query probes its ``nprobe`` nearest cells and scores only
     vectors inside them. At 100 TB: corpus is hash-partitioned (in practice
@@ -337,9 +340,10 @@ def ivf_topk(
     of the data. Approximate: recall vs the exact tier is a test assertion
     (tests/test_similarity.py), not an oracle.
     """
-    centroids = emb.where(F.col(id_col) < num_centroids).select(
-        F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
-    )
+    if centroids is None:
+        centroids = emb.where(F.col(id_col) < num_centroids).select(
+            F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
+        )
     w_assign = Window.partitionBy(id_col).orderBy(F.desc("cos_c"), F.asc("cent_id"))
     assigned = (
         emb.join(F.broadcast(centroids))
@@ -423,6 +427,15 @@ def kmeans_assign(
     empty clusters simply drop out (both engines agree). At 100 TB this
     is exactly distributed Lloyd's: broadcast centroids, partial-sum
     combiners, no iteration barrier beyond the aggregation itself."""
+    asg, _ = _kmeans_loop(emb, k, iters, id_col, vec_col)
+    return asg.select(F.col("id").alias(id_col), F.col("k").cast("long").alias("cluster"))
+
+
+def _kmeans_loop(
+    emb: DataFrame, k: int, iters: int, id_col: str, vec_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(final assignment, final (k, s, cnt) centroid state) — shared by
+    kmeans_assign and kmeans_centroids."""
     q = emb.select(
         F.col(id_col).alias("id"),
         F.expr(
@@ -456,7 +469,26 @@ def kmeans_assign(
             .select("k", F.expr("transform(ps, p -> p.sd)").alias("s"))
             .join(cnt, "k")
         )
-    return asg.select(F.col("id").alias(id_col), F.col("k").cast("long").alias("cluster"))
+    return asg, cent
+
+
+def kmeans_centroids(
+    emb: DataFrame,
+    k: int = KMEANS_K,
+    iters: int = KMEANS_ITERS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The trained quantizer itself: (cent_id, cent_vec array<double>)
+    after ``iters`` Lloyd rounds — centroid means materialized from the
+    exact (sum, count) state (one deterministic division per element).
+    Feeds ivf_topk as a TRAINED coarse quantizer in place of its
+    arbitrary smallest-id sample."""
+    _, cent = _kmeans_loop(emb, k, iters, id_col, vec_col)
+    return cent.select(
+        F.col("k").alias("cent_id"),
+        F.expr("transform(s, sv -> CAST(sv AS DOUBLE) / cnt)").alias("cent_vec"),
+    )
 
 
 def srp_lsh_cosine_pairs_fast(

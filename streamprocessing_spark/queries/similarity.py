@@ -534,3 +534,20 @@ def srp_lsh_cosine_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     row = emb.select("embedding").head()
     dim = len(row[0]) if row else 1
     return S.srp_lsh_cosine_pairs_fast(emb, SRP_THRESHOLD, dim)
+
+
+@register("ann_ivf_kmeans_topk", tags=("similarity", "llm-pipeline", "approx", "iterative"))
+def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k probing a TRAINED quantizer: the k-means centroids
+    (exact-integer Lloyd state, kmeans_embeddings) replace ann_ivf_topk's
+    arbitrary smallest-id sample — the composition production IVF
+    indexes actually are (train coarse quantizer → assign corpus to
+    cells → probe nprobe cells per query). Deterministic end-to-end but
+    rows-only like the other ANN tiers; recall vs the exact tier is
+    asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    cents = S.kmeans_centroids(emb)
+    return S.ivf_topk(emb, queries, TOP_K, nprobe=2, centroids=cents)

@@ -121,6 +121,7 @@ _ROUND_NEW = frozenset(
         "kmeans_embeddings",
         "source_binaryfile_ingest",
         "srp_lsh_cosine_pairs_fast",
+        "ann_ivf_kmeans_topk",
         "mad_outlier_events",
         "streaming_stateful_alerts",
         "semantic_dedup_keep",

@@ -113,3 +113,16 @@ def test_srp_fast_path_matches_fold_tier(spark, sf_dir):
     assert set(fold) - boundary == set(fast) - boundary
     for p in set(fold) & set(fast):
         assert abs(fold[p] - fast[p]) <= 2e-6, (p, fold[p], fast[p])
+
+
+def test_ivf_kmeans_recall_vs_brute_force(spark, sf_dir):
+    """The trained-quantizer IVF tier must keep usable recall against the
+    exact tier (8 k-means cells, nprobe=2 — a 25% corpus probe)."""
+    exact = {}
+    for r in SPECS["ann_cosine_topk"].fn(spark, sf_dir).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    approx = {}
+    for r in SPECS["ann_ivf_kmeans_topk"].fn(spark, sf_dir).collect():
+        approx.setdefault(r.query_id, set()).add(r.neighbor_id)
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.5, f"kmeans-IVF recall too low: {recalls}"
