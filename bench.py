@@ -76,6 +76,10 @@ HEADLINE = [
     "mad_outlier_events",
     "chunk_documents_windows",
     "duplicate_span_coverage",
+    "semantic_dedup_keep_ivf",
+    "dedup_incremental_batch",
+    "curation_manifest_end2end",
+    "kmeans_embeddings",
 ]
 
 

@@ -721,3 +721,50 @@ def chunk_documents_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chunk_text"
         ),
     )
+
+
+@register(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, text,
+             {_sql_hits('en')} AS en, {_sql_hits('de')} AS de,
+             {_sql_hits('fr')} AS fr, {_sql_hits('es')} AS es
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+        CASE
+          WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+          WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+          WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+          WHEN fr >= es AND fr > 0 THEN 'fr'
+          WHEN es > 0 THEN 'es'
+          ELSE 'und'
+        END AS lang_pred
+      FROM h)
+    SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY lang, lang_pred
+    """,
+    tags=("text", "llm-pipeline", "quality", "aggregate"),
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier-eval primitive: the confusion matrix of the stopword
+    language-ID heuristic against the corpus's labeled lang column —
+    (label, prediction, count). The per-class error profile a pipeline
+    inspects before trusting a cheap filter model at 100 TB; the same
+    shape evaluates any row-level classifier (quality gates, toxicity
+    filters) against a labeled sample. One scan + one groups-sized
+    aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select("lang", "text", T.tokens(F.col("text")).alias("t"))
+    hit_cols = {
+        lang: T.stopword_hits(F.col("t"), lang).alias(f"hits_{lang}") for lang in T.STOPWORDS
+    }
+    scored = toked.select("lang", "text", *hit_cols.values())
+    hits = {lang: F.col(f"hits_{lang}") for lang in T.STOPWORDS}
+    return (
+        scored.select("lang", T.lang_pick(hits, F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

@@ -122,6 +122,7 @@ _ROUND_NEW = frozenset(
         "source_binaryfile_ingest",
         "srp_lsh_cosine_pairs_fast",
         "ann_ivf_kmeans_topk",
+        "lang_id_confusion",
         "mad_outlier_events",
         "streaming_stateful_alerts",
         "semantic_dedup_keep",
