@@ -64,12 +64,26 @@ class IngestDedup:
     def dups_dir(self) -> str:
         return os.path.join(self.base, "dups")
 
-    def _read(self, spark: SparkSession, path: str) -> DataFrame | None:
-        if not os.path.isdir(path) or not any(
-            e.name.startswith("batch=") for e in os.scandir(path)
-        ):
+    def _read(
+        self, spark: SparkSession, path: str, before_batch: int | None = None
+    ) -> DataFrame | None:
+        """Read the store; with ``before_batch``, only batches < it — the
+        state a batch is allowed to see. A RETRIED batch (same batch_id
+        after a failure) must not probe its own half-written output as
+        'prior corpus', or the replay would emit self-matches the
+        original run never saw."""
+        if not os.path.isdir(path):
             return None
-        return spark.read.option("basePath", path).parquet(f"{path}/batch=*")
+        dirs = [
+            e.name for e in os.scandir(path)
+            if e.name.startswith("batch=")
+            and (before_batch is None or int(e.name.split("=", 1)[1]) < before_batch)
+        ]
+        if not dirs:
+            return None
+        return spark.read.option("basePath", path).parquet(
+            *[f"{path}/{d}" for d in sorted(dirs)]
+        )
 
     def foreach_batch(self, batch: DataFrame, batch_id: int) -> None:
         spark = batch.sparkSession
@@ -77,7 +91,7 @@ class IngestDedup:
         sh_new = shingle_df(batch, self.id_col, self.text_col)
         b_new = _band_buckets(minhash_signature_df(sh_new)).localCheckpoint(eager=True)
 
-        stored_buckets = self._read(spark, self.buckets_dir)
+        stored_buckets = self._read(spark, self.buckets_dir, before_batch=batch_id)
         if stored_buckets is not None:
             cand = (
                 b_new.alias("a")
@@ -92,7 +106,7 @@ class IngestDedup:
             # corpus shingles only for candidate ids: id-pushdown read of
             # the doc store (a semi-join; with a bucketed store, a lookup)
             old_ids = cand.select(F.col("id_b").alias(self.id_col)).distinct()
-            old_docs = self._read(spark, self.docs_dir)
+            old_docs = self._read(spark, self.docs_dir, before_batch=batch_id)
             assert old_docs is not None  # buckets exist => docs exist
             sh_old = shingle_df(
                 old_docs.join(old_ids, self.id_col, "left_semi"),

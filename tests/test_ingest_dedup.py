@@ -61,3 +61,31 @@ def test_streaming_ingest_dedup_equals_batch_expectation(spark, sf_dir):
         assert got == expected
     finally:
         shutil.rmtree(base, ignore_errors=True)
+
+
+def test_ingest_dedup_batch_retry_is_idempotent(spark, sf_dir):
+    """Spark re-runs foreachBatch with the SAME batch_id after a failure:
+    replaying a batch must overwrite its own batch= directories, leaving
+    the dup pairs, doc store, and bucket store unchanged."""
+    import tempfile
+
+    from streamprocessing_spark.queries.dedup import JACCARD_THRESHOLD
+    from streamprocessing_spark.streaming.ingest_dedup import IngestDedup
+
+    base = tempfile.mkdtemp(prefix="sp_ingest_retry_")
+    try:
+        docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+        sink = IngestDedup(base=f"{base}/state", threshold=JACCARD_THRESHOLD)
+        b0 = docs.where(F.col("doc_id") % 3 == 0)
+        b1 = docs.where(F.col("doc_id") % 3 == 1)
+        sink.foreach_batch(b0, 0)
+        sink.foreach_batch(b1, 1)
+        first = sorted(map(tuple, sink.dup_pairs(spark).collect()))
+        n_docs = spark.read.parquet(f"{sink.docs_dir}/batch=*").count()
+        # retry both batches (same ids, same data)
+        sink.foreach_batch(b1, 1)
+        sink.foreach_batch(b0, 0)
+        assert sorted(map(tuple, sink.dup_pairs(spark).collect())) == first
+        assert spark.read.parquet(f"{sink.docs_dir}/batch=*").count() == n_docs
+    finally:
+        shutil.rmtree(base, ignore_errors=True)
