@@ -551,3 +551,104 @@ def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     cents = S.kmeans_centroids(emb)
     return S.ivf_topk(emb, queries, TOP_K, nprobe=2, centroids=cents)
+
+
+PROTO_DROP_NUM, PROTO_DROP_DEN = 1, 4  # drop the most-prototypical 25% per cluster
+
+_SQL_KM_COS = (
+    "(list_sum(list_transform(range(1, len(q.xi) + 1), i -> "
+    "CAST(q.xi[i] AS DOUBLE) * (CAST(c.s[i] AS DOUBLE) / c.cnt)))"
+    " / (sqrt(list_sum(list_transform(range(1, len(q.xi) + 1), i -> "
+    "CAST(q.xi[i] AS DOUBLE) * CAST(q.xi[i] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(range(1, len(c.s) + 1), i -> "
+    "(CAST(c.s[i] AS DOUBLE) / c.cnt) * (CAST(c.s[i] AS DOUBLE) / c.cnt))))))"
+)
+
+
+def _sql_proto_oracle() -> str:
+    from streamprocessing_spark.operators.similarity import KMEANS_ITERS
+
+    km = _sql_kmeans_oracle()
+    # reuse the kmeans CTE chain up to the final assignment, then add the
+    # final-state centroids, per-vector prototypicality, and the rank cut
+    prefix = km[: km.rindex("\n    SELECT id AS vec_id")]
+    last = f"a{KMEANS_ITERS}"
+    return f"""{prefix},{_sql_km_centroids(last, "cfin")},
+    scored AS (
+      SELECT a.id, a.k, {_SQL_KM_COS} AS cos_c
+      FROM {last} a
+      JOIN q ON q.id = a.id
+      JOIN cfin c ON c.k = a.k),
+    ranked AS (
+      SELECT id, k, row_number() OVER (PARTITION BY k ORDER BY cos_c DESC, id) AS rn,
+             count(*) OVER (PARTITION BY k) AS csize
+      FROM scored)
+    SELECT id AS vec_id, CAST(k AS BIGINT) AS cluster
+    FROM ranked
+    WHERE rn > (csize * {PROTO_DROP_NUM} + {PROTO_DROP_DEN} - 1) // {PROTO_DROP_DEN}
+    """
+
+
+@register(
+    "prototypicality_prune",
+    oracle=_sql_proto_oracle(),
+    tags=("similarity", "curation", "llm-pipeline", "iterative", "sampling"),
+)
+def prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup/SSL-Prototypes-style DIVERSITY pruning: cluster the
+    corpus with the deterministic k-means, rank each vector by cosine to
+    its own cluster centroid, and drop the most PROTOTYPICAL 25% per
+    cluster — the redundant core that adds least training signal —
+    keeping the diverse remainder. The embedding-space sampling step
+    between semantic dedup and training-set assembly.
+
+    Fully deterministic (exact-integer centroid state, same-fold cosine,
+    (cos, id) tie-breaks, integer ceil for the cut), so the entire
+    pipeline — Lloyd rounds included — replays as one DuckDB CTE chain
+    and matches bit-for-bit. Cost: the k-means curve (linear) plus one
+    broadcast centroid join and a per-cluster window."""
+    from pyspark.sql.window import Window
+
+    from streamprocessing_spark.operators.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        KMEANS_SCALE,
+        _kmeans_loop,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    asg, cent = _kmeans_loop(emb, KMEANS_K, KMEANS_ITERS, "vec_id", "embedding")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}.0 + 0.5) AS BIGINT))"
+        ).alias("xi"),
+    )
+    cos_c = F.expr(
+        "(aggregate(zip_with(xi, s, (x, sv) -> "
+        "CAST(x AS DOUBLE) * (CAST(sv AS DOUBLE) / cnt)), 0.0D, (acc, v) -> acc + v)"
+        " / (sqrt(aggregate(transform(xi, x -> "
+        "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (acc, v) -> acc + v))"
+        " * sqrt(aggregate(transform(s, sv -> "
+        "(CAST(sv AS DOUBLE) / cnt) * (CAST(sv AS DOUBLE) / cnt)), 0.0D, (acc, v) -> acc + v))))"
+    )
+    scored = (
+        asg.withColumnRenamed("id", "vec_id")
+        .join(q, "vec_id")
+        .join(F.broadcast(cent), "k")
+        .select("vec_id", "k", cos_c.alias("cos_c"))
+    )
+    w_rank = Window.partitionBy("k").orderBy(F.desc("cos_c"), F.asc("vec_id"))
+    w_size = Window.partitionBy("k")
+    cut = F.expr(f"(csize * {PROTO_DROP_NUM} + {PROTO_DROP_DEN} - 1) div {PROTO_DROP_DEN}")
+    return (
+        scored.select(
+            "vec_id",
+            "k",
+            F.row_number().over(w_rank).alias("rn"),
+            F.count(F.lit(1)).over(w_size).alias("csize"),
+        )
+        .where(F.col("rn") > cut)
+        .select("vec_id", F.col("k").cast("long").alias("cluster"))
+    )

@@ -123,6 +123,7 @@ _ROUND_NEW = frozenset(
         "srp_lsh_cosine_pairs_fast",
         "ann_ivf_kmeans_topk",
         "lang_id_confusion",
+        "prototypicality_prune",
         "mad_outlier_events",
         "streaming_stateful_alerts",
         "semantic_dedup_keep",
