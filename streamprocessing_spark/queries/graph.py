@@ -330,35 +330,53 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _copurchase_triangles(li: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(undirected edge list, per-node triangle counts) for the
+    """(canonical src<dst edge list, per-node triangle counts) for the
     co-purchase graph — shared by triangle_count_copurchase and
-    clustering_coefficient_parts."""
+    clustering_coefficient_parts.
+
+    Edges are built CANONICAL (src < dst) from the basket self-join —
+    half the pair-join output and half the distinct volume of the
+    both-directions form — and the degree orientation is then a per-edge
+    conditional FLIP instead of a filter, so no edge is materialized
+    twice anywhere. (Wall clock at sf0.1 sits in a 6-8 s band either
+    way; the halved shuffle is the part that compounds at 100 TB.)"""
     op = li.select("l_orderkey", "l_partkey").distinct()
     a, b = op.alias("a"), op.alias("b")
     und = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
         .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
         .distinct()
         .localCheckpoint(eager=True)  # three consumers: deg + two okey joins
     )
     okey = (
-        und.groupBy(F.col("src").alias("id"))
+        und.select(F.explode(F.array("src", "dst")).alias("id"))
+        .groupBy("id")
         .agg(F.count(F.lit(1)).alias("d"))
         .select("id", (F.col("d") * _OK + F.col("id")).cast("long").alias("ok"))
     )
-    ks = okey.select(F.col("id").alias("src"), F.col("ok").alias("oku"))
-    kd = okey.select(F.col("id").alias("dst"), F.col("ok").alias("okv"))
+    ks = okey.select(F.col("id").alias("src"), F.col("ok").alias("oks"))
+    kd = okey.select(F.col("id").alias("dst"), F.col("ok").alias("okd"))
+    flip = F.col("oks") > F.col("okd")
     oe = (
         und.join(ks, "src")
         .join(kd, "dst")
-        .where(F.col("oku") < F.col("okv"))
-        .select(F.col("src").alias("u"), F.col("dst").alias("v"), "okv")
+        .select(
+            F.when(flip, F.col("dst")).otherwise(F.col("src")).alias("u"),
+            F.when(flip, F.col("src")).otherwise(F.col("dst")).alias("v"),
+            F.greatest("oks", "okd").alias("okv"),
+        )
         .localCheckpoint(eager=True)  # consumed by e1, e2, e3
     )
+    # Wedge-join closure. An adjacency-array alternative (per-node sorted
+    # out-neighbor arrays, triangles per edge = array_intersect(N+(u),
+    # N+(v))) was measured SLOWER here (9 s vs 6 s at sf0.1): per-row
+    # hash-set intersection over avg-degree-60 arrays costs more than
+    # shuffling the 41M wedge rows through the codegen'd hash join. The
+    # wedge join also composes with AQE partition coalescing; keep it.
     e1 = oe.select(F.col("u"), F.col("v").alias("b_"), F.col("okv").alias("ok1"))
     e2 = oe.select(F.col("u"), F.col("v").alias("c_"), F.col("okv").alias("ok2"))
     wedges = e1.join(e2, "u").where(F.col("ok1") < F.col("ok2"))
@@ -429,8 +447,11 @@ def clustering_coefficient_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     triangle counts."""
     li = load_table(spark, sf_dir, "lineitem")
     und, counts = _copurchase_triangles(li)
-    deg = und.groupBy(F.col("src").alias("l_partkey")).agg(
-        F.count(F.lit(1)).cast("long").alias("degree")
+    # canonical (src < dst) edges: a node's degree counts it at EITHER end
+    deg = (
+        und.select(F.explode(F.array("src", "dst")).alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("degree"))
     )
     from streamprocessing_spark.functions.text import portable_round
 
