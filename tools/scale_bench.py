@@ -74,6 +74,9 @@ QUERIES = (
     "token_rarity_score",
     "corpus_composition_card",
     "pack_documents_greedy",
+    "chunk_documents_windows",
+    "duplicate_span_coverage",
+    "prototypicality_prune",
     # round-2 late additions: iterative graph, semantic dedup, ranking
     "pagerank_copurchase",
     "triangle_count_copurchase",
