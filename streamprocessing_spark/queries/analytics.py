@@ -1918,3 +1918,88 @@ def lateral_top2_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataF
                       ORDER BY c_acctbal DESC, c_name LIMIT 2) c
         """
     )
+
+
+@register(
+    "cdc_apply_changes",
+    oracle="""
+    WITH chg AS (
+      SELECT user_id AS c_custkey,
+             CASE WHEN event_type = 'error' THEN 'D' ELSE 'U' END AS op,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS new_cents,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_changes
+      FROM events),
+    last AS (SELECT c_custkey, op, new_cents, n_changes FROM chg WHERE rn = 1),
+    base AS (SELECT c_custkey,
+                    CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS base_cents
+             FROM customer)
+    SELECT coalesce(b.c_custkey, l.c_custkey) AS c_custkey,
+           CASE WHEN l.op = 'U' THEN l.new_cents ELSE b.base_cents END
+             AS balance_cents,
+           CASE WHEN l.c_custkey IS NULL THEN 'unchanged'
+                WHEN b.c_custkey IS NULL THEN 'inserted'
+                ELSE 'updated' END AS status,
+           CAST(coalesce(l.n_changes, 0) AS BIGINT) AS n_changes
+    FROM base b FULL OUTER JOIN last l ON b.c_custkey = l.c_custkey
+    WHERE l.op IS NULL OR l.op <> 'D'
+    """,
+    tags=("analytics", "join", "cdc"),
+)
+def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO / CDC changelog apply: the events stream is read as a
+    change feed against the customer table (key = user_id → c_custkey,
+    'error' events are DELETEs, everything else UPSERTs the balance to
+    the event's value in cents). Output is the post-merge table state:
+    unchanged base rows, updated rows (last change wins), inserted keys
+    absent from the base, and deleted keys dropped — the Delta/Iceberg
+    MERGE semantics every warehouse sync job needs, computed as one
+    declarative query (the batch analogue of the foreachBatch upsert
+    sink in tests/test_upsert_sink.py).
+
+    Last-change-wins is a row_number window over the UNIQUE (ts,
+    event_id) order (house determinism rule). Scale shape: the window
+    shuffles the changelog once on the merge key; the full-outer join
+    co-shuffles base and last-change on that same key (at 100 TB both
+    sides hash-partition; no broadcast assumption). Balances are exact
+    integer cents via the money discipline."""
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_custkey").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    chg = ev.select(
+        F.col("user_id").alias("c_custkey"),
+        F.when(F.col("event_type") == "error", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("new_cents"),
+        "ts",
+        "event_id",
+    )
+    last = (
+        chg.withColumn("rn", F.row_number().over(w))
+        .withColumn("n_changes", F.count(F.lit(1)).over(Window.partitionBy("c_custkey")))
+        .where(F.col("rn") == 1)
+        .select("c_custkey", "op", "new_cents", "n_changes")
+    )
+    base = cust.select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long").alias("base_cents"),
+    )
+    b, l = base.alias("b"), last.alias("l")
+    merged = b.join(l, F.col("b.c_custkey") == F.col("l.c_custkey"), "full_outer")
+    return merged.where(
+        F.col("l.op").isNull() | (F.col("l.op") != "D")
+    ).select(
+        F.coalesce(F.col("b.c_custkey"), F.col("l.c_custkey")).alias("c_custkey"),
+        F.when(F.col("l.op") == "U", F.col("l.new_cents"))
+        .otherwise(F.col("b.base_cents"))
+        .alias("balance_cents"),
+        F.when(F.col("l.c_custkey").isNull(), F.lit("unchanged"))
+        .when(F.col("b.c_custkey").isNull(), F.lit("inserted"))
+        .otherwise(F.lit("updated"))
+        .alias("status"),
+        F.coalesce(F.col("l.n_changes"), F.lit(0)).cast("long").alias("n_changes"),
+    )

@@ -468,3 +468,111 @@ def clustering_coefficient_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("lcc"),
         )
     )
+
+
+KCORE_K = 64     # peel threshold: below every SF's median co-purchase degree
+KCORE_ROUNDS = 5  # fixpoint observed in <= 3 rounds at sf0.001/0.01/0.1
+
+
+def _sql_kcore_round(prev: str, out: str) -> str:
+    """One peeling round in DuckDB SQL: recompute degrees over the
+    surviving canonical edge set, keep nodes with degree >= K, keep edges
+    whose BOTH endpoints survive. MATERIALIZED is load-bearing: each
+    round's CTE is referenced three times and DuckDB would otherwise
+    inline it per reference (2^rounds blowup)."""
+    return f"""
+    deg_{out} AS MATERIALIZED (
+      SELECT id, count(*) AS d
+      FROM (SELECT src AS id FROM {prev} UNION ALL SELECT dst FROM {prev}) t
+      GROUP BY id),
+    keep_{out} AS MATERIALIZED (SELECT id FROM deg_{out} WHERE d >= {KCORE_K}),
+    {out} AS MATERIALIZED (
+      SELECT e.src, e.dst FROM {prev} e
+      JOIN keep_{out} a ON a.id = e.src
+      JOIN keep_{out} b ON b.id = e.dst)"""
+
+
+@register(
+    "kcore_parts",
+    oracle=f"""
+    WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e0 AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    {_sql_kcore_round('e0', 'e1')},
+    {_sql_kcore_round('e1', 'e2')},
+    {_sql_kcore_round('e2', 'e3')},
+    {_sql_kcore_round('e3', 'e4')},
+    {_sql_kcore_round('e4', 'e5')}
+    SELECT id AS l_partkey, CAST(d AS BIGINT) AS core_degree
+    FROM (SELECT id, count(*) AS d
+          FROM (SELECT src AS id FROM e5 UNION ALL SELECT dst FROM e5) t
+          GROUP BY id)
+    WHERE d >= {KCORE_K}
+    """,
+    tags=("graph", "iterative"),
+)
+def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-core (K=KCORE_K=64) decomposition of the co-purchase graph: iteratively
+    peel nodes of degree < K until a fixpoint; output the surviving
+    (dense-community) nodes with their within-core degree. The k-core is
+    the standard "dense backbone" primitive for community detection and
+    graph cleaning — and the canonical ITERATIVE-UNTIL-FIXPOINT workload
+    (vs PageRank's fixed iterations and BFS's bounded hops).
+
+    Parity under early exit: the Spark loop runs at most KCORE_ROUNDS
+    peels, stopping as soon as a round removes no edge; the oracle
+    unrolls exactly KCORE_ROUNDS. Once stable, further peels are no-ops,
+    so both engines reach the identical edge set whether or not the loop
+    exits early — equality holds even if the fixpoint needed MORE rounds
+    (both engines would stop at the same non-fixpoint round).
+
+    Scale shape per round: one degree aggregation (explode both ends,
+    hash agg) + one double semi-join of edges against survivors — all
+    shuffles on the node id, partitioning reused round to round;
+    localCheckpoint truncates lineage exactly as in the other iterative
+    ops. The per-round edge-count collect is the 1-row convergence check
+    the driver is allowed (house rule). A degree-D hub costs D rows in
+    the degree agg, never D² — no skew blowup."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_edges = edges.count()
+    for _ in range(KCORE_ROUNDS):
+        if n_edges == 0:
+            break
+        deg = (
+            edges.select(F.explode(F.array("src", "dst")).alias("id"))
+            .groupBy("id")
+            .agg(F.count(F.lit(1)).alias("d"))
+        )
+        keep = deg.where(F.col("d") >= KCORE_K).select("id")
+        pruned = (
+            edges.join(keep.withColumnRenamed("id", "src"), "src", "left_semi")
+            .join(keep.withColumnRenamed("id", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint(eager=True)
+        )
+        n_pruned = pruned.count()
+        edges = pruned
+        if n_pruned == n_edges:  # fixpoint: a peel removed nothing
+            break
+        n_edges = n_pruned
+    final_deg = (
+        edges.select(F.explode(F.array("src", "dst")).alias("l_partkey"))
+        .groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("core_degree"))
+        .where(F.col("core_degree") >= KCORE_K)
+    )
+    return final_deg

@@ -768,3 +768,120 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang", "lang_pred")
         .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
     )
+
+
+# --- count-min sketch heavy hitters -----------------------------------
+CM_D = 4          # hash rows
+CM_W = 256        # buckets per row: ~961 distinct bigrams -> real collisions
+CM_PHI_INV = 1000  # report keys with estimate >= ceil(N / CM_PHI_INV)
+
+_SQL_BIGRAMS = (
+    "list_transform(generate_series(1, len(t) - 1), "
+    "i -> t[i] || ' ' || t[i + 1])"
+)
+
+
+@register(
+    "countmin_heavy_hitters",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    big AS MATERIALIZED (
+      SELECT unnest({_SQL_BIGRAMS}) AS bigram
+      FROM toks WHERE len(t) >= 2
+    ),
+    cnt AS MATERIALIZED (
+      SELECT bigram, CAST(count(*) AS BIGINT) AS n_exact FROM big GROUP BY bigram
+    ),
+    tot AS MATERIALIZED (SELECT sum(n_exact) AS n FROM cnt),
+    cells AS MATERIALIZED (
+      SELECT i, CAST(('0x' || substr(md5('cm' || i || ':' || bigram), 1, 8))
+                     AS BIGINT) % {CM_W} AS bucket,
+             bigram, n_exact
+      FROM cnt, (SELECT unnest(generate_series(0, {CM_D} - 1)) AS i) r
+    ),
+    sketch AS MATERIALIZED (
+      SELECT i, bucket, sum(n_exact) AS cell FROM cells GROUP BY i, bucket
+    ),
+    est AS MATERIALIZED (
+      SELECT c.bigram, max(c.n_exact) AS n_exact,
+             CAST(min(s.cell) AS BIGINT) AS cm_est
+      FROM cells c JOIN sketch s ON s.i = c.i AND s.bucket = c.bucket
+      GROUP BY c.bigram
+    )
+    SELECT bigram, n_exact, cm_est
+    FROM est, tot
+    WHERE cm_est >= ceil(1.0 * tot.n / {CM_PHI_INV})
+    """,
+    tags=("text", "llm-pipeline", "approx", "aggregate"),
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min-sketch heavy hitters over document bigrams: a D×W
+    (4×256) sketch of deterministic md5-derived bucket hashes, queried
+    for every candidate bigram; report those whose ESTIMATE clears the
+    φ=1/1000 frequency threshold, alongside the exact count so the
+    one-sided error (cm_est ≥ n_exact, excess bounded by collisions) is
+    visible in the output.
+
+    Why a sketch when the exact group-by exists: the sketch is the
+    MERGEABLE summary — per-shard sketches sum cell-wise into the global
+    sketch (asserted in tests), so a 1000-executor corpus scan needs one
+    2048-cell reduce instead of a full shuffle of every distinct key;
+    the exact counts here are the audit baseline, exactly as the HLL
+    rollup pairs with the exact distinct count. Everything is
+    deterministic md5 arithmetic — both engines build bit-identical
+    sketches, so the oracle comparison is exact, not error-bounded.
+
+    Plan shape: explode bigrams → one hash agg for exact counts (the
+    candidate set) → sketch derived from the counts (cell sums are
+    increment-order-free) → broadcast the 2048-row sketch back onto the
+    candidates' (row, bucket) pairs. No shuffle ever carries more than
+    the distinct-bigram table."""
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select(T.tokens(F.col("text")).alias("t")).where(F.size("t") >= 2)
+    bigrams = toked.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), (F.size("t") - 1).cast("int")),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("t", i.cast("int")),
+                    F.element_at("t", (i + 1).cast("int")),
+                ),
+            )
+        ).alias("bigram")
+    )
+    cnt = bigrams.groupBy("bigram").agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    cnt = cnt.localCheckpoint(eager=True)  # consumed by cells, total
+    tot = cnt.agg(F.sum("n_exact").alias("n"))
+    rows = F.array(*[F.lit(i) for i in range(CM_D)])
+    cells = cnt.select(
+        "bigram",
+        "n_exact",
+        F.explode(rows).alias("i"),
+    ).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("cm"), F.col("i"), F.lit(":"), F.col("bigram")).cast("binary")),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CM_W,
+    )
+    sketch = cells.groupBy("i", "bucket").agg(F.sum("n_exact").alias("cell"))
+    est = (
+        cells.join(F.broadcast(sketch), ["i", "bucket"])
+        .groupBy("bigram")
+        .agg(
+            F.max("n_exact").alias("n_exact"),
+            F.min("cell").cast("long").alias("cm_est"),
+        )
+    )
+    return est.crossJoin(F.broadcast(tot)).where(
+        F.col("cm_est") >= F.ceil(F.lit(1.0) * F.col("n") / CM_PHI_INV)
+    ).select("bigram", "n_exact", "cm_est")

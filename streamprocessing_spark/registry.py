@@ -139,6 +139,9 @@ _ROUND_NEW = frozenset(
         "token_cooccurrence_lift",
         "corpus_composition_card",
         "decontaminate_hashed",
+        "cdc_apply_changes",
+        "kcore_parts",
+        "countmin_heavy_hitters",
     }
 )
 

@@ -1,0 +1,159 @@
+"""Structural properties of the round-2 late-continuation operators
+(CDC merge, k-core, count-min): the invariants the DuckDB oracle
+comparison can't express — one-sided sketch error, sketch mergeability,
+peeling fixpoints, merge-state conservation."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from streamprocessing_spark.queries.graph import KCORE_K
+from streamprocessing_spark.queries.text import CM_D, CM_W
+from streamprocessing_spark.registry import all_specs
+from streamprocessing_spark.sources.readers import load_table
+
+SPECS = all_specs()
+
+
+def test_cdc_state_conservation(spark, sf_dir):
+    """The merged state must partition cleanly: every base key appears
+    exactly once unless its last change is a delete; 'unchanged' rows
+    carry the base balance and zero changes; no key of the output has a
+    terminal delete; inserted keys are exactly the changed keys absent
+    from the base."""
+    out = SPECS["cdc_apply_changes"].fn(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    cust = load_table(spark, sf_dir, "customer")
+    base_keys = {r.c_custkey for r in cust.select("c_custkey").collect()}
+
+    last = (
+        ev.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id").orderBy(
+                    F.col("ts").desc(), F.col("event_id").desc()
+                )
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type")
+        .collect()
+    )
+    deleted = {r.user_id for r in last if r.event_type == "error"}
+    changed = {r.user_id for r in last}
+
+    rows = out.collect()
+    keys = [r.c_custkey for r in rows]
+    assert len(keys) == len(set(keys)), "merge output must be key-unique"
+    assert deleted.isdisjoint(keys), "terminal deletes must drop the row"
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r.status, set()).add(r.c_custkey)
+    assert by_status.get("inserted", set()) == (changed - deleted) - base_keys
+    assert by_status.get("updated", set()) == (changed - deleted) & base_keys
+    assert by_status.get("unchanged", set()) == base_keys - changed
+    for r in rows:
+        if r.status == "unchanged":
+            assert r.n_changes == 0
+        else:
+            assert r.n_changes >= 1
+
+
+def test_kcore_is_fixpoint(spark, sf_dir):
+    """Every surviving node's within-core degree must clear K, and one
+    more peel over the survivor-induced subgraph must remove nothing
+    (the output really is the fixpoint, not a truncated iteration)."""
+    core = SPECS["kcore_parts"].fn(spark, sf_dir)
+    rows = core.collect()
+    assert rows, "k-core must be non-empty at test scale"
+    assert all(r.core_degree >= KCORE_K for r in rows)
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    und = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    survivors = {r.l_partkey for r in rows}
+    edges = [
+        (r.src, r.dst)
+        for r in und.collect()
+        if r.src in survivors and r.dst in survivors
+    ]
+    deg: dict[int, int] = {}
+    for s, d in edges:
+        deg[s] = deg.get(s, 0) + 1
+        deg[d] = deg.get(d, 0) + 1
+    assert set(deg) == survivors, "survivor set must equal induced-degree keys"
+    for r in rows:
+        assert deg[r.l_partkey] == r.core_degree
+        assert deg[r.l_partkey] >= KCORE_K
+
+
+def _bigram_counts(spark, docs):
+    toked = docs.select(
+        F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0).alias("t")
+    ).where(F.size("t") >= 2)
+    bigrams = toked.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), (F.size("t") - 1).cast("int")),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.element_at("t", i.cast("int")),
+                    F.element_at("t", (i + 1).cast("int")),
+                ),
+            )
+        ).alias("bigram")
+    )
+    return bigrams.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _sketch(cnt):
+    rows = F.array(*[F.lit(i) for i in range(CM_D)])
+    cells = cnt.select("bigram", "n", F.explode(rows).alias("i")).withColumn(
+        "bucket",
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(F.lit("cm"), F.col("i"), F.lit(":"), F.col("bigram")).cast(
+                        "binary"
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % CM_W,
+    )
+    return cells.groupBy("i", "bucket").agg(F.sum("n").alias("cell"))
+
+
+def test_countmin_one_sided_and_mergeable(spark, sf_dir):
+    """CM guarantees: estimate >= exact for every reported key, and the
+    sketch is mergeable — per-shard sketches (split by source) sum
+    cell-wise into exactly the global sketch."""
+    out = SPECS["countmin_heavy_hitters"].fn(spark, sf_dir).collect()
+    assert out, "heavy-hitter output must be non-empty at test scale"
+    for r in out:
+        assert r.cm_est >= r.n_exact, (r.bigram, r.n_exact, r.cm_est)
+
+    docs = load_table(spark, sf_dir, "documents")
+    g = {(r.i, r.bucket): r.cell for r in _sketch(_bigram_counts(spark, docs)).collect()}
+    merged: dict[tuple[int, int], int] = {}
+    for shard in (
+        docs.where(F.col("doc_id") % 2 == 0),
+        docs.where(F.col("doc_id") % 2 == 1),
+    ):
+        for r in _sketch(_bigram_counts(spark, shard)).collect():
+            merged[(r.i, r.bucket)] = merged.get((r.i, r.bucket), 0) + r.cell
+    assert merged == g, "shard sketches must sum to the global sketch"
