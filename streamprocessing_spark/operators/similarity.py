@@ -549,3 +549,85 @@ def srp_lsh_cosine_pairs_fast(
             yield out
 
     return joined.mapInPandas(_verify, "id_a bigint, id_b bigint, cos_sim double")
+
+
+# --- product quantization (PQ) ADC tier --------------------------------
+PQ_M = 8        # subspaces over the 64-d embeddings
+PQ_SUB = 8      # dims per subspace
+PQ_K = 16       # codebook size per subspace (4-bit codes)
+PQ_ITERS = 2    # Lloyd rounds per codebook
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): split each vector into PQ_M subspaces,
+    train an independent deterministic k-means codebook per subspace
+    (exact integer (sum, count) Lloyd state — the kmeans_assign
+    discipline), encode every corpus vector as PQ_M small codes, and
+    answer queries via the Asymmetric Distance Computation lookup table:
+    dist(q, x) ≈ Σ_j ||q_j − codebook_j[code_j(x)]||².
+
+    queries: (query_id, query_vec). Output: (query_id, neighbor_id,
+    rank, adc_dist) — top_k per query by (ADC, id), self excluded.
+
+    Determinism/parity: codebooks come from the unrolled exact-state
+    Lloyd loop (no RNG); LUT distances are the same sequential
+    zip_with/aggregate fold both engines run; the ADC total is a fixed
+    left-to-right 4-term double sum — the oracle replays every bit.
+
+    Scale shape: this is THE memory-bound ANN layout for 100 TB — the
+    corpus shrinks to PQ_M small ints per vector (here 8 4-bit codes vs
+    256 B of floats), codebooks and LUTs are broadcast-sized (M·K rows),
+    and the scan is a codes-table × LUT hash join with no full-vector
+    math per candidate. Training cost is PQ_M independent Lloyd loops
+    over sliced vectors; encoding is the final assignment, free with
+    training. Pair with the IVF coarse quantizer for IVFPQ."""
+    codes = None
+    luts = []
+    for j in range(PQ_M):
+        start = j * PQ_SUB + 1
+        sub_expr = f"slice({vec_col}, {start}, {PQ_SUB})"
+        asg, cent = _kmeans_loop(emb, PQ_K, PQ_ITERS, id_col, sub_expr)
+        cj = asg.select("id", F.col("k").alias(f"code_{j}"))
+        codes = cj if codes is None else codes.join(cj, "id")
+        qslice = queries.select(
+            "query_id",
+            F.expr(
+                f"transform(slice(query_vec, {start}, {PQ_SUB}), x -> "
+                f"CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}.0 + 0.5) AS BIGINT))"
+            ).alias("qxi"),
+        )
+        luts.append(
+            qslice.crossJoin(F.broadcast(cent)).select(
+                "query_id",
+                F.col("k").alias(f"code_{j}"),
+                F.expr(_km_dist_expr("qxi", "s", "cnt")).alias(f"d_{j}"),
+            )
+        )
+    scored = codes.crossJoin(F.broadcast(queries.select("query_id")))
+    for j in range(PQ_M):
+        scored = scored.join(F.broadcast(luts[j]), ["query_id", f"code_{j}"])
+    adc = F.col("d_0")
+    for j in range(1, PQ_M):
+        adc = adc + F.col(f"d_{j}")
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("id"))
+    return (
+        scored.where(F.col("id") != F.col("query_id"))
+        .withColumn("adc", adc)
+        .withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+            (F.floor(F.col("adc") * 1000000.0 + F.lit(0.5)) / 1000000.0).alias(
+                "adc_dist"
+            ),
+        )
+    )

@@ -440,8 +440,8 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select("vec_id").join(F.broadcast(losers), "vec_id", "left_anti")
 
 
-def _sql_km_assign(prev_cent: str, out: str) -> str:
-    """One Lloyd assignment round in DuckDB SQL over CTEs `q`/{prev_cent}:
+def _sql_km_assign(prev_cent: str, out: str, qtab: str = "q") -> str:
+    """One Lloyd assignment round in DuckDB SQL over CTEs {qtab}/{prev_cent}:
     the same duplicated-difference distance fold and (dist, k) tie-break
     the Spark operator evaluates."""
     d = f"(CAST(q.xi[i] AS DOUBLE) - CAST(c.s[i] AS DOUBLE) / c.cnt)"
@@ -453,16 +453,16 @@ def _sql_km_assign(prev_cent: str, out: str) -> str:
       SELECT id, k FROM (
         SELECT q.id, c.k,
                row_number() OVER (PARTITION BY q.id ORDER BY {dist} ASC, c.k) AS rn
-        FROM q CROSS JOIN {prev_cent} c)
+        FROM {qtab} q CROSS JOIN {prev_cent} c)
       WHERE rn = 1)"""
 
 
-def _sql_km_centroids(asg: str, out: str) -> str:
+def _sql_km_centroids(asg: str, out: str, qtab: str = "q") -> str:
     return f"""
     sums_{out} AS (
       SELECT a.k, CAST(u.i - 1 AS INTEGER) AS dim, sum(q.xi[u.i]) AS sd
       FROM {asg} a
-      JOIN q ON q.id = a.id,
+      JOIN {qtab} q ON q.id = a.id,
       unnest(range(1, len(q.xi) + 1)) AS u(i)
       GROUP BY a.k, u.i),
     cnt_{out} AS (SELECT k, CAST(count(*) AS BIGINT) AS cnt FROM {asg} GROUP BY k),
@@ -652,3 +652,98 @@ def prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") > cut)
         .select("vec_id", F.col("k").cast("long").alias("cluster"))
     )
+
+
+def _sql_pq_oracle() -> str:
+    """Generated oracle for ann_pq_adc_topk: per-subspace unrolled exact
+    Lloyd (slice → assign/update × PQ_ITERS, PLUS the final centroid
+    update that becomes the codebook), then the ADC lookup join — the
+    same fixed-order 4-term double sum and (adc, id) top-k the Spark
+    operator computes."""
+    from streamprocessing_spark.operators.similarity import (
+        KMEANS_SCALE,
+        PQ_ITERS,
+        PQ_K,
+        PQ_M,
+        PQ_SUB,
+    )
+
+    parts = [
+        f"""WITH base AS MATERIALIZED (
+      SELECT vec_id AS id,
+             list_transform(embedding, x ->
+               CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}.0 + 0.5) AS BIGINT)) AS xi
+      FROM embeddings)"""
+    ]
+    for j in range(PQ_M):
+        lo, hi = j * PQ_SUB + 1, (j + 1) * PQ_SUB
+        parts.append(
+            f""",
+    q{j} AS MATERIALIZED (SELECT id, list_slice(xi, {lo}, {hi}) AS xi FROM base),
+    s{j}c0 AS (SELECT id AS k, xi AS s, CAST(1 AS BIGINT) AS cnt
+               FROM q{j} WHERE id < {PQ_K})"""
+        )
+        for it in range(1, PQ_ITERS + 1):
+            parts.append("," + _sql_km_assign(f"s{j}c{it - 1}", f"s{j}a{it}", qtab=f"q{j}"))
+            parts.append("," + _sql_km_centroids(f"s{j}a{it}", f"s{j}c{it}", qtab=f"q{j}"))
+    fin = PQ_ITERS
+    code_joins = " ".join(
+        f"JOIN s{j}a{fin} a{j} ON a{j}.id = a0.id" for j in range(1, PQ_M)
+    )
+    code_cols = ", ".join(f"a{j}.k AS code_{j}" for j in range(PQ_M))
+    d = "(CAST(q.qxi[i] AS DOUBLE) - CAST(c.s[i] AS DOUBLE) / c.cnt)"
+    dist = f"list_sum(list_transform(range(1, len(q.qxi) + 1), i -> {d} * {d}))"
+    lut_branches = " UNION ALL ".join(
+        f"""
+      SELECT q.query_id, {j} AS j, c.k, {dist} AS d
+      FROM (SELECT id AS query_id, list_slice(xi, {j * PQ_SUB + 1}, {(j + 1) * PQ_SUB}) AS qxi
+            FROM base WHERE id < {N_QUERIES}) q
+      CROSS JOIN s{j}c{fin} c"""
+        for j in range(PQ_M)
+    )
+    lut_joins = " ".join(
+        f"JOIN lut l{j} ON l{j}.j = {j} AND l{j}.k = c.code_{j}"
+        + (" AND l%d.query_id = l0.query_id" % j if j else "")
+        for j in range(PQ_M)
+    )
+    adc = " + ".join(f"l{j}.d" for j in range(PQ_M))
+    parts.append(
+        f""",
+    codes AS MATERIALIZED (
+      SELECT a0.id, a0.k AS code_0, {code_cols.split(', ', 1)[1]}
+      FROM s0a{fin} a0 {code_joins}),
+    lut AS MATERIALIZED ({lut_branches}),
+    scored AS (
+      SELECT l0.query_id, c.id, {adc} AS adc
+      FROM codes c {lut_joins})
+    SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
+           floor(adc * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
+    FROM (
+      SELECT query_id, id AS neighbor_id, adc,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY adc ASC, id) AS rn
+      FROM scored WHERE id <> query_id)
+    WHERE rn <= {TOP_K}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "ann_pq_adc_topk",
+    oracle=_sql_pq_oracle(),
+    tags=("similarity", "llm-pipeline", "approx", "iterative"),
+)
+def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN over the embeddings: 4 subspace codebooks
+    (deterministic exact-state Lloyd), corpus encoded to 4 codes/vector,
+    queries answered by ADC lookup-table joins — the memory-bound scale
+    tier (2 B/vector vs 256 B) between brute force and IVF. See
+    operators/similarity.pq_adc_topk for the full scale story; recall vs
+    the exact L2 tier is asserted in tests/test_similarity landscape
+    (approximate BY DESIGN, but the arithmetic itself is bit-oracled —
+    the oracle replays training, encoding, and ADC exactly)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.pq_adc_topk(emb, queries, TOP_K)

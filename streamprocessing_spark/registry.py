@@ -142,6 +142,7 @@ _ROUND_NEW = frozenset(
         "cdc_apply_changes",
         "kcore_parts",
         "countmin_heavy_hitters",
+        "ann_pq_adc_topk",
     }
 )
 

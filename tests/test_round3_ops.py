@@ -157,3 +157,39 @@ def test_countmin_one_sided_and_mergeable(spark, sf_dir):
         for r in _sketch(_bigram_counts(spark, shard)).collect():
             merged[(r.i, r.bucket)] = merged.get((r.i, r.bucket), 0) + r.cell
     assert merged == g, "shard sketches must sum to the global sketch"
+
+
+def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
+    """PQ/ADC is approximate by design; its top-10 must still overlap the
+    exact L2 top-10 materially (mean recall floor), and ADC distances
+    must be non-negative and rank-monotone within each query."""
+    import numpy as np
+
+    from streamprocessing_spark.queries.similarity import N_QUERIES, TOP_K
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    exact = {}
+    for q in range(N_QUERIES):
+        d = {
+            i: float(((v - vecs[q]) ** 2).sum())
+            for i, v in vecs.items()
+            if i != q
+        }
+        exact[q] = {i for i, _ in sorted(d.items(), key=lambda kv: (kv[1], kv[0]))[:TOP_K]}
+
+    rows = SPECS["ann_pq_adc_topk"].fn(spark, sf_dir).collect()
+    approx: dict[int, list] = {}
+    for r in rows:
+        assert r.adc_dist >= 0.0
+        approx.setdefault(r.query_id, []).append((r.rank, r.adc_dist, r.neighbor_id))
+    assert set(approx) == set(exact)
+    recalls = []
+    for q, lst in approx.items():
+        lst.sort()
+        assert [t[0] for t in lst] == list(range(1, TOP_K + 1))
+        dists = [t[1] for t in lst]
+        assert dists == sorted(dists), "ADC distance must be rank-monotone"
+        recalls.append(len({t[2] for t in lst} & exact[q]) / TOP_K)
+    mean = sum(recalls) / len(recalls)
+    assert mean >= 0.4, f"mean PQ recall too low: {recalls}"
