@@ -467,3 +467,136 @@ def rolling_user_activity_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(w).alias("n_1h"),
         F.sum(scaled).over(w).alias("value_1h_x10k"),
     )
+
+
+HOUR_US = 3_600_000_000
+
+
+@register(
+    "interpolate_hourly_linear",
+    oracle=f"""
+    WITH obs0 AS (
+      SELECT user_id, epoch_us(ts) AS t,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY user_id, epoch_us(ts)
+                                ORDER BY event_id DESC) AS rn
+      FROM events),
+    obs AS (SELECT user_id, t, cents FROM obs0 WHERE rn = 1),
+    bounds AS (
+      SELECT user_id,
+             ((min(t) + {HOUR_US - 1}) // {HOUR_US}) * {HOUR_US} AS lo,
+             (max(t) // {HOUR_US}) * {HOUR_US} AS hi
+      FROM obs GROUP BY user_id),
+    grid AS (
+      SELECT user_id, unnest(generate_series(lo, hi, {HOUR_US})) AS t
+      FROM bounds WHERE hi >= lo),
+    un AS (
+      SELECT user_id, t, cents, 1 AS is_obs FROM obs
+      UNION ALL
+      SELECT user_id, t, NULL AS cents, 0 AS is_obs FROM grid),
+    w AS (
+      SELECT user_id, t, is_obs,
+        last_value(cents IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY t, is_obs DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_c,
+        last_value(CASE WHEN is_obs = 1 THEN t END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY t, is_obs DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_t,
+        first_value(cents IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY t, is_obs DESC
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_c,
+        first_value(CASE WHEN is_obs = 1 THEN t END IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY t, is_obs DESC
+          ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_t
+      FROM un)
+    SELECT user_id, make_timestamp(t) AS hour_ts,
+           CAST(CASE WHEN next_t IS NOT NULL
+                THEN (prev_c * (next_t - t) + next_c * (t - prev_t))
+                     // (next_t - prev_t)
+                ELSE prev_c END AS BIGINT) AS interp_cents
+    FROM w WHERE is_obs = 0
+    """,
+    tags=("timeseries", "window"),
+)
+def interpolate_hourly_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear interpolation onto an hourly grid per user: for every whole
+    hour between a user's first and last event, the value linearly
+    interpolated between the surrounding observations (LOCF past the
+    last observation — unreachable by construction except when the last
+    event falls exactly on the hour). The resampling op every
+    sensor/metrics pipeline needs, done with EXACT integer arithmetic:
+    cents × micro-second gaps in BIGINT, one integer division — all
+    operands positive, so DuckDB's floor-div and Spark's truncating div
+    agree, and no float accumulates anywhere.
+
+    Shape: observations dedup to one row per (user, microsecond) (unique
+    tiebreak on event_id); the hour grid is GENERATED per user from its
+    (min, max) bounds, unioned with the observations, and one
+    partitioned sort gives both the backward (last obs ≤ t) and forward
+    (first obs > t) neighbors via frame-bounded ignore-null windows —
+    the asof-join-without-a-join pattern. Everything shuffles once on
+    user_id; grid size is span-hours per user, independent of event
+    density. At 100 TB the window state is one user's timeline, never
+    the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            "user_id",
+            F.unix_micros("ts").alias("t"),
+            F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+            "event_id",
+        )
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("user_id", "t").orderBy(F.col("event_id").desc())
+            ),
+        )
+        .where(F.col("rn") == 1)
+        .select("user_id", "t", "cents")
+    )
+    bounds = obs.groupBy("user_id").agg(
+        (F.floor((F.min("t") + (HOUR_US - 1)) / HOUR_US) * HOUR_US).cast("long").alias("lo"),
+        (F.floor(F.max("t") / HOUR_US) * HOUR_US).cast("long").alias("hi"),
+    )
+    grid = bounds.where(F.col("hi") >= F.col("lo")).select(
+        "user_id",
+        F.explode(F.sequence("lo", "hi", F.lit(HOUR_US).cast("long"))).alias("t"),
+    )
+    un = obs.withColumn("is_obs", F.lit(1)).unionByName(
+        grid.select(
+            "user_id", "t", F.lit(None).cast("long").alias("cents"), F.lit(0).alias("is_obs")
+        )
+    )
+    order = [F.col("t").asc(), F.col("is_obs").desc()]
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_next = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    obs_t = F.when(F.col("is_obs") == 1, F.col("t"))
+    scored = un.select(
+        "user_id",
+        "t",
+        "is_obs",
+        F.last("cents", ignorenulls=True).over(w_prev).alias("prev_c"),
+        F.last(obs_t, ignorenulls=True).over(w_prev).alias("prev_t"),
+        F.first("cents", ignorenulls=True).over(w_next).alias("next_c"),
+        F.first(obs_t, ignorenulls=True).over(w_next).alias("next_t"),
+    )
+    interp = F.when(
+        F.col("next_t").isNotNull(),
+        F.expr(
+            "(prev_c * (next_t - t) + next_c * (t - prev_t)) div (next_t - prev_t)"
+        ),
+    ).otherwise(F.col("prev_c"))
+    return scored.where(F.col("is_obs") == 0).select(
+        "user_id",
+        F.timestamp_micros("t").alias("hour_ts"),
+        interp.cast("long").alias("interp_cents"),
+    )

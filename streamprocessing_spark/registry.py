@@ -143,6 +143,8 @@ _ROUND_NEW = frozenset(
         "kcore_parts",
         "countmin_heavy_hitters",
         "ann_pq_adc_topk",
+        "interpolate_hourly_linear",
+        "compaction_plan_binpack",
     }
 )
 

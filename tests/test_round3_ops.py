@@ -193,3 +193,69 @@ def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
         recalls.append(len({t[2] for t in lst} & exact[q]) / TOP_K)
     mean = sum(recalls) / len(recalls)
     assert mean >= 0.4, f"mean PQ recall too low: {recalls}"
+
+
+def test_interpolation_is_bounded_and_exact_on_observations(spark, sf_dir):
+    """Each interpolated value must lie within [min, max] of its two
+    bracketing observations, and a grid point that coincides with an
+    observation must reproduce it exactly."""
+    out = SPECS["interpolate_hourly_linear"].fn(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    obs = sorted(
+        (r.user_id, r.t, r.cents, r.event_id)
+        for r in ev.select(
+            "user_id",
+            F.unix_micros("ts").alias("t"),
+            F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+            "event_id",
+        ).collect()
+    )
+    from collections import defaultdict
+
+    series = defaultdict(dict)
+    for u, t, c, eid in obs:
+        series[u][t] = c  # max event_id at same (u, t) wins: sorted order
+    rows = out.select(
+        "user_id", F.unix_micros("hour_ts").alias("t"), "interp_cents"
+    ).collect()
+    assert rows
+    import bisect
+
+    for r in rows:
+        ts = sorted(series[r.user_id])
+        vals = series[r.user_id]
+        if r.t in vals:
+            assert r.interp_cents == vals[r.t], (r.user_id, r.t)
+            continue
+        i = bisect.bisect_left(ts, r.t)
+        assert 0 < i < len(ts), "grid must stay inside the observed span"
+        lo, hi = vals[ts[i - 1]], vals[ts[i]]
+        assert min(lo, hi) - 1 <= r.interp_cents <= max(lo, hi), (
+            r.user_id, r.t, lo, hi, r.interp_cents,
+        )
+
+
+def test_compaction_plan_partitions_files(spark, sf_dir):
+    """The plan must cover every file exactly once per source partition:
+    file counts and byte totals reconcile with the raw table, and bins
+    form ordered, non-overlapping doc_id ranges."""
+    plan = SPECS["compaction_plan_binpack"].fn(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    per_source = {
+        r.source: (r.n, r.b)
+        for r in d.groupBy("source").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("n_chars").alias("b")
+        ).collect()
+    }
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for r in plan:
+        bins[r.source].append(r)
+    assert set(bins) == set(per_source)
+    for src, rows in bins.items():
+        rows.sort(key=lambda r: r.bin_id)
+        assert sum(r.n_files for r in rows) == per_source[src][0]
+        assert sum(r.bin_bytes for r in rows) == per_source[src][1]
+        for a, b in zip(rows, rows[1:]):
+            assert a.last_doc < b.first_doc, (src, a.bin_id, b.bin_id)
