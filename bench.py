@@ -80,6 +80,12 @@ HEADLINE = [
     "dedup_incremental_batch",
     "curation_manifest_end2end",
     "kmeans_embeddings",
+    # round-2 final additions
+    "kcore_parts",
+    "countmin_heavy_hitters",
+    "ann_pq_adc_topk",
+    "cdc_apply_changes",
+    "interpolate_hourly_linear",
 ]
 
 

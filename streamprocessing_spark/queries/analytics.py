@@ -2003,3 +2003,171 @@ def cdc_apply_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("status"),
         F.coalesce(F.col("l.n_changes"), F.lit(0)).cast("long").alias("n_changes"),
     )
+
+
+@register(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS sum_cents,
+           CAST(min(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS min_cents,
+           CAST(max(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS max_cents
+    FROM events GROUP BY event_type
+    """,
+    tags=("analytics", "aggregate", "incremental"),
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental materialized-view maintenance: the aggregate state is
+    NOT recomputed from scratch — yesterday's partial state (event_id %
+    10 < 8) and today's batch (the rest) are aggregated independently
+    and MERGED algebraically (counts add, sums add, mins/maxes fold).
+    The oracle is the single-pass GROUP BY over everything, so a pass
+    certifies the merge law itself: merge(agg(A), agg(B)) == agg(A∪B).
+
+    This is the pattern that maintains a 100 TB rollup with one
+    batch-sized aggregation per ingest instead of a corpus rescan (the
+    batch analogue of the HLL sketch rollup, here for the algebraic
+    aggregates). All money in exact integer cents — the sum is
+    order-insensitive, which is precisely what makes it mergeable."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s"),
+            F.min("cents").alias("mn"),
+            F.max("cents").alias("mx"),
+        )
+
+    state = partial(ev.where(F.col("event_id") % 10 < 8)).alias("a")
+    batch = partial(ev.where(F.col("event_id") % 10 >= 8)).alias("b")
+    merged = state.join(
+        batch, F.col("a.event_type") == F.col("b.event_type"), "full_outer"
+    )
+    z = F.lit(0).cast("long")
+    return merged.select(
+        F.coalesce(F.col("a.event_type"), F.col("b.event_type")).alias("event_type"),
+        (F.coalesce(F.col("a.n"), z) + F.coalesce(F.col("b.n"), z)).alias("n_events"),
+        (F.coalesce(F.col("a.s"), z) + F.coalesce(F.col("b.s"), z)).alias("sum_cents"),
+        F.least(
+            F.coalesce(F.col("a.mn"), F.col("b.mn")),
+            F.coalesce(F.col("b.mn"), F.col("a.mn")),
+        ).alias("min_cents"),
+        F.greatest(
+            F.coalesce(F.col("a.mx"), F.col("b.mx")),
+            F.coalesce(F.col("b.mx"), F.col("a.mx")),
+        ).alias("max_cents"),
+    )
+
+
+BLOOM_M = 1 << 16   # bits
+BLOOM_K = 4         # hash functions
+BLOOM_W = 32        # bits per word (sign-safe shifts in both engines)
+
+
+def _bloom_pos_duck(i: int, key: str) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5('bf{i}:' || CAST({key} AS VARCHAR)), 1, 8)) "
+        f"AS BIGINT) % {BLOOM_M})"
+    )
+
+
+def _bloom_pos_spark(i: int, key: str) -> str:
+    return (
+        f"(cast(conv(substring(md5(cast(concat('bf{i}:', cast({key} as string)) "
+        f"as binary)), 1, 8), 16, 10) as bigint) % {BLOOM_M})"
+    )
+
+
+@register(
+    "bloom_prefilter_join",
+    oracle=f"""
+    WITH build AS MATERIALIZED (
+      SELECT o_orderkey AS k FROM orders WHERE o_orderpriority = '1-URGENT'),
+    bits AS MATERIALIZED (
+      SELECT p // {BLOOM_W} AS word, CAST(1 AS BIGINT) << CAST(p % {BLOOM_W} AS INTEGER) AS m
+      FROM (
+        {" UNION ALL ".join(f"SELECT {_bloom_pos_duck(i, 'k')} AS p FROM build" for i in range(BLOOM_K))}
+      )),
+    words AS MATERIALIZED (SELECT word, bit_or(m) AS bits FROM bits GROUP BY word),
+    probe AS MATERIALIZED (
+      SELECT l_orderkey AS k,
+             {", ".join(f"{_bloom_pos_duck(i, 'l_orderkey')} AS p{i}" for i in range(BLOOM_K))}
+      FROM lineitem),
+    passed AS MATERIALIZED (
+      SELECT pr.k
+      FROM probe pr
+      {" ".join(f"JOIN words w{i} ON w{i}.word = pr.p{i} // {BLOOM_W} AND (w{i}.bits & (CAST(1 AS BIGINT) << CAST(pr.p{i} % {BLOOM_W} AS INTEGER))) <> 0" for i in range(BLOOM_K))})
+    SELECT CAST((SELECT count(*) FROM passed) AS BIGINT) AS n_pass_rows,
+           CAST((SELECT count(*) FROM passed p JOIN build b ON b.k = p.k)
+                AS BIGINT) AS n_match_rows,
+           CAST((SELECT count(*) FROM passed) -
+                (SELECT count(*) FROM passed p JOIN build b ON b.k = p.k)
+                AS BIGINT) AS n_fp_rows
+    """,
+    tags=("analytics", "join", "approx"),
+)
+def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning, built first-class: a 2^16-bit / 4-hash
+    Bloom filter over the urgent-order keys is OR-aggregated into 32-bit
+    words, broadcast as one map literal, and probed MAP-SIDE by every
+    lineitem row — rows failing any bit never reach the join. Output is
+    the filter's scorecard: rows passing the bloom, rows truly matching,
+    and the false positives the residual exact join discards.
+
+    The 100 TB pattern this makes explicit (Spark's runtime bloom
+    pushdown): the fact scan is pre-filtered by a kilobyte broadcast
+    structure, so the join shuffle carries only probable matches, and
+    correctness survives because Bloom filters have no false negatives
+    (asserted in tests). Every bit position is md5-derived — both
+    engines build the identical filter, so even the false-positive
+    count is deterministic and oracle-checked. The probe itself is pure
+    whole-stage-codegen expression work: no explode, no extra shuffle;
+    the only aggregations are the word OR-fold (≤2048 rows) and the
+    final scorecard."""
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    build = o.where(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_orderkey").alias("k")
+    )
+    bits = None
+    for i in range(BLOOM_K):
+        p = build.select(F.expr(_bloom_pos_spark(i, "k")).alias("p"))
+        bits = p if bits is None else bits.unionAll(p)
+    words = (
+        bits.select(
+            F.expr(f"p div {BLOOM_W}").alias("word"),
+            F.expr(f"shiftleft(cast(1 as bigint), cast(p % {BLOOM_W} as int))").alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("bits"))
+    )
+    bloom_map = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "bits"))).alias("bm")
+    )
+    probe = li.select(F.col("l_orderkey").alias("k")).crossJoin(F.broadcast(bloom_map))
+    cond = F.lit(True)
+    for i in range(BLOOM_K):
+        p = _bloom_pos_spark(i, "k")
+        test = (
+            f"(coalesce(element_at(bm, {p} div {BLOOM_W}), cast(0 as bigint)) & "
+            f"shiftleft(cast(1 as bigint), cast({p} % {BLOOM_W} as int))) != 0"
+        )
+        cond = cond & F.expr(test)
+    passed = probe.where(cond).select("k")
+    flagged = passed.join(
+        F.broadcast(build.withColumn("hit", F.lit(1))), "k", "left"
+    )
+    return flagged.agg(
+        F.count(F.lit(1)).alias("n_pass_rows"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_match_rows"),
+        (F.count(F.lit(1)) - F.sum(F.coalesce(F.col("hit"), F.lit(0)))).cast("long").alias("n_fp_rows"),
+    )

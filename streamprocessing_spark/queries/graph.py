@@ -9,7 +9,7 @@ the same pattern as operators/dedup.connected_components).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streamprocessing_spark.registry import register
@@ -576,3 +576,96 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("core_degree") >= KCORE_K)
     )
     return final_deg
+
+
+LP_SUPPORT = 2  # sparsify: keep co-purchase edges with >= 2 shared orders
+LP_ROUNDS = 3   # fixed synchronous rounds (deterministic, oracle-unrolled)
+
+
+def _sql_lp_round(prev: str, out: str) -> str:
+    """One synchronous label-propagation round in DuckDB SQL over CTE
+    `ed` (symmetric edges): each node adopts the most frequent label
+    among its neighbors, ties broken by the SMALLEST label — the same
+    (count DESC, label ASC) row_number the Spark loop runs."""
+    return f"""
+    {out} AS MATERIALIZED (
+      SELECT node, label FROM (
+        SELECT e.dst AS node, l.label, count(*) AS c,
+               row_number() OVER (PARTITION BY e.dst
+                                  ORDER BY count(*) DESC, l.label) AS rn
+        FROM ed e JOIN {prev} l ON l.node = e.src
+        GROUP BY e.dst, l.label)
+      WHERE rn = 1)"""
+
+
+@register(
+    "label_prop_communities",
+    oracle=f"""
+    WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    sup AS MATERIALIZED (
+      SELECT a.l_partkey AS s, b.l_partkey AS d, count(*) AS n
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2),
+    e AS MATERIALIZED (SELECT s, d FROM sup WHERE n >= {LP_SUPPORT}),
+    ed AS MATERIALIZED (SELECT s AS src, d AS dst FROM e
+                        UNION ALL SELECT d, s FROM e),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM ed),
+    {",".join(_sql_lp_round(f'l{r}', f'l{r + 1}') for r in range(LP_ROUNDS))}
+    SELECT node AS l_partkey, CAST(label AS BIGINT) AS community
+    FROM l{LP_ROUNDS}
+    """,
+    tags=("graph", "iterative"),
+)
+def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    support-sparsified co-purchase graph (edges = part pairs sharing ≥
+    LP_SUPPORT orders — raw co-purchase is near-complete and would
+    collapse to one community). Labels start as node ids; each of
+    LP_ROUNDS rounds every node adopts its neighborhood's most frequent
+    label with the (count DESC, label ASC) deterministic tiebreak —
+    classic LPA (Raghavan et al. 2007) made reproducible, where the
+    textbook random-order variant isn't.
+
+    Shape per round: one join of the (symmetric) edge list against the
+    label table on the source node + one two-level aggregation — the
+    PageRank cost profile, partitioning on the node id reused across
+    rounds, lineage truncated per round. Fixed rounds ⇒ no convergence
+    collect at all; the oracle unrolls the identical rounds."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= LP_SUPPORT)
+        .select("s", "d")
+    )
+    ed = (
+        e.select(F.col("s").alias("src"), F.col("d").alias("dst"))
+        .unionByName(e.select(F.col("d").alias("src"), F.col("s").alias("dst")))
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    lab = ed.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label").asc())
+    for _ in range(LP_ROUNDS):
+        lab = (
+            ed.join(lab, ed.src == lab.node, "inner")
+            .groupBy(F.col("dst").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint(eager=True)
+        )
+    return lab.select(
+        F.col("node").alias("l_partkey"), F.col("label").cast("long").alias("community")
+    )

@@ -145,6 +145,9 @@ _ROUND_NEW = frozenset(
         "ann_pq_adc_topk",
         "interpolate_hourly_linear",
         "compaction_plan_binpack",
+        "incremental_agg_merge",
+        "bloom_prefilter_join",
+        "label_prop_communities",
     }
 )
 

@@ -259,3 +259,90 @@ def test_compaction_plan_partitions_files(spark, sf_dir):
         assert sum(r.bin_bytes for r in rows) == per_source[src][1]
         for a, b in zip(rows, rows[1:]):
             assert a.last_doc < b.first_doc, (src, a.bin_id, b.bin_id)
+
+
+def test_bloom_has_no_false_negatives(spark, sf_dir):
+    """Bloom guarantee: every truly matching probe row must pass the
+    filter — n_match_rows equals the exact join count computed
+    independently, and passes can only exceed it."""
+    row = SPECS["bloom_prefilter_join"].fn(spark, sf_dir).collect()[0]
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    true_rows = (
+        li.join(
+            o.where(F.col("o_orderpriority") == "1-URGENT").select(
+                F.col("o_orderkey").alias("l_orderkey")
+            ),
+            "l_orderkey",
+            "left_semi",
+        ).count()
+    )
+    assert row.n_match_rows == true_rows, "bloom must never drop a true match"
+    assert row.n_pass_rows >= row.n_match_rows
+    assert row.n_fp_rows == row.n_pass_rows - row.n_match_rows
+
+
+def test_incremental_merge_equals_recompute(spark, sf_dir):
+    """merge(agg(state), agg(batch)) must equal agg(everything) computed
+    directly (the IVM correctness law, asserted independently of the
+    oracle)."""
+    merged = {
+        r.event_type: (r.n_events, r.sum_cents, r.min_cents, r.max_cents)
+        for r in SPECS["incremental_agg_merge"].fn(spark, sf_dir).collect()
+    }
+    full = {
+        r.event_type: (r.n, r.s, r.mn, r.mx)
+        for r in load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("cents").alias("s"),
+            F.min("cents").alias("mn"),
+            F.max("cents").alias("mx"),
+        )
+        .collect()
+    }
+    assert merged == full
+
+
+def test_label_prop_labels_are_reachable(spark, sf_dir):
+    """Every node's community label must be a node within LP_ROUNDS hops
+    in the sparsified graph (synchronous LPA can only propagate one hop
+    per round), and the output must cover exactly the sparsified-graph
+    nodes."""
+    from collections import defaultdict
+
+    from streamprocessing_spark.queries.graph import LP_ROUNDS, LP_SUPPORT
+
+    out = {r.l_partkey: r.community for r in SPECS["label_prop_communities"].fn(spark, sf_dir).collect()}
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= LP_SUPPORT)
+        .collect()
+    )
+    adj = defaultdict(set)
+    for r in pairs:
+        adj[r.s].add(r.d)
+        adj[r.d].add(r.s)
+    assert set(out) == set(adj)
+    assert 1 < len(set(out.values())) <= len(out)
+    for node, label in out.items():
+        frontier = {node}
+        seen = {node}
+        for _ in range(LP_ROUNDS):
+            frontier = {n for f in frontier for n in adj[f]} - set()
+            seen |= frontier
+        assert label in seen, (node, label)
