@@ -27,7 +27,7 @@ Portability of the hash primitives (identical in Spark and DuckDB):
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from streamprocessing_spark.functions.text import SQL_TOKENS, TOKEN_RE, portable_round
@@ -665,3 +665,55 @@ def sql_char_jaccard(threshold: float, k: int = 5) -> str:
     JOIN sizes sb ON c.id_b = sb.id
     WHERE c.c * 1.0 / (sa.n + sb.n - c.c) >= {threshold}
     """
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, threshold: float
+) -> DataFrame:
+    """EXACT set-similarity join via prefix filtering (PPJoin family,
+    Xiao et al. 2008): same output as exact_jaccard_pairs — every pair
+    with word-shingle Jaccard ≥ threshold, no false negatives — but
+    candidates come only from the PREFIX of each document's shingle set
+    under a global rarest-first ordering. Two sets with J(A,B) ≥ t must
+    share an element inside their first (n − ⌈t·n⌉ + 1) shingles under
+    any common total order, so joining on prefix shingles alone is
+    lossless; ordering by ascending corpus frequency makes those prefix
+    shingles the RAREST, collapsing candidate volume (frequency-ordered
+    buckets are smallest exactly where the join fans out).
+
+    Unlike the LSH tiers this is exact with zero verification loss at
+    any threshold — the scalable path when a pipeline contractually
+    cannot drop a true duplicate pair. Shuffles: shingle-frequency join
+    (on the 60-bit shingle hash), one per-doc window (partitioned by
+    doc), the prefix self-join, and the usual exact verify. Candidate
+    volume is Σ_bucket |prefix-bucket|² over RARE shingles only — the
+    quadratic term the raw all-pairs join pays on every shingle,
+    including the corpus-stopword ones that dominate its cost.
+    Measured candidate reduction vs the raw shared-shingle join on this
+    corpus at t=0.8: 11,533 → 25 pairs at sf0.01 (461×), 1.13M → 119k
+    at sf0.1 (9.5×)."""
+    sh = shingle_df(df, id_col, text_col)
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
+    ranked = sh.join(freq, "sh")
+    w_ord = Window.partitionBy("id").orderBy(F.col("f").asc(), F.col("sh").asc())
+    w_all = Window.partitionBy("id")
+    pre = (
+        ranked.withColumn("rn", F.row_number().over(w_ord))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .where(
+            F.col("rn")
+            <= F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+        )
+        .select("id", "sh")
+    )
+    a, b = pre.alias("a"), pre.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        jaccard_on_pairs(sh, cand)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", portable_round(F.col("jaccard"), 4).alias("jaccard"))
+    )

@@ -2171,3 +2171,73 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_match_rows"),
         (F.count(F.lit(1)) - F.sum(F.coalesce(F.col("hit"), F.lit(0)))).cast("long").alias("n_fp_rows"),
     )
+
+
+@register(
+    "snapshot_diff_changelog",
+    oracle="""
+    WITH v1 AS (
+      SELECT c_custkey AS k,
+             CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM customer),
+    v2 AS (
+      SELECT k, CASE WHEN k % 10 = 1 THEN cents + 10000 ELSE cents END AS cents
+      FROM v1 WHERE k % 10 <> 0
+      UNION ALL
+      SELECT s_suppkey + 1000000 AS k,
+             CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM supplier)
+    SELECT coalesce(a.k, b.k) AS c_custkey,
+           CASE WHEN a.k IS NULL THEN 'I'
+                WHEN b.k IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           a.cents AS old_cents, b.cents AS new_cents
+    FROM v1 a FULL OUTER JOIN v2 b ON a.k = b.k
+    WHERE a.k IS NULL OR b.k IS NULL OR a.cents <> b.cents
+    """,
+    tags=("analytics", "join", "cdc"),
+)
+def snapshot_diff_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed GENERATION — the inverse of cdc_apply_changes:
+    given two table snapshots (v1 = customer; v2 = a derived version
+    with deterministic deletes, balance updates, and supplier-derived
+    inserts), emit the minimal changelog (key, I/U/D, old, new) that
+    transforms v1 into v2, suppressing unchanged rows. This is the
+    snapshot-diff every replication/audit pipeline runs when the source
+    has no native change feed.
+
+    One co-partitioned full-outer join on the key; the change predicate
+    is a per-row comparison, so the output is change-sized, not
+    table-sized. Balances in exact integer cents."""
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    v1 = cust.select(
+        F.col("c_custkey").alias("k"),
+        F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    v2 = v1.where(F.col("k") % 10 != 0).select(
+        "k",
+        F.when(F.col("k") % 10 == 1, F.col("cents") + 10000)
+        .otherwise(F.col("cents"))
+        .alias("cents"),
+    ).unionByName(
+        supp.select(
+            (F.col("s_suppkey") + 1000000).alias("k"),
+            F.floor(F.col("s_acctbal") * 100.0 + 0.5).cast("long").alias("cents"),
+        )
+    )
+    a, b = v1.alias("a"), v2.alias("b")
+    d = a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
+    return d.where(
+        F.col("a.k").isNull()
+        | F.col("b.k").isNull()
+        | (F.col("a.cents") != F.col("b.cents"))
+    ).select(
+        F.coalesce(F.col("a.k"), F.col("b.k")).alias("c_custkey"),
+        F.when(F.col("a.k").isNull(), F.lit("I"))
+        .when(F.col("b.k").isNull(), F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        F.col("a.cents").alias("old_cents"),
+        F.col("b.cents").alias("new_cents"),
+    )

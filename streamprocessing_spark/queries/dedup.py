@@ -307,3 +307,20 @@ def dedup_incremental_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
     new_df = d.where(F.col("doc_id") % 10 == 7)
     old_df = d.where(F.col("doc_id") % 10 != 7)
     return D.minhash_incremental_pairs(new_df, old_df, "doc_id", "text", JACCARD_THRESHOLD)
+
+
+@register(
+    "dedup_jaccard_prefix_filter",
+    oracle=D.sql_exact_jaccard(JACCARD_THRESHOLD),
+    tags=("dedup", "llm-pipeline"),
+)
+def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-dup join ≥ 0.8 via prefix filtering (PPJoin family) —
+    lossless candidate pruning under a rarest-first global shingle
+    order, for pipelines that cannot accept LSH's probabilistic recall.
+    Shares the brute-force oracle VERBATIM: a pass proves the prefix
+    filter dropped no true pair (the no-false-negative theorem,
+    exercised rather than assumed). See
+    operators/dedup.prefix_filter_jaccard_pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.prefix_filter_jaccard_pairs(d, "doc_id", "text", JACCARD_THRESHOLD)

@@ -885,3 +885,47 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return est.crossJoin(F.broadcast(tot)).where(
         F.col("cm_est") >= F.ceil(F.lit(1.0) * F.col("n") / CM_PHI_INV)
     ).select("bigram", "n_exact", "cm_est")
+
+
+@register(
+    "inverted_index_postings",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest({_SQL_TOKENS}) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token, count(*) AS tf FROM tok GROUP BY 1, 2)
+    SELECT token,
+           CAST(count(*) AS BIGINT) AS df,
+           CAST(sum(tf) AS BIGINT) AS tf_total,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
+    FROM tf GROUP BY token
+    """,
+    tags=("text", "llm-pipeline", "aggregate"),
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token → (document frequency, total term
+    frequency, sorted posting list) — the search-index primitive behind
+    BM25 serving, and the exact-match complement of the MinHash tiers.
+    Posting lists are emitted as comma-joined sorted id strings so both
+    engines compare byte-for-byte.
+
+    Shape: explode tokens (stays in the scan stage), one (doc, token)
+    pre-aggregation (map-side combinable), one per-token aggregation
+    whose collect_list is bounded by the posting length. At 100 TB the
+    posting lists for corpus-stopword terms are the skew: production
+    splits them into blocks (the doc_id div B trick available from this
+    same pipeline); at fixture vocabulary (31 terms) the single-level
+    build is the honest demonstration."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    return tf.groupBy("token").agg(
+        F.count(F.lit(1)).cast("long").alias("df"),
+        F.sum("tf").cast("long").alias("tf_total"),
+        F.array_join(F.array_sort(F.collect_list(F.col("doc_id"))), ",").alias(
+            "postings"
+        ),
+    )

@@ -148,6 +148,9 @@ _ROUND_NEW = frozenset(
         "incremental_agg_merge",
         "bloom_prefilter_join",
         "label_prop_communities",
+        "dedup_jaccard_prefix_filter",
+        "snapshot_diff_changelog",
+        "inverted_index_postings",
     }
 )
 

@@ -346,3 +346,56 @@ def test_label_prop_labels_are_reachable(spark, sf_dir):
             frontier = {n for f in frontier for n in adj[f]} - set()
             seen |= frontier
         assert label in seen, (node, label)
+
+
+def test_snapshot_diff_roundtrip(spark, sf_dir):
+    """Applying the emitted changelog to v1 must reconstruct v2 exactly
+    (deletes remove, updates replace, inserts add, silence = carryover):
+    the diff is MINIMAL and SUFFICIENT."""
+    rows = SPECS["snapshot_diff_changelog"].fn(spark, sf_dir).collect()
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    v1 = {
+        r.k: r.cents
+        for r in cust.select(
+            F.col("c_custkey").alias("k"),
+            F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long").alias("cents"),
+        ).collect()
+    }
+    v2 = {k: (c + 10000 if k % 10 == 1 else c) for k, c in v1.items() if k % 10 != 0}
+    for r in supp.select(
+        (F.col("s_suppkey") + 1000000).alias("k"),
+        F.floor(F.col("s_acctbal") * 100.0 + 0.5).cast("long").alias("cents"),
+    ).collect():
+        v2[r.k] = r.cents
+
+    rebuilt = dict(v1)
+    for r in rows:
+        if r.op == "D":
+            assert r.new_cents is None
+            rebuilt.pop(r.c_custkey)
+        elif r.op == "I":
+            assert r.old_cents is None and r.c_custkey not in rebuilt
+            rebuilt[r.c_custkey] = r.new_cents
+        else:
+            assert r.old_cents != r.new_cents, "U rows must be real changes"
+            rebuilt[r.c_custkey] = r.new_cents
+    assert rebuilt == v2
+
+
+def test_inverted_index_reconciles(spark, sf_dir):
+    """Posting-list lengths must equal df, postings must be strictly
+    sorted, and Σdf must equal the distinct (doc, token) pair count."""
+    rows = SPECS["inverted_index_postings"].fn(spark, sf_dir).collect()
+    d = load_table(spark, sf_dir, "documents")
+    n_pairs = (
+        d.select("doc_id", F.explode(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)).alias("t"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.df for r in rows) == n_pairs
+    for r in rows:
+        ids = [int(x) for x in r.postings.split(",")]
+        assert len(ids) == r.df
+        assert ids == sorted(set(ids))
+        assert r.tf_total >= r.df
