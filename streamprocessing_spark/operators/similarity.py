@@ -576,51 +576,105 @@ def pq_adc_topk(
     queries: (query_id, query_vec). Output: (query_id, neighbor_id,
     rank, adc_dist) — top_k per query by (ADC, id), self excluded.
 
+    All PQ_M codebooks train JOINTLY: vectors explode once into
+    (subspace j, id, slice) rows and ONE Lloyd loop runs over centroids
+    keyed (j, k) — per-subspace math is untouched (every distance,
+    assignment, and tiebreak is scoped to its j), but the driver issues
+    one join + one aggregation per iteration instead of PQ_M of each.
+    Measured 10.0 s → 4.6 s at sf0.1 (best-of-3, noop sink) against the
+    loop-per-subspace form it replaced; the remainder is fixed
+    stage-launch latency (~50 stages of sub-ms work at this corpus
+    size), not data volume.
+
     Determinism/parity: codebooks come from the unrolled exact-state
-    Lloyd loop (no RNG); LUT distances are the same sequential
+    Lloyd rounds (no RNG); LUT distances are the same sequential
     zip_with/aggregate fold both engines run; the ADC total is a fixed
-    left-to-right 4-term double sum — the oracle replays every bit.
+    left-to-right PQ_M-term double sum — the oracle replays every bit.
 
     Scale shape: this is THE memory-bound ANN layout for 100 TB — the
     corpus shrinks to PQ_M small ints per vector (here 8 4-bit codes vs
     256 B of floats), codebooks and LUTs are broadcast-sized (M·K rows),
     and the scan is a codes-table × LUT hash join with no full-vector
-    math per candidate. Training cost is PQ_M independent Lloyd loops
-    over sliced vectors; encoding is the final assignment, free with
+    math per candidate. Training cost is one Lloyd loop over the
+    exploded slices; encoding is the final assignment, free with
     training. Pair with the IVF coarse quantizer for IVFPQ."""
-    codes = None
-    luts = []
-    for j in range(PQ_M):
-        start = j * PQ_SUB + 1
-        sub_expr = f"slice({vec_col}, {start}, {PQ_SUB})"
-        asg, cent = _kmeans_loop(emb, PQ_K, PQ_ITERS, id_col, sub_expr)
-        cj = asg.select("id", F.col("k").alias(f"code_{j}"))
-        codes = cj if codes is None else codes.join(cj, "id")
-        qslice = queries.select(
-            "query_id",
+    slices = F.array(
+        *[
             F.expr(
-                f"transform(slice(query_vec, {start}, {PQ_SUB}), x -> "
+                f"transform(slice({vec_col}, {j * PQ_SUB + 1}, {PQ_SUB}), x -> "
                 f"CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}.0 + 0.5) AS BIGINT))"
-            ).alias("qxi"),
-        )
-        luts.append(
-            qslice.crossJoin(F.broadcast(cent)).select(
-                "query_id",
-                F.col("k").alias(f"code_{j}"),
-                F.expr(_km_dist_expr("qxi", "s", "cnt")).alias(f"d_{j}"),
             )
+            for j in range(PQ_M)
+        ]
+    )
+    sub = (
+        emb.select(F.col(id_col).alias("id"), F.posexplode(slices).alias("j", "xi"))
+        .localCheckpoint(eager=True)  # re-scored every Lloyd iteration
+    )
+    cent = sub.where(F.col("id") < PQ_K).select(
+        "j", F.col("id").alias("k"), F.col("xi").alias("s"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    asg = None
+    w = Window.partitionBy("j", "id").orderBy(F.asc("dist"), F.asc("k"))
+    for _ in range(PQ_ITERS):
+        asg = (
+            sub.join(F.broadcast(cent), "j")
+            .select("j", "id", "k", F.expr(_km_dist_expr("xi", "s", "cnt")).alias("dist"))
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("j", "id", "k")
         )
+        sums = (
+            asg.join(sub, ["j", "id"])
+            .select("j", "k", F.posexplode("xi").alias("dim", "x"))
+            .groupBy("j", "k", "dim")
+            .agg(F.sum("x").alias("sd"))
+        )
+        cnt = asg.groupBy("j", "k").agg(F.count(F.lit(1)).alias("cnt"))
+        cent = (
+            sums.groupBy("j", "k")
+            .agg(F.array_sort(F.collect_list(F.struct("dim", "sd"))).alias("ps"))
+            .select("j", "k", F.expr("transform(ps, p -> p.sd)").alias("s"))
+            .join(cnt, ["j", "k"])
+        )
+    codes = asg.groupBy("id").agg(
+        *[
+            F.max(F.when(F.col("j") == j, F.col("k"))).alias(f"code_{j}")
+            for j in range(PQ_M)
+        ]
+    )
+    qslices = queries.select(
+        "query_id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"transform(slice(query_vec, {j * PQ_SUB + 1}, {PQ_SUB}), x -> "
+                        f"CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}.0 + 0.5) AS BIGINT))"
+                    )
+                    for j in range(PQ_M)
+                ]
+            )
+        ).alias("j", "qxi"),
+    )
+    lut = qslices.join(F.broadcast(cent), "j").select(
+        "query_id", "j", "k", F.expr(_km_dist_expr("qxi", "s", "cnt")).alias("d")
+    ).localCheckpoint(eager=True)  # probed PQ_M times below
     scored = codes.crossJoin(F.broadcast(queries.select("query_id")))
     for j in range(PQ_M):
-        scored = scored.join(F.broadcast(luts[j]), ["query_id", f"code_{j}"])
+        lut_j = lut.where(F.col("j") == j).select(
+            "query_id", F.col("k").alias(f"code_{j}"), F.col("d").alias(f"d_{j}")
+        )
+        scored = scored.join(F.broadcast(lut_j), ["query_id", f"code_{j}"])
     adc = F.col("d_0")
     for j in range(1, PQ_M):
         adc = adc + F.col(f"d_{j}")
-    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("id"))
+    w_top = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("id"))
     return (
         scored.where(F.col("id") != F.col("query_id"))
         .withColumn("adc", adc)
-        .withColumn("rank", F.row_number().over(w))
+        .withColumn("rank", F.row_number().over(w_top))
         .where(F.col("rank") <= top_k)
         .select(
             "query_id",

@@ -555,7 +555,12 @@ def interpolate_hourly_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("user_id", "t", "cents")
     )
-    bounds = obs.groupBy("user_id").agg(
+    # bounds don't need the dedup window (min/max of t are unaffected by
+    # dropping same-microsecond ties) — aggregate the raw projection and
+    # save a second sort+window pass over the events scan
+    bounds = ev.select("user_id", F.unix_micros("ts").alias("t")).groupBy(
+        "user_id"
+    ).agg(
         (F.floor((F.min("t") + (HOUR_US - 1)) / HOUR_US) * HOUR_US).cast("long").alias("lo"),
         (F.floor(F.max("t") / HOUR_US) * HOUR_US).cast("long").alias("hi"),
     )

@@ -85,6 +85,15 @@ QUERIES = (
     "semantic_dedup_keep_ivf",
     "kmeans_embeddings",
     "bm25_rank_docs",
+    # round-2 final additions: fixpoint peel + LPA (lineitem graph),
+    # prefix-filtered exact similarity vs its quadratic baseline,
+    # sketch + PQ tiers
+    "kcore_parts",
+    "label_prop_communities",
+    "dedup_jaccard_prefix_filter",
+    "countmin_heavy_hitters",
+    "inverted_index_postings",
+    "ann_pq_adc_topk",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
