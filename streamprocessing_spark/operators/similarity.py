@@ -558,47 +558,8 @@ PQ_K = 16       # codebook size per subspace (4-bit codes)
 PQ_ITERS = 2    # Lloyd rounds per codebook
 
 
-def pq_adc_topk(
-    emb: DataFrame,
-    queries: DataFrame,
-    top_k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Product-quantization ANN (Jégou et al. 2011, "Product Quantization
-    for Nearest Neighbor Search"): split each vector into PQ_M subspaces,
-    train an independent deterministic k-means codebook per subspace
-    (exact integer (sum, count) Lloyd state — the kmeans_assign
-    discipline), encode every corpus vector as PQ_M small codes, and
-    answer queries via the Asymmetric Distance Computation lookup table:
-    dist(q, x) ≈ Σ_j ||q_j − codebook_j[code_j(x)]||².
-
-    queries: (query_id, query_vec). Output: (query_id, neighbor_id,
-    rank, adc_dist) — top_k per query by (ADC, id), self excluded.
-
-    All PQ_M codebooks train JOINTLY: vectors explode once into
-    (subspace j, id, slice) rows and ONE Lloyd loop runs over centroids
-    keyed (j, k) — per-subspace math is untouched (every distance,
-    assignment, and tiebreak is scoped to its j), but the driver issues
-    one join + one aggregation per iteration instead of PQ_M of each.
-    Measured 10.0 s → 4.6 s at sf0.1 (best-of-3, noop sink) against the
-    loop-per-subspace form it replaced; the remainder is fixed
-    stage-launch latency (~50 stages of sub-ms work at this corpus
-    size), not data volume.
-
-    Determinism/parity: codebooks come from the unrolled exact-state
-    Lloyd rounds (no RNG); LUT distances are the same sequential
-    zip_with/aggregate fold both engines run; the ADC total is a fixed
-    left-to-right PQ_M-term double sum — the oracle replays every bit.
-
-    Scale shape: this is THE memory-bound ANN layout for 100 TB — the
-    corpus shrinks to PQ_M small ints per vector (here 8 4-bit codes vs
-    256 B of floats), codebooks and LUTs are broadcast-sized (M·K rows),
-    and the scan is a codes-table × LUT hash join with no full-vector
-    math per candidate. Training cost is one Lloyd loop over the
-    exploded slices; encoding is the final assignment, free with
-    training. Pair with the IVF coarse quantizer for IVFPQ."""
-    slices = F.array(
+def _pq_slices_col(vec_col: str) -> Column:
+    return F.array(
         *[
             F.expr(
                 f"transform(slice({vec_col}, {j * PQ_SUB + 1}, {PQ_SUB}), x -> "
@@ -607,8 +568,25 @@ def pq_adc_topk(
             for j in range(PQ_M)
         ]
     )
+
+
+def pq_train_encode(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> tuple[DataFrame, DataFrame]:
+    """(codes, codebooks) — the PQ index build. All PQ_M codebooks train
+    JOINTLY: vectors explode once into (subspace j, id, slice) rows and
+    ONE Lloyd loop runs over centroids keyed (j, k) — per-subspace math
+    is untouched (every distance, assignment, and tiebreak is scoped to
+    its j), but the driver issues one join + one aggregation per
+    iteration instead of PQ_M of each. Measured 10.0 s → 4.6 s at sf0.1
+    (best-of-3, noop sink) against the loop-per-subspace form it
+    replaced; the remainder is fixed stage-launch latency.
+
+    codes: (id, code_0..code_{M-1}); codebooks: (j, k, s, cnt) exact
+    integer Lloyd state (the kmeans_assign discipline — no RNG, no
+    float accumulation)."""
     sub = (
-        emb.select(F.col(id_col).alias("id"), F.posexplode(slices).alias("j", "xi"))
+        emb.select(F.col(id_col).alias("id"), F.posexplode(_pq_slices_col(vec_col)).alias("j", "xi"))
         .localCheckpoint(eager=True)  # re-scored every Lloyd iteration
     )
     cent = sub.where(F.col("id") < PQ_K).select(
@@ -644,24 +622,27 @@ def pq_adc_topk(
             for j in range(PQ_M)
         ]
     )
+    return codes, cent
+
+
+def pq_query_lut(queries: DataFrame, cent: DataFrame) -> DataFrame:
+    """(query_id, j, k, d): the ADC lookup table — squared L2 from each
+    query's subspace slice to every codebook centroid, the same
+    sequential fold the training ran. M·K rows per query; broadcast
+    downstream."""
     qslices = queries.select(
-        "query_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(
-                        f"transform(slice(query_vec, {j * PQ_SUB + 1}, {PQ_SUB}), x -> "
-                        f"CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}.0 + 0.5) AS BIGINT))"
-                    )
-                    for j in range(PQ_M)
-                ]
-            )
-        ).alias("j", "qxi"),
+        "query_id", F.posexplode(_pq_slices_col("query_vec")).alias("j", "qxi")
     )
-    lut = qslices.join(F.broadcast(cent), "j").select(
-        "query_id", "j", "k", F.expr(_km_dist_expr("qxi", "s", "cnt")).alias("d")
-    ).localCheckpoint(eager=True)  # probed PQ_M times below
-    scored = codes.crossJoin(F.broadcast(queries.select("query_id")))
+    return (
+        qslices.join(F.broadcast(cent), "j")
+        .select("query_id", "j", "k", F.expr(_km_dist_expr("qxi", "s", "cnt")).alias("d"))
+        .localCheckpoint(eager=True)  # probed PQ_M times
+    )
+
+
+def _pq_score_topk(scored: DataFrame, lut: DataFrame, top_k: int) -> DataFrame:
+    """Attach the PQ_M LUT distances to (query_id, id, code_*) candidate
+    rows, sum ADC in fixed order, and take top_k per query."""
     for j in range(PQ_M):
         lut_j = lut.where(F.col("j") == j).select(
             "query_id", F.col("k").alias(f"code_{j}"), F.col("d").alias(f"d_{j}")
@@ -685,3 +666,91 @@ def pq_adc_topk(
             ),
         )
     )
+
+
+def pq_adc_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, "Product Quantization
+    for Nearest Neighbor Search"): split each vector into PQ_M subspaces,
+    train an independent deterministic k-means codebook per subspace
+    (exact integer (sum, count) Lloyd state — see pq_train_encode),
+    encode every corpus vector as PQ_M small codes, and answer queries
+    via the Asymmetric Distance Computation lookup table:
+    dist(q, x) ≈ Σ_j ||q_j − codebook_j[code_j(x)]||².
+
+    queries: (query_id, query_vec). Output: (query_id, neighbor_id,
+    rank, adc_dist) — top_k per query by (ADC, id), self excluded.
+
+    Determinism/parity: codebooks come from the unrolled exact-state
+    Lloyd rounds (no RNG); LUT distances are the same sequential
+    zip_with/aggregate fold both engines run; the ADC total is a fixed
+    left-to-right PQ_M-term double sum — the oracle replays every bit.
+
+    Scale shape: this is THE memory-bound ANN layout for 100 TB — the
+    corpus shrinks to PQ_M small ints per vector (here 8 4-bit codes vs
+    256 B of floats), codebooks and LUTs are broadcast-sized (M·K rows),
+    and the scan is a codes-table × LUT hash join with no full-vector
+    math per candidate. Training cost is one Lloyd loop over the
+    exploded slices; encoding is the final assignment, free with
+    training. Pair with the IVF coarse quantizer for IVFPQ
+    (ivfpq_topk)."""
+    codes, cent = pq_train_encode(emb, id_col, vec_col)
+    lut = pq_query_lut(queries, cent)
+    scored = codes.crossJoin(F.broadcast(queries.select("query_id")))
+    return _pq_score_topk(scored, lut, top_k)
+
+
+IVFPQ_NPROBE = 3
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    queries: DataFrame,
+    top_k: int = 10,
+    nprobe: int = IVFPQ_NPROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVFPQ — the production ANN index composition (FAISS's default at
+    billion scale): a TRAINED coarse quantizer (full-vector exact-state
+    Lloyd, kmeans_assign) partitions the corpus into inverted lists;
+    queries probe their nprobe nearest cells; only vectors in probed
+    cells are ranked, and the ranking itself runs on PQ codes via the
+    ADC lookup table — so the scan touches neither the full corpus nor
+    any full vector.
+
+    Candidate volume is (probed-cell sizes) instead of n, and per
+    candidate the cost is a LUT lookup instead of a d-dim fold: the two
+    reductions multiply, which is why this layout serves billion-vector
+    indexes from RAM. Assignment, probing, and ADC are all the same
+    deterministic exact-state arithmetic as their standalone tiers;
+    recall vs exact L2 is bounded in tests (approximate BY DESIGN —
+    cell pruning can drop true neighbors, the tested trade)."""
+    coarse_asg = kmeans_assign(emb, id_col=id_col, vec_col=vec_col).select(
+        F.col(id_col).alias("id"), F.col("cluster").alias("cell")
+    )
+    _, coarse_cent = _kmeans_loop(emb, KMEANS_K, KMEANS_ITERS, id_col, vec_col)
+    qx = queries.select(
+        "query_id",
+        F.expr(
+            f"transform(query_vec, x -> "
+            f"CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}.0 + 0.5) AS BIGINT))"
+        ).alias("xi"),
+    )
+    w_cell = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("k"))
+    probes = (
+        qx.crossJoin(F.broadcast(coarse_cent))
+        .select("query_id", "k", F.expr(_km_dist_expr("xi", "s", "cnt")).alias("dist"))
+        .withColumn("rn", F.row_number().over(w_cell))
+        .where(F.col("rn") <= nprobe)
+        .select("query_id", F.col("k").alias("cell"))
+    )
+    codes, cent = pq_train_encode(emb, id_col, vec_col)
+    lut = pq_query_lut(queries, cent)
+    cand = codes.join(coarse_asg, "id").join(F.broadcast(probes), "cell")
+    return _pq_score_topk(cand.drop("cell"), lut, top_k)

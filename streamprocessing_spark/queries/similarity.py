@@ -747,3 +747,22 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return S.pq_adc_topk(emb, queries, TOP_K)
+
+
+@register(
+    "ann_ivfpq_topk",
+    tags=("similarity", "llm-pipeline", "approx", "iterative"),
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFPQ — the billion-scale ANN composition (trained coarse
+    quantizer partitions the corpus into inverted lists; queries probe
+    their 3 nearest cells; candidates are ranked on PQ codes via the
+    ADC lookup table). Approximate BY DESIGN twice over (cell pruning +
+    code quantization), so this is a rows-only entry; recall vs exact
+    L2 and the subset relation vs full-scan PQ are bounded in
+    tests/test_round3_ops.py. See operators/similarity.ivfpq_topk."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return S.ivfpq_topk(emb, queries, TOP_K)

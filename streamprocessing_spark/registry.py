@@ -151,6 +151,7 @@ _ROUND_NEW = frozenset(
         "dedup_jaccard_prefix_filter",
         "snapshot_diff_changelog",
         "inverted_index_postings",
+        "ann_ivfpq_topk",
     }
 )
 

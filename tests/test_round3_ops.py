@@ -399,3 +399,37 @@ def test_inverted_index_reconciles(spark, sf_dir):
         assert len(ids) == r.df
         assert ids == sorted(set(ids))
         assert r.tf_total >= r.df
+
+
+def test_ivfpq_recall_and_adc_consistency(spark, sf_dir):
+    """IVFPQ must (a) return top_k ranked rows per query, (b) score every
+    returned neighbor with the SAME ADC distance the full-scan PQ tier
+    assigns it (the cell filter prunes candidates, never rescores), and
+    (c) keep material recall vs exact L2."""
+    import numpy as np
+
+    from streamprocessing_spark.queries.similarity import N_QUERIES, TOP_K
+
+    full = {
+        (r.query_id, r.neighbor_id): r.adc_dist
+        for r in SPECS["ann_pq_adc_topk"].fn(spark, sf_dir).collect()
+    }
+    rows = SPECS["ann_ivfpq_topk"].fn(spark, sf_dir).collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+        if (r.query_id, r.neighbor_id) in full:
+            assert full[(r.query_id, r.neighbor_id)] == r.adc_dist
+    assert set(per_q) == set(range(N_QUERIES))
+    for q, lst in per_q.items():
+        assert sorted(r.rank for r in lst) == list(range(1, TOP_K + 1))
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64) for r in emb.collect()}
+    recalls = []
+    for q in range(N_QUERIES):
+        d = {i: float(((v - vecs[q]) ** 2).sum()) for i, v in vecs.items() if i != q}
+        exact = {i for i, _ in sorted(d.items(), key=lambda kv: (kv[1], kv[0]))[:TOP_K]}
+        got = {r.neighbor_id for r in per_q[q]}
+        recalls.append(len(got & exact) / TOP_K)
+    assert sum(recalls) / len(recalls) >= 0.3, f"IVFPQ recall too low: {recalls}"
