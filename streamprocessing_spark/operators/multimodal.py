@@ -217,3 +217,105 @@ def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame
             )
 
     return media.mapInPandas(kernel, FEATURE_SCHEMA)
+
+
+# --- perceptual-hash near-dup over the stub decode ---------------------
+PH_BITS = 60          # sign-safe in a BIGINT for both engines
+PH_BANDS = 4
+PH_BAND_BITS = 15     # 4×15 banding: pigeonhole-exact for hamming <= 3
+PH_MAX_HAMMING = 3
+
+
+def phash_stub(payload: bytes) -> int:
+    """Average-hash of the stub-decoded 'image': the payload text's
+    tokens stand in for pixel rows (pixel i = one md5 byte of token
+    i mod n), so documents with mostly-shared tokens get mostly-shared
+    pixels — the LOCALITY a real perceptual hash (DCT of the decoded
+    bitmap) extracts from visually similar images. Where Pillow belongs,
+    the pixel source changes; every downstream bit (mean threshold,
+    banding, hamming verify) is the production pipeline."""
+    import hashlib as _h
+
+    toks = __import__("re").findall(r"[a-z0-9]+", payload.decode("utf-8", "replace").lower())
+    if not toks:
+        return 0
+    px = [
+        _h.md5(f"px:{i}:{toks[i % len(toks)]}".encode()).digest()[0]
+        for i in range(PH_BITS)
+    ]
+    mean = sum(px) / float(PH_BITS)
+    bits = 0
+    for i, p in enumerate(px):
+        if p > mean:
+            bits |= 1 << i
+    return bits
+
+
+def phash_df(media: DataFrame) -> DataFrame:
+    """(media_id, phash): Arrow-batched perceptual-hash extraction —
+    payload bytes cross the JVM→Python boundary once per batch, one
+    int64 comes back per asset (the 100 TB shape: hashes are the only
+    thing that ever shuffles; pixels die in the executor)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "phash": [phash_stub(bytes(p)) for p in pdf["payload"]],
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, "media_id bigint, phash bigint"
+    )
+
+
+def phash_neardup_pairs(media: DataFrame, max_hamming: int = PH_MAX_HAMMING) -> DataFrame:
+    """(id_a, id_b, hamming): asset pairs whose perceptual hashes differ
+    in ≤ max_hamming bits. Candidates come from 4×15-bit band buckets
+    (a pair within hamming 3 shares at least one intact band — the
+    SimHash pigeonhole, so recall is exactly 100%, not probabilistic);
+    only candidates pay the popcount verify. Shuffle carries (band,
+     15-bit sig, id) triples — never payloads, never pixel data."""
+    h = phash_df(media)
+    bands = h.select(
+        F.col("media_id").alias("id"),
+        "phash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.expr(
+                            f"(shiftright(phash, {b * PH_BAND_BITS}) & {(1 << PH_BAND_BITS) - 1})"
+                        ).alias("sig"),
+                    )
+                    for b in range(PH_BANDS)
+                ]
+            )
+        ).alias("bs"),
+    ).select("id", "phash", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.phash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn("hamming", F.expr("bit_count(ha ^ hb)").cast("long"))
+        .where(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -157,3 +157,61 @@ def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sha2(F.col("content"), 256).alias("sha256"),
         )
     )
+
+
+def _sql_phash_oracle() -> str:
+    """The perceptual-hash pipeline replayed in SQL: the stub 'decode'
+    (md5-byte pixels from tokens) is deliberately SQL-expressible so
+    even the mapInPandas kernel path is bit-oracled — the real-codec
+    swap point is ONLY the pixel source."""
+    from streamprocessing_spark.operators.multimodal import (
+        PH_BITS,
+        PH_MAX_HAMMING,
+    )
+
+    px = (
+        "list_transform(range(0, {n}), i -> "
+        "CAST(('0x' || substr(md5('px:' || i || ':' || t[(i % n_tok) + 1]), 1, 2)) "
+        "AS BIGINT))"
+    ).format(n=PH_BITS)
+    bits = (
+        "list_sum(list_transform(range(0, {n}), i -> "
+        "CASE WHEN px[i + 1] > mean THEN (CAST(1 AS BIGINT) << CAST(i AS INTEGER)) "
+        "ELSE CAST(0 AS BIGINT) END))"
+    ).format(n=PH_BITS)
+    return f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents),
+    pxs AS MATERIALIZED (
+      SELECT doc_id, {px} AS px
+      FROM (SELECT doc_id, t, len(t) AS n_tok FROM toks WHERE len(t) > 0)),
+    h AS MATERIALIZED (
+      SELECT doc_id, CAST({bits} AS BIGINT) AS phash
+      FROM (SELECT doc_id, px, list_sum(px) / {PH_BITS}.0 AS mean FROM pxs)
+      UNION ALL
+      SELECT doc_id, CAST(0 AS BIGINT) FROM toks WHERE len(t) = 0)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.phash, b.phash)) AS BIGINT) AS hamming
+    FROM h a JOIN h b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.phash, b.phash)) <= {PH_MAX_HAMMING}
+    """
+
+
+@register(
+    "multimodal_phash_neardup",
+    oracle=_sql_phash_oracle(),
+    tags=("multimodal", "dedup", "llm-pipeline", "lsh"),
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over media payloads: an
+    Arrow-batched hash kernel (pixels from the stub decode — the
+    real-codec swap point), 4×15-bit band-bucket candidates (SimHash
+    pigeonhole ⇒ 100% recall at hamming ≤ 3), popcount verify. The
+    image-dedup stage of a multimodal curation pipeline: payloads never
+    shuffle, only 8-byte hashes do. The oracle replays the whole
+    pipeline including the kernel's arithmetic (its quadratic form —
+    fine at oracle scale; the banding IS the scale path)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = M.attach_payload(d, "doc_id", "text")
+    return M.phash_neardup_pairs(media)

@@ -152,6 +152,7 @@ _ROUND_NEW = frozenset(
         "snapshot_diff_changelog",
         "inverted_index_postings",
         "ann_ivfpq_topk",
+        "multimodal_phash_neardup",
     }
 )
 

@@ -433,3 +433,31 @@ def test_ivfpq_recall_and_adc_consistency(spark, sf_dir):
         got = {r.neighbor_id for r in per_q[q]}
         recalls.append(len(got & exact) / TOP_K)
     assert sum(recalls) / len(recalls) >= 0.3, f"IVFPQ recall too low: {recalls}"
+
+
+def test_phash_matches_pure_python(spark, sf_dir):
+    """The banded pHash pipeline must equal the quadratic pure-Python
+    recomputation exactly (second oracle, independent of DuckDB), and
+    the mapInPandas hash kernel must agree with phash_stub per doc."""
+    import itertools
+
+    from streamprocessing_spark.operators.multimodal import (
+        PH_MAX_HAMMING,
+        phash_stub,
+    )
+
+    rows = {
+        (r.id_a, r.id_b): r.hamming
+        for r in SPECS["multimodal_phash_neardup"].fn(spark, sf_dir).collect()
+    }
+    docs = {
+        r.doc_id: phash_stub(r.text.encode())
+        for r in load_table(spark, sf_dir, "documents").collect()
+    }
+    want = {}
+    for a, b in itertools.combinations(sorted(docs), 2):
+        h = bin(docs[a] ^ docs[b]).count("1")
+        if h <= PH_MAX_HAMMING:
+            want[(a, b)] = h
+    assert rows == want
+    assert rows, "pHash near-dup must be non-empty at test scale"
