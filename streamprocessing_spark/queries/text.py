@@ -929,3 +929,136 @@ def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
             "postings"
         ),
     )
+
+
+BPE_MERGES = 8  # full training rounds for bpe_train_segmentation
+
+
+def _sql_bpe_round(prev: str, out: str) -> str:
+    """One BPE training round in DuckDB SQL: corpus-weighted adjacent
+    symbol-pair counts over the current segmentation, argmax with the
+    (count DESC, pair ASC) tiebreak, then the merge applied as a
+    boundary-anchored string replace — left-to-right non-overlapping in
+    both engines, which IS greedy BPE merge semantics."""
+    return f"""
+    t_{out} AS MATERIALIZED (
+      SELECT (SELECT pair FROM (
+        SELECT s[i] || ' ' || s[i + 1] AS pair, sum(cnt) AS n
+        FROM (SELECT cnt, string_split(trim(sym), ' ') AS s FROM {prev}),
+             unnest(range(1, len(s))) AS u(i)
+        GROUP BY s[i] || ' ' || s[i + 1]
+        ORDER BY n DESC, pair LIMIT 1)) AS pair),
+    {out} AS MATERIALIZED (
+      SELECT word, cnt,
+             CASE WHEN t.pair IS NULL THEN sym
+                  ELSE replace(sym, ' ' || t.pair || ' ',
+                               ' ' || replace(t.pair, ' ', '') || ' ')
+             END AS sym
+      FROM {prev} CROSS JOIN t_{out} t)"""
+
+
+@register(
+    "bpe_train_segmentation",
+    oracle=f"""
+    WITH vocab AS MATERIALIZED (
+      SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_SQL_TOKENS}) AS tok FROM documents)
+      GROUP BY tok),
+    w0 AS MATERIALIZED (
+      SELECT word, cnt,
+             ' ' || array_to_string(
+               list_transform(range(1, length(word) + 1),
+                              i -> substr(word, i, 1)), ' ') || ' ' AS sym
+      FROM vocab),
+    {",".join(_sql_bpe_round(f'w{r}', f'w{r + 1}') for r in range(BPE_MERGES))}
+    SELECT word, cnt, trim(sym) AS encoded,
+           CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_pieces
+    FROM w{BPE_MERGES}
+    """,
+    tags=("text", "llm-pipeline", "tokenizer", "iterative"),
+)
+def bpe_train_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE tokenizer training (Sennrich et al. 2016), BPE_MERGES
+    rounds, and the resulting segmentation of every vocabulary word —
+    not just the first pair statistics (bpe_merge_pair_counts) but the
+    whole train loop: each round counts corpus-weighted adjacent symbol
+    pairs over the CURRENT segmentation, merges the argmax pair
+    everywhere (greedy left-to-right, the real BPE application rule),
+    and repeats. Output: (word, corpus count, learned segmentation,
+    piece count).
+
+    Entirely distributed AND driver-collect-free: the per-round argmax
+    is a 1-row aggregate broadcast back over the vocabulary (an empty
+    pair table degrades to a no-op round identically in both engines);
+    the merge applies as a boundary-anchored string replace, whose
+    left-to-right non-overlap semantics equal greedy BPE and agree
+    across engines. The oracle unrolls the identical rounds.
+
+    Scale: the classic BPE factoring — the corpus collapses ONCE to
+    (word, count) vocabulary (the only corpus-sized shuffle); every
+    training round then runs on vocabulary rows, which for real corpora
+    is ~10^6 rows independent of corpus bytes. localCheckpoint per
+    round keeps the plan flat. 31-word fixture vocabulary makes the
+    rounds small, not different."""
+    d = load_table(spark, sf_dir, "documents")
+    vocab = (
+        d.select(F.explode(T.tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    words = vocab.select(
+        "word",
+        "cnt",
+        F.concat(
+            F.lit(" "),
+            F.array_join(
+                F.expr(
+                    "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+                ),
+                " ",
+            ),
+            F.lit(" "),
+        ).alias("sym"),
+    ).localCheckpoint(eager=True)
+    for _ in range(BPE_MERGES):
+        syms = words.select(
+            "cnt", F.split(F.trim(F.col("sym")), " ").alias("s")
+        ).where(F.size("s") >= 2)
+        pairs = syms.select(
+            "cnt",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(s) - 1), "
+                    "i -> concat(element_at(s, i), ' ', element_at(s, i + 1)))"
+                )
+            ).alias("pair"),
+        )
+        top = (
+            pairs.groupBy("pair")
+            .agg(F.sum("cnt").alias("n"))
+            .orderBy(F.desc("n"), F.asc("pair"))
+            .limit(1)
+            .agg(F.first("pair").alias("pair"))  # exactly 1 row, NULL if no pairs
+        )
+        words = (
+            words.crossJoin(F.broadcast(top))
+            .select(
+                "word",
+                "cnt",
+                F.when(F.col("pair").isNull(), F.col("sym"))
+                .otherwise(
+                    F.expr(
+                        "replace(sym, concat(' ', pair, ' '), "
+                        "concat(' ', replace(pair, ' ', ''), ' '))"
+                    )
+                )
+                .alias("sym"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return words.select(
+        "word",
+        "cnt",
+        F.trim(F.col("sym")).alias("encoded"),
+        F.size(F.split(F.trim(F.col("sym")), " ")).cast("long").alias("n_pieces"),
+    )

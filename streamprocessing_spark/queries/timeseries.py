@@ -605,3 +605,127 @@ def interpolate_hourly_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.timestamp_micros("t").alias("hour_ts"),
         interp.cast("long").alias("interp_cents"),
     )
+
+
+BOOT_B = 32  # bootstrap replicates (deterministic hash-resampled)
+
+
+@register(
+    "bootstrap_ci_value_by_type",
+    oracle=f"""
+    WITH v AS MATERIALIZED (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             row_number() OVER (PARTITION BY event_type ORDER BY event_id) - 1
+               AS idx,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    draws AS MATERIALIZED (
+      SELECT event_type, n, r.r,
+             CAST(('0x' || substr(md5('bs:' || r.r || ':' || event_type || ':'
+                                      || idx), 1, 8)) AS BIGINT) % n AS tgt
+      FROM v, (SELECT unnest(generate_series(0, {BOOT_B - 1})) AS r) r),
+    means AS MATERIALIZED (
+      SELECT d.event_type, d.r,
+             CAST(sum(v.cents) // d.n AS BIGINT) AS mean_cents_r
+      FROM draws d
+      JOIN v ON v.event_type = d.event_type AND v.idx = d.tgt
+      GROUP BY d.event_type, d.r, d.n),
+    ranked AS (
+      SELECT event_type, mean_cents_r,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY mean_cents_r, r) AS rk
+      FROM means),
+    pt AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n_obs,
+             CAST(sum(cents) // count(*) AS BIGINT) AS mean_cents
+      FROM v GROUP BY event_type)
+    SELECT p.event_type, p.n_obs, p.mean_cents,
+           max(CASE WHEN rk = 2 THEN mean_cents_r END) AS ci_lo_cents,
+           max(CASE WHEN rk = {BOOT_B - 1} THEN mean_cents_r END) AS ci_hi_cents
+    FROM pt p JOIN ranked k ON k.event_type = p.event_type
+    GROUP BY p.event_type, p.n_obs, p.mean_cents
+    """,
+    tags=("timeseries", "aggregate", "statistics"),
+)
+def bootstrap_ci_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap confidence interval for the mean event value per type —
+    uncertainty quantification as a first-class distributed operator,
+    made DETERMINISTIC: replicate r's resample draws index
+    h32('bs:r:type:d') mod n for every draw position d (a fixed
+    multinomial realization both engines replay), so the 32 replicate
+    means — and the (2nd, 31st)-ranked ≈95% interval they induce — are
+    bit-identical everywhere. The textbook RNG bootstrap can't be
+    oracle-checked at all; the hash bootstrap has the same distributional
+    properties (md5 bytes are uniform) and is reproducible run-to-run,
+    which production significance monitoring needs anyway.
+
+    Shape: one window to index rows within each type, a B-way explode of
+    (position → drawn index) pairs, one co-partitioned join back to
+    values (the 'resample' — no data copied B times, just 8-byte draw
+    rows), and two bounded aggregations. All arithmetic exact integer
+    cents (mean as floor-div); at 100 TB the B× draw explosion is the
+    cost knob, and the per-partition Poisson approximation is the
+    documented relaxation when B×n must not materialize."""
+    ev = load_table(spark, sf_dir, "events")
+    w_idx = Window.partitionBy("event_type").orderBy("event_id")
+    v = ev.select(
+        "event_type",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+        (F.row_number().over(w_idx) - 1).alias("idx"),
+        F.count(F.lit(1)).over(Window.partitionBy("event_type")).alias("n"),
+        "event_id",
+    )
+    draws = v.select(
+        "event_type",
+        "n",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("r"),
+        "idx",
+    ).select(
+        "event_type",
+        "n",
+        "r",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit("bs:"),
+                            F.col("r"),
+                            F.lit(":"),
+                            F.col("event_type"),
+                            F.lit(":"),
+                            F.col("idx"),
+                        ).cast("binary")
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % F.col("n")
+        ).alias("tgt"),
+    )
+    vals = v.select("event_type", F.col("idx").alias("tgt"), "cents")
+    means = (
+        draws.join(vals, ["event_type", "tgt"])
+        .groupBy("event_type", "r", "n")
+        .agg(F.expr("CAST(sum(cents) div n AS BIGINT)").alias("mean_cents_r"))
+        .select("event_type", "r", "mean_cents_r")
+    )
+    w_rk = Window.partitionBy("event_type").orderBy("mean_cents_r", "r")
+    ranked = means.withColumn("rk", F.row_number().over(w_rk))
+    pt = v.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+        F.expr("CAST(sum(cents) div count(*) AS BIGINT)").alias("mean_cents"),
+    )
+    ci = ranked.groupBy("event_type").agg(
+        F.max(F.when(F.col("rk") == 2, F.col("mean_cents_r"))).alias("ci_lo_cents"),
+        F.max(F.when(F.col("rk") == BOOT_B - 1, F.col("mean_cents_r"))).alias(
+            "ci_hi_cents"
+        ),
+    )
+    return pt.join(ci, "event_type").select(
+        "event_type", "n_obs", "mean_cents", "ci_lo_cents", "ci_hi_cents"
+    )

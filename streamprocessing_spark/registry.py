@@ -153,6 +153,8 @@ _ROUND_NEW = frozenset(
         "inverted_index_postings",
         "ann_ivfpq_topk",
         "multimodal_phash_neardup",
+        "bootstrap_ci_value_by_type",
+        "bpe_train_segmentation",
     }
 )
 

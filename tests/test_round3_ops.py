@@ -461,3 +461,71 @@ def test_phash_matches_pure_python(spark, sf_dir):
             want[(a, b)] = h
     assert rows == want
     assert rows, "pHash near-dup must be non-empty at test scale"
+
+
+def test_bpe_matches_reference_implementation(spark, sf_dir):
+    """The distributed BPE trainer must equal a pure-Python textbook BPE
+    (Sennrich-style: count weighted adjacent pairs, merge the argmax
+    greedily left-to-right, repeat) — second oracle, independent of
+    DuckDB — and every segmentation must concatenate back to its word."""
+    import re
+    from collections import Counter
+
+    from streamprocessing_spark.queries.text import BPE_MERGES
+
+    rows = {
+        r.word: (r.cnt, r.encoded, r.n_pieces)
+        for r in SPECS["bpe_train_segmentation"].fn(spark, sf_dir).collect()
+    }
+    texts = [
+        r.text for r in load_table(spark, sf_dir, "documents").select("text").collect()
+    ]
+    vocab = Counter(t for x in texts for t in re.findall(r"[a-z0-9]+", x.lower()))
+    segs = {w: list(w) for w in vocab}
+    for _ in range(BPE_MERGES):
+        counts: Counter = Counter()
+        for w, s in segs.items():
+            for i in range(len(s) - 1):
+                counts[(s[i], s[i + 1])] += vocab[w]
+        if not counts:
+            break
+        best = min(counts, key=lambda p: (-counts[p], f"{p[0]} {p[1]}"))
+        for w, s in segs.items():
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and (s[i], s[i + 1]) == best:
+                    out.append(s[i] + s[i + 1])
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            segs[w] = out
+    assert set(rows) == set(segs)
+    for w, (cnt, encoded, n_pieces) in rows.items():
+        assert cnt == vocab[w]
+        assert encoded.split(" ") == segs[w], (w, encoded, segs[w])
+        assert "".join(encoded.split(" ")) == w
+        assert n_pieces == len(segs[w])
+
+
+def test_bootstrap_ci_brackets_mean(spark, sf_dir):
+    """The bootstrap interval must be ordered and bracket the point
+    estimate at this sample size; replicate means must be plausible
+    (between per-type min and max)."""
+    rows = SPECS["bootstrap_ci_value_by_type"].fn(spark, sf_dir).collect()
+    assert rows
+    stats = {
+        r.event_type: (r.mn, r.mx)
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(
+            F.min(F.floor(F.col("value") * 100.0 + 0.5)).alias("mn"),
+            F.max(F.floor(F.col("value") * 100.0 + 0.5)).alias("mx"),
+        )
+        .collect()
+    }
+    for r in rows:
+        assert r.ci_lo_cents <= r.ci_hi_cents
+        assert r.ci_lo_cents <= r.mean_cents <= r.ci_hi_cents
+        mn, mx = stats[r.event_type]
+        assert mn <= r.ci_lo_cents and r.ci_hi_cents <= mx
