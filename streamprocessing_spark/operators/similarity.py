@@ -432,10 +432,22 @@ def kmeans_assign(
 
 
 def _kmeans_loop(
-    emb: DataFrame, k: int, iters: int, id_col: str, vec_col: str
+    emb: DataFrame,
+    k: int,
+    iters: int,
+    id_col: str,
+    vec_col: str,
+    init_cent: DataFrame | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(final assignment, final (k, s, cnt) centroid state) — shared by
-    kmeans_assign and kmeans_centroids."""
+    kmeans_assign and kmeans_centroids.
+
+    ``init_cent`` resumes training from a persisted (k, s, cnt) state
+    table instead of the smallest-id init: because the centroid state is
+    EXACT integers (never a float mean), save → resume → continue is
+    bit-identical to an uninterrupted run — the checkpoint/restart
+    property iterative float pipelines can't have (asserted in
+    tests/test_round3_ops.py)."""
     q = emb.select(
         F.col(id_col).alias("id"),
         F.expr(
@@ -443,8 +455,12 @@ def _kmeans_loop(
             f"CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}.0 + 0.5) AS BIGINT))"
         ).alias("xi"),
     ).localCheckpoint(eager=True)  # re-scored every iteration
-    cent = q.where(F.col("id") < k).select(
-        F.col("id").alias("k"), F.col("xi").alias("s"), F.lit(1).cast("long").alias("cnt")
+    cent = (
+        init_cent
+        if init_cent is not None
+        else q.where(F.col("id") < k).select(
+            F.col("id").alias("k"), F.col("xi").alias("s"), F.lit(1).cast("long").alias("cnt")
+        )
     )
     asg = None
     for _ in range(iters):

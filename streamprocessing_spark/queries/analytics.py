@@ -2241,3 +2241,152 @@ def snapshot_diff_changelog(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("a.cents").alias("old_cents"),
         F.col("b.cents").alias("new_cents"),
     )
+
+
+DUP_CHARGE_TOL = 50  # cents tolerance for a suspected duplicate charge
+DUP_CHARGE_BAND = 50  # band width == tolerance: candidates in band ±1
+
+
+@register(
+    "duplicate_charge_candidates",
+    oracle=f"""
+    WITH e AS (
+      SELECT user_id, event_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase')
+    SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+           a.cents AS cents_a, b.cents AS cents_b,
+           abs(a.cents - b.cents) AS diff_cents
+    FROM e a JOIN e b
+      ON a.user_id = b.user_id AND a.event_id < b.event_id
+    WHERE abs(a.cents - b.cents) <= {DUP_CHARGE_TOL}
+    """,
+    tags=("analytics", "join", "theta-join"),
+)
+def duplicate_charge_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate transaction detection (the fraud/duplicate-charge
+    audit): purchase pairs by the same user whose amounts differ by ≤ 50
+    cents. The predicate is a THETA join (|a−b| ≤ t) that hash joins
+    cannot express — the scale pattern is VALUE BANDING: each row lands
+    in bucket floor(cents/w) and probes buckets {{b−1, b, b+1}} (w = t,
+    so any qualifying pair shares or neighbors a band — lossless), the
+    equi-join runs on (user, band), and only banded candidates pay the
+    exact |diff| filter. The oracle states the quadratic per-user
+    self-join; a pass proves the banding dropped no pair.
+
+    At 100 TB: the shuffle keys on (user, band) so a user's huge history
+    splits across value bands instead of one reducer, and candidate
+    volume is Σ band-bucket products, not Σ per-user n² — the same
+    bucketing argument as the LSH tiers, here for a numeric metric."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        "event_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    probe = e.select(
+        "user_id",
+        "event_id",
+        "cents",
+        F.explode(
+            F.array(
+                F.expr(f"cents div {DUP_CHARGE_BAND} - 1"),
+                F.expr(f"cents div {DUP_CHARGE_BAND}"),
+                F.expr(f"cents div {DUP_CHARGE_BAND} + 1"),
+            )
+        ).alias("band"),
+    )
+    home = e.select(
+        "user_id",
+        F.col("event_id").alias("id_b"),
+        F.col("cents").alias("cents_b"),
+        F.expr(f"cents div {DUP_CHARGE_BAND}").alias("band"),
+    )
+    return (
+        probe.join(home, ["user_id", "band"])
+        .where(
+            (F.col("event_id") < F.col("id_b"))
+            & (F.abs(F.col("cents") - F.col("cents_b")) <= DUP_CHARGE_TOL)
+        )
+        .select(
+            "user_id",
+            F.col("event_id").alias("id_a"),
+            "id_b",
+            F.col("cents").alias("cents_a"),
+            "cents_b",
+            F.abs(F.col("cents") - F.col("cents_b")).alias("diff_cents"),
+        )
+        .distinct()
+    )
+
+
+@register(
+    "pit_join_profile_history",
+    oracle="""
+    WITH un AS (
+      SELECT user_id, ts, event_id, 0 AS tag, event_type AS ptype
+      FROM events WHERE event_id % 7 = 0
+      UNION ALL
+      SELECT user_id, ts, event_id, 1 AS tag, NULL AS ptype
+      FROM events WHERE event_type = 'purchase'),
+    w AS (
+      SELECT user_id, ts, event_id, tag,
+             last_value(ptype IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, tag, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pit_type,
+             last_value(CASE WHEN tag = 0 THEN ts END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, tag, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pit_since
+      FROM un)
+    SELECT event_id, user_id,
+           coalesce(pit_type, 'unknown') AS pit_type,
+           coalesce(strftime(pit_since, '%Y-%m-%d %H:%M:%S.%f'), 'never')
+             AS pit_since
+    FROM w WHERE tag = 1
+    """,
+    tags=("analytics", "join", "asof", "llm-pipeline"),
+)
+def pit_join_profile_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POINT-IN-TIME join — the feature-store primitive that prevents
+    training-data leakage: every purchase (fact) is joined to the
+    profile state that was valid AT ITS TIMESTAMP, taken from a sparse
+    change feed (events with event_id % 7 == 0 stand in for the
+    dimension's change stream), never to a later state. Facts before a
+    user's first change get the explicit 'unknown' sentinel.
+
+    Executed as the union + ordered-window as-of pattern (no join at
+    all): one shuffle on the entity key, changes sorted before facts at
+    equal timestamps (a change effective exactly at the fact's time IS
+    visible to it), ignore-null last_value carries state forward. At
+    100 TB this beats the naive interval join (which must range-probe
+    every fact against every historical version) — the window reads
+    each row once in one sort."""
+    ev = load_table(spark, sf_dir, "events")
+    changes = ev.where(F.col("event_id") % 7 == 0).select(
+        "user_id", "ts", "event_id", F.lit(0).alias("tag"), F.col("event_type").alias("ptype")
+    )
+    facts = ev.where(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "event_id", F.lit(1).alias("tag"),
+        F.lit(None).cast("string").alias("ptype"),
+    )
+    un = changes.unionByName(facts)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    change_ts = F.when(F.col("tag") == 0, F.col("ts"))
+    scored = un.select(
+        "event_id",
+        "user_id",
+        "tag",
+        F.last("ptype", ignorenulls=True).over(w).alias("pit_type"),
+        F.last(change_ts, ignorenulls=True).over(w).alias("pit_since"),
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return scored.where(F.col("tag") == 1).select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("pit_type"), F.lit("unknown")).alias("pit_type"),
+        F.coalesce(F.date_format("pit_since", fmt), F.lit("never")).alias("pit_since"),
+    )

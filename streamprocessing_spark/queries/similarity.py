@@ -3,7 +3,7 @@ extension: ANN over an array<float> column)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streamprocessing_spark.operators import similarity as S
@@ -766,3 +766,56 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
     )
     return S.ivfpq_topk(emb, queries, TOP_K)
+
+
+@register(
+    "quantile_normalize_embeddings",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id, CAST(u.i - 1 AS BIGINT) AS dim,
+             CAST(embedding[u.i] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+    n AS (SELECT count(*) AS n FROM embeddings),
+    r AS (
+      SELECT vec_id, dim,
+             row_number() OVER (PARTITION BY dim ORDER BY x, vec_id) - 1 AS rk
+      FROM d)
+    SELECT r.vec_id, r.dim,
+           floor(CAST(rk AS DOUBLE) / (n.n - 1) * 1000000.0 + 0.5) / 1000000.0
+             AS qval
+    FROM r, n
+    """,
+    tags=("similarity", "llm-pipeline", "window"),
+)
+def quantile_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension quantile (rank) normalization of the embedding
+    matrix — the feature-preprocessing transform that makes dimensions
+    comparable regardless of their marginal distributions (rank/(n−1) ∈
+    [0,1]). Ranks are row_number with the (value, vec_id) unique
+    tiebreak, so equal values get deterministic distinct ranks in both
+    engines; the single division is the identical IEEE expression,
+    rounded to 6 dp. Output exploded as (vec_id, dim, qval) rows —
+    array-free comparison, and the layout a feature store ingests.
+
+    Scale shape: one posexplode (narrow), one shuffle partitioned BY
+    DIMENSION — 64 independent sorts of n values each, the transposed
+    parallelism that never sorts the whole matrix in one task. At 100 TB
+    per-dim sorts are the textbook distributed quantile transform; for
+    approximate variants swap row_number for the percentile sketch."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id", F.posexplode("embedding").alias("dim", "xf")
+    ).select("vec_id", F.col("dim").cast("long").alias("dim"), F.col("xf").cast("double").alias("x"))
+    n = emb.agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("dim").orderBy("x", "vec_id")
+    r = d.select(
+        "vec_id", "dim", (F.row_number().over(w) - 1).alias("rk")
+    )
+    return r.crossJoin(F.broadcast(n)).select(
+        "vec_id",
+        "dim",
+        (
+            F.floor(F.col("rk").cast("double") / (F.col("n") - 1) * 1000000.0 + 0.5)
+            / 1000000.0
+        ).alias("qval"),
+    )

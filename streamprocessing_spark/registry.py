@@ -155,6 +155,9 @@ _ROUND_NEW = frozenset(
         "multimodal_phash_neardup",
         "bootstrap_ci_value_by_type",
         "bpe_train_segmentation",
+        "duplicate_charge_candidates",
+        "quantile_normalize_embeddings",
+        "pit_join_profile_history",
     }
 )
 

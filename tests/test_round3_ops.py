@@ -529,3 +529,104 @@ def test_bootstrap_ci_brackets_mean(spark, sf_dir):
         assert r.ci_lo_cents <= r.mean_cents <= r.ci_hi_cents
         mn, mx = stats[r.event_type]
         assert mn <= r.ci_lo_cents and r.ci_hi_cents <= mx
+
+
+def test_duplicate_charge_pairs_valid(spark, sf_dir):
+    """Every emitted pair: same user, both purchases, canonical order,
+    |diff| within tolerance — and the pair count matches a quadratic
+    recomputation in Python."""
+    import itertools
+    from collections import defaultdict
+
+    from streamprocessing_spark.queries.analytics import DUP_CHARGE_TOL
+
+    rows = SPECS["duplicate_charge_candidates"].fn(spark, sf_dir).collect()
+    ev = defaultdict(list)
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("user_id", "event_id", F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"))
+        .collect()
+    ):
+        ev[r.user_id].append((r.event_id, r.cents))
+    want = set()
+    for u, lst in ev.items():
+        for (ia, ca), (ib, cb) in itertools.combinations(sorted(lst), 2):
+            if abs(ca - cb) <= DUP_CHARGE_TOL:
+                want.add((u, ia, ib))
+    got = {(r.user_id, r.id_a, r.id_b) for r in rows}
+    assert got == want
+    for r in rows:
+        assert r.id_a < r.id_b and r.diff_cents == abs(r.cents_a - r.cents_b) <= DUP_CHARGE_TOL
+
+
+def test_quantile_normalization_is_uniform_per_dim(spark, sf_dir):
+    """Each dimension's qvals must be exactly the uniform grid
+    {0, 1/(n-1), ..., 1} — the defining property of a rank transform."""
+    from collections import defaultdict
+
+    rows = SPECS["quantile_normalize_embeddings"].fn(spark, sf_dir).collect()
+    per_dim = defaultdict(list)
+    for r in rows:
+        per_dim[r.dim].append(r.qval)
+    n = load_table(spark, sf_dir, "embeddings").count()
+    import math
+
+    grid = sorted(math.floor(i / (n - 1) * 1e6 + 0.5) / 1e6 for i in range(n))
+    for dim, vals in per_dim.items():
+        assert sorted(vals) == grid, dim
+
+
+def test_pit_join_never_leaks_future_state(spark, sf_dir):
+    """The leakage law: every fact's assigned profile state must come
+    from a change at-or-before the fact's timestamp (never after), and
+    the 'unknown'/'never' sentinels must coincide."""
+    from collections import defaultdict
+
+    rows = SPECS["pit_join_profile_history"].fn(spark, sf_dir).collect()
+    assert rows
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts", "event_type"
+    ).collect()
+    facts = {r.event_id: r for r in ev if r.event_type == "purchase"}
+    changes = defaultdict(list)
+    for r in ev:
+        if r.event_id % 7 == 0:
+            changes[r.user_id].append((r.ts, r.event_id, r.event_type))
+    seen_real = seen_sentinel = 0
+    for r in rows:
+        fact = facts[r.event_id]
+        valid = [c for c in sorted(changes[r.user_id]) if c[0] <= fact.ts]
+        if r.pit_type == "unknown":
+            assert r.pit_since == "never" and not valid
+            seen_sentinel += 1
+        else:
+            assert valid and valid[-1][2] == r.pit_type, r.event_id
+            seen_real += 1
+    assert seen_real > 0, "PIT join must assign real state at test scale"
+
+
+def test_kmeans_checkpoint_resume_is_bit_identical(spark, sf_dir, tmp_path):
+    """Iterative-job fault tolerance: persist the exact-integer centroid
+    state after 1 Lloyd round, resume 2 more rounds from the parquet
+    state, and the final assignment must be BIT-IDENTICAL to an
+    uninterrupted 3-round run (the property float-mean centroids lose
+    to accumulation order)."""
+    from streamprocessing_spark.operators.similarity import (
+        KMEANS_ITERS,
+        KMEANS_K,
+        _kmeans_loop,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    direct, _ = _kmeans_loop(emb, KMEANS_K, KMEANS_ITERS, "vec_id", "embedding")
+    direct_rows = {(r.id, r.k) for r in direct.collect()}
+
+    _, cent1 = _kmeans_loop(emb, KMEANS_K, 1, "vec_id", "embedding")
+    state = str(tmp_path / "cent_state")
+    cent1.write.mode("overwrite").parquet(state)  # the checkpoint
+    restored = spark.read.parquet(state)
+    resumed, _ = _kmeans_loop(
+        emb, KMEANS_K, KMEANS_ITERS - 1, "vec_id", "embedding", init_cent=restored
+    )
+    assert {(r.id, r.k) for r in resumed.collect()} == direct_rows
