@@ -731,3 +731,61 @@ def curation_manifest_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(src, "doc_id")
         .select("doc_id", "lang", "source", "n_tokens", "split")
     )
+
+
+@register(
+    "weighted_median_price_by_flag",
+    oracle="""
+    WITH v AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS w
+      FROM lineitem),
+    tot AS (SELECT flag, sum(w) AS tw FROM v GROUP BY flag),
+    vc AS (SELECT flag, cents, sum(w) AS wc FROM v GROUP BY flag, cents),
+    vcum AS (
+      SELECT flag, cents,
+             sum(wc) OVER (PARTITION BY flag ORDER BY cents) AS cum
+      FROM vc)
+    SELECT vcum.flag AS l_returnflag,
+           CAST(min(cents) AS BIGINT) AS weighted_median_cents,
+           CAST(max(tot.tw) AS BIGINT) AS total_weight_x100
+    FROM vcum JOIN tot ON tot.flag = vcum.flag
+    WHERE cum * 2 >= tot.tw
+    GROUP BY vcum.flag
+    """,
+    tags=("curation", "aggregate", "statistics"),
+)
+def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact WEIGHTED median (50% of total weight mass at or below) of
+    extended price per return flag, weighted by quantity — the
+    inventory-weighted "typical price" statistic, and a canonically
+    hard-to-distribute exact aggregate (no algebraic merge exists).
+
+    The distributable form: collapse to the distinct-VALUE weighted
+    histogram first (one map-side-combinable groupBy — the shuffle
+    carries one row per distinct value, never per row), then a
+    per-group cumulative window finds the smallest value whose
+    cumulative weight reaches half the total. Weights and values are
+    exact money-scaled integers; the half-mass test is the integer
+    cross-multiplication cum·2 ≥ total (no division). Same machinery as
+    the MAD medians, generalized to weighted mass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long").alias("cents"),
+        F.floor(F.col("l_quantity") * 100.0 + 0.5).cast("long").alias("w"),
+    )
+    tot = v.groupBy("flag").agg(F.sum("w").alias("tw"))
+    vc = v.groupBy("flag", "cents").agg(F.sum("w").alias("wc"))
+    w_cum = Window.partitionBy("flag").orderBy("cents")
+    vcum = vc.withColumn("cum", F.sum("wc").over(w_cum))
+    return (
+        vcum.join(F.broadcast(tot), "flag")
+        .where(F.col("cum") * 2 >= F.col("tw"))
+        .groupBy(F.col("flag").alias("l_returnflag"))
+        .agg(
+            F.min("cents").cast("long").alias("weighted_median_cents"),
+            F.max("tw").cast("long").alias("total_weight_x100"),
+        )
+    )

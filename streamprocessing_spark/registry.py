@@ -158,6 +158,7 @@ _ROUND_NEW = frozenset(
         "duplicate_charge_candidates",
         "quantile_normalize_embeddings",
         "pit_join_profile_history",
+        "weighted_median_price_by_flag",
     }
 )
 
