@@ -729,3 +729,81 @@ def bootstrap_ci_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pt.join(ci, "event_type").select(
         "event_type", "n_obs", "mean_cents", "ci_lo_cents", "ci_hi_cents"
     )
+
+
+SLIDE_DAYS = 7  # trailing window width (days)
+
+
+@register(
+    "sliding_distinct_users_7d",
+    oracle=f"""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+    b AS (SELECT min(day) AS lo, max(day) AS hi FROM act),
+    grid AS (
+      SELECT CAST(unnest(generate_series(CAST(lo AS TIMESTAMP),
+                                         CAST(hi AS TIMESTAMP),
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+      FROM b)
+    SELECT g.day,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active_users
+    FROM grid g
+    LEFT JOIN act a
+      ON a.day <= g.day AND a.day >= g.day - {SLIDE_DAYS - 1}
+    GROUP BY g.day
+    """,
+    tags=("timeseries", "window", "aggregate"),
+)
+def sliding_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT trailing-7-day distinct active users for every day — the
+    sliding-window COUNT DISTINCT that naive engines recompute from
+    scratch per window (7× re-aggregation) and sketches only
+    approximate. Decomposition makes it one pass: a user counts in
+    window D iff D falls in the union of [a, a+6] intervals over their
+    activity days; merge those per user (gaps-and-islands — a new
+    island when the gap exceeds the window), emit +1/−1 boundary deltas
+    per island, and one running sum over the day grid yields every
+    window's exact count. Work is O(activity days + islands), not
+    O(days × window).
+
+    Shuffles: the (user, day) dedup, the per-user island window, one
+    bounded delta aggregation; the final running sum runs over the DAY
+    GRID — dozens of rows, the tiny-by-construction global window the
+    layout queries also use. The oracle is the quadratic
+    day × activity containment join."""
+    ev = load_table(spark, sf_dir, "events")
+    act = ev.select("user_id", F.to_date("ts").alias("day")).distinct()
+    w_prev = Window.partitionBy("user_id").orderBy("day")
+    flagged = act.withColumn(
+        "new_island",
+        F.when(
+            F.datediff(F.col("day"), F.lag("day").over(w_prev)) > SLIDE_DAYS - 1,
+            F.lit(1),
+        )
+        .when(F.lag("day").over(w_prev).isNull(), F.lit(1))
+        .otherwise(F.lit(0)),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    islands = flagged.withColumn("island", F.sum("new_island").over(w_run))
+    spans = islands.groupBy("user_id", "island").agg(
+        F.min("day").alias("start"),
+        F.date_add(F.max("day"), SLIDE_DAYS).alias("end_excl"),
+    )
+    deltas = spans.select(F.col("start").alias("day"), F.lit(1).alias("d")).unionByName(
+        spans.select(F.col("end_excl").alias("day"), F.lit(-1).alias("d"))
+    )
+    day_deltas = deltas.groupBy("day").agg(F.sum("d").alias("delta"))
+    bounds = act.agg(F.min("day").alias("lo"), F.max("day").alias("hi"))
+    grid = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("interval 1 day"))).alias("day")
+    )
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return (
+        grid.join(day_deltas, "day", "left")
+        .select("day", F.coalesce("delta", F.lit(0)).alias("delta"))
+        .select("day", F.sum("delta").over(w_cum).cast("long").alias("n_active_users"))
+    )

@@ -159,6 +159,8 @@ _ROUND_NEW = frozenset(
         "quantile_normalize_embeddings",
         "pit_join_profile_history",
         "weighted_median_price_by_flag",
+        "join_size_sketch_estimate",
+        "sliding_distinct_users_7d",
     }
 )
 

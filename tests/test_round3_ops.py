@@ -630,3 +630,43 @@ def test_kmeans_checkpoint_resume_is_bit_identical(spark, sf_dir, tmp_path):
         emb, KMEANS_K, KMEANS_ITERS - 1, "vec_id", "embedding", init_cent=restored
     )
     assert {(r.id, r.k) for r in resumed.collect()} == direct_rows
+
+
+def test_sliding_distinct_decomposition_equals_brute_force(spark, sf_dir):
+    """Interval-decomposition sliding distinct must equal the brute-force
+    per-day recount in Python (third implementation, independent of
+    both engines' SQL)."""
+    from datetime import timedelta
+
+    from streamprocessing_spark.queries.timeseries import SLIDE_DAYS
+
+    rows = {
+        r.day: r.n_active_users
+        for r in SPECS["sliding_distinct_users_7d"].fn(spark, sf_dir).collect()
+    }
+    act = {
+        (r.user_id, r.day)
+        for r in load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+        .collect()
+    }
+    days = sorted({d for _, d in act})
+    lo, hi = days[0], days[-1]
+    d = lo
+    while d <= hi:
+        active = {
+            u for (u, ad) in act if d - timedelta(days=SLIDE_DAYS - 1) <= ad <= d
+        }
+        assert rows[d] == len(active), d
+        d += timedelta(days=1)
+    assert set(rows) == {lo + timedelta(days=i) for i in range((hi - lo).days + 1)}
+
+
+def test_ams_estimate_is_close_and_audited(spark, sf_dir):
+    """The signed-AMS join-size estimate must be within 25% of the truth
+    at test scale and the audit columns must reconcile."""
+    row = SPECS["join_size_sketch_estimate"].fn(spark, sf_dir).collect()[0]
+    assert row.abs_err == abs(row.est_rows - row.true_rows)
+    assert row.true_rows > 0
+    assert row.abs_err <= 0.25 * row.true_rows, (row.est_rows, row.true_rows)
