@@ -807,3 +807,71 @@ def sliding_distinct_users_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("day", F.coalesce("delta", F.lit(0)).alias("delta"))
         .select("day", F.sum("delta").over(w_cum).cast("long").alias("n_active_users"))
     )
+
+
+CUSUM_K_NUM = 5  # flag when |S_d| > (K_NUM/K_DEN)·total·n_days — 5‰ trips
+CUSUM_K_DEN = 1000  # on real fluctuation at every fixture scale (measured
+# max scaled ratio 97.5/18.1/7.5 per mille at sf0.001/0.01/0.1), so BOTH
+# flag branches stay populated
+
+
+@register(
+    "cusum_changepoint_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, count(*) AS c
+      FROM events GROUP BY 1, 2),
+    tot AS (
+      SELECT event_type, sum(c) AS total, count(*) AS n_days
+      FROM daily GROUP BY event_type),
+    s AS (
+      SELECT d.event_type, d.day,
+             sum(d.c * t.n_days - t.total) OVER (
+               PARTITION BY d.event_type ORDER BY d.day) AS s_scaled,
+             t.total, t.n_days
+      FROM daily d JOIN tot t ON t.event_type = d.event_type)
+    SELECT event_type, day,
+           CAST(s_scaled AS BIGINT) AS cusum_scaled,
+           CAST(abs(s_scaled) > ({CUSUM_K_NUM} * total * n_days) / {CUSUM_K_DEN}
+                AS BIGINT) AS drift_flag
+    FROM s
+    """,
+    tags=("timeseries", "window", "statistics"),
+)
+def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection over the daily event-rate series per type:
+    the running sum of deviations from the series mean, the classic
+    change-point statistic (a persistent rate shift accumulates
+    linearly; noise cancels). INTEGER-EXACT throughout: instead of
+    c_i − total/n (a fraction), accumulate the ×n_days-scaled residual
+    c_i·n − total, whose running sum is a BIGINT both engines agree on;
+    the drift flag compares |S| against a scaled threshold with integer
+    cross-multiplication. The monitoring op that catches 'this source's
+    volume shifted on day X' in a 100 TB ingest.
+
+    One bounded daily aggregation, a broadcast of per-type totals, one
+    running-sum window per type (state = one day's row). The oracle
+    replays the identical scaled arithmetic."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = daily.groupBy("event_type").agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("n_days")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    s = daily.join(F.broadcast(tot), "event_type").withColumn(
+        "s_scaled",
+        F.sum(F.col("c") * F.col("n_days") - F.col("total")).over(w),
+    )
+    return s.select(
+        "event_type",
+        "day",
+        F.col("s_scaled").cast("long").alias("cusum_scaled"),
+        (
+            F.abs(F.col("s_scaled"))
+            > (CUSUM_K_NUM * F.col("total") * F.col("n_days")) / CUSUM_K_DEN
+        )
+        .cast("long")
+        .alias("drift_flag"),
+    )

@@ -161,6 +161,7 @@ _ROUND_NEW = frozenset(
         "weighted_median_price_by_flag",
         "join_size_sketch_estimate",
         "sliding_distinct_users_7d",
+        "cusum_changepoint_daily",
     }
 )
 

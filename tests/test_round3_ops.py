@@ -670,3 +670,21 @@ def test_ams_estimate_is_close_and_audited(spark, sf_dir):
     assert row.abs_err == abs(row.est_rows - row.true_rows)
     assert row.true_rows > 0
     assert row.abs_err <= 0.25 * row.true_rows, (row.est_rows, row.true_rows)
+
+
+def test_cusum_telescopes_and_flags_both_ways(spark, sf_dir):
+    """CUSUM invariants: the scaled running sum telescopes to zero on
+    each series' last day (Σ(c·n − total) = 0), and the drift flag is
+    non-vacuous in BOTH directions at test scale."""
+    rows = SPECS["cusum_changepoint_daily"].fn(spark, sf_dir).collect()
+    assert rows
+    last = {}
+    flags = set()
+    for r in rows:
+        cur = last.get(r.event_type)
+        if cur is None or r.day > cur[0]:
+            last[r.event_type] = (r.day, r.cusum_scaled)
+        flags.add(r.drift_flag)
+    for t, (_, s_final) in last.items():
+        assert s_final == 0, (t, s_final)
+    assert flags == {0, 1}, "both flag branches must be exercised"
