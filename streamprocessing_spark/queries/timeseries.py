@@ -875,3 +875,67 @@ def cusum_changepoint_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("drift_flag"),
     )
+
+
+@register(
+    "clamped_running_balance",
+    oracle="""
+    WITH flows AS (
+      SELECT user_id, ts, event_id,
+             CASE event_type
+               WHEN 'purchase' THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+               WHEN 'error' THEN -CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+             END AS flow
+      FROM events WHERE event_type IN ('purchase', 'error')),
+    r AS (
+      SELECT user_id, ts, event_id, flow,
+             sum(flow) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS run
+      FROM flows),
+    s AS (
+      SELECT user_id, ts, event_id, flow, run,
+             min(run) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS run_min
+      FROM r)
+    SELECT event_id, user_id, flow,
+           CAST(run - least(CAST(0 AS BIGINT), run_min) AS BIGINT)
+             AS balance_cents
+    FROM s
+    """,
+    tags=("timeseries", "window", "statistics"),
+)
+def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Floor-clamped running balance (credits from purchases, debits from
+    errors, balance never below zero) — the inventory/wallet semantics
+    that LOOKS non-associative (each step depends on the clamped prior
+    state, the textbook excuse for a sequential UDF loop) but has the
+    exact closed form B_i = S_i − min(0, min_{j≤i} S_j): whatever the
+    clamp absorbed is exactly the most negative prefix. Two stacked
+    windows over ONE (user, time) sort — fully distributed, integer
+    cents, bit-exact in both engines; no mapPartitions, no Python.
+
+    The general lesson this operator documents: before reaching for a
+    stateful kernel, check whether the recurrence has a prefix-scan
+    closed form — this one, running max/min, and exponential decay with
+    constant rate all do."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    flows = ev.where(F.col("event_type").isin("purchase", "error")).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "purchase", cents).otherwise(-cents).alias("flow"),
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    s = flows.withColumn("run", F.sum("flow").over(w)).withColumn(
+        "run_min", F.min("run").over(w_cum)
+    )
+    return s.select(
+        "event_id",
+        "user_id",
+        "flow",
+        (F.col("run") - F.least(F.lit(0).cast("long"), F.col("run_min")))
+        .cast("long")
+        .alias("balance_cents"),
+    )

@@ -162,6 +162,7 @@ _ROUND_NEW = frozenset(
         "join_size_sketch_estimate",
         "sliding_distinct_users_7d",
         "cusum_changepoint_daily",
+        "clamped_running_balance",
     }
 )
 

@@ -688,3 +688,31 @@ def test_cusum_telescopes_and_flags_both_ways(spark, sf_dir):
     for t, (_, s_final) in last.items():
         assert s_final == 0, (t, s_final)
     assert flags == {0, 1}, "both flag branches must be exercised"
+
+
+def test_clamped_balance_matches_sequential_simulation(spark, sf_dir):
+    """The prefix-scan closed form must equal the stateful sequential
+    simulation (the definitional semantics), and clamping must actually
+    BITE at test scale (some balance < naive running sum)."""
+    from collections import defaultdict
+
+    rows = SPECS["clamped_running_balance"].fn(spark, sf_dir).collect()
+    by_user = defaultdict(list)
+    ev = {
+        r.event_id: (r.user_id, r.ts)
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts")
+        .collect()
+    }
+    for r in rows:
+        by_user[r.user_id].append((ev[r.event_id][1], r.event_id, r.flow, r.balance_cents))
+    clamp_bit = False
+    for u, lst in by_user.items():
+        bal = naive = 0
+        for _, _, flow, got in sorted(lst):
+            bal = max(0, bal + flow)
+            naive += flow
+            assert got == bal, (u, got, bal)
+            if bal != naive:
+                clamp_bit = True
+    assert clamp_bit, "the clamp must engage somewhere at test scale"

@@ -491,3 +491,69 @@ def test_stateful_alerts_exactly_once_through_task_failure(spark, sf_dir, tmp_pa
     with open(marker) as f:
         kills = f.read().splitlines()
     assert len(kills) >= 1, "failure injection never triggered"
+
+
+def test_watermark_drops_late_data_after_state_eviction(spark, tmp_path):
+    """Event-time semantics proof, stated the way Spark actually
+    guarantees it: the watermark promises INCLUSION of data within the
+    delay, and drops a late row only once its window's state has been
+    evicted (emitted in an earlier batch). Batch 1 closes window
+    [9,10); batch 2's 9:30 straggler then hits evicted state and is
+    dropped, while rows for still-open windows are admitted. The closed
+    windows in the append sink expose exactly what survived."""
+    import os
+    import shutil
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    base = str(tmp_path / "late")
+    src = f"{base}/src"
+    os.makedirs(src, exist_ok=True)
+
+    def chunk(i, rows):
+        d = f"{base}/c{i}"
+        spark.createDataFrame(rows, "ts timestamp, user string").coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        shutil.copyfile(f"{d}/{part}", f"{src}/c{i}.parquet")
+
+    t = lambda h, m: datetime(2030, 1, 1, h, m)
+    chunk(0, [(t(9, 5), "a"), (t(10, 50), "b")])  # watermark becomes 10:40
+    chunk(1, [(t(12, 30), "c")])  # batch 1 EVICTS+emits [9,10) (n=1);
+    #                               watermark then advances to 12:20
+    chunk(2, [
+        (t(9, 30), "late"),   # [9,10) state evicted -> DROPPED for real
+        (t(12, 40), "ok"),    # [12,13) still open -> admitted
+        (t(14, 0), "flush"),  # advances watermark to 13:50, closing [12,13)
+    ])
+
+    stream = (
+        spark.readStream.schema("ts timestamp, user string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    counts = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.date_format("window.start", "HH:mm").alias("w"), "n")
+    )
+    sink = "late_data_sink"
+    q = (
+        counts.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .option("checkpointLocation", f"{base}/ckpt")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.w: r.n for r in spark.table(sink).collect()}
+    # [9,10): only 9:05 — the 9:30 straggler was dropped (state evicted a
+    # batch earlier); [10,11): 10:50; [12,13): 12:30 + admitted 12:40;
+    # [14,15) never closes (absent). A straggler arriving in the SAME
+    # batch that evicts its window would still be included — the
+    # watermark's guarantee is inclusion-within-delay, eviction after.
+    assert got == {"09:00": 1, "10:00": 1, "12:00": 2}, got
