@@ -789,3 +789,161 @@ def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
             F.max("tw").cast("long").alias("total_weight_x100"),
         )
     )
+
+
+K_ANON = 20  # minimum equivalence-class size in the RELEASE
+
+_SQL_QI = (
+    "CASE lvl WHEN 0 THEN n_name || '|' || seg"
+    " WHEN 1 THEN r_name || '|' || seg"
+    " WHEN 2 THEN '*|' || seg ELSE '*|*' END"
+)
+
+
+def _sql_k_anon_round(prev: str, out: str) -> str:
+    """One promotion round: records whose RELEASED class is below K climb
+    one level (capped at 3 = fully suppressed QI)."""
+    return f"""
+    {out}_rel AS (
+      SELECT lvl, {_SQL_QI} AS qi, count(*) AS c
+      FROM {prev} GROUP BY lvl, {_SQL_QI}),
+    {out} AS (
+      SELECT p.c_custkey, p.n_name, p.r_name, p.seg,
+             CASE WHEN r.c < {K_ANON} AND p.lvl < 3 THEN p.lvl + 1
+                  ELSE p.lvl END AS lvl
+      FROM {prev} p
+      JOIN {out}_rel r ON r.lvl = p.lvl AND r.qi = {_SQL_QI.replace('lvl', 'p.lvl').replace('n_name', 'p.n_name').replace('r_name', 'p.r_name').replace('seg', 'p.seg')})
+    """
+
+
+@register(
+    "k_anonymity_generalize",
+    oracle=f"""
+    WITH q AS (
+      SELECT c.c_custkey, n.n_name, r.r_name, c.c_mktsegment AS seg
+      FROM customer c
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey),
+    c0 AS (SELECT n_name, seg, count(*) AS k FROM q GROUP BY n_name, seg),
+    c1 AS (SELECT r_name, seg, count(*) AS k FROM q GROUP BY r_name, seg),
+    c2 AS (SELECT seg, count(*) AS k FROM q GROUP BY seg),
+    tot AS (SELECT count(*) AS k FROM q),
+    l0 AS (
+      SELECT q.c_custkey, q.n_name, q.r_name, q.seg,
+             CASE WHEN c0.k >= {K_ANON} THEN 0
+                  WHEN c1.k >= {K_ANON} THEN 1
+                  WHEN c2.k >= {K_ANON} THEN 2
+                  ELSE 3 END AS lvl
+      FROM q
+      JOIN c0 ON c0.n_name = q.n_name AND c0.seg = q.seg
+      JOIN c1 ON c1.r_name = q.r_name AND c1.seg = q.seg
+      JOIN c2 ON c2.seg = q.seg
+      CROSS JOIN tot),
+    {_sql_k_anon_round('l0', 'l1')},
+    {_sql_k_anon_round('l1', 'l2')},
+    {_sql_k_anon_round('l2', 'l3')},
+    rel AS (
+      SELECT lvl, {_SQL_QI} AS qi, count(*) AS c
+      FROM l3 GROUP BY lvl, {_SQL_QI})
+    SELECT p.c_custkey,
+           CAST(p.lvl AS INTEGER) AS anon_level,
+           CASE WHEN r.c < {K_ANON} THEN '(suppressed)' ELSE r.qi END AS qi_value,
+           CAST(r.c AS BIGINT) AS class_size,
+           CAST(CASE WHEN r.c < {K_ANON} THEN 1 ELSE 0 END AS INTEGER) AS suppressed
+    FROM l3 p
+    JOIN rel r ON r.lvl = p.lvl
+      AND r.qi = CASE p.lvl WHEN 0 THEN p.n_name || '|' || p.seg
+                            WHEN 1 THEN p.r_name || '|' || p.seg
+                            WHEN 2 THEN '*|' || p.seg ELSE '*|*' END
+    """,
+    tags=("curation", "privacy", "aggregate", "iterative"),
+)
+def k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymization by LOCAL RECODING with promotion to fixpoint:
+    each customer's quasi-identifier (nation, market segment) starts at
+    the least-generalized level of the hierarchy nation → region →
+    segment-only → fully suppressed whose ORIGINAL equivalence class
+    holds ≥ K records, then records whose class in the actual RELEASE
+    (mixed levels coexist, so a released class can be smaller than its
+    original-level class) still falls below K are promoted one level and
+    the release re-checked — the subtlety that makes naive per-record
+    minimal generalization NOT k-anonymous. The level lattice has depth
+    4, so three unrolled promotion rounds provably reach the fixpoint;
+    records whose class is still sub-K at full suppression are marked
+    ``suppressed`` (withheld from a real release — the classic
+    suppression escape). Every non-suppressed released class therefore
+    verifiably holds ≥ K={K} records — asserted from the output alone in
+    tests.
+
+    Scale: per round, one count over the release keyed by (level, qi)
+    — dimension-sized (≤ |nations|·|segments| classes) and broadcast
+    back; the record table streams through three narrow CASE passes.
+    Rounds are data-independent (always 3), so the plan is static — no
+    driver-side convergence loop at all."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region")
+    q = (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), nat["n_regionkey"] == reg["r_regionkey"])
+        .select("c_custkey", "n_name", "r_name", F.col("c_mktsegment").alias("seg"))
+    )
+    k = F.lit(K_ANON)
+    c0 = q.groupBy("n_name", "seg").agg(F.count(F.lit(1)).alias("k0"))
+    c1 = q.groupBy("r_name", "seg").agg(F.count(F.lit(1)).alias("k1"))
+    c2 = q.groupBy("seg").agg(F.count(F.lit(1)).alias("k2"))
+    cur = (
+        q.join(F.broadcast(c0), ["n_name", "seg"])
+        .join(F.broadcast(c1), ["r_name", "seg"])
+        .join(F.broadcast(c2), ["seg"])
+        .withColumn(
+            "lvl",
+            F.when(F.col("k0") >= k, 0)
+            .when(F.col("k1") >= k, 1)
+            .when(F.col("k2") >= k, 2)
+            .otherwise(3),
+        )
+        .select("c_custkey", "n_name", "r_name", "seg", "lvl")
+    )
+
+    def qi_col() -> F.Column:
+        return (
+            F.when(F.col("lvl") == 0, F.concat_ws("|", "n_name", "seg"))
+            .when(F.col("lvl") == 1, F.concat_ws("|", "r_name", "seg"))
+            .when(F.col("lvl") == 2, F.concat(F.lit("*|"), F.col("seg")))
+            .otherwise(F.lit("*|*"))
+        )
+
+    for _ in range(3):  # depth-4 lattice ⇒ 3 rounds reach the fixpoint
+        rel = (
+            cur.withColumn("qi", qi_col())
+            .groupBy("lvl", "qi")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        cur = (
+            cur.withColumn("qi", qi_col())
+            .join(F.broadcast(rel), ["lvl", "qi"])
+            .withColumn(
+                "lvl",
+                F.when((F.col("c") < k) & (F.col("lvl") < 3), F.col("lvl") + 1).otherwise(
+                    F.col("lvl")
+                ),
+            )
+            .select("c_custkey", "n_name", "r_name", "seg", "lvl")
+        )
+    rel = (
+        cur.withColumn("qi", qi_col())
+        .groupBy("lvl", "qi")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    out = cur.withColumn("qi", qi_col()).join(F.broadcast(rel), ["lvl", "qi"])
+    return out.select(
+        "c_custkey",
+        F.col("lvl").cast("int").alias("anon_level"),
+        F.when(F.col("c") < k, F.lit("(suppressed)")).otherwise(F.col("qi")).alias("qi_value"),
+        F.col("c").cast("long").alias("class_size"),
+        F.when(F.col("c") < k, 1).otherwise(0).cast("int").alias("suppressed"),
+    )
+
+
+k_anonymity_generalize.__doc__ = k_anonymity_generalize.__doc__.format(K=K_ANON)

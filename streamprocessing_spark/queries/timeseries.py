@@ -939,3 +939,343 @@ def clamped_running_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("balance_cents"),
     )
+
+
+ATTR_WINDOW_US = 7 * 86_400 * 1_000_000  # 7-day lookback
+_DAY_US = 86_400 * 1_000_000
+
+
+@register(
+    "attribution_linear_multi_touch",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS purchase_event_id, user_id,
+             epoch_us(ts) AS pus,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT event_id AS click_event_id, user_id, epoch_us(ts) AS cus
+      FROM events WHERE event_type = 'click'),
+    touch AS (
+      SELECT p.purchase_event_id, p.user_id, p.cents, c.click_event_id,
+             row_number() OVER (PARTITION BY p.purchase_event_id
+                                ORDER BY c.cus, c.click_event_id) AS rn,
+             count(*) OVER (PARTITION BY p.purchase_event_id) AS n_touches
+      FROM p JOIN c ON c.user_id = p.user_id
+       AND c.cus >= p.pus - CAST({ATTR_WINDOW_US} AS BIGINT)
+       AND c.cus < p.pus)
+    SELECT purchase_event_id, click_event_id, user_id,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(cents // n_touches
+                + CASE WHEN rn <= cents % n_touches THEN 1 ELSE 0 END
+                AS BIGINT) AS attributed_cents
+    FROM touch
+    """,
+    tags=("timeseries", "join", "range-join", "exact-money"),
+)
+def attribution_linear_multi_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linear multi-touch attribution: each purchase's revenue is split
+    evenly across every click by the same user in the prior 7 days —
+    the marketing-analytics primitive behind channel ROI reports. The
+    split is EXACT integer cents via the largest-remainder method:
+    every touch gets ``cents div n``, and the ``cents mod n`` leftover
+    pennies go to the earliest touches (deterministic (ts, event_id)
+    order), so the per-purchase shares always sum back to the purchase
+    amount — asserted in tests, and impossible with float division.
+
+    Scale: the range join never runs as a quadratic per-user product —
+    purchases explode to the ≤8 day buckets their 7-day window covers
+    and join clicks on (user, day-bucket) equality before the exact
+    range filter, so candidate volume is O(purchases × 8 × clicks per
+    user-day) — Databricks' range-join binning, hand-built from
+    ``sequence`` + ``explode``. The oracle is the unbanded inequality
+    join, proving the banding lossless (a click matches at most one of
+    a purchase's buckets: its own)."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.unix_micros("ts").alias("pus"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.unix_micros("ts").alias("cus"),
+    )
+    p_band = p.withColumn(
+        "day_bucket",
+        F.explode(
+            F.sequence(
+                ((F.col("pus") - F.lit(ATTR_WINDOW_US)) / F.lit(_DAY_US)).cast("long"),
+                (F.col("pus") / F.lit(_DAY_US)).cast("long"),
+            )
+        ),
+    )
+    c_band = c.withColumn("c_day_bucket", (F.col("cus") / F.lit(_DAY_US)).cast("long"))
+    touch = p_band.join(
+        c_band,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("day_bucket") == F.col("c_day_bucket"))
+        & (F.col("cus") >= F.col("pus") - F.lit(ATTR_WINDOW_US))
+        & (F.col("cus") < F.col("pus")),
+    )
+    w_rn = Window.partitionBy("purchase_event_id").orderBy("cus", "click_event_id")
+    w_n = Window.partitionBy("purchase_event_id")
+    ranked = touch.select(
+        "purchase_event_id",
+        "user_id",
+        "cents",
+        "click_event_id",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n_touches"),
+    )
+    return ranked.select(
+        "purchase_event_id",
+        "click_event_id",
+        "user_id",
+        F.col("n_touches").cast("long").alias("n_touches"),
+        (
+            F.expr("cents div n_touches")
+            + F.when(F.col("rn") <= F.col("cents") % F.col("n_touches"), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("attributed_cents"),
+    )
+
+
+@register(
+    "time_weighted_avg_value",
+    oracle="""
+    WITH seg AS (
+      SELECT user_id,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             lead(epoch_us(ts)) OVER (PARTITION BY user_id
+                                      ORDER BY epoch_us(ts), event_id)
+               - epoch_us(ts) AS dur_us
+      FROM events)
+    SELECT user_id,
+           CAST(sum(cents * dur_us) AS BIGINT) AS twa_num,
+           CAST(sum(dur_us) AS BIGINT) AS dur_us_total,
+           CAST(sum(cents * dur_us) // sum(dur_us) AS BIGINT) AS twa_cents
+    FROM seg WHERE dur_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    tags=("timeseries", "aggregate", "exact-money"),
+)
+def time_weighted_avg_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-WEIGHTED average value per user: each observation holds
+    until the next one, so its weight is the duration it was current —
+    the correct mean for irregularly-sampled state (balances, prices,
+    sensor readings), where the naive row mean over-weights bursts.
+
+    Exactness: weights are exact epoch-microsecond durations
+    (``lead(unix_micros)`` over the (ts, event_id) total order), values
+    exact cents; the weighted sum Σ cents·μs stays within BIGINT
+    (≤ 5.6e4 cents × 2.6e12 μs of month span ⇒ ≤ 1.5e17 per user). Both
+    the exact rational (num, denom) and the floor quotient are emitted;
+    all operands positive, so DuckDB ``//`` and Spark ``div`` agree.
+
+    Scale: one partitioned sort per user (the same sort serves the lead
+    and the group-by), map-side-combinable sums — no driver loop, no
+    state kernel; the LOCF-segment construction is shared with
+    forward_fill_last_value."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.unix_micros("ts"), "event_id")
+    seg = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+        (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts")).alias("dur_us"),
+    ).where(F.col("dur_us").isNotNull())
+    return seg.groupBy("user_id").agg(
+        F.sum(F.col("cents") * F.col("dur_us")).cast("long").alias("twa_num"),
+        F.sum("dur_us").cast("long").alias("dur_us_total"),
+        F.expr("sum(cents * dur_us) div sum(dur_us)").cast("long").alias("twa_cents"),
+    )
+
+
+@register(
+    "seasonal_hour_baseline_anomaly",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(extract(hour FROM ts) AS INTEGER) AS hour
+      FROM events),
+    days AS (SELECT DISTINCT day FROM e),
+    types AS (SELECT DISTINCT event_type FROM e),
+    nd AS (SELECT count(*) AS n_days FROM days),
+    grid AS (
+      SELECT t.event_type, d.day, CAST(h.range AS INTEGER) AS hour
+      FROM types t, days d, range(24) h),
+    cells AS (
+      SELECT event_type, day, hour, count(*) AS c
+      FROM e GROUP BY event_type, day, hour),
+    prof AS (
+      SELECT event_type, hour, sum(c) AS n_th
+      FROM cells GROUP BY event_type, hour)
+    SELECT g.event_type, g.day, g.hour,
+           CAST(coalesce(cells.c, 0) AS BIGINT) AS cnt,
+           CAST(prof.n_th AS BIGINT) AS hour_total,
+           CAST(nd.n_days AS BIGINT) AS n_days,
+           CASE WHEN coalesce(cells.c, 0) * nd.n_days > 2 * prof.n_th
+                THEN 'high' ELSE 'low' END AS flag
+    FROM grid g
+    JOIN prof ON prof.event_type = g.event_type AND prof.hour = g.hour
+    CROSS JOIN nd
+    LEFT JOIN cells ON cells.event_type = g.event_type
+                   AND cells.day = g.day AND cells.hour = g.hour
+    WHERE coalesce(cells.c, 0) * nd.n_days > 2 * prof.n_th
+       OR 2 * coalesce(cells.c, 0) * nd.n_days < prof.n_th
+    """,
+    tags=("timeseries", "anomaly", "aggregate"),
+)
+def seasonal_hour_baseline_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-baseline anomaly map: each (event type, day, hour-of-
+    day) cell is compared against that type's average count for the
+    SAME hour across all days — the hour-of-day seasonal profile — and
+    flagged when it exceeds 2× the baseline or falls below half of it.
+    The complement to cusum_changepoint_daily: CUSUM finds sustained
+    level shifts in sequence; this finds cells that break their own
+    diurnal rhythm (including SILENT cells — the dense type×day×hour
+    grid is generated, so an hour with zero events where the profile
+    expects traffic is flagged 'low', the outage shape a
+    present-rows-only scan can never see).
+
+    Exactness: the threshold c > 2·(n_th/n_days) is evaluated as the
+    integer cross-multiplication c·n_days > 2·n_th (and 2·c·n_days <
+    n_th for 'low') — no division anywhere.
+
+    Scale: the fact scan collapses to per-cell counts first (map-side
+    combine; ≤ types×days×24 rows regardless of event volume); the
+    grid, profile, and day count are all dimension-sized and broadcast.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").cast("int").alias("hour"),
+    )
+    cells = e.groupBy("event_type", "day", "hour").agg(F.count(F.lit(1)).alias("c"))
+    days = e.select("day").distinct()
+    types = e.select("event_type").distinct()
+    nd = days.agg(F.count(F.lit(1)).alias("n_days"))
+    hours = spark.range(24).select(F.col("id").cast("int").alias("hour"))
+    grid = types.crossJoin(F.broadcast(days)).crossJoin(F.broadcast(hours))
+    prof = cells.groupBy("event_type", "hour").agg(F.sum("c").alias("n_th"))
+    out = (
+        grid.join(F.broadcast(prof), ["event_type", "hour"])
+        .crossJoin(F.broadcast(nd))
+        .join(F.broadcast(cells), ["event_type", "day", "hour"], "left")
+        .withColumn("cnt", F.coalesce(F.col("c"), F.lit(0)))
+    )
+    flagged = out.where(
+        (F.col("cnt") * F.col("n_days") > 2 * F.col("n_th"))
+        | (2 * F.col("cnt") * F.col("n_days") < F.col("n_th"))
+    )
+    return flagged.select(
+        "event_type",
+        "day",
+        "hour",
+        F.col("cnt").cast("long").alias("cnt"),
+        F.col("n_th").cast("long").alias("hour_total"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.when(F.col("cnt") * F.col("n_days") > 2 * F.col("n_th"), "high")
+        .otherwise("low")
+        .alias("flag"),
+    )
+
+
+@register(
+    "regression_two_factor_cramer",
+    oracle="""
+    WITH obs AS (
+      SELECT CAST(extract(hour FROM ts) AS BIGINT) AS x1,
+             CAST(extract(dow FROM ts) AS BIGINT) AS x2,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+      FROM events),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(x1) AS HUGEINT) AS sx1, CAST(sum(x2) AS HUGEINT) AS sx2,
+             CAST(sum(x1*x1) AS HUGEINT) AS sx11, CAST(sum(x1*x2) AS HUGEINT) AS sx12,
+             CAST(sum(x2*x2) AS HUGEINT) AS sx22,
+             CAST(sum(y) AS HUGEINT) AS sy,
+             CAST(sum(x1*y) AS HUGEINT) AS sx1y, CAST(sum(x2*y) AS HUGEINT) AS sx2y
+      FROM obs),
+    d AS (
+      SELECT
+        n*(sx11*sx22 - sx12*sx12) - sx1*(sx1*sx22 - sx12*sx2)
+          + sx2*(sx1*sx12 - sx11*sx2) AS det,
+        sy*(sx11*sx22 - sx12*sx12) - sx1*(sx1y*sx22 - sx12*sx2y)
+          + sx2*(sx1y*sx12 - sx11*sx2y) AS det0,
+        n*(sx1y*sx22 - sx12*sx2y) - sy*(sx1*sx22 - sx12*sx2)
+          + sx2*(sx1*sx2y - sx1y*sx2) AS det1,
+        n*(sx11*sx2y - sx1y*sx12) - sx1*(sx1*sx2y - sx1y*sx2)
+          + sy*(sx1*sx12 - sx11*sx2) AS det2
+      FROM s)
+    SELECT CAST(CAST(CASE WHEN det < 0 THEN -det0 ELSE det0 END AS HUGEINT) AS VARCHAR) AS intercept_num,
+           CAST(CAST(CASE WHEN det < 0 THEN -det1 ELSE det1 END AS HUGEINT) AS VARCHAR) AS slope_hour_num,
+           CAST(CAST(CASE WHEN det < 0 THEN -det2 ELSE det2 END AS HUGEINT) AS VARCHAR) AS slope_dow_num,
+           CAST(CAST(abs(det) AS HUGEINT) AS VARCHAR) AS det_den
+    FROM d
+    """,
+    tags=("timeseries", "statistics", "exact"),
+)
+def regression_two_factor_cramer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO-factor least squares (value-cents ~ hour-of-day + day-of-
+    week) solved EXACTLY: the 3×3 normal equations by Cramer's rule
+    over arbitrary-precision integers — Spark DECIMAL(38,0), DuckDB
+    HUGEINT — extending regression_value_by_hour's exact-moment
+    discipline from one regressor to a design matrix. The coefficients
+    are emitted as exact rationals (numerator, shared positive
+    denominator |det|, both sign-normalized) rendered as digit strings,
+    so the comparison is bit-exact with no float division anywhere.
+
+    Why this shape scales: the fact scan reduces to NINE map-side-
+    combinable BIGINT moment sums (each bounded: Σx₁y ≤ 23·5.6e4·n —
+    within int64 through sf well past 1.0); only the final 3×3
+    determinant arithmetic — nine numbers, one row — needs 38-digit
+    width. A 100 TB fit is one aggregate; the linear algebra is O(1).
+    DOW parity: DuckDB's extract(dow) is 0=Sunday; Spark's dayofweek()
+    is 1=Sunday, so the portable expression is dayofweek(ts)-1."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = ev.select(
+        F.hour("ts").cast("long").alias("x1"),
+        (F.dayofweek("ts") - F.lit(1)).cast("long").alias("x2"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("y"),
+    )
+    s = obs.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x1").cast("decimal(38,0)").alias("sx1"),
+        F.sum("x2").cast("decimal(38,0)").alias("sx2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("decimal(38,0)").alias("sx11"),
+        F.sum(F.col("x1") * F.col("x2")).cast("decimal(38,0)").alias("sx12"),
+        F.sum(F.col("x2") * F.col("x2")).cast("decimal(38,0)").alias("sx22"),
+        F.sum("y").cast("decimal(38,0)").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("decimal(38,0)").alias("sx1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("decimal(38,0)").alias("sx2y"),
+    )
+    d = s.select(
+        F.expr(
+            "n*(sx11*sx22 - sx12*sx12) - sx1*(sx1*sx22 - sx12*sx2)"
+            " + sx2*(sx1*sx12 - sx11*sx2)"
+        ).alias("det"),
+        F.expr(
+            "sy*(sx11*sx22 - sx12*sx12) - sx1*(sx1y*sx22 - sx12*sx2y)"
+            " + sx2*(sx1y*sx12 - sx11*sx2y)"
+        ).alias("det0"),
+        F.expr(
+            "n*(sx1y*sx22 - sx12*sx2y) - sy*(sx1*sx22 - sx12*sx2)"
+            " + sx2*(sx1*sx2y - sx1y*sx2)"
+        ).alias("det1"),
+        F.expr(
+            "n*(sx11*sx2y - sx1y*sx12) - sx1*(sx1*sx2y - sx1y*sx2)"
+            " + sy*(sx1*sx12 - sx11*sx2)"
+        ).alias("det2"),
+    )
+    sign = F.when(F.col("det") < 0, F.lit(-1)).otherwise(F.lit(1))
+    return d.select(
+        (sign * F.col("det0")).cast("decimal(38,0)").cast("string").alias("intercept_num"),
+        (sign * F.col("det1")).cast("decimal(38,0)").cast("string").alias("slope_hour_num"),
+        (sign * F.col("det2")).cast("decimal(38,0)").cast("string").alias("slope_dow_num"),
+        F.abs(F.col("det")).cast("decimal(38,0)").cast("string").alias("det_den"),
+    )

@@ -163,6 +163,11 @@ _ROUND_NEW = frozenset(
         "sliding_distinct_users_7d",
         "cusum_changepoint_daily",
         "clamped_running_balance",
+        "attribution_linear_multi_touch",
+        "time_weighted_avg_value",
+        "seasonal_hour_baseline_anomaly",
+        "k_anonymity_generalize",
+        "regression_two_factor_cramer",
     }
 )
 

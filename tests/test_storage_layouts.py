@@ -202,3 +202,43 @@ def test_dynamic_partition_overwrite_backfill(spark, sf_dir, tmp_path):
     )
     want = daily.select("day", "event_type", "n", "cents")
     assert sorted(map(tuple, healed.collect())) == sorted(map(tuple, want.collect()))
+
+def test_dynamic_partition_pruning_star_join(spark, sf_dir):
+    """Dynamic partition pruning — the star-join scale pattern: the fact
+    table is date-partitioned, the dimension filter is NOT on the
+    partition column, yet Spark prunes fact partitions at RUNTIME from
+    the broadcast dimension join keys (dynamicpruningexpression in the
+    scan's PartitionFilters). At 100 TB this is the difference between
+    scanning one month and the whole table when the user filters by a
+    dimension attribute.
+
+    Subtlety this test documents: DPP's isLikelySelective heuristic only
+    fires for comparison-shaped dimension predicates (attr op literal /
+    IN / LIKE). A bare boolean attribute filter (`WHERE is_weekend`) is
+    NOT considered selective and silently gets no DPP — write dimension
+    filters as explicit comparisons."""
+    out = tempfile.mkdtemp(prefix="sp_dpp_")
+    try:
+        ev = load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "value", F.to_date("ts").alias("day")
+        )
+        ev.write.mode("overwrite").partitionBy("day").parquet(f"{out}/fact")
+        # dimension: one row per day; the filter is on the dow ATTRIBUTE
+        dim = ev.select("day").distinct().withColumn("dow", F.dayofweek("day"))
+        dim.write.mode("overwrite").parquet(f"{out}/dim")
+
+        fact = spark.read.parquet(f"{out}/fact")
+        dim_r = spark.read.parquet(f"{out}/dim").where(F.col("dow").isin(1, 7))
+        joined = fact.join(dim_r, "day").groupBy("day").agg(F.count("*").alias("n"))
+        plan = X.formatted_plan(joined)
+        assert "dynamicpruningexpression" in plan.lower(), plan
+        weekend_days = {r.day for r in dim_r.collect()}
+        assert weekend_days, "weekend fixture slice must be non-empty"
+        expected = {
+            (r.day, r["count"])
+            for r in ev.where(F.col("day").isin(list(weekend_days))).groupBy("day").count().collect()
+        }
+        got = {(r.day, r.n) for r in joined.collect()}
+        assert got == expected
+    finally:
+        shutil.rmtree(out, ignore_errors=True)
