@@ -2502,3 +2502,149 @@ def join_size_sketch_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_rows",
         F.abs(F.col("est") - F.col("true_rows")).cast("long").alias("abs_err"),
     )
+
+
+@register(
+    "source_python_datasource",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, replace(text, chr(10), ' ') AS line FROM documents),
+    w AS (
+      SELECT doc_id, line,
+             octet_length(CAST(line AS BLOB)) + 1 AS step
+      FROM t)
+    SELECT CAST(coalesce(sum(step) OVER (ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+             AS byte_offset,
+           line
+    FROM w
+    """,
+    tags=("source", "python-datasource", "reference-op"),
+)
+def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's line source (rainstorm/server.go:411-448) as a
+    CUSTOM Spark 4 Python Data Source with BYTE-OFFSET keys — the scale
+    answer SURVEY §7.4 prescribed for deterministic source identity:
+    line numbers need a serial scan, byte offsets are computable inside
+    any byte-range split with zero coordination. The corpus is staged
+    as one text file in doc_id order, then read back through
+    ``format("offset_lines")`` with 8 byte-range partitions; the Hadoop
+    LineRecordReader split contract (sources/linesource.py) guarantees
+    each line is owned by exactly one range even when a boundary lands
+    mid-line. The oracle reconstructs every byte offset as a window
+    cumulative sum of octet lengths — so a single straddled or dropped
+    line anywhere in the file breaks the hash match."""
+    import glob
+    import hashlib
+    import os
+    import tempfile
+
+    from streamprocessing_spark.sources.linesource import register_offset_lines
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.regexp_replace("text", "\n", " ").alias("line")
+    )
+    stage = os.path.join(
+        tempfile.gettempdir(),
+        f"sp_lines_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}",
+    )
+    (
+        docs.repartition(1)
+        .sortWithinPartitions("doc_id")
+        .select("line")
+        .write.mode("overwrite")
+        .text(stage)
+    )
+    (part,) = glob.glob(os.path.join(stage, "part-*"))
+    register_offset_lines(spark)
+    return (
+        spark.read.format("offset_lines")
+        .option("path", part)
+        .option("numPartitions", "8")
+        .load()
+    )
+
+
+# One SQL text, two engines: the recursive CTE below runs VERBATIM on
+# Spark 4 (WITH RECURSIVE, UNION ALL form) and on DuckDB. Integer-cents
+# state; the only float op is balance/100.0 (1% interest), identical
+# IEEE arithmetic in both engines. Spark's recursion guards
+# (cteRecursionLevelLimit=100 default) stay clear of the period < 90
+# bound; payment size caps the real depth near 30.
+RECURSIVE_AMORTIZATION_SQL = """
+    WITH RECURSIVE pay AS (
+      SELECT c_custkey, 0 AS period,
+             CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS balance_cents
+      FROM customer WHERE c_acctbal > 0
+      UNION ALL
+      SELECT c_custkey, period + 1 AS period,
+             CASE WHEN balance_cents
+                       + CAST(floor(balance_cents / 100.0) AS BIGINT)
+                       - 50000 < 0
+                  THEN CAST(0 AS BIGINT)
+                  ELSE balance_cents
+                       + CAST(floor(balance_cents / 100.0) AS BIGINT)
+                       - 50000 END AS balance_cents
+      FROM pay
+      WHERE balance_cents > 0 AND period < 90
+    )
+    SELECT c_custkey, CAST(period AS BIGINT) AS period, balance_cents FROM pay
+"""
+
+
+@register(
+    "recursive_cte_amortization",
+    oracle=RECURSIVE_AMORTIZATION_SQL,
+    tags=("sql-surface", "recursive", "iterative", "exact-money"),
+)
+def recursive_cte_amortization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE on Spark 4 — the SQL-surface parity item: the
+    EXACT SAME query text runs on Spark and on the DuckDB oracle
+    (module constant RECURSIVE_AMORTIZATION_SQL, passed verbatim to
+    both), so a user's recursive CTEs port unchanged. The workload is a
+    loan amortization schedule — every customer's positive balance
+    accrues 1% per period and amortizes a fixed 500.00 payment until
+    payoff — a genuinely recursive multiplicative recurrence (each row
+    derives from the previous period's row, branching factor 1, no
+    window-function rewrite exists for the clamp-at-zero payoff step).
+
+    Dialect notes that make verbatim sharing possible: UNION ALL only
+    (Spark 4.1 rejects UNION DISTINCT in recursion), aliases repeated in
+    the recursive branch, interest as floor(balance/100.0) — positive
+    IEEE doubles, bit-identical in both engines. Depth is bounded by the
+    payment size (~30 periods) well under Spark's
+    cteRecursionLevelLimit=100; each iteration is a full DataFrame
+    micro-plan, so at 100 TB depth stays the knob that matters, not
+    width — branching-1 recursions scale linearly."""
+    for t in ("customer",):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(t)
+    return spark.sql(RECURSIVE_AMORTIZATION_SQL)
+
+
+@register(
+    "set_except_all_multiset",
+    oracle="""
+    SELECT user_id, event_type
+    FROM events WHERE CAST(ts AS DATE) < DATE '2024-01-16'
+    EXCEPT ALL
+    SELECT user_id, event_type
+    FROM events WHERE CAST(ts AS DATE) >= DATE '2024-01-16'
+    """,
+    tags=("set-ops", "bag-semantics"),
+)
+def set_except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT ALL — BAG difference, completing the set-operation family
+    (set_except_union covers the DISTINCT forms): per (user, event
+    type), occurrences in the first half of the month minus occurrences
+    in the second half, WITH multiplicity — the activity-regression
+    question 'which interactions did a user do more often early than
+    late, and how many more times?' A distinct EXCEPT collapses that to
+    membership and answers a different question. Both engines implement
+    multiset difference natively (Spark ``exceptAll`` compiles to an
+    aggregate of signed counts + generate — one shuffle, no join
+    explosion)."""
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    first = ev.where(day < F.lit("2024-01-16").cast("date")).select("user_id", "event_type")
+    second = ev.where(day >= F.lit("2024-01-16").cast("date")).select("user_id", "event_type")
+    return first.exceptAll(second)

@@ -168,6 +168,9 @@ _ROUND_NEW = frozenset(
         "seasonal_hour_baseline_anomaly",
         "k_anonymity_generalize",
         "regression_two_factor_cramer",
+        "source_python_datasource",
+        "recursive_cte_amortization",
+        "set_except_all_multiset",
     }
 )
 

@@ -205,3 +205,92 @@ def test_cramer_regression_matches_float_solver(spark, sf_dir):
     beta_np, *_ = np.linalg.lstsq(X, pdf.y.to_numpy(float), rcond=None)
     for a, b in zip(beta_exact, beta_np):
         assert abs(a - b) <= 1e-9 * max(1.0, abs(b))
+
+
+def test_observation_metrics_without_extra_scan(spark, sf_dir):
+    """df.observe(): production pipelines attach data-quality metrics to
+    a query and get them for free at action time — no second scan. The
+    observed row count and exact-cents sum over the pre-aggregation
+    stream must equal independently computed values, while the query
+    result itself is unchanged."""
+    from pyspark.sql import Observation
+
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long")
+    obs = Observation("li_metrics")
+    q = (
+        li.observe(obs, F.count(F.lit(1)).alias("rows"), F.sum(cents).alias("cents"))
+        .groupBy("l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    got = {r.l_returnflag: r.n for r in q.collect()}
+    m = obs.get
+    exp = li.agg(
+        F.count(F.lit(1)).alias("rows"), F.sum(cents).alias("cents")
+    ).first()
+    assert m["rows"] == exp.rows and m["cents"] == exp.cents
+    assert sum(got.values()) == exp.rows
+
+
+def test_except_all_bag_arithmetic(spark, sf_dir):
+    """Multiset law: multiplicity of each (user, type) in the output
+    must equal max(0, first-half count − second-half count)."""
+    out = SPECS["set_except_all_multiset"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    firsts = {
+        (r.user_id, r.event_type): r.n
+        for r in ev.where(day < F.lit("2024-01-16").cast("date"))
+        .groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    seconds = {
+        (r.user_id, r.event_type): r.n
+        for r in ev.where(day >= F.lit("2024-01-16").cast("date"))
+        .groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    got: dict[tuple, int] = {}
+    for r in out:
+        got[(r.user_id, r.event_type)] = got.get((r.user_id, r.event_type), 0) + 1
+    for k in set(firsts) | set(seconds):
+        want = max(0, firsts.get(k, 0) - seconds.get(k, 0))
+        assert got.get(k, 0) == want, k
+    assert got, "bag difference must be non-empty on the fixture"
+
+
+def test_recursive_cte_shared_text_and_payoff_law(spark, sf_dir):
+    """The recursive CTE schedule: every chain must start at the
+    customer's cents balance, strictly decrease after the first period
+    (payment > interest at fixture balances), and end at exactly 0
+    (payoff) — re-simulated in pure Python from the same recurrence.
+    Also assert the Spark query text IS the oracle text (verbatim
+    sharing, the point of the operator)."""
+    from streamprocessing_spark.queries.analytics import RECURSIVE_AMORTIZATION_SQL
+
+    assert SPECS["recursive_cte_amortization"].oracle == RECURSIVE_AMORTIZATION_SQL
+    rows = SPECS["recursive_cte_amortization"].fn(spark, sf_dir).collect()
+    chains: dict[int, dict[int, int]] = {}
+    for r in rows:
+        chains.setdefault(r.c_custkey, {})[r.period] = r.balance_cents
+    cust = {
+        r.c_custkey: int(r.cents)
+        for r in load_table(spark, sf_dir, "customer")
+        .where(F.col("c_acctbal") > 0)
+        .select(
+            "c_custkey",
+            F.floor(F.col("c_acctbal") * 100.0 + 0.5).cast("long").alias("cents"),
+        )
+        .collect()
+    }
+    assert set(chains) == set(cust)
+    for ck, chain in chains.items():
+        bal, period = cust[ck], 0
+        assert chain[0] == bal
+        while bal > 0 and period < 90:
+            import math
+
+            nxt = bal + int(math.floor(bal / 100.0)) - 50000
+            bal = max(0, nxt)
+            period += 1
+            assert chain[period] == bal, (ck, period)
+        assert len(chain) == period + 1, "no rows past payoff"
+        assert chain[max(chain)] == 0, "every fixture chain pays off"
