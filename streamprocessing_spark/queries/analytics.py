@@ -2648,3 +2648,143 @@ def set_except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     first = ev.where(day < F.lit("2024-01-16").cast("date")).select("user_id", "event_type")
     second = ev.where(day >= F.lit("2024-01-16").cast("date")).select("user_id", "event_type")
     return first.exceptAll(second)
+
+
+@register(
+    "variant_props_rollup",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             CAST(json_extract(props, '$.k') AS BIGINT) AS k
+      FROM events)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS sum_cents,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           'OBJECT<c: BIGINT, p: OBJECT<k: BIGINT>, t: STRING>' AS variant_schema
+    FROM e GROUP BY event_type
+    """,
+    tags=("sql-surface", "variant", "json", "spark4"),
+)
+def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's VARIANT type as the semi-structured ingestion path:
+    each event is serialized to one nested JSON document (its typed
+    fields plus the raw ``props`` object nested inside), parsed ONCE
+    with ``parse_json`` into a VARIANT, and every downstream field —
+    including the group-by key — comes from typed ``variant_get`` path
+    extraction, never from the original columns. The aggregate also
+    emits ``schema_of_variant`` (constant across rows, enforced via
+    min()==literal in the oracle), so a drifting document shape breaks
+    the match. VARIANT is the scale answer for JSON at 100 TB: the
+    binary encoding is parsed once at ingest and fields are extracted
+    without per-query string re-parsing (and shreds to columnar storage
+    where supported); the oracle computes the same rollup relationally,
+    proving the string→variant→typed path lossless.
+
+    Exactness: money enters the document as integer cents, so the JSON
+    round-trip carries no float text formatting at all."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
+    doc = F.concat(
+        F.lit('{"t":"'),
+        F.col("event_type"),
+        F.lit('","c":'),
+        cents.cast("string"),
+        F.lit(',"p":'),
+        F.col("props"),
+        F.lit("}"),
+    )
+    v = F.parse_json(doc).alias("v")
+    e = ev.select(v)
+    return (
+        e.groupBy(
+            F.expr("variant_get(v, '$.t', 'string')").alias("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.expr("variant_get(v, '$.c', 'bigint')")).cast("long").alias("sum_cents"),
+            F.sum(F.expr("variant_get(v, '$.p.k', 'bigint')")).cast("long").alias("sum_k"),
+            F.min(F.expr("schema_of_variant(v)")).alias("variant_schema"),
+        )
+    )
+
+
+@register(
+    "sql_udf_pricing",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS gross_cents,
+           CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5)
+                         AS BIGINT)) AS BIGINT) AS net_tt
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    tags=("sql-surface", "udf", "spark4", "exact-money"),
+)
+def sql_udf_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-body scalar UDFs (CREATE TEMPORARY FUNCTION … RETURN expr,
+    Spark 4): the user-extensibility surface that needs NO Python — the
+    function body is a Catalyst expression, inlined at plan time, so it
+    keeps whole-stage codegen and costs nothing at 100 TB (contrast the
+    reference's fork-per-record op executables, server.go:325, and this
+    repo's ExecOp adapter that reproduces them). Two UDFs from the
+    functions/money.py discipline — cents(x) and net_tt(price, disc) —
+    are declared in SQL and used in an aggregate; the oracle inlines
+    the same expressions, so the UDF indirection must be semantically
+    invisible."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION cents(x DOUBLE) RETURNS BIGINT"
+        " RETURN CAST(floor(x * 100.0 + 0.5) AS BIGINT)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION net_tt(price DOUBLE, disc DOUBLE)"
+        " RETURNS BIGINT"
+        " RETURN CAST(floor(price * (1.0 - disc) * 10000.0 + 0.5) AS BIGINT)"
+    )
+    load_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(sum(cents(l_extendedprice)) AS BIGINT) AS gross_cents,
+               CAST(sum(net_tt(l_extendedprice, l_discount)) AS BIGINT) AS net_tt
+        FROM lineitem GROUP BY l_returnflag
+        """
+    )
+
+
+@register(
+    "collation_case_insensitive_stats",
+    oracle="""
+    WITH s AS (
+      SELECT CASE WHEN p_partkey % 2 = 0 THEN lower(p_type) ELSE p_type END AS t
+      FROM part)
+    SELECT CAST(count(DISTINCT t) AS BIGINT) AS n_distinct_binary,
+           CAST(count(DISTINCT lower(t)) AS BIGINT) AS n_distinct_ci,
+           CAST(count(*) AS BIGINT) AS n_rows
+    FROM s
+    """,
+    tags=("sql-surface", "collation", "spark4"),
+)
+def collation_case_insensitive_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String collations (Spark 4): distinct-counting a mixed-case
+    column under the binary collation vs UTF8_LCASE — the
+    case-insensitive count uses ``COLLATE UTF8_LCASE`` (comparison
+    semantics change, the data does not; the engine can use collation
+    keys instead of materializing lower() copies). The fixture has no
+    mixed-case strings, so the query manufactures them
+    deterministically (lower() on even part keys — p_type ships
+    uppercase) and the oracle
+    expresses case-insensitivity the pre-collation way (lower()) — the
+    two must agree exactly: binary distinct ≈ 2× the CI distinct."""
+    p = load_table(spark, sf_dir, "part")
+    s = p.select(
+        F.when(F.col("p_partkey") % 2 == 0, F.lower("p_type"))
+        .otherwise(F.col("p_type"))
+        .alias("t")
+    )
+    return s.agg(
+        F.countDistinct("t").cast("long").alias("n_distinct_binary"),
+        F.countDistinct(F.expr("t COLLATE UTF8_LCASE")).cast("long").alias("n_distinct_ci"),
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+    )

@@ -171,6 +171,9 @@ _ROUND_NEW = frozenset(
         "source_python_datasource",
         "recursive_cte_amortization",
         "set_except_all_multiset",
+        "variant_props_rollup",
+        "sql_udf_pricing",
+        "collation_case_insensitive_stats",
     }
 )
 

@@ -294,3 +294,39 @@ def test_recursive_cte_shared_text_and_payoff_law(spark, sf_dir):
             assert chain[period] == bal, (ck, period)
         assert len(chain) == period + 1, "no rows past payoff"
         assert chain[max(chain)] == 0, "every fixture chain pays off"
+
+
+def test_variant_missing_path_and_types(spark, sf_dir):
+    """VARIANT semantics: a missing path extracts as NULL (not an
+    error), and typed extraction enforces the requested type."""
+    row = spark.sql(
+        """SELECT variant_get(parse_json('{"a": 7}'), '$.missing', 'bigint') AS m,
+                  variant_get(parse_json('{"a": 7}'), '$.a', 'string') AS s,
+                  is_variant_null(parse_json('null')) AS vn"""
+    ).first()
+    assert row.m is None and row.s == "7" and row.vn is True
+    out = SPECS["variant_props_rollup"].fn(spark, sf_dir).collect()
+    assert {r.variant_schema for r in out} == {
+        "OBJECT<c: BIGINT, p: OBJECT<k: BIGINT>, t: STRING>"
+    }
+
+
+def test_collation_bounds(spark, sf_dir):
+    """The manufactured mixed-case column: case-insensitive distinct
+    must be ≤ binary distinct ≤ 2× (each CI class has at most the two
+    manufactured casings)."""
+    r = SPECS["collation_case_insensitive_stats"].fn(spark, sf_dir).first()
+    assert r.n_distinct_ci <= r.n_distinct_binary <= 2 * r.n_distinct_ci
+    assert r.n_distinct_binary > r.n_distinct_ci, "fixture must manufacture case variants"
+
+
+def test_sql_udf_inlines_into_codegen(spark, sf_dir):
+    """The SQL UDF must be invisible in the physical plan (inlined
+    Catalyst expression — no python worker, no BatchEvalPython): the
+    aggregate runs as a plain JVM HashAggregate."""
+    from streamprocessing_spark.plans import explain as X
+
+    df = SPECS["sql_udf_pricing"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "BatchEvalPython" not in plan and "PythonUDF" not in plan, plan
+    assert "HashAggregate" in plan  # plain JVM aggregate, UDF fully inlined
