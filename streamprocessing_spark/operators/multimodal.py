@@ -319,3 +319,47 @@ def phash_neardup_pairs(media: DataFrame, max_hamming: int = PH_MAX_HAMMING) -> 
         .where(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
     )
+
+
+AUDIO_FRAME = 64  # samples per analysis frame (full frames only)
+
+
+def audio_energy_frames(media: DataFrame) -> DataFrame:
+    """Audio feature extraction over opaque payloads: treat the payload
+    bytes as a PCM sample stream (sample = byte − 128; the real-codec
+    swap point is ONLY this line — torchaudio/ffmpeg decode yields the
+    same (n_samples,) int array) and emit per-frame energy Σ s² over
+    non-overlapping AUDIO_FRAME-sample frames — the VAD / silence-trim
+    / loudness-normalization primitive of an audio curation pipeline.
+
+    Arrow-batched like every media kernel: payloads cross JVM↔Python
+    once per batch, the output is (media_id, frame_idx, energy) int64
+    rows — frames shuffle, bytes don't. Exact integer energies make the
+    kernel bit-oracleable (the fixture payload is ASCII text, so DuckDB
+    can replay sample extraction with ascii(substr(...)))."""
+
+    def _energy(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            ids: list[int] = []
+            frames: list[int] = []
+            energies: list[int] = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                buf = np.frombuffer(bytes(payload), dtype=np.uint8).astype(np.int64) - 128
+                nf = len(buf) // AUDIO_FRAME
+                if nf == 0:
+                    continue
+                s = buf[: nf * AUDIO_FRAME].reshape(nf, AUDIO_FRAME)
+                e = (s * s).sum(axis=1)
+                ids.extend([mid] * nf)
+                frames.extend(range(nf))
+                energies.extend(e.tolist())
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": frames, "energy": energies},
+                dtype="int64",
+            )
+
+    return media.select("media_id", "payload").mapInPandas(
+        _energy, "media_id bigint, frame_idx bigint, energy bigint"
+    )

@@ -770,3 +770,41 @@ def ivfpq_topk(
     lut = pq_query_lut(queries, cent)
     cand = codes.join(coarse_asg, "id").join(F.broadcast(probes), "cell")
     return _pq_score_topk(cand.drop("cell"), lut, top_k)
+
+
+GRAM_SCALE = 10_000  # fixed-point quantization: q = round_half_up(x * 1e4)
+
+
+def gram_matrix_upper(emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact Gram matrix X^T X (upper triangle) of the fixed-point-
+    quantized embedding matrix — the PCA / covariance / whitening
+    precursor, computed the way distributed linear algebra actually
+    scales: each Arrow batch contributes a LOCAL dim×dim outer-product
+    partial (numpy int64 matmul), and one final aggregation sums the
+    dim² partials. The corpus never shuffles — only (batches × dim²)
+    partial rows do, the mapInPandas analogue of map-side combine.
+
+    Quantization q = floor(x·1e4 + 0.5) in float64 is the same IEEE
+    arithmetic DuckDB's floor() runs, so the int64 Gram entries are
+    bit-oracleable end to end (house rule: no float crosses an
+    aggregation). Covariance/correlation derive from (gram, per-dim
+    sums, n) algebraically downstream."""
+
+    def _partials(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            q = np.floor(m * GRAM_SCALE + 0.5).astype(np.int64)
+            g = q.T @ q  # dim×dim local partial
+            d = g.shape[0]
+            iu = np.triu_indices(d)
+            yield pd.DataFrame({"i": iu[0].astype(np.int32),
+                                "j": iu[1].astype(np.int32),
+                                "sp": g[iu]})
+
+    parts = emb.select(vec_col).mapInPandas(_partials, "i int, j int, sp bigint")
+    return parts.groupBy("i", "j").agg(F.sum("sp").cast("long").alias("sp"))

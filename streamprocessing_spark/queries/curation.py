@@ -947,3 +947,261 @@ def k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 k_anonymity_generalize.__doc__ = k_anonymity_generalize.__doc__.format(K=K_ANON)
+
+
+@register(
+    "dp_randomized_response_counts",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    t AS (SELECT DISTINCT event_type FROM events),
+    truth AS (SELECT DISTINCT user_id, event_type FROM events),
+    grid AS (
+      SELECT u.user_id, t.event_type,
+             CASE WHEN tr.user_id IS NULL THEN 0 ELSE 1 END AS b,
+             CAST(('0x' || substr(md5('rr:' || CAST(u.user_id AS VARCHAR)
+                                   || ':' || t.event_type), 1, 1)) AS INTEGER) AS c1,
+             CAST(('0x' || substr(md5('rr:' || CAST(u.user_id AS VARCHAR)
+                                   || ':' || t.event_type), 2, 1)) AS INTEGER) AS c2
+      FROM u CROSS JOIN t
+      LEFT JOIN truth tr
+        ON tr.user_id = u.user_id AND tr.event_type = t.event_type),
+    rep AS (
+      SELECT event_type,
+             CASE WHEN c1 < 8 THEN b
+                  WHEN c2 < 8 THEN 1 ELSE 0 END AS yes,
+             b
+      FROM grid)
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(yes) AS BIGINT) AS reported_yes,
+           CAST(4 * sum(yes) - count(*) AS BIGINT) AS est_times2,
+           CAST(sum(b) AS BIGINT) AS true_count
+    FROM rep GROUP BY event_type
+    """,
+    tags=("curation", "privacy"),
+)
+def dp_randomized_response_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private usage counts by RANDOMIZED RESPONSE
+    (Warner 1965; the RAPPOR basic one-time primitive, ln 3-DP): every
+    (user, event-type) cell answers "did you ever do this?" truthfully
+    with probability 1/2, otherwise with a fair coin. The per-type
+    debiased estimator T̂ = 2·yes − N/2 is emitted ×2 (est_times2 =
+    4·yes − N) so it stays an exact integer; the true count rides along
+    as the audit column, making the noise-vs-signal tradeoff visible in
+    the result itself.
+
+    Both "random" coins are md5 bits of the (user, type) cell — the
+    house deterministic-randomness rule — so the noisy report, not just
+    the estimator identity, is bit-reproducible in both engines (a
+    production run swaps the hash input for a per-release salt; the
+    plan is unchanged). Scale shape: the answer universe is users ×
+    types — built with a broadcast of the tiny type dimension — and the
+    truth bits come from a distinct-collapse of the fact scan, shuffled
+    once on user_id; everything downstream is a |types|-row aggregate."""
+    ev = load_table(spark, sf_dir, "events")
+    users = ev.select("user_id").distinct()
+    types = ev.select("event_type").distinct()
+    truth = ev.select("user_id", "event_type").distinct().withColumn("b", F.lit(1))
+    h = F.md5(F.concat(F.lit("rr:"), F.col("user_id").cast("string"),
+                       F.lit(":"), F.col("event_type")))
+    grid = (
+        users.crossJoin(F.broadcast(types))
+        .join(truth, ["user_id", "event_type"], "left")
+        .withColumn("b", F.coalesce(F.col("b"), F.lit(0)))
+        .withColumn("c1", F.conv(F.substring(h, 1, 1), 16, 10).cast("int"))
+        .withColumn("c2", F.conv(F.substring(h, 2, 1), 16, 10).cast("int"))
+    )
+    rep = grid.select(
+        "event_type",
+        "b",
+        F.when(F.col("c1") < 8, F.col("b"))
+        .when(F.col("c2") < 8, F.lit(1))
+        .otherwise(F.lit(0))
+        .alias("yes"),
+    )
+    return rep.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("yes").cast("long").alias("reported_yes"),
+        (F.lit(4) * F.sum("yes") - F.count(F.lit(1))).cast("long").alias("est_times2"),
+        F.sum("b").cast("long").alias("true_count"),
+    )
+
+
+# --- Web-crawl domain curation -------------------------------------------
+# The documents fixture carries no URL column, so a deterministic URL is
+# synthesized per doc from md5(doc_id) — varied schemes, subdomains,
+# multi-label public-suffix TLDs, optional ports — the same
+# fixture-adaptation rule as asof_join_next_order_7d's synthetic order
+# times. Host + registered-domain extraction then run on the URL STRING
+# with the identical regex in both engines (character classes only — no
+# backslash, so the Java/RE2 dialects agree), which is exactly what they
+# would do on a real crawl's url column.
+
+_HOST_RE = "^[a-z]+://([^/:?#]+)"
+_ETLD2_RE = "([^.]+[.](?:co|gov|ac)[.][a-z]+)$"  # public-suffix-lite: co.uk, gov.in, ...
+_ETLD1_RE = "([^.]+[.][^.]+)$"
+BLOCK_K = 10  # blocklist: the K thinnest domains by mean content length
+
+
+def _sql_url_domain_cte() -> str:
+    """DuckDB CTE chain documents -> (doc_id, lang, n_chars, text, domain)."""
+    hx = "CAST(('0x' || substr(h, {i}, {n})) AS INTEGER)"
+    d1, d2, d3, d4 = (hx.format(i=i, n=1) for i in (1, 2, 3, 4))
+    b = hx.format(i=5, n=2)
+    return f"""
+    urls AS (
+      SELECT doc_id, lang, n_chars, text,
+             md5('url:' || CAST(doc_id AS VARCHAR)) AS h
+      FROM documents),
+    withurl AS (
+      SELECT doc_id, lang, n_chars, text,
+             (CASE WHEN {d1} < 8 THEN 'http' ELSE 'https' END)
+             || '://'
+             || (CASE {d2} % 4 WHEN 0 THEN '' WHEN 1 THEN 'www.'
+                 WHEN 2 THEN 'cdn.' ELSE 'blog.' END)
+             || 'site' || CAST({b} % 37 AS VARCHAR) || '.'
+             || (CASE {d3} % 5 WHEN 0 THEN 'com' WHEN 1 THEN 'org'
+                 WHEN 2 THEN 'io' WHEN 3 THEN 'co.uk' ELSE 'gov.in' END)
+             || (CASE WHEN {d4} % 8 = 0 THEN ':8080' ELSE '' END)
+             || '/p/' || CAST(doc_id AS VARCHAR) AS url
+      FROM urls),
+    docdom AS (
+      SELECT doc_id, lang, n_chars, text, url,
+             CASE WHEN regexp_extract(regexp_extract(url, '{_HOST_RE}', 1),
+                                      '{_ETLD2_RE}', 1) <> ''
+                  THEN regexp_extract(regexp_extract(url, '{_HOST_RE}', 1),
+                                      '{_ETLD2_RE}', 1)
+                  ELSE regexp_extract(regexp_extract(url, '{_HOST_RE}', 1),
+                                      '{_ETLD1_RE}', 1) END AS domain
+      FROM withurl)"""
+
+
+def _with_domain(d: DataFrame) -> DataFrame:
+    """Spark mirror of _sql_url_domain_cte: documents + (url, domain)."""
+    h = F.md5(F.concat(F.lit("url:"), F.col("doc_id").cast("string")))
+
+    def hx(i: int, n: int = 1):
+        return F.conv(F.substring(h, i, n), 16, 10).cast("int")
+
+    scheme = F.when(hx(1) < 8, F.lit("http")).otherwise(F.lit("https"))
+    sub = (
+        F.when(hx(2) % 4 == 0, F.lit(""))
+        .when(hx(2) % 4 == 1, F.lit("www."))
+        .when(hx(2) % 4 == 2, F.lit("cdn."))
+        .otherwise(F.lit("blog."))
+    )
+    base = F.concat(F.lit("site"), (hx(5, 2) % 37).cast("string"))
+    tld = (
+        F.when(hx(3) % 5 == 0, F.lit("com"))
+        .when(hx(3) % 5 == 1, F.lit("org"))
+        .when(hx(3) % 5 == 2, F.lit("io"))
+        .when(hx(3) % 5 == 3, F.lit("co.uk"))
+        .otherwise(F.lit("gov.in"))
+    )
+    port = F.when(hx(4) % 8 == 0, F.lit(":8080")).otherwise(F.lit(""))
+    url = F.concat(
+        scheme, F.lit("://"), sub, base, F.lit("."), tld, port,
+        F.lit("/p/"), F.col("doc_id").cast("string"),
+    )
+    host = F.regexp_extract(url, _HOST_RE, 1)
+    etld2 = F.regexp_extract(host, _ETLD2_RE, 1)
+    domain = F.when(etld2 != "", etld2).otherwise(F.regexp_extract(host, _ETLD1_RE, 1))
+    return d.withColumn("url", url).withColumn("domain", domain)
+
+
+@register(
+    "url_domain_stats",
+    oracle=f"""
+    WITH {_sql_url_domain_cte()}
+    SELECT domain,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+           CAST(sum(dup) AS BIGINT) AS dup_docs
+    FROM (
+      SELECT domain, lang, n_chars,
+             CASE WHEN count(*) OVER (PARTITION BY md5(text)) > 1
+                  THEN 1 ELSE 0 END AS dup
+      FROM docdom)
+    GROUP BY domain
+    """,
+    tags=("curation", "llm-pipeline", "web"),
+)
+def url_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-registered-domain crawl datasheet: docs, language spread,
+    content volume, and exact-duplicate share — the grouping every web
+    corpus (C4, RefinedWeb, FineWeb) pivots on for source-level
+    filtering decisions. Registered domain = eTLD+1 with a
+    public-suffix-lite rule (last 3 labels when the middle one is
+    co/gov/ac, else last 2), extracted with engine-identical regexes.
+
+    Scale shape: per-row hash + regex projections (codegen), one window
+    over md5(text) to mark corpus-level exact dups (shuffles the 16-byte
+    fingerprint, not the text), one hash aggregate on domain. Domain
+    keys are Zipf-skewed in real crawls — the dup-window partitions by
+    content hash, not domain, so a mega-domain costs nothing extra;
+    only the final per-domain count aggregate sees the skew, and count
+    aggregates combine map-side."""
+    d = _with_domain(load_table(spark, sf_dir, "documents"))
+    dup = F.when(
+        F.count(F.lit(1)).over(Window.partitionBy(F.md5("text"))) > 1, F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        d.select("domain", "lang", "n_chars", dup.alias("dup"))
+        .groupBy("domain")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.countDistinct("lang").cast("long").alias("n_langs"),
+            F.sum("n_chars").cast("long").alias("sum_chars"),
+            F.sum("dup").cast("long").alias("dup_docs"),
+        )
+    )
+
+
+@register(
+    "domain_blocklist_filter",
+    oracle=f"""
+    WITH {_sql_url_domain_cte()},
+    stats AS (
+      SELECT domain, count(*) AS n_docs, sum(n_chars) AS sum_chars
+      FROM docdom GROUP BY 1),
+    ranked AS (
+      SELECT domain,
+             row_number() OVER (
+               ORDER BY (1000000 * sum_chars) // n_docs ASC, domain) AS rk
+      FROM stats),
+    blocked AS (SELECT domain FROM ranked WHERE rk <= {BLOCK_K})
+    SELECT d.doc_id, d.domain
+    FROM docdom d
+    LEFT JOIN blocked b ON b.domain = d.domain
+    WHERE b.domain IS NULL
+    """,
+    tags=("curation", "llm-pipeline", "web"),
+)
+def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-level blocklist filtering: derive the blocklist FROM the
+    corpus (the BLOCK_K thinnest registered domains by mean content
+    length — deterministic bottom-K on the integer micro-chars average
+    with a domain tiebreak, so the cut is scale-stable where an
+    absolute threshold isn't) and anti-join the corpus against it. The
+    C4-style "remove boilerplate farms" stage; a curated external
+    blocklist drops into the same plan as a broadcast side.
+
+    Scale shape: the stats aggregate collapses the scan to one row per
+    domain; the bottom-K rank runs on that domain-sized table (the
+    single-partition window is over |domains| rows, never the corpus);
+    the blocklist then anti-joins back as a broadcast. Two scans of
+    documents (stats + filter) — or one with a cached intermediate."""
+    d = _with_domain(load_table(spark, sf_dir, "documents"))
+    stats = d.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
+    )
+    avg_micro = F.expr("CAST(1000000 * sum_chars AS BIGINT) div n_docs")
+    ranked = stats.select(
+        "domain",
+        F.row_number()
+        .over(Window.orderBy(avg_micro.asc(), F.col("domain").asc()))
+        .alias("rk"),
+    )
+    blocked = ranked.where(F.col("rk") <= BLOCK_K).select("domain")
+    return d.join(F.broadcast(blocked), "domain", "left_anti").select("doc_id", "domain")

@@ -669,3 +669,93 @@ def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lab.select(
         F.col("node").alias("l_partkey"), F.col("label").cast("long").alias("community")
     )
+
+
+SSSP_ROUNDS = 4  # Bellman-Ford relaxation rounds (paths of <= 4 edges)
+
+
+def _sql_sssp_round(prev: str, out: str) -> str:
+    """One Bellman-Ford relaxation round in DuckDB SQL over CTE `ed`
+    (symmetric weighted edges): keep the old distance, add every
+    one-edge extension, take the min per node — exactly the Spark
+    round's union + min-aggregate."""
+    return f"""
+    {out} AS MATERIALIZED (
+      SELECT id, min(dist) AS dist FROM (
+        SELECT id, dist FROM {prev}
+        UNION ALL
+        SELECT e.dst AS id, p.dist + e.w AS dist
+        FROM {prev} p JOIN ed e ON e.src = p.id)
+      GROUP BY id)"""
+
+
+@register(
+    "sssp_weighted_parts",
+    oracle=f"""
+    WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS MATERIALIZED (
+      SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS d
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+    ed AS MATERIALIZED (
+      SELECT s AS src, d AS dst, 1 + (s + d) % 9 AS w FROM e
+      UNION ALL
+      SELECT d, s, 1 + (s + d) % 9 FROM e),
+    d0 AS MATERIALIZED (SELECT min(l_partkey) AS id, 0 AS dist FROM op),
+    {",".join(_sql_sssp_round(f'd{r}', f'd{r + 1}') for r in range(SSSP_ROUNDS))}
+    SELECT id AS l_partkey, CAST(dist AS BIGINT) AS dist
+    FROM d{SSSP_ROUNDS}
+    """,
+    tags=("graph", "iterative"),
+)
+def sssp_weighted_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-source shortest path over the WEIGHTED co-purchase graph:
+    SSSP_ROUNDS synchronous Bellman-Ford relaxations from the lowest
+    part key — min cost over paths of <= SSSP_ROUNDS edges, the Pregel
+    SSSP workload (vs BFS's unweighted min-HOP in basket_bfs_part_hops).
+    Edge weights are deterministic integers 1 + (src + dst) % 9,
+    symmetric by construction, so both engines build the identical graph.
+
+    Fixed rounds keep the result well-defined whether or not the true
+    shortest paths have converged (kcore_parts' parity argument); the
+    oracle unrolls the same rounds. Shape per round: one shuffle join of
+    the tentative-distance table against the edge list on the node id +
+    one min-aggregate — O(edges) per round, partitioning reused, no
+    driver collect at all, lineage truncated per round. Unlike BFS's
+    visited-set anti-join, relaxation must REVISIT nodes (a longer-hop
+    path may be cheaper), which is why the union + min shape is the
+    correct primitive."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d"))
+        .distinct()
+    )
+    w = F.lit(1) + (F.col("s") + F.col("d")) % F.lit(9)
+    ed = (
+        e.select(F.col("s").alias("src"), F.col("d").alias("dst"), w.alias("w"))
+        .unionByName(e.select(F.col("d").alias("src"), F.col("s").alias("dst"), w.alias("w")))
+        .repartition("src")
+        .localCheckpoint(eager=True)
+    )
+    dist = op.agg(F.min("l_partkey").alias("id")).withColumn("dist", F.lit(0))
+    for _ in range(SSSP_ROUNDS):
+        relaxed = (
+            ed.join(dist, ed.src == dist.id)
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist.select(
+        F.col("id").alias("l_partkey"), F.col("dist").cast("long").alias("dist")
+    )

@@ -215,3 +215,33 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     media = M.attach_payload(d, "doc_id", "text")
     return M.phash_neardup_pairs(media)
+
+
+@register(
+    "multimodal_audio_energy",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id,
+             (p - 1) // {M.AUDIO_FRAME} AS fi,
+             ascii(substr(text, CAST(p AS INTEGER), 1)) - 128 AS s
+      FROM documents,
+           unnest(range(1, (len(text) // {M.AUDIO_FRAME}) * {M.AUDIO_FRAME} + 1)) AS u(p))
+    SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx,
+           CAST(sum(s * s) AS BIGINT) AS energy
+    FROM f GROUP BY 1, 2
+    """,
+    tags=("multimodal", "llm-pipeline"),
+)
+def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-frame audio energy over media payloads (see
+    operators/multimodal.audio_energy_frames): payload bytes as PCM
+    samples, Σ s² per 64-sample frame — the silence-trim / VAD /
+    loudness feature pass, completing the modality set next to the
+    image (phash/resize) and video (frame-sample) kernels. The fixture
+    payload is the UTF-8 document text (ASCII — asserted by the
+    oracle's ascii() replay matching the kernel's byte view), so the
+    WHOLE kernel, not just the plumbing, is bit-oracled; a real corpus
+    swaps only the sample-decode line."""
+    d = load_table(spark, sf_dir, "documents")
+    media = M.attach_payload(d, "doc_id", "text")
+    return M.audio_energy_frames(media)

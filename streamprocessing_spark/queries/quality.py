@@ -268,3 +268,74 @@ def corpus_composition_card(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_frac"),
         )
     )
+
+
+CHISQ_SCALE = 1000  # contributions reported in milli-units
+
+
+@register(
+    "chisq_independence_source_lang",
+    oracle=f"""
+    WITH cell AS (
+      SELECT source, lang, CAST(count(*) AS HUGEINT) AS o
+      FROM documents GROUP BY 1, 2),
+    r AS (SELECT source, sum(o) AS rt FROM cell GROUP BY 1),
+    c AS (SELECT lang, sum(o) AS ct FROM cell GROUP BY 1),
+    n AS (SELECT sum(o) AS nt FROM cell)
+    SELECT cell.source, cell.lang,
+           CAST(cell.o AS BIGINT) AS observed,
+           CAST(({CHISQ_SCALE} * (cell.o * n.nt - r.rt * c.ct)
+                 * (cell.o * n.nt - r.rt * c.ct))
+                // (n.nt * r.rt * c.ct) AS BIGINT) AS contrib_milli
+    FROM cell
+    JOIN r ON r.source = cell.source
+    JOIN c ON c.lang = cell.lang
+    CROSS JOIN n
+    """,
+    tags=("quality", "statistics"),
+)
+def chisq_independence_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square test of independence between document source and
+    language, EXACT: per contingency cell the scaled contribution
+    floor(1000·(O·N − R·C)² / (N·R·C)) — algebraically identical to
+    1000·(O − E)²/E with E = R·C/N, but with the division deferred to a
+    single integral floor-div so no fraction is ever represented.
+    Σ contrib_milli / 1000 is the chi-square statistic to milli
+    precision — the "is my cheap classifier's output correlated with
+    the sampling source?" audit behind lang_id_confusion.
+
+    Intermediates reach O²·N² ≈ 1e22 at sf1 — past BIGINT — so both
+    engines compute in 38-digit integers (Spark DECIMAL(38,0) with the
+    integral `div`, DuckDB HUGEINT with `//`; operands positive, so
+    floor == trunc and the engines agree bit-for-bit). Scale shape: one
+    scan collapses to |sources|×|langs| cells; everything after is
+    dimension-sized broadcast arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    cell = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    r = cell.groupBy("source").agg(F.sum("o").alias("rt"))
+    c = cell.groupBy("lang").agg(F.sum("o").alias("ct"))
+    n = cell.agg(F.sum("o").alias("nt"))
+    dec = "DECIMAL(38,0)"
+    joined = (
+        cell.join(F.broadcast(r), "source")
+        .join(F.broadcast(c), "lang")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "lang",
+            "o",
+            F.expr(f"CAST(o AS {dec})").alias("ob"),
+            F.expr(f"CAST(rt AS {dec})").alias("rb"),
+            F.expr(f"CAST(ct AS {dec})").alias("cb"),
+            F.expr(f"CAST(nt AS {dec})").alias("nb"),
+        )
+    )
+    return joined.select(
+        "source",
+        "lang",
+        F.col("o").cast("long").alias("observed"),
+        F.expr(
+            f"CAST(({CHISQ_SCALE} * (ob * nb - rb * cb) * (ob * nb - rb * cb))"
+            " div (nb * rb * cb) AS BIGINT)"
+        ).alias("contrib_milli"),
+    )

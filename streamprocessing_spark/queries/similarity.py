@@ -819,3 +819,35 @@ def quantile_normalize_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame
             / 1000000.0
         ).alias("qval"),
     )
+
+
+@register(
+    "embedding_gram_matrix",
+    oracle=f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id, i - 1 AS d,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * {S.GRAM_SCALE} + 0.5)
+                  AS BIGINT) AS qv
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i))
+    SELECT CAST(a.d AS INTEGER) AS i, CAST(b.d AS INTEGER) AS j,
+           CAST(sum(a.qv * b.qv) AS BIGINT) AS sp
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND a.d <= b.d
+    GROUP BY 1, 2
+    """,
+    tags=("similarity", "llm-pipeline", "linalg"),
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact Gram matrix X^T X over the embedding corpus
+    (upper triangle, dim² = 64×64): the one-pass moment computation
+    behind PCA, covariance whitening, and ridge-regression normal
+    equations. See operators/similarity.gram_matrix_upper: Arrow
+    batches reduce locally to dim×dim int64 partials (numpy matmul) so
+    the shuffle carries O(batches·dim²) rows regardless of corpus size
+    — the distributed-linear-algebra analogue of map-side combine,
+    exactly how a 1000-executor cluster computes X^T X over 100 TB.
+
+    The oracle replays the same fixed-point arithmetic relationally
+    (explode × self-join — quadratic in dim, fine at oracle scale);
+    both sides are pure int64 sums, so equality is bit-level."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return S.gram_matrix_upper(emb)

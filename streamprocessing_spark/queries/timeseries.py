@@ -1279,3 +1279,55 @@ def regression_two_factor_cramer(spark: SparkSession, sf_dir: str) -> DataFrame:
         (sign * F.col("det2")).cast("decimal(38,0)").cast("string").alias("slope_dow_num"),
         F.abs(F.col("det")).cast("decimal(38,0)").cast("string").alias("det_den"),
     )
+
+
+@register(
+    "rle_event_runs",
+    oracle="""
+    WITH o AS (
+      SELECT user_id, event_type, ts, event_id,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rnt
+      FROM events)
+    SELECT user_id, event_type,
+           min(ts) AS run_start, max(ts) AS run_end,
+           CAST(count(*) AS BIGINT) AS run_len
+    FROM o
+    GROUP BY user_id, event_type, rn - rnt
+    """,
+    tags=("timeseries", "window"),
+)
+def rle_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Run-length encoding of each user's event stream: collapse
+    CONSECUTIVE events of the same type into one (start, end, length)
+    run — the classic gaps-and-islands identity (overall row_number
+    minus per-type row_number is constant exactly within a run). The
+    sensor/clickstream compression primitive: "user did 14 scrolls,
+    then 1 purchase, then 3 errors", also the de-bounce step before
+    path mining (event_path_trigrams sees runs, not repeats).
+
+    Tiebreak (ts, event_id) makes the sequence — and therefore every
+    run boundary — deterministic in both engines. One partitioned sort
+    serves both row_numbers (same window ordering), then one hash
+    aggregate: two shuffles total, no self-join, O(events) state."""
+    ev = load_table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.select(
+            "user_id",
+            "event_type",
+            "ts",
+            "event_id",
+            (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+        )
+        .groupBy("user_id", "event_type", "grp")
+        .agg(
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+            F.count(F.lit(1)).cast("long").alias("run_len"),
+        )
+        .drop("grp")
+    )

@@ -174,6 +174,14 @@ _ROUND_NEW = frozenset(
         "variant_props_rollup",
         "sql_udf_pricing",
         "collation_case_insensitive_stats",
+        "sssp_weighted_parts",
+        "rle_event_runs",
+        "chisq_independence_source_lang",
+        "dp_randomized_response_counts",
+        "url_domain_stats",
+        "domain_blocklist_filter",
+        "embedding_gram_matrix",
+        "multimodal_audio_energy",
     }
 )
 

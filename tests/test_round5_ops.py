@@ -1,0 +1,227 @@
+"""Structural properties of the round-2 fourth-continuation operators
+(weighted SSSP, run-length encoding, exact chi-square, randomized
+response, domain curation, Gram matrix, audio energy): the invariants
+the DuckDB oracle comparison can't express — independent pure-Python
+re-derivations, conservation laws, estimator identities, and numpy
+agreement."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from streamprocessing_spark.operators.multimodal import AUDIO_FRAME
+from streamprocessing_spark.operators.similarity import GRAM_SCALE
+from streamprocessing_spark.queries.curation import BLOCK_K
+from streamprocessing_spark.queries.graph import SSSP_ROUNDS
+from streamprocessing_spark.registry import all_specs
+from streamprocessing_spark.sources.readers import load_table
+
+SPECS = all_specs()
+
+
+def test_sssp_matches_pure_python_bellman_ford(spark, sf_dir):
+    """Independent re-derivation: collect the (small-scale) edge list
+    and run Bellman-Ford in pure Python for the same number of rounds;
+    the distributed result must agree exactly — including on nodes
+    whose distance is still shrinking at the round cap."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().collect()
+    baskets: dict[int, set[int]] = {}
+    for r in op:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    adj: dict[int, dict[int, int]] = {}
+    for parts in baskets.values():
+        for s in parts:
+            for d in parts:
+                if s != d:
+                    w = 1 + (s + d) % 9
+                    adj.setdefault(s, {})[d] = w
+    seed = min(p for parts in baskets.values() for p in parts)
+    dist = {seed: 0}
+    for _ in range(SSSP_ROUNDS):
+        nxt = dict(dist)
+        for u, du in dist.items():
+            for v, w in adj.get(u, {}).items():
+                if du + w < nxt.get(v, float("inf")):
+                    nxt[v] = du + w
+        dist = nxt
+    got = {r.l_partkey: r.dist for r in SPECS["sssp_weighted_parts"].fn(spark, sf_dir).collect()}
+    assert got == dist
+    assert got[seed] == 0
+    assert len(got) > 1, "graph must be connected enough to reach neighbors"
+
+
+def test_sssp_beats_hops_times_min_weight(spark, sf_dir):
+    """dist >= hops (min edge weight is 1) wherever both are defined —
+    the weighted distances must be consistent with the unweighted BFS."""
+    hops = {r.l_partkey: r.hops for r in SPECS["basket_bfs_part_hops"].fn(spark, sf_dir).collect()}
+    dist = {r.l_partkey: r.dist for r in SPECS["sssp_weighted_parts"].fn(spark, sf_dir).collect()}
+    common = set(hops) & set(dist)
+    assert common
+    assert all(dist[k] >= hops[k] for k in common)
+
+
+def test_rle_runs_conserve_and_alternate(spark, sf_dir):
+    """Σ run_len == total events per user, and consecutive runs for a
+    user never share an event type (otherwise they'd be one run)."""
+    ev = load_table(spark, sf_dir, "events")
+    totals = {r.user_id: r.n for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    runs = SPECS["rle_event_runs"].fn(spark, sf_dir).collect()
+    per_user: dict[int, list] = {}
+    for r in runs:
+        per_user.setdefault(r.user_id, []).append(r)
+    assert set(per_user) == set(totals)
+    for uid, rs in per_user.items():
+        assert sum(r.run_len for r in rs) == totals[uid]
+        rs.sort(key=lambda r: r.run_start)
+        for a, b in zip(rs, rs[1:]):
+            assert a.run_end <= b.run_start
+            assert a.event_type != b.event_type, "adjacent runs must differ in type"
+        assert all(r.run_start <= r.run_end for r in rs)
+
+
+def test_chisq_matches_float_statistic(spark, sf_dir):
+    """Σ contrib_milli / 1000 must agree with the float chi-square
+    statistic computed independently from the contingency table (to the
+    flooring granularity: each of the C cells floors away < 1 milli)."""
+    rows = SPECS["chisq_independence_source_lang"].fn(spark, sf_dir).collect()
+    n = sum(r.observed for r in rows)
+    rt: dict[str, int] = {}
+    ct: dict[str, int] = {}
+    for r in rows:
+        rt[r.source] = rt.get(r.source, 0) + r.observed
+        ct[r.lang] = ct.get(r.lang, 0) + r.observed
+    stat = 0.0
+    for r in rows:
+        e = rt[r.source] * ct[r.lang] / n
+        stat += (r.observed - e) ** 2 / e
+    got_milli = sum(r.contrib_milli for r in rows)
+    assert got_milli <= stat * 1000 + 1e-6
+    assert got_milli >= stat * 1000 - len(rows) - 1e-6
+    assert all(r.contrib_milli >= 0 for r in rows)
+
+
+def test_randomized_response_estimator_identity(spark, sf_dir):
+    """est_times2 must equal 4·yes − n exactly (debias identity), the
+    true count must come from the events table, and every count must be
+    bounded by the user universe."""
+    ev = load_table(spark, sf_dir, "events")
+    n_users = ev.select("user_id").distinct().count()
+    truth = {
+        (r.event_type): r.n
+        for r in ev.select("user_id", "event_type").distinct()
+        .groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    rows = SPECS["dp_randomized_response_counts"].fn(spark, sf_dir).collect()
+    assert {r.event_type for r in rows} == set(truth)
+    for r in rows:
+        assert r.n_users == n_users
+        assert r.est_times2 == 4 * r.reported_yes - r.n_users
+        assert r.true_count == truth[r.event_type]
+        assert 0 <= r.reported_yes <= r.n_users
+        # With p=1/2 truth + p=1/4 forced-yes, the ±2·sqrt(n) band holds
+        # deterministically for this fixture (not a tail bound — a
+        # regression pin on the hash-derived noise realization).
+        assert abs(r.est_times2 / 2 - r.true_count) <= 2 * (n_users ** 0.5) + 1
+
+
+def test_domain_stats_partition_corpus(spark, sf_dir):
+    """Domains partition the corpus: Σ n_docs == |documents|, every
+    domain matches the eTLD+1 shape, and dup_docs ≤ n_docs."""
+    d = load_table(spark, sf_dir, "documents")
+    rows = SPECS["url_domain_stats"].fn(spark, sf_dir).collect()
+    assert sum(r.n_docs for r in rows) == d.count()
+    import re
+
+    shape = re.compile(r"^site\d+[.](com|org|io|co[.]uk|gov[.]in)$")
+    for r in rows:
+        assert shape.match(r.domain), r.domain
+        assert 0 <= r.dup_docs <= r.n_docs
+        assert r.n_langs >= 1
+
+
+def test_blocklist_filter_drops_exactly_k_domains(spark, sf_dir):
+    """kept ∪ blocked must cover the corpus; exactly BLOCK_K domains
+    vanish; kept docs' domains are disjoint from the blocked set."""
+    stats = SPECS["url_domain_stats"].fn(spark, sf_dir).collect()
+    kept = SPECS["domain_blocklist_filter"].fn(spark, sf_dir).collect()
+    all_domains = {r.domain for r in stats}
+    kept_domains = {r.domain for r in kept}
+    blocked = all_domains - kept_domains
+    assert len(blocked) == BLOCK_K
+    n_docs = {r.domain: r.n_docs for r in stats}
+    assert len(kept) == sum(n for d_, n in n_docs.items() if d_ in kept_domains)
+    # the blocked domains are exactly the bottom-K by integer mean chars
+    key = {
+        r.domain: ((1_000_000 * r.sum_chars) // r.n_docs, r.domain) for r in stats
+    }
+    bottom = set(sorted(all_domains, key=lambda d_: key[d_])[:BLOCK_K])
+    assert blocked == bottom
+
+
+def test_gram_matrix_agrees_with_numpy(spark, sf_dir):
+    """The distributed Gram matrix must equal numpy's X^T X on the
+    quantized matrix exactly, be symmetric by construction (upper
+    triangle), and have nonnegative diagonal."""
+    emb = load_table(spark, sf_dir, "embeddings").select("embedding").collect()
+    m = np.stack([np.array(r.embedding, dtype=np.float64) for r in emb])
+    q = np.floor(m * GRAM_SCALE + 0.5).astype(np.int64)
+    g = q.T @ q
+    rows = SPECS["embedding_gram_matrix"].fn(spark, sf_dir).collect()
+    dim = m.shape[1]
+    assert len(rows) == dim * (dim + 1) // 2
+    for r in rows:
+        assert r.i <= r.j
+        assert r.sp == g[r.i, r.j], (r.i, r.j)
+    diag = {r.i: r.sp for r in rows if r.i == r.j}
+    assert all(v >= 0 for v in diag.values())
+
+
+def test_gram_matrix_is_positive_semidefinite(spark, sf_dir):
+    rows = SPECS["embedding_gram_matrix"].fn(spark, sf_dir).collect()
+    dim = max(r.j for r in rows) + 1
+    g = np.zeros((dim, dim))
+    for r in rows:
+        g[r.i, r.j] = r.sp
+        g[r.j, r.i] = r.sp
+    ev = np.linalg.eigvalsh(g)
+    assert ev.min() >= -1e-6 * max(1.0, ev.max()), "Gram matrix must be PSD"
+
+
+def test_audio_energy_matches_pure_python(spark, sf_dir):
+    """Frame counts and energies re-derived from the raw text bytes in
+    pure Python must match the kernel output exactly."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    expect: dict[tuple[int, int], int] = {}
+    for r in docs:
+        buf = r.text.encode("utf-8")
+        nf = len(buf) // AUDIO_FRAME
+        for fi in range(nf):
+            frame = buf[fi * AUDIO_FRAME : (fi + 1) * AUDIO_FRAME]
+            expect[(r.doc_id, fi)] = sum((b - 128) ** 2 for b in frame)
+    got = {
+        (r.media_id, r.frame_idx): r.energy
+        for r in SPECS["multimodal_audio_energy"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len(got) > 0
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "sssp_weighted_parts",
+        "rle_event_runs",
+        "chisq_independence_source_lang",
+        "dp_randomized_response_counts",
+        "url_domain_stats",
+        "domain_blocklist_filter",
+        "embedding_gram_matrix",
+        "multimodal_audio_energy",
+    ],
+)
+def test_round5_registered_with_oracle(name):
+    assert name in SPECS
+    assert SPECS[name].oracle is not None
