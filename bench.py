@@ -86,6 +86,12 @@ HEADLINE = [
     "ann_pq_adc_topk",
     "cdc_apply_changes",
     "interpolate_hourly_linear",
+    # round-2 fourth-continuation additions
+    "sssp_weighted_parts",
+    "embedding_gram_matrix",
+    "url_domain_stats",
+    "multimodal_audio_energy",
+    "minhash_jaccard_estimate_audit",
 ]
 
 

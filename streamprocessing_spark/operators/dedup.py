@@ -717,3 +717,55 @@ def prefix_filter_jaccard_pairs(
         .where(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", portable_round(F.col("jaccard"), 4).alias("jaccard"))
     )
+
+
+def sql_minhash_estimate_audit() -> str:
+    """DuckDB replay of minhash_jaccard_estimate_audit: LSH candidates
+    with the signature-agreement estimate next to the exact Jaccard
+    ingredients, every term an integer."""
+    h = sql_h32("sh")
+    mins = ",\n           ".join(
+        f"min(({a} * {h} + {b}) % {MOD32}) AS mh_{j}" for j, (a, b) in enumerate(COEFFS)
+    )
+    band_rows = "\n      UNION ALL\n".join(
+        "      SELECT id, {b} AS band, {sig} AS sig FROM sig_t".format(
+            b=b,
+            sig=" || '-' || ".join(
+                f"CAST(mh_{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(BANDS)
+    )
+    matches = " + ".join(
+        f"CASE WHEN a.mh_{j} = b.mh_{j} THEN 1 ELSE 0 END" for j in range(NUM_HASHES)
+    )
+    return f"""
+    WITH {sql_shingles()},
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    sig_t AS (SELECT id,
+           {mins}
+           FROM sh GROUP BY id),
+    buckets AS (
+{band_rows}
+    ),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM buckets a
+             JOIN buckets b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+    m AS (SELECT c.id_a, c.id_b, ({matches}) AS match_64
+          FROM cand c
+          JOIN sig_t a ON a.id = c.id_a
+          JOIN sig_t b ON b.id = c.id_b),
+    common AS (SELECT c.id_a, c.id_b, count(*) AS c
+               FROM cand c
+               JOIN sh a ON a.id = c.id_a
+               JOIN sh b ON b.id = c.id_b AND b.sh = a.sh
+               GROUP BY 1, 2)
+    SELECT m.id_a, m.id_b,
+           CAST(m.match_64 AS BIGINT) AS match_64,
+           CAST(COALESCE(co.c, 0) AS BIGINT) AS n_inter,
+           CAST(sa.n + sb.n - COALESCE(co.c, 0) AS BIGINT) AS n_union
+    FROM m
+    LEFT JOIN common co ON co.id_a = m.id_a AND co.id_b = m.id_b
+    JOIN sizes sa ON sa.id = m.id_a
+    JOIN sizes sb ON sb.id = m.id_b
+    """

@@ -1205,3 +1205,67 @@ def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     blocked = ranked.where(F.col("rk") <= BLOCK_K).select("domain")
     return d.join(F.broadcast(blocked), "domain", "left_anti").select("doc_id", "domain")
+
+
+SNM_WINDOW = 4  # sorted-neighborhood: compare each name to its next W neighbors
+
+
+@register(
+    "sorted_neighborhood_pairs",
+    oracle=f"""
+    WITH n AS (SELECT DISTINCT p_name FROM part),
+    l AS (
+      SELECT p_name,
+             {", ".join(f"lead(p_name, {k}) OVER (PARTITION BY substr(reverse(p_name), 1, 1) ORDER BY reverse(p_name)) AS n{k}" for k in range(1, SNM_WINDOW + 1))}
+      FROM n)
+    SELECT p_name AS name_a, nb AS name_b,
+           CAST(levenshtein(p_name, nb) AS BIGINT) AS dist
+    FROM l, unnest([{", ".join(f"n{k}" for k in range(1, SNM_WINDOW + 1))}]) AS u(nb)
+    WHERE nb IS NOT NULL AND levenshtein(p_name, nb) <= 2
+    """,
+    tags=("curation", "dedup", "fuzzy"),
+)
+def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood entity resolution (Hernández & Stolfo 1995) —
+    the scale path fuzzy_name_pairs' docstring promises: sort the
+    distinct names by a DESIGNED key, compare each only to its next
+    SNM_WINDOW neighbors in sort order, verify with edit distance ≤ 2.
+    O(names·W) candidate pairs instead of the length-band join's
+    O(pairs-in-band); the recall tradeoff (near-dups >W apart in sort
+    order are missed) is the method's documented contract, and the
+    oracle replays the identical window so the comparison stays exact.
+
+    Sort-key design IS the method: this fixture's names are
+    "modifier noun" and near-dups differ in the MODIFIER, so a plain
+    lexicographic sort never adjoins them (measured: 0 of 24 true pairs
+    in-window). The REVERSED name clusters by noun and recovers 16/24
+    at W=4 — the remaining 8 are the cross-noun pairs SNM trades away
+    vs the lossless length-block tier (production runs multiple passes
+    with different keys and unions the pairs).
+
+    The sort runs PER BLOCK (window partitioned by the key's first
+    char), so no global single-partition sort exists at any scale — the
+    standard blocked-SNM composition, with the block-boundary recall
+    loss shared by both engines. Plan: one partitioned sort, SNM_WINDOW
+    lead()s, explode, per-row levenshtein — zero joins."""
+    names = load_table(spark, sf_dir, "part").select("p_name").distinct()
+    w = Window.partitionBy(F.substring(F.reverse(F.col("p_name")), 1, 1)).orderBy(
+        F.reverse(F.col("p_name"))
+    )
+    with_leads = names.select(
+        "p_name",
+        F.array(*[F.lead("p_name", k).over(w) for k in range(1, SNM_WINDOW + 1)]).alias(
+            "nbs"
+        ),
+    )
+    leads = with_leads.select("p_name", F.explode("nbs").alias("nb")).where(
+        F.col("nb").isNotNull()
+    )
+    return (
+        leads.select(
+            F.col("p_name").alias("name_a"),
+            F.col("nb").alias("name_b"),
+            F.levenshtein("p_name", "nb").cast("long").alias("dist"),
+        )
+        .where(F.col("dist") <= 2)
+    )

@@ -324,3 +324,66 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.prefix_filter_jaccard_pairs."""
     d = load_table(spark, sf_dir, "documents")
     return D.prefix_filter_jaccard_pairs(d, "doc_id", "text", JACCARD_THRESHOLD)
+
+
+@register(
+    "minhash_jaccard_estimate_audit",
+    oracle=D.sql_minhash_estimate_audit(),
+    tags=("dedup", "llm-pipeline", "lsh", "statistics"),
+)
+def minhash_jaccard_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-accuracy audit for the MinHash tier: for every LSH
+    candidate pair, the signature-agreement ESTIMATE (matching
+    positions out of NUM_HASHES — E[match/64] = true Jaccard) next to
+    the exact ingredients (|A∩B|, |A∪B|) — the one-query answer to "how
+    wrong is my 64-hash sketch on MY corpus?", which fixes the (bands,
+    rows) parameters before a 100 TB run. All integers, so even the
+    estimator's sampling error is bit-oracled; the estimate-vs-exact
+    residual bound lives in tests (where the statistical claim belongs).
+
+    Scale shape: identical to dedup_minhash_lsh through candidates
+    (band-bucket self-join, never all-pairs); the estimate adds one
+    signature join (64 bigints per doc), the exact side reuses the
+    shingle-intersection verify already paid by the LSH tier."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_df(d, "doc_id", "text")
+    sig = D.minhash_signature_df(sh)
+    cand = D.lsh_candidate_pairs(sig)
+    sa = sig.select(F.col("id").alias("id_a"), F.col("mh").alias("ma"))
+    sb = sig.select(F.col("id").alias("id_b"), F.col("mh").alias("mb"))
+    est = (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.size(
+                F.filter(
+                    F.zip_with(F.col("ma"), F.col("mb"), lambda x, y: x == y),
+                    lambda v: v,
+                )
+            )
+            .cast("long")
+            .alias("match_64"),
+        )
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        est.join(common, ["id_a", "id_b"], "left")
+        .withColumn("c", F.coalesce(F.col("c"), F.lit(0)))
+        .join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .join(sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb")), "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "match_64",
+            F.col("c").cast("long").alias("n_inter"),
+            (F.col("na") + F.col("nb") - F.col("c")).cast("long").alias("n_union"),
+        )
+    )

@@ -1062,3 +1062,65 @@ def bpe_train_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.trim(F.col("sym")).alias("encoded"),
         F.size(F.split(F.trim(F.col("sym")), " ")).cast("long").alias("n_pieces"),
     )
+
+
+@register(
+    "source_vocab_overlap",
+    oracle=f"""
+    WITH tv AS (
+      SELECT DISTINCT source, t AS token
+      FROM documents, unnest({T.SQL_TOKENS}) AS u(t)),
+    sz AS (SELECT source, count(*) AS n FROM tv GROUP BY 1),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b, count(*) AS ni
+      FROM tv a JOIN tv b
+        ON a.token = b.token AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT i.source_a, i.source_b,
+           CAST(i.ni AS BIGINT) AS n_inter,
+           CAST(sa.n + sb.n - i.ni AS BIGINT) AS n_union,
+           CAST((1000000 * i.ni) // (sa.n + sb.n - i.ni) AS BIGINT) AS jaccard_micro
+    FROM inter i
+    JOIN sz sa ON sa.source = i.source_a
+    JOIN sz sb ON sb.source = i.source_b
+    """,
+    tags=("text", "llm-pipeline"),
+)
+def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise vocabulary overlap between corpus sources: |V_a ∩ V_b|,
+    |V_a ∪ V_b|, and the integer micro-Jaccard — the corpus-drift /
+    cross-source-contamination audit run before mixing crawl snapshots
+    (did the new source add vocabulary, or is it the old one re-crawled?).
+
+    Scale shape: the scan collapses to the DISTINCT (source, token)
+    table first — one explode + distinct shuffle keyed on token — then
+    the pairwise intersection joins token-to-token, so a token shared
+    by s sources costs s² rows ONLY at the sources dimension (s is
+    single digits), never docs². Per-source sizes broadcast back onto
+    the |sources|²-row result. Jaccard as integer floor-div: exact in
+    both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    tv = (
+        d.select("source", F.explode(T.tokens(F.col("text"))).alias("token"))
+        .distinct()
+    )
+    sz = tv.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a = tv.select(F.col("source").alias("source_a"), "token")
+    b = tv.select(F.col("source").alias("source_b"), "token")
+    inter = (
+        a.join(b, ["token"])
+        .where(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).alias("ni"))
+    )
+    return (
+        inter.join(F.broadcast(sz.select(F.col("source").alias("source_a"), F.col("n").alias("na"))), "source_a")
+        .join(F.broadcast(sz.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            F.col("ni").cast("long").alias("n_inter"),
+            (F.col("na") + F.col("nb") - F.col("ni")).cast("long").alias("n_union"),
+            F.expr("CAST((1000000 * ni) div (na + nb - ni) AS BIGINT)").alias("jaccard_micro"),
+        )
+    )

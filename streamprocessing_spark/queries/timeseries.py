@@ -1331,3 +1331,64 @@ def rle_event_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+_TREND_BASE_S = 1_704_067_200  # 2024-01-01 00:00:00 UTC (events fixture epoch)
+
+
+@register(
+    "user_value_trend_slopes",
+    oracle=f"""
+    WITH pts AS (
+      SELECT user_id,
+             (epoch_us(ts) // 3600000000) - ({_TREND_BASE_S} // 3600) AS x,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL),
+    mom AS (
+      SELECT user_id, count(*) AS n,
+             sum(x) AS sx, sum(y) AS sy,
+             sum(x * y) AS sxy, sum(x * x) AS sxx
+      FROM pts GROUP BY user_id)
+    SELECT user_id, CAST(n AS BIGINT) AS n,
+           CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+           CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+    FROM mom
+    """,
+    tags=("timeseries", "statistics"),
+)
+def user_value_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPED model fitting: an independent least-squares trend line per
+    user (is this account's spend drifting up?) — thousands of tiny
+    models from ONE aggregation pass, the map-side-combinable moment
+    trick of regression_value_by_hour applied per key. x is the hour
+    index since the fixture epoch (integer), y exact cents; the slope
+    is emitted as the exact rational (slope_num, slope_den) — cents per
+    hour = num/den — so no division (whose floor-vs-trunc differs
+    across engines for negative numerators) ever runs.
+
+    slope_den = n·Σx² − (Σx)² ≥ 0 by Cauchy-Schwarz; it is 0 exactly
+    when a user's events all land in one hour (slope undefined — the
+    consumer's NULL case, kept explicit rather than masked). Magnitudes:
+    hour-granularity x keeps every moment within BIGINT through sf1000;
+    a 100 TB deployment with billions of rows per user switches the two
+    closing products to DECIMAL(38,0) (chisq_independence shows the
+    pattern). One shuffle, map-side partials, output one row per user."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    pts = ev.select(
+        "user_id",
+        (F.expr("unix_micros(ts) div 3600000000") - F.lit(_TREND_BASE_S // 3600)).alias("x"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    mom = pts.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    return mom.select(
+        "user_id",
+        F.col("n").cast("long").alias("n"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long").alias("slope_num"),
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("long").alias("slope_den"),
+    )

@@ -182,6 +182,10 @@ _ROUND_NEW = frozenset(
         "domain_blocklist_filter",
         "embedding_gram_matrix",
         "multimodal_audio_energy",
+        "sorted_neighborhood_pairs",
+        "source_vocab_overlap",
+        "user_value_trend_slopes",
+        "minhash_jaccard_estimate_audit",
     }
 )
 

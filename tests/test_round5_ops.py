@@ -225,3 +225,93 @@ def test_audio_energy_matches_pure_python(spark, sf_dir):
 def test_round5_registered_with_oracle(name):
     assert name in SPECS
     assert SPECS[name].oracle is not None
+
+
+def test_snm_pairs_subset_of_lossless_tier(spark, sf_dir):
+    """Blocked sorted-neighborhood candidates are a SUBSET of the
+    lossless length-block tier's matches (same verify threshold), with
+    the measured recall on this fixture, and non-vacuous."""
+    snm = {
+        tuple(sorted((r.name_a, r.name_b)))
+        for r in SPECS["sorted_neighborhood_pairs"].fn(spark, sf_dir).collect()
+    }
+    full = {
+        tuple(sorted((r.name_a, r.name_b)))
+        for r in SPECS["fuzzy_name_pairs"].fn(spark, sf_dir).collect()
+    }
+    assert snm, "sorted-neighborhood must find pairs on this fixture"
+    assert snm <= full, "SNM may lose recall but never invent pairs"
+    assert len(snm) >= len(full) // 2, "reversed-name key should keep most pairs"
+
+
+def test_vocab_overlap_set_laws(spark, sf_dir):
+    """inter ≤ min(|A|,|B|), union ≥ max(|A|,|B|), inter+union laws, and
+    the integer Jaccard identity."""
+    d = load_table(spark, sf_dir, "documents")
+    from streamprocessing_spark.functions import text as T
+
+    sizes = {
+        r.source: r.n
+        for r in d.select("source", F.explode(T.tokens(F.col("text"))).alias("t"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.countDistinct("t").alias("n"))
+        .collect()
+    }
+    rows = SPECS["source_vocab_overlap"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        na, nb = sizes[r.source_a], sizes[r.source_b]
+        assert r.n_inter <= min(na, nb)
+        assert r.n_union >= max(na, nb)
+        assert r.n_inter + r.n_union == na + nb
+        assert r.jaccard_micro == (1_000_000 * r.n_inter) // r.n_union
+        assert r.source_a < r.source_b
+
+
+def test_trend_slopes_agree_with_numpy(spark, sf_dir):
+    """num/den must match numpy's polyfit slope to float precision for
+    every user with a defined slope; den ≥ 0 by Cauchy-Schwarz."""
+    from streamprocessing_spark.queries.timeseries import _TREND_BASE_S
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            F.expr("unix_micros(ts) div 3600000000").alias("xh"),
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("y"),
+        )
+        .collect()
+    )
+    pts: dict[int, list[tuple[int, int]]] = {}
+    for r in ev:
+        pts.setdefault(r.user_id, []).append((r.xh - _TREND_BASE_S // 3600, r.y))
+    rows = SPECS["user_value_trend_slopes"].fn(spark, sf_dir).collect()
+    assert {r.user_id for r in rows} == set(pts)
+    checked = 0
+    for r in rows:
+        assert r.slope_den >= 0
+        xs = np.array([p[0] for p in pts[r.user_id]], dtype=np.float64)
+        ys = np.array([p[1] for p in pts[r.user_id]], dtype=np.float64)
+        assert r.n == len(xs)
+        if r.slope_den > 0 and len(xs) >= 2:
+            want = np.polyfit(xs, ys, 1)[0]
+            got = r.slope_num / r.slope_den
+            assert abs(got - want) <= 1e-6 * max(1.0, abs(want)), r.user_id
+            checked += 1
+    assert checked > 0
+
+
+def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
+    """The signature-agreement estimator must track the exact Jaccard:
+    mean |match/64 − J| on candidate pairs stays inside the sketch's
+    sampling noise, and per-row integrity laws hold."""
+    rows = SPECS["minhash_jaccard_estimate_audit"].fn(spark, sf_dir).collect()
+    assert rows
+    errs = []
+    for r in rows:
+        assert 0 <= r.match_64 <= 64
+        assert 0 <= r.n_inter <= r.n_union
+        errs.append(abs(r.match_64 / 64 - r.n_inter / r.n_union))
+    assert sum(errs) / len(errs) < 0.15, "64-hash estimator should track Jaccard"
