@@ -1269,3 +1269,152 @@ def sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("dist") <= 2)
     )
+
+
+KMV_K = 64
+_KMV_SCALE = 1 << 48  # hash domain size: 12 hex digits
+
+
+@register(
+    "kmv_distinct_sample",
+    oracle=f"""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    h AS (SELECT user_id,
+                 CAST(('0x' || substr(md5('kmv:' || CAST(user_id AS VARCHAR)), 1, 12))
+                      AS BIGINT) AS hv
+          FROM u),
+    k AS (SELECT user_id, hv,
+                 row_number() OVER (ORDER BY hv, user_id) AS rank
+          FROM h
+          ORDER BY hv, user_id LIMIT {KMV_K}),
+    mx AS (SELECT max(hv) AS hk, count(*) AS kk FROM k)
+    SELECT k.rank, k.user_id, k.hv,
+           CAST(((mx.kk - 1) * {_KMV_SCALE}) // mx.hk AS BIGINT) AS est_distinct
+    FROM k CROSS JOIN mx
+    """,
+    tags=("curation", "sketch", "sampling"),
+)
+def kmv_distinct_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values sketch (Bar-Yossef et al. 2002): the KMV_K
+    smallest md5 values over the distinct user universe are
+    simultaneously (a) a uniform random sample WITHOUT replacement of
+    the distinct keys — the "bottom-k sample" every A/B holdout and
+    profiling probe wants — and (b) a distinct-count estimator
+    (k−1)·2^48/h_k, HLL's exact-sample cousin. Both the sample
+    membership and the estimate are deterministic hash arithmetic, so
+    the whole sketch is bit-oracled; the estimator-accuracy and
+    MERGEABILITY laws (min-k of a union == min-k of per-part min-ks)
+    live in tests.
+
+    Scale shape: distinct-collapse, per-row hash, then a distributed
+    TOP-K (sort-limit — Spark's TakeOrdered per partition + k-row
+    driver merge), NOT a global window: no single task ever sees more
+    than its partition's k smallest. The est column is a k-row
+    aggregate broadcast back onto k rows."""
+    ev = load_table(spark, sf_dir, "events")
+    h = (
+        ev.select("user_id")
+        .distinct()
+        .select(
+            "user_id",
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("kmv:"), F.col("user_id").cast("string"))), 1, 12),
+                16,
+                10,
+            )
+            .cast("long")
+            .alias("hv"),
+        )
+    )
+    k = h.orderBy("hv", "user_id").limit(KMV_K)
+    ranked = k.select(
+        "user_id",
+        "hv",
+        F.row_number().over(Window.orderBy("hv", "user_id")).cast("long").alias("rank"),
+    )
+    mx = k.agg(F.max("hv").alias("hk"), F.count(F.lit(1)).alias("kk"))
+    return ranked.crossJoin(F.broadcast(mx)).select(
+        "rank",
+        "user_id",
+        "hv",
+        F.expr(f"CAST(((kk - 1) * {_KMV_SCALE}) div hk AS BIGINT)").alias("est_distinct"),
+    )
+
+
+@register(
+    "right_to_erasure_cascade",
+    oracle="""
+    WITH tomb AS (
+      SELECT DISTINCT user_id AS uid FROM events
+      WHERE substr(md5('del:' || CAST(user_id AS VARCHAR)), 1, 1) < '4'),
+    ev AS (
+      SELECT count(*) FILTER (t.uid IS NOT NULL) AS p, count(*) FILTER (t.uid IS NULL) AS r
+      FROM events e LEFT JOIN tomb t ON t.uid = e.user_id),
+    cu AS (
+      SELECT count(*) FILTER (t.uid IS NOT NULL) AS p, count(*) FILTER (t.uid IS NULL) AS r
+      FROM customer c LEFT JOIN tomb t ON t.uid = c.c_custkey),
+    o AS (
+      SELECT count(*) FILTER (t.uid IS NOT NULL) AS p, count(*) FILTER (t.uid IS NULL) AS r
+      FROM orders LEFT JOIN tomb t ON t.uid = o_custkey),
+    li AS (
+      SELECT count(*) FILTER (t.uid IS NOT NULL) AS p, count(*) FILTER (t.uid IS NULL) AS r
+      FROM lineitem
+      JOIN orders ON o_orderkey = l_orderkey
+      LEFT JOIN tomb t ON t.uid = o_custkey)
+    SELECT 'customer' AS table_name, CAST(p AS BIGINT) AS purged_rows, CAST(r AS BIGINT) AS retained_rows FROM cu
+    UNION ALL SELECT 'events', CAST(p AS BIGINT), CAST(r AS BIGINT) FROM ev
+    UNION ALL SELECT 'orders', CAST(p AS BIGINT), CAST(r AS BIGINT) FROM o
+    UNION ALL SELECT 'lineitem', CAST(p AS BIGINT), CAST(r AS BIGINT) FROM li
+    """,
+    tags=("curation", "privacy", "join"),
+)
+def right_to_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GDPR right-to-erasure impact audit: a deterministic tombstone set
+    (1/4 of event-ACTIVE users by md5 nibble — standing in for the
+    day's deletion requests; drawn from the active set so every cascade
+    branch is non-vacuous at every fixture scale) cascaded through
+    every table that references the subject, directly (events.user_id,
+    orders.o_custkey, customer.c_custkey) or transitively (lineitem via
+    its order) — the per-table purge/retain counts a deletion job must
+    reconcile before and after running. The inverse view of
+    cdc_apply_changes' DELETE path, across a foreign-key DAG instead of
+    one table.
+
+    Scale shape: the tombstone set is dimension-sized (customers/16)
+    and broadcast; every fact table takes one scan + broadcast probe
+    (lineitem routes through its orders join — the same broadcast);
+    each branch collapses map-side to a 1-row count pair. At 100 TB
+    the same plan IS the deletion job's planning pass — swap count(*)
+    for the rewrite."""
+    c = load_table(spark, sf_dir, "customer")
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    tomb = (
+        ev.select("user_id")
+        .distinct()
+        .where(
+            F.substring(
+                F.md5(F.concat(F.lit("del:"), F.col("user_id").cast("string"))), 1, 1
+            )
+            < "4"
+        )
+        .select(F.col("user_id").alias("uid"))
+    )
+    tb = F.broadcast(tomb)
+
+    def audit(df: DataFrame, key: str, name: str) -> DataFrame:
+        j = df.join(tb, df[key] == tb.uid, "left")
+        return j.agg(
+            F.lit(name).alias("table_name"),
+            F.count(F.when(F.col("uid").isNotNull(), 1)).cast("long").alias("purged_rows"),
+            F.count(F.when(F.col("uid").isNull(), 1)).cast("long").alias("retained_rows"),
+        )
+
+    li_o = li.join(o.select("o_orderkey", "o_custkey"), li.l_orderkey == o.o_orderkey)
+    return (
+        audit(c, "c_custkey", "customer")
+        .unionByName(audit(ev, "user_id", "events"))
+        .unionByName(audit(o, "o_custkey", "orders"))
+        .unionByName(audit(li_o, "o_custkey", "lineitem"))
+    )

@@ -851,3 +851,83 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     both sides are pure int64 sums, so equality is bit-level."""
     emb = load_table(spark, sf_dir, "embeddings")
     return S.gram_matrix_upper(emb)
+
+
+@register(
+    "embedding_pca_project",
+    # rows-only by design: the 64×64 eigendecomposition runs in numpy on
+    # the driver (not SQL-replayable); tests assert numpy agreement,
+    # sign-canonicalization, and variance ordering instead.
+    tags=("similarity", "llm-pipeline", "linalg", "approx"),
+)
+def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA projection of the embedding corpus onto its top-2 principal
+    components — the visualization / compaction / whitening step after
+    embedding_gram_matrix, composed the way distributed PCA actually
+    works: the dim²-sized second-moment matrix is computed DISTRIBUTED
+    (gram_matrix_upper's Arrow-batched partials), the eigendecomposition
+    of that 64×64 matrix runs on the driver (dimension-sized — cost
+    independent of corpus size, the kmeans/IVF "train small, apply big"
+    pattern), and the projection is a broadcast literal dot product over
+    the corpus scan — zero shuffles after the gram.
+
+    Centered PCA: C = (G − n·μμᵀ)/(n−1) from the same pass's dim sums.
+    Eigenvector signs are canonicalized (largest-|component| positive)
+    so the output is deterministic; scores are portable-rounded. The
+    dim²-row collect here is the documented exception to the
+    no-driver-collect rule, same as the k-means centroid loop."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    gram = S.gram_matrix_upper(emb).collect()  # dim²/2 rows — dimension-sized
+    dim = max(r.j for r in gram) + 1
+    g = np.zeros((dim, dim))
+    for r in gram:
+        g[r.i, r.j] = r.sp
+        g[r.j, r.i] = r.sp
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {S.GRAM_SCALE} + 0.5) AS BIGINT))"
+        ).alias("qv"),
+    )
+    sums = q.select(F.posexplode("qv").alias("d", "v")).groupBy("d").agg(
+        F.sum("v").alias("s")
+    ).collect()
+    n = emb.count()
+    mu = np.zeros(dim)
+    for r in sums:
+        mu[r.d] = r.s / n
+    cov = (g - n * np.outer(mu, mu)) / (n - 1)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, np.argsort(w)[::-1][:2]]  # top-2 eigenvectors, columns
+    for c in range(comps.shape[1]):
+        if comps[np.abs(comps[:, c]).argmax(), c] < 0:
+            comps[:, c] = -comps[:, c]
+    pc1 = [float(x) for x in comps[:, 0]]
+    pc2 = [float(x) for x in comps[:, 1]]
+    mu_l = [float(x) for x in mu]
+    centered = q.select(
+        "vec_id",
+        F.zip_with(
+            F.col("qv"), F.array(*[F.lit(m) for m in mu_l]), lambda x, m: x.cast("double") - m
+        ).alias("qv"),
+    )
+    out = centered.select(
+        "vec_id",
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.array(*[F.lit(x) for x in pc1]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("raw1"),
+        F.aggregate(
+            F.zip_with(F.col("qv"), F.array(*[F.lit(x) for x in pc2]), lambda a, b: a * b),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ).alias("raw2"),
+    )
+    return out.select(
+        "vec_id",
+        (F.floor(F.col("raw1") * 1e6 + 0.5) / 1e6).alias("pc1"),
+        (F.floor(F.col("raw2") * 1e6 + 0.5) / 1e6).alias("pc2"),
+    )

@@ -957,50 +957,13 @@ def _sql_bpe_round(prev: str, out: str) -> str:
       FROM {prev} CROSS JOIN t_{out} t)"""
 
 
-@register(
-    "bpe_train_segmentation",
-    oracle=f"""
-    WITH vocab AS MATERIALIZED (
-      SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
-      FROM (SELECT unnest({_SQL_TOKENS}) AS tok FROM documents)
-      GROUP BY tok),
-    w0 AS MATERIALIZED (
-      SELECT word, cnt,
-             ' ' || array_to_string(
-               list_transform(range(1, length(word) + 1),
-                              i -> substr(word, i, 1)), ' ') || ' ' AS sym
-      FROM vocab),
-    {",".join(_sql_bpe_round(f'w{r}', f'w{r + 1}') for r in range(BPE_MERGES))}
-    SELECT word, cnt, trim(sym) AS encoded,
-           CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_pieces
-    FROM w{BPE_MERGES}
-    """,
-    tags=("text", "llm-pipeline", "tokenizer", "iterative"),
-)
-def bpe_train_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FULL BPE tokenizer training (Sennrich et al. 2016), BPE_MERGES
-    rounds, and the resulting segmentation of every vocabulary word —
-    not just the first pair statistics (bpe_merge_pair_counts) but the
-    whole train loop: each round counts corpus-weighted adjacent symbol
-    pairs over the CURRENT segmentation, merges the argmax pair
-    everywhere (greedy left-to-right, the real BPE application rule),
-    and repeats. Output: (word, corpus count, learned segmentation,
-    piece count).
-
-    Entirely distributed AND driver-collect-free: the per-round argmax
-    is a 1-row aggregate broadcast back over the vocabulary (an empty
-    pair table degrades to a no-op round identically in both engines);
-    the merge applies as a boundary-anchored string replace, whose
-    left-to-right non-overlap semantics equal greedy BPE and agree
-    across engines. The oracle unrolls the identical rounds.
-
-    Scale: the classic BPE factoring — the corpus collapses ONCE to
-    (word, count) vocabulary (the only corpus-sized shuffle); every
-    training round then runs on vocabulary rows, which for real corpora
-    is ~10^6 rows independent of corpus bytes. localCheckpoint per
-    round keeps the plan flat. 31-word fixture vocabulary makes the
-    rounds small, not different."""
-    d = load_table(spark, sf_dir, "documents")
+def _bpe_segmented_vocab(d):
+    """The BPE train loop shared by bpe_train_segmentation (which
+    returns it directly) and tokenizer_fertility_by_source (which joins
+    it back to per-source token counts): (word, cnt, sym) after
+    BPE_MERGES rounds. See bpe_train_segmentation for the full design
+    notes; factored so the fertility audit provably runs the SAME
+    trained tokenizer."""
     vocab = (
         d.select(F.explode(T.tokens(F.col("text"))).alias("word"))
         .groupBy("word")
@@ -1056,6 +1019,54 @@ def bpe_train_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+    return words
+
+
+@register(
+    "bpe_train_segmentation",
+    oracle=f"""
+    WITH vocab AS MATERIALIZED (
+      SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_SQL_TOKENS}) AS tok FROM documents)
+      GROUP BY tok),
+    w0 AS MATERIALIZED (
+      SELECT word, cnt,
+             ' ' || array_to_string(
+               list_transform(range(1, length(word) + 1),
+                              i -> substr(word, i, 1)), ' ') || ' ' AS sym
+      FROM vocab),
+    {",".join(_sql_bpe_round(f'w{r}', f'w{r + 1}') for r in range(BPE_MERGES))}
+    SELECT word, cnt, trim(sym) AS encoded,
+           CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS n_pieces
+    FROM w{BPE_MERGES}
+    """,
+    tags=("text", "llm-pipeline", "tokenizer", "iterative"),
+)
+def bpe_train_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL BPE tokenizer training (Sennrich et al. 2016), BPE_MERGES
+    rounds, and the resulting segmentation of every vocabulary word —
+    not just the first pair statistics (bpe_merge_pair_counts) but the
+    whole train loop: each round counts corpus-weighted adjacent symbol
+    pairs over the CURRENT segmentation, merges the argmax pair
+    everywhere (greedy left-to-right, the real BPE application rule),
+    and repeats. Output: (word, corpus count, learned segmentation,
+    piece count).
+
+    Entirely distributed AND driver-collect-free: the per-round argmax
+    is a 1-row aggregate broadcast back over the vocabulary (an empty
+    pair table degrades to a no-op round identically in both engines);
+    the merge applies as a boundary-anchored string replace, whose
+    left-to-right non-overlap semantics equal greedy BPE and agree
+    across engines. The oracle unrolls the identical rounds.
+
+    Scale: the classic BPE factoring — the corpus collapses ONCE to
+    (word, count) vocabulary (the only corpus-sized shuffle); every
+    training round then runs on vocabulary rows, which for real corpora
+    is ~10^6 rows independent of corpus bytes. localCheckpoint per
+    round keeps the plan flat. 31-word fixture vocabulary makes the
+    rounds small, not different."""
+    d = load_table(spark, sf_dir, "documents")
+    words = _bpe_segmented_vocab(d)
     return words.select(
         "word",
         "cnt",
@@ -1123,4 +1134,80 @@ def source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("na") + F.col("nb") - F.col("ni")).cast("long").alias("n_union"),
             F.expr("CAST((1000000 * ni) div (na + nb - ni) AS BIGINT)").alias("jaccard_micro"),
         )
+    )
+
+
+@register(
+    "tokenizer_fertility_by_source",
+    oracle=f"""
+    WITH vocab AS MATERIALIZED (
+      SELECT tok AS word, CAST(count(*) AS BIGINT) AS cnt
+      FROM (SELECT unnest({_SQL_TOKENS}) AS tok FROM documents)
+      GROUP BY tok),
+    w0 AS MATERIALIZED (
+      SELECT word, cnt,
+             ' ' || array_to_string(
+               list_transform(range(1, length(word) + 1),
+                              i -> substr(word, i, 1)), ' ') || ' ' AS sym
+      FROM vocab),
+    {",".join(_sql_bpe_round(f'w{r}', f'w{r + 1}') for r in range(BPE_MERGES))},
+    pieces AS MATERIALIZED (
+      SELECT word, CAST(len(string_split(trim(sym), ' ')) AS BIGINT) AS p
+      FROM w{BPE_MERGES}),
+    sw AS (
+      SELECT source, tok AS word, count(*) AS c
+      FROM (SELECT source, unnest({_SQL_TOKENS}) AS tok FROM documents)
+      GROUP BY 1, 2)
+    SELECT sw.source,
+           CAST(sum(sw.c) AS BIGINT) AS n_tokens,
+           CAST(sum(sw.c * p.p) AS BIGINT) AS n_pieces,
+           CAST(sum(sw.c * length(sw.word)) AS BIGINT) AS n_chars,
+           CAST((1000000 * sum(sw.c * p.p)) // sum(sw.c) AS BIGINT) AS fertility_micro,
+           CAST((1000000 * sum(sw.c * length(sw.word))) // sum(sw.c * p.p) AS BIGINT) AS chars_per_piece_micro
+    FROM sw JOIN pieces p ON p.word = sw.word
+    GROUP BY sw.source
+    """,
+    tags=("text", "llm-pipeline", "tokenizer", "iterative"),
+)
+def tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY audit per corpus source: pieces-per-token and
+    chars-per-piece under the BPE tokenizer trained by
+    bpe_train_segmentation (the SAME train loop — shared helper), the
+    datasheet every LLM team reads before fixing a tokenizer: a source
+    whose fertility is high (many pieces per word) is underserved by
+    the vocabulary and will cost proportionally more sequence length at
+    training time.
+
+    Composition shape: train on the global (word, cnt) vocabulary
+    (corpus collapses once — the BPE factoring), then join the learned
+    (word → piece count) table back to per-(source, word) counts: one
+    extra corpus-collapse aggregate + one vocabulary-sized join.
+    Ratios emitted as integer micro floor-divs; the oracle replays
+    training AND the join in one CTE chain."""
+    d = load_table(spark, sf_dir, "documents")
+    words = _bpe_segmented_vocab(d)
+    pieces = words.select(
+        "word", F.size(F.split(F.trim(F.col("sym")), " ")).cast("long").alias("p")
+    )
+    sw = (
+        d.select("source", F.explode(T.tokens(F.col("text"))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    agg = (
+        sw.join(pieces, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("c").alias("nt"),
+            F.sum(F.col("c") * F.col("p")).alias("np"),
+            F.sum(F.col("c") * F.length("word")).alias("nc"),
+        )
+    )
+    return agg.select(
+        "source",
+        F.col("nt").cast("long").alias("n_tokens"),
+        F.col("np").cast("long").alias("n_pieces"),
+        F.col("nc").cast("long").alias("n_chars"),
+        F.expr("CAST((1000000 * np) div nt AS BIGINT)").alias("fertility_micro"),
+        F.expr("CAST((1000000 * nc) div np AS BIGINT)").alias("chars_per_piece_micro"),
     )

@@ -1392,3 +1392,54 @@ def user_value_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("long").alias("slope_num"),
         (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("long").alias("slope_den"),
     )
+
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    c AS (SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+          FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT from_type, sum(n) AS row_total FROM c GROUP BY 1)
+    SELECT c.from_type, c.to_type,
+           CAST(c.n AS BIGINT) AS n,
+           CAST(t.row_total AS BIGINT) AS row_total,
+           CAST((1000000 * c.n) // t.row_total AS BIGINT) AS p_micro
+    FROM c JOIN t ON t.from_type = c.from_type
+    """,
+    tags=("timeseries", "statistics", "window"),
+)
+def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix of user behavior: P(next
+    event type | current event type) estimated over every consecutive
+    pair in every user's (ts, event_id)-ordered stream — the model
+    behind next-action prediction, anomaly scoring ("this transition
+    has probability 3e-4"), and the stationary-flow analyses
+    event_path_trigrams samples at depth 3. Counts exact, probability
+    as the integer micro floor-div with (n, row_total) alongside so the
+    consumer can re-derive the exact rational.
+
+    One partitioned sort produces every (state, next) pair via lead()
+    — no self-join — then two tiny aggregates at the |types|² and
+    |types| dimensions; the matrix is dimension-sized however large
+    the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select(
+        "event_type", F.lead("event_type").over(w).alias("nxt")
+    ).where(F.col("nxt").isNotNull())
+    c = s.groupBy(
+        F.col("event_type").alias("from_type"), F.col("nxt").alias("to_type")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    t = c.groupBy("from_type").agg(F.sum("n").alias("row_total"))
+    return c.join(F.broadcast(t), "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n").cast("long").alias("n"),
+        F.col("row_total").cast("long").alias("row_total"),
+        F.expr("CAST((1000000 * n) div row_total AS BIGINT)").alias("p_micro"),
+    )

@@ -186,6 +186,11 @@ _ROUND_NEW = frozenset(
         "source_vocab_overlap",
         "user_value_trend_slopes",
         "minhash_jaccard_estimate_audit",
+        "tokenizer_fertility_by_source",
+        "kmv_distinct_sample",
+        "right_to_erasure_cascade",
+        "event_transition_matrix",
+        "embedding_pca_project",
     }
 )
 

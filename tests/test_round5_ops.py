@@ -315,3 +315,132 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
         assert 0 <= r.n_inter <= r.n_union
         errs.append(abs(r.match_64 / 64 - r.n_inter / r.n_union))
     assert sum(errs) / len(errs) < 0.15, "64-hash estimator should track Jaccard"
+
+
+def test_tokenizer_fertility_laws(spark, sf_dir):
+    """fertility ≥ 1 (every token ≥ 1 piece), chars ≥ pieces (every
+    piece ≥ 1 char), totals re-derivable from the trained segmentation
+    joined to per-source counts in pandas."""
+    seg = {r.word: r.n_pieces for r in SPECS["bpe_train_segmentation"].fn(spark, sf_dir).collect()}
+    rows = SPECS["tokenizer_fertility_by_source"].fn(spark, sf_dir).collect()
+    assert rows
+    from streamprocessing_spark.functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    sw = (
+        d.select("source", F.explode(T.tokens(F.col("text"))).alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    want: dict[str, list[int]] = {}
+    for r in sw:
+        t = want.setdefault(r.source, [0, 0, 0])
+        t[0] += r.c
+        t[1] += r.c * seg[r.w]
+        t[2] += r.c * len(r.w)
+    for r in rows:
+        nt, np_, nc = want[r.source]
+        assert (r.n_tokens, r.n_pieces, r.n_chars) == (nt, np_, nc)
+        assert r.fertility_micro >= 1_000_000
+        assert r.n_chars >= r.n_pieces
+        assert r.fertility_micro == (1_000_000 * np_) // nt
+
+
+def test_kmv_sample_and_mergeability(spark, sf_dir):
+    """The sample must be exactly the K smallest hashes of the distinct
+    universe; min-k sketches must merge losslessly (union of per-part
+    min-ks re-minked == global min-k); estimator within a loose band."""
+    import hashlib
+
+    from streamprocessing_spark.queries.curation import KMV_K, _KMV_SCALE
+
+    ev = load_table(spark, sf_dir, "events")
+    users = [r.user_id for r in ev.select("user_id").distinct().collect()]
+    hv = {
+        u: int(hashlib.md5(f"kmv:{u}".encode()).hexdigest()[:12], 16) for u in users
+    }
+    global_k = sorted((v, u) for u, v in hv.items())[:KMV_K]
+    rows = sorted(
+        SPECS["kmv_distinct_sample"].fn(spark, sf_dir).collect(), key=lambda r: r.rank
+    )
+    assert [(r.hv, r.user_id) for r in rows] == global_k
+    # mergeability: split universe arbitrarily, min-k each part, merge
+    part_a = sorted((v, u) for u, v in hv.items() if u % 2 == 0)[:KMV_K]
+    part_b = sorted((v, u) for u, v in hv.items() if u % 2 == 1)[:KMV_K]
+    merged = sorted(part_a + part_b)[:KMV_K]
+    assert merged == global_k
+    kk = len(rows)
+    est = rows[0].est_distinct
+    assert est == ((kk - 1) * _KMV_SCALE) // max(r.hv for r in rows)
+    if kk == KMV_K:
+        assert abs(est - len(users)) / len(users) < 0.5
+
+
+def test_erasure_cascade_counts_reconcile(spark, sf_dir):
+    """purged + retained == table size for every table; the tombstone
+    rule re-derived in Python gives the same events purge count."""
+    import hashlib
+
+    rows = {r.table_name: r for r in SPECS["right_to_erasure_cascade"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"customer", "events", "orders", "lineitem"}
+    sizes = {
+        t: load_table(spark, sf_dir, t).count()
+        for t in ("customer", "events", "orders", "lineitem")
+    }
+    for t, r in rows.items():
+        assert r.purged_rows + r.retained_rows == sizes[t], t
+        assert r.purged_rows > 0, f"{t}: tombstones must hit this fixture"
+    tomb = {
+        r.user_id
+        for r in load_table(spark, sf_dir, "events").select("user_id").distinct().collect()
+        if hashlib.md5(f"del:{r.user_id}".encode()).hexdigest()[0] < "4"
+    }
+    ev_purged = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("user_id").isin([int(x) for x in tomb]))
+        .count()
+    )
+    assert rows["events"].purged_rows == ev_purged
+
+
+def test_transition_matrix_conservation(spark, sf_dir):
+    """Row totals: Σ n per from_type == row_total; Σ all n == Σ_users
+    (n_events − 1); probability floor-div law."""
+    rows = SPECS["event_transition_matrix"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    per_user = [r.n for r in ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n")).collect()]
+    assert sum(r.n for r in rows) == sum(n - 1 for n in per_user)
+    by_from: dict[str, int] = {}
+    for r in rows:
+        by_from[r.from_type] = by_from.get(r.from_type, 0) + r.n
+        assert r.p_micro == (1_000_000 * r.n) // r.row_total
+    for r in rows:
+        assert r.row_total == by_from[r.from_type]
+
+
+def test_pca_projection_agrees_with_numpy(spark, sf_dir):
+    """Projections must equal numpy PCA of the same quantized matrix
+    (up to the shared sign canonicalization — i.e. exactly), with
+    var(pc1) ≥ var(pc2) and ~zero means (centered)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in emb]
+    m = np.stack([np.array(r.embedding, dtype=np.float64) for r in emb])
+    q = np.floor(m * GRAM_SCALE + 0.5)
+    mu = q.mean(axis=0)
+    c = q - mu
+    cov = c.T @ c / (len(ids) - 1)
+    w, v = np.linalg.eigh(cov)
+    comps = v[:, np.argsort(w)[::-1][:2]]
+    for k in range(2):
+        if comps[np.abs(comps[:, k]).argmax(), k] < 0:
+            comps[:, k] = -comps[:, k]
+    want = c @ comps
+    got = {r.vec_id: (r.pc1, r.pc2) for r in SPECS["embedding_pca_project"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(ids)
+    for i, vid in enumerate(ids):
+        assert abs(got[vid][0] - want[i, 0]) < 1e-3, vid
+        assert abs(got[vid][1] - want[i, 1]) < 1e-3, vid
+    arr = np.array([got[v_] for v_ in ids])
+    assert arr[:, 0].var() >= arr[:, 1].var()
+    assert abs(arr[:, 0].mean()) < 1e-3 * (abs(arr[:, 0]).max() + 1)
