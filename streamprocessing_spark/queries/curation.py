@@ -1418,3 +1418,45 @@ def right_to_erasure_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(audit(o, "o_custkey", "orders"))
         .unionByName(audit(li_o, "o_custkey", "lineitem"))
     )
+
+
+DOMAIN_QUOTA = 5  # max documents kept per registered domain
+
+
+@register(
+    "domain_quota_sample",
+    oracle=f"""
+    WITH {_sql_url_domain_cte()}
+    SELECT doc_id, domain, CAST(rk AS BIGINT) AS rk
+    FROM (
+      SELECT doc_id, domain,
+             row_number() OVER (
+               PARTITION BY domain
+               ORDER BY md5('q:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk
+      FROM docdom)
+    WHERE rk <= {DOMAIN_QUOTA}
+    """,
+    tags=("curation", "llm-pipeline", "web", "sampling"),
+)
+def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain document cap (FineWeb/C4-style anti-monoculture
+    sampling): keep at most DOMAIN_QUOTA documents per registered
+    domain, chosen by deterministic md5 rank — a uniform random draw
+    per domain that every engine and every rerun reproduces. The
+    counterweight to Zipf-skewed crawls, where one mega-domain would
+    otherwise dominate the training mix; composes with
+    domain_blocklist_filter (drop bad domains, then cap good ones).
+
+    Scale shape: one window partitioned by domain — the mega-domain's
+    rows all land in one task, but the rank is computed on (16-byte
+    hash, id) pairs only, and a two-stage per-partition pre-rank can cap
+    the skew if a single domain exceeds a task (the top-k-per-group
+    rewrite); everything else is scan-shaped."""
+    d = _with_domain(load_table(spark, sf_dir, "documents"))
+    w = Window.partitionBy("domain").orderBy(
+        F.md5(F.concat(F.lit("q:"), F.col("doc_id").cast("string"))), F.col("doc_id")
+    )
+    return (
+        d.select("doc_id", "domain", F.row_number().over(w).cast("long").alias("rk"))
+        .where(F.col("rk") <= DOMAIN_QUOTA)
+    )

@@ -387,3 +387,64 @@ def minhash_jaccard_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFram
             (F.col("na") + F.col("nb") - F.col("c")).cast("long").alias("n_union"),
         )
     )
+
+
+_SQL_SPLIT = """
+    SELECT doc_id,
+           CASE WHEN h < 80 THEN 'train'
+                WHEN h < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id,
+                 CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS h
+          FROM documents)"""
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+    WITH pairs AS ({D.sql_minhash_lsh(JACCARD_THRESHOLD)}),
+    sp AS ({_SQL_SPLIT})
+    SELECT least(a.split, b.split) AS split_a,
+           greatest(a.split, b.split) AS split_b,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM pairs p
+    JOIN sp a ON a.doc_id = p.id_a
+    JOIN sp b ON b.doc_id = p.id_b
+    GROUP BY 1, 2
+    """,
+    tags=("dedup", "llm-pipeline", "lsh", "quality"),
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit: near-duplicate pairs (the verified
+    MinHash-LSH tier) bucketed by which splits of the deterministic
+    80/10/10 assignment the two sides landed in. Off-diagonal rows —
+    especially (test, train) — are memorization leaks: a test document
+    whose near-twin is trained on. This is the audit (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" §5) that
+    motivates deduplicating BEFORE splitting; this fixture shows real
+    (test, train) rows at every scale.
+
+    Composition: the LSH pair pipeline (band buckets, never all-pairs)
+    + two broadcast-sized joins against the md5 split map, collapsing
+    to a ≤6-row split×split matrix. The fix it motivates is also in the
+    registry: curation_manifest_end2end splits AFTER the dedup keep."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, "doc_id", "text", JACCARD_THRESHOLD)
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    sp = d.select(
+        "doc_id",
+        F.when(h < 80, F.lit("train")).when(h < 90, F.lit("valid")).otherwise(F.lit("test")).alias("split"),
+    )
+    sa = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("spl_a"))
+    sb = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("spl_b"))
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .groupBy(
+            F.least("spl_a", "spl_b").alias("split_a"),
+            F.greatest("spl_a", "spl_b").alias("split_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )

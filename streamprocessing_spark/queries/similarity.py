@@ -931,3 +931,91 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.col("raw1") * 1e6 + 0.5) / 1e6).alias("pc1"),
         (F.floor(F.col("raw2") * 1e6 + 0.5) / 1e6).alias("pc2"),
     )
+
+
+MMR_K = 16  # documents selected
+MMR_LAMBDA = 0.5  # relevance / diversity balance
+
+
+@register(
+    "mmr_diverse_select",
+    # rows-only by design: greedy argmax over float cosines isn't
+    # SQL-replayable at reasonable oracle cost; tests re-run the greedy
+    # loop in numpy and assert the identical selection sequence.
+    tags=("similarity", "llm-pipeline", "sampling", "approx"),
+)
+def mmr_diverse_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance selection (Carbonell & Goldstein
+    1998) of MMR_K diverse-but-relevant vectors: greedily add the
+    candidate maximizing λ·rel − (1−λ)·max-sim-to-selected — the
+    diversity-aware subset-selection step of curation pipelines
+    (choose k exemplars per topic, not k near-copies), the greedy
+    counterpart of prototypicality_prune's cluster cut.
+
+    Distributed shape per round: ONE vectorized column update
+    (max_sim = greatest(max_sim, cos(·, just-picked)) — the picked
+    vector broadcast as a literal array) + one distributed argmax
+    (orderBy/limit 1), so the driver sees exactly K single-row
+    collects — the same house budget as the k-means/BFS loops; the
+    corpus never leaves the executors. Relevance = cosine to the
+    corpus' lowest-id vector (standing in for the query embedding).
+    Ties broken by vec_id; scores portable-rounded on output."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    qrow = emb.orderBy("vec_id").limit(1).collect()[0]
+    qvec = [float(x) for x in qrow.embedding]
+
+    def cos_to(lit_vec: list[float]):
+        dot = F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.array(*[F.lit(x) for x in lit_vec]),
+                lambda a, b: a.cast("double") * b,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        nq = sum(x * x for x in lit_vec) ** 0.5
+        return dot / (F.col("nrm") * F.lit(nq))
+
+    cand = emb.select(
+        "vec_id",
+        "embedding",
+        S.norm_double(F.col("embedding")).alias("nrm"),
+    ).where(F.col("nrm") > 0)
+    cand = cand.select(
+        "vec_id", "embedding", "nrm", cos_to(qvec).alias("rel"), F.lit(-1.0).alias("ms")
+    ).localCheckpoint(eager=True)
+    picked: list[tuple[int, float]] = []
+    for _ in range(MMR_K):
+        score = F.when(
+            F.col("ms") < -0.5, F.col("rel")  # first pick: pure relevance
+        ).otherwise(
+            F.lit(MMR_LAMBDA) * F.col("rel") - F.lit(1.0 - MMR_LAMBDA) * F.col("ms")
+        )
+        top = (
+            cand.select("vec_id", "embedding", score.alias("s"))
+            .orderBy(F.desc("s"), F.asc("vec_id"))
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        row = top[0]
+        picked.append((row.vec_id, float(row.s)))
+        pv = [float(x) for x in row.embedding]
+        cand = (
+            cand.where(F.col("vec_id") != row.vec_id)
+            .select(
+                "vec_id",
+                "embedding",
+                "nrm",
+                "rel",
+                F.greatest(F.col("ms"), cos_to(pv)).alias("ms"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    spark_rows = [(i + 1, vid, float(s)) for i, (vid, s) in enumerate(picked)]
+    out = spark.createDataFrame(spark_rows, "rank int, vec_id bigint, score double")
+    return out.select(
+        "rank", "vec_id", (F.floor(F.col("score") * 1e6 + 0.5) / 1e6).alias("score")
+    )

@@ -191,6 +191,9 @@ _ROUND_NEW = frozenset(
         "right_to_erasure_cascade",
         "event_transition_matrix",
         "embedding_pca_project",
+        "split_leakage_audit",
+        "domain_quota_sample",
+        "mmr_diverse_select",
     }
 )
 

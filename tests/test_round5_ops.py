@@ -444,3 +444,71 @@ def test_pca_projection_agrees_with_numpy(spark, sf_dir):
     arr = np.array([got[v_] for v_ in ids])
     assert arr[:, 0].var() >= arr[:, 1].var()
     assert abs(arr[:, 0].mean()) < 1e-3 * (abs(arr[:, 0]).max() + 1)
+
+
+def test_split_leakage_consistent_with_pair_and_split_tiers(spark, sf_dir):
+    """Σ n_pairs == |LSH pair set|, and every bucket re-derivable from
+    the pair tier joined to the split tier in Python."""
+    pairs = SPECS["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    split = {r.doc_id: r.split for r in SPECS["train_test_split"].fn(spark, sf_dir).collect()}
+    want: dict[tuple[str, str], int] = {}
+    for p in pairs:
+        k = tuple(sorted((split[p.id_a], split[p.id_b])))
+        want[k] = want.get(k, 0) + 1
+    rows = SPECS["split_leakage_audit"].fn(spark, sf_dir).collect()
+    got = {(r.split_a, r.split_b): r.n_pairs for r in rows}
+    assert got == want
+    assert sum(got.values()) == len(pairs)
+    assert any(a != b for a, b in got), "fixture must exhibit cross-split pairs"
+
+
+def test_domain_quota_caps_every_domain(spark, sf_dir):
+    """No domain exceeds the quota; domains under quota keep ALL their
+    docs; kept set is a subset of the corpus."""
+    from streamprocessing_spark.queries.curation import DOMAIN_QUOTA
+
+    stats = {r.domain: r.n_docs for r in SPECS["url_domain_stats"].fn(spark, sf_dir).collect()}
+    kept = SPECS["domain_quota_sample"].fn(spark, sf_dir).collect()
+    per_dom: dict[str, int] = {}
+    for r in kept:
+        per_dom[r.domain] = per_dom.get(r.domain, 0) + 1
+        assert 1 <= r.rk <= DOMAIN_QUOTA
+    assert set(per_dom) == set(stats)
+    for dom, n in per_dom.items():
+        assert n == min(DOMAIN_QUOTA, stats[dom]), dom
+
+
+def test_mmr_matches_numpy_greedy(spark, sf_dir):
+    """The distributed greedy MMR must pick the identical sequence as a
+    numpy re-implementation (same floats, same tiebreak)."""
+    from streamprocessing_spark.queries.similarity import MMR_K, MMR_LAMBDA
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    ids = np.array([r.vec_id for r in emb])
+    order = np.argsort(ids)
+    ids = ids[order]
+    m = np.stack([np.array(emb[i].embedding, dtype=np.float64) for i in order])
+    nrm = np.linalg.norm(m, axis=1)
+    keep = nrm > 0
+    ids, m, nrm = ids[keep], m[keep], nrm[keep]
+    q = m[0] / nrm[0]
+    rel = (m @ q) / nrm
+    ms = np.full(len(ids), -1.0)
+    picked = []
+    alive = np.ones(len(ids), dtype=bool)
+    for _ in range(MMR_K):
+        score = np.where(ms < -0.5, rel, MMR_LAMBDA * rel - (1 - MMR_LAMBDA) * ms)
+        # deterministic argmax with vec_id tiebreak
+        best = None
+        for i in np.nonzero(alive)[0]:
+            key = (-score[i], ids[i])
+            if best is None or key < best[0]:
+                best = (key, i)
+        i = best[1]
+        picked.append(int(ids[i]))
+        alive[i] = False
+        sims = (m @ (m[i] / nrm[i])) / nrm
+        ms = np.maximum(ms, sims)
+    got = sorted(SPECS["mmr_diverse_select"].fn(spark, sf_dir).collect(), key=lambda r: r.rank)
+    assert [r.vec_id for r in got] == picked
+    assert len({r.vec_id for r in got}) == MMR_K

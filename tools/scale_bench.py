@@ -94,6 +94,16 @@ QUERIES = (
     "countmin_heavy_hitters",
     "inverted_index_postings",
     "ann_pq_adc_topk",
+    # round-2 fourth-continuation additions: weighted SSSP (lineitem
+    # graph — edges grow with the part universe), the two whole-corpus
+    # LSH/audit passes, the Arrow-batched linear kernels, and the
+    # BPE-composition fertility audit (vocabulary-sized rounds)
+    "sssp_weighted_parts",
+    "minhash_jaccard_estimate_audit",
+    "embedding_gram_matrix",
+    "multimodal_audio_energy",
+    "url_domain_stats",
+    "tokenizer_fertility_by_source",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
