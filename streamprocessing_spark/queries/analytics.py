@@ -2788,3 +2788,49 @@ def collation_case_insensitive_stats(spark: SparkSession, sf_dir: str) -> DataFr
         F.countDistinct(F.expr("t COLLATE UTF8_LCASE")).cast("long").alias("n_distinct_ci"),
         F.count(F.lit(1)).cast("long").alias("n_rows"),
     )
+
+
+@register(
+    "source_xml_roundtrip",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS price_cents,
+           strftime(o_orderdate, '%Y-%m-%d') AS o_date
+    FROM orders
+    """,
+    tags=("reference", "source", "xml"),
+)
+def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """XML source (Spark 4 native, the spark-xml library folded into
+    core): write orders out as XML documents, read them back with a
+    declared schema — completing the file-source family next to
+    CSV/JSONL/ORC/parquet/binaryFile/offset_lines. Money crosses the
+    text format as integer cents and the date as an ISO string, so the
+    roundtrip is type-lossless and the oracle is simply the original
+    projection (roundtrip identity == source fidelity).
+
+    At scale XML is the legacy-feed ingest path (finance/healthcare
+    B2B): the reader splits by rowTag across executors like any text
+    source; schema declaration avoids the two-pass inference scan."""
+    import hashlib
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long").alias("price_cents"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_date"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"sp_xml_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}",
+    )
+    o.write.mode("overwrite").option("rowTag", "order").format("xml").save(out)
+    return (
+        spark.read.format("xml")
+        .option("rowTag", "order")
+        .schema("o_orderkey bigint, o_orderstatus string, price_cents bigint, o_date string")
+        .load(out)
+    )

@@ -1460,3 +1460,62 @@ def domain_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", "domain", F.row_number().over(w).cast("long").alias("rk"))
         .where(F.col("rk") <= DOMAIN_QUOTA)
     )
+
+
+FH_BUCKETS = 64  # hashing-trick feature space size
+
+
+@register(
+    "feature_hash_buckets",
+    oracle=f"""
+    WITH feats AS (
+      SELECT 'type=' || event_type AS feat FROM events
+      UNION ALL
+      SELECT 'hour=' || CAST(hour(ts) AS VARCHAR) FROM events),
+    hashed AS (
+      SELECT feat,
+             CAST(('0x' || substr(md5('fh:' || feat), 1, 8)) AS BIGINT) % {FH_BUCKETS} AS bucket,
+             count(*) AS n
+      FROM feats GROUP BY 1, 2)
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_features,
+           min(feat) AS example_feat
+    FROM hashed GROUP BY bucket
+    """,
+    tags=("curation", "ml-prep", "statistics"),
+)
+def feature_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (Weinberger et al. 2009) for categorical
+    features, with its collision audit: every (name=value) feature
+    string maps to md5 % FH_BUCKETS, and the output reports per bucket
+    the row mass, how many DISTINCT features collided there
+    (n_features > 1 = a collision the model will conflate), and an
+    example — the pre-flight check before fixing a feature-hash width
+    for a large-scale learner. Two feature families (event type, hour
+    of day) stand in for arbitrarily many; adding one is one UNION
+    branch.
+
+    Scale shape: pure per-row projections unioned, one aggregate at the
+    (feature, bucket) dimension, a second at the bucket dimension —
+    both map-side-combinable; the output is FH_BUCKETS rows no matter
+    the corpus."""
+    ev = load_table(spark, sf_dir, "events")
+    feats = ev.select(
+        F.concat(F.lit("type="), F.col("event_type")).alias("feat")
+    ).unionByName(
+        ev.select(F.concat(F.lit("hour="), F.hour("ts").cast("string")).alias("feat"))
+    )
+    hashed = feats.groupBy(
+        "feat",
+        (
+            F.conv(F.substring(F.md5(F.concat(F.lit("fh:"), F.col("feat"))), 1, 8), 16, 10)
+            .cast("long")
+            % FH_BUCKETS
+        ).alias("bucket"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return hashed.groupBy("bucket").agg(
+        F.sum("n").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_features"),
+        F.min("feat").alias("example_feat"),
+    ).select(F.col("bucket").cast("long").alias("bucket"), "n_rows", "n_features", "example_feat")

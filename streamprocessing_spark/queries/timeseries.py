@@ -1443,3 +1443,92 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("row_total").cast("long").alias("row_total"),
         F.expr("CAST((1000000 * n) div row_total AS BIGINT)").alias("p_micro"),
     )
+
+
+@register(
+    "welch_t2_by_event_type",
+    oracle="""
+    WITH pts AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS HUGEINT) AS s,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                      * CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS HUGEINT) AS q
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type HAVING count(*) >= 2)
+    SELECT a.event_type AS type_a, b.event_type AS type_b,
+           CAST(a.n AS BIGINT) AS n_a, CAST(b.n AS BIGINT) AS n_b,
+           CAST(CASE WHEN a.s * b.n > b.s * a.n THEN 1
+                     WHEN a.s * b.n < b.s * a.n THEN -1 ELSE 0 END AS BIGINT) AS mean_diff_sign,
+           CAST((1000 * (a.s * b.n - b.s * a.n) * (a.s * b.n - b.s * a.n)
+                  * (a.n - 1) * (b.n - 1))
+                // ((a.n * a.q - a.s * a.s) * b.n * b.n * (b.n - 1)
+                    + (b.n * b.q - b.s * b.s) * a.n * a.n * (a.n - 1)) AS BIGINT) AS t2_milli
+    FROM pts a JOIN pts b ON a.event_type < b.event_type
+    """,
+    tags=("timeseries", "statistics"),
+)
+def welch_t2_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between every pair of event
+    types, EXACT: t² emitted as the scaled integral quotient
+    floor(1000·N/D) where the (n₁n₂)² factor cancels algebraically —
+    N = (s₁n₂ − s₂n₁)²(n₁−1)(n₂−1),
+    D = (n₁q₁ − s₁²)n₂²(n₂−1) + (n₂q₂ − s₂²)n₁²(n₁−1) —
+    so "is the mean spend of purchases different from errors?" gets a
+    reproducible answer with no float ever aggregated (the A/B-test
+    primitive behind every experimentation platform, the two-sample
+    sibling of chisq_independence's contingency test). mean_diff_sign
+    carries the direction the squared statistic erases.
+
+    Intermediates reach ~1e38 around sf1 (same band as
+    chisq_independence): both engines compute in 38-digit integers
+    (DECIMAL(38,0) div / HUGEINT //; every operand of the final
+    division is non-negative, so floor == trunc). Beyond that, the
+    moment sums — already map-side-combinable BIGINTs — would feed a
+    float statistic instead; the exact form is the fixture-scale
+    correctness anchor. One scan → |types| moment rows → |types|²/2
+    broadcast-joined outputs."""
+    dec = "DECIMAL(38,0)"
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cents = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    pts = (
+        ev.select("event_type", cents.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("s"),
+            F.sum(F.col("y") * F.col("y")).alias("q"),
+        )
+        .where(F.col("n") >= 2)
+        .select(
+            "event_type",
+            F.expr(f"CAST(n AS {dec})").alias("n"),
+            F.expr(f"CAST(s AS {dec})").alias("s"),
+            F.expr(f"CAST(q AS {dec})").alias("q"),
+        )
+    )
+    a = pts.select(
+        F.col("event_type").alias("type_a"),
+        F.col("n").alias("na"), F.col("s").alias("sa"), F.col("q").alias("qa"),
+    )
+    b = pts.select(
+        F.col("event_type").alias("type_b"),
+        F.col("n").alias("nb"), F.col("s").alias("sb"), F.col("q").alias("qb"),
+    )
+    j = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    return j.select(
+        "type_a",
+        "type_b",
+        F.col("na").cast("long").alias("n_a"),
+        F.col("nb").cast("long").alias("n_b"),
+        F.expr(
+            "CAST(CASE WHEN sa * nb > sb * na THEN 1"
+            " WHEN sa * nb < sb * na THEN -1 ELSE 0 END AS BIGINT)"
+        ).alias("mean_diff_sign"),
+        F.expr(
+            "CAST((1000 * (sa * nb - sb * na) * (sa * nb - sb * na)"
+            " * (na - 1) * (nb - 1))"
+            " div ((na * qa - sa * sa) * nb * nb * (nb - 1)"
+            " + (nb * qb - sb * sb) * na * na * (na - 1)) AS BIGINT)"
+        ).alias("t2_milli"),
+    )

@@ -194,6 +194,9 @@ _ROUND_NEW = frozenset(
         "split_leakage_audit",
         "domain_quota_sample",
         "mmr_diverse_select",
+        "source_xml_roundtrip",
+        "feature_hash_buckets",
+        "welch_t2_by_event_type",
     }
 )
 

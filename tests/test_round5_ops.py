@@ -512,3 +512,81 @@ def test_mmr_matches_numpy_greedy(spark, sf_dir):
     got = sorted(SPECS["mmr_diverse_select"].fn(spark, sf_dir).collect(), key=lambda r: r.rank)
     assert [r.vec_id for r in got] == picked
     assert len({r.vec_id for r in got}) == MMR_K
+
+
+def test_xml_roundtrip_preserves_orders(spark, sf_dir):
+    """The XML roundtrip must reproduce the original projection exactly
+    (keys, statuses, integer cents, ISO dates)."""
+    o = load_table(spark, sf_dir, "orders")
+    want = {
+        r.o_orderkey: (r.o_orderstatus, r.cents, r.d)
+        for r in o.select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+        ).collect()
+    }
+    got = {
+        r.o_orderkey: (r.o_orderstatus, r.price_cents, r.o_date)
+        for r in SPECS["source_xml_roundtrip"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+
+def test_feature_hash_covers_all_features(spark, sf_dir):
+    """Σ n_rows == 2·|events| (two feature families), Σ n_features ==
+    distinct feature strings, and the bucket function re-derived in
+    Python matches."""
+    import hashlib
+
+    from streamprocessing_spark.queries.curation import FH_BUCKETS
+
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.count()
+    feats = {f"type={r.event_type}" for r in ev.select("event_type").distinct().collect()}
+    feats |= {f"hour={r.h}" for r in ev.select(F.hour("ts").alias("h")).distinct().collect()}
+    rows = SPECS["feature_hash_buckets"].fn(spark, sf_dir).collect()
+    assert sum(r.n_rows for r in rows) == 2 * n
+    assert sum(r.n_features for r in rows) == len(feats)
+    buckets = {
+        f: int(hashlib.md5(f"fh:{f}".encode()).hexdigest()[:8], 16) % FH_BUCKETS for f in feats
+    }
+    want_counts: dict[int, int] = {}
+    for f, b in buckets.items():
+        want_counts[b] = want_counts.get(b, 0) + 1
+    assert {r.bucket: r.n_features for r in rows} == want_counts
+    for r in rows:
+        assert 0 <= r.bucket < FH_BUCKETS
+        assert buckets[r.example_feat] == r.bucket
+
+
+def test_welch_t2_agrees_with_float_formula(spark, sf_dir):
+    """t2_milli/1000 must match the float Welch t² computed from the
+    collected cents to flooring granularity, with the right sign."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    pts = (
+        ev.select("event_type", F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("y"))
+        .collect()
+    )
+    by_type: dict[str, list[int]] = {}
+    for r in pts:
+        by_type.setdefault(r.event_type, []).append(r.y)
+    rows = SPECS["welch_t2_by_event_type"].fn(spark, sf_dir).collect()
+    import itertools
+
+    expected_pairs = {
+        tuple(sorted(p)) for p in itertools.combinations(
+            [t for t, v in by_type.items() if len(v) >= 2], 2
+        )
+    }
+    assert {(r.type_a, r.type_b) for r in rows} == expected_pairs
+    for r in rows:
+        ya = np.array(by_type[r.type_a], dtype=np.float64)
+        yb = np.array(by_type[r.type_b], dtype=np.float64)
+        va = ya.var(ddof=1) / len(ya)
+        vb = yb.var(ddof=1) / len(yb)
+        t2 = (ya.mean() - yb.mean()) ** 2 / (va + vb)
+        assert abs(r.t2_milli - int(t2 * 1000)) <= 2, (r.type_a, r.type_b)
+        want_sign = int(np.sign(ya.mean() - yb.mean()))
+        assert r.mean_diff_sign == want_sign
