@@ -2834,3 +2834,50 @@ def source_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .schema("o_orderkey bigint, o_orderstatus string, price_cents bigint, o_date string")
         .load(out)
     )
+
+
+@register(
+    "try_arith_safety_showcase",
+    oracle="""
+    SELECT o_orderkey,
+           CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                ELSE floor(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                           / CAST(o_orderkey % 3 AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+           END AS safe_div,
+           TRY_CAST(CASE WHEN o_orderkey % 2 = 0 THEN '123'
+                         ELSE o_orderstatus END AS INTEGER) AS safe_cast,
+           [10, 20, 30][CAST(1 + o_orderkey % 5 AS INTEGER)] AS safe_elem
+    FROM orders
+    """,
+    tags=("analytics", "sql-surface", "scalar"),
+)
+def try_arith_safety_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-safety function family (try_divide / try_cast /
+    try_element_at): the error-as-NULL arithmetic that lets a 100 TB
+    batch job survive the one malformed row in partition 8,391 instead
+    of dying eight hours in — division by a data-dependent zero, casts
+    of mixed-validity strings, out-of-bounds array access, each
+    yielding NULL exactly where DuckDB's native NULL-on-miss semantics
+    (TRY_CAST, list indexing) land. The division result is
+    portable-rounded; all three NULL patterns are data-dependent so
+    both branches of each are populated at every fixture scale."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    return o.select(
+        "o_orderkey",
+        (
+            F.floor(
+                F.try_divide(cents, (F.col("o_orderkey") % 3).cast("double")) * 1e6
+                + F.lit(0.5)
+            )
+            / 1e6
+        ).alias("safe_div"),
+        F.when(F.col("o_orderkey") % 2 == 0, F.lit("123"))
+        .otherwise(F.col("o_orderstatus"))
+        .try_cast("int")
+        .alias("safe_cast"),
+        F.try_element_at(
+            F.array(F.lit(10), F.lit(20), F.lit(30)),
+            (F.lit(1) + F.col("o_orderkey") % 5).cast("int"),
+        ).alias("safe_elem"),
+    )

@@ -423,3 +423,48 @@ def streaming_stateful_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproducible by the batch running-sum oracle; see
     streaming/stateful.py for the determinism contract."""
     return _drained(spark, sf_dir, "streaming_stateful_alerts")
+
+
+def _build_transition_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessing_spark.streaming.stateful import event_transitions
+
+    return event_transitions(stream_events(spark, sf_dir))
+
+
+_PIPELINES["streaming_transition_pairs"] = (_build_transition_pairs, "append")
+
+
+@register(
+    "streaming_transition_pairs",
+    oracle="""
+    SELECT user_id,
+           event_id AS from_event_id,
+           nid AS to_event_id,
+           event_type AS from_type,
+           ntype AS to_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             lead(event_id) OVER w AS nid,
+             lead(event_type) OVER w AS ntype
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    WHERE nid IS NOT NULL
+    """,
+    tags=("streaming", "stateful", "custom-operator"),
+)
+def streaming_transition_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAMING event-transition linking (applyInPandasWithState): each
+    user's events are chained into (previous → current) pairs with the
+    last event carried in per-key state, so pairs form correctly ACROSS
+    micro-batch boundaries — the streaming producer of
+    event_transition_matrix's input, and the second custom state
+    machine next to streaming_stateful_alerts (that one accumulates and
+    emits conditionally; this one emits per-row with a lookback — the
+    lag()/lead() shape no built-in streaming aggregate expresses).
+
+    End-of-stream output must equal the batch lead() window exactly —
+    the oracle — which holds precisely because the state carry works;
+    dropping the state would lose one pair per (user, batch boundary).
+    State per key: one long + one short string, the minimum a lookback
+    can hold; shuffles once on user_id, the state store's own key."""
+    return _drained(spark, sf_dir, "streaming_transition_pairs")

@@ -197,6 +197,8 @@ _ROUND_NEW = frozenset(
         "source_xml_roundtrip",
         "feature_hash_buckets",
         "welch_t2_by_event_type",
+        "streaming_transition_pairs",
+        "try_arith_safety_showcase",
     }
 )
 

@@ -100,3 +100,78 @@ def threshold_crossing_alerts(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- per-user event-transition state machine -------------------------------
+
+_TRANS_OUT_SCHEMA = (
+    "user_id long, from_event_id long, to_event_id long, "
+    "from_type string, to_type string"
+)
+_TRANS_STATE_SCHEMA = "last_id long, last_type string"
+
+
+def _transitions_kernel(key, pdf_iter: Iterator["pd.DataFrame"], state):
+    """Kernel: link each user's events into (previous → current)
+    transition pairs ACROSS micro-batches — the state is the user's
+    last seen event (one long + one string per key, minimal), so the
+    first event of batch N+1 correctly chains to the last event of
+    batch N. The streaming form of the batch lead() window: same
+    (ts, event_id) order within a batch, batches delivered in time
+    order by the bounded replay (streaming/replay.py contract, shared
+    with _crossings_kernel)."""
+    import numpy as np
+    import pandas as pd
+
+    (user_id,) = key
+    last_id, last_type = (state.get if state.exists else (None, None))
+
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    ids = rows["event_id"].to_numpy(dtype="int64")
+    types = rows["event_type"].to_numpy(dtype=object)
+
+    # build pairs: (prev state row if any) + consecutive in-batch pairs
+    f_ids, f_types, t_ids, t_types = [], [], [], []
+    if last_id is not None and len(ids):
+        f_ids.append(last_id)
+        f_types.append(last_type)
+        t_ids.append(int(ids[0]))
+        t_types.append(types[0])
+    for i in range(len(ids) - 1):
+        f_ids.append(int(ids[i]))
+        f_types.append(types[i])
+        t_ids.append(int(ids[i + 1]))
+        t_types.append(types[i + 1])
+
+    if len(ids):
+        state.update((int(ids[-1]), str(types[-1])))
+
+    yield pd.DataFrame(
+        {
+            "user_id": np.full(len(f_ids), user_id, dtype="int64"),
+            "from_event_id": np.array(f_ids, dtype="int64"),
+            "to_event_id": np.array(t_ids, dtype="int64"),
+            "from_type": f_types,
+            "to_type": t_types,
+        }
+    )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """Apply the per-user transition-linking state machine: emits one
+    row per consecutive event pair in each user's stream, chaining
+    across micro-batches via the (last_id, last_type) state."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select("user_id", "event_id", "ts", "event_type")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _transitions_kernel,
+            outputStructType=_TRANS_OUT_SCHEMA,
+            stateStructType=_TRANS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )

@@ -306,3 +306,50 @@ def test_pit_join_is_one_exchange(spark, sf_dir):
     entity key (union is narrow; no join Exchange exists at all)."""
     df = SPECS["pit_join_profile_history"].fn(spark, sf_dir)
     assert X.count_exchanges(df) == 1, X.formatted_plan(df)
+
+
+def test_erasure_cascade_broadcasts_tombstones(spark, sf_dir):
+    """Every per-table audit branch must probe the tombstone set via a
+    broadcast join — a shuffle here would move each fact table."""
+    df = SPECS["right_to_erasure_cascade"].fn(spark, sf_dir)
+    assert X.has_broadcast_join(df), X.formatted_plan(df)
+
+
+def test_url_domain_stats_prunes_scan(spark, sf_dir):
+    """The per-domain datasheet needs only (doc_id, lang, n_chars, text)
+    — the scan must not read the whole documents schema."""
+    df = SPECS["url_domain_stats"].fn(spark, sf_dir)
+    scans = X.read_schema_columns(df)
+    needed = {"doc_id", "lang", "n_chars", "text"}
+    assert scans and all(set(s) <= needed for s in scans), scans
+
+
+def test_trend_slopes_single_shuffle(spark, sf_dir):
+    """Per-user moment aggregation is one map-side-combinable shuffle."""
+    df = SPECS["user_value_trend_slopes"].fn(spark, sf_dir)
+    assert X.count_exchanges(df) == 1, X.formatted_plan(df)
+
+
+def test_transition_matrix_pushes_value_scan(spark, sf_dir):
+    """The Markov matrix reads only (user_id, event_type, ts, event_id)."""
+    df = SPECS["event_transition_matrix"].fn(spark, sf_dir)
+    scans = X.read_schema_columns(df)
+    needed = {"user_id", "event_type", "ts", "event_id"}
+    assert scans and all(set(s) <= needed for s in scans), scans
+
+
+def test_rle_single_sort_shuffle(spark, sf_dir):
+    """RLE: one shuffle for the per-user sort (both row_numbers share
+    it), one for the final aggregate — never more."""
+    df = SPECS["rle_event_runs"].fn(spark, sf_dir)
+    assert X.count_exchanges(df) <= 2, X.formatted_plan(df)
+
+
+def test_snm_has_no_join_and_no_global_sort(spark, sf_dir):
+    """Sorted-neighborhood generates candidates from window leads: the
+    plan must contain no join at all, and its sort must be partitioned
+    (hash exchange), not a global range sort."""
+    df = SPECS["sorted_neighborhood_pairs"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "Join" not in plan, plan
+    assert "rangepartitioning" not in plan.lower(), plan

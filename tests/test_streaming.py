@@ -557,3 +557,65 @@ def test_watermark_drops_late_data_after_state_eviction(spark, tmp_path):
     # batch that evicts its window would still be included — the
     # watermark's guarantee is inclusion-within-delay, eviction after.
     assert got == {"09:00": 1, "10:00": 1, "12:00": 2}, got
+
+
+def test_transition_pairs_state_carries_across_batches(spark, sf_dir, tmp_path):
+    """event_transitions links each user's FIRST event of batch 2 to
+    their LAST event of batch 1 via the state store: the two-trigger
+    replay must produce the exact batch lead() pair set, and the pairs
+    that straddle the time split can only come from carried state."""
+    import time as _time
+
+    from pyspark.sql import Window
+
+    from streamprocessing_spark.sources.readers import load_table
+    from streamprocessing_spark.streaming.replay import run_to_memory_sink
+    from streamprocessing_spark.streaming.stateful import event_transitions
+
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    mid = span.lo + (span.hi - span.lo) / 2
+    base = str(tmp_path / "trans_src")
+    os.makedirs(base)
+    ev.where(F.col("ts") <= F.lit(mid)).coalesce(1).write.parquet(f"{base}/c0")
+    ev.where(F.col("ts") > F.lit(mid)).coalesce(1).write.parquet(f"{base}/c1")
+    src = f"{base}/src"
+    os.makedirs(src)
+    _extract_part_file(f"{base}/c0", f"{src}/a_early.parquet")
+    _extract_part_file(f"{base}/c1", f"{src}/b_late.parquet")
+    now = _time.time()
+    os.utime(f"{src}/a_early.parquet", (now - 60, now - 60))
+    os.utime(f"{src}/b_late.parquet", (now, now))
+
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    got = {
+        tuple(r)
+        for r in run_to_memory_sink(event_transitions(stream), "append").collect()
+    }
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    want = {
+        tuple(r)
+        for r in ev.select(
+            "user_id",
+            F.col("event_id").alias("from_event_id"),
+            F.lead("event_id").over(w).alias("to_event_id"),
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type").over(w).alias("to_type"),
+        )
+        .where(F.col("to_event_id").isNotNull())
+        .collect()
+    }
+    assert got == want and got
+    # sanity: some pairs straddle the split (carried-state evidence)
+    ts_of = {r.event_id: r.ts for r in ev.select("event_id", "ts").collect()}
+    straddling = [
+        1
+        for (_, a, b, _, _) in got
+        if ts_of[a] <= mid < ts_of[b]
+    ]
+    assert straddling, "split must cut through some user's stream"
