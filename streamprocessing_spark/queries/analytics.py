@@ -2881,3 +2881,70 @@ def try_arith_safety_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.lit(1) + F.col("o_orderkey") % 5).cast("int"),
         ).alias("safe_elem"),
     )
+
+
+@register(
+    "nest_order_lineitems",
+    oracle="""
+    WITH items AS (
+      SELECT l_orderkey,
+             l_linenumber,
+             l_partkey,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM lineitem),
+    o AS (
+      SELECT l_orderkey, l_linenumber, l_partkey, cents,
+             row_number() OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber, l_partkey, cents) AS ra,
+             row_number() OVER (PARTITION BY l_orderkey
+               ORDER BY l_linenumber DESC, l_partkey DESC, cents DESC) AS rd
+      FROM items)
+    SELECT l_orderkey,
+           CAST(count(*) AS BIGINT) AS n_items,
+           CAST(min(l_linenumber) AS BIGINT) AS first_line,
+           CAST(max(CASE WHEN ra = 1 THEN l_partkey END) AS BIGINT) AS first_part,
+           CAST(max(CASE WHEN rd = 1 THEN l_partkey END) AS BIGINT) AS last_part,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM o GROUP BY l_orderkey
+    """,
+    tags=("analytics", "nested", "llm-pipeline"),
+)
+def nest_order_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Denormalization to nested records — the document-assembly step
+    that turns relational tables into the array<struct> training/API
+    records a document store or LLM-data pipeline consumes: each
+    order's lineitems collected into ONE ordered array of structs
+    (sort_array over (linenumber, part, cents) structs — collect_list
+    alone is order-nondeterministic, the classic trap), then the
+    nested value is PROVEN correct by re-deriving scalars from the
+    array itself (size, first/last element fields, fold-summed total)
+    that the oracle computes relationally with arg_min/arg_max.
+
+    One shuffle on the order key; the array stays executor-side (only
+    the derived scalars come back). At 100 TB this is the standard
+    "records for the trainer" export shape — nested parquet written
+    directly from the arrays built here."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long")
+    nested = (
+        li.select(
+            "l_orderkey",
+            F.struct(
+                F.col("l_linenumber").cast("long").alias("line"),
+                F.col("l_partkey").cast("long").alias("part"),
+                cents.alias("cents"),
+            ).alias("item"),
+        )
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_list("item")).alias("items"))
+    )
+    return nested.select(
+        "l_orderkey",
+        F.size("items").cast("long").alias("n_items"),
+        F.col("items")[0]["line"].alias("first_line"),
+        F.col("items")[0]["part"].alias("first_part"),
+        F.element_at(F.col("items"), -1)["part"].alias("last_part"),
+        F.aggregate(
+            F.col("items"), F.lit(0).cast("long"), lambda acc, x: acc + x["cents"]
+        ).alias("total_cents"),
+    )

@@ -1519,3 +1519,76 @@ def feature_hash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_features"),
         F.min("feat").alias("example_feat"),
     ).select(F.col("bucket").cast("long").alias("bucket"), "n_rows", "n_features", "example_feat")
+
+
+# Temporal split boundaries over the purchase stream: 2-day windows in
+# the fixture's first week (absolute cutoffs — identical engines and
+# scales; windows sized so the overlap breakdown is non-degenerate at
+# EVERY sf: 7 distinct buckets even with sf0.001's 15 users).
+_T_END = "2024-01-07 00:00:00"
+_T_SPLIT_1 = "2024-01-03 00:00:00"
+_T_SPLIT_2 = "2024-01-05 00:00:00"
+
+
+@register(
+    "temporal_split_user_overlap",
+    oracle=f"""
+    WITH sp AS (
+      SELECT DISTINCT user_id,
+             CASE WHEN ts < TIMESTAMP '{_T_SPLIT_1}' THEN 'train'
+                  WHEN ts < TIMESTAMP '{_T_SPLIT_2}' THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM events
+      WHERE event_type = 'purchase' AND ts < TIMESTAMP '{_T_END}'),
+    pv AS (
+      SELECT user_id,
+             max(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS in_train,
+             max(CASE WHEN split = 'valid' THEN 1 ELSE 0 END) AS in_valid,
+             max(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS in_test
+      FROM sp GROUP BY user_id)
+    SELECT CAST(in_train AS BIGINT) AS in_train,
+           CAST(in_valid AS BIGINT) AS in_valid,
+           CAST(in_test AS BIGINT) AS in_test,
+           CAST(count(*) AS BIGINT) AS n_users
+    FROM pv GROUP BY 1, 2, 3
+    """,
+    tags=("curation", "llm-pipeline", "quality"),
+)
+def temporal_split_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENTITY leakage in a TEMPORAL split: partition a purchase-stream
+    window into train/valid/test by time cutoffs (the forecasting-ML
+    split), then count users by which splits they appear in — the
+    (1,1,1) and (1,0,1) buckets are users whose behavior the model sees
+    in training AND is evaluated on, the entity-level leakage a time
+    split permits by construction (split_leakage_audit's content-level
+    sibling; the fix is grouped splitting by user, which
+    train_test_split's hash does). The full 2³-bucket breakdown
+    quantifies the tradeoff instead of hiding it; cutoffs are sized so
+    7 of the 8 buckets populate at every fixture scale.
+
+    Scale shape: pushdown-filtered scan collapses to DISTINCT (user,
+    split), one pivot-aggregate per user, one 8-row final aggregate —
+    all map-side-combinable, nothing bigger than the user dimension."""
+    ev = load_table(spark, sf_dir, "events").where(
+        (F.col("event_type") == "purchase")
+        & (F.col("ts") < F.lit(_T_END).cast("timestamp"))
+    )
+    split = (
+        F.when(F.col("ts") < F.lit(_T_SPLIT_1).cast("timestamp"), F.lit("train"))
+        .when(F.col("ts") < F.lit(_T_SPLIT_2).cast("timestamp"), F.lit("valid"))
+        .otherwise(F.lit("test"))
+    )
+    sp = ev.select("user_id", split.alias("split")).distinct()
+    pv = sp.groupBy("user_id").agg(
+        F.max(F.when(F.col("split") == "train", 1).otherwise(0)).alias("in_train"),
+        F.max(F.when(F.col("split") == "valid", 1).otherwise(0)).alias("in_valid"),
+        F.max(F.when(F.col("split") == "test", 1).otherwise(0)).alias("in_test"),
+    )
+    return pv.groupBy("in_train", "in_valid", "in_test").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    ).select(
+        F.col("in_train").cast("long").alias("in_train"),
+        F.col("in_valid").cast("long").alias("in_valid"),
+        F.col("in_test").cast("long").alias("in_test"),
+        "n_users",
+    )

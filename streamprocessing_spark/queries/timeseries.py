@@ -1532,3 +1532,49 @@ def welch_t2_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             " + (nb * qb - sb * sb) * na * na * (na - 1)) AS BIGINT)"
         ).alias("t2_milli"),
     )
+
+
+@register(
+    "daily_revenue_wow_change",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1),
+    w AS (
+      SELECT day, cents,
+             lag(cents, 7) OVER (ORDER BY day) AS prev_cents
+      FROM daily)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(prev_cents AS BIGINT) AS prev_cents,
+           CAST(cents - prev_cents AS BIGINT) AS delta_cents
+    FROM w
+    """,
+    tags=("timeseries", "window", "analytics"),
+)
+def daily_revenue_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week revenue delta — the period-over-period BI staple:
+    daily purchase revenue in exact cents next to the value 7 rows
+    (days) earlier and the exact delta, NULL for the first week (both
+    engines agree on the NULL frame). The lag runs over the DAILY
+    aggregate — |days| rows, dimension-sized — so the unpartitioned
+    window is a deliberate non-issue (the skyline/layout precedent),
+    while the corpus-sized work is one map-side-combinable aggregate.
+
+    Exact integer cents end-to-end: a float sum here would make the
+    deltas (differences of large nearly-equal numbers) maximally
+    sensitive to accumulation order — the op where the money.py
+    discipline pays off most visibly."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("day")
+    return daily.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("cents").cast("long").alias("cents"),
+        F.lag("cents", 7).over(w).cast("long").alias("prev_cents"),
+        (F.col("cents") - F.lag("cents", 7).over(w)).cast("long").alias("delta_cents"),
+    )

@@ -199,6 +199,9 @@ _ROUND_NEW = frozenset(
         "welch_t2_by_event_type",
         "streaming_transition_pairs",
         "try_arith_safety_showcase",
+        "nest_order_lineitems",
+        "daily_revenue_wow_change",
+        "temporal_split_user_overlap",
     }
 )
 

@@ -590,3 +590,64 @@ def test_welch_t2_agrees_with_float_formula(spark, sf_dir):
         assert abs(r.t2_milli - int(t2 * 1000)) <= 2, (r.type_a, r.type_b)
         want_sign = int(np.sign(ya.mean() - yb.mean()))
         assert r.mean_diff_sign == want_sign
+
+
+def test_nested_records_reconcile_with_flat_table(spark, sf_dir):
+    """The nested-record scalars must re-derive from a pandas groupby
+    of the flat lineitem table with the same (line, part, cents) sort."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("line"),
+            F.col("l_partkey").cast("long").alias("part"),
+            F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    by_order: dict[int, list] = {}
+    for r in li:
+        by_order.setdefault(r.l_orderkey, []).append((r.line, r.part, r.cents))
+    rows = SPECS["nest_order_lineitems"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(by_order)
+    for r in rows:
+        items = sorted(by_order[r.l_orderkey])
+        assert r.n_items == len(items)
+        assert r.first_line == items[0][0]
+        assert r.first_part == items[0][1]
+        assert r.last_part == items[-1][1]
+        assert r.total_cents == sum(i[2] for i in items)
+
+
+def test_wow_change_nulls_first_week_only(spark, sf_dir):
+    """delta is NULL exactly for the first 7 days and exact elsewhere."""
+    rows = sorted(SPECS["daily_revenue_wow_change"].fn(spark, sf_dir).collect(), key=lambda r: r.day)
+    assert len(rows) >= 14
+    for i, r in enumerate(rows):
+        if i < 7:
+            assert r.prev_cents is None and r.delta_cents is None
+        else:
+            assert r.prev_cents == rows[i - 7].cents
+            assert r.delta_cents == r.cents - r.prev_cents
+
+
+def test_temporal_split_buckets_partition_users(spark, sf_dir):
+    """Bucket counts must sum to the active-user universe; the all-zero
+    bucket must not appear; the fixture must show real overlap."""
+    from streamprocessing_spark.queries.curation import _T_END
+
+    ev = load_table(spark, sf_dir, "events")
+    active = (
+        ev.where(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") < F.lit(_T_END).cast("timestamp"))
+        )
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    rows = SPECS["temporal_split_user_overlap"].fn(spark, sf_dir).collect()
+    assert sum(r.n_users for r in rows) == active
+    assert all((r.in_train, r.in_valid, r.in_test) != (0, 0, 0) for r in rows)
+    assert any(r.in_train + r.in_valid + r.in_test >= 2 for r in rows), "overlap must exist"
+    assert len(rows) >= 4, "breakdown must be non-degenerate"
