@@ -2948,3 +2948,54 @@ def nest_order_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("items"), F.lit(0).cast("long"), lambda acc, x: acc + x["cents"]
         ).alias("total_cents"),
     )
+
+
+BITMAP_WORD = 32  # user-ids per bitmap word (BIGINT-safe, no sign bit)
+
+
+@register(
+    "daily_active_user_bitmap",
+    oracle=f"""
+    SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+           CAST(user_id // {BITMAP_WORD} AS BIGINT) AS word,
+           CAST(bit_or(CAST(1 AS BIGINT)
+                       << CAST(user_id % {BITMAP_WORD} AS INTEGER)) AS BIGINT) AS bits,
+           CAST(bit_count(bit_or(CAST(1 AS BIGINT)
+                       << CAST(user_id % {BITMAP_WORD} AS INTEGER))) AS BIGINT) AS n_active
+    FROM events
+    GROUP BY 1, 2
+    """,
+    tags=("analytics", "bitmap", "llm-pipeline"),
+)
+def daily_active_user_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitmap-index building block (the Roaring-bitmap pattern behind
+    fast DAU/retention engines): per day, the active-user set encoded
+    as fixed-width bitmap WORDS — word = user_id div 32, bits =
+    bit_or(1 << user_id mod 32) — so set algebra becomes integer
+    algebra: |actives| is Σ popcount, day-over-day retention is
+    popcount(AND) of aligned words, churn is AND NOT — each a
+    word-aligned join instead of a distinct-count shuffle (the
+    retention law is asserted in tests). Exactly how ClickHouse
+    groupBitmap / Druid bitmap indexes answer these queries.
+
+    Scale shape: one aggregate keyed (day, word) with map-side bit_or
+    combine — output is |days| × |users|/32 words regardless of event
+    volume; a day's bitmap streams as words, never as a user list. The
+    sign bit is left unused (32 < 63) so the words compare identically
+    as signed BIGINTs in both engines."""
+    ev = load_table(spark, sf_dir, "events")
+    word = F.expr(f"user_id div {BITMAP_WORD}").cast("long")
+    bit = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(user_id % {BITMAP_WORD} AS INT))")
+    agg = (
+        ev.select(
+            F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"),
+            word.alias("word"),
+            bit.alias("b"),
+        )
+        .groupBy("day", "word")
+        .agg(F.expr("bit_or(b)").alias("bits"))
+    )
+    return agg.select(
+        "day", "word", F.col("bits").cast("long").alias("bits"),
+        F.bit_count("bits").cast("long").alias("n_active"),
+    )

@@ -202,6 +202,7 @@ _ROUND_NEW = frozenset(
         "nest_order_lineitems",
         "daily_revenue_wow_change",
         "temporal_split_user_overlap",
+        "daily_active_user_bitmap",
     }
 )
 

@@ -651,3 +651,43 @@ def test_temporal_split_buckets_partition_users(spark, sf_dir):
     assert all((r.in_train, r.in_valid, r.in_test) != (0, 0, 0) for r in rows)
     assert any(r.in_train + r.in_valid + r.in_test >= 2 for r in rows), "overlap must exist"
     assert len(rows) >= 4, "breakdown must be non-degenerate"
+
+
+def test_bitmap_popcounts_equal_distinct_counts_and_retention(spark, sf_dir):
+    """Σ popcount per day == exact distinct actives that day, and
+    popcount(AND of aligned words) between consecutive days == exact
+    returning-user count — bitmap algebra must equal set algebra."""
+    from streamprocessing_spark.queries.analytics import BITMAP_WORD
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("day"), "user_id"
+    )
+    day_users: dict[str, set] = {}
+    for r in ev.collect():
+        day_users.setdefault(r.day, set()).add(r.user_id)
+    rows = SPECS["daily_active_user_bitmap"].fn(spark, sf_dir).collect()
+    bitmaps: dict[str, dict[int, int]] = {}
+    for r in rows:
+        bitmaps.setdefault(r.day, {})[r.word] = r.bits
+        assert r.n_active == bin(r.bits & ((1 << 63) - 1)).count("1")
+    assert set(bitmaps) == set(day_users)
+    for day, words in bitmaps.items():
+        assert sum(bin(b).count("1") for b in words.values()) == len(day_users[day])
+        # decode: every set bit is a real active user and vice versa
+        decoded = {
+            w * BITMAP_WORD + i
+            for w, b in words.items()
+            for i in range(BITMAP_WORD)
+            if b >> i & 1
+        }
+        assert decoded == day_users[day]
+    days = sorted(bitmaps)
+    checked = 0
+    for a, b in zip(days, days[1:]):
+        inter = sum(
+            bin(bitmaps[a].get(w, 0) & bitmaps[b].get(w, 0)).count("1")
+            for w in set(bitmaps[a]) | set(bitmaps[b])
+        )
+        assert inter == len(day_users[a] & day_users[b])
+        checked += 1
+    assert checked > 0
