@@ -2999,3 +2999,61 @@ def daily_active_user_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "day", "word", F.col("bits").cast("long").alias("bits"),
         F.bit_count("bits").cast("long").alias("n_active"),
     )
+
+
+@register(
+    "rfm_customer_segments",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey,
+             max(o_orderdate) AS last_order,
+             count(*) AS freq,
+             sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS monet
+      FROM orders GROUP BY 1),
+    scored AS (
+      SELECT o_custkey,
+             ntile(4) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+             ntile(4) OVER (ORDER BY freq DESC, o_custkey) AS f,
+             ntile(4) OVER (ORDER BY monet DESC, o_custkey) AS m
+      FROM base)
+    SELECT o_custkey,
+           CAST(r AS BIGINT) AS r,
+           CAST(f AS BIGINT) AS f,
+           CAST(m AS BIGINT) AS m,
+           CAST(r * 100 + f * 10 + m AS BIGINT) AS segment
+    FROM scored
+    """,
+    tags=("analytics", "window", "segmentation"),
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation (Recency / Frequency / Monetary quartiles) — the
+    marketing-analytics workhorse: per customer, the last order date,
+    order count, and exact-cents lifetime value, each quartiled with
+    ntile(4) under a deterministic (metric, custkey) ordering (bare
+    ntile over a non-unique metric is run-dependent — the tiebreak IS
+    the determinism fix), composed into the 111..444 segment code.
+    Three global ntiles run over the CUSTOMER dimension (one row per
+    customer after the aggregate), not the fact table — the windows are
+    dimension-sized by construction, the corpus pays one
+    map-side-combinable aggregate. At 1e9 customers the same quartile
+    cut comes from exact range_partition_boundaries instead of a single
+    sort — both ops are in this registry."""
+    o = load_table(spark, sf_dir, "orders")
+    base = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")).alias("monet"),
+    )
+    r = F.ntile(4).over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
+    f_ = F.ntile(4).over(Window.orderBy(F.desc("freq"), F.asc("o_custkey")))
+    m = F.ntile(4).over(Window.orderBy(F.desc("monet"), F.asc("o_custkey")))
+    scored = base.select(
+        "o_custkey",
+        r.cast("long").alias("r"),
+        f_.cast("long").alias("f"),
+        m.cast("long").alias("m"),
+    )
+    return scored.select(
+        "o_custkey", "r", "f", "m",
+        (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("long").alias("segment"),
+    )

@@ -1592,3 +1592,60 @@ def temporal_split_user_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("in_test").cast("long").alias("in_test"),
         "n_users",
     )
+
+
+@register(
+    "ab_assignment_srm_check",
+    oracle="""
+    WITH u AS (SELECT DISTINCT user_id FROM events),
+    arms AS (
+      SELECT user_id,
+             CASE WHEN CAST(('0x' || substr(md5('ab:' || CAST(user_id AS VARCHAR)), 1, 8))
+                       AS BIGINT) % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm
+      FROM u),
+    c AS (SELECT arm, CAST(count(*) AS HUGEINT) AS n FROM arms GROUP BY 1),
+    t AS (SELECT sum(n) AS total, count(*) AS k FROM c)
+    SELECT c.arm, CAST(c.n AS BIGINT) AS n_users,
+           CAST((1000 * (c.n * t.k - t.total) * (c.n * t.k - t.total))
+                // (t.k * t.total) AS BIGINT) AS srm_chi2_milli
+    FROM c CROSS JOIN t
+    """,
+    tags=("curation", "statistics", "experimentation"),
+)
+def ab_assignment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B experiment assignment + Sample-Ratio-Mismatch check, the
+    experimentation platform's first guardrail: users hash-assigned
+    50/50 (deterministic md5 — sticky across sessions and reruns, the
+    property real assignment services need), then each arm's chi-square
+    contribution against the expected equal split, exact via the
+    deferred-division trick (contrib = 1000·(n·k − total)²/(k·total),
+    one integral floor-div in 128-bit ints — the chisq_independence
+    machinery specialized to the uniform null). A large Σ srm_chi2_milli
+    means the assignment is corrupted (bots, logging loss) and the
+    experiment unreadable — checked before anyone looks at metrics.
+
+    Scale shape: distinct-collapse to users, per-row hash, a 2-row arm
+    aggregate and a broadcast total — nothing beyond the user-dimension
+    shuffle."""
+    ev = load_table(spark, sf_dir, "events")
+    arm = F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit("ab:"), F.col("user_id").cast("string"))), 1, 8), 16, 10)
+        .cast("long") % 2
+        == 0,
+        F.lit("control"),
+    ).otherwise(F.lit("treatment"))
+    arms = ev.select("user_id").distinct().select(arm.alias("arm"))
+    c = arms.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"), F.count(F.lit(1)).alias("k"))
+    dec = "DECIMAL(38,0)"
+    return (
+        c.crossJoin(F.broadcast(t))
+        .select(
+            "arm",
+            F.col("n").cast("long").alias("n_users"),
+            F.expr(
+                f"CAST((1000 * (CAST(n AS {dec}) * k - total) * (CAST(n AS {dec}) * k - total))"
+                f" div (CAST(k AS {dec}) * total) AS BIGINT)"
+            ).alias("srm_chi2_milli"),
+        )
+    )

@@ -448,3 +448,60 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
     )
+
+
+@register(
+    "dedup_tier_agreement",
+    oracle=f"""
+    WITH mh AS ({D.sql_minhash_lsh(JACCARD_THRESHOLD)}),
+    sh_p AS ({D.sql_simhash_pairs(3)}),
+    mhp AS (SELECT id_a, id_b FROM mh),
+    shp AS (SELECT id_a, id_b FROM sh_p),
+    u AS (
+      SELECT COALESCE(m.id_a, s.id_a) AS id_a,
+             COALESCE(m.id_b, s.id_b) AS id_b,
+             CASE WHEN m.id_a IS NULL THEN 0 ELSE 1 END AS in_minhash,
+             CASE WHEN s.id_a IS NULL THEN 0 ELSE 1 END AS in_simhash
+      FROM mhp m
+      FULL OUTER JOIN shp s ON m.id_a = s.id_a AND m.id_b = s.id_b)
+    SELECT CAST(in_minhash AS BIGINT) AS in_minhash,
+           CAST(in_simhash AS BIGINT) AS in_simhash,
+           CAST(count(*) AS BIGINT) AS n_pairs
+    FROM u GROUP BY 1, 2
+    """,
+    tags=("dedup", "llm-pipeline", "lsh", "quality"),
+)
+def dedup_tier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-tier agreement audit for the near-dup detectors: the FULL
+    OUTER join of the verified MinHash-LSH pair set (Jaccard ≥ 0.8 on
+    word shingles) against the SimHash pair set (hamming ≤ 3), bucketed
+    by membership — the "which detector finds what" matrix a curation
+    team reads before picking a production tier (the two detectors
+    measure DIFFERENT similarity geometries, so disagreement is signal,
+    not error; both-tier pairs are the high-confidence core). Same
+    composition shape as split_leakage_audit: two already-scaled pair
+    pipelines + one pair-keyed outer join collapsing to a ≤3-row
+    matrix.
+
+    The whole audit — both LSH pipelines included — stays bit-oracled
+    because both tiers use engine-portable hash arithmetic; the oracle
+    replays the two pipelines verbatim (shared SQL builders) and only
+    adds the outer join."""
+    d = load_table(spark, sf_dir, "documents")
+    mh = D.minhash_lsh_pairs(d, "doc_id", "text", JACCARD_THRESHOLD).select("id_a", "id_b")
+    sh = D.simhash_pairs(d, "doc_id", "text", max_hamming=3).select("id_a", "id_b")
+    u = (
+        mh.withColumn("in_minhash", F.lit(1))
+        .join(
+            sh.withColumn("in_simhash", F.lit(1)),
+            ["id_a", "id_b"],
+            "full_outer",
+        )
+        .select(
+            F.coalesce(F.col("in_minhash"), F.lit(0)).cast("long").alias("in_minhash"),
+            F.coalesce(F.col("in_simhash"), F.lit(0)).cast("long").alias("in_simhash"),
+        )
+    )
+    return u.groupBy("in_minhash", "in_simhash").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )

@@ -1578,3 +1578,52 @@ def daily_revenue_wow_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("cents", 7).over(w).cast("long").alias("prev_cents"),
         (F.col("cents") - F.lag("cents", 7).over(w)).cast("long").alias("delta_cents"),
     )
+
+
+@register(
+    "daily_revenue_max_drawdown",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
+      FROM events WHERE event_type = 'purchase'
+      GROUP BY 1),
+    c AS (
+      SELECT day, cents,
+             sum(cents) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS cum
+      FROM daily),
+    p AS (
+      SELECT day, cents, cum,
+             max(cum) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS peak
+      FROM c)
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(cum AS BIGINT) AS cum_cents,
+           CAST(peak AS BIGINT) AS peak_cents,
+           CAST(peak - cum AS BIGINT) AS drawdown_cents
+    FROM p
+    """,
+    tags=("timeseries", "window", "analytics"),
+)
+def daily_revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running-peak drawdown of the cumulative daily revenue curve — the
+    finance risk primitive (max drawdown = max over days of
+    peak-to-date − value), here over exact integer cents so the
+    subtraction of near-equal cumulative sums is exact: two stacked
+    running windows (cumulative sum, then running max) over the
+    dimension-sized daily series — the same prefix-scan family as
+    clamped_running_balance, with max∘sum instead of the clamp
+    recurrence. The corpus-sized work is one map-side-combinable daily
+    aggregate; the windows run over |days| rows."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")).alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    c = daily.select("day", "cents", F.sum("cents").over(w).alias("cum"))
+    p = c.select("day", "cents", "cum", F.max("cum").over(w).alias("peak"))
+    return p.select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("cum").cast("long").alias("cum_cents"),
+        F.col("peak").cast("long").alias("peak_cents"),
+        (F.col("peak") - F.col("cum")).cast("long").alias("drawdown_cents"),
+    )

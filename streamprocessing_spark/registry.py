@@ -203,6 +203,10 @@ _ROUND_NEW = frozenset(
         "daily_revenue_wow_change",
         "temporal_split_user_overlap",
         "daily_active_user_bitmap",
+        "dedup_tier_agreement",
+        "daily_revenue_max_drawdown",
+        "ab_assignment_srm_check",
+        "rfm_customer_segments",
     }
 )
 

@@ -691,3 +691,69 @@ def test_bitmap_popcounts_equal_distinct_counts_and_retention(spark, sf_dir):
         assert inter == len(day_users[a] & day_users[b])
         checked += 1
     assert checked > 0
+
+
+def test_tier_agreement_counts_match_pair_tiers(spark, sf_dir):
+    """The agreement matrix must reconcile exactly with the two pair
+    sets collected independently."""
+    mh = {
+        (r.id_a, r.id_b)
+        for r in SPECS["dedup_minhash_lsh"].fn(spark, sf_dir).select("id_a", "id_b").collect()
+    }
+    sh = {
+        (r.id_a, r.id_b)
+        for r in SPECS["dedup_simhash"].fn(spark, sf_dir).select("id_a", "id_b").collect()
+    }
+    rows = {(r.in_minhash, r.in_simhash): r.n_pairs for r in SPECS["dedup_tier_agreement"].fn(spark, sf_dir).collect()}
+    assert rows.get((1, 1), 0) == len(mh & sh)
+    assert rows.get((1, 0), 0) == len(mh - sh)
+    assert rows.get((0, 1), 0) == len(sh - mh)
+    assert (0, 0) not in rows
+    assert sum(rows.values()) == len(mh | sh) and rows
+
+
+def test_drawdown_laws(spark, sf_dir):
+    """peak is the running max of cum, drawdown = peak − cum ≥ 0, and
+    peak is non-decreasing."""
+    rows = sorted(SPECS["daily_revenue_max_drawdown"].fn(spark, sf_dir).collect(), key=lambda r: r.day)
+    peak = None
+    for r in rows:
+        peak = r.cum_cents if peak is None else max(peak, r.cum_cents)
+        assert r.peak_cents == peak
+        assert r.drawdown_cents == r.peak_cents - r.cum_cents >= 0
+
+
+def test_srm_check_balanced_on_fixture(spark, sf_dir):
+    """Assignment must cover all users, arms must be near-balanced (the
+    md5 split), and the chi-square contribution must match a float
+    recompute."""
+    ev = load_table(spark, sf_dir, "events")
+    n = ev.select("user_id").distinct().count()
+    rows = SPECS["ab_assignment_srm_check"].fn(spark, sf_dir).collect()
+    assert {r.arm for r in rows} == {"control", "treatment"}
+    total = sum(r.n_users for r in rows)
+    assert total == n
+    for r in rows:
+        e = total / 2
+        contrib = (r.n_users - e) ** 2 / e
+        assert abs(r.srm_chi2_milli - int(contrib * 1000)) <= 1
+    # deterministic md5 coin on this fixture stays within a loose band
+    lo, hi = sorted(r.n_users for r in rows)
+    assert hi - lo <= 6 * (n ** 0.5)
+
+
+def test_rfm_quartiles_balanced_and_consistent(spark, sf_dir):
+    """Each R/F/M dimension partitions customers into near-equal
+    quartiles (ntile law), segment re-derivable, and better recency ⇒
+    lower r bucket for a spot-checked pair."""
+    rows = SPECS["rfm_customer_segments"].fn(spark, sf_dir).collect()
+    n = len(rows)
+    for dim in ("r", "f", "m"):
+        counts: dict[int, int] = {}
+        for r_ in rows:
+            counts[getattr(r_, dim)] = counts.get(getattr(r_, dim), 0) + 1
+        assert set(counts) == {1, 2, 3, 4}
+        assert max(counts.values()) - min(counts.values()) <= 1, (dim, counts)
+    for r_ in rows:
+        assert r_.segment == r_.r * 100 + r_.f * 10 + r_.m
+    assert n == len({r_.o_custkey for r_ in rows})
