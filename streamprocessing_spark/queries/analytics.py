@@ -3057,3 +3057,95 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "r", "f", "m",
         (F.col("r") * 100 + F.col("f") * 10 + F.col("m")).cast("long").alias("segment"),
     )
+
+
+@register(
+    "null_safe_bucket_join",
+    oracle="""
+    WITH b AS (
+      SELECT CASE WHEN event_type = 'error' THEN NULL
+                  ELSE CAST(floor(value / 10.0) AS BIGINT) END AS bucket,
+             CASE WHEN ts < TIMESTAMP '2024-01-16 00:00:00' THEN 'h1' ELSE 'h2' END AS half
+      FROM events),
+    h1 AS (SELECT bucket, count(*) AS n1 FROM b WHERE half = 'h1' GROUP BY 1),
+    h2 AS (SELECT bucket, count(*) AS n2 FROM b WHERE half = 'h2' GROUP BY 1)
+    SELECT h1.bucket, CAST(h1.n1 AS BIGINT) AS n1, CAST(h2.n2 AS BIGINT) AS n2
+    FROM h1 JOIN h2 ON h1.bucket IS NOT DISTINCT FROM h2.bucket
+    """,
+    tags=("analytics", "join", "sql-surface"),
+)
+def null_safe_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-safe equality join (Spark `<=>` / eqNullSafe vs SQL's IS NOT
+    DISTINCT FROM): month-half activity histograms joined per value
+    bucket where one bucket is deliberately NULL (error events carry no
+    value) — a plain equi-join silently DROPS the NULL↔NULL row, the
+    classic missing-row bug in reconciliation joins; the null-safe
+    operator keeps it, and the output's NULL-bucket row is the proof
+    (asserted non-vacuous in tests). Same hash-join plan and cost as
+    the ordinary join — NULL-safe equality still hash-partitions (NULL
+    hashes to a bucket like any value), unlike inequality predicates."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.when(F.col("event_type") == "error", F.lit(None).cast("long")).otherwise(
+        F.floor(F.col("value") / 10.0).cast("long")
+    )
+    half = F.when(
+        F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), F.lit("h1")
+    ).otherwise(F.lit("h2"))
+    b = ev.select(bucket.alias("bucket"), half.alias("half"))
+    h1 = b.where(F.col("half") == "h1").groupBy("bucket").agg(F.count(F.lit(1)).alias("n1"))
+    h2 = b.where(F.col("half") == "h2").groupBy("bucket").agg(F.count(F.lit(1)).alias("n2"))
+    return (
+        h1.join(h2, h1["bucket"].eqNullSafe(h2["bucket"]))
+        .select(h1["bucket"].alias("bucket"), F.col("n1").cast("long").alias("n1"), F.col("n2").cast("long").alias("n2"))
+    )
+
+
+@register(
+    "partition_key_advisor",
+    oracle="""
+    WITH cand AS (
+      SELECT 'day' AS key_col, strftime(CAST(ts AS DATE), '%Y-%m-%d') AS k FROM events
+      UNION ALL
+      SELECT 'event_type', event_type FROM events
+      UNION ALL
+      SELECT 'user_bucket', CAST(user_id % 16 AS VARCHAR) FROM events),
+    per AS (
+      SELECT key_col, k, count(*) AS n FROM cand GROUP BY 1, 2)
+    SELECT key_col,
+           CAST(count(*) AS BIGINT) AS n_partitions,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(max(n) AS BIGINT) AS max_rows,
+           CAST(min(n) AS BIGINT) AS min_rows,
+           CAST((1000 * count(*) * max(n)) // sum(n) AS BIGINT) AS skew_milli
+    FROM per GROUP BY key_col
+    """,
+    tags=("analytics", "layout", "statistics"),
+)
+def partition_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-key advisor — the datasheet behind `PARTITIONED BY`
+    decisions: for each candidate key (day, event type, 16-way user
+    bucket) the partition count, row balance, and the skew factor
+    max/mean scaled to milli (floor-div exact) — too many partitions
+    ⇒ small-file problem, skew ≫ 1000 ⇒ one hot partition serializes
+    every reader. Complements the physical-layout family (Z-order key,
+    exact range boundaries, compaction bin-packing) with the step that
+    comes FIRST in a lakehouse design review.
+
+    Scale shape: one union of per-row key projections, one
+    (candidate, key)-level aggregate, one |candidates|-row rollup —
+    map-side-combinable throughout; candidate cardinalities are the
+    only memory term."""
+    ev = load_table(spark, sf_dir, "events")
+    cand = (
+        ev.select(F.lit("day").alias("key_col"), F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd").alias("k"))
+        .unionByName(ev.select(F.lit("event_type").alias("key_col"), F.col("event_type").alias("k")))
+        .unionByName(ev.select(F.lit("user_bucket").alias("key_col"), (F.col("user_id") % 16).cast("string").alias("k")))
+    )
+    per = cand.groupBy("key_col", "k").agg(F.count(F.lit(1)).alias("n"))
+    return per.groupBy("key_col").agg(
+        F.count(F.lit(1)).cast("long").alias("n_partitions"),
+        F.sum("n").cast("long").alias("n_rows"),
+        F.max("n").cast("long").alias("max_rows"),
+        F.min("n").cast("long").alias("min_rows"),
+        F.expr("CAST((1000 * count(1) * max(n)) div sum(n) AS BIGINT)").alias("skew_milli"),
+    )

@@ -1019,3 +1019,74 @@ def mmr_diverse_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "rank", "vec_id", (F.floor(F.col("score") * 1e6 + 0.5) / 1e6).alias("score")
     )
+
+
+@register(
+    "label_centroid_distance_matrix",
+    oracle=f"""
+    WITH q AS (
+      SELECT label, i - 1 AS d,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * {S.GRAM_SCALE} + 0.5)
+                  AS BIGINT) AS qv
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+    cent AS (
+      SELECT label, d, sum(qv) AS s, count(*) AS n
+      FROM q GROUP BY 1, 2),
+    pair AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             sum(a.s * b.s) AS dotss,
+             sum(a.s * a.s) AS na2,
+             sum(b.s * b.s) AS nb2
+      FROM cent a
+      JOIN cent b ON a.d = b.d AND a.label < b.label
+      GROUP BY 1, 2)
+    SELECT label_a, label_b,
+           floor(CAST(dotss AS DOUBLE) / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+                 * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+    FROM pair
+    """,
+    tags=("similarity", "llm-pipeline", "statistics"),
+)
+def label_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Label-geometry audit: pairwise cosine between per-label centroid
+    DIRECTIONS — which classes sit close in embedding space (and will
+    confuse a nearest-centroid classifier, the geometric sibling of
+    lang_id_confusion's empirical matrix). Cosine of the centroid is
+    computed on the exact integer SUM vectors (Σq per dim — direction
+    equals the mean's, the 1/n factors cancel in cosine), so the only
+    floats are one final dot/norm per label PAIR over already-exact
+    integers — identical IEEE arithmetic both engines, portable-rounded.
+
+    Scale shape: explode to (label, dim) partial sums —
+    map-side-combinable, |labels|·dim rows — then a |labels|²·dim
+    self-join at the label dimension. The corpus pays one scan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "label",
+        F.posexplode(
+            F.expr(
+                f"transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * {S.GRAM_SCALE} + 0.5) AS BIGINT))"
+            )
+        ).alias("d", "qv"),
+    )
+    cent = q.groupBy("label", "d").agg(F.sum("qv").alias("s"))
+    a = cent.select(F.col("label").alias("label_a"), "d", F.col("s").alias("sa"))
+    b = cent.select(F.col("label").alias("label_b"), "d", F.col("s").alias("sb"))
+    pair = (
+        a.join(b, ["d"])
+        .where(F.col("label_a") < F.col("label_b"))
+        .groupBy("label_a", "label_b")
+        .agg(
+            F.sum(F.col("sa") * F.col("sb")).alias("dotss"),
+            F.sum(F.col("sa") * F.col("sa")).alias("na2"),
+            F.sum(F.col("sb") * F.col("sb")).alias("nb2"),
+        )
+    )
+    cos = F.col("dotss").cast("double") / (
+        F.sqrt(F.col("na2").cast("double")) * F.sqrt(F.col("nb2").cast("double"))
+    )
+    return pair.select(
+        "label_a",
+        "label_b",
+        (F.floor(cos * 1e6 + F.lit(0.5)) / 1e6).alias("cos_sim"),
+    )

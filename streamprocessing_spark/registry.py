@@ -207,6 +207,9 @@ _ROUND_NEW = frozenset(
         "daily_revenue_max_drawdown",
         "ab_assignment_srm_check",
         "rfm_customer_segments",
+        "null_safe_bucket_join",
+        "partition_key_advisor",
+        "label_centroid_distance_matrix",
     }
 )
 

@@ -757,3 +757,68 @@ def test_rfm_quartiles_balanced_and_consistent(spark, sf_dir):
     for r_ in rows:
         assert r_.segment == r_.r * 100 + r_.f * 10 + r_.m
     assert n == len({r_.o_custkey for r_ in rows})
+
+
+def test_null_safe_join_keeps_null_bucket(spark, sf_dir):
+    """The NULL↔NULL row must be present (the op's point) and every
+    row's counts must reconcile with independent half histograms."""
+    ev = load_table(spark, sf_dir, "events")
+    bucket = F.when(F.col("event_type") == "error", F.lit(None).cast("long")).otherwise(
+        F.floor(F.col("value") / 10.0).cast("long")
+    )
+    half = F.when(
+        F.col("ts") < F.lit("2024-01-16 00:00:00").cast("timestamp"), F.lit("h1")
+    ).otherwise(F.lit("h2"))
+    b = ev.select(bucket.alias("bucket"), half.alias("half")).collect()
+    h1: dict = {}
+    h2: dict = {}
+    for r in b:
+        (h1 if r.half == "h1" else h2)[r.bucket] = (h1 if r.half == "h1" else h2).get(r.bucket, 0) + 1
+    rows = SPECS["null_safe_bucket_join"].fn(spark, sf_dir).collect()
+    got = {r.bucket: (r.n1, r.n2) for r in rows}
+    assert None in got, "NULL bucket row is the op's point"
+    for k, (n1, n2) in got.items():
+        assert h1[k] == n1 and h2[k] == n2
+    assert set(got) == set(h1) & set(h2)
+
+
+def test_partition_advisor_reconciles(spark, sf_dir):
+    """Each candidate's stats re-derived via independent group-bys."""
+    ev = load_table(spark, sf_dir, "events")
+    rows = {r.key_col: r for r in SPECS["partition_key_advisor"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"day", "event_type", "user_bucket"}
+    total = ev.count()
+    for key_col, col in [
+        ("day", F.date_format(F.col("ts").cast("date"), "yyyy-MM-dd")),
+        ("event_type", F.col("event_type")),
+        ("user_bucket", (F.col("user_id") % 16).cast("string")),
+    ]:
+        per = [r.n for r in ev.groupBy(col.alias("k")).agg(F.count(F.lit(1)).alias("n")).collect()]
+        r = rows[key_col]
+        assert r.n_partitions == len(per)
+        assert r.n_rows == total == sum(per)
+        assert r.max_rows == max(per) and r.min_rows == min(per)
+        assert r.skew_milli == (1000 * len(per) * max(per)) // total
+        assert r.skew_milli >= 1000, "skew factor is >= 1 by definition"
+
+
+def test_centroid_matrix_matches_numpy(spark, sf_dir):
+    """Pairwise centroid cosines must match numpy on the quantized sums
+    (to the shared rounding), cover all label pairs, and stay in [-1,1]."""
+    emb = load_table(spark, sf_dir, "embeddings").select("label", "embedding").collect()
+    sums: dict[int, np.ndarray] = {}
+    for r in emb:
+        q = np.floor(np.array(r.embedding, dtype=np.float64) * GRAM_SCALE + 0.5)
+        sums[r.label] = sums.get(r.label, 0) + q
+    import itertools
+
+    want = {}
+    for a, b in itertools.combinations(sorted(sums), 2):
+        va, vb = sums[a], sums[b]
+        want[(a, b)] = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+    rows = SPECS["label_centroid_distance_matrix"].fn(spark, sf_dir).collect()
+    got = {(r.label_a, r.label_b): r.cos_sim for r in rows}
+    assert set(got) == set(want)
+    for k, v in got.items():
+        assert abs(v - want[k]) < 2e-6, k
+        assert -1.0 <= v <= 1.0
