@@ -3149,3 +3149,82 @@ def partition_key_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n").cast("long").alias("min_rows"),
         F.expr("CAST((1000 * count(1) * max(n)) div sum(n) AS BIGINT)").alias("skew_milli"),
     )
+
+
+@register(
+    "rollup_grouping_id_disambiguation",
+    oracle="""
+    SELECT CASE WHEN event_type = 'error' THEN NULL ELSE event_type END AS et,
+           CAST(GROUPING(CASE WHEN event_type = 'error' THEN NULL ELSE event_type END)
+                AS BIGINT) AS is_subtotal,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY ROLLUP(1)
+    """,
+    tags=("analytics", "aggregation", "sql-surface"),
+)
+def rollup_grouping_id_disambiguation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The GROUPING() disambiguation trap, demonstrated on data that
+    triggers it: a rollup over a key that itself contains NULLs (error
+    events mapped to NULL) produces TWO rows with et = NULL — the real
+    NULL-key group and the grand-total subtotal — indistinguishable
+    without GROUPING(), which is exactly the bug in every hand-rolled
+    "WHERE x IS NULL means total" report. The output carries the flag,
+    so (NULL, 0, n_errors) and (NULL, 1, n_total) coexist, both
+    populated at every fixture scale. Cost identity: same single-pass
+    rollup aggregate as rollup_counts."""
+    ev = load_table(spark, sf_dir, "events")
+    et = F.when(F.col("event_type") == "error", F.lit(None)).otherwise(F.col("event_type"))
+    return (
+        ev.select(et.alias("et"))
+        .rollup("et")
+        .agg(
+            F.grouping("et").cast("long").alias("is_subtotal"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+        )
+        .select("et", "is_subtotal", "n")
+    )
+
+
+@register(
+    "table_content_fingerprint",
+    oracle="""
+    WITH canon AS (
+      SELECT CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
+             || CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR)
+             || '|' || strftime(o_orderdate, '%Y-%m-%d') AS c
+      FROM orders)
+    SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(sum(CAST(CAST(('0x' || substr(md5(c), 1, 12)) AS BIGINT) AS HUGEINT))
+                % 281474976710656 AS BIGINT) AS fingerprint
+    FROM canon
+    """,
+    tags=("analytics", "quality", "statistics"),
+)
+def table_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORDER-INSENSITIVE table content fingerprint — the dataset-
+    versioning primitive ("is this copy byte-identical to that one?")
+    that never sorts: each row renders to a canonical text form
+    (integers + ISO date — no float-to-text, whose rendering differs
+    across engines), hashes to a 48-bit integer, and the fingerprint is
+    the SUM MODULO 2^48 (accumulated in 38-digit decimals — a plain
+    BIGINT sum overflows ANSI arithmetic past ~100k rows) — commutative and mergeable, so per-partition partial
+    sums combine map-side and two tables compare with two scans and no
+    shuffle of actual rows. A differing row changes the sum with
+    probability 1 − 2⁻⁴⁸ per difference; the companion row count
+    catches compensating-pair edge cases cheaply. The 100 TB use:
+    cross-region replica validation without a distributed sort-merge."""
+    o = load_table(spark, sf_dir, "orders")
+    canon_sql = (
+        "concat_ws('|', CAST(o_orderkey AS STRING), o_orderstatus, "
+        "CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS STRING), "
+        "date_format(o_orderdate, 'yyyy-MM-dd'))"
+    )
+    return o.select(
+        F.expr(
+            "CAST(conv(substring(md5(" + canon_sql + "), 1, 12), 16, 10) AS DECIMAL(38,0))"
+        ).alias("h")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.expr("CAST(sum(h) % 281474976710656 AS BIGINT)").alias("fingerprint"),
+    )

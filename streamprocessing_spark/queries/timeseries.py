@@ -1627,3 +1627,65 @@ def daily_revenue_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("peak").cast("long").alias("peak_cents"),
         (F.col("peak") - F.col("cum")).cast("long").alias("drawdown_cents"),
     )
+
+
+EWMA_LAGS = 16  # truncated exponential window: weights 2^15 .. 2^0
+
+
+@register(
+    "ewma_truncated_user_value",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL),
+    l AS (
+      SELECT user_id, event_id,
+             row_number() OVER w AS rn,
+             {" + ".join(f"COALESCE(lag(y, {k}) OVER w, 0) * {1 << (EWMA_LAGS - 1 - k)}" for k in range(EWMA_LAGS))} AS num
+      FROM s
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, event_id,
+           CAST(num AS BIGINT) AS ewma_num,
+           CAST({1 << EWMA_LAGS} - (CAST(1 AS BIGINT) << CAST({EWMA_LAGS} - least(rn, {EWMA_LAGS}) AS INTEGER)) AS BIGINT) AS ewma_den
+    FROM l
+    """,
+    tags=("timeseries", "window", "statistics"),
+)
+def ewma_truncated_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average (α = 1/2), EXACT: the
+    infinite recurrence is truncated at EWMA_LAGS lags (the tail weight
+    below 2⁻¹⁶ — under the cent), which turns the "inherently
+    sequential" EWMA into a FIXED weighted window: numerator
+    Σ lag_k(cents)·2^(15−k) in pure BIGINTs, denominator 2¹⁶ − 2^(16−m)
+    from the row number (m = available lags, so the series head is
+    exact too, not zero-padded). Emitted as the exact rational
+    (num, den) — the smoothing primitive behind anomaly baselines and
+    monitoring dashboards, here with bit-reproducibility no float EWMA
+    has. One partitioned sort serves all 16 lags and the row number
+    (same window); recurrence-free ⇒ no driver loop, no state."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    y = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    s = ev.select("user_id", "event_id", "ts", y.alias("y"))
+    num = None
+    for k in range(EWMA_LAGS):
+        term = F.coalesce(F.lag("y", k).over(w), F.lit(0)) * F.lit(1 << (EWMA_LAGS - 1 - k))
+        num = term if num is None else num + term
+    rn = F.row_number().over(w)
+    return s.select(
+        "user_id",
+        "event_id",
+        num.cast("long").alias("ewma_num"),
+        rn.alias("rn"),
+    ).select(
+        "user_id",
+        "event_id",
+        "ewma_num",
+        (
+            F.lit(1 << EWMA_LAGS).cast("long")
+            - F.expr(
+                f"shiftleft(CAST(1 AS BIGINT), CAST({EWMA_LAGS} - least(rn, {EWMA_LAGS}) AS INT))"
+            )
+        ).alias("ewma_den"),
+    )

@@ -210,6 +210,9 @@ _ROUND_NEW = frozenset(
         "null_safe_bucket_join",
         "partition_key_advisor",
         "label_centroid_distance_matrix",
+        "rollup_grouping_id_disambiguation",
+        "table_content_fingerprint",
+        "ewma_truncated_user_value",
     }
 )
 

@@ -822,3 +822,75 @@ def test_centroid_matrix_matches_numpy(spark, sf_dir):
     for k, v in got.items():
         assert abs(v - want[k]) < 2e-6, k
         assert -1.0 <= v <= 1.0
+
+
+def test_grouping_id_disambiguates_real_null_from_subtotal(spark, sf_dir):
+    """Two et=NULL rows must coexist: the real NULL group (errors) and
+    the grand total — distinguishable only by the flag."""
+    ev = load_table(spark, sf_dir, "events")
+    n_err = ev.where(F.col("event_type") == "error").count()
+    total = ev.count()
+    rows = SPECS["rollup_grouping_id_disambiguation"].fn(spark, sf_dir).collect()
+    nulls = {r.is_subtotal: r.n for r in rows if r.et is None}
+    assert nulls == {0: n_err, 1: total}
+    assert sum(r.n for r in rows if r.is_subtotal == 0) == total
+
+
+def test_fingerprint_order_insensitive_and_sensitive_to_change(spark, sf_dir):
+    """The fingerprint must be invariant under repartition (order) and
+    must CHANGE when one row changes — re-derived in pure Python."""
+    import hashlib
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"),
+    ).collect()
+    def fp(rows):
+        s = 0
+        for r in rows:
+            c = f"{r[0]}|{r[1]}|{r[2]}|{r[3]}"
+            s += int(hashlib.md5(c.encode()).hexdigest()[:12], 16)
+        return s % (1 << 48)
+
+    base = [(r.o_orderkey, r.o_orderstatus, r.cents, r.d) for r in o]
+    got = SPECS["table_content_fingerprint"].fn(spark, sf_dir).collect()[0]
+    assert got.n_rows == len(base)
+    assert got.fingerprint == fp(base)
+    assert fp(list(reversed(base))) == fp(base), "order-insensitive"
+    mutated = [(k, s, c + 1, d) if i == 0 else (k, s, c, d) for i, (k, s, c, d) in enumerate(base)]
+    assert fp(mutated) != fp(base), "one changed row must change the sum"
+
+
+def test_ewma_matches_pure_python_recurrence_tail(spark, sf_dir):
+    """num/den must equal the truncated-weight definition re-derived in
+    Python, and for long series the ratio must approximate the true
+    α=1/2 EWMA recurrence (tail weight < 2^-16)."""
+    from streamprocessing_spark.queries.timeseries import EWMA_LAGS
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("y"))
+        .collect()
+    )
+    series: dict[int, list] = {}
+    for r in ev:
+        series.setdefault(r.user_id, []).append((r.ts, r.event_id, r.y))
+    rows = {(r.user_id, r.event_id): (r.ewma_num, r.ewma_den) for r in SPECS["ewma_truncated_user_value"].fn(spark, sf_dir).collect()}
+    checked_long = 0
+    for uid, pts in series.items():
+        pts.sort()
+        ys = [p[2] for p in pts]
+        ema = None
+        for i, (_, eid, y) in enumerate(pts):
+            lags = ys[max(0, i - EWMA_LAGS + 1): i + 1][::-1]
+            num = sum(v << (EWMA_LAGS - 1 - k) for k, v in enumerate(lags))
+            den = (1 << EWMA_LAGS) - (1 << (EWMA_LAGS - len(lags)))
+            assert rows[(uid, eid)] == (num, den), (uid, eid)
+            ema = y if ema is None else (y + ema) / 2
+            if i >= EWMA_LAGS:
+                assert abs(num / den - ema) <= max(1.0, abs(ema)) * 1e-3
+                checked_long += 1
+    assert checked_long > 0
