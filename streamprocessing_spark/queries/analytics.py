@@ -3228,3 +3228,117 @@ def table_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.expr("CAST(sum(h) % 281474976710656 AS BIGINT)").alias("fingerprint"),
     )
+
+
+@register(
+    "vwap_part_monthly",
+    oracle="""
+    WITH l AS (
+      SELECT l_partkey,
+             strftime(l_shipdate, '%Y-%m') AS ship_month,
+             CAST(l_quantity AS BIGINT) AS q,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM lineitem)
+    SELECT l_partkey, ship_month,
+           CAST(sum(q) AS BIGINT) AS total_qty,
+           CAST(sum(q * cents) AS BIGINT) AS vwap_num,
+           CAST(sum(q) AS BIGINT) AS vwap_den
+    FROM l GROUP BY 1, 2
+    """,
+    tags=("analytics", "aggregation", "statistics"),
+)
+def vwap_part_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per part per ship month — the
+    trading/pricing VWAP aggregate as an exact rational: numerator
+    Σ qty·cents and denominator Σ qty in BIGINTs (the quotient is the
+    VWAP; no division runs, so no rounding-mode portability question
+    ever arises — the weighted-mean discipline shared with
+    time_weighted_avg_value, which weights by duration instead of
+    volume). One map-side-combinable aggregate keyed (part, month);
+    group count is parts × months regardless of fact volume."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long")
+    l = li.select(
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM").alias("ship_month"),
+        F.col("l_quantity").cast("long").alias("q"),
+        cents.alias("cents"),
+    )
+    return l.groupBy("l_partkey", "ship_month").agg(
+        F.sum("q").cast("long").alias("total_qty"),
+        F.sum(F.col("q") * F.col("cents")).cast("long").alias("vwap_num"),
+        F.sum("q").cast("long").alias("vwap_den"),
+    )
+
+
+@register(
+    "category_share_shift",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority AS cat,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00' THEN 'p1' ELSE 'p2' END AS per,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    agg AS (SELECT cat, per, sum(cents) AS c FROM b GROUP BY 1, 2),
+    tot AS (SELECT per, sum(c) AS t FROM agg GROUP BY 1),
+    j AS (
+      SELECT a1.cat,
+             a1.c AS c1, t1.t AS t1,
+             a2.c AS c2, t2.t AS t2
+      FROM agg a1 JOIN tot t1 ON t1.per = 'p1' AND a1.per = 'p1'
+      JOIN agg a2 ON a2.cat = a1.cat AND a2.per = 'p2'
+      JOIN tot t2 ON t2.per = 'p2')
+    SELECT cat,
+           CAST(c1 AS BIGINT) AS cents_p1, CAST(t1 AS BIGINT) AS total_p1,
+           CAST(c2 AS BIGINT) AS cents_p2, CAST(t2 AS BIGINT) AS total_p2,
+           CAST(CASE WHEN CAST(c2 AS HUGEINT) * t1 > CAST(c1 AS HUGEINT) * t2 THEN 1
+                     WHEN CAST(c2 AS HUGEINT) * t1 < CAST(c1 AS HUGEINT) * t2 THEN -1
+                     ELSE 0 END AS BIGINT) AS share_shift_sign,
+           CAST((1000000 * (CAST(c2 AS HUGEINT) * t1 - CAST(c1 AS HUGEINT) * t2))
+                // (CAST(t1 AS HUGEINT) * t2) AS BIGINT) AS share_delta_micro
+    FROM j
+    """,
+    tags=("analytics", "statistics", "aggregation"),
+)
+def category_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mix-shift analysis — did a category's SHARE of revenue grow,
+    independent of overall growth? Shares are ratios, so the comparison
+    c2/t2 vs c1/t1 runs as the cross-multiplication c2·t1 vs c1·t2 in
+    128-bit integers — exact sign, no division — and the share delta is
+    emitted as one integral division in micro units; the numerator goes
+    negative for shrinking categories, and both engines TRUNCATE toward
+    zero there (verified: −7 div 2 == −7 // 2 == −3 for Spark DECIMAL
+    div and DuckDB //), so quotients agree on every sign — the one
+    integral-division family where truncation-vs-floor matters and the
+    engines happen to share truncation. The four raw sums ride along so
+    consumers re-derive anything. Scale: two map-side aggregates at the
+    category and period dimensions, broadcast joins after."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    per = F.when(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"), F.lit("p1")
+    ).otherwise(F.lit("p2"))
+    b = o.select(F.col("o_orderpriority").alias("cat"), per.alias("per"), cents.alias("cents"))
+    agg = b.groupBy("cat", "per").agg(F.sum("cents").alias("c"))
+    tot = agg.groupBy("per").agg(F.sum("c").alias("t"))
+    a1 = agg.where(F.col("per") == "p1").select("cat", F.col("c").alias("c1"))
+    a2 = agg.where(F.col("per") == "p2").select("cat", F.col("c").alias("c2"))
+    t1 = tot.where(F.col("per") == "p1").select(F.col("t").alias("t1"))
+    t2 = tot.where(F.col("per") == "p2").select(F.col("t").alias("t2"))
+    dec = "DECIMAL(38,0)"
+    j = a1.join(a2, "cat").crossJoin(F.broadcast(t1)).crossJoin(F.broadcast(t2))
+    return j.select(
+        "cat",
+        F.col("c1").cast("long").alias("cents_p1"),
+        F.col("t1").cast("long").alias("total_p1"),
+        F.col("c2").cast("long").alias("cents_p2"),
+        F.col("t2").cast("long").alias("total_p2"),
+        F.expr(
+            f"CAST(CASE WHEN CAST(c2 AS {dec}) * t1 > CAST(c1 AS {dec}) * t2 THEN 1"
+            f" WHEN CAST(c2 AS {dec}) * t1 < CAST(c1 AS {dec}) * t2 THEN -1 ELSE 0 END AS BIGINT)"
+        ).alias("share_shift_sign"),
+        F.expr(
+            f"CAST((1000000 * (CAST(c2 AS {dec}) * t1 - CAST(c1 AS {dec}) * t2))"
+            f" div (CAST(t1 AS {dec}) * t2) AS BIGINT)"
+        ).alias("share_delta_micro"),
+    )

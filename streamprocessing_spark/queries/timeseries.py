@@ -1363,8 +1363,10 @@ def user_value_trend_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
     trick of regression_value_by_hour applied per key. x is the hour
     index since the fixture epoch (integer), y exact cents; the slope
     is emitted as the exact rational (slope_num, slope_den) — cents per
-    hour = num/den — so no division (whose floor-vs-trunc differs
-    across engines for negative numerators) ever runs.
+    hour = num/den — so no integral division runs at all and there is
+    no quotient rounding convention to audit (measured: both engines
+    truncate toward zero on negatives — they agree — but emitting the
+    rational sidesteps the question entirely).
 
     slope_den = n·Σx² − (Σx)² ≥ 0 by Cauchy-Schwarz; it is 0 exactly
     when a user's events all land in one hour (slope undefined — the
@@ -1688,4 +1690,57 @@ def ewma_truncated_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"shiftleft(CAST(1 AS BIGINT), CAST({EWMA_LAGS} - least(rn, {EWMA_LAGS}) AS INT))"
             )
         ).alias("ewma_den"),
+    )
+
+
+HYST_HI = 90  # alarm turns ON when value crosses above
+HYST_LO = 30  # ...and OFF only when it falls below (two-level hysteresis)
+
+
+@register(
+    "hysteresis_alert_state",
+    oracle=f"""
+    WITH m AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN value > {HYST_HI} THEN 'on'
+                  WHEN value < {HYST_LO} THEN 'off'
+                  ELSE NULL END AS marker
+      FROM events WHERE value IS NOT NULL)
+    SELECT user_id, event_id,
+           COALESCE(
+             LAST_VALUE(marker IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             'off') AS alert_state
+    FROM m
+    """,
+    tags=("timeseries", "window", "statistics"),
+)
+def hysteresis_alert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-threshold HYSTERESIS alerting (alarm ON above HYST_HI, OFF
+    only below HYST_LO — the debounce that stops threshold-flapping in
+    every monitoring system): the state machine LOOKS inherently
+    sequential (state depends on the entire history), but because the
+    state only changes at boundary-crossing events, it collapses to the
+    LOCF identity — state(t) = last non-null crossing marker — one
+    ignore-nulls window, no recurrence, no driver loop, no Python
+    state (clamped_running_balance's trick applied to a two-level
+    automaton; mid-band rows inherit whichever threshold fired last,
+    which IS hysteresis semantics). Rows before any crossing default
+    'off'. One partitioned sort; scan-shaped otherwise."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    marker = (
+        F.when(F.col("value") > HYST_HI, F.lit("on"))
+        .when(F.col("value") < HYST_LO, F.lit("off"))
+        .otherwise(F.lit(None))
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "event_id",
+        F.coalesce(F.last(marker, ignorenulls=True).over(w), F.lit("off")).alias("alert_state"),
     )

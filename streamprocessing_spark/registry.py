@@ -213,6 +213,9 @@ _ROUND_NEW = frozenset(
         "rollup_grouping_id_disambiguation",
         "table_content_fingerprint",
         "ewma_truncated_user_value",
+        "vwap_part_monthly",
+        "category_share_shift",
+        "hysteresis_alert_state",
     }
 )
 

@@ -894,3 +894,78 @@ def test_ewma_matches_pure_python_recurrence_tail(spark, sf_dir):
                 assert abs(num / den - ema) <= max(1.0, abs(ema)) * 1e-3
                 checked_long += 1
     assert checked_long > 0
+
+
+def test_vwap_rational_reconciles(spark, sf_dir):
+    """num/den must reconcile with a pandas recompute and the implied
+    VWAP must sit within [min, max] price per group."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.date_format("l_shipdate", "yyyy-MM").alias("m"),
+        F.col("l_quantity").cast("long").alias("q"),
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long").alias("c"),
+    ).collect()
+    agg: dict = {}
+    for r in li:
+        k = (r.l_partkey, r.m)
+        q, n, lo, hi = agg.get(k, (0, 0, None, None))
+        agg[k] = (q + r.q, n + r.q * r.c, r.c if lo is None else min(lo, r.c), r.c if hi is None else max(hi, r.c))
+    rows = SPECS["vwap_part_monthly"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(agg)
+    for r in rows:
+        q, n, lo, hi = agg[(r.l_partkey, r.ship_month)]
+        assert (r.total_qty, r.vwap_num, r.vwap_den) == (q, n, q)
+        assert lo * q <= n <= hi * q, "VWAP must lie within the price range"
+
+
+def test_share_shift_deltas_sum_to_zero(spark, sf_dir):
+    """Shares sum to 1 in each period, so exact share deltas sum to ~0
+    (within the per-category flooring) and the signs must match the
+    cross-multiplication re-derived in Python."""
+    rows = SPECS["category_share_shift"].fn(spark, sf_dir).collect()
+    assert rows
+    delta_sum = sum(r.share_delta_micro for r in rows)
+    # quotients truncate toward zero: each errs < 1 micro toward zero,
+    # so the exact-zero total lands within ±k micros
+    assert abs(delta_sum) <= len(rows), delta_sum
+    pos = neg = 0
+    for r in rows:
+        lhs = r.cents_p2 * r.total_p1
+        rhs = r.cents_p1 * r.total_p2
+        want = 0 if lhs == rhs else (1 if lhs > rhs else -1)
+        assert r.share_shift_sign == want
+        pos += r.share_shift_sign == 1
+        neg += r.share_shift_sign == -1
+    assert pos and neg, "mix shift must have winners and losers"
+
+
+def test_hysteresis_state_matches_sequential_automaton(spark, sf_dir):
+    """The LOCF closed form must equal the sequential two-threshold
+    automaton replayed in Python, and both states must occur."""
+    from streamprocessing_spark.queries.timeseries import HYST_HI, HYST_LO
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("user_id", "event_id", "ts", "value")
+        .collect()
+    )
+    series: dict[int, list] = {}
+    for r in ev:
+        series.setdefault(r.user_id, []).append((r.ts, r.event_id, r.value))
+    want = {}
+    for uid, pts in series.items():
+        pts.sort()
+        state = "off"
+        for _, eid, v in pts:
+            if v > HYST_HI:
+                state = "on"
+            elif v < HYST_LO:
+                state = "off"
+            want[(uid, eid)] = state
+    got = {
+        (r.user_id, r.event_id): r.alert_state
+        for r in SPECS["hysteresis_alert_state"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert {"on", "off"} <= set(got.values())
