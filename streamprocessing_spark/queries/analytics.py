@@ -3342,3 +3342,73 @@ def category_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" div (CAST(t1 AS {dec}) * t2) AS BIGINT)"
         ).alias("share_delta_micro"),
     )
+
+
+@register(
+    "pipe_syntax_showcase",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderstatus = 'F'
+    GROUP BY o_orderpriority
+    """,
+    tags=("analytics", "sql-surface"),
+)
+def pipe_syntax_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL pipe syntax (Spark 4's `|>` operators, from Google's SQL
+    Pipes paper): the same filter→aggregate query written as a linear
+    pipeline — `FROM orders |> WHERE … |> AGGREGATE … GROUP BY …` —
+    the surface that reads in execution order instead of inside-out.
+    Strictly a parser feature: the resolved plan is identical to the
+    classic form (same scan pushdown, same single-shuffle aggregate),
+    which is exactly what the plain-SQL oracle demonstrates by
+    matching bit-for-bit."""
+    import hashlib
+
+    v = f"orders_pipe_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(v)
+    return spark.sql(
+        f"""
+        FROM {v}
+        |> WHERE o_orderstatus = 'F'
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_orders,
+                     CAST(sum(CAST(floor(o_totalprice * 100.0D + 0.5D) AS BIGINT)) AS BIGINT) AS cents
+           GROUP BY o_orderpriority
+        |> SELECT o_orderpriority, n_orders, cents
+        """
+    )
+
+
+@register(
+    "identifier_clause_showcase",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS metric_cents
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("analytics", "sql-surface"),
+)
+def identifier_clause_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parameterized identifiers (IDENTIFIER() clause + named query
+    parameters): the metric COLUMN and source VIEW arrive as runtime
+    parameters, bound injection-safely — the templating surface every
+    metrics platform needs (one query text, N metric columns) that
+    string interpolation gets wrong the first time a name needs
+    quoting. The parameter binds at analysis time, so the resolved
+    plan, pushdown and all, is identical to the literal spelling the
+    oracle uses."""
+    import hashlib
+
+    v = f"orders_id_{hashlib.md5(sf_dir.encode()).hexdigest()[:8]}"
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView(v)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               CAST(sum(CAST(floor(IDENTIFIER(:metric) * 100.0D + 0.5D) AS BIGINT)) AS BIGINT) AS metric_cents
+        FROM IDENTIFIER(:src)
+        GROUP BY o_orderstatus
+        """,
+        args={"metric": "o_totalprice", "src": v},
+    )

@@ -1744,3 +1744,70 @@ def hysteresis_alert_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.coalesce(F.last(marker, ignorenulls=True).over(w), F.lit("off")).alias("alert_state"),
     )
+
+
+CEP_WINDOW_US = 600 * 1_000_000  # pattern window: click within 10 min
+
+
+@register(
+    "cep_click_error_no_purchase",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, event_id, event_type, epoch_us(ts) AS us,
+             LAST_VALUE(CASE WHEN event_type = 'click'
+                             THEN epoch_us(ts) END IGNORE NULLS) OVER w AS lc,
+             LAST_VALUE(CASE WHEN event_type = 'purchase'
+                             THEN epoch_us(ts) END IGNORE NULLS) OVER w AS lp
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+    SELECT user_id, event_id, CAST(us - lc AS BIGINT) AS gap_us
+    FROM s
+    WHERE event_type = 'error' AND lc IS NOT NULL
+      AND us - lc <= {CEP_WINDOW_US}
+      AND (lp IS NULL OR lp < lc)
+    """,
+    tags=("timeseries", "window", "cep"),
+)
+def cep_click_error_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-event-processing pattern matching — "click, then error
+    within 10 minutes, with NO purchase in between" (the rage-click /
+    broken-checkout detector) — the MATCH_RECOGNIZE shape Spark has no
+    SQL surface for, expressed as pure window algebra: two conditional
+    LOCF columns over ONE sort (last click time, last purchase time,
+    frame ending 1 PRECEDING so the current row never matches itself)
+    turn the sequence predicate into row-local arithmetic: the
+    "nothing between" clause is just lp < lc. No self-join, no
+    per-event range probe — O(events) after one partitioned sort, where
+    the naive encoding is two range joins. Negative patterns
+    ("without X between") are exactly what join-based encodings get
+    wrong or quadratic; the LOCF form gets them for free."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    lc = F.last(
+        F.when(F.col("event_type") == "click", F.unix_micros("ts")), ignorenulls=True
+    ).over(w)
+    lp = F.last(
+        F.when(F.col("event_type") == "purchase", F.unix_micros("ts")), ignorenulls=True
+    ).over(w)
+    s = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.unix_micros("ts").alias("us"),
+        lc.alias("lc"),
+        lp.alias("lp"),
+    )
+    return (
+        s.where(
+            (F.col("event_type") == "error")
+            & F.col("lc").isNotNull()
+            & (F.col("us") - F.col("lc") <= CEP_WINDOW_US)
+            & (F.col("lp").isNull() | (F.col("lp") < F.col("lc")))
+        )
+        .select("user_id", "event_id", (F.col("us") - F.col("lc")).cast("long").alias("gap_us"))
+    )

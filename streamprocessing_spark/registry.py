@@ -216,6 +216,9 @@ _ROUND_NEW = frozenset(
         "vwap_part_monthly",
         "category_share_shift",
         "hysteresis_alert_state",
+        "cep_click_error_no_purchase",
+        "pipe_syntax_showcase",
+        "identifier_clause_showcase",
     }
 )
 

@@ -969,3 +969,67 @@ def test_hysteresis_state_matches_sequential_automaton(spark, sf_dir):
     }
     assert got == want
     assert {"on", "off"} <= set(got.values())
+
+
+def test_cep_pattern_matches_sequential_scan(spark, sf_dir):
+    """The pattern set must equal a pure-Python sequential scan of each
+    user's stream (click within window, no purchase between)."""
+    from streamprocessing_spark.queries.timeseries import CEP_WINDOW_US
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "event_type", F.unix_micros("ts").alias("us"))
+        .collect()
+    )
+    series: dict[int, list] = {}
+    for r in ev:
+        series.setdefault(r.user_id, []).append((r.us, r.event_id, r.event_type))
+    want = {}
+    for uid, pts in series.items():
+        pts.sort()
+        lc = lp = None
+        for us, eid, t in pts:
+            if (
+                t == "error"
+                and lc is not None
+                and us - lc <= CEP_WINDOW_US
+                and (lp is None or lp < lc)
+            ):
+                want[(uid, eid)] = us - lc
+            if t == "click":
+                lc = us
+            elif t == "purchase":
+                lp = us
+    got = {
+        (r.user_id, r.event_id): r.gap_us
+        for r in SPECS["cep_click_error_no_purchase"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and got
+
+
+def test_pipe_and_identifier_match_classic_plans(spark, sf_dir):
+    """The pipe-syntax and IDENTIFIER forms must produce the same rows
+    AND the same aggregate plan shape (one exchange) as the classic
+    spelling — parser sugar, not a different engine path."""
+    from streamprocessing_spark.plans import explain as X
+
+    classic = {
+        (r.o_orderpriority, r.n, r.c)
+        for r in load_table(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")).cast("long").alias("c"),
+        )
+        .collect()
+    }
+    piped = {
+        (r.o_orderpriority, r.n_orders, r.cents)
+        for r in SPECS["pipe_syntax_showcase"].fn(spark, sf_dir).collect()
+    }
+    assert piped == classic
+    df = SPECS["pipe_syntax_showcase"].fn(spark, sf_dir)
+    assert X.count_exchanges(df) == 1, X.formatted_plan(df)
+    dfi = SPECS["identifier_clause_showcase"].fn(spark, sf_dir)
+    assert X.count_exchanges(dfi) == 1, X.formatted_plan(dfi)
