@@ -92,6 +92,10 @@ HEADLINE = [
     "url_domain_stats",
     "multimodal_audio_energy",
     "minhash_jaccard_estimate_audit",
+    "split_leakage_audit",
+    "nest_order_lineitems",
+    "daily_active_user_bitmap",
+    "table_content_fingerprint",
 ]
 
 

@@ -3412,3 +3412,93 @@ def identifier_clause_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
         """,
         args={"metric": "o_totalprice", "src": v},
     )
+
+
+@register(
+    "fifo_match_returns",
+    oracle="""
+    WITH s AS (
+      SELECT l_partkey, l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS q,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS hi
+      FROM lineitem WHERE l_returnflag <> 'R'),
+    d AS (
+      SELECT l_partkey, l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS q,
+             sum(CAST(l_quantity AS BIGINT)) OVER (
+               PARTITION BY l_partkey
+               ORDER BY l_shipdate, l_orderkey, l_linenumber
+               ROWS UNBOUNDED PRECEDING) AS hi
+      FROM lineitem WHERE l_returnflag = 'R')
+    SELECT s.l_partkey,
+           s.l_orderkey AS supply_order, CAST(s.l_linenumber AS BIGINT) AS supply_line,
+           d.l_orderkey AS return_order, CAST(d.l_linenumber AS BIGINT) AS return_line,
+           CAST(least(s.hi, d.hi) - greatest(s.hi - s.q, d.hi - d.q) AS BIGINT) AS matched_qty
+    FROM s JOIN d
+      ON s.l_partkey = d.l_partkey
+     AND s.hi - s.q < d.hi AND d.hi - d.q < s.hi
+    """,
+    tags=("analytics", "join", "window"),
+)
+def fifo_match_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIFO matching — returns consumed against shipments in
+    first-in-first-out order per part (the cost-basis / inventory-lot
+    accounting primitive, also how exchanges match orders). Looks
+    inherently iterative ("pop the oldest remaining lot"), but has a
+    closed form: put supplies and demands on their own CUMULATIVE
+    quantity axes (one partitioned running sum each) and FIFO matches
+    are exactly the interval OVERLAPS between the two axes —
+    matched_qty = min(hi_s, hi_d) − max(lo_s, lo_d) — turning the
+    sequential algorithm into one windowed sort per side plus one
+    equi-join on part with a range post-filter (the prefix-scan family:
+    clamped_running_balance, hysteresis; this is its two-sequence
+    member).
+
+    Scale shape: joins and windows all partition by part; a lot
+    matches at most (its span ÷ min demand) rows, and total output is
+    ≤ supplies + demands + parts (each overlap boundary is crossed
+    once) — linear, never the quadratic a naive per-pair match does.
+    Conservation laws (Σ matched per demand == min(demand, available);
+    per-lot usage ≤ lot size) are asserted in tests."""
+    li = load_table(spark, sf_dir, "lineitem")
+
+    def axis(flag_pred) -> DataFrame:
+        w = (
+            Window.partitionBy("l_partkey")
+            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            li.where(flag_pred)
+            .select(
+                "l_partkey",
+                "l_orderkey",
+                F.col("l_linenumber").cast("long").alias("line"),
+                F.col("l_quantity").cast("long").alias("q"),
+                F.sum(F.col("l_quantity").cast("long")).over(w).alias("hi"),
+            )
+            .withColumn("lo", F.col("hi") - F.col("q"))
+        )
+
+    s = axis(F.col("l_returnflag") != "R").alias("s")
+    d = axis(F.col("l_returnflag") == "R").alias("d")
+    j = s.join(
+        d,
+        (F.col("s.l_partkey") == F.col("d.l_partkey"))
+        & (F.col("s.lo") < F.col("d.hi"))
+        & (F.col("d.lo") < F.col("s.hi")),
+    )
+    return j.select(
+        F.col("s.l_partkey").alias("l_partkey"),
+        F.col("s.l_orderkey").alias("supply_order"),
+        F.col("s.line").alias("supply_line"),
+        F.col("d.l_orderkey").alias("return_order"),
+        F.col("d.line").alias("return_line"),
+        (
+            F.least(F.col("s.hi"), F.col("d.hi"))
+            - F.greatest(F.col("s.lo"), F.col("d.lo"))
+        ).cast("long").alias("matched_qty"),
+    )

@@ -219,6 +219,7 @@ _ROUND_NEW = frozenset(
         "cep_click_error_no_purchase",
         "pipe_syntax_showcase",
         "identifier_clause_showcase",
+        "fifo_match_returns",
     }
 )
 

@@ -1033,3 +1033,47 @@ def test_pipe_and_identifier_match_classic_plans(spark, sf_dir):
     assert X.count_exchanges(df) == 1, X.formatted_plan(df)
     dfi = SPECS["identifier_clause_showcase"].fn(spark, sf_dir)
     assert X.count_exchanges(dfi) == 1, X.formatted_plan(dfi)
+
+
+def test_fifo_matching_conservation_laws(spark, sf_dir):
+    """FIFO laws: per return, Σ matched == min(return qty, supply
+    available at its cumulative position); per supply lot, Σ matched ≤
+    lot size; matches replay the sequential FIFO simulation exactly."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey", "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("line"),
+            F.col("l_quantity").cast("long").alias("q"),
+            "l_shipdate", "l_returnflag",
+        )
+        .collect()
+    )
+    sup: dict[int, list] = {}
+    dem: dict[int, list] = {}
+    for r in li:
+        (dem if r.l_returnflag == "R" else sup).setdefault(r.l_partkey, []).append(
+            (r.l_shipdate, r.l_orderkey, r.line, r.q)
+        )
+    want: dict = {}
+    for pk, demands in dem.items():
+        lots = sorted(sup.get(pk, []))
+        demands.sort()
+        lot_left = [q for (_, _, _, q) in lots]
+        li_idx = 0
+        for _, dok, dline, dq in demands:
+            need = dq
+            while need > 0 and li_idx < len(lots):
+                take = min(need, lot_left[li_idx])
+                if take > 0:
+                    _, sok, sline, _ = lots[li_idx]
+                    want[(pk, sok, sline, dok, dline)] = take
+                    lot_left[li_idx] -= take
+                    need -= take
+                if lot_left[li_idx] == 0:
+                    li_idx += 1
+    got = {
+        (r.l_partkey, r.supply_order, r.supply_line, r.return_order, r.return_line): r.matched_qty
+        for r in SPECS["fifo_match_returns"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and got
