@@ -3502,3 +3502,103 @@ def fifo_match_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.greatest(F.col("s.lo"), F.col("d.lo"))
         ).cast("long").alias("matched_qty"),
     )
+
+
+@register(
+    "referential_integrity_audit",
+    oracle="""
+    WITH li AS (
+      SELECT count(*) FILTER (o.o_orderkey IS NULL) AS orphans,
+             count(*) FILTER (o.o_orderkey IS NOT NULL) AS linked
+      FROM lineitem l LEFT JOIN orders o ON o.o_orderkey = l.l_orderkey),
+    oc AS (
+      SELECT count(*) FILTER (c.c_custkey IS NULL) AS orphans,
+             count(*) FILTER (c.c_custkey IS NOT NULL) AS linked
+      FROM orders LEFT JOIN customer c ON c.c_custkey = o_custkey),
+    cn AS (
+      SELECT count(*) FILTER (n.n_nationkey IS NULL) AS orphans,
+             count(*) FILTER (n.n_nationkey IS NOT NULL) AS linked
+      FROM customer LEFT JOIN nation n ON n.n_nationkey = c_nationkey),
+    ec AS (
+      SELECT count(*) FILTER (c.c_custkey IS NULL) AS orphans,
+             count(*) FILTER (c.c_custkey IS NOT NULL) AS linked
+      FROM events LEFT JOIN customer c ON c.c_custkey = user_id)
+    SELECT 'lineitem->orders' AS relation, CAST(orphans AS BIGINT) AS orphans, CAST(linked AS BIGINT) AS linked FROM li
+    UNION ALL SELECT 'orders->customer', CAST(orphans AS BIGINT), CAST(linked AS BIGINT) FROM oc
+    UNION ALL SELECT 'customer->nation', CAST(orphans AS BIGINT), CAST(linked AS BIGINT) FROM cn
+    UNION ALL SELECT 'events->customer', CAST(orphans AS BIGINT), CAST(linked AS BIGINT) FROM ec
+    """,
+    tags=("analytics", "quality", "join"),
+)
+def referential_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit across the schema's FK DAG — orphan
+    and linked counts for every relation (lineitem→orders,
+    orders→customer, customer→nation, events→customer): the constraint
+    check a lakehouse has no enforcing engine for, so it runs as a
+    query before anything joins on the assumption. Zero orphans here
+    certifies the joins elsewhere in this registry are lossless; on a
+    real lake the orphans column is the incident report. Each relation
+    is one left-join probe (dimension side broadcast where small)
+    collapsing map-side to a 1-row count pair — the same plan family as
+    right_to_erasure_cascade, pointed at FK health instead of
+    deletion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    ev = load_table(spark, sf_dir, "events")
+
+    def audit(fact: DataFrame, fk, dim: DataFrame, pk, name: str) -> DataFrame:
+        j = fact.join(F.broadcast(dim.select(pk)), fact[fk] == dim[pk], "left")
+        return j.agg(
+            F.lit(name).alias("relation"),
+            F.count(F.when(F.col(pk).isNull(), 1)).cast("long").alias("orphans"),
+            F.count(F.when(F.col(pk).isNotNull(), 1)).cast("long").alias("linked"),
+        )
+
+    return (
+        audit(li, "l_orderkey", o, "o_orderkey", "lineitem->orders")
+        .unionByName(audit(o, "o_custkey", c, "c_custkey", "orders->customer"))
+        .unionByName(audit(c, "c_nationkey", n, "n_nationkey", "customer->nation"))
+        .unionByName(audit(ev, "user_id", c, "c_custkey", "events->customer"))
+    )
+
+
+@register(
+    "benford_first_digit_audit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS BIGINT) AS digit
+      FROM orders
+      WHERE o_totalprice > 0),
+    c AS (SELECT digit, count(*) AS n FROM d GROUP BY 1),
+    t AS (SELECT sum(n) AS total FROM c)
+    SELECT c.digit, CAST(c.n AS BIGINT) AS n,
+           CAST((1000000 * c.n) // t.total AS BIGINT) AS share_micro
+    FROM c CROSS JOIN t
+    """,
+    tags=("analytics", "quality", "statistics"),
+)
+def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit — the forensic-accounting screen
+    for fabricated amounts: the leading significant digit of every
+    order total (taken from the exact integer cents rendering — no
+    float-to-text) with its exact micro share; natural multi-scale
+    amounts follow P(d) = log₁₀(1 + 1/d), and a fraud-era ledger shows
+    a flat or 5-heavy profile instead. The conformance comparison
+    (observed vs log-expectation, and this SYNTHETIC fixture's
+    deliberate non-conformance) lives in tests — the query emits the
+    exact observation, which is the auditable artifact. Scan-shaped:
+    per-row digit projection, 9-row aggregate, broadcast total."""
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long").cast("string"), 1, 1
+    ).cast("long")
+    c = o.select(digit.alias("digit")).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    t = c.agg(F.sum("n").alias("total"))
+    return c.crossJoin(F.broadcast(t)).select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.expr("CAST((1000000 * n) div total AS BIGINT)").alias("share_micro"),
+    )

@@ -220,6 +220,8 @@ _ROUND_NEW = frozenset(
         "pipe_syntax_showcase",
         "identifier_clause_showcase",
         "fifo_match_returns",
+        "referential_integrity_audit",
+        "benford_first_digit_audit",
     }
 )
 

@@ -1077,3 +1077,59 @@ def test_fifo_matching_conservation_laws(spark, sf_dir):
         for r in SPECS["fifo_match_returns"].fn(spark, sf_dir).collect()
     }
     assert got == want and got
+
+
+def test_referential_integrity_clean_fixture(spark, sf_dir):
+    """The driver fixtures are referentially clean — every relation must
+    report zero orphans and linked == fact row count."""
+    sizes = {
+        "lineitem->orders": load_table(spark, sf_dir, "lineitem").count(),
+        "orders->customer": load_table(spark, sf_dir, "orders").count(),
+        "customer->nation": load_table(spark, sf_dir, "customer").count(),
+        "events->customer": load_table(spark, sf_dir, "events").count(),
+    }
+    rows = {r.relation: r for r in SPECS["referential_integrity_audit"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(sizes)
+    for rel, r in rows.items():
+        assert r.orphans == 0, rel
+        assert r.linked == sizes[rel], rel
+
+
+def test_referential_integrity_detects_injected_orphans(spark, sf_dir, tmp_path):
+    """Negative control: corrupt a copy of the fixture (drop half the
+    orders) and the audit must report exactly the induced orphans —
+    proving the check isn't vacuously zero."""
+    import shutil
+
+    dst = str(tmp_path / "ri_corrupt")
+    shutil.copytree(sf_dir, dst)
+    import os
+
+    os.remove(f"{dst}/orders.parquet")
+    orders = load_table(spark, sf_dir, "orders")
+    kept = orders.where(F.col("o_orderkey") % 2 == 0)
+    kept.write.mode("overwrite").parquet(f"{dst}/orders.parquet")
+    li = load_table(spark, sf_dir, "lineitem")
+    expect_orphans = li.join(
+        kept.select("o_orderkey"), li.l_orderkey == kept.o_orderkey, "left_anti"
+    ).count()
+    rows = {r.relation: r for r in SPECS["referential_integrity_audit"].fn(spark, dst).collect()}
+    assert rows["lineitem->orders"].orphans == expect_orphans > 0
+
+
+def test_benford_shares_and_nonconformance(spark, sf_dir):
+    """Digits cover 1..9, shares are exact floor-divs summing to ~1e6,
+    and the SYNTHETIC uniform-ish fixture must FAIL Benford (total
+    variation from log10(1+1/d) above the natural-data band) — the
+    audit must be able to say 'not Benford' when it isn't."""
+    import math
+
+    rows = SPECS["benford_first_digit_audit"].fn(spark, sf_dir).collect()
+    total = sum(r.n for r in rows)
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    for r in rows:
+        assert r.share_micro == (1_000_000 * r.n) // total
+    tv = sum(
+        abs(r.n / total - math.log10(1 + 1 / r.digit)) for r in rows
+    )
+    assert tv > 0.05, "synthetic uniform prices should deviate from Benford"
