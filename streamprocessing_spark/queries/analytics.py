@@ -3602,3 +3602,94 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n"),
         F.expr("CAST((1000000 * n) div total AS BIGINT)").alias("share_micro"),
     )
+
+
+@register(
+    "calendar_hierarchy_rollup",
+    oracle="""
+    WITH b AS (
+      SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS month,
+             strftime(CAST(ts AS DATE), '%W') AS week,
+             strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase')
+    SELECT month, week, day,
+           CAST(GROUPING(month) * 4 + GROUPING(week) * 2 + GROUPING(day) AS BIGINT) AS lvl,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(cents) AS BIGINT) AS cents
+    FROM b
+    GROUP BY GROUPING SETS ((month, week, day), (month, week), (month), ())
+    """,
+    tags=("analytics", "aggregation", "sql-surface"),
+)
+def calendar_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-hierarchy rollup — day ⊂ ISO week ⊂ month ⊂ total in ONE
+    aggregation pass (grouping sets), the BI date-drilldown cube with
+    the grouping-level id carried so subtotal rows self-identify
+    (rollup_grouping_id_disambiguation's lesson applied to the calendar
+    lattice). Weeks use the same Monday-start %W / 'ww' numbering in
+    both engines — the cross-engine calendar pitfall is the week RULE,
+    not the arithmetic, and pinning it in both spellings is part of the
+    op. Exact cents; one shuffle, partials combine map-side across all
+    four levels simultaneously."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    b = ev.select(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.format_string("%02d", F.weekofyear("ts")).alias("week"),
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    return (
+        b.groupingSets(
+            [["month", "week", "day"], ["month", "week"], ["month"], []],
+            "month", "week", "day",
+        )
+        .agg(
+            (
+                F.grouping("month") * 4 + F.grouping("week") * 2 + F.grouping("day")
+            ).cast("long").alias("lvl"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+        .select("month", "week", "day", "lvl", "n", "cents")
+    )
+
+
+@register(
+    "sequence_gap_audit",
+    oracle="""
+    WITH k AS (SELECT DISTINCT l_orderkey AS id FROM lineitem),
+    l AS (
+      SELECT id, lag(id) OVER (ORDER BY id) AS prev
+      FROM k)
+    SELECT CAST(prev + 1 AS BIGINT) AS gap_start,
+           CAST(id - 1 AS BIGINT) AS gap_end,
+           CAST(id - prev - 1 AS BIGINT) AS gap_len
+    FROM l
+    WHERE prev IS NOT NULL AND id - prev > 1
+    """,
+    tags=("analytics", "quality", "window"),
+)
+def sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap audit — the ingestion-integrity check "which id
+    ranges are missing?": distinct referenced order keys, one ordered
+    lag, and every jump > 1 becomes a (gap_start, gap_end, length)
+    range row — compact even when millions of ids are missing (ranges,
+    not ids). On this fixture the lineitem→orders reference is
+    naturally sparse (~2% of orders have no lineitems), so the audit is
+    non-vacuous at every scale; in production this runs against
+    kafka-offset or invoice-number columns after every load.
+
+    The ordered lag over the distinct-id set is the one global sort —
+    over DISTINCT keys, not rows; for id spaces too big for one sort,
+    range-bucket the ids first (gap candidates only cross bucket edges
+    at bucket boundaries — the same banding trick as the theta join)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    k = li.select(F.col("l_orderkey").alias("id")).distinct()
+    w = Window.orderBy("id")
+    l = k.select("id", F.lag("id").over(w).alias("prev"))
+    return l.where(F.col("prev").isNotNull() & (F.col("id") - F.col("prev") > 1)).select(
+        (F.col("prev") + 1).cast("long").alias("gap_start"),
+        (F.col("id") - 1).cast("long").alias("gap_end"),
+        (F.col("id") - F.col("prev") - 1).cast("long").alias("gap_len"),
+    )

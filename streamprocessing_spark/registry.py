@@ -222,6 +222,8 @@ _ROUND_NEW = frozenset(
         "fifo_match_returns",
         "referential_integrity_audit",
         "benford_first_digit_audit",
+        "calendar_hierarchy_rollup",
+        "sequence_gap_audit",
     }
 )
 

@@ -1133,3 +1133,35 @@ def test_benford_shares_and_nonconformance(spark, sf_dir):
         abs(r.n / total - math.log10(1 + 1 / r.digit)) for r in rows
     )
     assert tv > 0.05, "synthetic uniform prices should deviate from Benford"
+
+
+def test_calendar_rollup_levels_telescope(spark, sf_dir):
+    """Each hierarchy level must sum to the same grand total, and the
+    grand-total row (lvl 7) must match the base purchase aggregate."""
+    rows = SPECS["calendar_hierarchy_rollup"].fn(spark, sf_dir).collect()
+    by_lvl: dict[int, list] = {}
+    for r in rows:
+        by_lvl.setdefault(r.lvl, []).append(r)
+    assert set(by_lvl) == {0, 1, 3, 7}
+    totals = {lvl: (sum(r.n for r in rs), sum(r.cents for r in rs)) for lvl, rs in by_lvl.items()}
+    assert len(set(totals.values())) == 1, totals
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
+    base = ev.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")).alias("c"),
+    ).collect()[0]
+    assert totals[7] == (base.n, base.c)
+
+
+def test_sequence_gaps_cover_exactly_missing_ids(spark, sf_dir):
+    """The union of gap ranges must be exactly the missing ids between
+    min and max of the referenced key set."""
+    li = load_table(spark, sf_dir, "lineitem")
+    ids = sorted(r.id for r in li.select(F.col("l_orderkey").alias("id")).distinct().collect())
+    missing = set(range(ids[0], ids[-1] + 1)) - set(ids)
+    rows = SPECS["sequence_gap_audit"].fn(spark, sf_dir).collect()
+    covered = set()
+    for r in rows:
+        assert r.gap_len == r.gap_end - r.gap_start + 1 > 0
+        covered |= set(range(r.gap_start, r.gap_end + 1))
+    assert covered == missing and covered
