@@ -3693,3 +3693,61 @@ def sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("id") - 1).cast("long").alias("gap_end"),
         (F.col("id") - F.col("prev") - 1).cast("long").alias("gap_len"),
     )
+
+
+_PROFILE_COLS = (
+    ("o_orderkey", "CAST(o_orderkey AS VARCHAR)"),
+    ("o_custkey", "CAST(o_custkey AS VARCHAR)"),
+    ("o_orderstatus", "o_orderstatus"),
+    ("o_totalprice_cents", "CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR)"),
+    ("o_orderdate", "strftime(o_orderdate, '%Y-%m-%d')"),
+    ("o_orderpriority", "o_orderpriority"),
+)
+
+
+@register(
+    "table_profile_orders",
+    oracle="\nUNION ALL\n".join(
+        f"""
+    SELECT '{name}' AS column_name,
+           CAST(count(*) - count(v) AS BIGINT) AS n_nulls,
+           CAST(count(DISTINCT v) AS BIGINT) AS n_distinct,
+           min(v) AS min_value, max(v) AS max_value
+    FROM (SELECT {expr} AS v FROM orders) t"""
+        for name, expr in _PROFILE_COLS
+    ),
+    tags=("analytics", "quality", "statistics"),
+)
+def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Automated column profiling — the data-catalog crawl that writes
+    a table's datasheet: per column, null count, distinct cardinality,
+    and canonical-text min/max (money as integer cents, dates as ISO —
+    the rendering rule every cross-engine comparison in this repo
+    uses). One branch per column unioned; at 100 TB this is the one
+    pass a catalog service runs on ingest (Glue crawlers, Unity
+    profiling), and the per-branch scans share the cached file listing
+    while each collapses map-side to a single row. Lexicographic
+    min/max over canonical text is deliberate: it is deterministic
+    across engines where raw float/date renderings are not."""
+    o = load_table(spark, sf_dir, "orders")
+    spark_exprs = {
+        "o_orderkey": F.col("o_orderkey").cast("string"),
+        "o_custkey": F.col("o_custkey").cast("string"),
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_totalprice_cents": F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .cast("string"),
+        "o_orderdate": F.date_format("o_orderdate", "yyyy-MM-dd"),
+        "o_orderpriority": F.col("o_orderpriority"),
+    }
+    out = None
+    for name, _ in _PROFILE_COLS:
+        branch = o.select(spark_exprs[name].alias("v")).agg(
+            F.lit(name).alias("column_name"),
+            (F.count(F.lit(1)) - F.count("v")).cast("long").alias("n_nulls"),
+            F.countDistinct("v").cast("long").alias("n_distinct"),
+            F.min("v").alias("min_value"),
+            F.max("v").alias("max_value"),
+        )
+        out = branch if out is None else out.unionByName(branch)
+    return out

@@ -1649,3 +1649,129 @@ def ab_assignment_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("srm_chi2_milli"),
         )
     )
+
+
+def _sql_golden_pairs() -> str:
+    """Name-level fuzzy pairs mapped to numeric node ids (min partkey
+    per distinct name) — the edge list golden_record_parts clusters."""
+    return """
+      SELECT na.nid AS id_a, nb.nid AS id_b
+      FROM (
+        SELECT a.p_name AS name_a, b.p_name AS name_b
+        FROM (SELECT DISTINCT p_name FROM part) a
+        JOIN (SELECT DISTINCT p_name FROM part) b
+          ON a.p_name < b.p_name
+         AND abs(length(a.p_name) - length(b.p_name)) <= 2
+        WHERE levenshtein(a.p_name, b.p_name) <= 2) p
+      JOIN (SELECT p_name, min(p_partkey) AS nid FROM part GROUP BY 1) na
+        ON na.p_name = p.name_a
+      JOIN (SELECT p_name, min(p_partkey) AS nid FROM part GROUP BY 1) nb
+        ON nb.p_name = p.name_b"""
+
+
+@register(
+    "golden_record_parts",
+    oracle=f"""
+    WITH comp AS (
+      SELECT * FROM ({{cc}}) t
+    ),
+    nm AS (SELECT p_name, min(p_partkey) AS nid FROM part GROUP BY 1),
+    fullc AS (
+      SELECT nm.p_name, nm.nid, COALESCE(c.component, nm.nid) AS cluster_id
+      FROM nm LEFT JOIN comp c ON c.id = nm.nid),
+    pc AS (
+      SELECT f.cluster_id, p.p_partkey
+      FROM part p JOIN fullc f ON f.p_name = p.p_name),
+    qty AS (
+      SELECT pc.cluster_id, sum(CAST(l.l_quantity AS BIGINT)) AS q
+      FROM lineitem l JOIN pc ON pc.p_partkey = l.l_partkey
+      GROUP BY 1)
+    SELECT f.cluster_id,
+           min(f.p_name) AS canonical_name,
+           CAST(count(*) AS BIGINT) AS n_name_variants,
+           CAST((SELECT count(*) FROM pc WHERE pc.cluster_id = f.cluster_id) AS BIGINT) AS n_parts,
+           CAST(COALESCE(max(q.q), 0) AS BIGINT) AS total_qty
+    FROM fullc f
+    LEFT JOIN qty q ON q.cluster_id = f.cluster_id
+    GROUP BY f.cluster_id
+    """.format(cc="{cc}"),
+    tags=("curation", "dedup", "fuzzy", "iterative"),
+)
+def golden_record_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GOLDEN-RECORD construction (master-data management): the full
+    entity-resolution pipeline END TO END — fuzzy name pairs (edit
+    distance ≤ 2, length-blocked) → connected components (large-star/
+    small-star) → one surviving record per entity cluster with
+    survivorship rules applied (canonical name = lexicographic min,
+    variant count, member-part count, lifetime quantity rolled up from
+    the fact table). Singleton names (no fuzzy twin) form their own
+    cluster via the left-join default — every name ends up in exactly
+    one golden record, asserted as a partition law in tests.
+
+    Composition cost: the pair stage is fuzzy_name_pairs, clustering is
+    the same star-contraction used by the dedup tiers (O(log² n)
+    rounds), survivorship is two aggregates + one broadcast-sized join
+    back to facts. The oracle replays everything including the
+    recursive-CTE reachability closure."""
+    from streamprocessing_spark.operators.dedup import connected_components
+
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    nm = part.groupBy("p_name").agg(F.min("p_partkey").alias("nid"))
+    a = nm.select(F.col("p_name").alias("name_a"), F.col("nid").alias("id_a"))
+    b = nm.select(F.col("p_name").alias("name_b"), F.col("nid").alias("id_b"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.length("name_a") - F.length("name_b")) <= 2)
+            & (F.levenshtein("name_a", "name_b") <= 2),
+        )
+        .select("id_a", "id_b")
+    )
+    comp = connected_components(pairs)
+    fullc = nm.join(comp, nm.nid == comp.id, "left").select(
+        "p_name", "nid", F.coalesce(F.col("component"), F.col("nid")).alias("cluster_id")
+    )
+    pc = part.join(fullc.select("p_name", "cluster_id"), "p_name").select(
+        "cluster_id", "p_partkey"
+    )
+    qty = (
+        li.join(pc, li.l_partkey == pc.p_partkey)
+        .groupBy("cluster_id")
+        .agg(F.sum(F.col("l_quantity").cast("long")).alias("q"))
+    )
+    nparts = pc.groupBy("cluster_id").agg(F.count(F.lit(1)).alias("np"))
+    return (
+        fullc.groupBy("cluster_id")
+        .agg(
+            F.min("p_name").alias("canonical_name"),
+            F.count(F.lit(1)).cast("long").alias("n_name_variants"),
+        )
+        .join(F.broadcast(nparts), "cluster_id", "left")
+        .join(F.broadcast(qty), "cluster_id", "left")
+        .select(
+            "cluster_id",
+            "canonical_name",
+            "n_name_variants",
+            F.coalesce(F.col("np"), F.lit(0)).cast("long").alias("n_parts"),
+            F.coalesce(F.col("q"), F.lit(0)).cast("long").alias("total_qty"),
+        )
+    )
+
+
+# Patch the oracle's {cc} placeholder with the recursive-CTE closure over
+# the golden pair graph (done post-registration so the helper reads
+# clearly; the registry stores the final SQL).
+def _finalize_golden_oracle() -> None:
+    from streamprocessing_spark.operators.dedup import sql_connected_components
+    from streamprocessing_spark.registry import _REGISTRY
+
+    spec = _REGISTRY["golden_record_parts"]
+    if "{cc}" in (spec.oracle or ""):
+        object.__setattr__(
+            spec, "oracle", spec.oracle.replace("{cc}", sql_connected_components(_sql_golden_pairs()))
+        )
+
+
+_finalize_golden_oracle()

@@ -224,6 +224,8 @@ _ROUND_NEW = frozenset(
         "benford_first_digit_audit",
         "calendar_hierarchy_rollup",
         "sequence_gap_audit",
+        "golden_record_parts",
+        "table_profile_orders",
     }
 )
 

@@ -1165,3 +1165,34 @@ def test_sequence_gaps_cover_exactly_missing_ids(spark, sf_dir):
         assert r.gap_len == r.gap_end - r.gap_start + 1 > 0
         covered |= set(range(r.gap_start, r.gap_end + 1))
     assert covered == missing and covered
+
+
+def test_golden_records_partition_names(spark, sf_dir):
+    """Every distinct name lands in exactly one cluster; n_name_variants
+    sums to the distinct-name count; multi-variant clusters exist; the
+    canonical name is a member; part counts and quantities reconcile."""
+    part = load_table(spark, sf_dir, "part")
+    names = {r.p_name for r in part.select("p_name").distinct().collect()}
+    rows = SPECS["golden_record_parts"].fn(spark, sf_dir).collect()
+    assert sum(r.n_name_variants for r in rows) == len(names)
+    assert any(r.n_name_variants > 1 for r in rows), "fuzzy clusters must merge variants"
+    assert {r.canonical_name for r in rows} <= names
+    assert sum(r.n_parts for r in rows) == part.count()
+    li_qty = load_table(spark, sf_dir, "lineitem").agg(
+        F.sum(F.col("l_quantity").cast("long"))
+    ).collect()[0][0]
+    assert sum(r.total_qty for r in rows) == li_qty
+
+
+def test_profile_reconciles_with_direct_stats(spark, sf_dir):
+    """Profiler rows must match directly computed stats per column."""
+    o = load_table(spark, sf_dir, "orders")
+    rows = {r.column_name: r for r in SPECS["table_profile_orders"].fn(spark, sf_dir).collect()}
+    n = o.count()
+    assert rows["o_orderkey"].n_distinct == n  # primary key
+    assert all(r.n_nulls == 0 for r in rows.values())
+    ds = o.select(F.countDistinct("o_orderstatus")).collect()[0][0]
+    assert rows["o_orderstatus"].n_distinct == ds
+    ks = sorted(str(r.o_orderkey) for r in o.select("o_orderkey").collect())
+    assert rows["o_orderkey"].min_value == ks[0]
+    assert rows["o_orderkey"].max_value == ks[-1]
