@@ -3751,3 +3751,36 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = branch if out is None else out.unionByName(branch)
     return out
+
+
+@register(
+    "nulls_ordering_topk",
+    oracle="""
+    SELECT event_id,
+           CASE WHEN event_type = 'error' THEN NULL
+                ELSE CAST(floor(value * 100.0 + 0.5) AS BIGINT) END AS cents
+    FROM events
+    ORDER BY cents DESC NULLS LAST, event_id
+    LIMIT 50
+    """,
+    tags=("analytics", "sort", "sql-surface"),
+)
+def nulls_ordering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL-ordering portability — the silent top-k corruption: Spark's
+    default for DESC is NULLS LAST but ASC is NULLS FIRST, while other
+    engines differ (and DuckDB's default is NULLS LAST everywhere), so
+    an unspecified ordering ships different top-k lists per engine.
+    The fix is to SAY it: an explicit NULLS LAST on a value column with
+    real NULLs (error events carry none) makes both engines return the
+    identical 50 rows — which is the oracle check itself. Distributed
+    top-k (TakeOrdered), never a global sort; unique event_id tiebreak
+    per house rule."""
+    ev = load_table(spark, sf_dir, "events")
+    cents = F.when(
+        F.col("event_type") == "error", F.lit(None).cast("long")
+    ).otherwise(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long"))
+    return (
+        ev.select("event_id", cents.alias("cents"))
+        .orderBy(F.col("cents").desc_nulls_last(), F.col("event_id").asc())
+        .limit(50)
+    )

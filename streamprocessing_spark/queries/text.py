@@ -1211,3 +1211,35 @@ def tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr("CAST((1000000 * np) div nt AS BIGINT)").alias("fertility_micro"),
         F.expr("CAST((1000000 * nc) div np AS BIGINT)").alias("chars_per_piece_micro"),
     )
+
+
+@register(
+    "explode_outer_long_tokens",
+    oracle=f"""
+    WITH l AS (
+      SELECT doc_id,
+             list_filter({_SQL_TOKENS}, t -> length(t) >= 8) AS toks
+      FROM documents),
+    padded AS (
+      SELECT doc_id,
+             CASE WHEN len(toks) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE toks END AS toks
+      FROM l)
+    SELECT doc_id, t AS token
+    FROM padded, unnest(toks) AS u(t)
+    """,
+    tags=("text", "flatmap", "sql-surface"),
+)
+def explode_outer_long_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generator NULL-retention semantics (explode_outer vs explode):
+    flatten each document's long tokens (≥ 8 chars) while KEEPING the
+    ~20% of documents that have none as a (doc_id, NULL) row — the row
+    a plain explode silently drops, which downstream "every doc must
+    appear" joins then mis-count (the flatMap sibling of
+    null_safe_bucket_join's dropped-NULL-row trap). DuckDB has no outer
+    unnest, so the oracle states the semantics explicitly: pad empty
+    lists with [NULL] — which is also the portable fallback on engines
+    without the operator. Row-conservation (every doc exactly once when
+    tokenless) is asserted in tests; pure narrow flatMap, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.filter(T.tokens(F.col("text")), lambda t: F.length(t) >= 8)
+    return d.select("doc_id", F.explode_outer(toks).alias("token"))

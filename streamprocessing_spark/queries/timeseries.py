@@ -1811,3 +1811,75 @@ def cep_click_error_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "event_id", (F.col("us") - F.col("lc")).cast("long").alias("gap_us"))
     )
+
+
+@register(
+    "anova_f_value_by_type",
+    oracle="""
+    WITH g AS (
+      SELECT event_type,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS HUGEINT) AS s,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                      * CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS HUGEINT) AS q
+      FROM events WHERE value IS NOT NULL
+      GROUP BY event_type),
+    t AS (
+      SELECT count(*) AS k, sum(n) AS nt, sum(s) AS st, sum(q) AS qt,
+             sum((s * s) // n) AS ssb_part
+      FROM g)
+    SELECT CAST(k AS BIGINT) AS k, CAST(nt AS BIGINT) AS n_total,
+           CAST(ssb_part - (st * st) // nt AS BIGINT) AS ssb_floor,
+           CAST(qt - ssb_part AS BIGINT) AS ssw_ceil,
+           CAST((1000 * (ssb_part - (st * st) // nt) * (nt - k))
+                // ((qt - ssb_part) * (k - 1)) AS BIGINT) AS f_milli
+    FROM t
+    """,
+    tags=("timeseries", "statistics"),
+)
+def anova_f_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F statistic across event types — does ANY type
+    differ in mean value? (the k-group generalization of
+    welch_t2_by_event_type's pairwise test, the other half of the
+    experimentation toolkit). Between-group and within-group sums of
+    squares from the same integer moments as every exact statistic
+    here: SSB = Σ sᵢ²/nᵢ − S²/N, SSW = Q − Σ sᵢ²/nᵢ, F = (SSB/(k−1)) /
+    (SSW/(N−k)) — with the per-group sᵢ²/nᵢ terms floor-divided
+    IDENTICALLY in both engines before summing (the floor residue <1
+    per group is far below the statistic's milli precision, and
+    determinism — not unfloored purity — is the contract, so the floors
+    ARE the spec). One |types|-row aggregate, one final row."""
+    dec = "DECIMAL(38,0)"
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    y = F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+    g = (
+        ev.select("event_type", y.alias("y"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("y").alias("s"),
+            F.sum(F.col("y") * F.col("y")).alias("q"),
+        )
+        .select(
+            F.expr(f"CAST(n AS {dec})").alias("n"),
+            F.expr(f"CAST(s AS {dec})").alias("s"),
+            F.expr(f"CAST(q AS {dec})").alias("q"),
+        )
+    )
+    t = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("n").alias("nt"),
+        F.sum("s").alias("st"),
+        F.sum("q").alias("qt"),
+        F.sum(F.expr("(s * s) div n")).alias("ssb_part"),
+    )
+    return t.select(
+        F.col("k").cast("long").alias("k"),
+        F.col("nt").cast("long").alias("n_total"),
+        F.expr("CAST(ssb_part - (st * st) div nt AS BIGINT)").alias("ssb_floor"),
+        F.expr("CAST(qt - ssb_part AS BIGINT)").alias("ssw_ceil"),
+        F.expr(
+            "CAST((1000 * (ssb_part - (st * st) div nt) * (nt - k))"
+            " div ((qt - ssb_part) * (k - 1)) AS BIGINT)"
+        ).alias("f_milli"),
+    )

@@ -226,6 +226,9 @@ _ROUND_NEW = frozenset(
         "sequence_gap_audit",
         "golden_record_parts",
         "table_profile_orders",
+        "anova_f_value_by_type",
+        "explode_outer_long_tokens",
+        "nulls_ordering_topk",
     }
 )
 

@@ -1196,3 +1196,60 @@ def test_profile_reconciles_with_direct_stats(spark, sf_dir):
     ks = sorted(str(r.o_orderkey) for r in o.select("o_orderkey").collect())
     assert rows["o_orderkey"].min_value == ks[0]
     assert rows["o_orderkey"].max_value == ks[-1]
+
+
+def test_anova_f_matches_float_formula(spark, sf_dir):
+    """f_milli must agree with the float one-way ANOVA F computed from
+    collected cents (to the per-group flooring budget)."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("event_type", F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("y"))
+        .collect()
+    )
+    groups: dict[str, list[int]] = {}
+    for r in ev:
+        groups.setdefault(r.event_type, []).append(r.y)
+    import numpy as _np
+
+    k = len(groups)
+    n = sum(len(v) for v in groups.values())
+    grand = sum(sum(v) for v in groups.values()) / n
+    ssb = sum(len(v) * (_np.mean(v) - grand) ** 2 for v in groups.values())
+    ssw = sum(sum((x - _np.mean(v)) ** 2 for x in v) for v in groups.values())
+    f_stat = (ssb / (k - 1)) / (ssw / (n - k))
+    row = SPECS["anova_f_value_by_type"].fn(spark, sf_dir).collect()[0]
+    assert row.k == k and row.n_total == n
+    assert abs(row.f_milli - f_stat * 1000) <= 2 + 1000 * k / max(row.ssw_ceil, 1)
+    assert row.ssb_floor >= 0 and row.ssw_ceil >= 0
+
+
+def test_explode_outer_conserves_documents(spark, sf_dir):
+    """Every document appears; tokenless docs appear exactly once with
+    a NULL token; token rows reconcile with a direct count."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs = d.count()
+    rows = SPECS["explode_outer_long_tokens"].fn(spark, sf_dir).collect()
+    docs_seen = {r.doc_id for r in rows}
+    assert len(docs_seen) == n_docs
+    null_docs = {r.doc_id for r in rows if r.token is None}
+    assert null_docs, "tokenless docs must surface as NULL rows"
+    for r in rows:
+        if r.doc_id in null_docs:
+            assert r.token is None or r.doc_id not in null_docs
+    from streamprocessing_spark.functions import text as T
+
+    direct = d.select(
+        F.size(F.filter(T.tokens(F.col("text")), lambda t: F.length(t) >= 8)).alias("n")
+    ).collect()
+    assert len(rows) == sum(max(1, r.n) for r in direct)
+
+
+def test_nulls_last_topk_contains_no_nulls_unless_exhausted(spark, sf_dir):
+    """With enough non-null rows, the DESC NULLS LAST top-50 must be
+    null-free and strictly ordered by (cents desc, id)."""
+    rows = SPECS["nulls_ordering_topk"].fn(spark, sf_dir).collect()
+    assert len(rows) == 50
+    assert all(r.cents is not None for r in rows)
+    key = [(-r.cents, r.event_id) for r in rows]
+    assert key == sorted(key)
