@@ -1775,3 +1775,51 @@ def _finalize_golden_oracle() -> None:
 
 
 _finalize_golden_oracle()
+
+
+@register(
+    "bot_rate_flags",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+      FROM events GROUP BY 1, 2),
+    mx AS (SELECT user_id, max(n) AS max_per_day FROM m GROUP BY 1),
+    t AS (SELECT count(*) AS nu FROM mx),
+    r AS (
+      SELECT user_id, max_per_day,
+             row_number() OVER (ORDER BY max_per_day DESC, user_id) AS rk
+      FROM mx)
+    SELECT r.user_id, CAST(r.max_per_day AS BIGINT) AS max_per_day,
+           CAST(CASE WHEN r.rk * 10 <= t.nu THEN 1 ELSE 0 END AS BIGINT) AS is_bot
+    FROM r CROSS JOIN t
+    """,
+    tags=("curation", "quality", "llm-pipeline"),
+)
+def bot_rate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot / automated-traffic flagging by burst rate — the behavioral
+    filter run before training on clickstream data: each user's peak
+    daily event count, with the top decile by burstiness flagged (rank
+    cut with user-id tiebreak — scale-stable where an absolute
+    rate threshold is fixture-fragile, the domain_blocklist_filter
+    lesson reapplied). Production swaps the rank cut for a calibrated
+    threshold; the plan — fact collapse to (user, day), per-user max,
+    a user-dimension rank — is unchanged. The rank window runs over
+    the USER dimension, never events."""
+    ev = load_table(spark, sf_dir, "events")
+    m = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    mx = m.groupBy("user_id").agg(F.max("n").alias("max_per_day"))
+    t = mx.agg(F.count(F.lit(1)).alias("nu"))
+    r = mx.select(
+        "user_id",
+        "max_per_day",
+        F.row_number()
+        .over(Window.orderBy(F.desc("max_per_day"), F.asc("user_id")))
+        .alias("rk"),
+    )
+    return r.crossJoin(F.broadcast(t)).select(
+        "user_id",
+        F.col("max_per_day").cast("long").alias("max_per_day"),
+        F.when(F.col("rk") * 10 <= F.col("nu"), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("is_bot"),
+    )

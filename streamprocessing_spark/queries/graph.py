@@ -759,3 +759,112 @@ def sssp_weighted_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dist.select(
         F.col("id").alias("l_partkey"), F.col("dist").cast("long").alias("dist")
     )
+
+
+KNN_EDGES = 8  # per-node strongest co-purchase edges kept (kNN graph)
+
+
+@register(
+    "link_prediction_jaccard",
+    oracle=f"""
+    WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    sup AS MATERIALIZED (
+      SELECT a.l_partkey AS s, b.l_partkey AS d, count(*) AS n
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2),
+    knn AS MATERIALIZED (
+      SELECT s, d FROM (
+        SELECT s, d, row_number() OVER (PARTITION BY s ORDER BY n DESC, d) AS rk
+        FROM sup)
+      WHERE rk <= {KNN_EDGES}),
+    e AS MATERIALIZED (
+      SELECT DISTINCT least(s, d) AS s, greatest(s, d) AS d FROM knn),
+    ed AS MATERIALIZED (SELECT s AS src, d AS dst FROM e
+                        UNION ALL SELECT d, s FROM e),
+    deg AS (SELECT src AS id, count(*) AS dg FROM ed GROUP BY 1),
+    wedge AS (
+      SELECT a.dst AS u, b.dst AS v, count(*) AS common
+      FROM ed a JOIN ed b ON a.src = b.src AND a.dst < b.dst
+      GROUP BY 1, 2),
+    nonedge AS (
+      SELECT w.u, w.v, w.common FROM wedge w
+      LEFT JOIN e ON e.s = w.u AND e.d = w.v
+      WHERE e.s IS NULL)
+    SELECT ne.u AS part_a, ne.v AS part_b,
+           CAST(ne.common AS BIGINT) AS n_common,
+           CAST(da.dg + db.dg - ne.common AS BIGINT) AS n_union,
+           CAST((1000000 * ne.common) // (da.dg + db.dg - ne.common) AS BIGINT) AS jaccard_micro
+    FROM nonedge ne
+    JOIN deg da ON da.id = ne.u
+    JOIN deg db ON db.id = ne.v
+    WHERE ne.common >= 2
+    """,
+    tags=("graph", "statistics", "llm-pipeline"),
+)
+def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction by neighborhood Jaccard (Liben-Nowell & Kleinberg
+    2003) over the kNN-SPARSIFIED co-purchase graph: each part keeps
+    its KNN_EDGES strongest co-purchase neighbors (per-node top-k — a
+    PARTITIONED window, and the degree-bounded graph every similarity-
+    graph system builds; an absolute support threshold saturates as
+    data grows — measured: the support>=2 graph leaves ZERO non-edge
+    candidates at sf0.1), then scores unconnected pairs sharing >= 2
+    neighbors with exact |N(a) cap N(b)| / |N(a) cup N(b)| — the
+    recommendation-candidate generator. Wedge self-join through the
+    shared neighbor bounds candidates exactly like triangle counting;
+    the anti-join removes existing edges so the output is genuinely
+    predictive; degrees broadcast back for the union term."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    sup = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wk = Window.partitionBy("s").orderBy(F.desc("n"), F.asc("d"))
+    knn = sup.withColumn("rk", F.row_number().over(wk)).where(
+        F.col("rk") <= KNN_EDGES
+    )
+    e = (
+        knn.select(
+            F.least("s", "d").alias("s"), F.greatest("s", "d").alias("d")
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    ed = e.select(F.col("s").alias("src"), F.col("d").alias("dst")).unionByName(
+        e.select(F.col("d").alias("src"), F.col("s").alias("dst"))
+    )
+    deg = ed.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("dg"))
+    wa, wb = ed.alias("wa"), ed.alias("wb")
+    wedge = (
+        wa.join(
+            wb,
+            (F.col("wa.src") == F.col("wb.src")) & (F.col("wa.dst") < F.col("wb.dst")),
+        )
+        .groupBy(F.col("wa.dst").alias("u"), F.col("wb.dst").alias("v"))
+        .agg(F.count(F.lit(1)).alias("common"))
+        .where(F.col("common") >= 2)
+    )
+    nonedge = wedge.join(
+        e, (e.s == wedge.u) & (e.d == wedge.v), "left_anti"
+    )
+    da = deg.select(F.col("id").alias("u"), F.col("dg").alias("da"))
+    db = deg.select(F.col("id").alias("v"), F.col("dg").alias("db"))
+    return (
+        nonedge.join(F.broadcast(da), "u")
+        .join(F.broadcast(db), "v")
+        .select(
+            F.col("u").alias("part_a"),
+            F.col("v").alias("part_b"),
+            F.col("common").cast("long").alias("n_common"),
+            (F.col("da") + F.col("db") - F.col("common")).cast("long").alias("n_union"),
+            F.expr("CAST((1000000 * common) div (da + db - common) AS BIGINT)").alias("jaccard_micro"),
+        )
+    )

@@ -229,6 +229,8 @@ _ROUND_NEW = frozenset(
         "anova_f_value_by_type",
         "explode_outer_long_tokens",
         "nulls_ordering_topk",
+        "bot_rate_flags",
+        "link_prediction_jaccard",
     }
 )
 

@@ -1253,3 +1253,59 @@ def test_nulls_last_topk_contains_no_nulls_unless_exhausted(spark, sf_dir):
     assert all(r.cents is not None for r in rows)
     key = [(-r.cents, r.event_id) for r in rows]
     assert key == sorted(key)
+
+
+def test_bot_flags_top_decile_rank_cut(spark, sf_dir):
+    """Exactly floor(n/10) users flagged; they are the top of the
+    (max_per_day desc, user_id) order; every user present."""
+    rows = sorted(
+        SPECS["bot_rate_flags"].fn(spark, sf_dir).collect(),
+        key=lambda r: (-r.max_per_day, r.user_id),
+    )
+    n = len(rows)
+    flagged = [r for r in rows if r.is_bot == 1]
+    assert len(flagged) == n // 10
+    assert all(r.is_bot == 1 for r in rows[: n // 10])
+    assert all(r.is_bot == 0 for r in rows[n // 10 :])
+    ev = load_table(spark, sf_dir, "events")
+    assert n == ev.select("user_id").distinct().count()
+
+
+def test_link_prediction_excludes_edges_and_bounds(spark, sf_dir):
+    """Predicted pairs must be NON-edges of the kNN graph, n_common ≤
+    min degree, Jaccard in (0, 1], and re-derivable for a sample."""
+    from streamprocessing_spark.queries.graph import KNN_EDGES
+
+    rows = SPECS["link_prediction_jaccard"].fn(spark, sf_dir).collect()
+    assert rows
+    # rebuild the kNN edge set in python
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().collect()
+    baskets: dict[int, set] = {}
+    for r in op:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    supn: dict = {}
+    for parts in baskets.values():
+        for s in parts:
+            for d in parts:
+                if s != d:
+                    supn[(s, d)] = supn.get((s, d), 0) + 1
+    bys: dict[int, list] = {}
+    for (s, d), n in supn.items():
+        bys.setdefault(s, []).append((-n, d))
+    edges = set()
+    for s, lst in bys.items():
+        for _, d in sorted(lst)[:KNN_EDGES]:
+            edges.add((min(s, d), max(s, d)))
+    nbrs: dict[int, set] = {}
+    for s, d in edges:
+        nbrs.setdefault(s, set()).add(d)
+        nbrs.setdefault(d, set()).add(s)
+    for r in rows:
+        key = (min(r.part_a, r.part_b), max(r.part_a, r.part_b))
+        assert key not in edges, key
+        inter = len(nbrs[r.part_a] & nbrs[r.part_b])
+        union = len(nbrs[r.part_a] | nbrs[r.part_b])
+        assert r.n_common == inter >= 2
+        assert r.n_union == union
+        assert 0 < r.jaccard_micro <= 1_000_000

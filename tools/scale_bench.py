@@ -104,6 +104,18 @@ QUERIES = (
     "multimodal_audio_energy",
     "url_domain_stats",
     "tokenizer_fertility_by_source",
+    # later round-2 fourth-continuation additions: the FIFO interval
+    # join (per-part windows + range join), the ER-components golden
+    # record cascade, nested assembly, bitmap words, and the two
+    # pair-pipeline composition audits
+    "fifo_match_returns",
+    # golden_record_parts deliberately absent: its cost driver is the
+    # NAME dimension (62 distinct names at every sf) which the proxy
+    # does not grow - a ratio would measure fixed overhead only
+    "nest_order_lineitems",
+    "daily_active_user_bitmap",
+    "split_leakage_audit",
+    "dedup_tier_agreement",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
@@ -167,6 +179,28 @@ def build_proxy(spark, base: str, out: str) -> None:
         f"{out}/lineitem.parquet"
     )
 
+    # events: replicate with BOTH ids shifted (10x events over a 10x user
+    # universe, identical per-user temporal density) so behavioral
+    # operators (bitmaps, RLE, transitions) genuinely grow
+    ev = spark.read.parquet(f"{base}/events.parquet")
+    ev_parts = [
+        ev.withColumn("event_id", F.col("event_id") + F.lit(k * 10_000_000))
+        .withColumn("user_id", F.col("user_id") + F.lit(k * 10_000_000))
+        for k in range(REPLICAS)
+    ]
+    _union_all(ev_parts).coalesce(8).write.mode("overwrite").parquet(
+        f"{out}/events.parquet"
+    )
+
+    # remaining dimension tables pass through unchanged so every
+    # registered query can run against the proxy dir (ops whose cost is
+    # driven by these dimensions are deliberately NOT in QUERIES - their
+    # curves would measure nothing)
+    for t in ("orders", "customer", "part", "supplier", "nation", "region"):
+        spark.read.parquet(f"{base}/{t}.parquet").coalesce(4).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{t}.parquet")
+
 
 def _union_all(dfs):
     out = dfs[0]
@@ -197,7 +231,7 @@ def main() -> None:
     # changes so proxies built by older code self-invalidate (a stale
     # pre-partkey-shift proxy would silently exempt the graph operators
     # from the 10x measurement)
-    base_key = f"v2:{os.path.abspath(args.base)}"
+    base_key = f"v3:{os.path.abspath(args.base)}"
     stale = True
     if os.path.isdir(f"{PROXY_DIR}/documents.parquet") and os.path.isfile(marker):
         with open(marker) as fh:
