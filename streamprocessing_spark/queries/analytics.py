@@ -3784,3 +3784,77 @@ def nulls_ordering_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cents").desc_nulls_last(), F.col("event_id").asc())
         .limit(50)
     )
+
+
+@register(
+    "price_volume_mix_decomposition",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority AS cat,
+             CASE WHEN o_orderdate < TIMESTAMP '1998-01-01 00:00:00' THEN 1 ELSE 2 END AS per,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    agg AS (
+      SELECT cat,
+             CAST(sum(CASE WHEN per = 1 THEN 1 ELSE 0 END) AS HUGEINT) AS q1,
+             CAST(sum(CASE WHEN per = 2 THEN 1 ELSE 0 END) AS HUGEINT) AS q2,
+             CAST(sum(CASE WHEN per = 1 THEN cents ELSE 0 END) AS HUGEINT) AS c1,
+             CAST(sum(CASE WHEN per = 2 THEN cents ELSE 0 END) AS HUGEINT) AS c2
+      FROM b GROUP BY cat
+      HAVING sum(CASE WHEN per = 1 THEN 1 ELSE 0 END) > 0
+         AND sum(CASE WHEN per = 2 THEN 1 ELSE 0 END) > 0)
+    SELECT cat,
+           CAST(c2 - c1 AS BIGINT) AS delta_cents,
+           CAST((c1 * (q2 - q1)) // q1 AS BIGINT) AS volume_effect,
+           CAST((q1 * c2) // q2 - c1 AS BIGINT) AS price_effect,
+           CAST((c2 - c1) - (c1 * (q2 - q1)) // q1 - ((q1 * c2) // q2 - c1)
+                AS BIGINT) AS mix_residual
+    FROM agg
+    """,
+    tags=("analytics", "statistics", "aggregation"),
+)
+def price_volume_mix_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Price-volume-mix waterfall (the FP&A "why did revenue change?"
+    decomposition): per category, Δrevenue split into the volume effect
+    (p₁·Δq, old price at new volume), the price effect (q₁·Δp, old
+    volume at new price), and the interaction residual — with the
+    residual DEFINED as total minus the two floored effects, so the
+    decomposition re-sums to the exact Δ by construction (the
+    largest-remainder discipline from attribution applied to a
+    waterfall: floor where you must, reconcile where it counts; the
+    conservation law is asserted in tests). Average prices never
+    materialize — each effect is one 128-bit integral division of sum
+    products. Two map-side aggregates, category-dimension output."""
+    dec = "DECIMAL(38,0)"
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    per = F.when(
+        F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"), 1
+    ).otherwise(2)
+    b = o.select(F.col("o_orderpriority").alias("cat"), per.alias("per"), cents.alias("cents"))
+    agg = (
+        b.groupBy("cat")
+        .agg(
+            F.sum(F.when(F.col("per") == 1, 1).otherwise(0)).alias("q1l"),
+            F.sum(F.when(F.col("per") == 2, 1).otherwise(0)).alias("q2l"),
+            F.sum(F.when(F.col("per") == 1, F.col("cents")).otherwise(0)).alias("c1l"),
+            F.sum(F.when(F.col("per") == 2, F.col("cents")).otherwise(0)).alias("c2l"),
+        )
+        .where((F.col("q1l") > 0) & (F.col("q2l") > 0))
+        .select(
+            "cat",
+            F.expr(f"CAST(q1l AS {dec})").alias("q1"),
+            F.expr(f"CAST(q2l AS {dec})").alias("q2"),
+            F.expr(f"CAST(c1l AS {dec})").alias("c1"),
+            F.expr(f"CAST(c2l AS {dec})").alias("c2"),
+        )
+    )
+    return agg.select(
+        "cat",
+        F.expr("CAST(c2 - c1 AS BIGINT)").alias("delta_cents"),
+        F.expr("CAST((c1 * (q2 - q1)) div q1 AS BIGINT)").alias("volume_effect"),
+        F.expr("CAST((q1 * c2) div q2 - c1 AS BIGINT)").alias("price_effect"),
+        F.expr(
+            "CAST((c2 - c1) - (c1 * (q2 - q1)) div q1 - ((q1 * c2) div q2 - c1) AS BIGINT)"
+        ).alias("mix_residual"),
+    )

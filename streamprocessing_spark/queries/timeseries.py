@@ -1883,3 +1883,80 @@ def anova_f_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             " div ((qt - ssb_part) * (k - 1)) AS BIGINT)"
         ).alias("f_milli"),
     )
+
+
+@register(
+    "cohort_ltv_curve",
+    oracle="""
+    WITH first_day AS (
+      SELECT user_id, min(CAST(ts AS DATE)) AS cohort_day
+      FROM events WHERE event_type = 'purchase' GROUP BY 1),
+    rev AS (
+      SELECT e.user_id, f.cohort_day,
+             date_diff('day', f.cohort_day, CAST(e.ts AS DATE)) AS age_days,
+             CAST(floor(e.value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events e
+      JOIN first_day f ON f.user_id = e.user_id
+      WHERE e.event_type = 'purchase'),
+    wk AS (
+      SELECT strftime(cohort_day, '%Y-%m-%d') AS cohort_day,
+             age_days // 7 AS age_week,
+             sum(cents) AS cents,
+             count(DISTINCT user_id) AS buyers
+      FROM rev GROUP BY 1, 2)
+    SELECT cohort_day, CAST(age_week AS BIGINT) AS age_week,
+           CAST(cents AS BIGINT) AS week_cents,
+           CAST(sum(cents) OVER (PARTITION BY cohort_day ORDER BY age_week
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_cents,
+           CAST(buyers AS BIGINT) AS buyers
+    FROM wk
+    """,
+    tags=("timeseries", "window", "analytics"),
+)
+def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value curves — cumulative purchase revenue by
+    (signup cohort, weeks since signup), the revenue companion to
+    cohort_retention's count triangle and the payback-period input
+    every growth model reads ("week-4 LTV of the Jan-08 cohort").
+    Cohort = first-PURCHASE day (first activity degenerates to one
+    cohort on this always-on fixture — first conversion is also the
+    metric real LTV curves cohort on); age = whole weeks since; exact cents
+    with the cumulative window running over the cohort×age grid —
+    dimension-sized, never the fact table. Monotonicity of cum_cents
+    per cohort and the telescoping to per-cohort totals are asserted
+    in tests. Two shuffles: the first-purchase aggregate (user) and
+    the cohort-grid aggregate (cohort, week)."""
+    ev = load_table(spark, sf_dir, "events")
+    first = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("cohort_day"))
+    )
+    rev = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .select(
+            "user_id",
+            F.date_format("cohort_day", "yyyy-MM-dd").alias("cohort_day"),
+            F.floor(
+                F.datediff(F.col("ts").cast("date"), F.col("cohort_day")) / 7
+            ).cast("long").alias("age_week"),
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+    )
+    wk = rev.groupBy("cohort_day", "age_week").agg(
+        F.sum("cents").alias("cents"),
+        F.countDistinct("user_id").alias("buyers"),
+    )
+    w = (
+        Window.partitionBy("cohort_day")
+        .orderBy("age_week")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return wk.select(
+        "cohort_day",
+        F.col("age_week").cast("long").alias("age_week"),
+        F.col("cents").cast("long").alias("week_cents"),
+        F.sum("cents").over(w).cast("long").alias("cum_cents"),
+        F.col("buyers").cast("long").alias("buyers"),
+    )

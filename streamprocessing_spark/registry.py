@@ -231,6 +231,8 @@ _ROUND_NEW = frozenset(
         "nulls_ordering_topk",
         "bot_rate_flags",
         "link_prediction_jaccard",
+        "price_volume_mix_decomposition",
+        "cohort_ltv_curve",
     }
 )
 

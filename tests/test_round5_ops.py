@@ -1309,3 +1309,63 @@ def test_link_prediction_excludes_edges_and_bounds(spark, sf_dir):
         assert r.n_common == inter >= 2
         assert r.n_union == union
         assert 0 < r.jaccard_micro <= 1_000_000
+
+
+def test_pvm_decomposition_reconciles(spark, sf_dir):
+    """volume + price + mix must equal delta EXACTLY per category (the
+    residual definition), and the effects must match a float recompute
+    directionally."""
+    rows = SPECS["price_volume_mix_decomposition"].fn(spark, sf_dir).collect()
+    assert rows
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("cat"),
+        F.when(F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"), 1).otherwise(2).alias("per"),
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    ).collect()
+    agg: dict = {}
+    for r in o:
+        q1, q2, c1, c2 = agg.get(r.cat, (0, 0, 0, 0))
+        if r.per == 1:
+            q1, c1 = q1 + 1, c1 + r.cents
+        else:
+            q2, c2 = q2 + 1, c2 + r.cents
+        agg[r.cat] = (q1, q2, c1, c2)
+    for r in rows:
+        q1, q2, c1, c2 = agg[r.cat]
+        assert r.delta_cents == c2 - c1
+        assert r.volume_effect + r.price_effect + r.mix_residual == r.delta_cents
+        vol_f = (c1 / q1) * (q2 - q1)
+        price_f = q1 * (c2 / q2 - c1 / q1)
+        assert abs(r.volume_effect - vol_f) <= abs(vol_f) * 1e-9 + 2
+        assert abs(r.price_effect - price_f) <= abs(price_f) * 1e-9 + 2
+
+
+def test_cohort_ltv_monotone_and_telescopes(spark, sf_dir):
+    """cum_cents is non-decreasing per cohort and its final value per
+    cohort equals that cohort's total purchase revenue."""
+    rows = SPECS["cohort_ltv_curve"].fn(spark, sf_dir).collect()
+    by_c: dict[str, list] = {}
+    for r in rows:
+        by_c.setdefault(r.cohort_day, []).append(r)
+    assert len(by_c) >= 3, "cohorts must be non-degenerate"
+    ev = load_table(spark, sf_dir, "events")
+    first = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.date_format(F.min(F.col("ts").cast("date")), "yyyy-MM-dd").alias("cd"))
+    )
+    totals = {
+        r.cd: r.t
+        for r in ev.where(F.col("event_type") == "purchase")
+        .join(first, "user_id")
+        .groupBy("cd")
+        .agg(F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")).alias("t"))
+        .collect()
+    }
+    for cd, rs in by_c.items():
+        rs.sort(key=lambda r: r.age_week)
+        cum = 0
+        for r in rs:
+            cum += r.week_cents
+            assert r.cum_cents == cum
+        assert cum == totals[cd]
