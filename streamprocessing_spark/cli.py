@@ -144,6 +144,20 @@ def _cmd_run(args: argparse.Namespace) -> int:
     return 0
 
 
+def _cmd_explain(args: argparse.Namespace) -> int:
+    from streamprocessing_spark.plans.explain import formatted_plan
+    from streamprocessing_spark.registry import all_specs
+    from streamprocessing_spark.session import get_spark
+
+    specs = all_specs()
+    if args.query not in specs:
+        raise SystemExit(f"unknown query {args.query!r}; see `list`")
+    spark = get_spark("explain-cli")
+    df = specs[args.query].fn(spark, args.sf)
+    print(formatted_plan(df))
+    return 0
+
+
 def main(argv: list[str] | None = None) -> int:
     ap = argparse.ArgumentParser(prog="streamprocessing_spark")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -171,6 +185,15 @@ def main(argv: list[str] | None = None) -> int:
     run.add_argument("--sf", default="/root/testdata/sf0.01")
     run.add_argument("-n", type=int, default=20)
     run.set_defaults(fn=_cmd_run)
+
+    ex = sub.add_parser(
+        "explain",
+        help="print a registered query's formatted physical plan "
+        "(pushdown / pruning / broadcast / exchange structure)",
+    )
+    ex.add_argument("query")
+    ex.add_argument("--sf", default="/root/testdata/sf0.01")
+    ex.set_defaults(fn=_cmd_explain)
 
     args = ap.parse_args(argv)
     return args.fn(args)

@@ -70,3 +70,22 @@ def test_cli_rainstorm_with_fail_exactly_once(spark, tmp_path):
     rc = main(["rainstorm", "app2op1", "app2op2", src, dest, "4", "F", "--with-fail"])
     assert rc == 0
     assert _read_out(dest) == {("PRI-0", "10"), ("PRI-1", "10"), ("PRI-2", "10")}
+
+
+def test_cli_explain_prints_plan(spark, capsys):
+    """`explain <query>` prints the formatted physical plan with the
+    scan and pushdown details visible."""
+    from tests.conftest import SMOKE_SF
+
+    rc = main(["explain", "app1_pipeline", "--sf", SMOKE_SF])
+    out = capsys.readouterr().out
+    assert rc == 0
+    assert "Physical Plan" in out
+    assert "PushedFilters" in out
+
+
+def test_cli_explain_unknown_query(spark):
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        main(["explain", "no_such_query"])
