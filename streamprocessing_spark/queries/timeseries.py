@@ -1960,3 +1960,84 @@ def cohort_ltv_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").over(w).cast("long").alias("cum_cents"),
         F.col("buyers").cast("long").alias("buyers"),
     )
+
+
+HUBER_DELTA = 500.0  # cents; residuals beyond this get down-weighted
+HUBER_ITERS = 12
+
+
+def _huber_kernel(pdf):
+    """Per-user robust trend fit: IRLS with Huber weights on
+    (hour-index, cents). numpy float64 end to end — deterministic for a
+    given input set (sorted before fitting), verified against a pure-
+    Python replication in tests."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pdf.sort_values(["x", "event_id"], kind="mergesort")
+    x = pdf["x"].to_numpy(dtype="float64")
+    y = pdf["y"].to_numpy(dtype="float64")
+    uid = int(pdf["user_id"].iloc[0])
+    n = len(x)
+    if n < 2 or np.all(x == x[0]):
+        return pd.DataFrame(
+            {"user_id": [uid], "n": [n], "slope_milli": [None], "intercept_cents": [None]}
+        )
+    w = np.ones(n)
+    a = b = 0.0  # y ≈ a + b·x
+    for _ in range(HUBER_ITERS):
+        sw = w.sum()
+        sx, sy = (w * x).sum(), (w * y).sum()
+        sxx, sxy = (w * x * x).sum(), (w * x * y).sum()
+        den = sw * sxx - sx * sx
+        if den == 0:
+            break
+        b = (sw * sxy - sx * sy) / den
+        a = (sy - b * sx) / sw
+        r = y - a - b * x
+        ar = np.abs(r)
+        w = np.where(ar <= HUBER_DELTA, 1.0, HUBER_DELTA / ar)
+    return pd.DataFrame(
+        {
+            "user_id": [uid],
+            "n": [n],
+            "slope_milli": [float(np.floor(b * 1000.0 + 0.5))],
+            "intercept_cents": [float(np.floor(a + 0.5))],
+        }
+    )
+
+
+@register(
+    "huber_trend_slopes_grouped",
+    # rows-only by design: IRLS is an iterative float fit with no
+    # SQL-expressible closed form; tests replay the identical IRLS in
+    # pure Python (same float64 ops => equal) and assert the robustness
+    # property OLS lacks.
+    tags=("timeseries", "statistics", "custom-operator", "approx"),
+)
+def huber_trend_slopes_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROBUST per-user trend (Huber IRLS) via grouped-map
+    ``groupBy().applyInPandas`` — the batch Pandas API family the rest
+    of the registry hadn't needed (mapInPandas kernels, pandas UDAFs,
+    and the streaming applyInPandasWithState machines cover the
+    others): each user's points arrive as ONE pandas frame, numpy runs
+    an arbitrary iterative fit, one summary row returns. This is the
+    "thousands of small models, each too procedural for SQL" shape —
+    user_value_trend_slopes' exact-OLS sibling for data with outliers
+    (a single fat-finger purchase swings OLS; Huber's re-weighting
+    shrugs it off — the robustness delta is asserted in tests).
+
+    Scale: one shuffle on user_id; each group must fit one worker's
+    memory (per-user history — bounded in practice; cap upstream if
+    not). Arrow-batched both directions; no state, no driver loop."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    pts = ev.select(
+        "user_id",
+        "event_id",
+        (F.expr("unix_micros(ts) div 3600000000") - F.lit(_TREND_BASE_S // 3600)).alias("x"),
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("y"),
+    )
+    return pts.groupBy("user_id").applyInPandas(
+        _huber_kernel,
+        "user_id bigint, n bigint, slope_milli double, intercept_cents double",
+    )

@@ -233,6 +233,7 @@ _ROUND_NEW = frozenset(
         "link_prediction_jaccard",
         "price_volume_mix_decomposition",
         "cohort_ltv_curve",
+        "huber_trend_slopes_grouped",
     }
 )
 

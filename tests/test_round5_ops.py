@@ -1369,3 +1369,73 @@ def test_cohort_ltv_monotone_and_telescopes(spark, sf_dir):
             cum += r.week_cents
             assert r.cum_cents == cum
         assert cum == totals[cd]
+
+
+def test_huber_grouped_matches_python_irls_and_is_robust(spark, sf_dir):
+    """(a) the grouped-map kernel must equal a pure-Python IRLS replay
+    (same float64 ops); (b) robustness: injecting one huge outlier into
+    a user's series must move the OLS slope strictly more than the
+    Huber slope."""
+    from streamprocessing_spark.queries.timeseries import (
+        _TREND_BASE_S,
+        HUBER_DELTA,
+        HUBER_ITERS,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            "user_id",
+            "event_id",
+            (F.expr("unix_micros(ts) div 3600000000") - F.lit(_TREND_BASE_S // 3600)).alias("x"),
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("y"),
+        )
+        .collect()
+    )
+    series: dict[int, list] = {}
+    for r in ev:
+        series.setdefault(r.user_id, []).append((r.x, r.event_id, r.y))
+
+    def irls(pts):
+        pts = sorted(pts)
+        x = np.array([p[0] for p in pts], dtype=np.float64)
+        y = np.array([p[2] for p in pts], dtype=np.float64)
+        w = np.ones(len(x))
+        a = b = 0.0
+        for _ in range(HUBER_ITERS):
+            sw = w.sum()
+            sx, sy = (w * x).sum(), (w * y).sum()
+            sxx, sxy = (w * x * x).sum(), (w * x * y).sum()
+            den = sw * sxx - sx * sx
+            if den == 0:
+                break
+            b = (sw * sxy - sx * sy) / den
+            a = (sy - b * sx) / sw
+            r_ = y - a - b * x
+            ar = np.abs(r_)
+            w = np.where(ar <= HUBER_DELTA, 1.0, HUBER_DELTA / ar)
+        return a, b
+
+    rows = {r.user_id: r for r in SPECS["huber_trend_slopes_grouped"].fn(spark, sf_dir).collect()}
+    assert set(rows) == set(series)
+    for uid, pts in series.items():
+        a, b = irls(pts)
+        r = rows[uid]
+        assert r.n == len(pts)
+        assert r.slope_milli == np.floor(b * 1000.0 + 0.5)
+        assert r.intercept_cents == np.floor(a + 0.5)
+    # robustness: outlier perturbs OLS more than Huber
+    uid, pts = max(series.items(), key=lambda kv: len(kv[1]))
+    spiked = pts + [(max(p[0] for p in pts) + 1, 10**9, 10_000_000)]
+
+    def ols(pp):
+        x = np.array([p[0] for p in pp], dtype=np.float64)
+        y = np.array([p[2] for p in pp], dtype=np.float64)
+        return np.polyfit(x, y, 1)[0]
+
+    _, hub_clean = irls(pts)
+    _, hub_spike = irls(spiked)
+    ols_shift = abs(ols(spiked) - ols(pts))
+    hub_shift = abs(hub_spike - hub_clean)
+    assert hub_shift < ols_shift / 5, (hub_shift, ols_shift)
