@@ -140,18 +140,25 @@ def main() -> None:
         "complex_task_records_per_s": tp(n_lineitem, "q1_pricing_summary"),
     }
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": round(sum(timings.values()), 3),
-                "unit": "sec",
-                "queries": timings,
-                "throughput": throughput,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "throughput": throughput,
+        "sf": sf,
+    }
+    # r02 lesson (BENCH_r02.json parsed:null): the driver captures an
+    # output TAIL, and the 60-query JSON line got front-truncated —
+    # unparseable. Defenses: stop Spark BEFORE printing so no shutdown
+    # log ever lands after the line, emit the line LAST with compact
+    # separators, and persist a byte-identical copy to BENCH_LOCAL.json
+    # so the full record survives in-repo even if the capture clips.
+    spark.stop()
+    line = json.dumps(payload, separators=(",", ":"))
+    Path(__file__).resolve().parent.joinpath("BENCH_LOCAL.json").write_text(line + "\n")
+    sys.stdout.flush()
+    print(line, flush=True)
 
 
 if __name__ == "__main__":

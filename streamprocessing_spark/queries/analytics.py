@@ -3032,26 +3032,44 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ntile(4) under a deterministic (metric, custkey) ordering (bare
     ntile over a non-unique metric is run-dependent — the tiebreak IS
     the determinism fix), composed into the 111..444 segment code.
-    Three global ntiles run over the CUSTOMER dimension (one row per
-    customer after the aggregate), not the fact table — the windows are
-    dimension-sized by construction, the corpus pays one
-    map-side-combinable aggregate. At 1e9 customers the same quartile
-    cut comes from exact range_partition_boundaries instead of a single
-    sort — both ops are in this registry."""
+
+    Scale shape: the customer dimension is 10⁸–10⁹ at 100 TB, so a
+    literal ``ntile OVER (ORDER BY metric)`` — a single-task global
+    sort — is the one window shape this repo bans over entities. Each
+    quartile instead comes from operators/ranking.global_row_number
+    (range-exchange → per-slice row_number → broadcast offset stitch)
+    fed into the closed-form ntile_from_rank, which reproduces SQL
+    ntile's front-loaded-remainder bucket sizes exactly — the oracle's
+    plain ntile(4) stays the spec and the outputs are bit-identical.
+    Three ranked metrics → three range exchanges + three dimension
+    joins, every task touching only its slice."""
+    from streamprocessing_spark.operators.ranking import (
+        global_row_number,
+        ntile_from_rank,
+    )
+
     o = load_table(spark, sf_dir, "orders")
     base = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("freq"),
         F.sum(F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")).alias("monet"),
     )
-    r = F.ntile(4).over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
-    f_ = F.ntile(4).over(Window.orderBy(F.desc("freq"), F.asc("o_custkey")))
-    m = F.ntile(4).over(Window.orderBy(F.desc("monet"), F.asc("o_custkey")))
-    scored = base.select(
-        "o_custkey",
-        r.cast("long").alias("r"),
-        f_.cast("long").alias("f"),
-        m.cast("long").alias("m"),
+    nt = base.agg(F.count(F.lit(1)).alias("nu"))
+
+    def quartile(metric: str, out: str) -> DataFrame:
+        ranked = global_row_number(
+            base.select("o_custkey", metric),
+            [F.desc(metric), F.asc("o_custkey")],
+            out="rk",
+        )
+        return ranked.crossJoin(F.broadcast(nt)).select(
+            "o_custkey", ntile_from_rank(F.col("rk"), F.col("nu"), 4).alias(out)
+        )
+
+    scored = (
+        quartile("last_order", "r")
+        .join(quartile("freq", "f"), "o_custkey")
+        .join(quartile("monet", "m"), "o_custkey")
     )
     return scored.select(
         "o_custkey", "r", "f", "m",
@@ -3190,9 +3208,10 @@ def rollup_grouping_id_disambiguation(spark: SparkSession, sf_dir: str) -> DataF
     "table_content_fingerprint",
     oracle="""
     WITH canon AS (
-      SELECT CAST(o_orderkey AS VARCHAR) || '|' || o_orderstatus || '|'
-             || CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR)
-             || '|' || strftime(o_orderdate, '%Y-%m-%d') AS c
+      SELECT coalesce(CAST(o_orderkey AS VARCHAR), chr(1)) || '|'
+             || coalesce(o_orderstatus, chr(1)) || '|'
+             || coalesce(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS VARCHAR), chr(1))
+             || '|' || coalesce(strftime(o_orderdate, '%Y-%m-%d'), chr(1)) AS c
       FROM orders)
     SELECT CAST(count(*) AS BIGINT) AS n_rows,
            CAST(sum(CAST(CAST(('0x' || substr(md5(c), 1, 12)) AS BIGINT) AS HUGEINT))
@@ -3213,12 +3232,18 @@ def table_content_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle of actual rows. A differing row changes the sum with
     probability 1 − 2⁻⁴⁸ per difference; the companion row count
     catches compensating-pair edge cases cheaply. The 100 TB use:
-    cross-region replica validation without a distributed sort-merge."""
+    cross-region replica validation without a distributed sort-merge.
+    Every field is coalesced to a 0x01 sentinel in BOTH spellings —
+    concat_ws silently SKIPS a NULL argument while '||' nulls the whole
+    row out of the sum, so un-coalesced canonicalization diverges (and
+    worse, loses the NULL-vs-absent distinction) the moment a profiled
+    column admits NULLs."""
     o = load_table(spark, sf_dir, "orders")
     canon_sql = (
-        "concat_ws('|', CAST(o_orderkey AS STRING), o_orderstatus, "
-        "CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS STRING), "
-        "date_format(o_orderdate, 'yyyy-MM-dd'))"
+        "concat_ws('|', coalesce(CAST(o_orderkey AS STRING), char(1)), "
+        "coalesce(o_orderstatus, char(1)), "
+        "coalesce(CAST(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS STRING), char(1)), "
+        "coalesce(date_format(o_orderdate, 'yyyy-MM-dd'), char(1)))"
     )
     return o.select(
         F.expr(
@@ -3609,7 +3634,7 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH b AS (
       SELECT strftime(CAST(ts AS DATE), '%Y-%m') AS month,
-             strftime(CAST(ts AS DATE), '%W') AS week,
+             printf('w%05d', (CAST(ts AS DATE) - DATE '1970-01-05') // 7) AS week,
              strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
              CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
       FROM events WHERE event_type = 'purchase')
@@ -3627,15 +3652,21 @@ def calendar_hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregation pass (grouping sets), the BI date-drilldown cube with
     the grouping-level id carried so subtotal rows self-identify
     (rollup_grouping_id_disambiguation's lesson applied to the calendar
-    lattice). Weeks use the same Monday-start %W / 'ww' numbering in
-    both engines — the cross-engine calendar pitfall is the week RULE,
-    not the arithmetic, and pinning it in both spellings is part of the
-    op. Exact cents; one shuffle, partials combine map-side across all
-    four levels simultaneously."""
+    lattice). The week key is ARITHMETIC — Monday-aligned epoch weeks,
+    days-since-1970-01-05 div 7 — computed identically in both engines,
+    because named week rules genuinely differ across engines (Spark
+    weekofyear is ISO-8601 with year wrap, DuckDB strftime '%W' is
+    C-style week-of-year starting 00) and coincide only on data that
+    never crosses a year boundary; an engine-neutral integer week is the
+    only rule that can't drift. Exact cents; one shuffle, partials
+    combine map-side across all four levels simultaneously."""
     ev = load_table(spark, sf_dir, "events").where(F.col("event_type") == "purchase")
     b = ev.select(
         F.date_format("ts", "yyyy-MM").alias("month"),
-        F.format_string("%02d", F.weekofyear("ts")).alias("week"),
+        F.format_string(
+            "w%05d",
+            F.expr("CAST(datediff(CAST(ts AS DATE), DATE '1970-01-05') div 7 AS INT)"),
+        ).alias("week"),
         F.date_format("ts", "yyyy-MM-dd").alias("day"),
         F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
     )
@@ -3680,15 +3711,30 @@ def sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     non-vacuous at every scale; in production this runs against
     kafka-offset or invoice-number columns after every load.
 
-    The ordered lag over the distinct-id set is the one global sort —
-    over DISTINCT keys, not rows; for id spaces too big for one sort,
-    range-bucket the ids first (gap candidates only cross bucket edges
-    at bucket boundaries — the same banding trick as the theta join)."""
+    Scale shape: the id dimension is FACT-sized (distinct order keys =
+    billions at 100 TB), so a single global ordered lag would be a
+    one-task sort. Instead ids are range-bucketed by ``id div 2^20``:
+    consecutive ids land in the same bucket (lag partitioned by bucket —
+    a normal hash-shuffled window) except exactly at bucket boundaries,
+    where the successor of a bucket's max is the NEXT non-empty bucket's
+    min — recovered from the buckets-sized (ids/2^20 rows) min/max
+    summary with one dimension-sized ordered lag. Empty buckets need no
+    special case: the summary only contains non-empty buckets, so the
+    boundary lag naturally jumps them. Same banding trick as the theta
+    join; the bucket window and the min/max aggregate reuse one exchange
+    on the bucket key."""
     li = load_table(spark, sf_dir, "lineitem")
     k = li.select(F.col("l_orderkey").alias("id")).distinct()
-    w = Window.orderBy("id")
-    l = k.select("id", F.lag("id").over(w).alias("prev"))
-    return l.where(F.col("prev").isNotNull() & (F.col("id") - F.col("prev") > 1)).select(
+    b = k.withColumn("bkt", F.expr("id div 1048576"))
+    wb = Window.partitionBy("bkt").orderBy("id")
+    intra = b.select("id", F.lag("id").over(wb).alias("prev"))
+    summ = b.groupBy("bkt").agg(F.min("id").alias("mn"), F.max("id").alias("mx"))
+    ws = Window.orderBy("bkt")
+    cross = summ.select(
+        F.col("mn").alias("id"), F.lag("mx").over(ws).alias("prev")
+    )
+    pairs = intra.unionByName(cross)
+    return pairs.where(F.col("prev").isNotNull() & (F.col("id") - F.col("prev") > 1)).select(
         (F.col("prev") + 1).cast("long").alias("gap_start"),
         (F.col("id") - 1).cast("long").alias("gap_end"),
         (F.col("id") - F.col("prev") - 1).cast("long").alias("gap_len"),

@@ -1803,20 +1803,25 @@ def bot_rate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     rate threshold is fixture-fragile, the domain_blocklist_filter
     lesson reapplied). Production swaps the rank cut for a calibrated
     threshold; the plan — fact collapse to (user, day), per-user max,
-    a user-dimension rank — is unchanged. The rank window runs over
-    the USER dimension, never events."""
+    a user-dimension rank — is unchanged.
+
+    The rank runs over the USER dimension, never events — but an entity
+    dimension is 10⁸–10⁹ at 100 TB, too big for the single-task global
+    window a bare ``row_number() OVER (ORDER BY ...)`` compiles to, so
+    the rank comes from operators/ranking.global_row_number
+    (range-exchange → per-slice row_number → broadcast offset stitch);
+    the oracle's plain windowed row_number stays the spec and the
+    numbers are identical under the total (burst desc, user) order."""
+    from streamprocessing_spark.operators.ranking import global_row_number
+
     ev = load_table(spark, sf_dir, "events")
     m = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
         F.count(F.lit(1)).alias("n")
     )
     mx = m.groupBy("user_id").agg(F.max("n").alias("max_per_day"))
     t = mx.agg(F.count(F.lit(1)).alias("nu"))
-    r = mx.select(
-        "user_id",
-        "max_per_day",
-        F.row_number()
-        .over(Window.orderBy(F.desc("max_per_day"), F.asc("user_id")))
-        .alias("rk"),
+    r = global_row_number(
+        mx, [F.desc("max_per_day"), F.asc("user_id")], out="rk"
     )
     return r.crossJoin(F.broadcast(t)).select(
         "user_id",

@@ -220,11 +220,14 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_audio_energy",
     oracle=f"""
-    WITH f AS (
+    WITH ascii_docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE octet_length(encode(text)) = length(text)),
+    f AS (
       SELECT doc_id,
              (p - 1) // {M.AUDIO_FRAME} AS fi,
              ascii(substr(text, CAST(p AS INTEGER), 1)) - 128 AS s
-      FROM documents,
+      FROM ascii_docs,
            unnest(range(1, (len(text) // {M.AUDIO_FRAME}) * {M.AUDIO_FRAME} + 1)) AS u(p))
     SELECT doc_id AS media_id, CAST(fi AS BIGINT) AS frame_idx,
            CAST(sum(s * s) AS BIGINT) AS energy
@@ -238,10 +241,16 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     samples, Σ s² per 64-sample frame — the silence-trim / VAD /
     loudness feature pass, completing the modality set next to the
     image (phash/resize) and video (frame-sample) kernels. The fixture
-    payload is the UTF-8 document text (ASCII — asserted by the
-    oracle's ascii() replay matching the kernel's byte view), so the
-    WHOLE kernel, not just the plumbing, is bit-oracled; a real corpus
-    swaps only the sample-decode line."""
-    d = load_table(spark, sf_dir, "documents")
+    payload is the UTF-8 document text, so the WHOLE kernel, not just
+    the plumbing, is bit-oracled; a real corpus swaps only the
+    sample-decode line. The oracle replays the kernel's BYTE view with
+    character functions (ascii/substr/len), which only coincides with
+    the UTF-8 byte stream for pure-ASCII text — both sides therefore
+    filter to octet_length == char length EXPLICITLY, so a multi-byte
+    character in a future fixture drops out identically on both engines
+    instead of silently breaking parity."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.expr("octet_length(text) = length(text)")
+    )
     media = M.attach_payload(d, "doc_id", "text")
     return M.audio_energy_frames(media)

@@ -1467,6 +1467,7 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 // ((a.n * a.q - a.s * a.s) * b.n * b.n * (b.n - 1)
                     + (b.n * b.q - b.s * b.s) * a.n * a.n * (a.n - 1)) AS BIGINT) AS t2_milli
     FROM pts a JOIN pts b ON a.event_type < b.event_type
+    WHERE (a.n * a.q - a.s * a.s) + (b.n * b.q - b.s * b.s) > 0
     """,
     tags=("timeseries", "statistics"),
 )
@@ -1517,7 +1518,14 @@ def welch_t2_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("type_b"),
         F.col("n").alias("nb"), F.col("s").alias("sb"), F.col("q").alias("qb"),
     )
-    j = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    # Degenerate-but-legal guard: the pooled denominator is zero iff BOTH
+    # groups have zero variance (each nq−s² ≥ 0 and n ≥ 2). On that input
+    # DuckDB '//' raises division-by-zero while Spark 'div' yields NULL —
+    # the pair is excluded identically on both sides instead (the test is
+    # undefined there anyway: no within-group variation to test against).
+    j = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b")).where(
+        F.expr("(na * qa - sa * sa) + (nb * qb - sb * sb) > 0")
+    )
     return j.select(
         "type_a",
         "type_b",
@@ -1834,6 +1842,7 @@ def cep_click_error_no_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((1000 * (ssb_part - (st * st) // nt) * (nt - k))
                 // ((qt - ssb_part) * (k - 1)) AS BIGINT) AS f_milli
     FROM t
+    WHERE (qt - ssb_part) * (k - 1) > 0
     """,
     tags=("timeseries", "statistics"),
 )
@@ -1873,6 +1882,11 @@ def anova_f_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("q").alias("qt"),
         F.sum(F.expr("(s * s) div n")).alias("ssb_part"),
     )
+    # Degenerate-but-legal guard (same contract as welch_t2): the F
+    # denominator is zero iff k == 1 or every group has zero within-group
+    # variance (qt == ssb_part; each q − s²/n ≥ 0). DuckDB '//' errors on
+    # /0 where Spark 'div' yields NULL — emit no row identically instead.
+    t = t.where(F.expr("(qt - ssb_part) * (k - 1) > 0"))
     return t.select(
         F.col("k").cast("long").alias("k"),
         F.col("nt").cast("long").alias("n_total"),

@@ -353,3 +353,34 @@ def test_snm_has_no_join_and_no_global_sort(spark, sf_dir):
     plan = X.formatted_plan(df)
     assert "Join" not in plan, plan
     assert "rangepartitioning" not in plan.lower(), plan
+
+
+def test_entity_ranks_are_range_bucketed(spark, sf_dir):
+    """rfm_customer_segments and bot_rate_flags rank an ENTITY dimension
+    (customers/users — 10⁸–10⁹ at 100 TB): the plan must carry the
+    range-exchange + pid-partitioned row_number shape from
+    operators/ranking, and no data-sized window may run unpartitioned
+    (the only single-partition window allowed is the P-row offset
+    prefix-sum over partition counts)."""
+    import re
+
+    for name in ("rfm_customer_segments", "bot_rate_flags"):
+        df = SPECS[name].fn(spark, sf_dir)
+        plan = X.formatted_plan(df)
+        assert "rangepartitioning" in plan.lower(), name
+        # every data-sized row_number is partitioned by the range-bucket id
+        assert re.search(r"windowspecdefinition\(__rank_pid#", plan), name
+        # the old shape must be gone: no global ntile / unpartitioned
+        # row_number over the entity rows
+        assert "ntile(" not in plan, name
+
+
+def test_sequence_gap_lag_is_bucket_partitioned(spark, sf_dir):
+    """sequence_gap_audit's id dimension is fact-sized (distinct order
+    keys): the per-id lag must be partitioned by the 2^20 range bucket;
+    only the buckets-sized min/max summary may see a global window."""
+    import re
+
+    df = SPECS["sequence_gap_audit"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert re.search(r"windowspecdefinition\(bkt#", plan), plan
