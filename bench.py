@@ -96,6 +96,15 @@ HEADLINE = [
     "nest_order_lineitems",
     "daily_active_user_bitmap",
     "table_content_fingerprint",
+    # round-3 additions
+    "srp_lsh_cosine_pairs_scaled",
+    "repetition_dup_trigram_fraction",
+    "embedding_drift_chi2_by_dim",
+    "url_canonical_dedup",
+    "multimodal_phash_arrow",
+    "rfm_customer_segments",
+    "bot_rate_flags",
+    "sequence_gap_audit",
 ]
 
 

@@ -273,14 +273,46 @@ def phash_df(media: DataFrame) -> DataFrame:
     )
 
 
-def phash_neardup_pairs(media: DataFrame, max_hamming: int = PH_MAX_HAMMING) -> DataFrame:
+def phash_df_arrow(media: DataFrame) -> DataFrame:
+    """mapInArrow twin of phash_df: the same per-asset hash through raw
+    pyarrow RecordBatches instead of pandas DataFrames. Skipping the
+    Arrow→pandas conversion avoids a per-batch columnar→Series copy of
+    the PAYLOAD bytes (the one big column), which is pure overhead for a
+    kernel that only iterates them once — the right shape for
+    bytes-in/scalar-out media kernels, while pandas-backed mapInPandas
+    stays the right shape for kernels that want vectorized numpy math
+    (audio_energy_frames). Bit-identical output to phash_df."""
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            if rb.num_rows == 0:
+                continue
+            ids = rb.column(rb.schema.get_field_index("media_id"))
+            payloads = rb.column(rb.schema.get_field_index("payload"))
+            hashes = pa.array(
+                [phash_stub(p.as_py()) for p in payloads], type=pa.int64()
+            )
+            yield pa.RecordBatch.from_arrays([ids, hashes], ["media_id", "phash"])
+
+    return media.select("media_id", "payload").mapInArrow(
+        kernel, "media_id bigint, phash bigint"
+    )
+
+
+def phash_neardup_pairs(
+    media: DataFrame, max_hamming: int = PH_MAX_HAMMING, hasher=phash_df
+) -> DataFrame:
     """(id_a, id_b, hamming): asset pairs whose perceptual hashes differ
     in ≤ max_hamming bits. Candidates come from 4×15-bit band buckets
     (a pair within hamming 3 shares at least one intact band — the
     SimHash pigeonhole, so recall is exactly 100%, not probabilistic);
     only candidates pay the popcount verify. Shuffle carries (band,
-     15-bit sig, id) triples — never payloads, never pixel data."""
-    h = phash_df(media)
+     15-bit sig, id) triples — never payloads, never pixel data.
+    ``hasher`` selects the hash kernel (phash_df / phash_df_arrow —
+    identical outputs, different Python batch interfaces)."""
+    h = hasher(media)
     bands = h.select(
         F.col("media_id").alias("id"),
         "phash",

@@ -118,18 +118,24 @@ def srp_weights(dim: int, nbits: int = SRP_BITS) -> list[list[float]]:
     ]
 
 
-def _srp_band_structs(vec_col: str, weights: list[list[float]]) -> Column:
+def _srp_band_structs(
+    vec_col: str,
+    weights: list[list[float]],
+    rows_per_band: int = SRP_ROWS_PER_BAND,
+    bands: int = SRP_BANDS,
+) -> Column:
     """Array of (band, sig) structs for one vector column. The weights are
     plan literals (computed driver-side once) — each bit is a
     zip_with/aggregate fold evaluated JVM-side, no Python at execution
     time.
 
-    The whole thing is ONE SQL expression string (16 hyperplanes × dim
+    The whole thing is ONE SQL expression string (hyperplanes × dim
     double literals): Column-tree construction cost ~1000 py4j round-trips
     (~0.9 s driver time) per query. `repr(float)` round-trips exactly
     through both Python and the SQL parser (shortest correctly-rounded
     decimal), and the `D` suffix forces DOUBLE (bare decimal literals
     parse as DECIMAL in Spark SQL)."""
+    assert len(weights) == rows_per_band * bands
 
     def _dlit(x: float) -> str:
         r = repr(x)
@@ -147,9 +153,9 @@ def _srp_band_structs(vec_col: str, weights: list[list[float]]) -> Column:
         bits.append(f"(CASE WHEN {dot} >= 0.0D THEN '1' ELSE '0' END)")
     structs = ", ".join(
         "struct({b} AS band, concat({bs}) AS sig)".format(
-            b=b, bs=", ".join(bits[b * SRP_ROWS_PER_BAND : (b + 1) * SRP_ROWS_PER_BAND])
+            b=b, bs=", ".join(bits[b * rows_per_band : (b + 1) * rows_per_band])
         )
-        for b in range(SRP_BANDS)
+        for b in range(bands)
     )
     return F.expr(f"array({structs})")
 
@@ -191,6 +197,95 @@ def srp_lsh_cosine_pairs(
     # per-pair cosine = dot + 2 norms would triple the dominant cost.
     # The joined norm is the same double the per-pair fold would produce —
     # bit-identical to the oracle's per-pair norm arithmetic.
+    va = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        norm_double(F.col(vec_col)).alias("na"),
+    )
+    vb = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        norm_double(F.col(vec_col)).alias("nb"),
+    )
+    from streamprocessing_spark.functions.text import portable_round
+
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (dot_double(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim"))
+    )
+
+
+# Adaptive-r SRP tier: r(n) = clamp(ceil(log2 n) − SRP_R_SHIFT,
+# SRP_RMIN, SRP_RMAX) bits per band — the banding resolution grows with
+# the corpus the way ivf_cosine_pairs' K = ⌈√n⌉ does, so expected bucket
+# size (≈ n/2^r for well-spread signatures) stays bounded instead of
+# growing linearly with n (the fixed-(r,b) candidate law n²·c^r measured
+# in SCALE.md). SRP_RMAX caps the bits this instrument computes (each
+# bit is one interpreted dot fold — resolution is paid linearly);
+# production at 100 TB raises RMAX to 16–24 and re-derives SHIFT so
+# 2^r ∝ n holds across the whole corpus range.
+SRP_RMIN = 4
+SRP_RMAX = 8
+SRP_R_SHIFT = 7
+
+
+def srp_lsh_cosine_pairs_adaptive(
+    emb: DataFrame,
+    threshold: float,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SRP-LSH near-dup pairs with CORPUS-SCALED band resolution — the
+    in-family remedy for the fixed-(r,b) banding law (the cross-family
+    remedy is ivf_cosine_pairs).
+
+    Each band's signature is computed at SRP_RMAX bits and truncated to
+    r(n) bits, with n (and hence r) derived IN-PLAN from a broadcast
+    single-row aggregate — no config to forget when the corpus grows,
+    and the whole pipeline stays deterministic and bit-exact-oracleable
+    (the oracle derives the same r from the same count). Doubling the
+    corpus adds one signature bit, halving expected bucket occupancy:
+    candidates stay ~linear in n where frozen-r banding goes n²·c^r.
+    Recall shrinks as r grows (p^r per band) — b would grow with r in a
+    recall-targeted production setting; here b is fixed and the recall
+    curve is asserted against the exact tier in tests."""
+    weights = srp_weights(dim, nbits=SRP_BANDS * SRP_RMAX)
+    r = emb.agg(
+        F.expr(
+            f"CAST(least({SRP_RMAX}, greatest({SRP_RMIN}, "
+            f"CAST(ceil(log2(greatest(count(1), 2))) AS INT) - {SRP_R_SHIFT})) AS INT)"
+        ).alias("r")
+    )
+    full = emb.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            _srp_band_structs(vec_col, weights, rows_per_band=SRP_RMAX)
+        ).alias("bs"),
+    )
+    buckets = full.crossJoin(F.broadcast(r)).select(
+        "id",
+        F.col("bs.band").alias("band"),
+        F.expr("substring(bs.sig, 1, r)").alias("sig"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # Norm-once discipline (see srp_lsh_cosine_pairs): identical doubles
+    # to per-pair folds, a third of the interpreted-HOF cost.
     va = emb.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
         norm_double(F.col(vec_col)).alias("na"),

@@ -1828,3 +1828,117 @@ def bot_rate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("max_per_day").cast("long").alias("max_per_day"),
         F.when(F.col("rk") * 10 <= F.col("nu"), F.lit(1)).otherwise(F.lit(0)).cast("long").alias("is_bot"),
     )
+
+
+# url_canonical_dedup's synthetic raw URLs: doc_id-derived host/path with
+# md5-derived NOISE (scheme, www, port, tracking query, trailing slash) so
+# the same logical page is reachable under many spellings — the crawl
+# reality the canonicalizer exists for. Collision space host×path = 11×13
+# keeps duplicate groups non-vacuous from sf0.001 up (same
+# fixture-adaptation rule as _with_domain's synthesized URLs).
+_CANON_HOSTS = 11
+_CANON_PATHS = 13
+
+
+def _sql_raw_url_cte() -> str:
+    return f"""
+    raw AS (
+      SELECT doc_id,
+             (CASE WHEN CAST(('0x' || substr(md5('u:' || CAST(doc_id AS VARCHAR)), 1, 1)) AS INTEGER) < 8
+                   THEN 'http' ELSE 'https' END)
+             || '://'
+             || (CASE CAST(('0x' || substr(md5('u:' || CAST(doc_id AS VARCHAR)), 2, 1)) AS INTEGER) % 3
+                   WHEN 0 THEN '' WHEN 1 THEN 'www.' ELSE 'WWW.' END)
+             || 'news' || CAST(doc_id % {_CANON_HOSTS} AS VARCHAR) || '.com'
+             || (CASE WHEN CAST(('0x' || substr(md5('u:' || CAST(doc_id AS VARCHAR)), 3, 1)) AS INTEGER) % 4 = 0
+                   THEN ':443' ELSE '' END)
+             || '/art/' || CAST(doc_id % {_CANON_PATHS} AS VARCHAR)
+             || (CASE WHEN CAST(('0x' || substr(md5('u:' || CAST(doc_id AS VARCHAR)), 4, 1)) AS INTEGER) % 2 = 0
+                   THEN '/' ELSE '' END)
+             || (CASE WHEN CAST(('0x' || substr(md5('u:' || CAST(doc_id AS VARCHAR)), 5, 1)) AS INTEGER) % 3 = 0
+                   THEN '?utm_source=feed&sid=' || CAST(doc_id AS VARCHAR) ELSE '' END)
+             AS url
+      FROM documents)
+    """
+
+
+@register(
+    "url_canonical_dedup",
+    oracle=f"""
+    WITH {_sql_raw_url_cte()},
+    canon AS (
+      SELECT doc_id,
+             regexp_replace(
+               regexp_replace(
+                 regexp_replace(
+                   regexp_replace(
+                     regexp_replace(lower(url), '^https?://', ''),
+                     '^www\\.', ''),
+                   ':[0-9]+', ''),
+                 '[?#].*$', ''),
+               '/$', '') AS curl
+      FROM raw)
+    SELECT curl AS canonical_url,
+           CAST(count(*) AS BIGINT) AS n_variants,
+           CAST(min(doc_id) AS BIGINT) AS keep_doc_id
+    FROM canon GROUP BY curl
+    """,
+    tags=("curation", "dedup", "llm-pipeline", "web"),
+)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + dedup — the FIRST dedup pass of every web
+    crawl pipeline (cheaper than any content hash: the key is ~60 bytes
+    and already in the frontier): lowercase, strip scheme / leading www /
+    explicit port / query+fragment / trailing slash, then keep the
+    smallest doc_id per canonical URL. Raw URLs are synthesized per doc
+    with md5-derived spelling noise (http vs https, www/WWW/none, :443,
+    utm tracking params, trailing slash) over an 11×13 host×path space,
+    so genuine multi-spelling duplicate groups exist at every SF —
+    the canonicalizer is provably non-vacuous (asserted in tests:
+    n_variants > 1 groups exist, and distinct canonical < distinct raw).
+
+    Scale shape: five regexp_replace projections inside the scan
+    (codegen, no UDF), one map-side-combinable aggregate keyed by the
+    canonical string. At 100 TB this keys the shuffle on ~60-byte
+    strings — the cheapest possible dedup shuffle, which is exactly why
+    crawlers run it before MinHash ever sees the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    h = F.md5(F.concat(F.lit("u:"), F.col("doc_id").cast("string")))
+
+    def hx(i: int) -> F.Column:
+        return F.conv(F.substring(h, i, 1), 16, 10).cast("int")
+
+    url = F.concat(
+        F.when(hx(1) < 8, F.lit("http")).otherwise(F.lit("https")),
+        F.lit("://"),
+        F.when(hx(2) % 3 == 0, F.lit(""))
+        .when(hx(2) % 3 == 1, F.lit("www."))
+        .otherwise(F.lit("WWW.")),
+        F.lit("news"),
+        (F.col("doc_id") % _CANON_HOSTS).cast("string"),
+        F.lit(".com"),
+        F.when(hx(3) % 4 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/art/"),
+        (F.col("doc_id") % _CANON_PATHS).cast("string"),
+        F.when(hx(4) % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            hx(5) % 3 == 0,
+            F.concat(F.lit("?utm_source=feed&sid="), F.col("doc_id").cast("string")),
+        ).otherwise(F.lit("")),
+    )
+    curl = F.col("url")
+    for pat, rep in (
+        ("^https?://", ""),
+        (r"^www\.", ""),
+        (":[0-9]+", ""),
+        ("[?#].*$", ""),
+        ("/$", ""),
+    ):
+        curl = F.regexp_replace(curl, pat, rep)
+    canon = d.select("doc_id", F.lower(url).alias("url")).select(
+        "doc_id", curl.alias("curl")
+    )
+    return canon.groupBy(F.col("curl").alias("canonical_url")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_variants"),
+        F.min("doc_id").cast("long").alias("keep_doc_id"),
+    )

@@ -218,6 +218,25 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_phash_arrow",
+    oracle=_sql_phash_oracle(),
+    tags=("multimodal", "dedup", "llm-pipeline", "lsh", "arrow"),
+)
+def multimodal_phash_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The phash near-dup pipeline with its hash kernel on the RAW ARROW
+    path (mapInArrow) instead of pandas-backed mapInPandas — same
+    banding, same verify, same oracle, bit-identical output (asserted
+    in tests). Registered separately because the two Python batch
+    interfaces are both part of the engine's surface: mapInArrow skips
+    the Arrow→pandas copy of the payload column (right for
+    bytes-in/scalar-out kernels), mapInPandas buys vectorized numpy
+    (right for math-heavy kernels like audio energy)."""
+    d = load_table(spark, sf_dir, "documents")
+    media = M.attach_payload(d, "doc_id", "text")
+    return M.phash_neardup_pairs(media, hasher=M.phash_df_arrow)
+
+
+@register(
     "multimodal_audio_energy",
     oracle=f"""
     WITH ascii_docs AS (

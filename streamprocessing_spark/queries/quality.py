@@ -100,6 +100,66 @@ def repetition_top_bigram_fraction(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 @register(
+    "repetition_dup_trigram_fraction",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS g
+      FROM toks WHERE len(t) >= 3
+    )
+    SELECT doc_id,
+           CAST(len(g) AS BIGINT) AS n_trigrams,
+           CAST(len(list_distinct(g)) AS BIGINT) AS n_distinct,
+           CAST((1000000 * (len(g) - len(list_distinct(g)))) // len(g) AS BIGINT)
+             AS dup_frac_micro
+    FROM grams
+    """,
+    tags=("quality", "text", "llm-pipeline", "dedup"),
+)
+def repetition_dup_trigram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The OTHER Gopher repetition rule — fraction of duplicate word
+    trigrams per document (occurrences beyond each trigram's first):
+    where repetition_top_bigram_fraction catches one dominant template
+    phrase, this catches diffuse self-repetition (looping generations,
+    keyword stuffing, boilerplate listings) whose top n-gram alone looks
+    innocent. Exact integers end-to-end; dup fraction emitted in
+    integer micros (floor division, identical in both engines).
+
+    Plan shape — the cheapest query in the repetition family: the
+    trigram list, its length, and its DISTINCT length are all
+    ARRAY-LOCAL expressions inside the scan projection (array_distinct
+    dedupes within the row), so the whole filter is a zero-shuffle
+    narrow scan; nothing is exploded and nothing leaves the stage. At
+    100 TB this pipelines inside whole-stage codegen at scan speed —
+    the per-doc trigram multiset never materializes as rows."""
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select("doc_id", T.tokens(F.col("text")).alias("t"))
+    t = F.col("t")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 3),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(t, i + 1),
+            F.element_at(t, i + 2),
+            F.element_at(t, i + 3),
+        ),
+    )
+    g = toked.where(F.size(t) >= 3).select("doc_id", grams.alias("g"))
+    return g.select(
+        "doc_id",
+        F.size("g").cast("long").alias("n_trigrams"),
+        F.size(F.array_distinct("g")).cast("long").alias("n_distinct"),
+        F.expr(
+            "CAST((1000000 * (size(g) - size(array_distinct(g)))) div size(g) AS BIGINT)"
+        ).alias("dup_frac_micro"),
+    )
+
+
+@register(
     "doc_type_token_ratio",
     oracle=f"""
     WITH toks AS (

@@ -141,20 +141,98 @@ SRP_THRESHOLD = 0.45
 @register(
     "srp_lsh_cosine_pairs",
     oracle=_sql_srp_oracle(SRP_THRESHOLD),
-    tags=("similarity", "dedup", "llm-pipeline", "lsh"),
+    tags=("similarity", "dedup", "llm-pipeline", "lsh", "baseline-fixed-scale"),
 )
 def srp_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding near-dup via SRP-LSH banding + exact cosine verify — the
-    sublinear scale path for embedding_cosine_pairs (candidates from a
-    (band, sig)-keyed self-join instead of all-pairs). Deterministic
-    md5-derived hyperplanes make the full pipeline oracle-checkable;
-    recall vs the exact tier is asserted in tests/test_similarity.py."""
+    """Embedding near-dup via SRP-LSH banding + exact cosine verify —
+    candidates from a (band, sig)-keyed self-join instead of all-pairs.
+    Deterministic md5-derived hyperplanes make the full pipeline
+    oracle-checkable; recall vs the exact tier is asserted in
+    tests/test_similarity.py.
+
+    FIXED-SCALE BASELINE, not the production tier: its frozen (r=4, b=4)
+    signature means bucket occupancy grows with the corpus (the measured
+    n²·c^r candidate law, SCALE.md ×9.2 at the 10× proxy). Production
+    near-dup runs ivf_cosine_pairs (count-scaled K, n^1.5 both stages,
+    measured ×5.0) or srp_lsh_cosine_pairs_scaled (count-scaled r) —
+    this query stays registered as the comparable baseline the scale
+    curves are measured against."""
     emb = load_table(spark, sf_dir, "embeddings")
     # one-row probe for the dataset-constant dimension; empty table →
     # dim 1, the pipeline then yields an empty result like any query
     row = emb.select("embedding").head()
     dim = len(row[0]) if row else 1
     return S.srp_lsh_cosine_pairs(emb, SRP_THRESHOLD, dim)
+
+
+def _sql_srp_adaptive_oracle(threshold: float) -> str:
+    """DuckDB mirror of operators.similarity.srp_lsh_cosine_pairs_adaptive:
+    full SRP_RMAX-bit band signatures, truncated to the SAME
+    count-derived r — ceil(log2 n) is exact on both engines (correctly-
+    rounded double of an integer argument, ceil'd to an integral value
+    before the int cast, so DuckDB's round-on-cast vs Spark's truncate
+    never sees a fractional value)."""
+    from streamprocessing_spark.operators.similarity import (
+        SRP_BANDS,
+        SRP_R_SHIFT,
+        SRP_RMAX,
+        SRP_RMIN,
+    )
+
+    nbits = SRP_BANDS * SRP_RMAX
+    bit_cols = ",\n             ".join(f"{_sql_srp_bit(j)} AS bit_{j}" for j in range(nbits))
+    band_rows = "\n      UNION ALL\n".join(
+        "      SELECT id, {b} AS band, substr({sig}, 1, r_t.r) AS sig FROM sig_t, r_t".format(
+            b=b,
+            sig=" || ".join(f"bit_{b * SRP_RMAX + r}" for r in range(SRP_RMAX)),
+        )
+        for b in range(SRP_BANDS)
+    )
+    cos = _sql_cos("ea.embedding", "eb.embedding")
+    return f"""
+    WITH r_t AS (
+      SELECT CAST(least({SRP_RMAX}, greatest({SRP_RMIN},
+                 CAST(ceil(log2(greatest(count(*), 2))) AS INT) - {SRP_R_SHIFT})) AS INT) AS r
+      FROM embeddings),
+    sig_t AS (
+      SELECT vec_id AS id,
+             {bit_cols}
+      FROM embeddings
+    ),
+    buckets AS (
+{band_rows}
+    ),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM buckets a
+             JOIN buckets b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id)
+    SELECT c.id_a, c.id_b,
+           floor({cos} * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE {cos} >= {threshold}
+    """
+
+
+@register(
+    "srp_lsh_cosine_pairs_scaled",
+    oracle=_sql_srp_adaptive_oracle(SRP_THRESHOLD),
+    tags=("similarity", "dedup", "llm-pipeline", "lsh", "scale-tier"),
+)
+def srp_lsh_cosine_pairs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH near-dup with corpus-scaled band resolution — r(n) =
+    clamp(ceil(log2 n) − 7, 4, 8) signature bits per band, derived
+    in-plan from the corpus count exactly like ivf_cosine_pairs derives
+    K = ⌈√n⌉. This is the in-family fix for the measured fixed-(r,b)
+    candidate law (SCALE.md: srp ×9.2 at the 10× proxy): doubling the
+    corpus adds a bit, keeping expected bucket occupancy — and hence
+    candidate volume per row — roughly constant. Bit-exact oracle (the
+    SQL derives the same r from the same count); recall vs the exact
+    tier asserted in tests/test_similarity.py."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.select("embedding").head()
+    dim = len(row[0]) if row else 1
+    return S.srp_lsh_cosine_pairs_adaptive(emb, SRP_THRESHOLD, dim)
 
 
 def _sql_ivf_pairs_oracle(threshold: float, nassign: int) -> str:
@@ -192,7 +270,7 @@ def _sql_ivf_pairs_oracle(threshold: float, nassign: int) -> str:
 @register(
     "ivf_cosine_pairs",
     oracle=_sql_ivf_pairs_oracle(SRP_THRESHOLD, 3),
-    tags=("similarity", "dedup", "llm-pipeline", "approx"),
+    tags=("similarity", "dedup", "llm-pipeline", "approx", "production-tier"),
 )
 def ivf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup with IVF-CELL candidate generation — the scale
@@ -366,7 +444,7 @@ def knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN comp c ON e.vec_id = c.id AND c.component <> c.id
     WHERE c.id IS NULL
     """,
-    tags=("similarity", "dedup", "llm-pipeline", "iterative", "approx"),
+    tags=("similarity", "dedup", "llm-pipeline", "iterative", "approx", "production-tier"),
 )
 def semantic_dedup_keep_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """semantic_dedup_keep with its pair stage swapped from SRP banding to
@@ -410,10 +488,15 @@ def semantic_dedup_keep_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     LEFT JOIN comp c ON e.vec_id = c.id AND c.component <> c.id
     WHERE c.id IS NULL
     """,
-    tags=("similarity", "dedup", "llm-pipeline", "lsh", "iterative"),
+    tags=("similarity", "dedup", "llm-pipeline", "lsh", "iterative", "baseline-fixed-scale"),
 )
 def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup-style SEMANTIC dedup, materialized: SRP-LSH candidate
+    """FIXED-SCALE BASELINE cascade — the production keep-set is
+    semantic_dedup_keep_ivf (count-scaled quantizer, measured ×5.0 at the
+    10× proxy vs ×11.7 for this SRP pair stage; SCALE.md); this variant
+    stays registered as the head-to-head baseline.
+
+    SemDeDup-style SEMANTIC dedup, materialized: SRP-LSH candidate
     pairs at the SRP_THRESHOLD (0.45) cosine bar → exact-cosine verify → connected
     components → keep one vector per semantic cluster (the min vec_id)
     plus every singleton. The embedding-space counterpart of
@@ -519,7 +602,7 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "srp_lsh_cosine_pairs_fast",
-    tags=("similarity", "dedup", "llm-pipeline", "lsh", "approx", "pandas-udf"),
+    tags=("similarity", "dedup", "llm-pipeline", "lsh", "approx", "pandas-udf", "baseline-fixed-scale"),
 )
 def srp_lsh_cosine_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SRP near-dup pipeline with its dominant stage — the exact
@@ -1089,4 +1172,105 @@ def label_centroid_distance_matrix(spark: SparkSession, sf_dir: str) -> DataFram
         "label_a",
         "label_b",
         (F.floor(cos * 1e6 + F.lit(0.5)) / 1e6).alias("cos_sim"),
+    )
+
+
+DRIFT_BIN_SCALE = 8      # value bin = clamp(floor(val * 8), -8, 7) — 16 bins
+DRIFT_CHI2_SCALE = 1000  # statistic emitted in integer millis
+
+
+@register(
+    "embedding_drift_chi2_by_dim",
+    oracle=f"""
+    WITH n_t AS (SELECT count(*) AS n FROM embeddings),
+    v AS (
+      SELECT (e.vec_id * 2 < n_t.n) AS is_ref,
+             g.i - 1 AS dim,
+             greatest(-{DRIFT_BIN_SCALE},
+                      least({DRIFT_BIN_SCALE} - 1,
+                            CAST(floor(CAST(e.embedding[g.i] AS DOUBLE)
+                                       * {DRIFT_BIN_SCALE}) AS INT))) AS bin
+      FROM embeddings e, n_t,
+           LATERAL (SELECT unnest(generate_series(1, len(e.embedding))) AS i) g
+    ),
+    cell AS (
+      SELECT dim, bin,
+             CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS HUGEINT) AS a,
+             CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS HUGEINT) AS b
+      FROM v GROUP BY 1, 2),
+    tot AS (SELECT dim, sum(a) AS na, sum(b) AS nb FROM cell GROUP BY 1)
+    SELECT CAST(c.dim AS BIGINT) AS dim,
+           CAST(t.na AS BIGINT) AS n_ref,
+           CAST(t.nb AS BIGINT) AS n_cur,
+           CAST(sum(({DRIFT_CHI2_SCALE} * (c.a * t.nb - c.b * t.na)
+                     * (c.a * t.nb - c.b * t.na))
+                    // (t.na * t.nb * (c.a + c.b))) AS BIGINT) AS chi2_milli
+    FROM cell c JOIN tot t ON t.dim = c.dim
+    GROUP BY c.dim, t.na, t.nb
+    """,
+    tags=("similarity", "quality", "llm-pipeline", "statistics"),
+)
+def embedding_drift_chi2_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding DRIFT monitor — the data-quality gate run before
+    retraining or index refresh: per dimension, a two-sample chi-square
+    between the reference half of the corpus (vec_id in the first half)
+    and the current half, over 16 fixed value bins. A re-encoded model,
+    a normalization bug, or a domain shift shows up as a handful of
+    dimensions with outsized chi2_milli; identical halves score ~0.
+    Production replaces the id-split with snapshot dates; the plan is
+    unchanged.
+
+    All exact: bin = clamp(floor(value·8), −8, 7) (scaling by a power of
+    two is exact in IEEE, so the bin edge can never disagree between
+    engines), counts are integers, and the statistic uses the repo's
+    deferred-division chi-square discipline — per-bin floor division in
+    38-digit integers, identical in both engines.
+
+    Scale shape: posexplode fans each vector into dim rows INSIDE the
+    scan stage; the only shuffle carries (dim × bins) partial counts
+    (map-side combined — ~dim·16 rows regardless of corpus size), then
+    everything downstream is dimension-sized. The corpus count feeding
+    the half-split is a broadcast single-row aggregate, same as
+    ivf_cosine_pairs' K."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    nt = emb.agg(F.count(F.lit(1)).alias("n"))
+    v = (
+        emb.crossJoin(F.broadcast(nt))
+        .select(
+            (F.col("vec_id") * 2 < F.col("n")).alias("is_ref"),
+            F.posexplode("embedding").alias("dim", "val"),
+        )
+        .select(
+            "is_ref",
+            "dim",
+            F.greatest(
+                F.lit(-DRIFT_BIN_SCALE),
+                F.least(
+                    F.lit(DRIFT_BIN_SCALE - 1),
+                    F.floor(F.col("val").cast("double") * DRIFT_BIN_SCALE).cast("int"),
+                ),
+            ).alias("bin"),
+        )
+    )
+    dec = "DECIMAL(38,0)"
+    cell = v.groupBy("dim", "bin").agg(
+        F.expr(f"CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS {dec})").alias("a"),
+        F.expr(f"CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS {dec})").alias("b"),
+    )
+    tot = cell.groupBy("dim").agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    return (
+        cell.join(F.broadcast(tot), "dim")
+        .groupBy(F.col("dim").cast("long").alias("dim"), "na", "nb")
+        .agg(
+            F.expr(
+                f"CAST(sum(({DRIFT_CHI2_SCALE} * (a * nb - b * na) * (a * nb - b * na))"
+                " div (na * nb * (a + b))) AS BIGINT)"
+            ).alias("chi2_milli")
+        )
+        .select(
+            "dim",
+            F.col("na").cast("long").alias("n_ref"),
+            F.col("nb").cast("long").alias("n_cur"),
+            "chi2_milli",
+        )
     )

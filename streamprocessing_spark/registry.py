@@ -125,14 +125,16 @@ _FAMILY_PRIORITY = (
 
 
 def _presentation_order(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
-    """Stable re-ordering of the registry for the driver: core reference
-    ops first (the hard parity signal), then every driver-unverified
-    query ordered by measured sf0.01 gate cost ascending (Spark run +
-    DuckDB oracle wall seconds, tools/gate_costs.py → gate_order.py) so
-    the driver's wall-clock budget clears the maximum number of names,
-    then the already-verified remainder. Queries with no measured cost
-    yet (added after the last tools/gate_costs.py run) sort at cost 0 —
-    new operators need their first driver row most."""
+    """Stable re-ordering of the registry for the driver: every
+    driver-unverified query FIRST, ordered by measured sf0.01 gate cost
+    ascending (Spark run + DuckDB oracle wall seconds,
+    tools/gate_costs.py → gate_order.py) so a wall-clock budget clears
+    the maximum number of fresh names and a count budget sees zero
+    repeats; then the verified core reference ops (the parity signal,
+    re-checked as soon as the fresh names are exhausted), then the
+    verified remainder. Queries with no measured cost yet (added after
+    the last tools/gate_costs.py run) sort at cost 0 — new operators
+    need their first driver row most."""
     fam_rank = {
         f"streamprocessing_spark.queries.{m}": i for i, m in enumerate(_FAMILY_PRIORITY)
     }
@@ -145,13 +147,13 @@ def _presentation_order(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     def key(name: str) -> tuple[int, float, int, int]:
         spec = registry[name]
         mod = spec.fn.__module__
-        if mod == "streamprocessing_spark.queries.core":
+        if name not in _DRIVER_VERIFIED:
             group = 0
-        elif name not in _DRIVER_VERIFIED:
+        elif mod == "streamprocessing_spark.queries.core":
             group = 1
         else:
             group = 2
-        cost = GATE_COST.get(name, 0.0) if group == 1 else 0.0
+        cost = GATE_COST.get(name, 0.0) if group == 0 else 0.0
         return (group, cost, fam_rank.get(mod, len(_FAMILY_PRIORITY)), reg_index[name])
 
     return {name: registry[name] for name in sorted(registry, key=key)}

@@ -47,3 +47,136 @@ def test_op_view_registry_pickles_empty():
     reg["k"] = object()  # stand-in for a DataFrame
     clone = pickle.loads(pickle.dumps(reg))
     assert isinstance(clone, _OpViewRegistry) and len(clone) == 0
+
+
+def test_repetition_dup_trigram_matches_python(spark, sf_dir):
+    """The zero-shuffle dup-trigram fraction must equal a sequential
+    Python recompute (tokens → trigram multiset → dup share) on every
+    doc, and stay within its [0, 1e6] contract."""
+    import re
+
+    from streamprocessing_spark.registry import all_specs
+
+    out = {r.doc_id: r for r in all_specs()["repetition_dup_trigram_fraction"].fn(spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").collect()
+    checked = 0
+    for row in docs:
+        toks = re.findall(r"[a-z0-9]+", row.text.lower())
+        grams = [" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)]
+        if len(toks) < 3:
+            assert row.doc_id not in out
+            continue
+        r = out[row.doc_id]
+        assert r.n_trigrams == len(grams)
+        assert r.n_distinct == len(set(grams))
+        assert r.dup_frac_micro == (1_000_000 * (len(grams) - len(set(grams)))) // len(grams)
+        assert 0 <= r.dup_frac_micro <= 1_000_000
+        checked += 1
+    assert checked > 0
+    # the fixture corpus contains repetitive docs (non-vacuous filter)
+    assert any(r.dup_frac_micro > 0 for r in out.values())
+
+
+def test_embedding_drift_laws(spark, sf_dir):
+    """Drift chi-square: every dimension reports, halves partition the
+    corpus, statistic is non-negative, and a numpy recompute of one
+    dimension's binned chi-square agrees exactly."""
+    import numpy as np
+
+    from streamprocessing_spark.queries.similarity import (
+        DRIFT_BIN_SCALE,
+        DRIFT_CHI2_SCALE,
+    )
+    from streamprocessing_spark.registry import all_specs
+
+    rows = all_specs()["embedding_drift_chi2_by_dim"].fn(spark, sf_dir).collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").collect()
+    n = len(emb)
+    dim = len(emb[0].embedding)
+    assert len(rows) == dim
+    for r in rows:
+        assert r.n_ref + r.n_cur == n
+        assert r.chi2_milli >= 0
+
+    d0 = 0
+    a = np.zeros(2 * DRIFT_BIN_SCALE, dtype=object)
+    b = np.zeros(2 * DRIFT_BIN_SCALE, dtype=object)
+    for row in emb:
+        v = float(row.embedding[d0])
+        bin_ = max(-DRIFT_BIN_SCALE, min(DRIFT_BIN_SCALE - 1, int(np.floor(v * DRIFT_BIN_SCALE))))
+        (a if row.vec_id * 2 < n else b)[bin_ + DRIFT_BIN_SCALE] += 1
+    na, nb = int(a.sum()), int(b.sum())
+    want = sum(
+        (DRIFT_CHI2_SCALE * (int(ai) * nb - int(bi) * na) ** 2) // (na * nb * (int(ai) + int(bi)))
+        for ai, bi in zip(a, b)
+        if ai + bi > 0
+    )
+    got = next(r.chi2_milli for r in rows if r.dim == d0)
+    assert got == want
+
+
+def test_phash_arrow_matches_pandas_kernel(spark, sf_dir):
+    """mapInArrow and mapInPandas phash kernels must be bit-identical —
+    same hashes, same near-dup pairs."""
+    from streamprocessing_spark.registry import all_specs
+
+    specs = all_specs()
+    a = sorted(tuple(r) for r in specs["multimodal_phash_arrow"].fn(spark, sf_dir).collect())
+    p = sorted(tuple(r) for r in specs["multimodal_phash_neardup"].fn(spark, sf_dir).collect())
+    assert a == p and len(a) > 0
+
+
+def test_url_canonical_dedup_laws(spark, sf_dir):
+    """Canonicalization must actually merge spelling variants: variant
+    counts sum to the corpus, multi-variant groups exist at every SF,
+    and the keeper is the group minimum."""
+    from streamprocessing_spark.registry import all_specs
+
+    rows = all_specs()["url_canonical_dedup"].fn(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.n_variants for r in rows) == n_docs
+    assert len(rows) < n_docs  # dedup is non-vacuous
+    assert any(r.n_variants > 1 for r in rows)
+    for r in rows:
+        assert not r.canonical_url.startswith(("http", "www."))
+        assert "?" not in r.canonical_url and not r.canonical_url.endswith("/")
+
+
+def test_statestore_reader_exposes_aggregation_state(spark, sf_dir, tmp_path):
+    """Spark 4's state data source: the HDFS-backed state of a streaming
+    aggregation is readable as a BATCH DataFrame (format 'statestore') —
+    the debugging/ops surface for stateful pipelines (inspect hot keys,
+    audit state size, bootstrap migrations). The state contents must
+    equal both the streamed result and a batch recompute."""
+    from pyspark.sql import functions as F
+
+    src, ckpt = str(tmp_path / "src"), str(tmp_path / "ckpt")
+    ev = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    ev.select((F.col("o_custkey") % 13).alias("k"), F.col("o_orderkey").alias("v")).coalesce(
+        1
+    ).write.parquet(src)
+    stream = spark.readStream.schema("k bigint, v bigint").parquet(src)
+    agg = stream.groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("sv"))
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("state_reader_t")
+        .outputMode("complete")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        r.k: (r.n, r.sv) for r in spark.table("state_reader_t").collect()
+    }
+    state = spark.read.format("statestore").load(ckpt)
+    from_state = {
+        r["key"]["k"]: (r["value"]["count"], r["value"]["sum"]) for r in state.collect()
+    }
+    batch = {
+        r.k: (r.n, r.sv)
+        for r in spark.read.parquet(src).groupBy("k").agg(
+            F.count("*").alias("n"), F.sum("v").alias("sv")
+        ).collect()
+    }
+    assert from_state == streamed == batch and len(batch) == 13

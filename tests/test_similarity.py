@@ -126,3 +126,30 @@ def test_ivf_kmeans_recall_vs_brute_force(spark, sf_dir):
         approx.setdefault(r.query_id, set()).add(r.neighbor_id)
     recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q]) for q in exact]
     assert sum(recalls) / len(recalls) >= 0.5, f"kmeans-IVF recall too low: {recalls}"
+
+
+def test_srp_scaled_precision_recall_and_r_derivation(spark, sf_dir):
+    """Adaptive-r SRP (corpus-scaled band resolution) keeps precision 1.0
+    (exact verify) with banding recall, and its in-plan r must equal the
+    clamp(ceil(log2 n) − SHIFT, RMIN, RMAX) spec — at smoke scale that
+    clamps to RMIN, so the tier degrades gracefully to fixed-r behavior
+    on tiny corpora instead of over-slicing them."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    t = 0.45
+    exact = {(r.id_a, r.id_b) for r in S.cosine_pairs(emb, t).collect()}
+    ada = {
+        (r.id_a, r.id_b)
+        for r in S.srp_lsh_cosine_pairs_adaptive(emb, t, dim).collect()
+    }
+    assert ada <= exact, f"false positives: {ada - exact}"
+    if exact:
+        recall = len(ada) / len(exact)
+        assert recall >= 0.5, f"adaptive SRP recall too low: {recall}"
+    n = emb.count()
+    expect_r = min(S.SRP_RMAX, max(S.SRP_RMIN, math.ceil(math.log2(max(n, 2))) - S.SRP_R_SHIFT))
+    assert expect_r == S.SRP_RMIN  # smoke fixture is below the first step
+    # r grows with the corpus: the formula crosses RMIN+1 at 2^(SHIFT+RMIN+1)
+    assert min(S.SRP_RMAX, max(S.SRP_RMIN, math.ceil(math.log2(2 ** (S.SRP_R_SHIFT + S.SRP_RMIN + 1))) - S.SRP_R_SHIFT)) == S.SRP_RMIN + 1

@@ -63,6 +63,8 @@ QUERIES = (
     # the SAME near-dup task with IVF-cell candidates (K grows with n):
     # the head-to-head that measures the banding-law remedy
     "ivf_cosine_pairs",
+    # ...and the in-family remedy: band resolution r derived from n
+    "srp_lsh_cosine_pairs_scaled",
     # ...and with the verify stage on the Arrow/numpy fast path
     "srp_lsh_cosine_pairs_fast",
     "copurchase_lift",
