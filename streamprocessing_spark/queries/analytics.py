@@ -3904,3 +3904,70 @@ def price_volume_mix_decomposition(spark: SparkSession, sf_dir: str) -> DataFram
             "CAST((c2 - c1) - (c1 * (q2 - q1)) div q1 - ((q1 * c2) div q2 - c1) AS BIGINT)"
         ).alias("mix_residual"),
     )
+
+
+@register(
+    "source_partitioned_file_lineage",
+    oracle="""
+    SELECT CAST(o_orderkey % 4 AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(min(o_orderkey) AS BIGINT) AS min_key,
+           CAST(max(o_orderkey) AS BIGINT) AS max_key,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY 1
+    """,
+    tags=("source", "layout", "sql-surface"),
+)
+def source_partitioned_file_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hive-partitioned write + FILE-LINEAGE read via the hidden
+    ``_metadata`` column — the provenance surface every lakehouse audit
+    leans on ("which physical file did this row come from, how big is
+    it, when was it written"): orders are written partitioned by
+    ``bucket = o_orderkey % 4``, read back, and aggregated BY SOURCE
+    FILE using ``_metadata.file_path``; the partition value is then
+    recovered from the path itself (the ``bucket=N`` segment), proving
+    path↔content agreement. The oracle states what each partition
+    directory must contain, so a mis-bucketed writer, a row landing in
+    the wrong file, or a reader that breaks partition-column recovery
+    all fail the gate.
+
+    Scale shape: the partitioned write is the standard layout step
+    (shuffle keyed on the partition column); the lineage read groups by
+    file_path — file-count-sized output, and the _metadata struct is
+    populated by the scan itself, costing no extra I/O. With one+ files
+    per partition the per-file rows roll up to per-bucket rows
+    map-side."""
+    import hashlib
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+        (F.col("o_orderkey") % 4).alias("bucket"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"sp_lineage_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}",
+    )
+    o.write.mode("overwrite").partitionBy("bucket").parquet(out)
+    back = spark.read.parquet(out)
+    per_file = back.groupBy(F.col("_metadata.file_path").alias("fp")).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+        F.sum("cents").alias("cents"),
+    )
+    return (
+        per_file.select(
+            F.regexp_extract("fp", r"bucket=(\d+)", 1).cast("long").alias("bucket"),
+            "n_rows", "min_key", "max_key", "cents",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum("n_rows").cast("long").alias("n_rows"),
+            F.min("min_key").cast("long").alias("min_key"),
+            F.max("max_key").cast("long").alias("max_key"),
+            F.sum("cents").cast("long").alias("cents"),
+        )
+    )

@@ -162,6 +162,12 @@ def _build_stateful_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return threshold_crossing_alerts(stream_events(spark, sf_dir))
 
 
+def _build_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessing_spark.streaming.stateful import timeout_sessions
+
+    return timeout_sessions(stream_events(spark, sf_dir))
+
+
 _PIPELINES: dict[str, tuple] = {
     "streaming_count_update": (_build_count_update, "complete"),
     "streaming_append_sink": (_build_append_sink, "append"),
@@ -173,6 +179,7 @@ _PIPELINES: dict[str, tuple] = {
     "streaming_static_join": (_build_static_join, "complete"),
     "streaming_interval_join": (_build_interval_join, "append"),
     "streaming_stateful_alerts": (_build_stateful_alerts, "append"),
+    "streaming_session_timeout": (_build_session_timeout, "append"),
 }
 
 # (applicationId, sf_dir) -> {query_name: memory-sink table name}
@@ -333,6 +340,56 @@ def streaming_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     The oracle rebuilds identical sessions with the SQL islands technique
     (new-session flag -> running sum -> group)."""
     return _drained(spark, sf_dir, "streaming_session_window")
+
+
+@register(
+    "streaming_session_timeout",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS sidx
+      FROM ordered),
+    s AS (
+      SELECT user_id, sidx, min(ts) AS t_start, max(ts) AS t_end, count(*) AS n
+      FROM sess GROUP BY 1, 2),
+    mxs AS (SELECT user_id, max(sidx) AS mx_idx FROM s GROUP BY 1),
+    w AS (SELECT max(ts) AS mx FROM events)
+    SELECT s.user_id,
+           strftime(s.t_start, '%Y-%m-%d %H:%M:%S') || ' UTC' AS session_start,
+           CAST(s.n AS BIGINT) AS n_events
+    FROM s JOIN mxs ON mxs.user_id = s.user_id CROSS JOIN w
+    WHERE s.sidx < mxs.mx_idx
+       OR (epoch_us(s.t_end) // 1000 + 1800000) < (epoch_us(w.mx) // 1000 - 3600000)
+    """,
+    tags=("streaming", "stateful", "event-time", "session", "timeout"),
+)
+def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EVENT-TIME-TIMEOUT sessionization (applyInPandasWithState +
+    GroupStateTimeout.EventTimeTimeout) — the third custom state machine,
+    and the one that exercises the timeout surface: sessions close either
+    when a later event reveals a > 30-min gap (data-driven, in-kernel) or
+    when the WATERMARK passes last_event + gap and Spark invokes the
+    kernel with state.hasTimedOut for a key that went silent — the
+    mechanism a pure batch fold cannot express. Sessions still open at
+    end-of-stream never emit.
+
+    The oracle states that contract exactly in SQL: islands
+    sessionization, emit every non-final session (its closing event
+    always arrives) plus final sessions whose timeout timestamp
+    (last_ms + 30 min) lies strictly below the final watermark
+    (global max event time in ms − the 1-hour delay) — that final
+    timeout round runs in the no-data micro-batch AvailableNow schedules
+    after the last data batch to advance the watermark. State is 3 longs
+    per live session and is REMOVED at close — bounded by active users,
+    the production sizing story for timeout-based state."""
+    return _drained(spark, sf_dir, "streaming_session_timeout")
 
 
 @register(

@@ -2055,3 +2055,110 @@ def huber_trend_slopes_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
         _huber_kernel,
         "user_id bigint, n bigint, slope_milli double, intercept_cents double",
     )
+
+
+def _asof_cogroup_kernel(evs, ords):
+    """Per-user pandas merge_asof: latest order on or before each event's
+    day. Runs inside a cogrouped-map task — both sides arrive already
+    co-partitioned and sorted by the cogroup machinery's shuffle, the
+    kernel only does the in-memory library merge. Either side may be
+    empty (users with events but no orders, and vice versa)."""
+    import pandas as pd
+
+    if evs.empty:
+        return pd.DataFrame(
+            columns=["event_id", "user_id", "day", "order_key", "order_day"]
+        )
+    evs = evs.sort_values(["day", "event_id"])
+    if ords.empty:
+        out = evs[["event_id", "user_id", "day"]].copy()
+        out["order_key"] = pd.Series([None] * len(out), dtype="Int64")
+        out["order_day"] = pd.Series([None] * len(out), dtype="Int64")
+        return out
+    # sort by (day, orderkey): merge_asof takes the LAST row at an equal
+    # key, making max-orderkey the deterministic same-day tiebreak — the
+    # same rule the SQL oracle spells with ORDER BY oday DESC, key DESC
+    ords = ords.sort_values(["oday", "o_orderkey"])
+    merged = pd.merge_asof(
+        evs, ords, left_on="day", right_on="oday", direction="backward"
+    )
+    return pd.DataFrame(
+        {
+            "event_id": merged["event_id"],
+            "user_id": merged["user_id"],
+            "day": merged["day"],
+            "order_key": merged["o_orderkey"].astype("Int64"),
+            "order_day": merged["oday"].astype("Int64"),
+        }
+    )
+
+
+@register(
+    "cogroup_asof_enrich",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, user_id,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day
+      FROM events),
+    o AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(date_diff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS oday
+      FROM orders),
+    m AS (
+      SELECT e.event_id, e.user_id, e.day, o.o_orderkey, o.oday,
+             row_number() OVER (PARTITION BY e.event_id
+                                ORDER BY o.oday DESC NULLS LAST,
+                                         o.o_orderkey DESC NULLS LAST) AS rn
+      FROM e LEFT JOIN o ON o.o_custkey = e.user_id AND o.oday <= e.day)
+    SELECT event_id, user_id, day,
+           o_orderkey AS order_key, oday AS order_day
+    FROM m WHERE rn = 1
+    """,
+    tags=("timeseries", "join", "pandas-api", "asof"),
+)
+def cogroup_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of enrichment through the COGROUPED-MAP Pandas API
+    (groupBy().cogroup().applyInPandas) — the third and last member of
+    the Pandas API family next to mapInPandas (multimodal kernels) and
+    the grouped map (huber_trend_slopes_grouped): each event picks the
+    user's latest order on or before the event's day via
+    pandas.merge_asof, per user, with both inputs delivered
+    co-partitioned by the cogroup shuffle.
+
+    The window-based as-of joins in this registry (asof_join_latest_order
+    and kin) are the preferred PURE-CATALYST spelling; this operator
+    exists for the case they can't express — when the per-key merge
+    logic is an existing pandas/numpy library routine (backtesting
+    engines, feature-store point-in-time code) that would be rewritten
+    at high risk. The SQL oracle pins merge_asof's exact semantics
+    including the same-day max-orderkey tiebreak and unmatched-event
+    NULLs, so the library path is held to the declarative spec.
+
+    Scale shape: ONE co-partitioning shuffle of both inputs on the user
+    key (ids and days only — 3 narrow columns a side), pandas work is
+    per-user-sized, output is event-sized. Skewed users are the caveat
+    (a mega-user's events all land in one task), same as any grouped
+    map."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("day"),
+    )
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+        .cast("long")
+        .alias("oday"),
+    )
+    return (
+        ev.groupBy("user_id")
+        .cogroup(o.groupBy("o_custkey"))
+        .applyInPandas(
+            _asof_cogroup_kernel,
+            "event_id bigint, user_id bigint, day bigint, "
+            "order_key bigint, order_day bigint",
+        )
+    )

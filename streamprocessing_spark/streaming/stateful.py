@@ -175,3 +175,103 @@ def event_transitions(events: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+# --- per-user event-time-timeout sessionization ----------------------------
+
+SESSION_GAP_MS = 30 * 60 * 1000          # 30-min inactivity closes a session
+SESSION_WATERMARK_DELAY_MS = 3600 * 1000  # 1-hour late-data allowance
+
+_SESS_OUT_SCHEMA = "user_id long, session_start string, n_events long"
+_SESS_STATE_SCHEMA = "start_ms long, last_ms long, n long"
+
+
+def _session_timeout_kernel(key, pdf_iter: Iterator["pd.DataFrame"], state):
+    """Kernel: event-time-timeout sessionization — the state machine shape
+    the built-in session_window cannot express when the per-session
+    emission is custom (here: emit AT CLOSE, carrying the session start
+    and size; production variants emit alerts, write audit rows, call
+    out). Two close paths:
+
+    - DATA close: a new event arrives > gap after the open session's
+      last event — the kernel emits the closed session and opens a new
+      one (works even when both sessions arrive in one batch);
+    - TIMEOUT close: the user goes silent and the WATERMARK passes
+      last_event + gap — Spark invokes this kernel with no rows and
+      state.hasTimedOut, the streaming-native way to close sessions for
+      keys that never speak again (a pure batch fold can't do this; the
+      state store + watermark do).
+
+    Sessions still open when the stream ends never emit — exactly the
+    deliverable-now contract streaming sinks live with, and exactly what
+    the SQL oracle states (queries/streaming.py)."""
+    import numpy as np
+    import pandas as pd
+
+    (user_id,) = key
+
+    if state.hasTimedOut:
+        start_ms, last_ms, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": np.array([user_id], dtype="int64"),
+                "session_start": [
+                    pd.Timestamp(start_ms, unit="ms").strftime("%Y-%m-%d %H:%M:%S")
+                    + " UTC"
+                ],
+                "n_events": np.array([n], dtype="int64"),
+            }
+        )
+        return
+
+    rows = pd.concat(list(pdf_iter), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"], kind="mergesort")
+    ts_ms = (rows["ts"].to_numpy(dtype="datetime64[ns]").astype("int64") // 1_000_000)
+
+    start_ms, last_ms, n = state.get if state.exists else (None, None, 0)
+    out_users, out_starts, out_ns = [], [], []
+    for t in ts_ms:
+        t = int(t)
+        if start_ms is None:
+            start_ms, last_ms, n = t, t, 1
+        elif t - last_ms > SESSION_GAP_MS:
+            out_users.append(user_id)
+            out_starts.append(
+                pd.Timestamp(start_ms, unit="ms").strftime("%Y-%m-%d %H:%M:%S") + " UTC"
+            )
+            out_ns.append(n)
+            start_ms, last_ms, n = t, t, 1
+        else:
+            last_ms, n = t, n + 1
+
+    state.update((int(start_ms), int(last_ms), int(n)))
+    state.setTimeoutTimestamp(int(last_ms) + SESSION_GAP_MS)
+
+    yield pd.DataFrame(
+        {
+            "user_id": np.full(len(out_users), user_id, dtype="int64"),
+            "session_start": out_starts,
+            "n_events": np.array(out_ns, dtype="int64"),
+        }
+    )
+
+
+def timeout_sessions(events: DataFrame) -> DataFrame:
+    """Apply the event-time-timeout session machine. Requires a watermark
+    on ts (EventTimeTimeout is driven by it); shuffles once on user_id —
+    the state-store partitioning key."""
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.withWatermark("ts", "1 hour")
+        .select("user_id", "event_id", "ts")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_timeout_kernel,
+            outputStructType=_SESS_OUT_SCHEMA,
+            stateStructType=_SESS_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

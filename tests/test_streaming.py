@@ -619,3 +619,78 @@ def test_transition_pairs_state_carries_across_batches(spark, sf_dir, tmp_path):
         if ts_of[a] <= mid < ts_of[b]
     ]
     assert straddling, "split must cut through some user's stream"
+
+
+def test_timeout_sessions_state_and_timeouts_across_batches(spark, sf_dir, tmp_path):
+    """timeout_sessions must (a) carry open-session state across
+    micro-batches — a session straddling the chunk boundary merges, so
+    the two-batch replay equals the single-batch drain — and (b) close
+    silent keys via the EVENT-TIME TIMEOUT path: users whose last event
+    is in chunk 0 and who stay silent in chunk 1 can only emit their
+    final session through a hasTimedOut invocation (there is no later
+    data row to trigger the in-kernel gap close)."""
+    import time as _time
+
+    from streamprocessing_spark.sources.readers import load_table
+    from streamprocessing_spark.streaming.replay import run_to_memory_sink
+    from streamprocessing_spark.streaming.stateful import timeout_sessions
+
+    ev = load_table(spark, sf_dir, "events")
+    span = ev.agg(F.min("ts").alias("lo"), F.max("ts").alias("hi")).first()
+    mid = span.lo + (span.hi - span.lo) / 2
+    base = str(tmp_path / "sess_src")
+    os.makedirs(base)
+    ev.where(F.col("ts") <= F.lit(mid)).coalesce(1).write.parquet(f"{base}/c0")
+    ev.where(F.col("ts") > F.lit(mid)).coalesce(1).write.parquet(f"{base}/c1")
+    src = f"{base}/src"
+    os.makedirs(src)
+    _extract_part_file(f"{base}/c0", f"{src}/a_early.parquet")
+    _extract_part_file(f"{base}/c1", f"{src}/b_late.parquet")
+    now = _time.time()
+    os.utime(f"{src}/a_early.parquet", (now - 60, now - 60))
+    os.utime(f"{src}/b_late.parquet", (now, now))
+
+    chunked = {
+        tuple(r)
+        for r in run_to_memory_sink(
+            timeout_sessions(
+                spark.readStream.schema(ev.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src)
+            ),
+            "append",
+        ).collect()
+    }
+    single = {
+        tuple(r)
+        for r in run_to_memory_sink(
+            timeout_sessions(
+                spark.readStream.schema(ev.schema)
+                .option("pathGlobFilter", "*.parquet")
+                .parquet(src)
+            ),
+            "append",
+        ).collect()
+    }
+    assert chunked == single and chunked
+    # (b): a user's FINAL session has no later event to trigger the
+    # in-kernel gap close — if it was emitted, only a hasTimedOut
+    # invocation (watermark past last_event + gap) can have done it.
+    # Rebuild final sessions sequentially and find emitted ones.
+    rows = sorted(
+        ((r.user_id, r.ts, r.event_id) for r in ev.select("user_id", "ts", "event_id").collect()),
+        key=lambda t: (t[0], t[1], t[2]),
+    )
+    finals = {}
+    for u, ts, _ in rows:
+        start, _last, n = finals.get(u, (None, None, 0))
+        if start is None or (ts - _last).total_seconds() > 1800:
+            finals[u] = (ts, ts, 1)
+        else:
+            finals[u] = (start, ts, n + 1)
+    timeout_closed = [
+        (u, start, n)
+        for u, (start, _last, n) in finals.items()
+        if (u, f"{start}"[:19] + " UTC", n) in chunked
+    ]
+    assert timeout_closed, "no final session was closed by the timeout path"
