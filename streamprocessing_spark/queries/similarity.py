@@ -1257,9 +1257,20 @@ def embedding_drift_chi2_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(sum(CASE WHEN is_ref THEN 1 ELSE 0 END) AS {dec})").alias("a"),
         F.expr(f"CAST(sum(CASE WHEN is_ref THEN 0 ELSE 1 END) AS {dec})").alias("b"),
     )
-    tot = cell.groupBy("dim").agg(F.sum("a").alias("na"), F.sum("b").alias("nb"))
+    # Per-dim totals need NO second pass over the fact pipeline: every
+    # vector contributes exactly one value to every dimension, so
+    # n_ref = ⌈n/2⌉ and n_cur = n − ⌈n/2⌉ for EVERY dim — derived from
+    # the already-broadcast corpus count. (The first draft aggregated
+    # cell a second time; Catalyst doesn't CSE an unpersisted subtree,
+    # so the plan scanned and exploded the corpus TWICE — the oracle's
+    # per-dim tot aggregate stays as the spec, this is the same number.)
     return (
-        cell.join(F.broadcast(tot), "dim")
+        cell.crossJoin(F.broadcast(nt))
+        .select(
+            "dim", "a", "b",
+            F.expr(f"CAST((n + 1) div 2 AS {dec})").alias("na"),
+            F.expr(f"CAST(n - (n + 1) div 2 AS {dec})").alias("nb"),
+        )
         .groupBy(F.col("dim").cast("long").alias("dim"), "na", "nb")
         .agg(
             F.expr(

@@ -1243,3 +1243,100 @@ def explode_outer_long_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = F.filter(T.tokens(F.col("text")), lambda t: F.length(t) >= 8)
     return d.select("doc_id", F.explode_outer(toks).alias("token"))
+
+
+KN_DISCOUNT_NUM, KN_DISCOUNT_DEN = 3, 4  # absolute discount d = 3/4
+KN_TOP = 50
+
+
+@register(
+    "kneser_ney_bigram_lm",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, {_SQL_TOKENS} AS t FROM documents
+    ),
+    big AS (
+      SELECT t[i] AS w1, t[i + 1] AS w2
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+      WHERE len(t) >= 2),
+    c12 AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c FROM big GROUP BY 1, 2),
+    c1 AS (SELECT w1, sum(c) AS c1, CAST(count(*) AS BIGINT) AS n1plus
+           FROM c12 GROUP BY 1),
+    cont AS (SELECT w2, CAST(count(*) AS BIGINT) AS ncont FROM c12 GROUP BY 1),
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM c12)
+    SELECT b.w1, b.w2, b.c AS c12,
+           CAST((1000000 * (greatest({KN_DISCOUNT_DEN} * b.c - {KN_DISCOUNT_NUM}, 0)
+                            * CAST(nd.nd AS HUGEINT)
+                            + {KN_DISCOUNT_NUM} * c1.n1plus * cont.ncont))
+                // ({KN_DISCOUNT_DEN} * CAST(c1.c1 AS HUGEINT) * nd.nd) AS BIGINT)
+             AS p_micro
+    FROM c12 b
+    JOIN c1 ON c1.w1 = b.w1
+    JOIN cont ON cont.w2 = b.w2
+    CROSS JOIN nd
+    ORDER BY b.c DESC, b.w1, b.w2 LIMIT {KN_TOP}
+    """,
+    tags=("text", "llm-pipeline", "statistics"),
+)
+def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney-smoothed bigram language model (Kneser & Ney 1995;
+    Chen & Goodman 1999's interpolated form with absolute discount
+    d = 3/4) over the corpus — the classical n-gram LM whose perplexity
+    scores data-quality pipelines used before neural scoring, and whose
+    CONTINUATION counts ("how many contexts does w appear after?") are
+    the part plain MLE smoothing gets wrong. Emitted for the top-50
+    bigrams: P(w2|w1) = (max(c₁₂−d, 0) + d·N₁₊(w1)·Pcont(w2)) / c(w1)
+    as ONE exact scaled integral quotient — with d = 3/4 every term has
+    denominator 4·c(w1)·N_D, so p_micro = ⌊10⁶·(max(4c₁₂−3,0)·N_D +
+    3·N₁₊(w1)·Ncont(w2)) / (4·c(w1)·N_D)⌋ in 128-bit integers; no float
+    ever aggregates and both engines floor identically.
+
+    Scale shape: ONE map-side-combinable shuffle on (w1, w2) builds the
+    bigram table; everything downstream is VOCABULARY-sized — c(w1) and
+    N₁₊ fold from the bigram table keyed by w1 (reusing its
+    partitioning), continuation counts key by w2, N_D is a broadcast
+    single-row count, and the two probability joins are vocab-keyed.
+    The corpus is touched exactly once; at 100 TB the bigram table is
+    the only fact-scale intermediate, and it combines map-side."""
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select(T.tokens(F.col("text")).alias("t")).where(F.size("t") >= 2)
+    t = F.col("t")
+    bigrams = toked.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 2),
+                lambda i: F.struct(
+                    F.element_at(t, i + 1).alias("w1"),
+                    F.element_at(t, i + 2).alias("w2"),
+                ),
+            )
+        ).alias("b")
+    ).select("b.w1", "b.w2")
+    c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    c1 = c12.groupBy("w1").agg(
+        F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1plus")
+    )
+    cont = c12.groupBy("w2").agg(F.count(F.lit(1)).alias("ncont"))
+    nd = c12.agg(F.count(F.lit(1)).alias("nd"))
+    dec = "DECIMAL(38,0)"
+    num, den = KN_DISCOUNT_NUM, KN_DISCOUNT_DEN
+    joined = (
+        c12.join(c1, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(nd))
+    )
+    return (
+        joined.select(
+            "w1",
+            "w2",
+            F.col("c").cast("long").alias("c12"),
+            F.expr(
+                f"CAST((1000000 * (greatest({den} * c - {num}, 0)"
+                f" * CAST(nd AS {dec})"
+                f" + {num} * n1plus * ncont))"
+                f" div ({den} * CAST(c1 AS {dec}) * nd) AS BIGINT)"
+            ).alias("p_micro"),
+        )
+        .orderBy(F.desc("c12"), "w1", "w2")
+        .limit(KN_TOP)
+    )

@@ -384,3 +384,37 @@ def test_sequence_gap_lag_is_bucket_partitioned(spark, sf_dir):
     df = SPECS["sequence_gap_audit"].fn(spark, sf_dir)
     plan = X.formatted_plan(df)
     assert re.search(r"windowspecdefinition\(bkt#", plan), plan
+
+
+def test_repetition_dup_trigram_is_zero_shuffle(spark, sf_dir):
+    """The dup-trigram filter is array-local by design: NO exchange and
+    a scan pruned to (doc_id, text)."""
+    df = SPECS["repetition_dup_trigram_fraction"].fn(spark, sf_dir)
+    assert X.count_exchanges(df) == 0, X.formatted_plan(df)
+    scans = X.read_schema_columns(df)
+    assert scans and all(set(s) <= {"doc_id", "text"} for s in scans), scans
+
+
+def test_embedding_drift_shuffles_only_cell_partials(spark, sf_dir):
+    """Drift monitor: the fact-sized posexplode pipeline must appear
+    ONCE (the per-dim totals derive arithmetically from the broadcast
+    count — the first draft re-aggregated the cell subtree and Catalyst
+    re-ran the whole corpus scan). Remaining exchanges: the (dim, bin)
+    partials, the final dim group, and two SINGLE-ROW count subtrees
+    (metadata-only scans). No window."""
+    import re
+
+    df = SPECS["embedding_drift_chi2_by_dim"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    # formatted mode lists each node once in the tree and once in the
+    # detail section — count tree lines only
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 1, plan
+    assert X.count_exchanges(df) <= 4, plan
+    assert "WindowExec" not in plan
+
+
+def test_url_canonical_dedup_single_shuffle(spark, sf_dir):
+    """Canonical-URL dedup: regex canonicalization fuses into the scan,
+    one map-side-combinable aggregate shuffle on the canonical string."""
+    df = SPECS["url_canonical_dedup"].fn(spark, sf_dir)
+    assert X.count_exchanges(df) == 1, X.formatted_plan(df)

@@ -180,3 +180,41 @@ def test_statestore_reader_exposes_aggregation_state(spark, sf_dir, tmp_path):
         ).collect()
     }
     assert from_state == streamed == batch and len(batch) == 13
+
+
+def test_kneser_ney_matches_python_reference(spark, sf_dir):
+    """The exact-integer KN probabilities must equal a sequential Python
+    implementation of interpolated Kneser-Ney (d = 3/4) and respect the
+    probability contract (0 ≤ p ≤ 1e6; MLE-dominant for high-count
+    bigrams)."""
+    import re
+    from collections import Counter
+
+    from streamprocessing_spark.queries.text import KN_DISCOUNT_DEN, KN_DISCOUNT_NUM, KN_TOP
+    from streamprocessing_spark.registry import all_specs
+
+    rows = all_specs()["kneser_ney_bigram_lm"].fn(spark, sf_dir).collect()
+    assert len(rows) == KN_TOP
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text").collect()
+    c12, c1, n1plus, cont = Counter(), Counter(), Counter(), Counter()
+    for (text,) in docs:
+        toks = re.findall(r"[a-z0-9]+", text.lower())
+        for a, b in zip(toks, toks[1:]):
+            c12[(a, b)] += 1
+    for (a, b), c in c12.items():
+        c1[a] += c
+        n1plus[a] += 1
+        cont[b] += 1
+    nd = len(c12)
+    num, den = KN_DISCOUNT_NUM, KN_DISCOUNT_DEN
+    for r in rows:
+        c = c12[(r.w1, r.w2)]
+        assert r.c12 == c
+        want = (1_000_000 * (max(den * c - num, 0) * nd + num * n1plus[r.w1] * cont[r.w2])) // (
+            den * c1[r.w1] * nd
+        )
+        assert r.p_micro == want
+        assert 0 <= r.p_micro <= 1_000_000
+    # the top bigrams are frequent: their discounted MLE term dominates
+    assert all(r.p_micro > 0 for r in rows)
