@@ -3971,3 +3971,64 @@ def source_partitioned_file_lineage(spark: SparkSession, sf_dir: str) -> DataFra
             F.sum("cents").cast("long").alias("cents"),
         )
     )
+
+
+@register(
+    "join_fanout_audit",
+    oracle="""
+    WITH e AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY 1),
+    o AS (SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY 1),
+    j AS (
+      SELECT e.user_id, e.n_events, o.n_orders,
+             e.n_events * o.n_orders AS fanout
+      FROM e JOIN o ON o.o_custkey = e.user_id),
+    t AS (SELECT sum(fanout) AS total FROM j)
+    SELECT j.user_id,
+           CAST(n_events AS BIGINT) AS n_events,
+           CAST(n_orders AS BIGINT) AS n_orders,
+           CAST(fanout AS BIGINT) AS fanout,
+           CAST((1000000 * fanout) // t.total AS BIGINT) AS share_micro
+    FROM j CROSS JOIN t
+    ORDER BY fanout DESC, j.user_id LIMIT 20
+    """,
+    tags=("analytics", "join", "observability", "planning"),
+)
+def join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-FANOUT audit — the pre-flight a planner-less engine makes its
+    users run by hand and this one ships as an operator: before joining
+    events to orders on the user key, measure per-key fanout
+    (n_events × n_orders — the number of output rows that key alone
+    will produce) and each key's share of the total join cardinality.
+    A handful of keys owning most of the mass is the skew signature
+    that picks the salted/AQE path over the plain shuffle join (the
+    decision input for salted_join_events_customer, as
+    partition_key_advisor is for layout and join_size_sketch_estimate
+    for total cardinality — this one finds WHICH keys explode).
+
+    Scale shape: both sides collapse to per-key counts FIRST (map-side
+    combinable — the fact tables are never joined), the count-join is
+    key-dimension sized, the total is one broadcast row, and the top-20
+    is a distributed TakeOrdered. Cost is two scans + two narrow
+    shuffles regardless of the would-be join's size — the point: the
+    audit is O(keys) while the bad join it prevents is O(fanout)."""
+    ev = load_table(spark, sf_dir, "events")
+    o = load_table(spark, sf_dir, "orders")
+    e = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
+    oc = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
+    j = e.join(oc, e.user_id == oc.o_custkey).select(
+        "user_id", "n_events", "n_orders",
+        (F.col("n_events") * F.col("n_orders")).alias("fanout"),
+    )
+    t = j.agg(F.sum("fanout").alias("total"))
+    return (
+        j.crossJoin(F.broadcast(t))
+        .select(
+            "user_id",
+            F.col("n_events").cast("long").alias("n_events"),
+            F.col("n_orders").cast("long").alias("n_orders"),
+            F.col("fanout").cast("long").alias("fanout"),
+            F.expr("CAST((1000000 * fanout) div total AS BIGINT)").alias("share_micro"),
+        )
+        .orderBy(F.desc("fanout"), "user_id")
+        .limit(20)
+    )

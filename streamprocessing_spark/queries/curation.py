@@ -1942,3 +1942,107 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_variants"),
         F.min("doc_id").cast("long").alias("keep_doc_id"),
     )
+
+
+@register(
+    "preference_pair_assembly",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, source, lang, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents),
+    g AS (
+      SELECT doc_id, source, lang, len(t) AS n_tok,
+             list_transform(range(1, len(t) - 1),
+                            i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2]) AS gr
+      FROM toks WHERE len(t) >= 3),
+    sc AS (
+      SELECT doc_id, source, lang, n_tok,
+             (1000000 * (len(gr) - len(list_distinct(gr)))) // len(gr) AS dup
+      FROM g),
+    r AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY source, lang
+                                ORDER BY dup, n_tok DESC, doc_id) AS rk_ch,
+             row_number() OVER (PARTITION BY source, lang
+                                ORDER BY dup DESC, n_tok, doc_id DESC) AS rk_rj,
+             count(*) OVER (PARTITION BY source, lang) AS n
+      FROM sc)
+    SELECT source, lang,
+           CAST(max(CASE WHEN rk_ch = 1 THEN doc_id END) AS BIGINT) AS chosen_doc_id,
+           CAST(max(CASE WHEN rk_rj = 1 THEN doc_id END) AS BIGINT) AS rejected_doc_id,
+           CAST(max(CASE WHEN rk_ch = 1 THEN dup END) AS BIGINT) AS chosen_dup_micro,
+           CAST(max(CASE WHEN rk_rj = 1 THEN dup END) AS BIGINT) AS rejected_dup_micro,
+           CAST(max(n) AS BIGINT) AS n_group
+    FROM r GROUP BY source, lang
+    HAVING max(n) >= 2
+    """,
+    tags=("curation", "llm-pipeline", "quality"),
+)
+def preference_pair_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair assembly — the DPO/RLHF data-prep shape: within
+    every (source, lang) group, pair the best document against the
+    worst under a deterministic quality order (duplicate-trigram
+    fraction ascending, then length descending, then doc_id — the
+    repetition_dup_trigram_fraction signal reused as the ranking;
+    production swaps in a reward-model score column and the plan is
+    unchanged). Groups need ≥ 2 scored documents; sub-3-token documents
+    carry no repetition signal and are excluded on both sides.
+
+    Scale shape: NO window over the data — chosen and rejected come
+    from min_by/max_by on a lexicographic struct key, a map-side
+    combinable aggregate, so a billion-document (source, lang) cell
+    costs one combine tree instead of one task sorting the cell (the
+    oracle's row_number spelling is the SPEC; the aggregate provably
+    selects the same rows under the same total order). One shuffle
+    keyed (source, lang), dup score computed array-locally in the
+    scan."""
+    d = load_table(spark, sf_dir, "documents")
+    from streamprocessing_spark.functions import text as T
+
+    toked = d.select(
+        "doc_id", "source", "lang", T.tokens(F.col("text")).alias("t")
+    )
+    t = F.col("t")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.size(t) - 3),
+        lambda i: F.concat_ws(
+            " ", F.element_at(t, i + 1), F.element_at(t, i + 2), F.element_at(t, i + 3)
+        ),
+    )
+    sc = (
+        toked.where(F.size(t) >= 3)
+        .select(
+            "doc_id", "source", "lang",
+            F.size(t).alias("n_tok"),
+            grams.alias("gr"),
+        )
+        .select(
+            "doc_id", "source", "lang", "n_tok",
+            F.expr(
+                "CAST((1000000 * (size(gr) - size(array_distinct(gr)))) div size(gr) AS BIGINT)"
+            ).alias("dup"),
+        )
+    )
+    agg = (
+        sc.groupBy("source", "lang")
+        .agg(
+            F.expr(
+                "min_by(named_struct('id', doc_id, 'dup', dup),"
+                " named_struct('a', dup, 'b', -n_tok, 'c', doc_id))"
+            ).alias("ch"),
+            F.expr(
+                "max_by(named_struct('id', doc_id, 'dup', dup),"
+                " named_struct('a', dup, 'b', -n_tok, 'c', doc_id))"
+            ).alias("rj"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .where(F.col("n") >= 2)
+    )
+    return agg.select(
+        "source", "lang",
+        F.col("ch.id").cast("long").alias("chosen_doc_id"),
+        F.col("rj.id").cast("long").alias("rejected_doc_id"),
+        F.col("ch.dup").cast("long").alias("chosen_dup_micro"),
+        F.col("rj.dup").cast("long").alias("rejected_dup_micro"),
+        F.col("n").cast("long").alias("n_group"),
+    )

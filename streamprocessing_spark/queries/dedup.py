@@ -505,3 +505,63 @@ def dedup_tier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     return u.groupBy("in_minhash", "in_simhash").agg(
         F.count(F.lit(1)).cast("long").alias("n_pairs")
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""
+    WITH RECURSIVE pair_t AS ({D.sql_minhash_lsh(JACCARD_THRESHOLD)}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pair_t
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pair_t
+    ),
+    reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.src AS id, reach.r AS r
+      FROM edges e JOIN reach ON e.dst = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    sizes AS (SELECT component, count(*) AS sz FROM comp GROUP BY 1),
+    hist AS (SELECT sz, count(*) AS n FROM sizes GROUP BY 1),
+    singles AS (
+      SELECT (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp) AS n1)
+    SELECT CAST(sz AS BIGINT) AS cluster_size, CAST(n AS BIGINT) AS n_clusters
+    FROM hist
+    UNION ALL
+    SELECT 1, CAST(n1 AS BIGINT) FROM singles WHERE n1 > 0
+    """,
+    tags=("dedup", "llm-pipeline", "iterative", "observability"),
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup OBSERVABILITY: the cluster-size distribution of the MinHash
+    near-dup graph — the datasheet read before shipping a dedup run
+    ("mostly pairs, or a few mega-clusters?"): a heavy tail means an
+    over-aggressive threshold or template spam about to delete real
+    content, and the overall dup rate falls out as Σ(size−1)·n /
+    corpus. Sizes come from the same verified-pair → star-contraction
+    components cascade as dedup_cluster_components; documents in no
+    pair appear as the size-1 row (corpus count minus graph nodes —
+    a broadcast single-row subtraction, never a giant anti-join).
+    Every pair-graph component has size ≥ 2, so the union cannot
+    collide with a histogram row. Output is ≤ max-cluster-size rows."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.minhash_lsh_pairs(d, "doc_id", "text", JACCARD_THRESHOLD)
+    comp = D.connected_components(pairs)
+    sizes = comp.groupBy("component").agg(F.count(F.lit(1)).alias("sz"))
+    hist = sizes.groupBy("sz").agg(F.count(F.lit(1)).alias("n")).select(
+        F.col("sz").cast("long").alias("cluster_size"),
+        F.col("n").cast("long").alias("n_clusters"),
+    )
+    nd = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    ng = comp.agg(F.count(F.lit(1)).alias("n_nodes"))
+    singles = (
+        nd.crossJoin(F.broadcast(ng))
+        .select(
+            F.lit(1).cast("long").alias("cluster_size"),
+            (F.col("n_docs") - F.col("n_nodes")).cast("long").alias("n_clusters"),
+        )
+        .where(F.col("n_clusters") > 0)
+    )
+    return hist.unionByName(singles)

@@ -218,3 +218,46 @@ def test_kneser_ney_matches_python_reference(spark, sf_dir):
         assert 0 <= r.p_micro <= 1_000_000
     # the top bigrams are frequent: their discounted MLE term dominates
     assert all(r.p_micro > 0 for r in rows)
+
+
+def test_join_fanout_audit_laws(spark, sf_dir):
+    """Fanout rows must equal the product of independently computed side
+    counts, descend in fanout, and carry sane shares."""
+    from streamprocessing_spark.registry import all_specs
+    from streamprocessing_spark.sources.readers import load_table
+
+    rows = all_specs()["join_fanout_audit"].fn(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    ev = {r.user_id: r.n for r in load_table(spark, sf_dir, "events").groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    oc = {r.o_custkey: r.n for r in load_table(spark, sf_dir, "orders").groupBy("o_custkey").agg(F.count("*").alias("n")).collect()}
+    fans = [r.fanout for r in rows]
+    assert fans == sorted(fans, reverse=True)
+    for r in rows:
+        assert r.n_events == ev[r.user_id] and r.n_orders == oc[r.user_id]
+        assert r.fanout == r.n_events * r.n_orders
+        assert 0 <= r.share_micro <= 1_000_000
+
+
+def test_cluster_size_histogram_conservation(spark, sf_dir):
+    """Histogram mass must account for every document exactly once:
+    Σ size·n_clusters == corpus size, and multi-doc clusters exist."""
+    from streamprocessing_spark.registry import all_specs
+
+    rows = all_specs()["dedup_cluster_size_histogram"].fn(spark, sf_dir).collect()
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r.cluster_size * r.n_clusters for r in rows) == n_docs
+    assert any(r.cluster_size >= 2 for r in rows)
+    assert len([r for r in rows if r.cluster_size == 1]) <= 1
+
+
+def test_preference_pairs_order_and_distinctness(spark, sf_dir):
+    """Every pair: chosen is at least as clean as rejected (dup micro),
+    the two docs differ, and groups have ≥ 2 members."""
+    from streamprocessing_spark.registry import all_specs
+
+    rows = all_specs()["preference_pair_assembly"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_group >= 2
+        assert r.chosen_doc_id != r.rejected_doc_id
+        assert r.chosen_dup_micro <= r.rejected_dup_micro
