@@ -1340,3 +1340,74 @@ def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("c12"), "w1", "w2")
         .limit(KN_TOP)
     )
+
+
+VOCAB_BATCH = 100  # docs per ingestion batch (doc_id div — snapshot proxy)
+
+
+@register(
+    "vocab_growth_by_batch",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id // {VOCAB_BATCH} AS batch,
+             unnest(list_distinct({_SQL_TOKENS})) AS token
+      FROM documents),
+    bt AS (SELECT DISTINCT batch, token FROM toks),
+    first_seen AS (SELECT token, min(batch) AS fb FROM bt GROUP BY 1),
+    per_batch AS (
+      SELECT b.batch,
+             count(*) AS n_distinct,
+             sum(CASE WHEN f.fb = b.batch THEN 1 ELSE 0 END) AS n_new
+      FROM bt b JOIN first_seen f ON f.token = b.token
+      GROUP BY 1)
+    SELECT CAST(batch AS BIGINT) AS batch,
+           CAST(n_distinct AS BIGINT) AS n_distinct,
+           CAST(n_new AS BIGINT) AS n_new,
+           CAST(sum(n_new) OVER (ORDER BY batch ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_vocab
+    FROM per_batch
+    """,
+    tags=("text", "llm-pipeline", "observability", "time-series"),
+)
+def vocab_growth_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-growth curve across ingestion batches (doc_id div 100
+    as the crawl-snapshot axis — production uses the snapshot date): per
+    batch, its distinct tokens, how many are NEW to the corpus (first
+    batch where the token appears), and the cumulative vocabulary — the
+    Heaps'-law observability curve crawl pipelines watch: a flattening
+    n_new says more crawl buys little new language; a spike says the
+    frontier hit a new domain (or an encoding bug is minting garbage
+    tokens).
+
+    Scale shape: per-doc tokens dedupe ARRAY-locally before exploding,
+    the (batch, token) collapse and the token-keyed first-seen min are
+    both map-side combinable, the join is token-keyed (vocabulary-sized
+    — the biggest intermediate, still orders below the corpus), and the
+    cumulative window runs over the BATCH dimension only. The corpus is
+    scanned once."""
+    d = load_table(spark, sf_dir, "documents")
+    bt = (
+        d.select(
+            F.expr(f"doc_id div {VOCAB_BATCH}").alias("batch"),
+            F.explode(F.array_distinct(T.tokens(F.col("text")))).alias("token"),
+        )
+        .distinct()
+    )
+    first_seen = bt.groupBy("token").agg(F.min("batch").alias("fb"))
+    per_batch = (
+        bt.join(first_seen, "token")
+        .groupBy("batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct"),
+            F.sum(F.when(F.col("fb") == F.col("batch"), 1).otherwise(0)).alias("n_new"),
+        )
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return per_batch.select(
+        F.col("batch").cast("long").alias("batch"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        F.col("n_new").cast("long").alias("n_new"),
+        F.sum("n_new").over(w).cast("long").alias("cum_vocab"),
+    )

@@ -261,3 +261,24 @@ def test_preference_pairs_order_and_distinctness(spark, sf_dir):
         assert r.n_group >= 2
         assert r.chosen_doc_id != r.rejected_doc_id
         assert r.chosen_dup_micro <= r.rejected_dup_micro
+
+
+def test_vocab_growth_laws(spark, sf_dir):
+    """Heaps-curve laws: the first batch's tokens are all new, n_new
+    telescopes into cum_vocab, and the final cumulative vocabulary
+    equals the corpus-wide distinct token count."""
+    import re
+
+    from streamprocessing_spark.registry import all_specs
+
+    rows = sorted(all_specs()["vocab_growth_by_batch"].fn(spark, sf_dir).collect(), key=lambda r: r.batch)
+    assert rows[0].n_new == rows[0].n_distinct
+    cum = 0
+    for r in rows:
+        assert 0 <= r.n_new <= r.n_distinct
+        cum += r.n_new
+        assert r.cum_vocab == cum
+    vocab = set()
+    for (text,) in spark.read.parquet(f"{sf_dir}/documents.parquet").select("text").collect():
+        vocab.update(re.findall(r"[a-z0-9]+", text.lower()))
+    assert rows[-1].cum_vocab == len(vocab)

@@ -118,6 +118,23 @@ QUERIES = (
     "daily_active_user_bitmap",
     "split_leakage_audit",
     "dedup_tier_agreement",
+    # round-3 additions: the de-globalized entity ranks, the bucketed
+    # id-gap audit, the zero-shuffle repetition filter, the drift
+    # monitor, URL dedup, the KN bigram LM (vocabulary-bounded tail),
+    # the cogrouped merge, fanout audit, preference pairs, and the
+    # cluster-size histogram (rides the minhash + components curves)
+    "rfm_customer_segments",
+    "bot_rate_flags",
+    "sequence_gap_audit",
+    "repetition_dup_trigram_fraction",
+    "embedding_drift_chi2_by_dim",
+    "url_canonical_dedup",
+    "kneser_ney_bigram_lm",
+    "cogroup_asof_enrich",
+    "join_fanout_audit",
+    "preference_pair_assembly",
+    "dedup_cluster_size_histogram",
+    "multimodal_phash_arrow",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
