@@ -4015,9 +4015,16 @@ def join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = load_table(spark, sf_dir, "orders")
     e = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n_events"))
     oc = o.groupBy("o_custkey").agg(F.count(F.lit(1)).alias("n_orders"))
-    j = e.join(oc, e.user_id == oc.o_custkey).select(
-        "user_id", "n_events", "n_orders",
-        (F.col("n_events") * F.col("n_orders")).alias("fanout"),
+    # the per-key fanout table feeds both the total and the output —
+    # materialize it once or BOTH fact scans run twice (non-CSE, same as
+    # the kneser bigram table); it is key-dimension sized
+    j = (
+        e.join(oc, e.user_id == oc.o_custkey)
+        .select(
+            "user_id", "n_events", "n_orders",
+            (F.col("n_events") * F.col("n_orders")).alias("fanout"),
+        )
+        .localCheckpoint(eager=True)
     )
     t = j.agg(F.sum("fanout").alias("total"))
     return (
@@ -4031,4 +4038,60 @@ def join_fanout_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("fanout"), "user_id")
         .limit(20)
+    )
+
+
+@register(
+    "bucketed_join_revenue",
+    oracle="""
+    SELECT o.o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n_lineitems,
+           CAST(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+    tags=("analytics", "join", "layout", "bucketing"),
+)
+def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The fact-fact join on a BUCKETED layout — the registry-visible
+    form of sources/bucketing.write_bucketed (previously test-only):
+    orders and lineitem are persisted once per (session, sf) as
+    8-bucket catalog tables hashed AND sorted on the order key, so the
+    join plans bucket-to-bucket with NO Exchange and NO Sort on either
+    side (plan test pins exactly one exchange: the final status
+    aggregate). This is the durable form of O8's hash placement
+    (SURVEY §2.1) — at 100 TB the one-time bucketed write amortizes
+    over every subsequent orderkey join, which is exactly the workload
+    shape fact tables live in. The oracle is the plain join: layout
+    must never change answers."""
+    import hashlib
+
+    from streamprocessing_spark.sources.bucketing import write_bucketed
+
+    sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    to, tl = f"graft_bj_orders_{sfx}", f"graft_bj_lineitem_{sfx}"
+    if not spark.catalog.tableExists(to):
+        write_bucketed(
+            load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
+            to, ["o_orderkey"], 8, sort_cols=["o_orderkey"],
+        )
+    if not spark.catalog.tableExists(tl):
+        write_bucketed(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey",
+                F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5))
+                .cast("long")
+                .alias("cents"),
+            ),
+            tl, ["l_orderkey"], 8, sort_cols=["l_orderkey"],
+        )
+    o, l = spark.table(to), spark.table(tl)
+    return (
+        o.join(l, o.o_orderkey == l.l_orderkey)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_lineitems"),
+            F.sum("cents").cast("long").alias("revenue_cents"),
+        )
     )

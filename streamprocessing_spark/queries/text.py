@@ -1312,7 +1312,18 @@ def kneser_ney_bigram_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b")
     ).select("b.w1", "b.w2")
-    c12 = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    # the bigram count table feeds FOUR consumers (c1, cont, nd, and the
+    # probability join): Catalyst does not CSE an unpersisted subtree, so
+    # without materialization the corpus scan + explode ran four times
+    # (caught by the plan test counting Generate nodes). Materialize it
+    # once — the vocabulary-sized bigram table IS the thing a production
+    # LM pipeline persists — same multi-consumer discipline as
+    # ivf_cosine_pairs' assignment checkpoint.
+    c12 = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
     c1 = c12.groupBy("w1").agg(
         F.sum("c").alias("c1"), F.count(F.lit(1)).alias("n1plus")
     )

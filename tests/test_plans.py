@@ -418,3 +418,54 @@ def test_url_canonical_dedup_single_shuffle(spark, sf_dir):
     one map-side-combinable aggregate shuffle on the canonical string."""
     df = SPECS["url_canonical_dedup"].fn(spark, sf_dir)
     assert X.count_exchanges(df) == 1, X.formatted_plan(df)
+
+
+def test_bucketed_join_elides_shuffles_and_sorts(spark, sf_dir):
+    """bucketed_join_revenue: both join inputs are bucketed+sorted on
+    the key, so the only Exchange is the final status aggregate and the
+    sort-merge join needs no Sort on either side."""
+    import re
+
+    df = SPECS["bucketed_join_revenue"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert X.count_exchanges(df) == 1, plan
+    # no per-side Sort nodes beyond what the bucketed layout provides
+    assert len(re.findall(r"^\(\d+\) Sort\b", plan, re.M)) == 0, plan
+
+
+def test_kneser_ney_touches_corpus_once(spark, sf_dir):
+    """KN LM: one Generate (the bigram explode) and one fact-sized
+    shuffle; everything downstream is vocabulary-keyed."""
+    import re
+
+    df = SPECS["kneser_ney_bigram_lm"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    # the bigram table is checkpointed: the visible plan starts from the
+    # materialized counts — NO Generate (corpus explode) may remain, and
+    # no parquet re-scan either
+    assert len(re.findall(r"^\(\d+\) Generate", plan, re.M)) == 0, plan
+    assert "Scan parquet" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan  # top-k, not a global sort
+
+
+def test_preference_pairs_have_no_window(spark, sf_dir):
+    """The chosen/rejected selection is min_by/max_by — a combine-tree
+    aggregate; a WindowExec here would mean one task per giant
+    (source, lang) cell."""
+    df = SPECS["preference_pair_assembly"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "Window" not in plan, plan
+    assert X.count_exchanges(df) == 1, plan
+
+
+def test_join_fanout_audit_never_joins_facts(spark, sf_dir):
+    """The audit joins per-key COUNTS, not the fact tables: the join
+    inputs must both be aggregates (no fanout is ever materialized) and
+    the top-20 is TakeOrdered."""
+    df = SPECS["join_fanout_audit"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
+    # the fanout table is checkpointed, so the visible plan is the
+    # dimension-sized tail: broadcast total + top-k, no fact re-scan
+    assert "Scan parquet" not in plan, plan
+    assert X.count_exchanges(df) <= 1, plan
