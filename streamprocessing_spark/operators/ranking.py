@@ -48,8 +48,18 @@ def global_row_number(
     otherwise rank nondeterministically."""
     ranged = df.repartitionByRange(num_partitions, *order_cols)
     # spark_partition_id() is projected BEFORE the window's hash exchange,
-    # so it captures the range-partition id each row landed in.
-    tagged = ranged.withColumn(_PID, F.spark_partition_id())
+    # so it captures the range-partition id each row landed in. The
+    # tagged frame feeds TWO consumers (the local window and the
+    # per-partition counts) and Catalyst does not CSE unpersisted
+    # subtrees — without materialization the whole upstream pipeline
+    # (scan + aggregate + range exchange) executes twice per rank, and a
+    # caller ranking three metrics paid NINE fact scans (measured on
+    # rfm_customer_segments' plan). Checkpointing also freezes the
+    # range-partition assignment, making the pid column immune to
+    # re-evaluation nondeterminism.
+    tagged = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
     w_local = Window.partitionBy(_PID).orderBy(*order_cols)
     local = tagged.withColumn(_LOCAL, F.row_number().over(w_local))
     counts = tagged.groupBy(_PID).agg(F.count(F.lit(1)).alias("_n"))

@@ -3049,11 +3049,14 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     o = load_table(spark, sf_dir, "orders")
+    # base feeds FOUR consumers (the count + three quartile rankings):
+    # materialize the customer-dimension aggregate once or the orders
+    # scan executes per consumer (non-CSE; nine scans measured)
     base = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("freq"),
         F.sum(F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")).alias("monet"),
-    )
+    ).localCheckpoint(eager=True)
     nt = base.agg(F.count(F.lit(1)).alias("nu"))
 
     def quartile(metric: str, out: str) -> DataFrame:
@@ -3344,7 +3347,12 @@ def category_share_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"), F.lit("p1")
     ).otherwise(F.lit("p2"))
     b = o.select(F.col("o_orderpriority").alias("cat"), per.alias("per"), cents.alias("cents"))
-    agg = b.groupBy("cat", "per").agg(F.sum("cents").alias("c"))
+    # the cat×period aggregate feeds four consumers (a1/a2 directly,
+    # t1/t2 via tot): materialize the dimension-sized table once or the
+    # orders scan executes four times (non-CSE)
+    agg = b.groupBy("cat", "per").agg(F.sum("cents").alias("c")).localCheckpoint(
+        eager=True
+    )
     tot = agg.groupBy("per").agg(F.sum("c").alias("t"))
     a1 = agg.where(F.col("per") == "p1").select("cat", F.col("c").alias("c1"))
     a2 = agg.where(F.col("per") == "p2").select("cat", F.col("c").alias("c2"))
@@ -3620,7 +3628,14 @@ def benford_first_digit_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     digit = F.substring(
         F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long").cast("string"), 1, 1
     ).cast("long")
-    c = o.select(digit.alias("digit")).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    # the 9-row digit histogram feeds the total and the output: tiny,
+    # but without materialization the orders scan runs twice (non-CSE)
+    c = (
+        o.select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)
+    )
     t = c.agg(F.sum("n").alias("total"))
     return c.crossJoin(F.broadcast(t)).select(
         "digit",
@@ -3725,7 +3740,9 @@ def sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the bucket key."""
     li = load_table(spark, sf_dir, "lineitem")
     k = li.select(F.col("l_orderkey").alias("id")).distinct()
-    b = k.withColumn("bkt", F.expr("id div 1048576"))
+    # b feeds the bucketed lag AND the bucket min/max summary — one
+    # distinct shuffle materialized (ids only, 8 bytes/row), not two
+    b = k.withColumn("bkt", F.expr("id div 1048576")).localCheckpoint(eager=True)
     wb = Window.partitionBy("bkt").orderBy("id")
     intra = b.select("id", F.lag("id").over(wb).alias("prev"))
     summ = b.groupBy("bkt").agg(F.min("id").alias("mn"), F.max("id").alias("mx"))
@@ -4069,12 +4086,20 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from streamprocessing_spark.sources.bucketing import write_bucketed
 
+    import tempfile
+
     sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+    app = spark.sparkContext.applicationId.replace("-", "_")
     to, tl = f"graft_bj_orders_{sfx}", f"graft_bj_lineitem_{sfx}"
+    # external session-scoped locations: the in-memory catalog forgets
+    # tables at session end but a managed table's warehouse directory
+    # persists, so a later session writing the same managed name dies
+    # with "location already exists" — the appId-keyed path avoids it
+    base = f"{tempfile.gettempdir()}/graft_bj/{app}"
     if not spark.catalog.tableExists(to):
         write_bucketed(
             load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus"),
-            to, ["o_orderkey"], 8, sort_cols=["o_orderkey"],
+            to, ["o_orderkey"], 8, sort_cols=["o_orderkey"], path=f"{base}/{to}",
         )
     if not spark.catalog.tableExists(tl):
         write_bucketed(
@@ -4084,7 +4109,7 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .cast("long")
                 .alias("cents"),
             ),
-            tl, ["l_orderkey"], 8, sort_cols=["l_orderkey"],
+            tl, ["l_orderkey"], 8, sort_cols=["l_orderkey"], path=f"{base}/{tl}",
         )
     o, l = spark.table(to), spark.table(tl)
     return (

@@ -776,8 +776,13 @@ def weighted_median_price_by_flag(spark: SparkSession, sf_dir: str) -> DataFrame
         F.floor(F.col("l_extendedprice") * 100.0 + 0.5).cast("long").alias("cents"),
         F.floor(F.col("l_quantity") * 100.0 + 0.5).cast("long").alias("w"),
     )
-    tot = v.groupBy("flag").agg(F.sum("w").alias("tw"))
-    vc = v.groupBy("flag", "cents").agg(F.sum("w").alias("wc"))
+    # one fact scan, not two: the distinct-value histogram materializes
+    # once and the per-flag totals fold from IT (identical sums — both
+    # are Σw regrouped), instead of re-aggregating the scan per consumer
+    vc = (
+        v.groupBy("flag", "cents").agg(F.sum("w").alias("wc")).localCheckpoint(eager=True)
+    )
+    tot = vc.groupBy("flag").agg(F.sum("wc").alias("tw"))
     w_cum = Window.partitionBy("flag").orderBy("cents")
     vcum = vc.withColumn("cum", F.sum("wc").over(w_cum))
     return (
@@ -1818,7 +1823,11 @@ def bot_rate_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = ev.groupBy("user_id", F.col("ts").cast("date").alias("day")).agg(
         F.count(F.lit(1)).alias("n")
     )
-    mx = m.groupBy("user_id").agg(F.max("n").alias("max_per_day"))
+    # mx feeds the count and the distributed rank: materialize the
+    # user-dimension aggregate once (non-CSE would re-scan events)
+    mx = m.groupBy("user_id").agg(F.max("n").alias("max_per_day")).localCheckpoint(
+        eager=True
+    )
     t = mx.agg(F.count(F.lit(1)).alias("nu"))
     r = global_row_number(
         mx, [F.desc("max_per_day"), F.asc("user_id")], out="rk"

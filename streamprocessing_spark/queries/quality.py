@@ -371,7 +371,14 @@ def chisq_independence_source_lang(spark: SparkSession, sf_dir: str) -> DataFram
     scan collapses to |sources|×|langs| cells; everything after is
     dimension-sized broadcast arithmetic."""
     d = load_table(spark, sf_dir, "documents")
-    cell = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("o"))
+    # the contingency cells feed row totals, column totals, the grand
+    # total AND the output join — materialize the |source×lang| table
+    # once or the documents scan runs four times (non-CSE)
+    cell = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=True)
+    )
     r = cell.groupBy("source").agg(F.sum("o").alias("rt"))
     c = cell.groupBy("lang").agg(F.sum("o").alias("ct"))
     n = cell.agg(F.sum("o").alias("nt"))

@@ -1403,6 +1403,10 @@ def vocab_growth_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.array_distinct(T.tokens(F.col("text")))).alias("token"),
         )
         .distinct()
+        # feeds first_seen AND the per-batch join: one corpus explode,
+        # materialized at (batch, token) granularity (non-CSE otherwise
+        # runs the scan+explode twice)
+        .localCheckpoint(eager=True)
     )
     first_seen = bt.groupBy("token").agg(F.min("batch").alias("fb"))
     per_batch = (

@@ -1434,9 +1434,11 @@ def event_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = ev.select(
         "event_type", F.lead("event_type").over(w).alias("nxt")
     ).where(F.col("nxt").isNotNull())
+    # the |types|² count matrix feeds the row totals and the output:
+    # materialize once or the events sort+lead runs twice (non-CSE)
     c = s.groupBy(
         F.col("event_type").alias("from_type"), F.col("nxt").alias("to_type")
-    ).agg(F.count(F.lit(1)).alias("n"))
+    ).agg(F.count(F.lit(1)).alias("n")).localCheckpoint(eager=True)
     t = c.groupBy("from_type").agg(F.sum("n").alias("row_total"))
     return c.join(F.broadcast(t), "from_type").select(
         "from_type",
@@ -1509,6 +1511,9 @@ def welch_t2_by_event_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(s AS {dec})").alias("s"),
             F.expr(f"CAST(q AS {dec})").alias("q"),
         )
+        # both join sides read the same |types|-row moment table:
+        # materialize once or the events scan runs twice (non-CSE)
+        .localCheckpoint(eager=True)
     )
     a = pts.select(
         F.col("event_type").alias("type_a"),

@@ -31,14 +31,21 @@ def write_bucketed(
     bucket_cols: Sequence[str],
     num_buckets: int,
     sort_cols: Sequence[str] | None = None,
+    path: str | None = None,
 ) -> None:
     """Persist ``df`` as a bucketed (and optionally per-bucket sorted)
     parquet table in the session catalog. Sorting by the bucket key lets
     a sort-merge join skip its Sort as well — the fully pre-arranged
-    layout."""
+    layout. Pass ``path`` to create the table EXTERNAL at that location:
+    the in-memory catalog dies with the session but a managed table's
+    warehouse directory does not, so a second session writing the same
+    managed name hits 'location already exists' — an explicit
+    session-scoped path sidesteps the mismatch."""
     writer = (
         df.write.mode("overwrite").format("parquet").bucketBy(num_buckets, *bucket_cols)
     )
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
+    if path:
+        writer = writer.option("path", path)
     writer.saveAsTable(table)

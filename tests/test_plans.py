@@ -331,11 +331,26 @@ def test_trend_slopes_single_shuffle(spark, sf_dir):
 
 
 def test_transition_matrix_pushes_value_scan(spark, sf_dir):
-    """The Markov matrix reads only (user_id, event_type, ts, event_id)."""
-    df = SPECS["event_transition_matrix"].fn(spark, sf_dir)
-    scans = X.read_schema_columns(df)
+    """The Markov matrix reads only (user_id, event_type, ts, event_id) —
+    asserted on the UNCHECKPOINTED pair pipeline (the registered query
+    materializes the |types|² count matrix, which hides the scan from
+    its visible plan; the pruning property lives in the subtree that
+    runs at materialization time)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from streamprocessing_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select("event_type", F.lead("event_type").over(w).alias("nxt"))
+    scans = X.read_schema_columns(s)
     needed = {"user_id", "event_type", "ts", "event_id"}
-    assert scans and all(set(s) <= needed for s in scans), scans
+    assert scans and all(set(c) <= needed for c in scans), scans
+    # and the registered query's visible plan reads the materialized
+    # matrix — no fact re-scan survives
+    df = SPECS["event_transition_matrix"].fn(spark, sf_dir)
+    assert "Scan parquet" not in X.formatted_plan(df)
 
 
 def test_rle_single_sort_shuffle(spark, sf_dir):
@@ -367,9 +382,12 @@ def test_entity_ranks_are_range_bucketed(spark, sf_dir):
     for name in ("rfm_customer_segments", "bot_rate_flags"):
         df = SPECS[name].fn(spark, sf_dir)
         plan = X.formatted_plan(df)
-        assert "rangepartitioning" in plan.lower(), name
-        # every data-sized row_number is partitioned by the range-bucket id
+        # the range exchange runs inside global_row_number's checkpoint
+        # materialization (the tagged frame feeds two consumers); the
+        # VISIBLE plan must show the pid-partitioned row_number reading
+        # the materialized RDD — and no fact re-scan
         assert re.search(r"windowspecdefinition\(__rank_pid#", plan), name
+        assert "Scan parquet" not in plan, name
         # the old shape must be gone: no global ntile / unpartitioned
         # row_number over the entity rows
         assert "ntile(" not in plan, name
