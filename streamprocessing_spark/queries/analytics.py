@@ -2471,15 +2471,29 @@ def join_size_sketch_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = load_table(spark, sf_dir, "customer")
 
     def sketch(df: DataFrame, key: str) -> DataFrame:
-        out = None
-        for i in range(AMS_D):
-            s = df.groupBy(
-                F.expr(_ams_pos(i, key, False)).alias("bucket")
-            ).agg(F.sum(F.expr(_ams_sign(i, key, False))).alias("c")).withColumn(
-                "i", F.lit(i)
+        # ONE scan per side: each row fans out to its D (row, bucket,
+        # sign) cells inside the scan stage and one (i, bucket)-keyed
+        # map-combined aggregate builds all 8 sketch rows — the
+        # union-of-8-groupBys first draft executed 8 separate scans and
+        # 8 shuffles per side (non-CSE; caught by the duplicate-scan
+        # audit). Cell sums are identical either way.
+        cells = F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("i"),
+                        F.expr(_ams_pos(i, key, False)).alias("bucket"),
+                        F.expr(_ams_sign(i, key, False)).alias("sgn"),
+                    )
+                    for i in range(AMS_D)
+                ]
             )
-            out = s if out is None else out.unionByName(s)
-        return out
+        )
+        return (
+            df.select(cells.alias("r"))
+            .groupBy(F.col("r.i").alias("i"), F.col("r.bucket").alias("bucket"))
+            .agg(F.sum("r.sgn").alias("c"))
+        )
 
     sa = sketch(o, "o_custkey")
     sb = sketch(c, "c_custkey")
@@ -3803,17 +3817,29 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderdate": F.date_format("o_orderdate", "yyyy-MM-dd"),
         "o_orderpriority": F.col("o_orderpriority"),
     }
-    out = None
-    for name, _ in _PROFILE_COLS:
-        branch = o.select(spark_exprs[name].alias("v")).agg(
-            F.lit(name).alias("column_name"),
-            (F.count(F.lit(1)) - F.count("v")).cast("long").alias("n_nulls"),
-            F.countDistinct("v").cast("long").alias("n_distinct"),
-            F.min("v").alias("min_value"),
-            F.max("v").alias("max_value"),
+    # ONE scan for all profiled columns: each row unpivots to its
+    # (column_name, canonical_value) pairs inside the scan stage and a
+    # single name-keyed aggregate profiles every column — the
+    # union-of-branches first draft scanned orders once per column
+    # (6 scans, caught by the duplicate-scan audit)
+    pairs = F.explode(
+        F.array(
+            *[
+                F.struct(F.lit(name).alias("column_name"), spark_exprs[name].alias("v"))
+                for name, _ in _PROFILE_COLS
+            ]
         )
-        out = branch if out is None else out.unionByName(branch)
-    return out
+    )
+    return (
+        o.select(pairs.alias("p"))
+        .groupBy(F.col("p.column_name").alias("column_name"))
+        .agg(
+            (F.count(F.lit(1)) - F.count("p.v")).cast("long").alias("n_nulls"),
+            F.countDistinct("p.v").cast("long").alias("n_distinct"),
+            F.min("p.v").alias("min_value"),
+            F.max("p.v").alias("max_value"),
+        )
+    )
 
 
 @register(

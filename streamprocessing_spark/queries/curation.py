@@ -608,12 +608,16 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("value") * 10000.0 + 0.5).cast("long").alias("v"),
     )
-    n = v.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
 
-    def _discrete_median(df: DataFrame, col: str, out: str) -> DataFrame:
-        vc = df.groupBy("event_type", col).agg(F.count(F.lit(1)).alias("c"))
+    # Both medians (and the per-type counts) derive from CHECKPOINTED
+    # distinct-value histograms: the fact is scanned three times total
+    # (value histogram, deviation histogram, final flag pass) instead of
+    # the seven the un-materialized plan executed (non-CSE duplicated
+    # the whole median pipeline per consumer) — and nothing fact-sized
+    # is ever materialized, only the distinct-value tables.
+    def _median_from_hist(hist: DataFrame, col: str, out: str, n: DataFrame) -> DataFrame:
         w = Window.partitionBy("event_type").orderBy(col)
-        vcum = vc.select("event_type", col, F.sum("c").over(w).alias("cum"))
+        vcum = hist.select("event_type", col, F.sum("c").over(w).alias("cum"))
         return (
             vcum.join(F.broadcast(n), "event_type")
             .where(F.col("cum") >= F.expr("(n + 1) div 2"))
@@ -621,11 +625,20 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min(col).alias(out))
         )
 
-    med = _discrete_median(v, "v", "med")
+    vc = (
+        v.groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    n = vc.groupBy("event_type").agg(F.sum("c").alias("n"))
+    med = _median_from_hist(vc, "v", "med", n)
     d = v.join(F.broadcast(med), "event_type").select(
         "event_id", "event_type", F.abs(F.col("v") - F.col("med")).alias("dev")
     )
-    mad = _discrete_median(d, "dev", "mad")
+    dc = (
+        d.groupBy("event_type", "dev").agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
+    mad = _median_from_hist(dc, "dev", "mad", n)
     return (
         d.join(F.broadcast(mad), "event_type")
         .where((F.col("mad") > 0) & (F.col("dev") > 3 * F.col("mad")))
@@ -909,6 +922,12 @@ def k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(3),
         )
         .select("c_custkey", "n_name", "r_name", "seg", "lvl")
+        # each unrolled round references cur TWICE (release counts +
+        # join-back), so without per-round materialization the subtree
+        # doubles per round — 64 customer scans measured in the final
+        # plan (4 base refs × 2³). Checkpointing each round's frame is
+        # also the production shape for iterative recoding.
+        .localCheckpoint(eager=True)
     )
 
     def qi_col() -> F.Column:
@@ -935,6 +954,7 @@ def k_anonymity_generalize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
             .select("c_custkey", "n_name", "r_name", "seg", "lvl")
+            .localCheckpoint(eager=True)
         )
     rel = (
         cur.withColumn("qi", qi_col())
