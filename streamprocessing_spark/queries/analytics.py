@@ -4146,3 +4146,40 @@ def bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+@register(
+    "listagg_priorities_by_status",
+    oracle="""
+    SELECT o_orderstatus,
+           string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority)
+             AS priorities,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders GROUP BY o_orderstatus
+    """,
+    tags=("analytics", "aggregation", "sql-surface"),
+)
+def listagg_priorities_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LISTAGG — the SQL:2023 ordered string aggregation Spark 4 added
+    (and the single most-requested migration blocker from warehouse
+    SQL): distinct order priorities per status concatenated under an
+    explicit WITHIN GROUP (ORDER BY ...) — the ordering clause is the
+    whole point, since bare listagg/collect concatenation order is
+    run-dependent and silently breaks value-compared reports. DuckDB
+    spells the same operator string_agg(DISTINCT ... ORDER BY ...).
+    Scale shape: one map-side-combinable aggregate; the aggregated
+    string is bounded by the distinct-value domain (5 priorities), not
+    the row count — the safe listagg usage pattern (an unbounded-domain
+    listagg is an OOM by design, which is why the rollup families here
+    prefer arrays/histograms)."""
+    o = load_table(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_listagg_v")
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               listagg(DISTINCT o_orderpriority, ',')
+                 WITHIN GROUP (ORDER BY o_orderpriority) AS priorities,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders_listagg_v GROUP BY o_orderstatus
+        """
+    )
