@@ -2075,3 +2075,66 @@ def preference_pair_assembly(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("rj.dup").cast("long").alias("rejected_dup_micro"),
         F.col("n").cast("long").alias("n_group"),
     )
+
+
+@register(
+    "target_encoding_loo",
+    oracle="""
+    WITH cat AS (
+      SELECT o_orderpriority AS cat,
+             CAST(count(*) AS HUGEINT) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS HUGEINT) AS s
+      FROM orders GROUP BY 1 HAVING count(*) >= 2)
+    SELECT o.o_orderkey, o.o_orderpriority,
+           CAST(c.s - CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS BIGINT)
+             AS loo_num_cents,
+           CAST(c.n - 1 AS BIGINT) AS loo_den,
+           CAST((1000000 * (c.s - CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)))
+                // (c.n - 1) AS BIGINT) AS loo_mean_micro
+    FROM orders o JOIN cat c ON c.cat = o.o_orderpriority
+    """,
+    tags=("curation", "statistics", "llm-pipeline"),
+)
+def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEAVE-ONE-OUT target encoding — the leakage-protected categorical
+    feature encoder (CatBoost-family): each row's category is encoded
+    as the mean target of all OTHER rows in the category, so the row's
+    own label never leaks into its feature (plain mean encoding
+    overfits exactly that way; the per-row exclusion is the fix). The
+    window-frame EXCLUDE CURRENT ROW spelling is not in Spark 4.1's
+    parser, and isn't needed: LOO mean ≡ (Σcategory − yᵢ)/(n−1), so one
+    map-side-combinable category aggregate broadcast back gives every
+    row its encoding in closed form — exact integer numerator/
+    denominator plus the floored micro quotient, identical in both
+    engines. Categories need n ≥ 2 (a singleton's LOO is undefined —
+    excluded on both sides; production backs off to a global prior).
+
+    Scale shape: one |categories|-row aggregate, one broadcast join,
+    zero windows, zero shuffles of fact rows — the encoder streams at
+    scan speed however many rows the fact has."""
+    o = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")
+    dec = "DECIMAL(38,0)"
+    cat = (
+        o.groupBy(F.col("o_orderpriority").alias("cat"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(cents).alias("s"))
+        .where(F.col("n") >= 2)
+        .select(
+            "cat",
+            F.expr(f"CAST(n AS {dec})").alias("n"),
+            F.expr(f"CAST(s AS {dec})").alias("s"),
+        )
+    )
+    return (
+        o.select("o_orderkey", "o_orderpriority", cents.alias("y"))
+        .join(F.broadcast(cat), F.col("o_orderpriority") == F.col("cat"))
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.expr("CAST(s - y AS BIGINT)").alias("loo_num_cents"),
+            F.expr("CAST(n - 1 AS BIGINT)").alias("loo_den"),
+            F.expr("CAST((1000000 * (s - y)) div (n - 1) AS BIGINT)").alias(
+                "loo_mean_micro"
+            ),
+        )
+    )

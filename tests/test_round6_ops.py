@@ -282,3 +282,27 @@ def test_vocab_growth_laws(spark, sf_dir):
     for (text,) in spark.read.parquet(f"{sf_dir}/documents.parquet").select("text").collect():
         vocab.update(re.findall(r"[a-z0-9]+", text.lower()))
     assert rows[-1].cum_vocab == len(vocab)
+
+
+def test_target_encoding_loo_laws(spark, sf_dir):
+    """LOO identity: for each category, Σrow(loo_num) == (n−1)·Σy and
+    every row's encoding excludes exactly its own target; adding the
+    row back recovers the category mean."""
+    from collections import defaultdict
+
+    from streamprocessing_spark.registry import all_specs
+    from streamprocessing_spark.sources.readers import load_table
+
+    rows = all_specs()["target_encoding_loo"].fn(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority", "o_totalprice").collect()
+    y = {r.o_orderkey: int(r.o_totalprice * 100 + 0.5) for r in o}
+    sums, counts = defaultdict(int), defaultdict(int)
+    for r in o:
+        sums[r.o_orderpriority] += y[r.o_orderkey]
+        counts[r.o_orderpriority] += 1
+    assert rows and len(rows) == sum(c for c in counts.values() if c >= 2)
+    for r in rows:
+        cat = r.o_orderpriority
+        assert r.loo_den == counts[cat] - 1
+        assert r.loo_num_cents == sums[cat] - y[r.o_orderkey]
+        assert r.loo_mean_micro == (1_000_000 * r.loo_num_cents) // r.loo_den
