@@ -105,6 +105,16 @@ HEADLINE = [
     "rfm_customer_segments",
     "bot_rate_flags",
     "sequence_gap_audit",
+    # round-3 continuation additions
+    "kneser_ney_bigram_lm",
+    "vocab_growth_by_batch",
+    "preference_pair_assembly",
+    "dedup_cluster_size_histogram",
+    "bucketed_join_revenue",
+    "target_encoding_loo",
+    "cogroup_asof_enrich",
+    "join_fanout_audit",
+    "huber_trend_slopes_grouped",
 ]
 
 

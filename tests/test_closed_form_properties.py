@@ -113,3 +113,33 @@ def test_rle_rownumber_difference_equals_groupby(seq):
     want = [(t, len(list(g))) for t, g in itertools.groupby(seq)]
     got = [(t, groups[(t, d)]) for (t, d) in order]
     assert got == want
+
+
+@given(
+    n=st.integers(min_value=1, max_value=5000),
+    tiles=st.integers(min_value=1, max_value=64),
+)
+@settings(max_examples=200, deadline=None)
+def test_ntile_closed_form_matches_sql_partitioning(n, tiles):
+    """operators/ranking.ntile_from_rank's closed form must reproduce
+    SQL ntile's front-loaded-remainder bucket sizes for ARBITRARY
+    (N, tiles): bucket of rank i per the ISO rule — buckets 1..r hold
+    q+1 rows (q = N div tiles, r = N mod tiles), the rest hold q.
+    Pure-Python replica of the Column expression's arithmetic."""
+    q, r = divmod(n, tiles)
+    head = r * (q + 1)
+
+    def closed_form(rk: int) -> int:
+        if rk <= head:
+            return (rk - 1) // (q + 1) + 1
+        return r + (rk - head - 1) // max(q, 1) + 1
+
+    # reference: explicit bucket construction per the SQL standard
+    sizes = [q + 1] * r + [q] * (tiles - r)
+    want = []
+    for b, sz in enumerate(sizes, start=1):
+        want.extend([b] * sz)
+    got = [closed_form(i) for i in range(1, n + 1)]
+    assert got == want
+    # every bucket differs in size by at most 1 and ordering is monotone
+    assert got == sorted(got)
