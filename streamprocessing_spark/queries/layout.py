@@ -223,3 +223,140 @@ def compaction_plan_binpack(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("doc_id").alias("last_doc"),
         )
     )
+
+
+# --- Hilbert clustering key -------------------------------------------------
+#
+# The Hilbert curve is the locality-optimal space-filling curve: unlike the
+# Z-order curve it never takes the large "seam" jumps where Morton codes
+# cross quadrant boundaries, so consecutive key ranges map to tighter 2-D
+# regions (the reason Databricks liquid clustering and many geo systems
+# prefer Hilbert over Z-order). The classic xy2d bit algorithm is a loop
+# with mutable state; here it is unrolled into HILBERT_BITS chained
+# arithmetic steps over (x, y, d) — and reformulated so every
+# intermediate stays NON-NEGATIVE (the textbook form lets x go negative
+# and leans on two's-complement masking, but Spark's `div` truncates
+# while DuckDB's `//` floors, so negative intermediates would diverge
+# between engines; reducing x, y to their low bits each step makes the
+# quadrant flip s-1-x land in [0, s) and div/% agree everywhere).
+HILBERT_BITS = 16
+
+
+def _hilbert_step_exprs(k: int, div: str) -> tuple[str, str, str]:
+    """(d_expr, x_expr, y_expr) for bit k: extract the quadrant
+    (rx, ry), accumulate s²·gray(rx, ry), reduce to the sub-square and
+    rotate/flip it. Invariant: on entry x, y < 2s; on exit x, y < s."""
+    s = 1 << k
+    rx = f"(x {div} {s})"
+    ry = f"(y {div} {s})"
+    xm = f"(x % {s})"
+    ym = f"(y % {s})"
+    d_expr = f"d + {s * s} * (CASE WHEN {rx} = 1 THEN 3 - {ry} ELSE {ry} END)"
+    x_expr = (
+        f"CASE WHEN {ry} = 1 THEN {xm}"
+        f" WHEN {rx} = 1 THEN {s - 1} - {ym} ELSE {ym} END"
+    )
+    y_expr = (
+        f"CASE WHEN {ry} = 1 THEN {ym}"
+        f" WHEN {rx} = 1 THEN {s - 1} - {xm} ELSE {xm} END"
+    )
+    return d_expr, x_expr, y_expr
+
+
+def _sql_hilbert_ctes() -> str:
+    """DuckDB CTE chain h15 → h0 applying the unrolled steps to the
+    normalized xy CTE (same step expressions as the Spark side, with
+    `//` for integer division)."""
+    ctes = []
+    prev = "xy0"
+    for k in range(HILBERT_BITS - 1, -1, -1):
+        d_e, x_e, y_e = _hilbert_step_exprs(k, "//")
+        ctes.append(
+            f"h{k} AS (SELECT o_orderkey, {d_e} AS d, {x_e} AS x, {y_e} AS y FROM {prev})"
+        )
+        prev = f"h{k}"
+    return ",\n    ".join(ctes)
+
+
+def hilbert_py(x: int, y: int, bits: int = HILBERT_BITS) -> int:
+    """Pure-Python reference of the same unrolled algorithm (used by the
+    tests to pin both engines to an independent implementation)."""
+    d = 0
+    for k in range(bits - 1, -1, -1):
+        s = 1 << k
+        rx, ry = x // s, y // s
+        d += s * s * ((3 - ry) if rx == 1 else ry)
+        x, y = x % s, y % s
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - y, s - 1 - x
+            else:
+                x, y = y, x
+    return d
+
+
+@register(
+    "hilbert_key_orders",
+    oracle=f"""
+    WITH raw AS (
+      SELECT o_orderkey,
+             CAST(o_custkey AS BIGINT) AS xr,
+             CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS yr
+      FROM orders
+    ),
+    b AS (
+      SELECT min(xr) AS xr_min, max(xr) AS xr_max,
+             min(yr) AS yr_min, max(yr) AS yr_max
+      FROM raw
+    ),
+    xy0 AS (
+      SELECT o_orderkey,
+             {_NORM_DUCK.format(col="xr")} AS x,
+             {_NORM_DUCK.format(col="yr")} AS y,
+             CAST(0 AS BIGINT) AS d
+      FROM raw CROSS JOIN b
+    ),
+    {{HILBERT_CTES}}
+    SELECT o_orderkey, d AS hval FROM h0
+    """.replace("{HILBERT_CTES}", _sql_hilbert_ctes()),
+    tags=("layout", "scale"),
+)
+def hilbert_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert clustering key over (o_custkey, order date) — the
+    locality-optimal sibling of zorder_key_orders: same min-max integer
+    normalization onto the 16-bit grid, then the unrolled xy2d walk
+    (16 pure-arithmetic steps — no UDF, no loop state; identical step
+    expressions in both engines modulo the div spelling). Sorting a
+    write by this key clusters BOTH dimensions with tighter per-file
+    bounding boxes than the Z-curve's seam-crossing ranges
+    (tests/test_storage_layouts.py measures the spans for both keys and
+    a pure-Python reference pins the curve itself). Each step is a
+    narrow projection — the whole key is one codegen'd expression
+    pipeline over the scan, exactly like the Z-order key."""
+    o = load_table(spark, sf_dir, "orders")
+    raw = o.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("long").alias("xr"),
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01') AS BIGINT)"
+        ).alias("yr"),
+    )
+    b = raw.agg(
+        F.min("xr").alias("xr_min"),
+        F.max("xr").alias("xr_max"),
+        F.min("yr").alias("yr_min"),
+        F.max("yr").alias("yr_max"),
+    )
+    cur = raw.crossJoin(F.broadcast(b)).select(
+        "o_orderkey",
+        F.expr(_NORM.format(col="xr")).alias("x"),
+        F.expr(_NORM.format(col="yr")).alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+    for k in range(HILBERT_BITS - 1, -1, -1):
+        d_e, x_e, y_e = _hilbert_step_exprs(k, "div")
+        cur = cur.selectExpr(
+            "o_orderkey", f"{d_e} AS d", f"{x_e} AS x", f"{y_e} AS y"
+        )
+    return cur.select("o_orderkey", F.col("d").alias("hval"))

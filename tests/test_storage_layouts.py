@@ -242,3 +242,78 @@ def test_dynamic_partition_pruning_star_join(spark, sf_dir):
         assert got == expected
     finally:
         shutil.rmtree(out, ignore_errors=True)
+
+
+def test_hilbert_key_matches_python_and_clusters_both_dims(spark, sf_dir):
+    """hilbert_key_orders: (a) the unrolled SQL walk must equal the
+    pure-Python xy2d reference on every row (pins the curve itself, not
+    just cross-engine agreement); (b) files written in hval ranges must
+    narrow BOTH dimensions like the z-order layout does — the Hilbert
+    curve is the locality-optimal clustering key."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from streamprocessing_spark.queries.layout import _NORM, hilbert_py
+    from streamprocessing_spark.registry import all_specs
+
+    hdf = all_specs()["hilbert_key_orders"].fn(spark, sf_dir)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .withColumn("xr", F.col("o_custkey").cast("long"))
+        .withColumn(
+            "yr",
+            F.expr(
+                "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01')"
+                " AS BIGINT)"
+            ),
+        )
+        .select("o_orderkey", "xr", "yr")
+    )
+    b = o.agg(
+        F.min("xr").alias("xr_min"), F.max("xr").alias("xr_max"),
+        F.min("yr").alias("yr_min"), F.max("yr").alias("yr_max"),
+    )
+    norm = (
+        o.crossJoin(F.broadcast(b))
+        .selectExpr(
+            "o_orderkey",
+            _NORM.format(col="xr") + " AS x",
+            _NORM.format(col="yr") + " AS y",
+        )
+        .join(hdf, "o_orderkey")
+    )
+    rows = norm.collect()
+    assert rows
+    for r in rows:
+        assert r.hval == hilbert_py(r.x, r.y), (r.o_orderkey, r.x, r.y)
+
+    # (b) locality: per-file spans narrow in both dims under hval ranges
+    joined = (
+        o.selectExpr("o_orderkey", "xr AS x", "yr AS y").join(hdf, "o_orderkey")
+    )
+    tmp = tempfile.mkdtemp()
+    try:
+        joined.repartitionByRange(8, F.col("hval")).sortWithinPartitions(
+            "hval"
+        ).write.mode("overwrite").parquet(tmp)
+        g = joined.agg(
+            (F.max("x") - F.min("x")).alias("sx"),
+            (F.max("y") - F.min("y")).alias("sy"),
+        ).first()
+        fracs = {"x": [], "y": []}
+        for f in glob.glob(f"{tmp}/*.parquet"):
+            md = pq.read_metadata(f)
+            cols = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            mins, maxs = {}, {}
+            for rg in range(md.num_row_groups):
+                for c in ("x", "y"):
+                    st = md.row_group(rg).column(cols[c]).statistics
+                    mins[c] = min(mins.get(c, st.min), st.min)
+                    maxs[c] = max(maxs.get(c, st.max), st.max)
+            fracs["x"].append((maxs["x"] - mins["x"]) / max(g.sx, 1))
+            fracs["y"].append((maxs["y"] - mins["y"]) / max(g.sy, 1))
+        assert sum(fracs["x"]) / len(fracs["x"]) < 0.6, fracs
+        assert sum(fracs["y"]) / len(fracs["y"]) < 0.6, fracs
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
