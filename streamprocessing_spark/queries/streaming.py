@@ -162,6 +162,24 @@ def _build_stateful_alerts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return threshold_crossing_alerts(stream_events(spark, sf_dir))
 
 
+def _build_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    return (
+        ev.select("event_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .groupBy(F.window("ts", "1 hour"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            F.concat(
+                F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss"),
+                F.lit(" UTC"),
+            ).alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )
+
+
 def _build_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamprocessing_spark.streaming.stateful import timeout_sessions
 
@@ -180,6 +198,7 @@ _PIPELINES: dict[str, tuple] = {
     "streaming_interval_join": (_build_interval_join, "append"),
     "streaming_stateful_alerts": (_build_stateful_alerts, "append"),
     "streaming_session_timeout": (_build_session_timeout, "append"),
+    "streaming_dedup_then_window": (_build_dedup_then_window, "append"),
 }
 
 # (applicationId, sf_dir) -> {query_name: memory-sink table name}
@@ -390,6 +409,37 @@ def streaming_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     per live session and is REMOVED at close — bounded by active users,
     the production sizing story for timeout-based state."""
     return _drained(spark, sf_dir, "streaming_session_timeout")
+
+
+@register(
+    "streaming_dedup_then_window",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS mx FROM events)
+    SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') || ' UTC'
+             AS window_start,
+           event_type,
+           count(*) AS cnt
+    FROM events CROSS JOIN mx
+    GROUP BY date_trunc('hour', ts), event_type, mx.mx
+    HAVING epoch_us(date_trunc('hour', ts) + INTERVAL 1 HOUR)
+           <= epoch_us(mx.mx) - CAST(3600 AS BIGINT) * 1000000
+    """,
+    tags=("streaming", "stateful", "dedup", "window", "event-time"),
+)
+def streaming_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED STATEFUL OPERATORS in one streaming query — the Spark
+    3.5/4 capability older engines (and older Spark) lack: a
+    watermark-bounded dedup (dropDuplicatesWithinWatermark state)
+    feeding an event-time tumbling aggregation (window state) in a
+    single micro-batch pipeline, no intermediate sink. Append mode, so
+    only FINALIZED windows emit — the oracle states the exact contract:
+    the batch rollup restricted to windows whose end precedes the final
+    watermark (global max event time − 1 h; the no-data batch
+    AvailableNow schedules after the last data batch advances it).
+    Ids are unique on this replay so the dedup stage passes everything
+    through — its state machinery still runs; duplicate-collapse
+    semantics are pinned by the standalone dedup queries."""
+    return _drained(spark, sf_dir, "streaming_dedup_then_window")
 
 
 @register(

@@ -2209,3 +2209,56 @@ def cogroup_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
             "order_key bigint, order_day bigint",
         )
     )
+
+
+@register(
+    "session_window_batch_agg",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+    sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sidx
+      FROM ordered)
+    SELECT user_id,
+           strftime(min(ts), '%Y-%m-%d %H:%M:%S') || ' UTC' AS session_start,
+           strftime(max(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') || ' UTC'
+             AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sess GROUP BY user_id, sidx
+    """,
+    tags=("timeseries", "session", "sql-surface", "window"),
+)
+def session_window_batch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's NATIVE session_window aggregation in BATCH mode, proven
+    equivalent to the gaps-and-islands closed form: one
+    ``groupBy(session_window(ts, '30 minutes'), user)`` replaces the
+    lag → flag → running-sum → group chain (sessionize_events spells
+    that form; streaming_session_window runs the same operator on a
+    stream). The oracle IS the islands spelling — including Spark's
+    session-end convention (last event + gap), so the operator's exact
+    window semantics are pinned, not just row counts. One shuffle on
+    the session-window grouping; the merge of overlapping per-row
+    windows happens inside the aggregation operator."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.concat(
+                F.date_format(F.col("session_window.start"), "yyyy-MM-dd HH:mm:ss"),
+                F.lit(" UTC"),
+            ).alias("session_start"),
+            F.concat(
+                F.date_format(F.col("session_window.end"), "yyyy-MM-dd HH:mm:ss"),
+                F.lit(" UTC"),
+            ).alias("session_end"),
+            F.col("n_events").cast("long").alias("n_events"),
+        )
+    )
