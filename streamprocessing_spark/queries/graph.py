@@ -13,6 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streamprocessing_spark.registry import register
+from streamprocessing_spark.shared_views import release_shared_views, shared_view
 from streamprocessing_spark.sources.readers import load_table
 
 MIN_SUPPORT = 2  # co-occurrence count threshold (both SF scales non-empty)
@@ -21,69 +22,26 @@ MAX_HOPS = 3
 
 def _op_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The distinct (l_orderkey, l_partkey) relation every graph operator
-    starts from, materialized ONCE per (session, sf_dir) as a
-    localCheckpointed TEMP VIEW — "build the graph once, query it many
-    times", the production layout for a graph workload (and at bench
-    time the nine graph queries stop paying the same distinct-shuffle
-    nine times). The Python module global holds only the view NAME
-    (house rule: shippable modules must never capture a DataFrame);
-    the data lives in the JVM catalog + checkpoint storage.
-
-    Staleness contract: the view is a SNAPSHOT — if files under sf_dir
-    change within the session the graph queries keep serving the cached
-    data until release_op_views() runs (the read-consistency most
-    engines give a materialized view; the invalidation hook is explicit,
-    not guessed from mtimes). The materialization is an eagerly-built
-    CACHE, not a localCheckpoint: cached blocks recompute from lineage
-    after executor loss where checkpoint blocks would fail the query,
-    and CacheManager can actually free them — localCheckpoint RDDs are
-    unreachable from the public DataFrame API once the reference drops.
-    Without release, a session touching many sf_dirs pins blocks forever
-    (the round-1 plugin-cache lesson)."""
-    import hashlib
-
-    name = "graft_op_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
-    if not spark.catalog.tableExists(name):
-        li = load_table(spark, sf_dir, "lineitem")
-        op = li.select("l_orderkey", "l_partkey").distinct().persist()
-        op.count()  # eager: the nine graph queries all read a built cache
-        op.createOrReplaceTempView(name)
-        _OP_VIEWS[name] = op
-    return spark.table(name)
-
-
-class _OpViewRegistry(dict):
-    """view name -> the cached DataFrame backing it (dropping the temp
-    view alone would leave the cache entry pinned in the CacheManager).
-    Pickles as EMPTY: this module ships by value to executors
-    (shipping.ensure_shippable) and a DataFrame holds a SparkContext,
-    which must never ride along in a serialized task — same contract as
-    engine._PluginCacheRegistry."""
-
-    def __reduce__(self):
-        return (_OpViewRegistry, ())
-
-
-_OP_VIEWS: dict[str, DataFrame] = _OpViewRegistry()
+    starts from, materialized ONCE per (session, sf_dir) — "build the
+    graph once, query it many times", the production layout for a graph
+    workload (and at bench time the nine graph queries stop paying the
+    same distinct-shuffle nine times). Cache/staleness/eviction contract
+    lives in shared_views (this module pioneered the pattern in round 2;
+    the dedup cascade now shares the same machinery)."""
+    return shared_view(
+        spark,
+        "graphop",
+        sf_dir,
+        lambda: load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct(),
+    )
 
 
 def release_op_views(spark: SparkSession) -> int:
-    """Drop every graph temp view and unpersist its cache — the eviction
-    hook mirroring engine.release_plugin_caches. Returns the number of
-    views released. Safe on a session that never ran a graph query."""
-    released = 0
-    for name, df in list(_OP_VIEWS.items()):
-        try:
-            spark.catalog.dropTempView(name)
-        except Exception:  # noqa: BLE001 — view may belong to a dead session
-            pass
-        try:
-            df.unpersist(blocking=True)
-        except Exception:  # noqa: BLE001
-            pass
-        del _OP_VIEWS[name]
-        released += 1
-    return released
+    """Drop the graph views and unpersist their caches — kept as the
+    graph-family alias of shared_views.release_shared_views."""
+    return release_shared_views(spark, "graphop")
 
 
 

@@ -10,24 +10,26 @@ def test_release_op_views_unpins_graph_cache(spark, sf_dir):
     must drop the temp view AND leave no pinned RDD behind (a session
     touching many sf_dirs must not accumulate blocks — the round-1
     plugin-cache lesson applied to graph state)."""
+    from streamprocessing_spark import shared_views as SV
     from streamprocessing_spark.queries import graph as G
 
     G.release_op_views(spark)  # clean slate (other tests may have built it)
     baseline = len(spark.sparkContext._jsc.getPersistentRDDs())
+    n_graph = lambda: sum(1 for k in SV._VIEWS if k.startswith("graft_sv_graphop_"))  # noqa: E731
     df = G._op_view(spark, sf_dir)
     assert df.count() > 0
-    assert len(G._OP_VIEWS) == 1
+    assert n_graph() == 1
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) > baseline
 
     released = G.release_op_views(spark)
     assert released == 1
-    assert len(G._OP_VIEWS) == 0
+    assert n_graph() == 0
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= baseline
     # idempotent, and the view is really gone from the catalog
     assert G.release_op_views(spark) == 0
     import hashlib
 
-    name = "graft_op_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    name = "graft_sv_graphop_" + hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     assert not spark.catalog.tableExists(name)
     # a fresh call transparently rebuilds (staleness contract: snapshot
     # until release, fresh data after)
@@ -35,18 +37,37 @@ def test_release_op_views_unpins_graph_cache(spark, sf_dir):
     G.release_op_views(spark)
 
 
+def test_dedup_shared_views_release_and_kind_scoping(spark, sf_dir):
+    """The dedup cascade shares pair/component views through the same
+    machinery; releasing one kind must not evict another family's view."""
+    from streamprocessing_spark import shared_views as SV
+    from streamprocessing_spark.queries import dedup as DQ
+    from streamprocessing_spark.queries import graph as G
+
+    SV.release_shared_views(spark)
+    pairs = DQ._pairs_view(spark, sf_dir)
+    comp = DQ._components_view(spark, sf_dir)
+    assert comp.count() >= pairs.count() > 0
+    G._op_view(spark, sf_dir)
+    # kind-scoped release: dedup views stay when only graphop is released
+    assert SV.release_shared_views(spark, "graphop") == 1
+    assert sum(1 for k in SV._VIEWS if k.startswith("graft_sv_mh")) == 2
+    assert SV.release_shared_views(spark) == 2
+    assert len(SV._VIEWS) == 0
+
+
 def test_op_view_registry_pickles_empty():
-    """graph.py ships by value to executors — its view registry must
+    """shared_views ships by value to executors — its view registry must
     serialize as an EMPTY mapping (a DataFrame holds a SparkContext,
     which must never ride along in a task closure)."""
     import pickle
 
-    from streamprocessing_spark.queries.graph import _OpViewRegistry
+    from streamprocessing_spark.shared_views import _SharedViewRegistry
 
-    reg = _OpViewRegistry()
+    reg = _SharedViewRegistry()
     reg["k"] = object()  # stand-in for a DataFrame
     clone = pickle.loads(pickle.dumps(reg))
-    assert isinstance(clone, _OpViewRegistry) and len(clone) == 0
+    assert isinstance(clone, _SharedViewRegistry) and len(clone) == 0
 
 
 def test_repetition_dup_trigram_matches_python(spark, sf_dir):
