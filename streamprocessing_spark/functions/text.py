@@ -22,6 +22,29 @@ def portable_round(col: Column, digits: int) -> Column:
     k = float(10 ** digits)
     return F.floor(col * k + F.lit(0.5)) / F.lit(k)
 
+def mlog2(col: Column) -> Column:
+    """round(1000·log2(k)) for a positive INTEGER k — the milli-bit
+    integer logarithm, the primitive that lets log-domain scores (LM
+    surprisal, DSIR importance ratios) stay ORDER-INDEPENDENT exact
+    integer sums instead of float log accumulations: quantize each
+    per-value log once, then every downstream aggregate is a BIGINT sum.
+
+    Engine-portable by a measured margin, not by hope: 1000·log2(k) for
+    integer k is never closer than 2.1e-8 to a half-integer boundary for
+    any non-power-of-two k < 2²² (exhaustive scan, pinned in
+    tests/test_functions_portable.py), while cross-engine double log2
+    disagreement is ≤ a few ulp (~1e-12 here) — a 10⁴ safety factor; at
+    powers of two log2 is exact in IEEE. Count-valued arguments beyond
+    2²² appear only as corpus-total scalars (one or two values per
+    query), where the per-value collision chance is ~1e-11."""
+    return F.floor(F.lit(1000.0) * F.log2(col) + F.lit(0.5)).cast("long")
+
+
+def sql_mlog2(x: str) -> str:
+    """DuckDB spelling of mlog2 — identical arithmetic, same floor."""
+    return f"CAST(floor(1000*log2({x})+0.5) AS BIGINT)"
+
+
 # Word tokens: runs of ASCII alphanumerics over the lowercased text.
 # CANONICAL definition — operators/dedup.py and the SQL oracles import
 # these; the oracle comparisons rely on byte-for-byte agreement.

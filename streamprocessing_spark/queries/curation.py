@@ -2138,3 +2138,123 @@ def target_encoding_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+DSIR_BUCKETS = 4096  # hashed bigram feature space (Xie et al. use 10k)
+
+
+def _sql_dsir() -> str:
+    from streamprocessing_spark.functions.text import sql_mlog2
+
+    return f"""
+    WITH toks AS (
+      SELECT doc_id, lang, {_SQL_TOKENS} AS t FROM documents),
+    big AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(t[i] || ' ' || t[i + 1]), 1, 8)) AS BIGINT)
+               % {DSIR_BUCKETS} AS b
+      FROM toks, LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+      WHERE len(t) >= 2),
+    bc AS (
+      SELECT b,
+             CAST(count(*) AS BIGINT) AS rc,
+             CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS tc
+      FROM big GROUP BY 1),
+    tots AS (
+      SELECT {sql_mlog2(f'sum(rc) + {DSIR_BUCKETS}')} AS mr,
+             {sql_mlog2(f'sum(tc) + {DSIR_BUCKETS}')} AS mt
+      FROM bc)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(sum({sql_mlog2('bc.tc + 1')} - {sql_mlog2('bc.rc + 1')})
+                + count(*) * ((SELECT mr FROM tots) - (SELECT mt FROM tots))
+                AS BIGINT) AS logw_milli_bits
+    FROM big g JOIN bc USING (b)
+    GROUP BY 1
+    """
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=_sql_dsir(),
+    tags=("curation", "llm-pipeline", "text", "statistics", "sampling"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al. 2023):
+    per-document importance weight of the TARGET distribution (here the
+    English slice, standing in for "looks like Wikipedia") against the
+    RAW corpus, over hashed bigram features. log₂ w(doc) =
+    Σ_f [log₂ p_target(f) − log₂ p_raw(f)] with add-1 smoothing over a
+    {DSIR_BUCKETS}-bucket hashed feature space; a pipeline then samples
+    raw documents ∝ w to shift the mixture toward the target domain.
+
+    Exactness: the log-ratio sum is the mlog2 milli-bit decomposition —
+    log₂[(tc_f+1)/(T+B) ÷ (rc_f+1)/(R+B)] splits into four INTEGER-
+    argument logs, each quantized once (portable by the measured
+    boundary margin, see functions.text.mlog2), so the per-doc score is
+    an order-independent BIGINT sum: logw_milli_bits =
+    Σ[mlog2(tc+1) − mlog2(rc+1)] + n·[mlog2(R+B) − mlog2(T+B)].
+    Positive ⇒ the doc's bigrams look more target than raw.
+
+    Scale shape: ONE map-side-combinable aggregate builds the
+    {DSIR_BUCKETS}-row bucket table carrying raw and target counts
+    together (the target total folds from it — no second corpus scan
+    for the target side); the table BROADCASTS to the per-doc join, so
+    the corpus is scanned twice total (bucket build + score) and the
+    only shuffle of fact scale is the per-doc groupBy on doc_id.
+    Documents with < 2 tokens have no bigram features and are absent,
+    as in the paper's n-gram feature space."""
+    from streamprocessing_spark.functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select(
+        "doc_id", "lang", T.tokens(F.col("text")).alias("t")
+    ).where(F.size("t") >= 2)
+    t = F.col("t")
+    big = toked.select(
+        "doc_id",
+        "lang",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 2),
+                lambda i: F.concat(
+                    F.element_at(t, i + 1), F.lit(" "), F.element_at(t, i + 2)
+                ),
+            )
+        ).alias("gram"),
+    ).select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
+            % DSIR_BUCKETS
+        ).alias("b"),
+    )
+    bc = (
+        big.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("rc"),
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),
+        )
+        .localCheckpoint(eager=True)  # feeds totals AND the score join
+    )
+    tots = bc.agg(
+        T.mlog2(F.sum("rc") + F.lit(DSIR_BUCKETS)).alias("mr"),
+        T.mlog2(F.sum("tc") + F.lit(DSIR_BUCKETS)).alias("mt"),
+    )
+    return (
+        big.join(F.broadcast(bc), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(T.mlog2(F.col("tc") + 1) - T.mlog2(F.col("rc") + 1)).alias("s"),
+        )
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "doc_id",
+            "n_bigrams",
+            (F.col("s") + F.col("n_bigrams") * (F.col("mr") - F.col("mt")))
+            .cast("long")
+            .alias("logw_milli_bits"),
+        )
+    )

@@ -206,9 +206,7 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
 SPAN_GRAM = 8  # exact-substring dedup granularity (tokens)
 
 
-@register(
-    "duplicate_span_coverage",
-    oracle=f"""
+_SQL_SPAN_COVERAGE = f"""
     WITH toks AS (
       SELECT doc_id, {T.SQL_TOKENS} AS t, len({T.SQL_TOKENS}) AS n
       FROM documents),
@@ -246,7 +244,12 @@ SPAN_GRAM = 8  # exact-substring dedup granularity (tokens)
            CAST(coalesce(cov.covered, 0) AS BIGINT) AS dup_covered_tokens
     FROM toks LEFT JOIN cov ON cov.doc_id = toks.doc_id
     WHERE toks.n > 0
-    """,
+    """
+
+
+@register(
+    "duplicate_span_coverage",
+    oracle=_SQL_SPAN_COVERAGE,
     tags=("dedup", "llm-pipeline", "quality"),
 )
 def duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -613,3 +616,83 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_clusters") > 0)
     )
     return hist.unionByName(singles)
+
+
+@register(
+    "dedup_signal_auc",
+    oracle=f"""
+    WITH pair_t AS ({D.sql_minhash_lsh(JACCARD_THRESHOLD)}),
+    members AS (
+      SELECT id_a AS doc_id FROM pair_t UNION SELECT id_b FROM pair_t),
+    span AS ({_SQL_SPAN_COVERAGE}),
+    sc AS (
+      SELECT s.doc_id,
+             (1000000 * s.dup_covered_tokens) // s.n_tokens AS s,
+             CASE WHEN m.doc_id IS NULL THEN 0 ELSE 1 END AS y
+      FROM span s LEFT JOIN members m ON m.doc_id = s.doc_id),
+    hist AS (
+      SELECT s, sum(y) AS np, sum(1 - y) AS nn FROM sc GROUP BY 1),
+    cum AS (
+      SELECT s, np, nn,
+             coalesce(sum(nn) OVER (ORDER BY s
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cnb
+      FROM hist)
+    SELECT CAST(sum(np) AS BIGINT) AS n_pos,
+           CAST(sum(nn) AS BIGINT) AS n_neg,
+           CAST(sum(np * (2 * cnb + nn)) AS BIGINT) AS u2,
+           CAST((1000000 * sum(np * (2 * cnb + nn)))
+                // (2 * sum(np) * sum(nn)) AS BIGINT) AS auc_micro
+    FROM cum
+    """,
+    tags=("dedup", "llm-pipeline", "quality", "statistics"),
+)
+def dedup_signal_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed exact AUC (Mann-Whitney U) of a cheap per-document
+    signal against the expensive detector's verdict — the calibration
+    audit run before replacing a full near-dup pass with a scan-cheap
+    prefilter: score = duplicate-span coverage fraction (micro), label =
+    document participates in a verified MinHash near-dup pair. AUC ≈ 1
+    says the span signal ranks dup-involved documents above clean ones
+    and can gate which documents even enter the LSH tier.
+
+    The AUC is computed WITHOUT any per-row ranking: collapse to the
+    score-value histogram (np, nn per distinct micro-score — the domain
+    is bounded by construction, ≤ 1e6+1 values at ANY corpus size, so
+    the cumulative window runs over a bounded value dimension, never
+    over documents — the de-globalized rank pattern), then the
+    tie-aware Mann-Whitney count U2 = Σ np(s)·(2·cum_nn(<s) + nn(s))
+    counts (pos, neg) pairs with neg below pos, ties half (×2 keeps it
+    integral). auc_micro = ⌊1e6·U2 / (2·P·N)⌋ — exact integers end to
+    end. Composition: the span pipeline (one gram shuffle) + the shared
+    memoized pair view for labels + one bounded histogram."""
+    span = duplicate_span_coverage(spark, sf_dir)
+    members = (
+        _pairs_view(spark, sf_dir)
+        .select(F.col("id_a").alias("doc_id"))
+        .unionByName(_pairs_view(spark, sf_dir).select(F.col("id_b").alias("doc_id")))
+        .distinct()
+        .withColumn("y1", F.lit(1))
+    )
+    sc = span.join(F.broadcast(members), "doc_id", "left").select(
+        F.expr("(1000000 * dup_covered_tokens) div n_tokens").alias("s"),
+        F.coalesce(F.col("y1"), F.lit(0)).alias("y"),
+    )
+    hist = sc.groupBy("s").agg(
+        F.sum("y").alias("np"), F.sum(1 - F.col("y")).alias("nn")
+    )
+    from pyspark.sql.window import Window as W
+
+    w_prev = W.orderBy("s").rowsBetween(W.unboundedPreceding, -1)
+    cum = hist.select(
+        "np", "nn", F.coalesce(F.sum("nn").over(w_prev), F.lit(0)).alias("cnb")
+    )
+    return cum.agg(
+        F.sum("np").cast("long").alias("n_pos"),
+        F.sum("nn").cast("long").alias("n_neg"),
+        F.sum(F.col("np") * (2 * F.col("cnb") + F.col("nn"))).cast("long").alias("u2"),
+        F.expr(
+            "CAST((1000000 * sum(np * (2 * cnb + nn)))"
+            " div (2 * sum(np) * sum(nn)) AS BIGINT)"
+        ).alias("auc_micro"),
+    )

