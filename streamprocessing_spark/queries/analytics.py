@@ -4183,3 +4183,75 @@ def listagg_priorities_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM orders_listagg_v GROUP BY o_orderstatus
         """
     )
+
+
+# One SQL text, two engines (the recursive_cte_amortization pattern):
+# GROUP BY ALL / ORDER BY ALL resolve "all non-aggregate select items" /
+# "the whole select list" identically in Spark 4 and DuckDB.
+GROUP_BY_ALL_SQL = """
+    SELECT o_orderstatus, o_orderpriority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@register(
+    "group_by_all_showcase",
+    oracle=GROUP_BY_ALL_SQL,
+    tags=("sql-surface", "aggregate", "spark4", "exact-money"),
+)
+def group_by_all_showcase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL + ORDER BY ALL — the analyst-ergonomics SQL surface
+    (grouping keys inferred from the non-aggregate select items, ordering
+    from the whole select list), run VERBATIM on both engines from the
+    module constant GROUP_BY_ALL_SQL, so the dialect agreement is the
+    thing under test — not a translation. Semantics pin: ALL must expand
+    to (o_orderstatus, o_orderpriority), i.e. the aggregate stays a
+    15-group rollup with exact integer cents; a wrong expansion (e.g.
+    including an aggregate input) changes the row count and fails the
+    hash. Plan is the ordinary partial/final hash aggregate — the sugar
+    must cost nothing."""
+    load_table(spark, sf_dir, "orders").createOrReplaceTempView("orders")
+    return spark.sql(GROUP_BY_ALL_SQL)
+
+
+@register(
+    "script_transform_filter",
+    oracle="""
+    SELECT p_partkey, p_name FROM part WHERE p_name LIKE '%bolt%'
+    """,
+    tags=("sql-surface", "engine", "custom-operator", "reference"),
+)
+def script_transform_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT TRANSFORM ... USING — Hive-style script transform WITHOUT
+    Hive (Spark 3.1+, SPARK-32106): rows stream to an external Unix
+    process over stdin as TAB-delimited text and its stdout streams back
+    as rows. This is the reference engine's literal operator contract —
+    RainStorm ops are argv/stdin/stdout executables
+    (/root/reference/rainstorm/server.go exec pipeline; mirrored by our
+    ExecOp subprocess adapter) — expressed as a first-class SQL surface:
+    here `sed -n /bolt/p` IS the app-1 pattern-filter op as a shell
+    one-liner. sed (not grep) because grep exits 1 on a matchless
+    partition and script transform treats nonzero exit as task failure.
+
+    The oracle is the declarative twin (LIKE '%bolt%'), proving the
+    process pipeline computes exactly the relational filter. Script
+    output columns are strings by contract; the outer SELECT casts the
+    key back. Scale: one process per task, rows streamed — the same
+    per-partition fork amortization as ExecOp (and unlike per-row
+    exec)."""
+    load_table(spark, sf_dir, "part").createOrReplaceTempView("part")
+    return spark.sql(
+        """
+        SELECT CAST(p_partkey AS BIGINT) AS p_partkey, p_name FROM (
+          SELECT TRANSFORM(p_partkey, p_name)
+          USING 'sed -n /bolt/p'
+          AS (p_partkey string, p_name string)
+          FROM part
+        )
+        """
+    )

@@ -180,6 +180,28 @@ def _build_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_hourly_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    hourly = ev.groupBy(F.window("ts", "1 hour")).agg(F.count(F.lit(1)).alias("cnt"))
+    return (
+        hourly.groupBy(F.window(F.col("window"), "1 day"))
+        .agg(
+            F.sum("cnt").alias("n_events"),
+            F.max("cnt").alias("max_hourly"),
+            F.count(F.lit(1)).alias("n_hours"),
+        )
+        .select(
+            F.concat(
+                F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss"),
+                F.lit(" UTC"),
+            ).alias("window_start"),
+            "n_events",
+            "max_hourly",
+            "n_hours",
+        )
+    )
+
+
 def _build_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamprocessing_spark.streaming.stateful import timeout_sessions
 
@@ -199,6 +221,7 @@ _PIPELINES: dict[str, tuple] = {
     "streaming_stateful_alerts": (_build_stateful_alerts, "append"),
     "streaming_session_timeout": (_build_session_timeout, "append"),
     "streaming_dedup_then_window": (_build_dedup_then_window, "append"),
+    "streaming_hourly_daily_rollup": (_build_hourly_daily_rollup, "append"),
 }
 
 # (applicationId, sf_dir) -> {query_name: memory-sink table name}
@@ -440,6 +463,46 @@ def streaming_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     through — its state machinery still runs; duplicate-collapse
     semantics are pinned by the standalone dedup queries."""
     return _drained(spark, sf_dir, "streaming_dedup_then_window")
+
+
+@register(
+    "streaming_hourly_daily_rollup",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS mx FROM events),
+    hourly AS (
+      SELECT date_trunc('hour', ts) AS h, count(*) AS cnt
+      FROM events GROUP BY 1),
+    daily AS (
+      SELECT date_trunc('day', h) AS d,
+             CAST(sum(cnt) AS BIGINT) AS n_events,
+             CAST(max(cnt) AS BIGINT) AS max_hourly,
+             CAST(count(*) AS BIGINT) AS n_hours
+      FROM hourly GROUP BY 1)
+    SELECT strftime(d, '%Y-%m-%d %H:%M:%S') || ' UTC' AS window_start,
+           n_events, max_hourly, n_hours
+    FROM daily CROSS JOIN mx
+    WHERE epoch_us(d + INTERVAL 1 DAY)
+          <= epoch_us(mx.mx) - CAST(3600 AS BIGINT) * 1000000
+    """,
+    tags=("streaming", "stateful", "window", "event-time", "aggregation"),
+)
+def streaming_hourly_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHAINED event-time AGGREGATIONS in one streaming query (the
+    second multi-stateful-operator shape, complementing
+    streaming_dedup_then_window's dedup→window): an hourly tumbling
+    count feeding a daily rollup of the finalized hourly rows —
+    window-on-window via F.window over the upstream window column
+    (SPARK-40925), no intermediate sink, one shared watermark. The
+    production topology this stands for is the metrics-downsampling
+    cascade (raw → 1 h → 1 d retention tiers) as a single pipeline.
+
+    Append-mode contract, stated exactly by the oracle: a day emits iff
+    its end precedes the final watermark (global max event time − 1 h);
+    every emitted day is COMPLETE — all its hours finalized first (hour
+    end ≤ day end ≤ watermark), propagated within the same micro-batch,
+    so n_events is the full-day event count, max_hourly the true peak
+    hour, n_hours the day's distinct hours that had data."""
+    return _drained(spark, sf_dir, "streaming_hourly_daily_rollup")
 
 
 @register(
