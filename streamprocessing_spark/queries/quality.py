@@ -508,3 +508,87 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.join(F.broadcast(bkt), ["lang", "ppl_milli_bits"]).select(
         "doc_id", "lang", "ppl_milli_bits", "bucket"
     )
+
+
+# Counted alphabet for the entropy filter: lowercase alphanumerics +
+# space. Bounded and explicit so the per-char count can be computed
+# IN-ROW (length-difference trick) — no explode, no shuffle.
+ENTROPY_ALPHABET = "abcdefghijklmnopqrstuvwxyz0123456789 "
+LOW_ENTROPY_MILLI = 3000  # < 3 bits/char ⇒ repetitive / template text
+
+
+def _entropy_exprs() -> tuple[str, str]:
+    """(n_expr, sum_expr): total counted chars and Σ cnt·mlog2(cnt) over
+    the alphabet, as ONE SQL expression string each (the simhash
+    build-a-string pattern: 37 Column-tree terms would cost hundreds of
+    py4j round-trips per query construction; identical text runs on
+    DuckDB). cnt_c = len(s) − len(replace(s, c, ''))."""
+    from streamprocessing_spark.functions.text import sql_mlog2
+
+    def cnt(ch: str) -> str:
+        lit = "' '" if ch == " " else f"'{ch}'"
+        return f"(length(s) - length(replace(s, {lit}, '')))"
+
+    n = " + ".join(cnt(c) for c in ENTROPY_ALPHABET)
+    s = " + ".join(
+        f"(CASE WHEN {cnt(c)} > 0 THEN {cnt(c)} * {sql_mlog2(cnt(c))} ELSE 0 END)"
+        for c in ENTROPY_ALPHABET
+    )
+    return n, s
+
+
+def _sql_char_entropy() -> str:
+    from streamprocessing_spark.functions.text import sql_mlog2
+
+    n_e, s_e = _entropy_exprs()
+    ent = f"{sql_mlog2('n')} - sm // n"
+    return f"""
+    WITH base AS (SELECT doc_id, lower(text) AS s FROM documents),
+    c AS (SELECT doc_id, {n_e} AS n, {s_e} AS sm
+          FROM base)
+    SELECT doc_id, CAST(n AS BIGINT) AS n_counted,
+           CAST({ent} AS BIGINT) AS entropy_milli_bits,
+           CAST(CASE WHEN {ent} < {LOW_ENTROPY_MILLI}
+                THEN 1 ELSE 0 END AS BIGINT) AS low_entropy
+    FROM c WHERE n > 0
+    """
+
+
+@register(
+    "char_entropy_filter",
+    oracle=_sql_char_entropy(),
+    tags=("quality", "llm-pipeline", "text", "filter"),
+)
+def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality filter — the classic cheap screen for
+    template spam, keyboard mash and base64/hex blobs: Shannon entropy
+    of the document's character distribution over a fixed 37-symbol
+    alphabet, H = log2(n) − Σ cnt·log2(cnt)/n, in exact milli-bits via
+    mlog2 (every term an integer; the single div n floors identically —
+    numerator ≥ 0 since cnt ≤ n). Natural English sits ~4 bits/char;
+    'aaaa…' scores 0; docs under {LOW_ENTROPY_MILLI} milli-bits flag.
+
+    The 100 TB shape is the point: per-char counts come from the
+    length-difference trick (len(s) − len(replace(s, c, ''))), so the
+    WHOLE filter is a single projection over the scan — zero shuffle,
+    zero explode, no token table; it composes into any ingest scan for
+    free (predicate-pushdown friendly), unlike entropy-via-groupBy
+    which would shuffle corpus-bytes of (doc, char) rows."""
+    d = load_table(spark, sf_dir, "documents")
+    n_e, s_e = _entropy_exprs()
+    from streamprocessing_spark.functions.text import sql_mlog2
+
+    ent = f"{sql_mlog2('n')} - sm div n"
+    return (
+        d.select("doc_id", F.lower(F.col("text")).alias("s"))
+        .select("doc_id", F.expr(n_e).alias("n"), F.expr(s_e).alias("sm"))
+        .where(F.col("n") > 0)
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_counted"),
+            F.expr(f"CAST({ent} AS BIGINT)").alias("entropy_milli_bits"),
+            F.expr(
+                f"CAST(CASE WHEN {ent} < {LOW_ENTROPY_MILLI} THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("low_entropy"),
+        )
+    )

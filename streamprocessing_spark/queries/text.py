@@ -1426,3 +1426,108 @@ def vocab_growth_by_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_new").cast("long").alias("n_new"),
         F.sum("n_new").over(w).cast("long").alias("cum_vocab"),
     )
+
+
+def _sql_zipf() -> str:
+    from streamprocessing_spark.functions.text import sql_mlog2
+
+    return f"""
+    WITH toks AS (
+      SELECT unnest({_SQL_TOKENS}) AS tok FROM documents),
+    cf AS (SELECT tok, CAST(count(*) AS BIGINT) AS c FROM toks GROUP BY 1),
+    h AS (SELECT c, CAST(count(*) AS BIGINT) AS n FROM cf GROUP BY 1),
+    ranked AS (
+      SELECT c, n,
+             2 * coalesce(sum(n) OVER (ORDER BY c DESC
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + n + 1 AS midrank2
+      FROM h),
+    pts AS (
+      SELECT n AS w, {sql_mlog2('midrank2')} AS x, {sql_mlog2('c')} AS y
+      FROM ranked),
+    s AS (
+      SELECT CAST(sum(w) AS HUGEINT) AS sw,
+             CAST(sum(w * x) AS HUGEINT) AS sx,
+             CAST(sum(w * y) AS HUGEINT) AS sy,
+             CAST(sum(w * x * y) AS HUGEINT) AS sxy,
+             CAST(sum(w * x * x) AS HUGEINT) AS sxx,
+             CAST(count(*) AS BIGINT) AS n_points
+      FROM pts)
+    SELECT n_points,
+           CAST(sw AS BIGINT) AS vocab_size,
+           CAST(CASE WHEN sw * sxy - sx * sy >= 0
+                THEN (1000 * (sw * sxy - sx * sy)) // (sw * sxx - sx * sx)
+                ELSE -((1000 * (sx * sy - sw * sxy)) // (sw * sxx - sx * sx))
+                END AS BIGINT) AS slope_milli
+    FROM s
+    WHERE sw * sxx - sx * sx > 0
+    """
+
+
+@register(
+    "zipf_law_audit",
+    oracle=_sql_zipf(),
+    tags=("text", "llm-pipeline", "statistics", "observability"),
+)
+def zipf_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law conformance audit — the one-row corpus datasheet
+    answering "does this crawl look like natural language?": the
+    weighted log-log regression slope of term frequency against
+    frequency rank. Natural corpora slope ≈ −1; slopes far from it mean
+    template spam (too steep) or token-minting garbage (too flat) —
+    the check run before accepting a new source into the mix.
+
+    Exact and rank-free: collapse the vocabulary to the DISTINCT-
+    FREQUENCY histogram (c → n_terms; Zipf itself bounds it ~O(√tokens)
+    — the window below runs over that bounded dimension, never over
+    terms), give each frequency's tie-group its midrank (2·cum+n+1,
+    doubled to stay integral), take x = mlog2(midrank2), y = mlog2(c)
+    and fit weighted least squares entirely in integer sums; the
+    HUGEINT/DECIMAL(38) cross-products avoid overflow at any corpus
+    size and the single signed division truncates toward zero
+    identically in both engines (sign split because Spark div truncates
+    while DuckDB // floors — the Hilbert-key lesson).
+
+    Scale shape: one vocabulary shuffle (map-side combined), then
+    everything is histogram-sized. The slope's x-shift from doubling
+    ranks is absorbed by the intercept; the slope is shift-invariant."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(F.explode(T.tokens(F.col("text"))).alias("tok"))
+    cf = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    h = cf.groupBy("c").agg(F.count(F.lit(1)).alias("n"))
+    from pyspark.sql.window import Window as W
+
+    w_prev = W.orderBy(F.desc("c")).rowsBetween(W.unboundedPreceding, -1)
+    ranked = h.select(
+        "c",
+        "n",
+        (2 * F.coalesce(F.sum("n").over(w_prev), F.lit(0)) + F.col("n") + 1).alias(
+            "midrank2"
+        ),
+    )
+    pts = ranked.select(
+        F.col("n").alias("w"),
+        T.mlog2(F.col("midrank2")).alias("x"),
+        T.mlog2(F.col("c")).alias("y"),
+    )
+    dec = "DECIMAL(38,0)"
+    s = pts.agg(
+        F.expr(f"CAST(sum(w) AS {dec})").alias("sw"),
+        F.expr(f"CAST(sum(w * x) AS {dec})").alias("sx"),
+        F.expr(f"CAST(sum(w * y) AS {dec})").alias("sy"),
+        F.expr(f"CAST(sum(w * x * y) AS {dec})").alias("sxy"),
+        F.expr(f"CAST(sum(w * x * x) AS {dec})").alias("sxx"),
+        F.count(F.lit(1)).alias("n_points"),
+    )
+    return s.where(
+        F.expr("sw * sxx - sx * sx > 0")
+    ).select(
+        "n_points",
+        F.expr("CAST(sw AS BIGINT)").alias("vocab_size"),
+        F.expr(
+            "CAST(CASE WHEN sw * sxy - sx * sy >= 0"
+            " THEN (1000 * (sw * sxy - sx * sy)) div (sw * sxx - sx * sx)"
+            " ELSE -((1000 * (sx * sy - sw * sxy)) div (sw * sxx - sx * sx))"
+            " END AS BIGINT)"
+        ).alias("slope_milli"),
+    )

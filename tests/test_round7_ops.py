@@ -116,3 +116,78 @@ def test_dedup_signal_auc_separates_dup_members(spark, sf_dir):
     assert 0 <= r.u2 <= 2 * r.n_pos * r.n_neg
     assert r.auc_micro == (1000000 * r.u2) // (2 * r.n_pos * r.n_neg)
     assert r.auc_micro > 800000, r  # strong separation at every SF
+
+
+def test_char_entropy_degenerate_and_flag(spark):
+    """The low-entropy flag never fires on the (natural-text) fixture, so
+    exercise it on constructed docs through the SAME expressions:
+    a one-symbol doc has H = 0 exactly, a two-symbol balanced doc has
+    H = 1 bit, and both flag low; a full-alphabet pangram-ish doc does
+    not. Also pins the exact milli-bit arithmetic against Python."""
+    from streamprocessing_spark.queries.quality import (
+        LOW_ENTROPY_MILLI,
+        _entropy_exprs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "aaaaaaaaaaaaaaaa"),
+            (2, "abababababababab"),
+            (3, "the quick brown fox jumps over the lazy dog 0123456789"),
+        ],
+        "doc_id long, text string",
+    )
+    n_e, s_e = _entropy_exprs()
+    out = {
+        r.doc_id: r
+        for r in docs.selectExpr("doc_id", "lower(text) AS s")
+        .selectExpr("doc_id", f"{n_e} AS n", f"{s_e} AS sm")
+        .selectExpr(
+            "doc_id",
+            "CAST(floor(1000*log2(n)+0.5) AS BIGINT) - sm div n AS ent",
+        )
+        .collect()
+    }
+    assert out[1].ent == 0
+    assert out[2].ent == 1000
+    assert out[3].ent > LOW_ENTROPY_MILLI
+    # registered query on the real fixture: all entropies in (0, log2(37)]
+    df = SPECS["char_entropy_filter"].fn(spark, "/root/testdata/sf0.001").collect()
+    assert all(0 < r.entropy_milli_bits <= 5209 for r in df)
+    assert all(r.low_entropy == (1 if r.entropy_milli_bits < LOW_ENTROPY_MILLI else 0) for r in df)
+
+
+def test_zipf_slope_matches_python_reference(spark, sf_dir):
+    """Recompute the weighted log-log regression from raw token counts in
+    pure Python (midrank tie handling included) and require the exact
+    same integer slope. The synthetic fixture's near-uniform vocabulary
+    must yield a shallow NEGATIVE slope — the audit correctly reports
+    this corpus as non-Zipfian (far from -1000 milli)."""
+    import math
+    import re
+    from collections import Counter
+
+    from streamprocessing_spark.functions.text import TOKEN_RE
+    from streamprocessing_spark.sources.readers import load_table
+
+    texts = [r.text for r in load_table(spark, sf_dir, "documents").select("text").collect()]
+    cf = Counter(t for x in texts for t in re.findall(TOKEN_RE, x.lower()))
+    h = Counter(cf.values())
+    ml = lambda k: round(1000 * math.log2(k))  # noqa: E731
+    cum = 0
+    pts = []
+    for c in sorted(h, reverse=True):
+        n = h[c]
+        pts.append((n, ml(2 * cum + n + 1), ml(c)))
+        cum += n
+    sw = sum(w for w, _, _ in pts)
+    sx = sum(w * x for w, x, _ in pts)
+    sy = sum(w * y for w, _, y in pts)
+    sxy = sum(w * x * y for w, x, y in pts)
+    sxx = sum(w * x * x for w, x, _ in pts)
+    num, den = sw * sxy - sx * sy, sw * sxx - sx * sx
+    want = (1000 * num) // den if num >= 0 else -((1000 * -num) // den)
+    r = SPECS["zipf_law_audit"].fn(spark, sf_dir).collect()[0]
+    assert r.slope_milli == want
+    assert r.vocab_size == len(cf) and r.n_points == len(h)
+    assert r.slope_milli < 0
