@@ -180,6 +180,32 @@ def _build_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    def side(t: str, pre: str) -> DataFrame:
+        return (
+            stream_events(spark, sf_dir)
+            .where(F.col("event_type") == t)
+            .select(
+                F.col("user_id").alias(f"{pre}_user"),
+                F.col("ts").alias(f"{pre}_ts"),
+                F.col("event_id").alias(f"{pre}_id"),
+            )
+            .withWatermark(f"{pre}_ts", "1 hour")
+        )
+
+    p, c = side("purchase", "p"), side("click", "c")
+    return (
+        p.join(
+            c,
+            (F.col("p_user") == F.col("c_user"))
+            & (F.col("c_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("p_ts")),
+            "left_outer",
+        )
+        .select(F.col("p_id").alias("purchase_id"), "p_ts", F.col("c_id").alias("click_id"))
+    )
+
+
 def _build_hourly_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
     hourly = ev.groupBy(F.window("ts", "1 hour")).agg(F.count(F.lit(1)).alias("cnt"))
@@ -222,6 +248,7 @@ _PIPELINES: dict[str, tuple] = {
     "streaming_session_timeout": (_build_session_timeout, "append"),
     "streaming_dedup_then_window": (_build_dedup_then_window, "append"),
     "streaming_hourly_daily_rollup": (_build_hourly_daily_rollup, "append"),
+    "streaming_left_outer_join": (_build_left_outer_join, "append"),
 }
 
 # (applicationId, sf_dir) -> {query_name: memory-sink table name}
@@ -463,6 +490,62 @@ def streaming_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     through — its state machinery still runs; duplicate-collapse
     semantics are pinned by the standalone dedup queries."""
     return _drained(spark, sf_dir, "streaming_dedup_then_window")
+
+
+@register(
+    "streaming_left_outer_join",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS mx FROM events),
+    p AS (SELECT event_id AS purchase_id, user_id, ts
+          FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT event_id AS click_id, user_id AS cu, ts AS cts
+          FROM events WHERE event_type = 'click')
+    SELECT p.purchase_id, c.click_id
+    FROM p
+    LEFT JOIN c ON c.cu = p.user_id
+               AND c.cts >= p.ts - INTERVAL 1 HOUR
+               AND c.cts <= p.ts
+    CROSS JOIN mx
+    WHERE c.click_id IS NOT NULL
+       OR epoch_us(p.ts) < epoch_us(mx.mx) - CAST(7200 AS BIGINT) * 1000000
+    """,
+    tags=("streaming", "join", "event-time", "stateful"),
+)
+def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER interval join — the attribution shape
+    where a purchase with NO preceding click must still emit (with a
+    NULL click) so the funnel's denominator is complete. Completes the
+    registered stream-join family (inner interval join:
+    streaming_interval_join; outer NULL-emission previously only
+    test-asserted).
+
+    The oracled region is chosen from the JOIN'S OWN watermark algebra,
+    not from observation: matched rows emit as they arrive (all kept);
+    an unmatched left row is GUARANTEED evicted-and-emitted only once
+    the watermark passes its entire match window plus the right side's
+    state retention — p_ts < wm − 1h = max_ts − 2h under the final
+    AvailableNow watermark (rows between that bound and the stream end
+    may legally still sit in state; Spark's actual boundary was measured
+    mid-region and is an implementation detail). Both the query and the
+    batch oracle restrict the unmatched set to the guaranteed region
+    with the identical strict epoch comparison, so the check is exact.
+    Production consumers apply the same restriction when reconciling an
+    outer-join stream against batch truth."""
+    from streamprocessing_spark.sources.readers import load_table
+
+    drained = _drained(spark, sf_dir, "streaming_left_outer_join")
+    mx = load_table(spark, sf_dir, "events").agg(F.max("ts").alias("mx"))
+    return (
+        drained.crossJoin(F.broadcast(mx))
+        .where(
+            F.col("click_id").isNotNull()
+            | (
+                F.col("p_ts").cast("long")
+                < F.col("mx").cast("long") - F.lit(7200)
+            )
+        )
+        .select("purchase_id", "click_id")
+    )
 
 
 @register(
