@@ -2262,3 +2262,99 @@ def session_window_batch_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_events").cast("long").alias("n_events"),
         )
     )
+
+
+def _pava_kernel(pdf):
+    """Pool-Adjacent-Violators over one group's (hour, w, s) cells, in
+    EXACT integer arithmetic: blocks carry (Σw, Σs); a violation is the
+    cross-multiplied rational comparison s_prev·w_next > s_next·w_prev
+    (no float means ever); the fitted value per cell is the block mean
+    floored to micro units with Python's // — the same floor DuckDB's
+    // applies in the minimax oracle, so floors commute with the
+    min/max envelope and oracle equality is exact."""
+    import pandas as pd
+
+    pdf = pdf.sort_values("hour")
+    blocks: list[list] = []  # [w, s, [hour, ...]]
+    for hour, w, s in zip(pdf["hour"], pdf["w"], pdf["s"]):
+        blocks.append([int(w), int(s), [int(hour)]])
+        while (
+            len(blocks) >= 2
+            and blocks[-2][1] * blocks[-1][0] > blocks[-1][1] * blocks[-2][0]
+        ):
+            w2, s2, h2 = blocks.pop()
+            blocks[-1][0] += w2
+            blocks[-1][1] += s2
+            blocks[-1][2].extend(h2)
+    et = pdf["event_type"].iloc[0]
+    out = {"event_type": [], "hour": [], "n": [], "fitted_micro": []}
+    wmap = dict(zip(pdf["hour"], pdf["w"]))
+    for w, s, hours in blocks:
+        for h in hours:
+            out["event_type"].append(et)
+            out["hour"].append(h)
+            out["n"].append(int(wmap[h]))
+            out["fitted_micro"].append(s // w)
+    return pd.DataFrame(out)
+
+
+@register(
+    "isotonic_hourly_value",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS et, CAST(hour(ts) AS BIGINT) AS hour,
+             CAST(count(*) AS BIGINT) AS w,
+             CAST(sum(CAST(floor(value * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    rs AS (
+      SELECT a.et, a.hour AS j, b.hour AS k,
+             (SELECT sum(c.s) FROM cells c
+              WHERE c.et = a.et AND c.hour BETWEEN a.hour AND b.hour) AS ss,
+             (SELECT sum(c.w) FROM cells c
+              WHERE c.et = a.et AND c.hour BETWEEN a.hour AND b.hour) AS ww
+      FROM cells a JOIN cells b ON b.et = a.et AND b.hour >= a.hour),
+    inner_min AS (
+      SELECT i.et, i.hour, r.j, min(r.ss // r.ww) AS mn
+      FROM cells i
+      JOIN rs r ON r.et = i.et AND r.j <= i.hour AND r.k >= i.hour
+      GROUP BY 1, 2, 3),
+    mm AS (SELECT et, hour, max(mn) AS f FROM inner_min GROUP BY 1, 2)
+    SELECT c.et AS event_type, c.hour, c.w AS n,
+           CAST(m.f AS BIGINT) AS fitted_micro
+    FROM cells c JOIN mm m ON m.et = c.et AND m.hour = c.hour
+    """,
+    tags=("timeseries", "statistics", "custom-operator", "pandas-udf"),
+)
+def isotonic_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ISOTONIC (monotone non-decreasing) regression of event value on
+    hour-of-day per event type, via Pool-Adjacent-Violators — the
+    order-constrained fit behind score calibration (isotonic
+    calibration), dose-response and monotone-feature curves; a class no
+    window/aggregate combination expresses.
+
+    The oracle is the MINIMAX THEOREM (Robertson & Wright: the isotonic
+    fit at i equals max_{j≤i} min_{k≥i} avg(y[j..k])) evaluated
+    directly in SQL over the hour cells — so the sequential PAVA and
+    the closed form must agree on every cell, exercising the theorem
+    rather than replaying the algorithm. Exactness: cells carry integer
+    (Σw, Σs); PAVA compares block means by cross-multiplication; both
+    sides floor the final mean to micro units, and floor commutes with
+    the min/max envelope (monotone), so equality is bit-exact. The
+    oracle's O(cells³) enumeration is affordable because the cell
+    domain is bounded (≤ 24 hours per type) — the same bounded-domain
+    reasoning as the AUC histogram.
+
+    Scale shape: ONE map-side-combinable aggregate collapses the fact
+    table to ≤ 24·|types| cells; the grouped-map kernel then runs on
+    the dimension-sized table (one pandas invocation per type). At
+    100 TB nothing but the first aggregate touches the corpus."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    cells = ev.groupBy(
+        F.col("event_type"), F.hour("ts").cast("long").alias("hour")
+    ).agg(
+        F.count(F.lit(1)).alias("w"),
+        F.sum(F.floor(F.col("value") * 1000000.0 + F.lit(0.5)).cast("long")).alias("s"),
+    )
+    return cells.groupBy("event_type").applyInPandas(
+        _pava_kernel, "event_type string, hour bigint, n bigint, fitted_micro bigint"
+    )

@@ -201,3 +201,53 @@ def test_zorder_expression_matches_python_interleave(x, y):
         f"SELECT {ZORDER_EXPR} AS z FROM (SELECT {x}::BIGINT AS x, {y}::BIGINT AS y)"
     ).fetchone()[0]
     assert got == expected
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=50),      # weight
+            st.integers(min_value=-1000, max_value=1000),  # cell sum
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=200, deadline=None)
+def test_pava_kernel_equals_minimax_closed_form(cells):
+    """The PAVA kernel must equal the Robertson-Wright minimax closed
+    form max_{j<=i} min_{k>=i} avg(y[j..k]) on ARBITRARY weighted
+    sequences — the theorem the DuckDB oracle evaluates, here checked
+    against exact Fractions (with the same floor-to-int both sides
+    apply, which commutes with min/max by monotonicity)."""
+    from fractions import Fraction
+
+    import pandas as pd
+
+    from streamprocessing_spark.queries.timeseries import _pava_kernel
+
+    pdf = pd.DataFrame(
+        {
+            "event_type": ["t"] * len(cells),
+            "hour": list(range(len(cells))),
+            "w": [w for w, _ in cells],
+            "s": [s for _, s in cells],
+        }
+    )
+    got = {
+        r.hour: r.fitted_micro for r in _pava_kernel(pdf).itertuples(index=False)
+    }
+    n = len(cells)
+    import math
+
+    for i in range(n):
+        best = None
+        for j in range(i + 1):
+            worst = None
+            for k in range(i, n):
+                ww = sum(w for w, _ in cells[j : k + 1])
+                ss = sum(s for _, s in cells[j : k + 1])
+                v = Fraction(ss, ww)
+                worst = v if worst is None or v < worst else worst
+            best = worst if best is None or worst > best else best
+        assert got[i] == math.floor(best), (cells, i, got[i], best)
