@@ -2258,3 +2258,67 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("logw_milli_bits"),
         )
     )
+
+
+RESERVOIR_K = 100
+
+
+def _sql_weighted_reservoir() -> str:
+    from streamprocessing_spark.functions.text import sql_mlog2
+
+    h = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1"
+    return f"""
+    WITH w AS (
+      SELECT doc_id, CAST(len({_SQL_TOKENS}) AS BIGINT) AS n_tokens
+      FROM documents WHERE len({_SQL_TOKENS}) > 0),
+    keyed AS (
+      SELECT doc_id, n_tokens,
+             (1000000 * (32001 - {sql_mlog2(h)})) // n_tokens AS penalty
+      FROM w)
+    SELECT doc_id, n_tokens, CAST(penalty AS BIGINT) AS penalty
+    FROM keyed
+    ORDER BY penalty ASC, doc_id ASC
+    LIMIT {RESERVOIR_K}
+    """
+
+
+@register(
+    "weighted_reservoir_sample",
+    oracle=_sql_weighted_reservoir(),
+    tags=("curation", "llm-pipeline", "sampling", "statistics"),
+)
+def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, ∝ token count — the
+    Efraimidis-Spirakis one-pass reservoir (key uᵢ^(1/wᵢ), keep top-K),
+    the algorithm behind "sample a token-budgeted subset where long
+    documents are proportionally likelier" — derandomized and made
+    engine-exact: u = (md5(doc_id) 32-bit prefix + 1)/2³², and ranking
+    by u^(1/w) is monotone in ln(u)/w, quantized to the integer penalty
+    (10⁶·(32001 − mlog2(h))) div w — mlog2 keeps the log exact-portable
+    and the NUMERATOR is kept positive (32001 > mlog2(h) for 32-bit h)
+    because Spark div truncates while DuckDB // floors on negatives
+    (the Hilbert-key lesson); smallest penalty = largest E-S key.
+    doc_id breaks penalty ties deterministically.
+
+    Scale shape: the selection is orderBy().limit(K) — Spark's
+    TakeOrderedAndProject, a per-partition top-K + single K-row merge,
+    NEVER a global sort (pinned in tests/test_plans.py); the scan is
+    one projection. The statistical property (P[i ∈ sample] follows
+    weighted sampling without replacement) holds to the 1e-6 key
+    quantization; ties are measure-zero under real hashes."""
+    from streamprocessing_spark.functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id", T.token_count(F.col("text")).alias("n_tokens")
+    ).where(F.col("n_tokens") > 0)
+    h = "CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 8), 16, 10) AS BIGINT) + 1"
+    keyed = w.select(
+        "doc_id",
+        "n_tokens",
+        F.expr(
+            f"(1000000 * (32001 - CAST(floor(1000*log2({h})+0.5) AS BIGINT)))"
+            " div n_tokens"
+        ).alias("penalty"),
+    )
+    return keyed.orderBy(F.asc("penalty"), F.asc("doc_id")).limit(RESERVOIR_K)

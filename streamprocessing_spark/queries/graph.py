@@ -883,3 +883,92 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST((1000000 * common) div (da + db - common) AS BIGINT)").alias("jaccard_micro"),
         )
     )
+
+
+@register(
+    "degree_assortativity_parts",
+    oracle=f"""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    pairs AS (
+      SELECT a.l_partkey AS p_a, b.l_partkey AS p_b
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {MIN_SUPPORT}),
+    dir_e AS (
+      SELECT p_a AS u, p_b AS v FROM pairs
+      UNION ALL
+      SELECT p_b AS u, p_a AS v FROM pairs),
+    deg AS (SELECT u AS node, CAST(count(*) AS BIGINT) AS d FROM dir_e GROUP BY 1),
+    inst AS (
+      SELECT du.d AS x, dv.d AS y
+      FROM dir_e e JOIN deg du ON du.node = e.u JOIN deg dv ON dv.node = e.v),
+    s AS (
+      SELECT CAST(count(*) AS HUGEINT) AS m2,
+             CAST(sum(x) AS HUGEINT) AS sx,
+             CAST(sum(x * y) AS HUGEINT) AS sxy,
+             CAST(sum(x * x) AS HUGEINT) AS sxx
+      FROM inst)
+    SELECT CAST(m2 // 2 AS BIGINT) AS n_edges,
+           CAST(CASE WHEN m2 * sxy - sx * sx >= 0
+                THEN (1000 * (m2 * sxy - sx * sx)) // (m2 * sxx - sx * sx)
+                ELSE -((1000 * (sx * sx - m2 * sxy)) // (m2 * sxx - sx * sx))
+                END AS BIGINT) AS assortativity_milli
+    FROM s WHERE m2 * sxx - sx * sx > 0
+    """,
+    tags=("graph", "statistics", "analytics"),
+)
+def degree_assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree ASSORTATIVITY of the co-purchase support graph (Newman
+    2002): the Pearson correlation of endpoint degrees over all edge
+    instances (each undirected edge counted in both directions, making
+    Σx = Σy and collapsing the formula to (M·Σxy − Σx²ᵀ)/(M·Σx² − Σxᵀ²)).
+    Positive ⇒ hub parts co-purchase with other hubs (bundle cores);
+    negative ⇒ hub-and-spoke catalogs — the one-row topology datasheet
+    read next to the triangle count and k-core numbers before picking
+    graph-partitioning strategy.
+
+    Exact end to end: degrees and all four moments are integer sums
+    (HUGEINT/DECIMAL38 products), with the single signed division
+    truncation-split exactly as zipf_law_audit. Scale shape: the edge
+    build is the shared-view support join every graph query pays; the
+    degree join keys on node (vertex-dimension); the moments fold in one
+    map-side-combinable aggregate. No windows, no collects."""
+    op = _op_view(spark, sf_dir)
+    a, b = op.alias("a"), op.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("p_a"), F.col("b.l_partkey").alias("p_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= MIN_SUPPORT)
+        .select("p_a", "p_b")
+    )
+    dir_e = pairs.select(F.col("p_a").alias("u"), F.col("p_b").alias("v")).unionAll(
+        pairs.select(F.col("p_b").alias("u"), F.col("p_a").alias("v"))
+    )
+    deg = dir_e.groupBy(F.col("u").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    inst = (
+        dir_e.join(deg.select(F.col("node").alias("u"), F.col("d").alias("x")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("d").alias("y")), "v")
+        .select("x", "y")
+    )
+    dec = "DECIMAL(38,0)"
+    s = inst.agg(
+        F.expr(f"CAST(count(*) AS {dec})").alias("m2"),
+        F.expr(f"CAST(sum(x) AS {dec})").alias("sx"),
+        F.expr(f"CAST(sum(x * y) AS {dec})").alias("sxy"),
+        F.expr(f"CAST(sum(x * x) AS {dec})").alias("sxx"),
+    )
+    return s.where(F.expr("m2 * sxx - sx * sx > 0")).select(
+        F.expr("CAST(m2 div 2 AS BIGINT)").alias("n_edges"),
+        F.expr(
+            "CAST(CASE WHEN m2 * sxy - sx * sx >= 0"
+            " THEN (1000 * (m2 * sxy - sx * sx)) div (m2 * sxx - sx * sx)"
+            " ELSE -((1000 * (sx * sx - m2 * sxy)) div (m2 * sxx - sx * sx))"
+            " END AS BIGINT)"
+        ).alias("assortativity_milli"),
+    )

@@ -191,3 +191,78 @@ def test_zipf_slope_matches_python_reference(spark, sf_dir):
     assert r.slope_milli == want
     assert r.vocab_size == len(cf) and r.n_points == len(h)
     assert r.slope_milli < 0
+
+
+def test_assortativity_matches_networkx_free_reference(spark, sf_dir):
+    """Recompute Newman's r from the edge list in pure Python (Fractions)
+    and require the exact milli value. Also pins |r| <= 1."""
+    from fractions import Fraction
+    import math
+
+    from streamprocessing_spark.queries.graph import MIN_SUPPORT, _op_view
+
+    op = _op_view(spark, sf_dir).collect()
+    from collections import Counter, defaultdict
+
+    by_order = defaultdict(list)
+    for r in op:
+        by_order[r.l_orderkey].append(r.l_partkey)
+    cnt = Counter()
+    for parts in by_order.values():
+        ps = sorted(set(parts))
+        for i in range(len(ps)):
+            for j in range(i + 1, len(ps)):
+                cnt[(ps[i], ps[j])] += 1
+    edges = [e for e, c in cnt.items() if c >= MIN_SUPPORT]
+    inst = [(u, v) for u, v in edges] + [(v, u) for u, v in edges]
+    deg = Counter(u for u, _ in inst)
+    xs = [deg[u] for u, _ in inst]
+    ys = [deg[v] for _, v in inst]
+    m2 = len(inst)
+    sx, sxy, sxx = sum(xs), sum(x * y for x, y in zip(xs, ys)), sum(x * x for x in xs)
+    num, den = m2 * sxy - sx * sx, m2 * sxx - sx * sx
+    rows = SPECS["degree_assortativity_parts"].fn(spark, sf_dir).collect()
+    if den == 0:
+        assert rows == []
+        return
+    want = (1000 * num) // den if num >= 0 else -((1000 * -num) // den)
+    r = rows[0]
+    assert r.n_edges == len(edges)
+    assert r.assortativity_milli == want
+    assert abs(Fraction(num, den)) <= 1 + Fraction(1, 1000)
+    _ = math  # (kept: documents the float-free path)
+
+
+def test_weighted_reservoir_inclusion_tracks_weight(spark, sf_dir):
+    """E-S sampling must favor heavy docs: the sampled set's mean token
+    count must exceed the corpus mean, and the penalty ordering must be
+    exactly reproducible from doc_id alone (derandomized)."""
+    import hashlib
+    import math
+
+    from streamprocessing_spark.sources.readers import load_table
+    from streamprocessing_spark.queries.curation import RESERVOIR_K
+
+    got = SPECS["weighted_reservoir_sample"].fn(spark, sf_dir).collect()
+    assert len(got) == RESERVOIR_K
+    corpus = SPECS["weighted_reservoir_sample"].fn  # noqa: F841
+    all_docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    from streamprocessing_spark.functions.text import TOKEN_RE
+    import re
+
+    weights = {
+        r.doc_id: len(re.findall(TOKEN_RE, r.text.lower())) for r in all_docs
+    }
+    weights = {k: v for k, v in weights.items() if v > 0}
+
+    def penalty(doc_id):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) + 1
+        return (1000000 * (32001 - round(1000 * math.log2(h)))) // weights[doc_id]
+
+    want = sorted(weights, key=lambda d: (penalty(d), d))[:RESERVOIR_K]
+    assert [r.doc_id for r in got] == sorted(
+        want, key=lambda d: (penalty(d), d)
+    )
+    mean_sample = sum(weights[r.doc_id] for r in got) / len(got)
+    mean_corpus = sum(weights.values()) / len(weights)
+    assert mean_sample > mean_corpus
