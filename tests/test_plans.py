@@ -487,3 +487,76 @@ def test_join_fanout_audit_never_joins_facts(spark, sf_dir):
     # dimension-sized tail: broadcast total + top-k, no fact re-scan
     assert "Scan parquet" not in plan, plan
     assert X.count_exchanges(df) <= 1, plan
+
+
+def test_cbo_column_stats_flip_join_to_broadcast(spark):
+    """Cost-based optimization needs BOTH the switch and statistics:
+    a selective dimension filter (c_acctbal > 9900) cannot shrink the
+    size ESTIMATE without column stats, so under a 4 KB broadcast
+    threshold the join stays sort-merge; after ANALYZE TABLE ... FOR
+    ALL COLUMNS the filter-selectivity estimate drops the build side
+    below the threshold and the SAME query plans a broadcast join. This
+    is the production knob for star joins whose dimension filters are
+    opaque to file-size estimation (the DPP test documents the sibling
+    pitfall). AQE disabled so the decision is purely compile-time CBO.
+    sf0.01 pinned: the smoke fixture's customer table fits under the
+    threshold even unfiltered, which would make the 'before' leg
+    vacuous."""
+    import shutil
+
+    sf_dir = "/root/testdata/sf0.01"
+
+    import streamprocessing_spark.queries.analytics  # noqa: F401 (session)
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.cbo.enabled",
+            "spark.sql.statistics.histogram.enabled",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.enabled",
+        )
+    }
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    try:
+        for t in ("cbo_orders", "cbo_cust"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+        spark.read.parquet(f"{sf_dir}/orders.parquet").write.mode(
+            "overwrite"
+        ).saveAsTable("cbo_orders")
+        spark.read.parquet(f"{sf_dir}/customer.parquet").write.mode(
+            "overwrite"
+        ).saveAsTable("cbo_cust")
+        spark.conf.set("spark.sql.cbo.enabled", "true")
+        spark.conf.set("spark.sql.statistics.histogram.enabled", "true")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(4 * 1024))
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        q = """
+        SELECT o.o_orderkey, c.c_name
+        FROM cbo_orders o JOIN cbo_cust c ON c.c_custkey = o.o_custkey
+        WHERE c.c_acctbal > 9900
+        """
+        before = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in before and "BroadcastHashJoin" not in before, before
+        spark.sql("ANALYZE TABLE cbo_cust COMPUTE STATISTICS FOR ALL COLUMNS")
+        after = spark.sql(q)._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in after, after
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+        for t in ("cbo_orders", "cbo_cust"):
+            spark.sql(f"DROP TABLE IF EXISTS {t}")
+            shutil.rmtree(f"{wh}/{t}", ignore_errors=True)
+
+
+def test_weighted_reservoir_is_topk_not_global_sort(spark, sf_dir):
+    """orderBy().limit(K) must plan as TakeOrderedAndProject (per-
+    partition top-K + K-row merge) — a surviving global Sort would make
+    the sampler a single-task bottleneck at corpus scale."""
+    df = SPECS["weighted_reservoir_sample"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan, plan
