@@ -115,6 +115,20 @@ HEADLINE = [
     "cogroup_asof_enrich",
     "join_fanout_audit",
     "huber_trend_slopes_grouped",
+    "hilbert_key_orders",
+    "session_window_batch_agg",
+    # round-3 second-session additions
+    "ccnet_perplexity_buckets",
+    "dsir_importance_weights",
+    "dedup_signal_auc",
+    "char_entropy_filter",
+    "zipf_law_audit",
+    "isotonic_hourly_value",
+    "weighted_reservoir_sample",
+    "degree_assortativity_parts",
+    "group_by_all_showcase",
+    "script_transform_filter",
+    "user_lis_engagement",
 ]
 
 

@@ -2358,3 +2358,126 @@ def isotonic_hourly_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cells.groupBy("event_type").applyInPandas(
         _pava_kernel, "event_type string, hour bigint, n bigint, fitted_micro bigint"
     )
+
+
+LIS_BUCKETS = 256
+
+
+def _lis_arrow_kernel(table):
+    """Patience-sorting LIS per user over one BUCKET's (user, day, cnt)
+    rows — RAW ARROW in and out (no pandas materialization; the grouped
+    sibling of multimodal_phash_arrow's mapInArrow). Strictly-increasing
+    LIS via bisect on the tails array — O(n log n), the algorithm; the
+    oracle proves the same number by max-plus path algebra instead."""
+    import bisect
+
+    import pyarrow as pa
+
+    users = table.column("user_id").to_pylist()
+    days = table.column("d").to_pylist()
+    cnts = table.column("c").to_pylist()
+    rows = sorted(zip(users, days, cnts))
+    out_u: list[int] = []
+    out_n: list[int] = []
+    out_l: list[int] = []
+    i = 0
+    while i < len(rows):
+        j = i
+        tails: list[int] = []
+        while j < len(rows) and rows[j][0] == rows[i][0]:
+            c = rows[j][2]
+            pos = bisect.bisect_left(tails, c)
+            if pos == len(tails):
+                tails.append(c)
+            else:
+                tails[pos] = c
+            j += 1
+        out_u.append(rows[i][0])
+        out_n.append(j - i)
+        out_l.append(len(tails))
+        i = j
+    return pa.table(
+        {
+            "user_id": pa.array(out_u, pa.int64()),
+            "n_days": pa.array(out_n, pa.int64()),
+            "lis_len": pa.array(out_l, pa.int64()),
+        }
+    )
+
+
+def _sql_maxplus_round(prev: str, out: str) -> str:
+    """One max-plus 'squaring' of the increasing-pair edge relation:
+    longest path doubles in reach per round, so ⌈log2(31)⌉ = 5 rounds
+    cover any one-month daily sequence."""
+    return f"""
+    {out} AS (
+      SELECT user_id, s, t, max(len) AS len FROM (
+        SELECT user_id, s, t, len FROM {prev}
+        UNION ALL
+        SELECT x.user_id, x.s, y.t, x.len + y.len
+        FROM {prev} x JOIN {prev} y ON y.user_id = x.user_id AND y.s = x.t
+      ) GROUP BY 1, 2, 3)"""
+
+
+def _sql_lis() -> str:
+    rounds = "".join(
+        "," + _sql_maxplus_round(f"e{i}", f"e{i + 1}") for i in range(5)
+    )
+    return f"""
+    WITH daily AS (
+      SELECT user_id, CAST(ts AS DATE) AS d, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    nd AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days FROM daily GROUP BY 1),
+    e0 AS (
+      SELECT a.user_id, a.d AS s, b.d AS t, 1 AS len
+      FROM daily a
+      JOIN daily b ON b.user_id = a.user_id AND b.d > a.d AND b.c > a.c)
+    {rounds}
+    SELECT nd.user_id, nd.n_days,
+           CAST(1 + coalesce(mx.len, 0) AS BIGINT) AS lis_len
+    FROM nd
+    LEFT JOIN (SELECT user_id, max(len) AS len FROM e5 GROUP BY 1) mx
+      ON mx.user_id = nd.user_id
+    """
+
+
+@register(
+    "user_lis_engagement",
+    oracle=_sql_lis(),
+    tags=("timeseries", "custom-operator", "statistics", "iterative"),
+)
+def user_lis_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest strictly-INCREASING subsequence of each user's daily
+    event counts — the "streak-quality" engagement metric (how long a
+    run of ever-better days does the user have, allowing gaps), and the
+    canonical procedural algorithm no window/aggregate expresses: LIS
+    needs either sequential DP or patience sorting.
+
+    Algorithm vs algebra, twice over: Spark runs PATIENCE SORTING
+    (bisect on tails, O(n log n)) inside a grouped ``applyInArrow``
+    kernel — raw Arrow both directions, completing the Python-batch 2×2
+    the registry claims as engine surface (mapInPandas ×
+    multimodal_features, mapInArrow × phash_arrow, applyInPandas ×
+    huber, applyInArrow × this); the DuckDB oracle computes the SAME
+    number by MAX-PLUS PATH ALGEBRA — increasing (day, count) pairs as
+    a DAG edge relation, longest path via 5 unrolled max-plus squarings
+    (reach doubles per round; 2⁵ ≥ 31 covers the one-month day domain),
+    LIS = longest path + 1. Two unrelated formulations agreeing
+    bit-for-bit is the check.
+
+    Scale shape: the fact table collapses to ≤ 31 rows per user before
+    anything procedural runs; the kernel groups on a 256-way bucket and
+    loops its users in sorted order (one Python invocation per bucket,
+    not per user — the cogroup_asof_enrich lesson). The oracle's O(n²)
+    edge relation exists only on the DuckDB side."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        daily.withColumn("bkt", F.expr(f"user_id % {LIS_BUCKETS}"))
+        .groupBy("bkt")
+        .applyInArrow(
+            _lis_arrow_kernel, "user_id bigint, n_days bigint, lis_len bigint"
+        )
+    )

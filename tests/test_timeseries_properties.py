@@ -251,3 +251,34 @@ def test_pava_kernel_equals_minimax_closed_form(cells):
                 worst = v if worst is None or v < worst else worst
             best = worst if best is None or worst > best else best
         assert got[i] == math.floor(best), (cells, i, got[i], best)
+
+
+@given(st.lists(st.integers(min_value=0, max_value=20), min_size=0, max_size=40))
+@settings(max_examples=300, deadline=None)
+def test_lis_kernel_equals_quadratic_dp(seq):
+    """The patience-sorting Arrow kernel must equal the textbook O(n²)
+    DP on arbitrary sequences (strictly increasing; duplicates must NOT
+    extend a run)."""
+    import pyarrow as pa
+
+    from streamprocessing_spark.queries.timeseries import _lis_arrow_kernel
+
+    table = pa.table(
+        {
+            "bkt": pa.array([0] * len(seq), pa.int64()),
+            "user_id": pa.array([7] * len(seq), pa.int64()),
+            "d": pa.array(list(range(len(seq))), pa.int64()),
+            "c": pa.array(seq, pa.int64()),
+        }
+    )
+    out = _lis_arrow_kernel(table)
+    if not seq:
+        assert out.num_rows == 0
+        return
+    dp = [1] * len(seq)
+    for i in range(len(seq)):
+        for j in range(i):
+            if seq[j] < seq[i]:
+                dp[i] = max(dp[i], dp[j] + 1)
+    assert out.column("lis_len")[0].as_py() == max(dp)
+    assert out.column("n_days")[0].as_py() == len(seq)

@@ -135,6 +135,17 @@ QUERIES = (
     "preference_pair_assembly",
     "dedup_cluster_size_histogram",
     "multimodal_phash_arrow",
+    # round-3 second-session additions over the proxied tables
+    # (isotonic_hourly_value absent: its cost driver is the events
+    # table, which the proxy does not grow; group_by_all /
+    # script_transform ride orders/part — same reason)
+    "ccnet_perplexity_buckets",
+    "dsir_importance_weights",
+    "char_entropy_filter",
+    "zipf_law_audit",
+    "dedup_signal_auc",
+    "weighted_reservoir_sample",
+    "degree_assortativity_parts",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
