@@ -180,6 +180,16 @@ def _build_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_complete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        stream_events(spark, sf_dir)
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
 def _build_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     def side(t: str, pre: str) -> DataFrame:
         return (
@@ -249,6 +259,7 @@ _PIPELINES: dict[str, tuple] = {
     "streaming_dedup_then_window": (_build_dedup_then_window, "append"),
     "streaming_hourly_daily_rollup": (_build_hourly_daily_rollup, "append"),
     "streaming_left_outer_join": (_build_left_outer_join, "append"),
+    "streaming_complete_topk": (_build_complete_topk, "complete"),
 }
 
 # (applicationId, sf_dir) -> {query_name: memory-sink table name}
@@ -490,6 +501,31 @@ def streaming_dedup_then_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     through — its state machinery still runs; duplicate-collapse
     semantics are pinned by the standalone dedup queries."""
     return _drained(spark, sf_dir, "streaming_dedup_then_window")
+
+
+@register(
+    "streaming_complete_topk",
+    oracle="""
+    SELECT user_id, CAST(count(*) AS BIGINT) AS cnt
+    FROM events
+    GROUP BY user_id
+    ORDER BY cnt DESC, user_id ASC
+    LIMIT 10
+    """,
+    tags=("streaming", "stateful", "topk", "sort"),
+)
+def streaming_complete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTINUOUS LEADERBOARD — sorted top-10 users by event count in
+    COMPLETE output mode: Structured Streaming forbids sorting in
+    append/update (rows could still be displaced by late data), so a
+    live top-k REQUIRES complete mode, where every trigger re-emits the
+    whole (tiny) result; the memory/console/foreachBatch sink swaps the
+    leaderboard atomically per batch. That mode-capability coupling is
+    the surface under test. Deterministic tiebreak (cnt DESC, user
+    ASC); end-of-stream table equals the batch top-10 exactly. State is
+    the per-user count map (entity-dimension); the sort runs on the
+    aggregated dimension, never on events."""
+    return _drained(spark, sf_dir, "streaming_complete_topk")
 
 
 @register(
