@@ -946,6 +946,10 @@ def degree_assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= MIN_SUPPORT)
         .select("p_a", "p_b")
+        # edge-dimension table feeding THREE consumers (degree build and
+        # both sides of the instance join): materialize once or Catalyst
+        # re-runs the O(orders·basket²) support self-join per consumer
+        .localCheckpoint(eager=True)
     )
     dir_e = pairs.select(F.col("p_a").alias("u"), F.col("p_b").alias("v")).unionAll(
         pairs.select(F.col("p_b").alias("u"), F.col("p_a").alias("v"))
