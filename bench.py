@@ -129,6 +129,8 @@ HEADLINE = [
     "group_by_all_showcase",
     "script_transform_filter",
     "user_lis_engagement",
+    "ks_two_sample_value",
+    "kaplan_meier_activity",
 ]
 
 

@@ -2481,3 +2481,185 @@ def user_lis_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
             _lis_arrow_kernel, "user_id bigint, n_days bigint, lis_len bigint"
         )
     )
+
+
+KS_C2_MILLI = 1844  # c(0.05)^2 = 1.358^2, milli-scaled — the 5% critical factor
+
+
+@register(
+    "ks_two_sample_value",
+    oracle=f"""
+    WITH v AS (
+      SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s1,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS s2
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+    hist AS (
+      SELECT cents, CAST(sum(s1) AS BIGINT) AS c1, CAST(sum(s2) AS BIGINT) AS c2
+      FROM v GROUP BY 1),
+    tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM hist),
+    cum AS (
+      SELECT sum(c1) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS f1,
+             sum(c2) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS f2
+      FROM hist),
+    d AS (
+      SELECT max(abs(CAST(f1 AS HUGEINT) * t.n2 - CAST(f2 AS HUGEINT) * t.n1))
+               AS d_num
+      FROM cum CROSS JOIN tot t)
+    SELECT CAST(t.n1 AS BIGINT) AS n1,
+           CAST(t.n2 AS BIGINT) AS n2,
+           CAST(d.d_num AS BIGINT) AS d_num,
+           CAST((1000000 * d.d_num) // (t.n1 * t.n2) AS BIGINT) AS ks_micro,
+           CAST(CASE WHEN 1000 * d.d_num * d.d_num
+                       > {KS_C2_MILLI} * (t.n1 + t.n2) * t.n1 * t.n2
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_5pct
+    FROM d CROSS JOIN tot t
+    """,
+    tags=("timeseries", "statistics", "quality"),
+)
+def ks_two_sample_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample KOLMOGOROV-SMIRNOV test — do purchases and clicks draw
+    their values from the same distribution? The classical distribution-
+    shift detector (the drift monitor's nonparametric sibling:
+    embedding_drift_chi2_by_dim bins, KS compares whole CDFs), EXACT
+    and rank-free: collapse both samples to one cents-value histogram,
+    one cumulative window over the DISTINCT-VALUE dimension (bounded by
+    the price domain, never by row count), and the KS distance is the
+    integer max |F₁·n₂ − F₂·n₁| — sup-norm CDF distance with no
+    division until the final floored micro. Even the 5% decision is an
+    integer comparison: D > c(α)·√((n₁+n₂)/(n₁n₂)) cross-multiplies to
+    1000·d² > c²_milli·(n₁+n₂)·n₁·n₂ in 128-bit integers — no sqrt, no
+    float, both engines agree bit-for-bit.
+
+    Scale shape: one map-side-combinable aggregate builds the
+    histogram; everything after is value-dimension-sized. The sup over
+    distinct values equals the sup over all reals because empirical
+    CDFs only step at observed values."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isin("purchase", "click")
+    )
+    v = ev.select(
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("s1"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("s2"),
+    )
+    hist = (
+        v.groupBy("cents")
+        .agg(F.sum("s1").alias("c1"), F.sum("s2").alias("c2"))
+        .localCheckpoint(eager=True)  # feeds totals AND the cumulative pass
+    )
+    tot = hist.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    from pyspark.sql.window import Window as W
+
+    w_cum = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    dec = "DECIMAL(38,0)"
+    cum = hist.select(
+        F.sum("c1").over(w_cum).alias("f1"), F.sum("c2").over(w_cum).alias("f2")
+    )
+    d = (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(f"abs(CAST(f1 AS {dec}) * n2 - CAST(f2 AS {dec}) * n1)").alias("ad")
+        )
+        .agg(F.max("ad").alias("d_num"))
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("d_num").cast("long").alias("d_num"),
+        F.expr("CAST((1000000 * d_num) div (n1 * n2) AS BIGINT)").alias("ks_micro"),
+        F.expr(
+            f"CAST(CASE WHEN 1000 * d_num * d_num"
+            f" > {KS_C2_MILLI} * (CAST(n1 AS {dec}) + n2) * n1 * n2"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("reject_5pct"),
+    )
+
+
+def _sql_kaplan_meier() -> str:
+    from streamprocessing_spark.functions.text import sql_mlog2
+
+    return f"""
+    WITH last_day AS (
+      SELECT user_id,
+             CAST(max(CAST(ts AS DATE)) - (SELECT min(CAST(ts AS DATE)) FROM events)
+                  AS BIGINT) AS day
+      FROM events GROUP BY 1),
+    di AS (SELECT day, CAST(count(*) AS BIGINT) AS d FROM last_day GROUP BY 1),
+    ni AS (
+      SELECT day, d,
+             CAST(sum(d) OVER (ORDER BY day DESC ROWS UNBOUNDED PRECEDING)
+                  AS BIGINT) AS n
+      FROM di),
+    km AS (
+      SELECT day, d, n,
+             sum({sql_mlog2('n - d')} - {sql_mlog2('n')})
+               OVER (ORDER BY day ROWS UNBOUNDED PRECEDING) AS lg
+      FROM ni WHERE day < (SELECT max(day) FROM di))
+    SELECT day, n AS n_at_risk, d AS n_events,
+           CAST(lg AS BIGINT) AS km_log2_milli
+    FROM km
+    """
+
+
+@register(
+    "kaplan_meier_activity",
+    oracle=_sql_kaplan_meier(),
+    tags=("timeseries", "statistics", "llm-pipeline"),
+)
+def kaplan_meier_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KAPLAN-MEIER product-limit survival of user activity — "what
+    fraction of users are still active after day d?" with death = the
+    user's last active day: the churn curve read as a proper survival
+    estimator rather than raw cohort counts (cohort_retention gives the
+    count matrix; this gives the estimator survival analysis builds
+    CIs on). S(d) = Π_{i≤d} (1 − dᵢ/nᵢ) over event days, where nᵢ (at
+    risk) folds from the death histogram by a REVERSED cumulative sum —
+    no per-user window anywhere.
+
+    Exactness: the product becomes the mlog2 telescoping sum
+    Σ (mlog2(nᵢ−dᵢ) − mlog2(nᵢ)) in milli-log2 units — every factor a
+    ratio of integers quantized once, the running product an integer
+    cumulative sum over the ≤31-row day dimension. The terminal day
+    (where survival reaches exactly 0 and log₂ is undefined) is
+    excluded by contract — S>0 rows only, both engines identically.
+    Scale: the fact table collapses to per-user last-day (one shuffle),
+    then a day-dimension histogram; everything after is ≤31 rows."""
+    from streamprocessing_spark.functions import text as T
+
+    ev = load_table(spark, sf_dir, "events")
+    mn = ev.agg(F.min(F.to_date("ts")).alias("d0"))
+    last = (
+        ev.groupBy("user_id")
+        .agg(F.max(F.to_date("ts")).alias("ld"))
+        .crossJoin(F.broadcast(mn))
+        .select(F.datediff("ld", "d0").cast("long").alias("day"))
+    )
+    di = last.groupBy("day").agg(F.count(F.lit(1)).alias("d")).localCheckpoint(
+        eager=True  # feeds the at-risk fold, the max-day bound, and the output
+    )
+    from pyspark.sql.window import Window as W
+
+    w_rev = W.orderBy(F.desc("day")).rowsBetween(W.unboundedPreceding, W.currentRow)
+    ni = di.select("day", "d", F.sum("d").over(w_rev).alias("n"))
+    mx = di.agg(F.max("day").alias("mx"))
+    w_fwd = W.orderBy("day").rowsBetween(W.unboundedPreceding, W.currentRow)
+    km = (
+        ni.crossJoin(F.broadcast(mx))
+        .where(F.col("day") < F.col("mx"))
+        .select(
+            "day",
+            "d",
+            "n",
+            F.sum(T.mlog2(F.col("n") - F.col("d")) - T.mlog2(F.col("n")))
+            .over(w_fwd)
+            .alias("lg"),
+        )
+    )
+    return km.select(
+        "day",
+        F.col("n").cast("long").alias("n_at_risk"),
+        F.col("d").cast("long").alias("n_events"),
+        F.col("lg").cast("long").alias("km_log2_milli"),
+    )

@@ -266,3 +266,72 @@ def test_weighted_reservoir_inclusion_tracks_weight(spark, sf_dir):
     mean_sample = sum(weights[r.doc_id] for r in got) / len(got)
     mean_corpus = sum(weights.values()) / len(weights)
     assert mean_sample > mean_corpus
+
+
+def test_ks_decision_formula_matches_float_reference():
+    """The integer cross-multiplied 5% decision (1000·d² > c²_milli·
+    (n1+n2)·n1·n2) must agree with the float critical-value formula
+    D > 1.358·sqrt((n1+n2)/(n1·n2)) across a grid including BOTH
+    outcomes — the fixture itself never rejects (both samples share a
+    distribution, correctly), so the reject branch is exercised here."""
+    from streamprocessing_spark.queries.timeseries import KS_C2_MILLI
+
+    rejected = accepted = 0
+    for n1 in (10, 100, 1981):
+        for n2 in (10, 150, 2006):
+            for frac in (0.01, 0.05, 0.2, 0.9):
+                d_num = int(frac * n1 * n2)
+                int_reject = 1000 * d_num * d_num > KS_C2_MILLI * (n1 + n2) * n1 * n2
+                float_reject = (d_num / (n1 * n2)) > (
+                    (KS_C2_MILLI / 1000) * (n1 + n2) / (n1 * n2)
+                ) ** 0.5
+                assert int_reject == float_reject, (n1, n2, frac)
+                rejected += int_reject
+                accepted += not int_reject
+    assert rejected and accepted
+
+
+def test_ks_statistic_matches_python_reference(spark, sf_dir):
+    from collections import Counter
+
+    from streamprocessing_spark.sources.readers import load_table
+
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull()
+    ).select("event_type", "value").collect()
+    s1 = sorted(round(r.value * 100) for r in ev if r.event_type == "purchase")
+    s2 = sorted(round(r.value * 100) for r in ev if r.event_type == "click")
+    h1, h2 = Counter(s1), Counter(s2)
+    n1, n2 = len(s1), len(s2)
+    f1 = f2 = 0
+    d = 0
+    for c in sorted(set(s1) | set(s2)):
+        f1 += h1.get(c, 0)
+        f2 += h2.get(c, 0)
+        d = max(d, abs(f1 * n2 - f2 * n1))
+    r = SPECS["ks_two_sample_value"].fn(spark, sf_dir).collect()[0]
+    assert (r.n1, r.n2, r.d_num) == (n1, n2, d)
+    assert r.ks_micro == (1000000 * d) // (n1 * n2)
+
+
+def test_kaplan_meier_telescopes_and_matches_python(spark, sf_dir):
+    """KM invariants: at-risk counts telescope (n_{i+1} = n_i − d_i over
+    present days), survival is non-increasing, and the milli-log2 curve
+    equals the pure-Python product-limit re-derivation."""
+    import math
+
+    rows = sorted(
+        SPECS["kaplan_meier_activity"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    ml = lambda k: round(1000 * math.log2(k))  # noqa: E731
+    lg = 0
+    prev = None
+    for r in rows:
+        if prev is not None:
+            assert r.n_at_risk == prev.n_at_risk - prev.n_events
+            assert r.km_log2_milli <= prev.km_log2_milli
+        lg += ml(r.n_at_risk - r.n_events) - ml(r.n_at_risk)
+        assert r.km_log2_milli == lg
+        prev = r
