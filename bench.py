@@ -131,6 +131,7 @@ HEADLINE = [
     "user_lis_engagement",
     "ks_two_sample_value",
     "kaplan_meier_activity",
+    "unimax_budget_allocation",
 ]
 
 

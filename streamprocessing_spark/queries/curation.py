@@ -2322,3 +2322,138 @@ def weighted_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("penalty"),
     )
     return keyed.orderBy(F.asc("penalty"), F.asc("doc_id")).limit(RESERVOIR_K)
+
+
+UNIMAX_MAX_EPOCHS = 4  # no source repeats more than 4x (the UniMax cap)
+
+
+def _sql_unimax() -> str:
+    return f"""
+    WITH avail AS (
+      SELECT source, CAST(sum(len({_SQL_TOKENS})) AS BIGINT) AS avail
+      FROM documents GROUP BY 1),
+    b AS (SELECT 2 * sum(avail) AS budget FROM avail),
+    caps AS (
+      SELECT source, avail, {UNIMAX_MAX_EPOCHS} * avail AS cap,
+             row_number() OVER (ORDER BY {UNIMAX_MAX_EPOCHS} * avail, source) AS rn,
+             sum({UNIMAX_MAX_EPOCHS} * avail)
+               OVER (ORDER BY {UNIMAX_MAX_EPOCHS} * avail, source
+                     ROWS UNBOUNDED PRECEDING) AS p,
+             count(*) OVER () AS n
+      FROM avail),
+    flagged AS (
+      SELECT c.*, b.budget,
+             CASE WHEN cap * (n - rn) <= budget - p THEN 1 ELSE 0 END AS capped
+      FROM caps c CROSS JOIN b),
+    k AS (SELECT sum(capped) AS k, max(budget) AS budget,
+                 sum(CASE WHEN capped = 1 THEN cap ELSE 0 END) AS pk
+          FROM flagged),
+    alloc AS (
+      SELECT f.source, f.avail, f.cap, f.capped,
+             CASE WHEN f.capped = 1 THEN f.cap
+                  ELSE (k.budget - k.pk) // (f.n - k.k)
+                     + CASE WHEN f.rn - k.k
+                                 <= (k.budget - k.pk) % (f.n - k.k)
+                            THEN 1 ELSE 0 END
+             END AS allocated
+      FROM flagged f CROSS JOIN k)
+    SELECT source, avail, CAST(cap AS BIGINT) AS cap,
+           CAST(capped AS BIGINT) AS capped,
+           CAST(allocated AS BIGINT) AS allocated,
+           CAST((1000000 * allocated) // avail AS BIGINT) AS epochs_micro
+    FROM alloc
+    """
+
+
+@register(
+    "unimax_budget_allocation",
+    oracle=_sql_unimax(),
+    tags=("curation", "llm-pipeline", "sampling", "planning"),
+)
+def unimax_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax mixture budgeting (Chung et al. 2023): allocate a total
+    training-token budget (here 2× the corpus) across sources as
+    UNIFORMLY as possible subject to a per-source repetition cap
+    (≤ {UNIMAX_MAX_EPOCHS} epochs) — the language/domain-balancing
+    allocator that replaced temperature sampling for multilingual
+    training mixes. Small sources saturate their cap; the rest share
+    the remaining budget at a common WATER LEVEL.
+
+    The sequential waterfilling loop has a closed form, and this query
+    IS that closed form: sort sources by cap, prefix-sum, and a source
+    is capped iff cap·(n−rank) ≤ budget − prefix (the level test,
+    cross-multiplied — no division, monotone in rank so the flag sum
+    is the waterline index k); uncapped sources get
+    (budget − Σ_{{capped}} cap) div (n−k) with the remainder spread to
+    the first (mod) of them in the same deterministic order, so
+    Σ allocated == budget EXACTLY — the conservation law the test
+    asserts (largest-remainder style, as attribution_linear_multi_touch
+    does for cents). Σcap > budget by construction (4T vs 2T), so at
+    least one source stays uncapped and the divisor never hits zero.
+
+    Scale shape: one map-side-combinable token-count aggregate collapses
+    the corpus to the SOURCE dimension; every window below runs on that
+    handful of rows. The allocator a 100 TB pipeline runs before
+    sampling even starts. The fixture's balanced sources never saturate
+    the cap; the capped branch is exercised on a skewed synthetic avail
+    table through the same _unimax_allocate plan in tests."""
+    from streamprocessing_spark.functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    avail = d.groupBy("source").agg(
+        F.sum(T.token_count(F.col("text"))).alias("avail")
+    )
+    return _unimax_allocate(avail)
+
+
+def _unimax_allocate(avail: DataFrame) -> DataFrame:
+    """Waterfilling core over a (source, avail) table — see
+    unimax_budget_allocation. Factored so tests drive the capped branch
+    on skewed synthetic sources through the identical plan."""
+    avail = avail.localCheckpoint(eager=True)  # source-dim, four consumers
+    b = avail.agg((2 * F.sum("avail")).alias("budget"))
+    w_ord = Window.orderBy(F.col("cap"), F.col("source"))
+    caps = avail.select(
+        "source",
+        "avail",
+        (UNIMAX_MAX_EPOCHS * F.col("avail")).alias("cap"),
+    ).select(
+        "*",
+        F.row_number().over(w_ord).alias("rn"),
+        F.sum("cap").over(w_ord.rowsBetween(Window.unboundedPreceding, 0)).alias("p"),
+        F.count(F.lit(1)).over(Window.partitionBy()).alias("n"),
+    )
+    flagged = caps.crossJoin(F.broadcast(b)).withColumn(
+        "capped",
+        F.when(
+            F.col("cap") * (F.col("n") - F.col("rn")) <= F.col("budget") - F.col("p"),
+            1,
+        ).otherwise(0),
+    )
+    k = flagged.agg(
+        F.sum("capped").alias("k"),
+        F.max("budget").alias("budget"),
+        F.sum(F.when(F.col("capped") == 1, F.col("cap")).otherwise(0)).alias("pk"),
+    )
+    alloc = flagged.crossJoin(F.broadcast(k.select("k", F.col("budget").alias("bb"), "pk"))).select(
+        "source",
+        "avail",
+        "cap",
+        "capped",
+        F.when(F.col("capped") == 1, F.col("cap"))
+        .otherwise(
+            F.expr("(bb - pk) div (n - k)")
+            + F.when(
+                F.col("rn") - F.col("k") <= F.expr("(bb - pk) % (n - k)"), 1
+            ).otherwise(0)
+        )
+        .alias("allocated"),
+    )
+    return alloc.select(
+        "source",
+        "avail",
+        F.col("cap").cast("long").alias("cap"),
+        F.col("capped").cast("long").alias("capped"),
+        F.col("allocated").cast("long").alias("allocated"),
+        F.expr("CAST((1000000 * allocated) div avail AS BIGINT)").alias("epochs_micro"),
+    )

@@ -335,3 +335,54 @@ def test_kaplan_meier_telescopes_and_matches_python(spark, sf_dir):
         lg += ml(r.n_at_risk - r.n_events) - ml(r.n_at_risk)
         assert r.km_log2_milli == lg
         prev = r
+
+
+def test_unimax_waterfilling_caps_and_conserves(spark, sf_dir):
+    """UniMax invariants on the registered query AND the capped branch
+    on a skewed synthetic source table (the fixture's balanced sources
+    never saturate the 4-epoch cap): Σ allocated == budget exactly,
+    capped sources get exactly their cap, uncapped sources share a
+    level within 1 token of each other and above every cap that
+    saturated, and the whole allocation matches a sequential
+    waterfilling reference."""
+    from streamprocessing_spark.queries.curation import (
+        UNIMAX_MAX_EPOCHS,
+        _unimax_allocate,
+    )
+
+    rows = SPECS["unimax_budget_allocation"].fn(spark, sf_dir).collect()
+    total = sum(r.avail for r in rows)
+    assert sum(r.allocated for r in rows) == 2 * total
+    for r in rows:
+        assert r.allocated <= r.cap == UNIMAX_MAX_EPOCHS * r.avail
+        assert (r.allocated == r.cap) == (r.capped == 1)
+
+    # skewed: two tiny sources MUST cap out, the giants share the level
+    avail = spark.createDataFrame(
+        [("tiny", 10), ("small", 50), ("big", 10_000), ("huge", 20_000)],
+        "source string, avail long",
+    )
+    got = {r.source: r for r in _unimax_allocate(avail).collect()}
+    budget = 2 * (10 + 50 + 10_000 + 20_000)
+    assert got["tiny"].capped == 1 and got["tiny"].allocated == 40
+    assert got["small"].capped == 1 and got["small"].allocated == 200
+    assert got["big"].capped == 0 and got["huge"].capped == 0
+    assert sum(r.allocated for r in got.values()) == budget
+    # the two uncapped sources share the remaining water equally (±1)
+    assert abs(got["big"].allocated - got["huge"].allocated) <= 1
+    # sequential waterfilling reference
+    caps = sorted((UNIMAX_MAX_EPOCHS * a, s) for s, a in
+                  [("tiny", 10), ("small", 50), ("big", 10_000), ("huge", 20_000)])
+    remaining, names = budget, [s for _, s in caps]
+    ref = {}
+    for i, (cap, s) in enumerate(caps):
+        share = remaining // (len(caps) - i)
+        if cap <= share:
+            ref[s] = cap
+            remaining -= cap
+        else:
+            q, r = divmod(remaining, len(caps) - i)
+            for j, (_, s2) in enumerate(caps[i:]):
+                ref[s2] = q + (1 if j < r else 0)
+            break
+    assert {s: r.allocated for s, r in got.items()} == ref
