@@ -560,3 +560,23 @@ def test_weighted_reservoir_is_topk_not_global_sort(spark, sf_dir):
     df = SPECS["weighted_reservoir_sample"].fn(spark, sf_dir)
     plan = X.formatted_plan(df)
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """The three join-strategy hints must each produce their physical
+    operator on the same logical join — the manual override lane for
+    when statistics mislead the planner (the CBO test above is the
+    automatic lane): MERGE -> SortMergeJoin, SHUFFLE_HASH ->
+    ShuffledHashJoin, BROADCAST -> BroadcastHashJoin."""
+    from streamprocessing_spark.sources.readers import load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    for hint, op in (
+        ("merge", "SortMergeJoin"),
+        ("shuffle_hash", "ShuffledHashJoin"),
+        ("broadcast", "BroadcastHashJoin"),
+    ):
+        df = o.join(c.hint(hint), o.o_custkey == c.c_custkey).select("o_orderkey")
+        plan = X.formatted_plan(df)
+        assert op in plan, (hint, plan)
