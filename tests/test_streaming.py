@@ -694,3 +694,74 @@ def test_timeout_sessions_state_and_timeouts_across_batches(spark, sf_dir, tmp_p
         if (u, f"{start}"[:19] + " UTC", n) in chunked
     ]
     assert timeout_closed, "no final session was closed by the timeout path"
+
+
+def test_chained_stateful_recovery_across_restart(spark, sf_dir):
+    """MULTI-STATEFUL checkpoint recovery: the dedup→window chain
+    (dropDuplicatesWithinWatermark feeding a tumbling aggregation) must
+    resume BOTH state stores from the checkpoint after a restart — the
+    union of append-mode emissions across the two runs must equal a
+    single uninterrupted drain, with no overlap (exactly-once across
+    the failover) and no recount. Chunks split at the median timestamp
+    so arrival order matches event time and the watermark advances
+    monotonically across the restart."""
+    import tempfile
+
+    base = tempfile.mkdtemp(prefix="sp_chain_")
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    med = ev.agg(F.expr("percentile(unix_micros(ts), 0.5)").alias("m")).first()[0]
+    c1 = ev.where(F.expr(f"unix_micros(ts) < {int(med)}"))
+    c2 = ev.where(F.expr(f"unix_micros(ts) >= {int(med)}"))
+    c1.coalesce(1).write.parquet(f"{base}/chunk1_dir")
+    c2.coalesce(1).write.parquet(f"{base}/chunk2_dir")
+    _extract_part_file(f"{base}/chunk1_dir", f"{base}/chunk1.parquet")
+    _extract_part_file(f"{base}/chunk2_dir", f"{base}/chunk2.parquet")
+    schema = ev.schema
+
+    def chain(src):
+        stream = spark.readStream.schema(schema).parquet(src)
+        return (
+            stream.withWatermark("ts", "1 hour")
+            .dropDuplicatesWithinWatermark(["event_id"])
+            .groupBy(F.window("ts", "1 hour"), "event_type")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .select(
+                F.col("window.start").alias("ws"), "event_type", "cnt"
+            )
+        )
+
+    def drain(src, ckpt, out):
+        # file sink: the fault-tolerant append sink that actually
+        # supports checkpoint recovery (memory sinks do not)
+        q = (
+            chain(src)
+            .writeStream.format("parquet")
+            .outputMode("append")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return sorted(
+            (r.ws, r.event_type, r.cnt) for r in spark.read.parquet(out).collect()
+        )
+
+    src = f"{base}/src"
+    os.makedirs(src)
+    shutil.copyfile(f"{base}/chunk1.parquet", f"{src}/c1.parquet")
+    ckpt, out = f"{base}/ckpt", f"{base}/out"
+    rows1 = drain(src, ckpt, out)
+    shutil.copyfile(f"{base}/chunk2.parquet", f"{src}/c2.parquet")
+    rows2 = drain(src, ckpt, out)  # same checkpoint AND sink dir: resume
+
+    src_all = f"{base}/src_all"
+    os.makedirs(src_all)
+    shutil.copyfile(f"{base}/chunk1.parquet", f"{src_all}/c1.parquet")
+    shutil.copyfile(f"{base}/chunk2.parquet", f"{src_all}/c2.parquet")
+    single = drain(src_all, f"{base}/ckpt_single", f"{base}/out_single")
+
+    assert rows1 and len(rows2) > len(rows1)  # both phases emitted windows
+    assert rows2 == single  # resumed run converges to the one-shot drain
+    assert set(rows1) <= set(rows2)  # no retraction, no recount
+    shutil.rmtree(base, ignore_errors=True)
