@@ -644,6 +644,7 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST((1000000 * sum(np * (2 * cnb + nn)))
                 // (2 * sum(np) * sum(nn)) AS BIGINT) AS auc_micro
     FROM cum
+    HAVING sum(np) > 0 AND sum(nn) > 0
     """,
     tags=("dedup", "llm-pipeline", "quality", "statistics"),
 )
@@ -695,4 +696,7 @@ def dedup_signal_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST((1000000 * sum(np * (2 * cnb + nn)))"
             " div (2 * sum(np) * sum(nn)) AS BIGINT)"
         ).alias("auc_micro"),
-    )
+        # one-class corpora have no AUC: drop the row on BOTH sides
+        # rather than diverge (Spark div→NULL, DuckDB //→error — the
+        # welch_t2 zero-variance lesson)
+    ).where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
