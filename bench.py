@@ -132,6 +132,7 @@ HEADLINE = [
     "ks_two_sample_value",
     "kaplan_meier_activity",
     "unimax_budget_allocation",
+    "theil_sen_user_slopes",
 ]
 
 

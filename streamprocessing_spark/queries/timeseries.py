@@ -2663,3 +2663,100 @@ def kaplan_meier_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("d").cast("long").alias("n_events"),
         F.col("lg").cast("long").alias("km_log2_milli"),
     )
+
+
+def _sql_theil_sen() -> str:
+    return """
+    WITH daily AS (
+      SELECT user_id, CAST(CAST(ts AS DATE) - DATE '2024-01-01' AS BIGINT) AS d,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS y
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    pairs AS (
+      SELECT a.user_id,
+             b.y - a.y AS num,
+             b.d - a.d AS den
+      FROM daily a JOIN daily b ON b.user_id = a.user_id AND b.d > a.d),
+    keyed AS (
+      SELECT user_id, num, den,
+             CASE WHEN num >= 0 THEN (1000000 * num) // den
+                  ELSE -((1000000 * (-num)) // den) END AS qm
+      FROM pairs),
+    ranked AS (
+      SELECT user_id, qm, num, den,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY qm, num, den) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS np
+      FROM keyed)
+    SELECT user_id, CAST(np AS BIGINT) AS n_pairs,
+           CAST(qm AS BIGINT) AS slope_micro_cents_per_day,
+           CAST(num AS BIGINT) AS med_num, CAST(den AS BIGINT) AS med_den
+    FROM ranked WHERE rn = (np + 1) // 2
+    """
+
+
+@register(
+    "theil_sen_user_slopes",
+    oracle=_sql_theil_sen(),
+    tags=("timeseries", "statistics", "custom-operator"),
+)
+def theil_sen_user_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THEIL-SEN robust trend per user — the median of all pairwise
+    daily-value slopes, completing the regression family's robustness
+    ladder (user_value_trend_slopes = exact OLS, breakdown point 0;
+    huber_trend_slopes_grouped = IRLS, ~soft; Theil-Sen tolerates ~29%
+    arbitrary corruption). Exact where the textbook is float: each
+    pairwise slope is the RATIONAL (Δcents, Δdays>0), totally ordered
+    by the sign-split micro quantization (Spark div truncates, DuckDB
+    // floors — positive-magnitude division on both engines) with
+    (num, den) as the deterministic tie tail, and the median is the
+    rank-⌈k/2⌉ element of that order — emitted as both the quantized
+    micro slope AND the exact rational.
+
+    Scale shape: the fact table collapses to per-(user, day) cents
+    first, so the pair self-join and the ranking window are bounded at
+    C(31,2) = 465 rows per user regardless of corpus size, partitioned
+    by user — no global anything. The same bounded-domain argument as
+    isotonic's 24-hour cells."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    daily = ev.groupBy(
+        "user_id",
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01").cast("date"))
+        .cast("long")
+        .alias("d"),
+    ).agg(
+        F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")).alias("y")
+    )
+    a = daily.alias("a")
+    b = daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id")) & (F.col("b.d") > F.col("a.d")),
+    ).select(
+        F.col("a.user_id").alias("user_id"),
+        (F.col("b.y") - F.col("a.y")).alias("num"),
+        (F.col("b.d") - F.col("a.d")).alias("den"),
+    )
+    keyed = pairs.withColumn(
+        "qm",
+        F.expr(
+            "CASE WHEN num >= 0 THEN (1000000 * num) div den"
+            " ELSE -((1000000 * (-num)) div den) END"
+        ),
+    )
+    w_rank = Window.partitionBy("user_id").orderBy("qm", "num", "den")
+    w_cnt = Window.partitionBy("user_id")
+    ranked = keyed.select(
+        "user_id",
+        "qm",
+        "num",
+        "den",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_cnt).alias("np"),
+    )
+    return ranked.where(F.col("rn") == F.expr("(np + 1) div 2")).select(
+        "user_id",
+        F.col("np").cast("long").alias("n_pairs"),
+        F.col("qm").cast("long").alias("slope_micro_cents_per_day"),
+        F.col("num").cast("long").alias("med_num"),
+        F.col("den").cast("long").alias("med_den"),
+    )

@@ -386,3 +386,64 @@ def test_unimax_waterfilling_caps_and_conserves(spark, sf_dir):
                 ref[s2] = q + (1 if j < r else 0)
             break
     assert {s: r.allocated for s, r in got.items()} == ref
+
+
+def test_theil_sen_matches_python_and_resists_outliers(spark, sf_dir):
+    """(1) Exact equality with a pure-Python pairwise-median reference
+    (Fractions, same quantized total order). (2) The robustness
+    property that justifies the estimator: on a synthetic series with
+    one wild outlier day, the Theil-Sen slope stays near truth while
+    OLS is dragged away."""
+    from fractions import Fraction
+
+    from streamprocessing_spark.sources.readers import load_table
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select("user_id", F.to_date("ts").alias("d"), "value")
+        .collect()
+    )
+    import datetime
+    from collections import defaultdict
+
+    base = datetime.date(2024, 1, 1)
+    daily: dict = defaultdict(lambda: defaultdict(int))
+    for r in ev:
+        daily[r.user_id][(r.d - base).days] += round(r.value * 100)
+    want = {}
+    for u, series in daily.items():
+        pts = sorted(series.items())
+        pairs = []
+        for i in range(len(pts)):
+            for j in range(i + 1, len(pts)):
+                num = pts[j][1] - pts[i][1]
+                den = pts[j][0] - pts[i][0]
+                qm = (1000000 * num) // den if num >= 0 else -((1000000 * -num) // den)
+                pairs.append((qm, num, den))
+        if not pairs:
+            continue
+        pairs.sort()
+        want[u] = pairs[(len(pairs) + 1) // 2 - 1]
+    got = {
+        r.user_id: (r.slope_micro_cents_per_day, r.med_num, r.med_den)
+        for r in SPECS["theil_sen_user_slopes"].fn(spark, sf_dir).collect()
+    }
+    assert got == want
+
+    # robustness: y = 10x with one absurd outlier at x=15
+    pts = [(x, 10 * x) for x in range(30)]
+    pts[15] = (15, 100000)
+    pairs = []
+    for i in range(len(pts)):
+        for j in range(i + 1, len(pts)):
+            num, den = pts[j][1] - pts[i][1], pts[j][0] - pts[i][0]
+            pairs.append(Fraction(num, den))
+    pairs.sort()
+    ts_slope = pairs[(len(pairs) + 1) // 2 - 1]
+    n = len(pts)
+    sx = sum(x for x, _ in pts); sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts); sxx = sum(x * x for x, _ in pts)
+    ols = Fraction(n * sxy - sx * sy, n * sxx - sx * sx)
+    assert abs(ts_slope - 10) < 1      # Theil-Sen barely moves
+    assert abs(ols - 10) > 10          # OLS at least doubles the slope
