@@ -282,3 +282,56 @@ def test_lis_kernel_equals_quadratic_dp(seq):
                 dp[i] = max(dp[i], dp[j] + 1)
     assert out.column("lis_len")[0].as_py() == max(dp)
     assert out.column("n_days")[0].as_py() == len(seq)
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=10_000), min_size=1, max_size=12)
+)
+@settings(max_examples=300, deadline=None)
+def test_unimax_closed_form_equals_sequential_waterfilling(avails):
+    """The SQL closed form (capped iff cap·(n−rank) ≤ budget−prefix,
+    remainder to the first mod uncapped sources) must equal sequential
+    waterfilling on ARBITRARY source-size vectors — including exact
+    budget conservation and the at-least-one-uncapped invariant
+    (Σcap = 4T > 2T = budget guarantees it)."""
+    sources = [(f"s{i:02d}", a) for i, a in enumerate(avails)]
+    budget = 2 * sum(avails)
+    caps = sorted((4 * a, s) for s, a in sources)
+    n = len(caps)
+
+    # closed form, as the query spells it
+    prefix = 0
+    closed = {}
+    flags = []
+    for rn, (cap, s) in enumerate(caps, start=1):
+        prefix += cap
+        flags.append(cap * (n - rn) <= budget - prefix)
+    k = sum(flags)
+    pk = sum(cap for (cap, _), f in zip(caps, flags) if f)
+    for rn, ((cap, s), f) in enumerate(zip(caps, flags), start=1):
+        if f:
+            closed[s] = cap
+        else:
+            q, r = divmod(budget - pk, n - k)
+            closed[s] = q + (1 if rn - k <= r else 0)
+
+    # the capped flag must be a PREFIX of the sorted order (monotone),
+    # or the closed form's flag-count-as-waterline-index is unsound
+    assert flags == sorted(flags, reverse=True)
+
+    # sequential reference
+    remaining = budget
+    ref = {}
+    for i, (cap, s) in enumerate(caps):
+        share = remaining // (n - i)
+        if cap <= share:
+            ref[s] = cap
+            remaining -= cap
+        else:
+            q, r = divmod(remaining, n - i)
+            for j, (_, s2) in enumerate(caps[i:]):
+                ref[s2] = q + (1 if j < r else 0)
+            break
+    assert closed == ref
+    assert sum(closed.values()) == budget
+    assert any(not f for f in flags)  # at least one uncapped
