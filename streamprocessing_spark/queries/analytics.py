@@ -4255,3 +4255,63 @@ def script_transform_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         """
     )
+
+
+@register(
+    "source_schema_evolution",
+    oracle="""
+    SELECT CASE WHEN o_orderkey % 2 = 0 THEN 'legacy'
+                ELSE o_orderpriority END AS priority,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS cents
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("source", "sql-surface", "engine"),
+)
+def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCHEMA EVOLUTION across parquet batches — the ingest reality
+    every long-lived dataset hits: an old writer produced (key, cents),
+    a newer writer added o_orderpriority, and ONE read must span both
+    vintages. ``mergeSchema=true`` unions the footers' schemas and
+    NULL-fills the column the old files never had; the query then
+    treats those NULLs as the 'legacy' cohort — exactly the
+    backfill-or-bucket decision a real pipeline makes. The oracle
+    states the end-to-end contract from the ORIGINAL table: even-keyed
+    orders (written by the old writer) must land in 'legacy' with their
+    cents intact, odd-keyed ones keep their true priority — so a reader
+    that dropped old-file rows, misaligned columns by position, or
+    filled the wrong default would all fail the hash.
+
+    Scale shape: schema merge is a FOOTER operation (one small read per
+    file at planning time — the knob exists because it costs planning
+    time on millions of files, which is why it's off by default);
+    row-level cost is the ordinary scan. The write legs are the
+    fixture setup, deterministic per (sf_dir, pid)."""
+    import hashlib
+    import os
+    import tempfile
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+        "o_orderpriority",
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"sp_evolve_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}",
+    )
+    o.where(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "cents").write.mode(
+        "overwrite"
+    ).parquet(f"{out}/v1")
+    o.where(F.col("o_orderkey") % 2 == 1).write.mode("overwrite").parquet(f"{out}/v2")
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        f"{out}/v1", f"{out}/v2"
+    )
+    return merged.groupBy(
+        F.coalesce(F.col("o_orderpriority"), F.lit("legacy")).alias("priority")
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("cents"),
+    )
