@@ -133,6 +133,8 @@ HEADLINE = [
     "kaplan_meier_activity",
     "unimax_budget_allocation",
     "theil_sen_user_slopes",
+    "source_schema_evolution",
+    "exact_median_two_scan",
 ]
 
 

