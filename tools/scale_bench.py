@@ -146,6 +146,8 @@ QUERIES = (
     "dedup_signal_auc",
     "weighted_reservoir_sample",
     "degree_assortativity_parts",
+    # sketch-guided exact selection over the proxied lineitem
+    "exact_median_two_scan",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
