@@ -447,3 +447,37 @@ def test_theil_sen_matches_python_and_resists_outliers(spark, sf_dir):
     ols = Fraction(n * sxy - sx * sy, n * sxx - sx * sx)
     assert abs(ts_slope - 10) < 1      # Theil-Sen barely moves
     assert abs(ols - 10) > 10          # OLS at least doubles the slope
+
+
+def test_two_scan_median_equals_exact_percentile(spark, sf_dir):
+    """The sketch-guided selection must equal Spark's exact percentile
+    (lower-median convention) on the same cents values — and the band
+    machinery must have produced it without the invariant raise."""
+    from streamprocessing_spark.sources.readers import load_table
+
+    r = SPECS["exact_median_two_scan"].fn(spark, sf_dir).collect()[0]
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.floor(F.col("l_extendedprice") * 100.0 + F.lit(0.5)).cast("long").alias("c")
+    )
+    vals = sorted(x.c for x in li.collect())
+    assert r.n == len(vals)
+    assert r.median_cents == vals[(len(vals) + 1) // 2 - 1]
+
+
+def test_schema_evolution_legacy_cohort_is_exactly_even_keys(spark, sf_dir):
+    """The merged read must put every even-keyed (old-writer) order in
+    'legacy' and every odd-keyed one under its true priority, with
+    cents conserved across cohorts."""
+    from streamprocessing_spark.sources.readers import load_table
+
+    rows = SPECS["source_schema_evolution"].fn(spark, sf_dir).collect()
+    o = load_table(spark, sf_dir, "orders")
+    n_even = o.where(F.col("o_orderkey") % 2 == 0).count()
+    n_all = o.count()
+    got = {r.priority: r for r in rows}
+    assert got["legacy"].n_orders == n_even
+    assert sum(r.n_orders for r in rows) == n_all
+    total_cents = o.agg(
+        F.sum(F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long"))
+    ).first()[0]
+    assert sum(r.cents for r in rows) == total_cents
