@@ -4401,3 +4401,67 @@ def exact_median_two_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n, int(row.median_cents))], "n bigint, median_cents bigint"
     )
+
+
+@register(
+    "map_hof_user_profile",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, event_type,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM events WHERE value IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT user_id, event_type, n, CAST(cents // n AS BIGINT) AS avg_cents
+    FROM g WHERE n >= 2
+    """,
+    tags=("analytics", "functions", "map", "sql-surface"),
+)
+def map_hof_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MAP higher-order functions — the collection family the scalar/
+    array showcases don't reach: each user's per-type counts and cents
+    are assembled into two MAP columns (map_from_entries over
+    collect_list), combined key-wise with ``map_zip_with`` (count ⋈ sum
+    → floored average, matched by KEY not position), pruned with
+    ``map_filter`` (drop one-off types), then exploded back to rows.
+    The oracle states the equivalent relational contract, so a wrong
+    key alignment in map_zip_with (the whole point of the function), a
+    lost map entry, or filter-vs-zip ordering bugs all fail the hash —
+    while the Spark side genuinely exercises the map runtime
+    (ArrayBasedMapData, key dedup, null-value paths).
+
+    Scale shape: one (user, type) aggregate (map-side combinable), then
+    per-user maps are rows of at most |event types| entries — the map
+    ops are array-local per row, no extra shuffle; the explode returns
+    to the same cardinality the aggregate had. Exact integers end to
+    end (floored average via integer division, non-negative)."""
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    g = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")).alias("cents"),
+    )
+    maps = g.groupBy("user_id").agg(
+        F.map_from_entries(F.collect_list(F.struct("event_type", "n"))).alias("mn"),
+        F.map_from_entries(F.collect_list(F.struct("event_type", "cents"))).alias("mc"),
+    )
+    combined = maps.select(
+        "user_id",
+        F.map_filter(
+            F.map_zip_with(
+                F.col("mn"),
+                F.col("mc"),
+                lambda k, n, c: F.struct(n.alias("n"), c.alias("cents")),
+            ),
+            lambda k, v: v.getField("n") >= 2,
+        ).alias("m"),
+    )
+    ex = combined.select("user_id", F.explode("m").alias("event_type", "v"))
+    return ex.select(
+        "user_id",
+        "event_type",
+        F.col("v.n").cast("long").alias("n"),
+        # division AFTER the map ops, in exact integer domain (no 2^53
+        # double bound) — the maps carry the raw (n, cents) pair
+        F.expr("CAST(v.cents div v.n AS BIGINT)").alias("avg_cents"),
+    )
