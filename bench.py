@@ -198,6 +198,22 @@ def main() -> None:
     Path(__file__).resolve().parent.joinpath("BENCH_LOCAL.json").write_text(line + "\n")
     sys.stdout.flush()
     print(line, flush=True)
+    # r03 lesson (BENCH_r03.json parsed:null): even with the defenses
+    # above, the full per-query line now exceeds the driver's ~2000-char
+    # tail capture. Emit a SECOND, compact summary line last — total,
+    # count, throughput, sf only — guaranteed to fit any tail window, so
+    # the driver artifact always contains a parseable record (VERDICT r03
+    # item #2). The full per-query detail stays in BENCH_LOCAL.json and
+    # in the first line when the capture is wide enough.
+    summary = {
+        "metric": "headline_queries_total",
+        "value": payload["value"],
+        "unit": "sec",
+        "n_queries": len(timings),
+        "throughput": throughput,
+        "sf": sf,
+    }
+    print(json.dumps(summary, separators=(",", ":")), flush=True)
 
 
 if __name__ == "__main__":

@@ -52,13 +52,15 @@ _QUERY_MODULES = (
 )
 
 # The driver's correctness gate walks queries() in dict order under a
-# wall-clock budget; rounds 1+2 each reached 50 names (CORRECTNESS_r01/
-# r02.json — 90 distinct). Presentation order is therefore a coverage
-# decision: the reference's own operators stay first (the hard parity
-# signal), then every query that has NO driver-green row yet ordered by
-# MEASURED gate cost (cheapest first, so the wall-clock budget clears the
-# most names — see tools/gate_costs.py), then the already-driver-verified
-# union. The union of rounds then covers the whole registry fastest.
+# wall-clock budget; rounds 1-3 each reached 50 names (CORRECTNESS_r01/
+# r02/r03.json — 140 distinct). Presentation order is therefore a
+# coverage decision. Round-4 policy (VERDICT r03 item #1): the three
+# families with ZERO or near-zero driver rows across all rounds come
+# first — all 12 TPC-H shapes, the 10 graph queries, the 14 unverified
+# streaming queries (measured module-amortized gate cost ~74 s, inside
+# one 50-name budget) — then every other driver-unverified query ordered
+# by measured sf0.01 gate cost ascending (tools/gate_costs.py), then the
+# verified core reference ops, then the verified remainder.
 _DRIVER_VERIFIED = frozenset(
     {
         # round 1 (CORRECTNESS_r01.json)
@@ -103,8 +105,31 @@ _DRIVER_VERIFIED = frozenset(
         "streaming_stateful_alerts", "streaming_transition_pairs",
         "token_cooccurrence_lift", "tokenizer_fertility_by_source",
         "winsorize_values_by_type",
+        # round 3 (CORRECTNESS_r03.json — 50 fresh names, 49 full + 1 rows-only)
+        "calendar_hierarchy_rollup", "cep_click_error_no_purchase", "clamped_running_balance",
+        "collation_case_insensitive_stats", "compaction_plan_binpack", "daily_active_user_bitmap",
+        "daily_revenue_max_drawdown", "data_quality_audit", "doc_length_histogram",
+        "doc_type_token_ratio", "embedding_centroid_per_label", "event_path_trigrams",
+        "exact_median_two_scan", "group_by_all_showcase", "hll_sketch_rollup_users",
+        "hysteresis_alert_state", "identifier_clause_showcase", "listagg_priorities_by_status",
+        "map_hof_user_profile", "map_lookup_enrich", "mode_event_type_per_user",
+        "multimodal_features", "multimodal_frame_sample", "multimodal_metadata",
+        "nulls_ordering_topk", "pack_documents_greedy", "partition_key_advisor",
+        "pii_redact_docs", "pit_join_profile_history", "price_volume_mix_decomposition",
+        "repetition_dup_trigram_fraction", "rolling_user_activity_1h", "rollup_grouping_id_disambiguation",
+        "scd2_user_type_history", "script_transform_filter", "set_except_all_multiset",
+        "source_schema_evolution", "sql_udf_pricing", "stratified_sample_per_label",
+        "table_content_fingerprint", "temporal_split_user_overlap", "text_fingerprint",
+        "text_quality_score", "text_token_count", "theil_sen_user_slopes",
+        "time_weighted_avg_value", "train_test_split", "user_value_trend_slopes",
+        "vocabulary_topk", "weighted_reservoir_sample",
     }
 )
+
+# Families with zero (or near-zero) driver CORRECTNESS rows after three
+# rounds — front-loaded verbatim in round 4 per VERDICT r03 item #1 so
+# the driver's 50-name budget lands where no hard signal exists yet.
+_ZERO_COVERAGE_FAMILIES = ("tpch_extra", "graph", "streaming")
 
 _FAMILY_PRIORITY = (
     "core",
@@ -125,18 +150,25 @@ _FAMILY_PRIORITY = (
 
 
 def _presentation_order(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
-    """Stable re-ordering of the registry for the driver: every
-    driver-unverified query FIRST, ordered by measured sf0.01 gate cost
-    ascending (Spark run + DuckDB oracle wall seconds,
-    tools/gate_costs.py → gate_order.py) so a wall-clock budget clears
-    the maximum number of fresh names and a count budget sees zero
-    repeats; then the verified core reference ops (the parity signal,
-    re-checked as soon as the fresh names are exhausted), then the
-    verified remainder. Queries with no measured cost yet (added after
-    the last tools/gate_costs.py run) sort at cost 0 — new operators
-    need their first driver row most."""
+    """Stable re-ordering of the registry for the driver.
+
+    Round-4 layout (VERDICT r03 item #1): (0) driver-unverified queries
+    from the zero-coverage families (tpch_extra, graph, streaming — no
+    driver row in three rounds), each family's queries ordered by
+    measured gate cost ascending; (1) every other driver-unverified
+    query by measured sf0.01 gate cost ascending (Spark run + DuckDB
+    oracle wall seconds, tools/gate_costs.py → gate_order.py) so the
+    wall-clock budget clears the maximum number of fresh names; (2) the
+    verified core reference ops (the parity signal, re-checked as soon
+    as fresh names are exhausted); (3) the verified remainder. Queries
+    with no measured cost yet sort at cost 0 within their group — new
+    operators need their first driver row most."""
     fam_rank = {
         f"streamprocessing_spark.queries.{m}": i for i, m in enumerate(_FAMILY_PRIORITY)
+    }
+    zero_cov_rank = {
+        f"streamprocessing_spark.queries.{m}": i
+        for i, m in enumerate(_ZERO_COVERAGE_FAMILIES)
     }
     reg_index = {name: i for i, name in enumerate(registry)}
     try:
@@ -144,17 +176,18 @@ def _presentation_order(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     except ImportError:  # pre-measurement bootstrap
         GATE_COST = {}
 
-    def key(name: str) -> tuple[int, float, int, int]:
+    def key(name: str) -> tuple[int, int, float, int, int]:
         spec = registry[name]
         mod = spec.fn.__module__
         if name not in _DRIVER_VERIFIED:
-            group = 0
+            group = 0 if mod in zero_cov_rank else 1
         elif mod == "streamprocessing_spark.queries.core":
-            group = 1
-        else:
             group = 2
-        cost = GATE_COST.get(name, 0.0) if group == 0 else 0.0
-        return (group, cost, fam_rank.get(mod, len(_FAMILY_PRIORITY)), reg_index[name])
+        else:
+            group = 3
+        subrank = zero_cov_rank.get(mod, 0) if group == 0 else 0
+        cost = GATE_COST.get(name, 0.0) if group <= 1 else 0.0
+        return (group, subrank, cost, fam_rank.get(mod, len(_FAMILY_PRIORITY)), reg_index[name])
 
     return {name: registry[name] for name in sorted(registry, key=key)}
 
