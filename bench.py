@@ -46,7 +46,10 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "ann_cosine_topk",
-    "srp_lsh_cosine_pairs",
+    # srp_lsh_cosine_pairs (fixed r,b) retired from the headline per
+    # VERDICT r03 item #3 — the scale-tier twin srp_lsh_cosine_pairs_scaled
+    # below is the shipped near-dup path; the baseline stays registered
+    # for SCALE.md's head-to-head.
     "text_quality_score",
     "tfidf_top_terms",
     "sessionize_events",
@@ -65,8 +68,9 @@ HEADLINE = [
     "token_cooccurrence_lift",
     "winsorize_values_by_type",
     "pack_documents_greedy",
-    # round-2 late additions
-    "semantic_dedup_keep",
+    # round-2 late additions (semantic_dedup_keep now aliases the IVF
+    # production tier measured below as semantic_dedup_keep_ivf — one
+    # headline slot per distinct computation)
     "rolling_user_activity_1h",
     "temperature_sample_by_source",
     "pagerank_copurchase",

@@ -447,15 +447,16 @@ def knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("similarity", "dedup", "llm-pipeline", "iterative", "approx", "production-tier"),
 )
 def semantic_dedup_keep_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """semantic_dedup_keep with its pair stage swapped from SRP banding to
-    IVF-cell candidates — the composition SCALE.md's curve table points
-    at: the pair stage dominates the cascade's cost (SRP ×12.6 at the
-    10× proxy), and the IVF tier halves its growth exponent, so the
-    whole dedup inherits the n^1.5 curve. Components and the keep-set
-    anti-join are unchanged. Keeps slightly different (IVF-recall) dup
-    clusters — both variants are exact-verified at the same θ, so every
-    removed vector really does have a ≥θ twin; only the candidate
-    generator differs."""
+    """The IVF-cell semantic-dedup cascade — since round 4 identical to
+    semantic_dedup_keep (the unsuffixed name was repointed at this
+    production tier per VERDICT r03 item #3; the SRP cascade lives on as
+    semantic_dedup_keep_srp_baseline). The pair stage dominates the
+    cascade's cost (SRP ×12.6 at the 10× proxy), and the IVF tier halves
+    its growth exponent, so the whole dedup inherits the n^1.5 curve.
+    Components and the keep-set anti-join are unchanged vs the SRP
+    baseline. Keeps slightly different (IVF-recall) dup clusters — both
+    variants are exact-verified at the same θ, so every removed vector
+    really does have a ≥θ twin; only the candidate generator differs."""
     from streamprocessing_spark.operators.dedup import connected_components
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -469,6 +470,57 @@ def semantic_dedup_keep_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semantic_dedup_keep",
+    oracle=f"""
+    WITH RECURSIVE pair_t AS ({_sql_ivf_pairs_oracle(SRP_THRESHOLD, 3)}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pair_t
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pair_t
+    ),
+    reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.src AS id, reach.r AS r
+      FROM edges e JOIN reach ON e.dst = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+    SELECT e.vec_id
+    FROM embeddings e
+    LEFT JOIN comp c ON e.vec_id = c.id AND c.component <> c.id
+    WHERE c.id IS NULL
+    """,
+    tags=("similarity", "dedup", "llm-pipeline", "iterative", "approx", "production-tier"),
+)
+def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup — THE PRODUCTION TIER under the
+    obvious name (VERDICT r03 item #3): since round 4 this is the IVF
+    cascade (count-scaled K=⌈√n⌉ quantizer, n^1.5 pair stage, measured
+    ×5.0 at the 10× proxy), identical to semantic_dedup_keep_ivf. The
+    original SRP-banded cascade (×11.7 at 10× with its frozen r=4,b=4
+    signature) stays registered as semantic_dedup_keep_srp_baseline for
+    the head-to-head scale comparison (SCALE.md).
+
+    IVF-cell candidate pairs at the SRP_THRESHOLD (0.45) cosine bar →
+    exact-cosine verify → connected components → keep one vector per
+    semantic cluster (the min vec_id) plus every singleton. The
+    embedding-space counterpart of dedup_keep_canonical: where MinHash
+    removes near-verbatim text copies, this removes MEANING-level
+    duplicates (paraphrases, re-encodings) that share no shingles — the
+    two compose into the standard curation cascade (lexical pass, then
+    semantic pass)."""
+    from streamprocessing_spark.operators.dedup import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = S.ivf_cosine_pairs(emb, SRP_THRESHOLD, nassign=3)
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("component") != F.col("id")).select(
+        F.col("id").alias("vec_id")
+    )
+    return emb.select("vec_id").join(F.broadcast(losers), "vec_id", "left_anti")
+
+
+@register(
+    "semantic_dedup_keep_srp_baseline",
     oracle=f"""
     WITH RECURSIVE pair_t AS ({_sql_srp_oracle(SRP_THRESHOLD)}),
     edges AS (
@@ -490,11 +542,13 @@ def semantic_dedup_keep_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     tags=("similarity", "dedup", "llm-pipeline", "lsh", "iterative", "baseline-fixed-scale"),
 )
-def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """FIXED-SCALE BASELINE cascade — the production keep-set is
-    semantic_dedup_keep_ivf (count-scaled quantizer, measured ×5.0 at the
-    10× proxy vs ×11.7 for this SRP pair stage; SCALE.md); this variant
-    stays registered as the head-to-head baseline.
+def semantic_dedup_keep_srp_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FIXED-SCALE BASELINE cascade (until round 4 registered under the
+    name semantic_dedup_keep) — the production keep-set is
+    semantic_dedup_keep / semantic_dedup_keep_ivf (count-scaled
+    quantizer, measured ×5.0 at the 10× proxy vs ×11.7 for this SRP pair
+    stage; SCALE.md); this variant stays registered as the head-to-head
+    baseline.
 
     SemDeDup-style SEMANTIC dedup, materialized: SRP-LSH candidate
     pairs at the SRP_THRESHOLD (0.45) cosine bar → exact-cosine verify → connected

@@ -134,7 +134,11 @@ def test_semantic_dedup_variants_agree_on_verified_pairs(spark, sf_dir):
     for r in SPECS["embedding_cosine_pairs"].fn(spark, sf_dir).collect():
         exact_members.add(r.id_a)
         exact_members.add(r.id_b)
-    for name in ("semantic_dedup_keep", "semantic_dedup_keep_ivf"):
+    for name in (
+        "semantic_dedup_keep",
+        "semantic_dedup_keep_ivf",
+        "semantic_dedup_keep_srp_baseline",
+    ):
         kept = {r.vec_id for r in SPECS[name].fn(spark, sf_dir).collect()}
         removed = all_ids - kept
         assert removed <= exact_members, (name, removed - exact_members)

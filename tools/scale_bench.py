@@ -82,8 +82,9 @@ QUERIES = (
     # round-2 late additions: iterative graph, semantic dedup, ranking
     "pagerank_copurchase",
     "triangle_count_copurchase",
-    "semantic_dedup_keep",
+    "semantic_dedup_keep_srp_baseline",
     # the same cascade on the IVF pair stage: inherits the n^1.5 curve
+    # (since round 4 also registered under the unsuffixed production name)
     "semantic_dedup_keep_ivf",
     "kmeans_embeddings",
     "bm25_rank_docs",
