@@ -317,29 +317,137 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("hll_sketch_rollup_users", tags=("analytics", "aggregate", "approx"))
+# Deterministic md5-based HyperLogLog (the countmin_heavy_hitters
+# promotion pattern, VERDICT r03 item #7): m=256 buckets from the first
+# md5 byte, rho over the next 48 bits, raw estimate alpha·m²/Σ2^-M_j
+# evaluated in EXACT integer arithmetic (Σ scaled by 2^49 fits BIGINT;
+# the alpha division runs in DECIMAL(38)/HUGEINT floor division), and
+# the small-range linear-counting branch m·ln(m/V) routed through the
+# integer mlog2 primitive — both engines compute bit-identical BIGINTs
+# at every step, so the sketch estimate itself is hash-oracleable.
+HLL_M = 256
+HLL_RMAX = 49  # 48 hash bits + 1; empty buckets contribute 2^49 to S
+_HLL_NUMER = 718273 * HLL_M * HLL_M * (1 << HLL_RMAX)  # alpha_ppm·m²·2^49
+_HLL_LC_THRESHOLD = 5 * HLL_M // 2  # below this, linear counting
+_HLL_LC_SQL = (
+    f"({HLL_M} * CAST(693147181 AS BIGINT)"  # ln2 in ppb
+    " * (8000 - CAST(floor(1000*log2(vz)+0.5) AS BIGINT)))"  # mlog2(m)-mlog2(V)
+)
+
+
+def _hll_registers(ev: DataFrame, *group_cols: object) -> DataFrame:
+    """Per-(group, bucket) max-rho register table — the storable,
+    mergeable sketch. Deterministic md5 arithmetic: bucket = first md5
+    byte, rho = leading zeros of the next 48 bits + 1 (v=0 → RMAX)."""
+    h = F.md5(F.concat(F.lit("hll:"), F.col("user_id")).cast("binary"))
+    v = F.conv(F.substring(h, 3, 12), 16, 10).cast("long")
+    hashed = ev.select(
+        *group_cols,
+        F.conv(F.substring(h, 1, 2), 16, 10).cast("int").alias("bucket"),
+        F.when(v == 0, HLL_RMAX)
+        .otherwise(F.lit(HLL_RMAX) - F.length(F.bin(v)))
+        .cast("int")
+        .alias("rho"),
+    )
+    return hashed.groupBy(*[c for c in hashed.columns if c != "rho"]).agg(
+        F.max("rho").alias("m_reg")
+    )
+
+
+def _hll_estimate(regs: DataFrame, key: str = "event_type") -> DataFrame:
+    """Fold a (key, bucket, m_reg) register table to (key, n_users_est)
+    with exact integer arithmetic — identical BIGINTs on both engines."""
+    s = regs.groupBy(key).agg(
+        F.sum(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), {HLL_RMAX} - m_reg)")
+        ).alias("s_present"),
+        F.count(F.lit(1)).alias("nb"),
+    )
+    est = s.select(
+        key,
+        F.expr(
+            f"CAST(CAST({_HLL_NUMER} AS DECIMAL(38,0)) div "
+            f"(CAST(1000000 AS DECIMAL(38,0)) * "
+            f"(s_present + ({HLL_M} - nb) * {1 << HLL_RMAX})) AS BIGINT)"
+        ).alias("est_raw"),
+        (F.lit(HLL_M) - F.col("nb")).alias("vz"),
+    )
+    return est.select(
+        key,
+        F.when(
+            (F.col("est_raw") <= _HLL_LC_THRESHOLD) & (F.col("vz") > 0),
+            F.expr(f"CAST({_HLL_LC_SQL} div 1000000000000 AS BIGINT)"),
+        )
+        .otherwise(F.col("est_raw"))
+        .alias("n_users_est"),
+    )
+
+
+@register(
+    "hll_sketch_rollup_users",
+    oracle=f"""
+    WITH hv AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5('hll:' || user_id), 1, 2)) AS BIGINT) AS bucket,
+             CAST(('0x' || substr(md5('hll:' || user_id), 3, 12)) AS BIGINT) AS v
+      FROM events),
+    regs AS (
+      SELECT event_type, bucket,
+             max(CASE WHEN v = 0 THEN {HLL_RMAX}
+                 ELSE {HLL_RMAX} - length(bin(v)) END) AS m_reg
+      FROM hv GROUP BY 1, 2),
+    s AS (
+      SELECT event_type,
+             CAST(sum(CAST(1 AS BIGINT) << ({HLL_RMAX} - m_reg)) AS BIGINT) AS s_present,
+             count(*) AS nb
+      FROM regs GROUP BY 1),
+    est AS (
+      SELECT event_type,
+             CAST(CAST({_HLL_NUMER} AS HUGEINT) //
+                  (CAST(1000000 AS HUGEINT) *
+                   (s_present + ({HLL_M} - nb) * {1 << HLL_RMAX})) AS BIGINT) AS est_raw,
+             {HLL_M} - nb AS vz
+      FROM s),
+    ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact
+           FROM events GROUP BY 1)
+    SELECT est.event_type,
+           CAST(CASE WHEN est_raw <= {_HLL_LC_THRESHOLD} AND vz > 0
+                THEN {_HLL_LC_SQL} // 1000000000000
+                ELSE est_raw END AS BIGINT) AS n_users_est,
+           n_users_exact
+    FROM est JOIN ex USING (event_type)
+    """,
+    tags=("analytics", "aggregate", "approx"),
+)
 def hll_sketch_rollup_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mergeable-sketch rollup — THE 100 TB distinct-count architecture:
-    build one Datasketches HLL sketch of user_id per (event_type, day)
-    partition (`hll_sketch_agg`), then UNION the daily sketches up to the
-    event_type level (`hll_union_agg`) and read the estimate. Unlike
-    approx_count_distinct (a one-shot aggregate), the intermediate
-    sketches are storable columns: a real deployment materializes the
-    per-day sketch table once and answers any later rollup (weekly,
-    monthly, all-time, cross-type) by merging kilobyte sketches instead
-    of rescanning petabytes of raw events.
+    build one HLL register table of user_id per (event_type, day)
+    partition, then merge the daily registers up to the event_type level
+    (bucket-wise max) and read the estimate. Unlike a one-shot
+    approx_count_distinct, the intermediate registers are storable rows:
+    a real deployment materializes the per-day register table once and
+    answers any later rollup (weekly, monthly, all-time, cross-type) by
+    max-merging kilobyte registers instead of rescanning petabytes of
+    raw events.
 
-    No SQL oracle (sketch estimates are engine-specific);
-    tests/test_approx_aggregates.py bounds the estimate against the
-    exact distinct count and asserts the union-of-parts estimate equals
-    the single-pass sketch estimate (merge correctness)."""
+    Promoted to a FULL oracle row (VERDICT r03 item #7, the
+    countmin_heavy_hitters pattern): the sketch is deterministic md5
+    arithmetic with an integer-exact estimator (raw HLL via
+    DECIMAL(38)/HUGEINT floor division, small-range linear counting via
+    the integer mlog2 primitive), so both engines produce bit-identical
+    estimates; the exact distinct count rides alongside as the audit
+    column. tests/test_approx_aggregates.py additionally bounds the
+    estimate against the exact count and asserts the union-of-parts
+    estimate equals the single-pass estimate (merge correctness)."""
     ev = load_table(spark, sf_dir, "events")
-    daily = ev.groupBy("event_type", F.to_date("ts").alias("day")).agg(
-        F.hll_sketch_agg("user_id").alias("sketch")
+    daily_regs = _hll_registers(ev, "event_type", F.to_date("ts").alias("day"))
+    merged = daily_regs.groupBy("event_type", "bucket").agg(
+        F.max("m_reg").alias("m_reg")
     )
-    return daily.groupBy("event_type").agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sketch")).cast("long").alias("n_users_est")
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("n_users_exact")
     )
+    return _hll_estimate(merged).join(exact, "event_type")
 
 
 @register(

@@ -284,12 +284,52 @@ def ivf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.ivf_cosine_pairs(emb, SRP_THRESHOLD, nassign=3)
 
 
-@register("ann_ivf_topk", tags=("similarity", "llm-pipeline", "approx"))
+@register(
+    "ann_ivf_topk",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding AS cv
+                  FROM embeddings WHERE vec_id < 16),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < {N_QUERIES}),
+    assigned AS (
+      SELECT id, v, cent_id FROM (
+        SELECT e.vec_id AS id, e.embedding AS v, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_sql_cos('e.embedding', 'c.cv')} DESC,
+                                           c.cent_id) AS rn
+        FROM embeddings e CROSS JOIN cent c)
+      WHERE rn = 1),
+    probes AS (
+      SELECT query_id, qv, cent_id FROM (
+        SELECT q.query_id, q.qv, c.cent_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_sql_cos('q.qv', 'c.cv')} DESC,
+                                           c.cent_id) AS rn
+        FROM q CROSS JOIN cent c)
+      WHERE rn <= 4),
+    scored AS (
+      SELECT p.query_id, a.id AS neighbor_id,
+             {_sql_cos('a.v', 'p.qv')} AS cos
+      FROM assigned a JOIN probes p USING (cent_id)
+      WHERE a.id <> p.query_id)
+    SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored)
+    WHERE rn <= {TOP_K}
+    """,
+    tags=("similarity", "llm-pipeline", "approx"),
+)
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-k (16 deterministic centroids, nprobe=4): scores
-    only vectors in probed cells — the sublinear 100 TB path. No SQL
-    oracle (approximate by design); tests assert recall ≥ 0.8 against
-    ann_cosine_topk."""
+    only vectors in probed cells — the sublinear 100 TB path. Promoted
+    from rows-only to a FULL oracle row (VERDICT r03 item #7): every
+    stage is deterministic given the data — min-id centroids, bit-
+    portable cosine folds, (cos DESC, id) tie-breaks — and the output
+    carries only integer ids/ranks, so the DuckDB mirror reproduces it
+    exactly while the op stays approximate-by-design vs the exact tier
+    (recall ≥ 0.8 asserted in tests/test_similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")

@@ -44,27 +44,29 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
 
 
 def test_hll_sketch_rollup_merge_correctness(spark, sf_dir):
-    """The union of per-day sketches must (a) land within HLL tolerance of
-    the exact distinct count and (b) estimate EXACTLY what a single-pass
-    sketch over the same rows estimates — merging loses nothing (the
-    property that makes materialized per-partition sketch tables answer
-    any later rollup)."""
+    """The union of per-day register tables must (a) land within HLL
+    tolerance of the exact distinct count (m=256 → sigma ~6.5%; linear
+    counting handles the small range) and (b) estimate EXACTLY what a
+    single-pass sketch over the same rows estimates — merging loses
+    nothing (the property that makes materialized per-partition register
+    tables answer any later rollup). Also asserts the exact audit column
+    the query carries matches the exact query."""
+    from streamprocessing_spark.queries.analytics import _hll_estimate, _hll_registers
+
     ev = load_table(spark, sf_dir, "events")
     exact = {
         r.event_type: r.n_users
         for r in SPECS["distinct_users_per_type"].fn(spark, sf_dir).collect()
     }
-    rolled = {
-        r.event_type: r.n_users_est
-        for r in SPECS["hll_sketch_rollup_users"].fn(spark, sf_dir).collect()
-    }
+    res = SPECS["hll_sketch_rollup_users"].fn(spark, sf_dir).collect()
+    rolled = {r.event_type: r.n_users_est for r in res}
+    carried_exact = {r.event_type: r.n_users_exact for r in res}
     single = {
-        r.event_type: r.est
-        for r in ev.groupBy("event_type")
-        .agg(F.hll_sketch_estimate(F.hll_sketch_agg("user_id")).cast("long").alias("est"))
-        .collect()
+        r.event_type: r.n_users_est
+        for r in _hll_estimate(_hll_registers(ev, "event_type")).collect()
     }
     assert set(exact) == set(rolled)
     for k, v in exact.items():
-        assert abs(rolled[k] - v) <= max(0.1 * v, 3), (k, v, rolled[k])
+        assert carried_exact[k] == v, (k, v, carried_exact[k])
+        assert abs(rolled[k] - v) <= max(0.3 * v, 5), (k, v, rolled[k])
         assert rolled[k] == single[k], (k, rolled[k], single[k])
