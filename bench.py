@@ -102,6 +102,7 @@ HEADLINE = [
     "table_content_fingerprint",
     # round-3 additions
     "srp_lsh_cosine_pairs_scaled",
+    "srp_lsh_cosine_pairs_recall_held",
     "repetition_dup_trigram_fraction",
     "embedding_drift_chi2_by_dim",
     "url_canonical_dedup",

@@ -233,6 +233,100 @@ SRP_RMIN = 4
 SRP_RMAX = 8
 SRP_R_SHIFT = 7
 
+# Recall-held banding (VERDICT r03 item #4): growing r alone (the
+# _adaptive tier) trades recall away — per-band match probability is p^r
+# (p = 1 − arccos(θ)/π ≈ 0.6486 at θ=0.45), so each added bit multiplies
+# recall's per-band term by p. The companion law grows BANDS alongside
+# bits: b(r) = ceil(ln(1−R0)/ln(1−p^r)) holds the r=4,b=4 design recall
+# R0 ≈ 0.541 (the 1−(1−p^r)^b inversion; b ≈ p^−r·ln(1/(1−R0)) up to
+# ceiling). Static table — b depends only on r, which both engines derive
+# from the same count, so the plan stays bit-exact-oracleable:
+#   r:      4  5   6   7   8
+#   b(r):   4  7  11  16  25      (recall 0.541–0.574 across the range)
+SRP_RECALL_BANDS = {4: 4, 5: 7, 6: 11, 7: 16, 8: 25}
+
+
+def srp_r_for_count(n_rows: int) -> int:
+    """r(n) = clamp(ceil(log2 n) − SRP_R_SHIFT, SRP_RMIN, SRP_RMAX) via
+    exact integer arithmetic ((n−1).bit_length() == ceil(log2 n) for
+    n ≥ 2) — the same value the in-plan/SQL ceil(log2(count)) derives."""
+    return min(SRP_RMAX, max(SRP_RMIN, (max(n_rows, 2) - 1).bit_length() - SRP_R_SHIFT))
+
+
+def srp_lsh_cosine_pairs_recall_held(
+    emb: DataFrame,
+    threshold: float,
+    dim: int,
+    n_rows: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SRP-LSH near-dup pairs with corpus-scaled bits AND recall-held
+    bands — the full in-family scale law: r(n) grows one bit per corpus
+    doubling (bounding bucket occupancy, the _adaptive remedy) while
+    b(r) = SRP_RECALL_BANDS[r] grows ≈ p^−r so banding recall stays at
+    the r=4,b=4 design point instead of decaying (SCALE.md documents the
+    fixed-b recall loss: 2,337 vs 9,853 pairs at the 10× proxy).
+
+    (r, b) are derived from ``n_rows`` — a driver-side metadata count
+    that parameterizes plan RESOLUTION the way AQE parameterizes
+    partitioning; the oracle derives the identical (r, b) from its own
+    count, and bit j of band i is hyperplane index i·SRP_RMAX + j on
+    both sides, so the pipeline stays bit-exact-oracleable. Cost is paid
+    where the theory says it must be: signature folds grow ~p^−r ≈
+    1.54×/bit (b·RMAX hyperplanes), the price of holding recall while
+    candidates stay ~linear in n."""
+    r = srp_r_for_count(n_rows)
+    bands = SRP_RECALL_BANDS[r]
+    weights = srp_weights(dim, nbits=bands * SRP_RMAX)
+    buckets = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.explode(
+                _srp_band_structs(vec_col, weights, rows_per_band=SRP_RMAX, bands=bands)
+            ).alias("bs"),
+        )
+        .select(
+            "id",
+            F.col("bs.band").alias("band"),
+            F.expr(f"substring(bs.sig, 1, {r})").alias("sig"),
+        )
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    # Norm-once discipline (see srp_lsh_cosine_pairs): identical doubles
+    # to per-pair folds, a third of the interpreted-HOF cost.
+    va = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+        norm_double(F.col(vec_col)).alias("na"),
+    )
+    vb = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+        norm_double(F.col(vec_col)).alias("nb"),
+    )
+    from streamprocessing_spark.functions.text import portable_round
+
+    return (
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            (dot_double(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        )
+        .where(F.col("cos") >= threshold)
+        .select("id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim"))
+    )
+
 
 def srp_lsh_cosine_pairs_adaptive(
     emb: DataFrame,

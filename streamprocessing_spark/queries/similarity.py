@@ -235,6 +235,83 @@ def srp_lsh_cosine_pairs_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.srp_lsh_cosine_pairs_adaptive(emb, SRP_THRESHOLD, dim)
 
 
+def _sql_srp_recall_held_oracle(threshold: float) -> str:
+    """DuckDB mirror of operators.similarity.srp_lsh_cosine_pairs_recall_held:
+    same count-derived r as the _scaled oracle, band count b(r) from the
+    same static SRP_RECALL_BANDS table, bit j of band i = hyperplane
+    i·SRP_RMAX + j, signatures truncated to r bits. Every UNION branch
+    carries its own band constant, so only bands < b(r) survive the
+    r_t filter."""
+    from streamprocessing_spark.operators.similarity import (
+        SRP_R_SHIFT,
+        SRP_RECALL_BANDS,
+        SRP_RMAX,
+        SRP_RMIN,
+    )
+
+    bmax = max(SRP_RECALL_BANDS.values())
+    nbits = bmax * SRP_RMAX
+    bt_case = " ".join(
+        f"WHEN {r} THEN {b}" for r, b in sorted(SRP_RECALL_BANDS.items())
+    )
+    bit_cols = ",\n             ".join(f"{_sql_srp_bit(j)} AS bit_{j}" for j in range(nbits))
+    band_rows = "\n      UNION ALL\n".join(
+        "      SELECT id, {b} AS band, substr({sig}, 1, r_t.r) AS sig"
+        " FROM sig_t, r_t WHERE {b} < r_t.bt".format(
+            b=b,
+            sig=" || ".join(f"bit_{b * SRP_RMAX + r}" for r in range(SRP_RMAX)),
+        )
+        for b in range(bmax)
+    )
+    cos = _sql_cos("ea.embedding", "eb.embedding")
+    return f"""
+    WITH r_t AS (
+      SELECT r, CASE r {bt_case} END AS bt FROM (
+        SELECT CAST(least({SRP_RMAX}, greatest({SRP_RMIN},
+                   CAST(ceil(log2(greatest(count(*), 2))) AS INT) - {SRP_R_SHIFT})) AS INT) AS r
+        FROM embeddings)),
+    sig_t AS (
+      SELECT vec_id AS id,
+             {bit_cols}
+      FROM embeddings
+    ),
+    buckets AS (
+{band_rows}
+    ),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM buckets a
+             JOIN buckets b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id)
+    SELECT c.id_a, c.id_b,
+           floor({cos} * 1000000.0 + 0.5) / 1000000.0 AS cos_sim
+    FROM cand c
+    JOIN embeddings ea ON ea.vec_id = c.id_a
+    JOIN embeddings eb ON eb.vec_id = c.id_b
+    WHERE {cos} >= {threshold}
+    """
+
+
+@register(
+    "srp_lsh_cosine_pairs_recall_held",
+    oracle=_sql_srp_recall_held_oracle(SRP_THRESHOLD),
+    tags=("similarity", "dedup", "llm-pipeline", "lsh", "scale-tier"),
+)
+def srp_lsh_cosine_pairs_recall_held(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SRP-LSH near-dup with corpus-scaled bits AND recall-held bands —
+    the b ≈ p^−r companion to srp_lsh_cosine_pairs_scaled (VERDICT r03
+    item #4): r(n) still grows one bit per corpus doubling so bucket
+    occupancy stays bounded, while b(r) = {{4:4, 5:7, 6:11, 7:16, 8:25}}
+    grows bands so banding recall holds at the r=4,b=4 design point
+    (0.541–0.574 across the range) instead of decaying with r. The
+    recall/shuffle frontier: signature cost grows ~1.54× per added bit
+    (the p^−1 law), candidates stay ~linear in n — SCALE.md carries the
+    measured curve next to the scaled (fixed-b) and IVF tiers. (r, b)
+    derive from a metadata count on both engines; bit-exact oracle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    row = emb.select("embedding").head()
+    dim = len(row[0]) if row else 1
+    return S.srp_lsh_cosine_pairs_recall_held(emb, SRP_THRESHOLD, dim, emb.count())
+
+
 def _sql_ivf_pairs_oracle(threshold: float, nassign: int) -> str:
     """DuckDB mirror of operators.similarity.ivf_cosine_pairs: identical
     centroid choice (K = ceil(sqrt(n)) smallest ids), identical assignment

@@ -153,3 +153,52 @@ def test_srp_scaled_precision_recall_and_r_derivation(spark, sf_dir):
     assert expect_r == S.SRP_RMIN  # smoke fixture is below the first step
     # r grows with the corpus: the formula crosses RMIN+1 at 2^(SHIFT+RMIN+1)
     assert min(S.SRP_RMAX, max(S.SRP_RMIN, math.ceil(math.log2(2 ** (S.SRP_R_SHIFT + S.SRP_RMIN + 1))) - S.SRP_R_SHIFT)) == S.SRP_RMIN + 1
+
+
+def test_srp_recall_held_bands_hold_recall(spark, sf_dir, monkeypatch):
+    """The recall-held tier (VERDICT r03 item #4): at every r the held
+    band count b(r) must (a) keep precision 1.0 (exact verify), (b) at
+    the design point r=RMIN reproduce the scaled tier's pair set (same
+    stride-RMAX bit indexing, b(4)=4), and (c) at a FORCED high r —
+    n_rows pinned to push r to 7 on this small corpus — recover at
+    least the recall the fixed-b=4 banding loses there, measured
+    head-to-head on identical hyperplanes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").head()[0])
+    t = 0.45
+    n = emb.count()
+    exact = {(r.id_a, r.id_b) for r in S.cosine_pairs(emb, t).collect()}
+    held = {
+        (r.id_a, r.id_b)
+        for r in S.srp_lsh_cosine_pairs_recall_held(emb, t, dim, n).collect()
+    }
+    assert held <= exact, f"false positives: {held - exact}"
+    if exact:
+        assert len(held) / len(exact) >= 0.5, f"recall-held recall too low: {len(held)}/{len(exact)}"
+    # design point: r(n) clamps to RMIN here, where b(RMIN)=SRP_BANDS —
+    # the tier must coincide with the scaled tier exactly
+    assert S.srp_r_for_count(n) == S.SRP_RMIN
+    scaled = {
+        (r.id_a, r.id_b)
+        for r in S.srp_lsh_cosine_pairs_adaptive(emb, t, dim).collect()
+    }
+    assert held == scaled
+    # forced r=7: fixed-b banding (monkeypatched table) vs held b(7)=16
+    forced_n = 1 << (S.SRP_R_SHIFT + 7)  # srp_r_for_count -> 7
+    assert S.srp_r_for_count(forced_n) == 7
+    held_hi = {
+        (r.id_a, r.id_b)
+        for r in S.srp_lsh_cosine_pairs_recall_held(emb, t, dim, forced_n).collect()
+    }
+    monkeypatch.setitem(S.SRP_RECALL_BANDS, 7, S.SRP_BANDS)
+    fixed_hi = {
+        (r.id_a, r.id_b)
+        for r in S.srp_lsh_cosine_pairs_recall_held(emb, t, dim, forced_n).collect()
+    }
+    assert held_hi <= exact and fixed_hi <= exact
+    # the held tier can only see MORE pairs (its first SRP_BANDS bands
+    # are the fixed tier's bands), and on this corpus it must strictly
+    # recover pairs unless fixed-b already found everything
+    assert fixed_hi <= held_hi
+    if exact and len(fixed_hi) < len(exact):
+        assert len(held_hi) > len(fixed_hi), (len(held_hi), len(fixed_hi))

@@ -65,6 +65,9 @@ QUERIES = (
     "ivf_cosine_pairs",
     # ...and the in-family remedy: band resolution r derived from n
     "srp_lsh_cosine_pairs_scaled",
+    # ...and with recall-held band growth b(r) ~ p^-r (round 4): the
+    # frontier where signature cost buys recall back at high r
+    "srp_lsh_cosine_pairs_recall_held",
     # ...and with the verify stage on the Arrow/numpy fast path
     "srp_lsh_cosine_pairs_fast",
     "copurchase_lift",
