@@ -41,7 +41,13 @@ def norm_double(a: Column) -> Column:
 
 
 def cosine(a: Column, b: Column) -> Column:
-    return dot_double(a, b) / (norm_double(a) * norm_double(b))
+    # try_divide, not `/`: a zero-norm vector (legal dirty data — the
+    # hostile sweep injects them) makes this 0/0, which ANSI-mode Spark
+    # raises on while DuckDB quietly yields NULL. NULL mirrors DuckDB:
+    # it fails every >= threshold predicate and sorts last under DESC
+    # ranks, so directionless vectors drop out of pair/top-k results on
+    # BOTH engines instead of crashing the job at scale.
+    return F.try_divide(dot_double(a, b), norm_double(a) * norm_double(b))
 
 
 def topk_per_query(
@@ -213,7 +219,7 @@ def srp_lsh_cosine_pairs(
         .select(
             "id_a",
             "id_b",
-            (dot_double(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+            F.try_divide(dot_double(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim"))
@@ -321,7 +327,7 @@ def srp_lsh_cosine_pairs_recall_held(
         .select(
             "id_a",
             "id_b",
-            (dot_double(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+            F.try_divide(dot_double(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim"))
@@ -396,7 +402,7 @@ def srp_lsh_cosine_pairs_adaptive(
         .select(
             "id_a",
             "id_b",
-            (dot_double(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+            F.try_divide(dot_double(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim"))
@@ -464,7 +470,7 @@ def ivf_cosine_pairs(
         .select(
             "id",
             "cent_id",
-            (dot_double(F.col("v"), F.col("cent_vec")) / (F.col("nv") * F.col("nc"))).alias(
+            F.try_divide(dot_double(F.col("v"), F.col("cent_vec")), F.col("nv") * F.col("nc")).alias(
                 "cos_c"
             ),
         )
@@ -497,7 +503,7 @@ def ivf_cosine_pairs(
         .select(
             "id_a",
             "id_b",
-            (dot_double(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+            F.try_divide(dot_double(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")).alias("cos"),
         )
         .where(F.col("cos") >= threshold)
         .select("id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim"))

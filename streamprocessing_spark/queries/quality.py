@@ -249,7 +249,12 @@ def gopher_quality_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
         sum_len.alias("sum_len"),
         T.stopword_hits(F.col("t"), "en").alias("stop_hits"),
     ).where(F.col("n_tokens") > 0)
-    mean_len = F.lit(1.0) * F.col("sum_len") / F.col("n_tokens")
+    # try_divide, not `/`: the n_tokens > 0 guard above does NOT
+    # guarantee evaluation order once this query is composed (Catalyst
+    # subexpression elimination evaluated the division inside a fused
+    # predicate before the guard conjunct in curation_manifest_end2end —
+    # the hostile sweep's zero-token docs crashed it under ANSI mode).
+    mean_len = F.try_divide(F.lit(1.0) * F.col("sum_len"), F.col("n_tokens"))
     flag_wc = F.col("n_tokens").between(MIN_WORDS, MAX_WORDS)
     flag_ml = mean_len.between(MIN_MEAN_LEN, MAX_MEAN_LEN)
     flag_st = (F.col("stop_hits") >= MIN_STOP_HITS) | (F.col("lang") != "en")

@@ -509,7 +509,7 @@ def knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     scored = a.join(b, F.col("qa") != F.col("qb")).select(
         "qa", "qb", "nl",
-        (S.dot_double(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))).alias("cos"),
+        F.try_divide(S.dot_double(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")).alias("cos"),
     )
     w_nn = Window.partitionBy("qa").orderBy(F.desc("cos"), F.asc("qb"))
     nn = (
@@ -518,7 +518,11 @@ def knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("qa", "nl")
     )
     votes = nn.groupBy("qa", "nl").agg(F.count(F.lit(1)).alias("v"))
-    w_maj = Window.partitionBy("qa").orderBy(F.desc("v"), F.asc("nl"))
+    # asc_nulls_last, not asc: labels are nullable in dirty data, Spark's
+    # ASC default puts NULLs FIRST while DuckDB's puts them LAST — the
+    # vote tie-break silently elected the NULL label on one engine only
+    # (hostile-sweep find). NULLS LAST on both: unlabeled ties lose.
+    w_maj = Window.partitionBy("qa").orderBy(F.desc("v"), F.asc_nulls_last("nl"))
     maj = (
         votes.withColumn("r", F.row_number().over(w_maj))
         .where(F.col("r") == 1)
@@ -879,10 +883,14 @@ def prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}.0 + 0.5) AS BIGINT))"
         ).alias("xi"),
     )
+    # try_divide: a zero (quantized-to-zero) vector or a degenerate
+    # centroid makes the norm product 0 — NULL cos_c mirrors DuckDB's
+    # silent NULL and sorts last under the DESC prototypicality rank
+    # instead of crashing under ANSI (hostile-sweep find)
     cos_c = F.expr(
-        "(aggregate(zip_with(xi, s, (x, sv) -> "
+        "try_divide(aggregate(zip_with(xi, s, (x, sv) -> "
         "CAST(x AS DOUBLE) * (CAST(sv AS DOUBLE) / cnt)), 0.0D, (acc, v) -> acc + v)"
-        " / (sqrt(aggregate(transform(xi, x -> "
+        ", (sqrt(aggregate(transform(xi, x -> "
         "CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0D, (acc, v) -> acc + v))"
         " * sqrt(aggregate(transform(s, sv -> "
         "(CAST(sv AS DOUBLE) / cnt) * (CAST(sv AS DOUBLE) / cnt)), 0.0D, (acc, v) -> acc + v))))"

@@ -260,11 +260,15 @@ def regression_value_by_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_x_n = n * sxx - sx * sx
     var_y_n = n * syy - sy * sy
     r6 = lambda c: F.floor(c * F.lit(1000000.0) + F.lit(0.5)) / F.lit(1000000.0)
+    # try_divide: a single-point or constant-x group has zero variance
+    # (legal data — the hostile fixture's solo-event user), which DuckDB
+    # folds to NULL while `/` raises under ANSI. NULL slope/r for a
+    # degenerate group is the right answer on both engines.
     return mom.select(
         "event_type",
         n.alias("n_points"),
-        r6(cov_n / var_x_n / F.lit(100.0)).alias("slope"),
-        r6(cov_n / F.sqrt(var_x_n * var_y_n)).alias("corr_r"),
+        r6(F.try_divide(cov_n, var_x_n) / F.lit(100.0)).alias("slope"),
+        r6(F.try_divide(cov_n, F.sqrt(var_x_n * var_y_n))).alias("corr_r"),
     )
 
 
