@@ -64,6 +64,11 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str, mime: str = "text/
     image bytes; with real data this is the raw file content
     (spark.read.format('binaryFile')) or bytes fetched by URI."""
     payload = F.encode(F.col(text_col), "UTF-8")
+    # No bytes, no media record: a NULL source column yields no row, the
+    # same contract binaryFile ingestion gives (a missing file is simply
+    # not listed). Downstream kernels may therefore assume non-null
+    # payloads; oracles mirror with WHERE <src> IS NOT NULL.
+    df = df.where(F.col(text_col).isNotNull())
     return df.select(
         F.col(id_col).alias("media_id"),
         payload.alias("payload"),

@@ -527,17 +527,24 @@ def event_time_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "json_extract_props",
     oracle="""
-    SELECT event_id, CAST(json_extract(props, '$.k') AS BIGINT) AS k
+    SELECT event_id,
+           TRY_CAST((CASE WHEN json_valid(props)
+                     THEN json_extract_string(props, '$.k') END) AS BIGINT) AS k
     FROM events
     """,
     tags=("analytics", "functions"),
 )
 def json_extract_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar JSON extraction over the events.props column — part of the
-    scalar-function surface the reference has none of."""
+    scalar-function surface the reference has none of. try_cast, not
+    cast: a non-numeric $.k (legal dirty JSON — the hostile fixture
+    carries one) must yield NULL like DuckDB's TRY_CAST, not an ANSI
+    cast error; invalid JSON documents yield NULL on both engines
+    (get_json_object ↔ the json_valid guard, verified value-identical
+    on the hostile prop pool)."""
     return load_table(spark, sf_dir, "events").select(
         "event_id",
-        F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+        F.get_json_object(F.col("props"), "$.k").try_cast("long").alias("k"),
     )
 
 
@@ -836,7 +843,12 @@ def udaf_geometric_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     @pandas_udf("double")
     def geo_mean(v: pd.Series) -> float:
-        return float(np.exp(np.log(v.to_numpy()).mean()))
+        # skip NULLs like every SQL aggregate does (the oracle's
+        # avg(ln(x)) never sees them); an all-NULL group yields NULL
+        x = v.dropna().to_numpy()
+        if len(x) == 0:
+            return None
+        return float(np.exp(np.log(x).mean()))
 
     return (
         load_table(spark, sf_dir, "orders")
@@ -1438,7 +1450,7 @@ def grouping_sets_custom(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
            floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cdist
     FROM orders
-    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice NULLS LAST, o_orderkey)
     """,
     tags=("analytics", "window"),
 )
@@ -1449,7 +1461,11 @@ def window_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the partition key; the ordering (price, key) is total so every
     rank is deterministic. ntile uses its own key-ordered window (ties in
     price would make bucket boundaries order-dependent otherwise)."""
-    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    # nulls_last: o_totalprice is nullable in dirty data; Spark ASC defaults
+    # NULLS FIRST where DuckDB defaults NULLS LAST (hostile-sweep find)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.asc_nulls_last("o_totalprice"), "o_orderkey"
+    )
     wk = Window.partitionBy("o_orderpriority").orderBy("o_orderkey")
     o = load_table(spark, sf_dir, "orders")
     return o.select(
@@ -1999,7 +2015,7 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM nation n,
          LATERAL (SELECT c_name, c_acctbal FROM customer
                   WHERE c_nationkey = n.n_nationkey
-                  ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+                  ORDER BY c_acctbal DESC, c_name NULLS LAST LIMIT 2) c
     """,
     tags=("join", "lateral", "analytics"),
 )
@@ -2023,7 +2039,7 @@ def lateral_top2_customers_per_nation(spark: SparkSession, sf_dir: str) -> DataF
         FROM sp_nation_lat n,
              LATERAL (SELECT c_name, c_acctbal FROM sp_cust_lat
                       WHERE c_nationkey = n.n_nationkey
-                      ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+                      ORDER BY c_acctbal DESC, c_name NULLS LAST LIMIT 2) c
         """
     )
 
@@ -2274,10 +2290,14 @@ def bloom_prefilter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = passed.join(
         F.broadcast(build.withColumn("hit", F.lit(1))), "k", "left"
     )
+    # coalesce AFTER the aggregate too: with an empty build side (no
+    # urgent orders — legal data) nothing passes the bloom, and SUM over
+    # zero rows is NULL where the oracle's scalar count(*) is 0
+    n_match = F.coalesce(F.sum(F.coalesce(F.col("hit"), F.lit(0))), F.lit(0))
     return flagged.agg(
         F.count(F.lit(1)).alias("n_pass_rows"),
-        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long").alias("n_match_rows"),
-        (F.count(F.lit(1)) - F.sum(F.coalesce(F.col("hit"), F.lit(0)))).cast("long").alias("n_fp_rows"),
+        n_match.cast("long").alias("n_match_rows"),
+        (F.count(F.lit(1)) - n_match).cast("long").alias("n_fp_rows"),
     )
 
 
@@ -2778,8 +2798,9 @@ def set_except_all_multiset(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH e AS (
       SELECT event_type,
              CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
-             CAST(json_extract(props, '$.k') AS BIGINT) AS k
-      FROM events)
+             TRY_CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+      WHERE json_valid(props) AND value IS NOT NULL AND event_type IS NOT NULL)
     SELECT event_type,
            CAST(count(*) AS BIGINT) AS n,
            CAST(sum(cents) AS BIGINT) AS sum_cents,
@@ -2805,8 +2826,21 @@ def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     proving the string→variant→typed path lossless.
 
     Exactness: money enters the document as integer cents, so the JSON
-    round-trip carries no float text formatting at all."""
-    ev = load_table(spark, sf_dir, "events")
+    round-trip carries no float text formatting at all.
+
+    Dirty-data contract: rows whose props is not valid JSON, or whose
+    value/event_type is NULL, are excluded BEFORE document assembly on
+    both engines (try_parse_json ↔ json_valid — verified to agree on
+    the hostile prop pool, including the 1e309 overflow document). Note
+    the schema_of_variant drift column is Spark-side introspection: on a
+    corpus whose props SHAPES genuinely vary (the hostile fixture), it
+    correctly reports the drift the oracle's clean-corpus constant
+    cannot mirror — the documented hostile-sweep exclusion."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.expr("try_parse_json(props) IS NOT NULL")
+        & F.col("value").isNotNull()
+        & F.col("event_type").isNotNull()
+    )
     cents = F.floor(F.col("value") * 100.0 + 0.5).cast("long")
     doc = F.concat(
         F.lit('{"t":"'),
@@ -2826,7 +2860,9 @@ def variant_props_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).cast("long").alias("n"),
             F.sum(F.expr("variant_get(v, '$.c', 'bigint')")).cast("long").alias("sum_cents"),
-            F.sum(F.expr("variant_get(v, '$.p.k', 'bigint')")).cast("long").alias("sum_k"),
+            # try_variant_get: a non-numeric $.k in an otherwise-valid
+            # document NULLs out instead of failing the typed extraction
+            F.sum(F.expr("try_variant_get(v, '$.p.k', 'bigint')")).cast("long").alias("sum_k"),
             F.min(F.expr("schema_of_variant(v)")).alias("variant_schema"),
         )
     )

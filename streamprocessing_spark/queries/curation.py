@@ -555,7 +555,7 @@ def zscore_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH v AS (SELECT event_id, event_type,
                       CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v
-               FROM events),
+               FROM events WHERE value IS NOT NULL),
     n AS (SELECT event_type, count(*) AS n FROM v GROUP BY event_type),
     vc AS (SELECT event_type, v, count(*) AS c FROM v GROUP BY event_type, v),
     vcum AS (SELECT event_type, v,
@@ -602,7 +602,11 @@ def mad_outlier_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     flag, with the tiny medians broadcast back). The
     range-partition-boundaries op uses the same cumulative-histogram
     trick; an exact per-row sort at 100 TB would be the wrong plan."""
-    ev = load_table(spark, sf_dir, "events")
+    # NULL values carry no magnitude: excluded from the histograms AND
+    # from flagging on both engines (a NULL in the cumulative window
+    # would also sort FIRST in Spark but LAST in DuckDB — the
+    # hostile-sweep divergence)
+    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
     v = ev.select(
         "event_id",
         "event_type",

@@ -20,7 +20,7 @@ from streamprocessing_spark.sources.readers import load_table
     SELECT doc_id AS media_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            sha256(text) AS sha256
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
     tags=("multimodal", "llm-pipeline"),
 )
@@ -44,7 +44,7 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(8 AS INTEGER) AS thumb_h,
            CAST(8 * 8 * 3 AS BIGINT) AS thumb_n_bytes,
            sha256(sha256(text) || ':8x8') AS thumb_sha256
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
     tags=("multimodal", "llm-pipeline", "pandas-udf"),
 )
@@ -65,7 +65,7 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT doc_id AS media_id,
              CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
              sha256(text) AS sha
-      FROM documents
+      FROM documents WHERE text IS NOT NULL
     )
     SELECT media_id,
            CAST(u.i AS BIGINT) AS frame_idx,
@@ -91,7 +91,7 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT doc_id AS media_id,
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT) AS h32
-    FROM documents
+    FROM documents WHERE text IS NOT NULL
     """,
     tags=("multimodal", "llm-pipeline", "pandas-udf"),
 )
@@ -111,6 +111,7 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
            sha256(text) AS sha256
     FROM documents
+    WHERE text IS NOT NULL AND octet_length(encode(text)) > 0
     """,
     tags=("multimodal", "source", "llm-pipeline"),
 )
@@ -124,7 +125,13 @@ def source_binaryfile_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     must equal the metadata computed straight from the source column.
     At 100 TB this is exactly how image/audio corpora land: a manifest
     scan over object-store files, driven by the same binaryFile reader,
-    with decode kernels (operators/multimodal.py) downstream."""
+    with decode kernels (operators/multimodal.py) downstream.
+
+    Measured quirk (hostile sweep): Spark's binaryFile source does NOT
+    list zero-byte files — an empty payload written to disk never comes
+    back from the scan. The oracle models that behavior (octet_length >
+    0); at scale, empty media files must be manifested separately or
+    they silently vanish from binaryFile-driven corpora."""
     import hashlib
     import os
     import tempfile
@@ -182,7 +189,7 @@ def _sql_phash_oracle() -> str:
     return f"""
     WITH toks AS MATERIALIZED (
       SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
-      FROM documents),
+      FROM documents WHERE text IS NOT NULL),
     pxs AS MATERIALIZED (
       SELECT doc_id, {px} AS px
       FROM (SELECT doc_id, t, len(t) AS n_tok FROM toks WHERE len(t) > 0)),
@@ -241,7 +248,8 @@ def multimodal_phash_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH ascii_docs AS (
       SELECT doc_id, text FROM documents
-      WHERE octet_length(encode(text)) = length(text)),
+      WHERE text IS NOT NULL
+        AND octet_length(encode(text)) = length(text)),
     f AS (
       SELECT doc_id,
              (p - 1) // {M.AUDIO_FRAME} AS fi,

@@ -29,8 +29,12 @@ _LINE_COLS = (
     "'note'",          # 9 filler
 )
 
+# COALESCE to '' keeps the line at its fixed 10-field arity when a data
+# column is NULL (concat_ws would silently DROP the field, yielding
+# ragged CSV that the batch parser rightly rejects — hostile-sweep find;
+# Go's encoding/csv likewise renders a missing value as an empty field)
 _SQL_LINE = " || ',' || ".join(
-    c if c.startswith("'") else f"CAST({c} AS VARCHAR)" for c in _LINE_COLS
+    c if c.startswith("'") else f"COALESCE(CAST({c} AS VARCHAR), '')" for c in _LINE_COLS
 )
 
 
@@ -41,7 +45,12 @@ def _record_stream(spark: SparkSession, sf_dir: str, orders: DataFrame | None = 
     (the construction is a narrow projection either way)."""
     o = orders if orders is not None else load_table(spark, sf_dir, "orders")
     line = F.concat_ws(
-        ",", *[F.expr(c) if c.startswith("'") else F.col(c).cast("string") for c in _LINE_COLS]
+        ",",
+        *[
+            F.expr(c) if c.startswith("'")
+            else F.coalesce(F.col(c).cast("string"), F.lit(""))
+            for c in _LINE_COLS
+        ],
     )
     return o.select(
         F.concat(F.lit("orders:"), F.col("o_orderkey").cast("string")).alias("key"),
@@ -50,16 +59,18 @@ def _record_stream(spark: SparkSession, sf_dir: str, orders: DataFrame | None = 
 
 
 _APP1_ORACLE = f"""
-    SELECT CAST(o_orderkey AS VARCHAR) AS key, o_orderpriority AS value
+    SELECT CAST(o_orderkey AS VARCHAR) AS key,
+           COALESCE(o_orderpriority, '') AS value
     FROM orders
     WHERE ({_SQL_LINE}) LIKE '%URGENT%'
     """
 
 _APP2_ORACLE = """
-    SELECT o_orderpriority AS key, CAST(count(*) AS VARCHAR) AS value
+    SELECT COALESCE(o_orderpriority, '') AS key,
+           CAST(count(*) AS VARCHAR) AS value
     FROM orders
     WHERE o_orderstatus = 'F'
-    GROUP BY o_orderpriority
+    GROUP BY 1
     """
 
 

@@ -309,10 +309,12 @@ def mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "skyline_orders",
     oracle="""
+    WITH o2 AS (SELECT o_orderkey, o_totalprice, o_orderdate FROM orders
+                WHERE o_totalprice IS NOT NULL AND o_orderdate IS NOT NULL)
     SELECT o_orderkey, o_totalprice, o_orderdate
-    FROM orders o
+    FROM o2 o
     WHERE NOT EXISTS (
-      SELECT 1 FROM orders d
+      SELECT 1 FROM o2 d
       WHERE d.o_totalprice <= o.o_totalprice
         AND d.o_orderdate >= o.o_orderdate
         AND (d.o_totalprice < o.o_totalprice OR d.o_orderdate > o.o_orderdate)
@@ -336,8 +338,16 @@ def skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parquet stores o_orderdate unadjusted-to-UTC → Spark infers NTZ; the
     # session runs UTC so the cast to (LTZ) timestamp is value-identity and
     # matches the oracle's TIMESTAMP type.
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_totalprice", F.col("o_orderdate").cast("timestamp").alias("o_orderdate")
+    # an order with an unknown price or date is incomparable on the
+    # dominance axes: excluded on BOTH engines (NOT EXISTS would
+    # vacuously keep it in SQL; a NULL price would also corrupt the
+    # running-max sweep, which orders NULLs first in Spark only)
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull())
+        .select(
+            "o_orderkey", "o_totalprice", F.col("o_orderdate").cast("timestamp").alias("o_orderdate")
+        )
     )
     byprice = o.groupBy("o_totalprice").agg(F.max("o_orderdate").alias("pmax"))
     w = Window.orderBy("o_totalprice").rowsBetween(Window.unboundedPreceding, -1)
