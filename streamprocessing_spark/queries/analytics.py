@@ -761,7 +761,22 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = os.path.join(
         tempfile.gettempdir(), f"sp_csv_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}"
     )
-    d.write.mode("overwrite").option("header", "true").option("escape", '"').csv(out)
+    # explicit dirty-data fidelity options (hostile-sweep finds):
+    # - the CSV WRITER trims leading/trailing whitespace by default
+    #   (ignore*WhiteSpace default true on write) — a trailing-space
+    #   document silently loses bytes on the round trip
+    # - NULL and '' conflate under the default nullValue="": write NULL
+    #   as an unambiguous sentinel and read it back, so empty text stays
+    #   empty and NULL stays NULL
+    (
+        d.write.mode("overwrite")
+        .option("header", "true")
+        .option("escape", '"')
+        .option("ignoreLeadingWhiteSpace", "false")
+        .option("ignoreTrailingWhiteSpace", "false")
+        .option("nullValue", "\\N")
+        .csv(out)
+    )
     schema = StructType(
         [
             StructField("doc_id", LongType()),
@@ -776,6 +791,8 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("header", "true")
         .option("multiLine", "true")
         .option("escape", '"')
+        .option("nullValue", "\\N")
+        .option("emptyValue", "")
         .csv(out)
     )
 
@@ -1371,9 +1388,9 @@ def inter_event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(len(types) AS INTEGER) AS n_types,
            types[1] AS first_type,
            list_contains(types, 'purchase') AS has_purchase,
-           array_to_string(list_sort(list_intersect(types, ['click', 'purchase'])), ',') AS funnel_types,
-           array_to_string(types[1:2], ',') AS first_two,
-           array_to_string(list_sort(list_filter(types, t -> t <> 'error')), ',') AS non_error
+           COALESCE(array_to_string(list_sort(list_intersect(types, ['click', 'purchase'])), ','), '') AS funnel_types,
+           COALESCE(array_to_string(types[1:2], ','), '') AS first_two,
+           COALESCE(array_to_string(list_sort(list_filter(types, t -> t <> 'error')), ','), '') AS non_error
     FROM per_user
     """,
     tags=("analytics", "functions", "array"),
@@ -2650,10 +2667,11 @@ def join_size_sketch_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "source_python_datasource",
     oracle="""
     WITH t AS (
-      SELECT doc_id, replace(text, chr(10), ' ') AS line FROM documents),
+      SELECT doc_id, replace(text, chr(10), ' ') AS line FROM documents
+      WHERE text IS NOT NULL),
     w AS (
       SELECT doc_id, line,
-             octet_length(CAST(line AS BLOB)) + 1 AS step
+             octet_length(encode(line)) + 1 AS step
       FROM t)
     SELECT CAST(coalesce(sum(step) OVER (ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
@@ -2683,8 +2701,13 @@ def source_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from streamprocessing_spark.sources.linesource import register_offset_lines
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", F.regexp_replace("text", "\n", " ").alias("line")
+    # a line source has no NULL lines: NULL-text documents contribute no
+    # record (both engines); encode(), not CAST AS BLOB, in the oracle —
+    # DuckDB's STRING->BLOB cast rejects non-ASCII bytes
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .where(F.col("text").isNotNull())
+        .select("doc_id", F.regexp_replace("text", "\n", " ").alias("line"))
     )
     stage = os.path.join(
         tempfile.gettempdir(),
@@ -4453,11 +4476,25 @@ def source_schema_evolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     merged = spark.read.option("mergeSchema", "true").parquet(
         f"{out}/v1", f"{out}/v2"
     )
-    return merged.groupBy(
-        F.coalesce(F.col("o_orderpriority"), F.lit("legacy")).alias("priority")
-    ).agg(
-        F.count(F.lit(1)).alias("n_orders"),
-        F.sum("cents").alias("cents"),
+    # cohort from file PROVENANCE (_metadata.file_path), not NULL-ness:
+    # once a genuinely-NULL priority exists in the new vintage (legal
+    # dirty data), coalesce(col, 'legacy') can no longer tell it apart
+    # from the schema-merge NULL-fill — the hostile sweep caught exactly
+    # that conflation. The file path is the ground truth for which
+    # writer produced the row.
+    legacy = F.col("_metadata.file_path").contains("/v1/")
+    return (
+        merged.select(
+            F.when(legacy, F.lit("legacy"))
+            .otherwise(F.col("o_orderpriority"))
+            .alias("priority"),
+            "cents",
+        )
+        .groupBy("priority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum("cents").alias("cents"),
+        )
     )
 
 

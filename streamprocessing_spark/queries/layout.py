@@ -112,14 +112,15 @@ N_BUCKETS = 8
     "range_partition_boundaries",
     oracle=f"""
     WITH c AS (
-      SELECT o_totalprice AS p, count(*) AS n FROM orders GROUP BY 1
+      SELECT o_totalprice AS p, count(*) AS n FROM orders
+      WHERE o_totalprice IS NOT NULL GROUP BY 1
     ),
     cum AS (
       SELECT p, sum(n) OVER (
         ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
       FROM c
     ),
-    tot AS (SELECT count(*) AS total FROM orders),
+    tot AS (SELECT count(*) AS total FROM orders WHERE o_totalprice IS NOT NULL),
     targets AS (
       SELECT unnest(range(1, {N_BUCKETS})) AS bucket_id,
              (total * unnest(range(1, {N_BUCKETS})) + {N_BUCKETS - 1})
@@ -143,7 +144,11 @@ def range_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     ceil is integer arithmetic ((total·i + 7) div 8), so the chosen ranks
     are exact in both engines; the boundary lookup is a tiny
     inequality join the optimizer turns into a broadcast."""
-    o = load_table(spark, sf_dir, "orders")
+    # boundaries are defined over rows that HAVE a sort key: NULL keys
+    # route to a designated partition in real range partitioning and
+    # would also sort FIRST in Spark's cumulative window but LAST in
+    # DuckDB's (hostile-sweep divergence)
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
     c = o.groupBy(F.col("o_totalprice").alias("p")).agg(F.count(F.lit(1)).alias("n"))
     w = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, Window.currentRow)
     cum = c.select("p", F.sum("n").over(w).alias("cum"))

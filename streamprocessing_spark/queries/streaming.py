@@ -531,7 +531,10 @@ def streaming_complete_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "streaming_left_outer_join",
     oracle="""
-    WITH mx AS (SELECT max(ts) AS mx FROM events),
+    WITH mx AS (
+      SELECT least(
+        (SELECT max(ts) FROM events WHERE event_type = 'purchase'),
+        (SELECT max(ts) FROM events WHERE event_type = 'click')) AS mx),
     p AS (SELECT event_id AS purchase_id, user_id, ts
           FROM events WHERE event_type = 'purchase'),
     c AS (SELECT event_id AS click_id, user_id AS cu, ts AS cts
@@ -559,10 +562,14 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     not from observation: matched rows emit as they arrive (all kept);
     an unmatched left row is GUARANTEED evicted-and-emitted only once
     the watermark passes its entire match window plus the right side's
-    state retention — p_ts < wm − 1h = max_ts − 2h under the final
-    AvailableNow watermark (rows between that bound and the stream end
-    may legally still sit in state; Spark's actual boundary was measured
-    mid-region and is an implementation detail). Both the query and the
+    state retention — p_ts < wm − 1h under the final AvailableNow
+    watermark, where wm = min(max purchase ts, max click ts) − 1h: each
+    side's withWatermark sits AFTER its event_type filter, so only the
+    join's own inputs advance it (the hostile sweep's far-future
+    unrelated event proved the global max(ts) overclaims the region).
+    Rows between that bound and the stream end may legally still sit in
+    state; Spark's actual boundary was measured mid-region and is an
+    implementation detail. Both the query and the
     batch oracle restrict the unmatched set to the guaranteed region
     with the identical strict epoch comparison, so the check is exact.
     Production consumers apply the same restriction when reconciling an
@@ -570,7 +577,18 @@ def streaming_left_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamprocessing_spark.sources.readers import load_table
 
     drained = _drained(spark, sf_dir, "streaming_left_outer_join")
-    mx = load_table(spark, sf_dir, "events").agg(F.max("ts").alias("mx"))
+    # the join's watermark tracks its FILTERED inputs (each side's
+    # withWatermark sits after the event_type filter), so the guaranteed
+    # region derives from min(max purchase ts, max click ts) — NOT the
+    # global max(ts): an unrelated far-future event (hostile fixture's
+    # solo_type outlier) never advances this join's watermark
+    ev = load_table(spark, sf_dir, "events")
+    mx = (
+        ev.where(F.col("event_type") == "purchase")
+        .agg(F.max("ts").alias("mp"))
+        .crossJoin(ev.where(F.col("event_type") == "click").agg(F.max("ts").alias("mc")))
+        .select(F.least("mp", "mc").alias("mx"))
+    )
     return (
         drained.crossJoin(F.broadcast(mx))
         .where(
@@ -688,7 +706,7 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH s AS (
       SELECT user_id, event_id, ts,
              CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v
-      FROM events WHERE event_type = 'purchase'),
+      FROM events WHERE event_type = 'purchase' AND value IS NOT NULL),
     c AS (
       SELECT user_id, event_id, ts, v,
              sum(v) OVER (PARTITION BY user_id ORDER BY ts, event_id

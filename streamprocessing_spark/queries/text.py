@@ -1222,7 +1222,8 @@ def tokenizer_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
       FROM documents),
     padded AS (
       SELECT doc_id,
-             CASE WHEN len(toks) = 0 THEN [CAST(NULL AS VARCHAR)] ELSE toks END AS toks
+             CASE WHEN toks IS NULL OR len(toks) = 0
+                  THEN [CAST(NULL AS VARCHAR)] ELSE toks END AS toks
       FROM l)
     SELECT doc_id, t AS token
     FROM padded, unnest(toks) AS u(t)

@@ -89,7 +89,13 @@ def threshold_crossing_alerts(events: DataFrame) -> DataFrame:
     from pyspark.sql.streaming.state import GroupStateTimeout
 
     return (
-        events.where(events.event_type == "purchase")
+        # NULL purchase values carry no amount: excluded before the fold
+        # (a NaN would corrupt the int64 running total in the kernel;
+        # the SQL oracle's sum/comparison semantics drop them the same
+        # way — hostile-sweep find)
+        events.where(
+            (events.event_type == "purchase") & events.value.isNotNull()
+        )
         .select("user_id", "event_id", "ts", "value")
         .groupBy("user_id")
         .applyInPandasWithState(
