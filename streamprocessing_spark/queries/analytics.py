@@ -3997,7 +3997,7 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ]
         )
     )
-    return (
+    profiled = (
         o.select(pairs.alias("p"))
         .groupBy(F.col("p.column_name").alias("column_name"))
         .agg(
@@ -4006,6 +4006,20 @@ def table_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("p.v").alias("min_value"),
             F.max("p.v").alias("max_value"),
         )
+    )
+    # a datasheet lists every column even for an EMPTY table (the
+    # oracle's per-column branches each emit their zero row; the grouped
+    # unpivot emits none — empty-fixture sweep find): anchor the output
+    # on the static column list and zero-fill
+    names = spark.createDataFrame(
+        [(name,) for name, _ in _PROFILE_COLS], "column_name string"
+    )
+    return names.join(profiled, "column_name", "left").select(
+        "column_name",
+        F.coalesce("n_nulls", F.lit(0)).cast("long").alias("n_nulls"),
+        F.coalesce("n_distinct", F.lit(0)).cast("long").alias("n_distinct"),
+        "min_value",
+        "max_value",
     )
 
 
@@ -4161,7 +4175,11 @@ def source_partitioned_file_lineage(spark: SparkSession, sf_dir: str) -> DataFra
         f"sp_lineage_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}",
     )
     o.write.mode("overwrite").partitionBy("bucket").parquet(out)
-    back = spark.read.parquet(out)
+    # explicit schema: an EMPTY source writes zero data files, and
+    # schema inference over a fileless partitioned dir raises
+    # UNABLE_TO_INFER_SCHEMA (empty-fixture sweep find) — the reader of
+    # a maybe-empty staging area must always carry its own schema
+    back = spark.read.schema("o_orderkey bigint, cents bigint, bucket bigint").parquet(out)
     per_file = back.groupBy(F.col("_metadata.file_path").alias("fp")).agg(
         F.count(F.lit(1)).alias("n_rows"),
         F.min("o_orderkey").alias("min_key"),
@@ -4553,6 +4571,10 @@ def exact_median_two_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cents", [0.5 - eps, 0.5 + eps], MEDIAN_SKETCH_ACC
         ).alias("band"),
     ).collect()[0]
+    if probe.n == 0 or probe.band is None:
+        # empty input: no median exists; emit the empty result the
+        # oracle's grouped form produces (empty-fixture sweep find)
+        return spark.createDataFrame([], "n bigint, median_cents bigint")
     n, lo, hi = probe.n, probe.band[0], probe.band[1]
     r = (n + 1) // 2
     below = v.where(F.col("cents") < lo).count()

@@ -1142,6 +1142,9 @@ def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     gram = S.gram_matrix_upper(emb).collect()  # dim²/2 rows — dimension-sized
+    if not gram:
+        # empty corpus: no moments, no components (empty-fixture guard)
+        return spark.createDataFrame([], "vec_id bigint, pc1 double, pc2 double")
     dim = max(r.j for r in gram) + 1
     g = np.zeros((dim, dim))
     for r in gram:
@@ -1223,8 +1226,11 @@ def mmr_diverse_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus' lowest-id vector (standing in for the query embedding).
     Ties broken by vec_id; scores portable-rounded on output."""
     emb = load_table(spark, sf_dir, "embeddings")
-    qrow = emb.orderBy("vec_id").limit(1).collect()[0]
-    qvec = [float(x) for x in qrow.embedding]
+    qrows = emb.orderBy("vec_id").limit(1).collect()
+    if not qrows:
+        # empty corpus: nothing to select (empty-fixture guard)
+        return spark.createDataFrame([], "rank int, vec_id bigint, score double")
+    qvec = [float(x) for x in qrows[0].embedding]
 
     def cos_to(lit_vec: list[float]):
         dot = F.aggregate(

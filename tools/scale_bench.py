@@ -251,10 +251,92 @@ def time_query(spec, spark, sf_dir: str) -> tuple[float, int]:
     return time.time() - t0, n
 
 
+# --- 100x proxy for the ITERATIVE GRAPH family (VERDICT r03 item #8) -------
+# The 10x ratios for triangle/kcore/pagerank sit inside their theoretical
+# bands, but one decade cannot confirm an exponent. This second decade
+# replicates the 10x proxy's LINEITEM another 10x (both keys shifted, the
+# same graph-growth construction — edge tables only, documents/embeddings
+# untouched), times each graph query at base/10x/100x, and fits the
+# growth exponent by least squares on the three log-log points.
+
+GRAPH_QUERIES = (
+    "copurchase_lift",
+    "pagerank_copurchase",
+    "triangle_count_copurchase",
+    "kcore_parts",
+    "label_prop_communities",
+    "sssp_weighted_parts",
+    "degree_assortativity_parts",
+)
+PROXY100_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf10.0")
+
+
+def build_proxy100(spark, proxy10: str, out: str) -> None:
+    """100x lineitem from 10 shifted replicas of the 10x proxy (the 10x
+    replicas occupy key ranges k*1e7; these shift by k*1e9 so all 100
+    replica key spaces stay disjoint). Other tables pass through."""
+    li = spark.read.parquet(f"{proxy10}/lineitem.parquet")
+    parts = [
+        li.withColumn("l_orderkey", F.col("l_orderkey") + F.lit(k * 1_000_000_000))
+        .withColumn("l_partkey", F.col("l_partkey") + F.lit(k * 1_000_000_000))
+        for k in range(10)
+    ]
+    _union_all(parts).coalesce(64).write.mode("overwrite").parquet(
+        f"{out}/lineitem.parquet"
+    )
+    for t in ("orders", "customer", "part", "supplier", "nation", "region",
+              "events", "documents", "embeddings"):
+        spark.read.parquet(f"{proxy10}/{t}.parquet").write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{t}.parquet")
+
+
+def fit_exponent(ns: list[float], ts: list[float]) -> float:
+    """Least-squares slope of log(t) vs log(n) — the fitted growth
+    exponent over however many decades were measured."""
+    import math
+
+    xs = [math.log(n) for n in ns]
+    ys = [math.log(t) for t in ts]
+    mx = sum(xs) / len(xs)
+    my = sum(ys) / len(ys)
+    num = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    den = sum((x - mx) ** 2 for x in xs)
+    return num / den
+
+
+def run_graph100(spark, base: str, queries: list[str]) -> None:
+    if not os.path.isdir(f"{PROXY100_DIR}/lineitem.parquet"):
+        print("building 100x lineitem proxy...", file=sys.stderr)
+        build_proxy100(spark, PROXY_DIR, PROXY100_DIR)
+    specs = all_specs()
+    result: dict = {"scales": [1, 10, 100], "base": base, "queries": {}}
+    for name in queries:
+        spec = specs[name]
+        time_query(spec, spark, base)  # warm
+        rows = {}
+        ts = []
+        for label, d, n in (("x1", base, 1.0), ("x10", PROXY_DIR, 10.0),
+                            ("x100", PROXY100_DIR, 100.0)):
+            secs, nrows = time_query(spec, spark, d)
+            rows[label] = {"sec": round(secs, 2), "rows": nrows}
+            ts.append(secs)
+            print(f"# {name} {label}: {secs:.2f}s ({nrows} rows)", file=sys.stderr)
+        expo = fit_exponent([1.0, 10.0, 100.0], ts)
+        rows["fitted_exponent"] = round(expo, 3)
+        result["queries"][name] = rows
+        print(f"# {name}: exponent {expo:.3f}", file=sys.stderr)
+    out = Path(__file__).resolve().parent.parent / "SCALEBENCH100.json"
+    out.write_text(json.dumps(result, indent=1) + "\n")
+    print(json.dumps(result))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--rebuild", action="store_true")
+    ap.add_argument("--graph100", action="store_true",
+                    help="run the graph family at 1x/10x/100x and fit exponents")
     ap.add_argument("queries", nargs="*", help="subset of QUERIES to run")
     args = ap.parse_args()
 
@@ -282,6 +364,10 @@ def main() -> None:
         os.makedirs(PROXY_DIR, exist_ok=True)
         with open(marker, "w") as fh:
             fh.write(base_key)
+
+    if args.graph100:
+        run_graph100(spark, args.base, args.queries or list(GRAPH_QUERIES))
+        return
 
     specs = all_specs()
     result: dict = {"base_sf": 0.1, "proxy_sf": 1.0, "queries": {}}
