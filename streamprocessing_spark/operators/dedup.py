@@ -769,3 +769,97 @@ def sql_minhash_estimate_audit() -> str:
     JOIN sizes sa ON sa.id = m.id_a
     JOIN sizes sb ON sb.id = m.id_b
     """
+
+
+# --- Containment (asymmetric set-similarity) join --------------------------
+#
+# Near-dup Jaccard misses the commonest real contamination shape in LLM
+# corpora: document A embedded verbatim inside a LONGER document B (quote
+# farms, boilerplate wrappers, page-of-pages aggregators). J(A,B) =
+# |A∩B|/|A∪B| dives as B grows, but containment C(A→B) = |A∩B|/|A| stays
+# at 1.0 — the signal the dedup pass actually wants.
+
+CONTAINMENT_NUM = 9
+CONTAINMENT_DEN = 10  # threshold 0.9, kept rational so every compare is integer
+
+
+def containment_prefix_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """EXACT directed containment join at C(A→B) ≥ 0.9 via an asymmetric
+    prefix filter: A's prefix (rarest-first, length n_a − ⌈0.9·n_a⌉ + 1)
+    joins B's FULL shingle set. Losslessness is the same pigeonhole as
+    the symmetric PPJoin: if B missed every prefix shingle of A, the
+    overlap could be at most n_a − prefix_len = ⌈0.9·n_a⌉ − 1 < 0.9·n_a.
+    Only the probe side shrinks to a prefix — but the prefix holds only
+    globally RARE shingles, so the equi-join on shingle lands in small
+    buckets by construction (a rare shingle is rare on BOTH sides of a
+    self-join); the stopword buckets that blow up the naive all-pairs
+    join are never probed.
+
+    Every threshold compare is cross-multiplied integer arithmetic
+    (⌈9n/10⌉ = (9n+9) div 10, final cut 10·c ≥ 9·n_a) — no float
+    boundary can disagree with the DuckDB oracle. Output is DIRECTED
+    (id_a contained-in id_b); mutual near-equal pairs appear twice, one
+    row per direction, which is what a canonical-keep pass consumes.
+
+    Shuffles: shingle-frequency join, one per-doc window, the
+    prefix-probe equi-join, one verify aggregation — all keyed on
+    shingle or doc id, never all-pairs. 100 TB posture matches the
+    PPJoin tier (measured 461×/9.5× candidate reduction machinery)."""
+    sh = shingle_df(df, id_col, text_col)
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
+    w_ord = Window.partitionBy("id").orderBy(F.col("f").asc(), F.col("sh").asc())
+    w_all = Window.partitionBy("id")
+    pre = (
+        sh.join(freq, "sh")
+        .withColumn("rn", F.row_number().over(w_ord))
+        .withColumn("n", F.count(F.lit(1)).over(w_all))
+        .where(
+            F.col("rn")
+            <= F.col("n")
+            - F.expr(f"({CONTAINMENT_NUM} * n + {CONTAINMENT_DEN - 1}) div {CONTAINMENT_DEN}")
+            + 1
+        )
+        .select("id", "sh")
+    )
+    cand = (
+        pre.alias("a")
+        .join(
+            sh.alias("b"),
+            (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") != F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    common = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        common.join(sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na")), "id_a")
+        .where(F.lit(CONTAINMENT_DEN) * F.col("c") >= F.lit(CONTAINMENT_NUM) * F.col("na"))
+        .select(
+            "id_a",
+            "id_b",
+            portable_round(F.col("c") / F.col("na"), 4).alias("containment"),
+        )
+    )
+
+
+def sql_containment_pairs() -> str:
+    """DuckDB oracle for containment_prefix_pairs: the brute-force
+    shared-shingle join with the identical cross-multiplied cut — a pass
+    proves the asymmetric prefix filter dropped no true directed pair."""
+    return f"""
+    WITH {sql_shingles()},
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.sh = b.sh AND a.id <> b.id
+               GROUP BY 1, 2)
+    SELECT c.id_a, c.id_b,
+           floor((c.c * 1.0 / sa.n) * 10000.0 + 0.5) / 10000.0 AS containment
+    FROM common c JOIN sizes sa ON c.id_a = sa.id
+    WHERE {CONTAINMENT_DEN} * c.c >= {CONTAINMENT_NUM} * sa.n
+    """

@@ -700,3 +700,21 @@ def dedup_signal_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         # rather than diverge (Spark div→NULL, DuckDB //→error — the
         # welch_t2 zero-variance lesson)
     ).where((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+
+
+@register(
+    "dedup_containment_join",
+    oracle=D.sql_containment_pairs(),
+    tags=("dedup", "llm-pipeline", "join"),
+)
+def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed containment join C(A→B) = |A∩B|/|A| ≥ 0.9 — catches the
+    quote-farm / boilerplate-wrapper contamination Jaccard structurally
+    misses (a short doc verbatim inside a long one has J ≈ |A|/|B| → 0
+    but C = 1). Exact via the asymmetric prefix filter (A's rarest-first
+    prefix probes B's full shingle set — lossless by pigeonhole); shares
+    the brute-force oracle so every run re-proves no-false-negatives.
+    All threshold compares cross-multiplied integers. See
+    operators/dedup.containment_prefix_pairs for the 100 TB posture."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.containment_prefix_pairs(d, "doc_id", "text")

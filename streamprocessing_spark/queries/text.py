@@ -1532,3 +1532,75 @@ def zipf_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             " END AS BIGINT)"
         ).alias("slope_milli"),
     )
+
+
+_SQL_NOVELTY = f"""
+    WITH {{shingles}},
+    first_seen AS (SELECT sh, min(id) AS first_id FROM sh GROUP BY sh),
+    per AS (SELECT s.id,
+                   count(*) AS n_shingles,
+                   sum(CASE WHEN f.first_id = s.id THEN 1 ELSE 0 END) AS n_novel
+            FROM sh s JOIN first_seen f ON s.sh = f.sh
+            GROUP BY s.id)
+    SELECT d.doc_id,
+           CAST(COALESCE(p.n_shingles, 0) AS BIGINT) AS n_shingles,
+           CAST(COALESCE(p.n_novel, 0) AS BIGINT) AS n_novel,
+           CASE WHEN p.n_shingles > 0
+                THEN floor((p.n_novel * 1.0 / p.n_shingles) * 10000.0 + 0.5) / 10000.0
+                END AS novelty
+    FROM documents d LEFT JOIN per p ON d.doc_id = p.id
+    """
+
+
+def _sql_novelty() -> str:
+    from streamprocessing_spark.operators.dedup import sql_shingles
+
+    return _SQL_NOVELTY.format(shingles=sql_shingles())
+
+
+@register(
+    "ngram_novelty_score",
+    oracle=_sql_novelty(),
+    tags=("text", "llm-pipeline", "dedup", "observability"),
+)
+def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document n-gram NOVELTY in corpus order — the fraction of a
+    doc's distinct word-shingles whose global first occurrence (min
+    doc_id) is this doc. The memorization-side complement of the dedup
+    tiers: dedup asks "which docs repeat each other", novelty asks "how
+    much does each doc add that the corpus hasn't seen yet" — the curve
+    data engineers watch to decide when a crawl source is mined out
+    (marginal novelty → 0 ⇒ stop ingesting).
+
+    Exact and two-shuffle linear: one shingle-keyed aggregation
+    (map-side-combined min over doc ids), one doc-keyed count — the same
+    scale shape as the exact-dedup tier, never all-pairs. Docs shorter
+    than the shingle width keep a row with zero counts and NULL novelty
+    (the hostile-fixture convention: absence of evidence is NULL, not a
+    fake 0.0 score)."""
+    from streamprocessing_spark.operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_df(d, "doc_id", "text")
+    first = sh.groupBy("sh").agg(F.min("id").alias("first_id"))
+    per = (
+        sh.join(first, "sh")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("first_id") == F.col("id")).cast("long")).alias("n_novel"),
+        )
+    )
+    return (
+        d.select("doc_id")
+        .join(per, d.doc_id == per.id, "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("n_shingles"), F.lit(0)).cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_novel"), F.lit(0)).cast("long").alias("n_novel"),
+            F.when(
+                F.col("n_shingles") > 0,
+                T.portable_round(F.col("n_novel") / F.col("n_shingles"), 4),
+            ).alias("novelty"),
+        )
+    )

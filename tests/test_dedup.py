@@ -113,3 +113,74 @@ def test_connected_components_keeps_reflexive_pair_nodes(spark):
     pairs = spark.createDataFrame([(1, 2), (3, 3)], "id_a long, id_b long")
     got = sorted((r.id, r.component) for r in connected_components(pairs).collect())
     assert got == [(1, 1), (2, 1), (3, 3)]
+
+
+def test_containment_join_properties(spark, sf_dir):
+    """Containment is directional and the prefix filter is lossless:
+    (a) every emitted containment is >= 0.9 and <= 1.0;
+    (b) a brute-force shared-shingle recompute finds the same directed
+        pair set (no-false-negative theorem exercised);
+    (c) a doc fully contained in a longer doc scores exactly 1.0 even
+        when the Jaccard tier would miss the pair (the raison d'etre)."""
+    from pyspark.sql import functions as F
+
+    d = load_table(spark, sf_dir, "documents")
+    out = D.containment_prefix_pairs(d, "doc_id", "text")
+    rows = out.collect()
+    assert all(0.9 <= r.containment <= 1.0 for r in rows)
+    assert all(r.id_a != r.id_b for r in rows)
+
+    sh = D.shingle_df(d, "doc_id", "text")
+    sizes = {r.id: r.n for r in sh.groupBy("id").agg(F.count(F.lit(1)).alias("n")).collect()}
+    a = sh.select(F.col("id").alias("id_a"), "sh")
+    b = sh.select(F.col("id").alias("id_b"), "sh")
+    brute = (
+        a.join(b, ["sh"])
+        .where(F.col("id_a") != F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .count()
+        .collect()
+    )
+    expect = {
+        (r.id_a, r.id_b)
+        for r in brute
+        if 10 * r["count"] >= 9 * sizes[r.id_a]
+    }
+    assert {(r.id_a, r.id_b) for r in rows} == expect
+    assert len(expect) > 0, "fixture should contain containment pairs"
+
+
+def test_containment_catches_jaccard_blind_spot(spark):
+    """A short doc embedded verbatim in a 10x longer one: containment 1.0
+    while Jaccard ~ 0.1 — below any useful near-dup threshold."""
+    short = "alpha beta gamma delta epsilon zeta eta theta"
+    filler = " ".join(f"word{i} next{i} more{i}" for i in range(40))
+    d = spark.createDataFrame(
+        [(1, short), (2, short + " " + filler)], ["doc_id", "text"]
+    )
+    out = {(r.id_a, r.id_b): r.containment for r in
+           D.containment_prefix_pairs(d, "doc_id", "text").collect()}
+    assert out[(1, 2)] == 1.0
+    assert (2, 1) not in out  # the long doc is NOT contained in the short one
+    jac = D.exact_jaccard_pairs(d, "doc_id", "text", 0.8).collect()
+    assert jac == [], "Jaccard tier must miss the pair (that's the blind spot)"
+
+
+def test_ngram_novelty_laws(spark, sf_dir):
+    """Novelty bookkeeping laws: (a) Σ n_novel over docs == corpus
+    distinct-shingle count (every shingle is novel exactly once);
+    (b) the first doc (min doc_id with >= k tokens) has novelty 1.0;
+    (c) short docs keep a row with NULL novelty."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_spark.registry import all_specs
+
+    d = load_table(spark, sf_dir, "documents")
+    out = all_specs()["ngram_novelty_score"].fn(spark, sf_dir)
+    total_novel = out.agg(F.sum("n_novel")).first()[0]
+    distinct_sh = D.shingle_df(d, "doc_id", "text").select("sh").distinct().count()
+    assert total_novel == distinct_sh
+    first_doc = (
+        out.where(F.col("n_shingles") > 0).orderBy("doc_id").first()
+    )
+    assert first_doc.novelty == 1.0
