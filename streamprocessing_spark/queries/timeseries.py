@@ -2774,3 +2774,264 @@ def theil_sen_user_slopes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("num").cast("long").alias("med_num"),
         F.col("den").cast("long").alias("med_den"),
     )
+
+
+# --- Interval algebra over derived sessions ---------------------------------
+
+_HR_US = 3_600_000_000
+_DAY_US = 86_400_000_000
+
+_SQL_SESSIONS = """
+    ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    ordered AS (
+      SELECT user_id, us, event_id,
+             CASE WHEN lag(us) OVER w IS NULL OR us - lag(us) OVER w > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM ev
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)
+    ),
+    sess_rows AS (
+      SELECT user_id, us,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_idx
+      FROM ordered
+    ),
+    sessions AS (
+      SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+             min(us) AS s_start_us, max(us) AS s_end_us
+      FROM sess_rows GROUP BY user_id, session_idx
+    )"""
+
+
+def _sessions_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, session_idx, s_start_us, s_end_us): the 30-min-gap
+    sessionization shared by the interval-algebra queries — identical
+    machinery to sessionize_events, bounds kept as exact epoch micros."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_us = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    flagged = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        "event_id",
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0).alias("new_sess"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "us",
+        F.sum("new_sess")
+        .over(
+            Window.partitionBy("user_id")
+            .orderBy("us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("session_idx"),
+    )
+    return sess.groupBy("user_id", "session_idx").agg(
+        F.min("us").alias("s_start_us"), F.max("us").alias("s_end_us")
+    )
+
+
+@register(
+    "interval_overlap_peak_sessions",
+    oracle=f"""
+    WITH {_SQL_SESSIONS},
+    hrs AS (SELECT us // {_HR_US} AS hr, count(*) AS cnt FROM ev GROUP BY 1),
+    tot AS (SELECT count(*) AS n_hours, sum(cnt) AS total FROM hrs),
+    peak AS (SELECT hr FROM hrs, tot WHERE cnt * n_hours > total),
+    pord AS (SELECT hr, CASE WHEN lag(hr) OVER (ORDER BY hr) IS NULL
+                               OR hr - lag(hr) OVER (ORDER BY hr) > 1
+                             THEN 1 ELSE 0 END AS new_isl FROM peak),
+    pisl AS (SELECT hr, sum(new_isl) OVER (ORDER BY hr ROWS UNBOUNDED PRECEDING) AS isl
+             FROM pord),
+    islands AS (SELECT min(hr) AS island_hr,
+                       min(hr) * {_HR_US} AS i_start_us,
+                       (max(hr) + 1) * {_HR_US} AS i_end_us
+                FROM pisl GROUP BY isl)
+    SELECT s.user_id, s.session_idx,
+           CAST(i.island_hr AS BIGINT) AS island_hr,
+           CAST(least(s.s_end_us, i.i_end_us)
+                - greatest(s.s_start_us, i.i_start_us) AS BIGINT) AS overlap_us
+    FROM sessions s
+    JOIN islands i
+      ON s.s_start_us < i.i_end_us AND i.i_start_us <= s.s_end_us
+    """,
+    tags=("timeseries", "join", "session", "interval"),
+)
+def interval_overlap_peak_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval OVERLAP join: every user session (30-min-gap islands)
+    against every corpus-wide PEAK-LOAD window (maximal runs of hours
+    whose event count is strictly above the observed-hour average) —
+    "which sessions ran during peak, and for how long", the capacity-
+    planning / incident-correlation query shape.
+
+    Plan choice, stated for the 100 TB case: an interval join is a theta
+    join, but the build side here is DIMENSION-BOUNDED (islands ≤ #hours
+    in the corpus — 8,760/year regardless of row count), so the right
+    physical plan is a BROADCAST nested-loop against the fact-sized
+    session table, not a shuffle. The islands pipeline's global windows
+    run over the hour HISTOGRAM (already dimension-sized), never over
+    facts. For fact×fact interval joins (both sides unbounded) the
+    day-bucket banding pattern applies instead — that shape's
+    de-globalized machinery is max_concurrent_sessions_daily's sweep.
+    Session bounds are closed, islands half-open [start, end); a session
+    touching an island boundary instant overlaps with overlap_us = 0.
+    All arithmetic is exact epoch-microsecond integers."""
+    sessions = _sessions_df(spark, sf_dir)
+    ev = load_table(spark, sf_dir, "events")
+    hrs = (
+        # integer div, not /: float division of epoch micros is a double
+        # whose rounding can cross an hour boundary (hostile-sweep class)
+        ev.select(F.expr(f"unix_micros(ts) div {_HR_US}").alias("hr"))
+        .groupBy("hr")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    tot = hrs.agg(
+        F.count(F.lit(1)).alias("n_hours"), F.sum("cnt").alias("total")
+    )
+    peak = hrs.join(F.broadcast(tot)).where(
+        F.col("cnt") * F.col("n_hours") > F.col("total")
+    )
+    w_hr = Window.orderBy("hr")  # histogram-sized: <= hours in the corpus
+    pisl = peak.select(
+        "hr",
+        F.sum(
+            F.when(
+                F.lag("hr").over(w_hr).isNull()
+                | (F.col("hr") - F.lag("hr").over(w_hr) > 1),
+                1,
+            ).otherwise(0)
+        )
+        .over(w_hr.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("isl"),
+    )
+    islands = pisl.groupBy("isl").agg(
+        F.min("hr").alias("island_hr"),
+        (F.min("hr") * _HR_US).alias("i_start_us"),
+        ((F.max("hr") + 1) * _HR_US).alias("i_end_us"),
+    )
+    return (
+        sessions.join(
+            F.broadcast(islands),
+            (F.col("s_start_us") < F.col("i_end_us"))
+            & (F.col("i_start_us") <= F.col("s_end_us")),
+        )
+        .select(
+            "user_id",
+            "session_idx",
+            F.col("island_hr").cast("long").alias("island_hr"),
+            (
+                F.least("s_end_us", "i_end_us")
+                - F.greatest("s_start_us", "i_start_us")
+            )
+            .cast("long")
+            .alias("overlap_us"),
+        )
+    )
+
+
+@register(
+    "max_concurrent_sessions_daily",
+    oracle=f"""
+    WITH {_SQL_SESSIONS},
+    pts AS (
+      SELECT p, sum(delta) AS delta FROM (
+        SELECT s_start_us AS p, 1 AS delta FROM sessions
+        UNION ALL
+        SELECT s_end_us + 1 AS p, -1 AS delta FROM sessions
+      ) GROUP BY p
+    ),
+    run AS (SELECT p, sum(delta) OVER (ORDER BY p ROWS UNBOUNDED PRECEDING) AS conc
+            FROM pts),
+    days AS (
+      SELECT DISTINCT s.user_id, s.session_idx, d.d
+      FROM sessions s,
+           LATERAL (SELECT unnest(range(s.s_start_us // {_DAY_US},
+                                        s.s_end_us // {_DAY_US} + 1)) AS d) d
+    ),
+    day_list AS (SELECT DISTINCT d FROM days),
+    day_pts AS (SELECT p // {_DAY_US} AS d, max(conc) AS mx
+                FROM run GROUP BY 1),
+    carry AS (
+      SELECT dl.d, count(s.user_id) AS c
+      FROM day_list dl
+      LEFT JOIN sessions s
+        ON s.s_start_us < dl.d * {_DAY_US} AND s.s_end_us >= dl.d * {_DAY_US}
+      GROUP BY dl.d
+    )
+    SELECT CAST(c.d AS BIGINT) AS day_idx,
+           CAST(greatest(c.c, COALESCE(dp.mx, 0)) AS BIGINT) AS max_concurrent
+    FROM carry c
+    LEFT JOIN day_pts dp ON dp.d = c.d AND dp.d IN (SELECT d FROM day_list)
+    """,
+    tags=("timeseries", "window", "session", "interval"),
+)
+def max_concurrent_sessions_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Peak CONCURRENCY per day — the classic sweep-line over session
+    intervals (+1 at start, −1 just after end, running max of the prefix
+    sum), the sizing number behind "how many simultaneous sessions must
+    this system hold?".
+
+    De-globalized by construction (the sequence_gap_audit discipline): a
+    naive sweep is one fact-sized globally-ordered running sum — the
+    scale-killer window. Here the sweep is PARTITIONED BY DAY: within a
+    day the prefix sum runs over that day's delta points only, and the
+    cross-midnight state is recovered exactly as a day-keyed CARRY-IN
+    (count of sessions straddling the day boundary — one join against
+    the day list, which is dimension-sized). max(day) =
+    max(carry_in, carry_in + max prefix). Sessions spanning a whole day
+    with no points inside still surface via the carry (the hostile-
+    fixture lesson: boundary cases carry the bugs). The DuckDB oracle
+    computes the same answer from the OPPOSITE construction — one global
+    sweep — so the decomposition identity is re-proven on every run."""
+    sessions = _sessions_df(spark, sf_dir).localCheckpoint()
+    starts = sessions.select(F.col("s_start_us").alias("p"), F.lit(1).alias("delta"))
+    ends = sessions.select((F.col("s_end_us") + 1).alias("p"), F.lit(-1).alias("delta"))
+    pts = (
+        starts.unionAll(ends)
+        .groupBy("p")
+        .agg(F.sum("delta").alias("delta"))
+        .withColumn("d", F.expr(f"p div {_DAY_US}"))
+    )
+    w_day = (
+        Window.partitionBy("d")
+        .orderBy("p")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    day_prefix_max = (
+        pts.withColumn("pref", F.sum("delta").over(w_day))
+        .groupBy("d")
+        .agg(F.max("pref").alias("mx_pref"))
+    )
+    day_list = (
+        sessions.select(
+            F.explode(
+                F.sequence(
+                    F.expr(f"s_start_us div {_DAY_US}"),
+                    F.expr(f"s_end_us div {_DAY_US}"),
+                )
+            ).alias("d")
+        )
+        .distinct()
+    )
+    carry = (
+        day_list.join(
+            sessions,
+            (F.col("s_start_us") < F.col("d") * _DAY_US)
+            & (F.col("s_end_us") >= F.col("d") * _DAY_US),
+            "left",
+        )
+        .groupBy("d")
+        .agg(F.count("user_id").alias("c"))
+    )
+    return (
+        carry.join(day_prefix_max, "d", "left")
+        .select(
+            F.col("d").cast("long").alias("day_idx"),
+            F.greatest(
+                F.col("c"), F.col("c") + F.coalesce(F.col("mx_pref"), F.lit(0))
+            )
+            .cast("long")
+            .alias("max_concurrent"),
+        )
+    )

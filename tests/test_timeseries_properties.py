@@ -335,3 +335,95 @@ def test_unimax_closed_form_equals_sequential_waterfilling(avails):
     assert closed == ref
     assert sum(closed.values()) == budget
     assert any(not f for f in flags)  # at least one uncapped
+
+
+def _python_sessions(rows):
+    """Pure-Python 30-min-gap sessionization over collected events:
+    [(user, s_start_us, s_end_us)] — the independent reference for the
+    interval-algebra queries."""
+    per_user = defaultdict(list)
+    for r in rows:
+        us = int(r.ts.timestamp() * 1_000_000)
+        per_user[r.user_id].append((us, r.event_id))
+    sessions = []
+    for u, pts in per_user.items():
+        pts.sort()
+        start = prev = pts[0][0]
+        for us, _eid in pts[1:]:
+            if us - prev > 1800 * 1_000_000:
+                sessions.append((u, start, prev))
+                start = us
+            prev = us
+        sessions.append((u, start, prev))
+    return sessions
+
+
+def test_max_concurrency_matches_python_sweep(spark, sf_dir):
+    """The day-partitioned carry-in decomposition must equal a single
+    global pure-Python sweep line (+1 at start, -1 after end) evaluated
+    day by day — the decomposition identity proven against a reference
+    that never decomposes."""
+    sessions = _python_sessions(_events(spark, sf_dir))
+    DAY = 86_400_000_000
+    deltas = Counter()
+    for _u, s, e in sessions:
+        deltas[s] += 1
+        deltas[e + 1] -= 1
+    days = sorted({d for _u, s, e in sessions for d in range(s // DAY, e // DAY + 1)})
+    expect = {}
+    for d in days:
+        carry = sum(1 for _u, s, e in sessions if s < d * DAY <= e)
+        conc, mx = carry, carry
+        for p in sorted(p for p in deltas if d * DAY <= p < (d + 1) * DAY):
+            conc += deltas[p]
+            mx = max(mx, conc)
+        expect[d] = mx
+    got = {
+        r.day_idx: r.max_concurrent
+        for r in SPECS["max_concurrent_sessions_daily"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert max(expect.values()) > 1, "fixture should exercise real concurrency"
+
+
+def test_interval_overlap_join_is_broadcast_and_exact(spark, sf_dir):
+    """(a) The islands side must BROADCAST (dimension-bounded build side
+    — a shuffle theta join here would be the 100 TB mistake); (b) every
+    emitted overlap is the exact closed/half-open intersection measure,
+    re-derived in pure Python from the session + island sets."""
+    from streamprocessing_spark.plans import explain as X
+
+    df = SPECS["interval_overlap_peak_sessions"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+    rows = _events(spark, sf_dir)
+    sessions = _python_sessions(rows)
+    HR = 3_600_000_000
+    hr_counts = Counter(int(r.ts.timestamp() * 1_000_000) // HR for r in rows)
+    n_hours, total = len(hr_counts), sum(hr_counts.values())
+    peak = sorted(h for h, c in hr_counts.items() if c * n_hours > total)
+    islands = []
+    for h in peak:
+        if islands and h == islands[-1][1]:
+            islands[-1][1] = h + 1
+        else:
+            islands.append([h, h + 1])
+    expect = {}
+    # rebuild per-user session indexes the way the query numbers them
+    by_user = defaultdict(list)
+    for u, s, e in sessions:
+        by_user[u].append((s, e))
+    for u in by_user:
+        by_user[u].sort()
+    for u, ses in by_user.items():
+        for idx, (s, e) in enumerate(ses, start=1):
+            for lo, hi in islands:
+                if s < hi * HR and lo * HR <= e:
+                    expect[(u, idx, lo)] = min(e, hi * HR) - max(s, lo * HR)
+    got = {
+        (r.user_id, r.session_idx, r.island_hr): r.overlap_us
+        for r in df.collect()
+    }
+    assert got == expect
+    assert len(expect) > 0
