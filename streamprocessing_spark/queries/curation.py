@@ -2461,3 +2461,234 @@ def _unimax_allocate(avail: DataFrame) -> DataFrame:
         F.col("allocated").cast("long").alias("allocated"),
         F.expr("CAST((1000000 * allocated) div avail AS BIGINT)").alias("epochs_micro"),
     )
+
+
+from streamprocessing_spark.functions import text as T  # noqa: E402
+
+L_DIV = 3
+
+
+@register(
+    "l_diversity_audit",
+    oracle=f"""
+    WITH lat AS (
+      SELECT o_custkey, o_orderpriority,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderdate DESC, o_orderkey DESC) AS rn
+      FROM orders
+    ),
+    sens AS (
+      SELECT n.n_name, c.c_mktsegment AS seg,
+             COALESCE(l.o_orderpriority, 'NONE') AS sensitive
+      FROM customer c
+      JOIN nation n ON c.c_nationkey = n.n_nationkey
+      LEFT JOIN lat l ON l.o_custkey = c.c_custkey AND l.rn = 1
+    ),
+    cnt AS (SELECT n_name, seg, sensitive, count(*) AS c
+            FROM sens GROUP BY 1, 2, 3)
+    SELECT n_name, seg,
+           CAST(sum(c) AS BIGINT) AS class_k,
+           CAST(count(*) AS BIGINT) AS l_distinct,
+           CAST({T.sql_mlog2('sum(c)')}
+                - sum(c * {T.sql_mlog2('c')}) // sum(c) AS BIGINT) AS entropy_l_milli,
+           count(*) >= {L_DIV} AS is_l_diverse
+    FROM cnt GROUP BY n_name, seg
+    """,
+    tags=("curation", "privacy", "llm-pipeline"),
+)
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """l-DIVERSITY audit — the attack k-anonymity misses: a class can
+    hold k records yet leak everything if they all share one SENSITIVE
+    value (the homogeneity attack, Machanavajjhala et al. 2007). Over
+    the same quasi-identifier classes k_anonymity_generalize releases
+    (nation × market segment), with the customer's latest-order priority
+    as the sensitive attribute (order-less customers get the explicit
+    'NONE' bucket — absence is a value an attacker learns too): per
+    class, DISTINCT l, exact integer entropy-l (milli-bits, the mlog2
+    discipline: entropy = log2(k) − (Σ cᵢ·mlog2(cᵢ)) div k with one
+    truncating division, identical in both engines), and the l ≥ 3
+    release flag.
+
+    Scale: latest-order extraction is one orders-keyed window; classes
+    are dimension-sized (≤ nations × segments), so every aggregate after
+    the customer join is tiny. Composes with k_anonymity_generalize as
+    the privacy gate pair: k bounds re-identification, l bounds
+    attribute disclosure."""
+    cust = load_table(spark, sf_dir, "customer")
+    nat = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").desc(), F.col("o_orderkey").desc()
+    )
+    lat = (
+        orders.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("o_custkey", "o_orderpriority")
+    )
+    sens = (
+        cust.join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .join(lat, cust["c_custkey"] == lat["o_custkey"], "left")
+        .select(
+            "n_name",
+            F.col("c_mktsegment").alias("seg"),
+            F.coalesce(F.col("o_orderpriority"), F.lit("NONE")).alias("sensitive"),
+        )
+    )
+    cnt = sens.groupBy("n_name", "seg", "sensitive").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    from streamprocessing_spark.functions.text import mlog2
+
+    return cnt.groupBy("n_name", "seg").agg(
+        F.sum("c").cast("long").alias("class_k"),
+        F.count(F.lit(1)).cast("long").alias("l_distinct"),
+        (
+            mlog2(F.sum("c"))
+            - F.expr("sum(c * CAST(floor(1000*log2(c)+0.5) AS BIGINT)) div sum(c)")
+        )
+        .cast("long")
+        .alias("entropy_l_milli"),
+        (F.count(F.lit(1)) >= L_DIV).alias("is_l_diverse"),
+    )
+
+
+ALLOC_BUDGET = 200
+
+
+@register(
+    "variance_optimal_allocation_sample",
+    oracle=f"""
+    WITH st AS (
+      SELECT source, lang, count(*) AS n,
+             sum(CAST(n_chars AS HUGEINT)) AS s1,
+             sum(CAST(n_chars AS HUGEINT) * n_chars) AS s2
+      FROM documents GROUP BY 1, 2
+    ),
+    w0 AS (SELECT source, lang, n,
+                  COALESCE((n * s2 - s1 * s1) // n, 0) AS w_raw
+           FROM st),
+    tot AS (SELECT sum(w_raw) AS w_all, sum(n) AS n_all FROM w0),
+    wts AS (SELECT source, lang, n,
+                   CASE WHEN t.w_all > 0 THEN w_raw ELSE n END AS w,
+                   CASE WHEN t.w_all > 0 THEN t.w_all ELSE t.n_all END AS wsum
+            FROM w0, tot t),
+    a0 AS (SELECT source, lang, n,
+                  ({ALLOC_BUDGET} * w) // wsum AS alloc0,
+                  ({ALLOC_BUDGET} * w) % wsum AS rem
+           FROM wts),
+    lo AS (SELECT {ALLOC_BUDGET} - sum(alloc0) AS leftover FROM a0),
+    rk AS (SELECT source, lang, n, alloc0,
+                  row_number() OVER (ORDER BY rem DESC,
+                                     source ASC NULLS FIRST,
+                                     lang ASC NULLS FIRST) AS rn
+           FROM a0),
+    al AS (SELECT source, lang,
+                  least(alloc0 + CASE WHEN rn <= (SELECT leftover FROM lo)
+                                      THEN 1 ELSE 0 END, n) AS alloc
+           FROM rk),
+    ranked AS (SELECT doc_id, source, lang,
+                      row_number() OVER (PARTITION BY source, lang
+                                         ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS r
+               FROM documents)
+    SELECT d.doc_id, d.source, d.lang
+    FROM ranked d
+    JOIN al ON d.source IS NOT DISTINCT FROM al.source
+           AND d.lang IS NOT DISTINCT FROM al.lang
+    WHERE d.r <= al.alloc
+    """,
+    tags=("curation", "sampling", "llm-pipeline", "statistics"),
+)
+def variance_optimal_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Variance-optimal stratified sampling — allocate a fixed budget of
+    {ALLOC_BUDGET} docs across (source × lang) strata proportional to
+    N_h·Var_h(n_chars), the power-allocation member of the Neyman family
+    kept EXACT by never leaving the integers: Neyman's N_h·S_h needs a
+    square root, so the weight here is w_h = ⌊N_h·Var_h⌋ =
+    (n·Σx² − (Σx)²) div n — every downstream compare (largest-remainder
+    apportionment: base share (B·w) div W, bonus units to the largest
+    remainders) is integer division on HUGEINT/DECIMAL(38) terms. The
+    sampler beats proportional allocation exactly where it should: noisy
+    strata get more budget, constant strata (variance 0) get none.
+
+    Degenerate regimes handled explicitly, both engines: all-zero
+    variance (the hostile constant-group fixture) falls back to
+    proportional-to-N weights; all-NULL measurement strata coalesce to
+    weight 0; allocations are CAPPED at the stratum population (the
+    capped residue is deliberately NOT redistributed — the waterfilling
+    redistribution that conserves budget under caps is
+    unimax_budget_allocation's closed form, cited here as the upgrade
+    path). Membership is the md5-rank convention (deterministic,
+    replayable). Scale: two dimension-sized aggregates over strata, one
+    per-stratum window for ranks, broadcast allocation join back — the
+    doc table is scanned twice, shuffled once (by stratum for the rank
+    window); NULL strata survive via null-safe join equality."""
+    d = load_table(spark, sf_dir, "documents")
+    dec = "CAST(n_chars AS DECIMAL(38,0))"
+    st = d.groupBy("source", "lang").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr(f"sum({dec})").alias("s1"),
+        F.expr(f"sum({dec} * n_chars)").alias("s2"),
+    )
+    w0 = st.select(
+        "source",
+        "lang",
+        "n",
+        F.expr("COALESCE((n * s2 - s1 * s1) div n, 0)").alias("w_raw"),
+    )
+    tot = w0.agg(
+        F.sum("w_raw").alias("w_all"), F.sum("n").alias("n_all")
+    )
+    wts = w0.join(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        "n",
+        F.expr("CASE WHEN w_all > 0 THEN w_raw ELSE n END").alias("w"),
+        F.expr("CASE WHEN w_all > 0 THEN w_all ELSE n_all END").alias("wsum"),
+    )
+    a0 = wts.select(
+        "source",
+        "lang",
+        "n",
+        F.expr(f"({ALLOC_BUDGET} * w) div wsum").alias("alloc0"),
+        F.expr(f"({ALLOC_BUDGET} * w) % wsum").alias("rem"),
+    )
+    lo = a0.agg((F.lit(ALLOC_BUDGET) - F.sum("alloc0")).alias("leftover"))
+    w_rank = Window.orderBy(  # strata-dimension window, never fact-sized
+        F.col("rem").desc(),
+        F.col("source").asc_nulls_first(),
+        F.col("lang").asc_nulls_first(),
+    )
+    al = (
+        a0.withColumn("rn", F.row_number().over(w_rank))
+        .join(F.broadcast(lo))
+        .select(
+            F.col("source").alias("al_source"),
+            F.col("lang").alias("al_lang"),
+            F.least(
+                F.col("alloc0")
+                + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0),
+                F.col("n"),
+            ).alias("alloc"),
+        )
+    )
+    ranked = d.select(
+        "doc_id",
+        "source",
+        "lang",
+        F.row_number()
+        .over(
+            Window.partitionBy("source", "lang").orderBy(
+                F.md5(F.col("doc_id").cast("string")), "doc_id"
+            )
+        )
+        .alias("r"),
+    )
+    return (
+        ranked.join(
+            F.broadcast(al),
+            F.col("source").eqNullSafe(F.col("al_source"))
+            & F.col("lang").eqNullSafe(F.col("al_lang")),
+        )
+        .where(F.col("r") <= F.col("alloc"))
+        .select("doc_id", "source", "lang")
+    )

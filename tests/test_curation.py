@@ -62,3 +62,99 @@ def test_train_test_split_proportions(spark, sf_dir):
     assert set(c) <= {"train", "valid", "test"}
     assert 0.7 <= c["train"] / n <= 0.9, c
     assert c["train"] + c["valid"] + c["test"] == n
+
+
+def test_l_diversity_laws(spark, sf_dir):
+    """(a) class populations partition the customer table; (b) 1 <=
+    l <= k per class; (c) entropy-l is 0 exactly for homogeneous classes
+    and never exceeds log2(l) (+2 milli-bits truncation slack); (d) the
+    release flag is literally l >= 3."""
+    import math
+
+    rows = SPECS["l_diversity_audit"].fn(spark, sf_dir).collect()
+    from streamprocessing_spark.sources.readers import load_table
+
+    n_cust = load_table(spark, sf_dir, "customer").count()
+    assert sum(r.class_k for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r.l_distinct <= r.class_k
+        assert r.is_l_diverse == (r.l_distinct >= 3)
+        assert r.entropy_l_milli <= 1000 * math.log2(r.l_distinct) + 2
+        if r.l_distinct == 1:
+            assert r.entropy_l_milli == 0
+
+
+def test_variance_allocation_matches_python_apportionment(spark, sf_dir):
+    """The full allocation chain — integer weights, largest-remainder
+    apportionment, population caps, md5-rank membership — recomputed in
+    pure-Python exact ints; the sampled doc_id set must match exactly."""
+    import hashlib
+    from collections import defaultdict
+
+    from streamprocessing_spark.sources.readers import load_table
+
+    B = 200
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "lang", "n_chars"
+    ).collect()
+    strata = defaultdict(list)
+    for r in docs:
+        strata[(r.source, r.lang)].append((r.doc_id, r.n_chars))
+    w0, pop = {}, {}
+    for key, members in strata.items():
+        xs = [x for _i, x in members if x is not None]
+        n = len(members)
+        pop[key] = n
+        # n*s2 - s1^2 >= 0 by Cauchy-Schwarz (only grows when NULLs
+        # inflate n past len(xs)); all-NULL strata coalesce to 0
+        w0[key] = (n * sum(x * x for x in xs) - sum(xs) ** 2) // n if xs else 0
+    W = sum(w0.values())
+    if W > 0:
+        w, wsum = w0, W
+    else:
+        w = {k: pop[k] for k in pop}
+        wsum = sum(pop.values())
+    alloc0 = {k: (B * w[k]) // wsum for k in w}
+    rem = {k: (B * w[k]) % wsum for k in w}
+    leftover = B - sum(alloc0.values())
+    # NULLS FIRST on both tiebreak columns
+    order = sorted(w, key=lambda k: (-rem[k],
+                                     (k[0] is not None, k[0] or ""),
+                                     (k[1] is not None, k[1] or "")))
+    alloc = dict(alloc0)
+    for k in order[:leftover]:
+        alloc[k] += 1
+    expect = set()
+    for key, members in strata.items():
+        a = min(alloc[key], pop[key])
+        ranked = sorted(
+            members, key=lambda m: (hashlib.md5(str(m[0]).encode()).hexdigest(), m[0])
+        )
+        expect |= {doc_id for doc_id, _x in ranked[:a]}
+    got = {
+        r.doc_id
+        for r in SPECS["variance_optimal_allocation_sample"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
+    assert len(got) <= B
+
+
+def test_variance_allocation_prefers_noisy_strata(spark):
+    """Two equal-size strata, one constant and one spread: the constant
+    stratum must get ZERO budget (its variance weight is 0)."""
+    rows = [(i, "flat", "en", 100) for i in range(50)] + [
+        (100 + i, "noisy", "en", 10 + 37 * i) for i in range(50)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "lang", "n_chars"])
+    import os
+    import tempfile
+    from collections import defaultdict
+
+    with tempfile.TemporaryDirectory() as td:
+        df.coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        out = SPECS["variance_optimal_allocation_sample"].fn(spark, td).collect()
+    by_source = defaultdict(int)
+    for r in out:
+        by_source[r.source] += 1
+    assert by_source["flat"] == 0
+    assert by_source["noisy"] == 50  # capped at the stratum population
