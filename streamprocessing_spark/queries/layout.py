@@ -365,3 +365,200 @@ def hilbert_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_orderkey", f"{d_e} AS d", f"{x_e} AS x", f"{y_e} AS y"
         )
     return cur.select("o_orderkey", F.col("d").alias("hval"))
+
+
+FILE_ROWS = 100
+# ZORDER_EXPR with columns qualified as xy.x / xy.y (generated, not
+# string-replaced: "(x" is a prefix of "(xy.x", so naive replacement
+# self-corrupts)
+_ZEXPR_XY = " + ".join(
+    f"(((xy.x >> {i}) & 1) << {2 * i}) + (((xy.y >> {i}) & 1) << {2 * i + 1})"
+    for i in range(16)
+)
+_BOX_DUCK = """
+    box AS (
+      SELECT xr_min + ((xr_max - xr_min) * 45) // 100 AS c_lo,
+             xr_min + ((xr_max - xr_min) * 55) // 100 AS c_hi,
+             yr_min + ((yr_max - yr_min) * 45) // 100 AS d_lo,
+             yr_min + ((yr_max - yr_min) * 55) // 100 AS d_hi
+      FROM b
+    )"""
+
+
+@register(
+    "clustering_skipping_compare",
+    oracle=f"""
+    WITH raw AS (
+      SELECT o_orderkey,
+             CAST(o_custkey AS BIGINT) AS xr,
+             CAST(date_diff('day', DATE '1990-01-01', CAST(o_orderdate AS DATE))
+                  AS BIGINT) AS yr
+      FROM orders
+    ),
+    b AS (
+      SELECT min(xr) AS xr_min, max(xr) AS xr_max,
+             min(yr) AS yr_min, max(yr) AS yr_max
+      FROM raw
+    ),
+    xy0 AS (
+      SELECT o_orderkey,
+             {_NORM_DUCK.format(col="xr")} AS x,
+             {_NORM_DUCK.format(col="yr")} AS y,
+             CAST(0 AS BIGINT) AS d
+      FROM raw CROSS JOIN b
+    ),
+    {{HILBERT_CTES}},
+    keys AS (
+      SELECT r.o_orderkey, r.xr, r.yr,
+             ({{ZEXPR}}) AS zval, h.d AS hval
+      FROM raw r
+      JOIN xy0 xy ON xy.o_orderkey = r.o_orderkey
+      JOIN h0 h ON h.o_orderkey = r.o_orderkey
+    ),
+    lay AS (
+      SELECT 'linear' AS layout, o_orderkey, xr, yr,
+             row_number() OVER (ORDER BY yr ASC NULLS FIRST,
+                                xr ASC NULLS FIRST, o_orderkey) AS rk
+      FROM keys
+      UNION ALL
+      SELECT 'zorder', o_orderkey, xr, yr,
+             row_number() OVER (ORDER BY zval ASC NULLS FIRST, o_orderkey)
+      FROM keys
+      UNION ALL
+      SELECT 'hilbert', o_orderkey, xr, yr,
+             row_number() OVER (ORDER BY hval ASC NULLS FIRST, o_orderkey)
+      FROM keys
+    ),
+    {_BOX_DUCK},
+    f AS (
+      SELECT layout, (rk - 1) // {FILE_ROWS} AS file_id,
+             min(xr) AS mnx, max(xr) AS mxx,
+             min(yr) AS mny, max(yr) AS mxy,
+             sum(CASE WHEN xr BETWEEN c_lo AND c_hi
+                       AND yr BETWEEN d_lo AND d_hi THEN 1 ELSE 0 END) AS mrows
+      FROM lay, box GROUP BY 1, 2
+    )
+    SELECT layout,
+           CAST(count(*) AS BIGINT) AS n_files,
+           CAST(sum(CASE WHEN mnx <= c_hi AND mxx >= c_lo
+                          AND mny <= d_hi AND mxy >= d_lo
+                     THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+           CAST(sum(CASE WHEN mrows > 0 THEN 1 ELSE 0 END) AS BIGINT) AS files_matching,
+           CAST(sum(mrows) AS BIGINT) AS rows_selected
+    FROM f, box GROUP BY layout
+    """.replace("{HILBERT_CTES}", _sql_hilbert_ctes())
+       .replace("{ZEXPR}", _ZEXPR_XY),
+    tags=("layout", "scale", "observability"),
+)
+def clustering_skipping_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping EFFECTIVENESS audit — the number a layout decision
+    should be made on, measured instead of assumed: simulate writing
+    orders in three clusterings (linear date sort, Z-order, Hilbert —
+    the repo's actual key expressions), cut the sorted stream into
+    {FILE_ROWS}-row files, build each file's (custkey, day) ZONE MAP,
+    and count how many files a fixed 2-D box predicate (middle-decile
+    band in both dimensions) forces a scanner to read. files_scanned is
+    what min/max skipping achieves; files_matching is the unreachable
+    ideal (files that truly contain hits); their gap is the layout's
+    false-positive I/O. rows_selected must be identical across layouts —
+    the built-in identity check that all three orders permute the same
+    table.
+
+    Scale shape, stated honestly: each layout leg pays one RANGE
+    EXCHANGE + local sort — exactly what a real OPTIMIZE/rewrite of a
+    100 TB table pays (this audit simulates those writes; there is no
+    cheaper honest way to know the file cuts). The ranks come from
+    operators/ranking.global_row_number (range-partitioned stitched
+    ranks, no single-task WindowExec); zone maps and the final rollup
+    are file-dimension-sized. Companions: zorder_key_orders /
+    hilbert_key_orders define the keys; tests pin footer-stat span
+    narrowing — this query prices the layouts against each other."""
+    from streamprocessing_spark.operators.ranking import global_row_number
+
+    o = load_table(spark, sf_dir, "orders")
+    raw = o.select(
+        "o_orderkey",
+        F.col("o_custkey").cast("long").alias("xr"),
+        F.expr(
+            "CAST(datediff(CAST(o_orderdate AS DATE), DATE '1990-01-01') AS BIGINT)"
+        ).alias("yr"),
+    )
+    b = raw.agg(
+        F.min("xr").alias("xr_min"),
+        F.max("xr").alias("xr_max"),
+        F.min("yr").alias("yr_min"),
+        F.max("yr").alias("yr_max"),
+    )
+    cur = raw.crossJoin(F.broadcast(b)).select(
+        "o_orderkey",
+        "xr",
+        "yr",
+        F.expr(_NORM.format(col="xr")).alias("x"),
+        F.expr(_NORM.format(col="yr")).alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+    zv = cur.withColumn("zval", F.expr(ZORDER_EXPR))
+    for k in range(HILBERT_BITS - 1, -1, -1):
+        d_e, x_e, y_e = _hilbert_step_exprs(k, "div")
+        zv = zv.selectExpr(
+            "o_orderkey", "xr", "yr", "zval", f"{d_e} AS d", f"{x_e} AS x", f"{y_e} AS y"
+        )
+    keys = zv.select("o_orderkey", "xr", "yr", "zval", F.col("d").alias("hval"))
+    keys = keys.localCheckpoint(eager=True)  # three rank legs share it
+
+    legs = []
+    for name, order_cols in (
+        ("linear", [F.col("yr").asc_nulls_first(), F.col("xr").asc_nulls_first(), F.col("o_orderkey")]),
+        ("zorder", [F.col("zval").asc_nulls_first(), F.col("o_orderkey")]),
+        ("hilbert", [F.col("hval").asc_nulls_first(), F.col("o_orderkey")]),
+    ):
+        legs.append(
+            global_row_number(keys, order_cols, out="rk")
+            .select(F.lit(name).alias("layout"), "xr", "yr", "rk")
+        )
+    lay = legs[0].unionAll(legs[1]).unionAll(legs[2])
+    box = b.select(
+        F.expr("xr_min + ((xr_max - xr_min) * 45) div 100").alias("c_lo"),
+        F.expr("xr_min + ((xr_max - xr_min) * 55) div 100").alias("c_hi"),
+        F.expr("yr_min + ((yr_max - yr_min) * 45) div 100").alias("d_lo"),
+        F.expr("yr_min + ((yr_max - yr_min) * 55) div 100").alias("d_hi"),
+    )
+    f = (
+        lay.crossJoin(F.broadcast(box))
+        .groupBy("layout", F.expr(f"(rk - 1) div {FILE_ROWS}").alias("file_id"))
+        .agg(
+            F.min("xr").alias("mnx"),
+            F.max("xr").alias("mxx"),
+            F.min("yr").alias("mny"),
+            F.max("yr").alias("mxy"),
+            F.sum(
+                F.when(
+                    F.col("xr").between(F.col("c_lo"), F.col("c_hi"))
+                    & F.col("yr").between(F.col("d_lo"), F.col("d_hi")),
+                    1,
+                ).otherwise(0)
+            ).alias("mrows"),
+        )
+    )
+    return (
+        f.crossJoin(F.broadcast(box))
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(
+                F.when(
+                    (F.col("mnx") <= F.col("c_hi"))
+                    & (F.col("mxx") >= F.col("c_lo"))
+                    & (F.col("mny") <= F.col("d_hi"))
+                    & (F.col("mxy") >= F.col("d_lo")),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("files_scanned"),
+            F.sum(F.when(F.col("mrows") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("files_matching"),
+            F.sum("mrows").cast("long").alias("rows_selected"),
+        )
+    )
