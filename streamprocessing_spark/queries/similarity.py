@@ -1470,3 +1470,85 @@ def embedding_drift_chi2_by_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "chi2_milli",
         )
     )
+
+
+@register(
+    "ann_hubness_audit",
+    oracle=f"""
+    WITH scored AS (
+      SELECT a.vec_id AS qa, b.vec_id AS qb,
+             {_sql_cos('a.embedding', 'b.embedding')} AS cos
+      FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id
+    ),
+    nn AS (
+      SELECT qa, qb FROM (
+        SELECT qa, qb,
+               row_number() OVER (PARTITION BY qa ORDER BY cos DESC, qb) AS rn
+        FROM scored)
+      WHERE rn <= {KNN_K}
+    ),
+    occ AS (SELECT qb, count(*) AS k_occ FROM nn GROUP BY qb),
+    per_vec AS (
+      SELECT e.vec_id, COALESCE(o.k_occ, 0) AS k_occ
+      FROM embeddings e LEFT JOIN occ o ON o.qb = e.vec_id
+    )
+    SELECT CAST(k_occ AS BIGINT) AS k_occurrence,
+           CAST(count(*) AS BIGINT) AS n_vectors
+    FROM per_vec GROUP BY k_occ
+    """,
+    tags=("similarity", "llm-pipeline", "observability", "statistics"),
+)
+def ann_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HUBNESS audit of the embedding space — the k-occurrence
+    distribution: for each vector, how many OTHER vectors count it among
+    their {KNN_K} nearest cosine neighbors, rolled into the
+    (k_occurrence → n_vectors) histogram. High-dimensional spaces grow
+    hubs (vectors in everyone's neighbor list) and antihubs (k_occ = 0)
+    — the curse-of-dimensionality diagnostic (Radovanović et al. 2010)
+    that predicts degraded ANN recall and retrieval quality BEFORE a
+    100 TB index build bakes the problem in. A healthy space keeps the
+    histogram near binomial(n·k, 1/n); a heavy right tail says the
+    metric or the normalization is wrong.
+
+    Conservation law (tested): Σ k_occ·n_vectors = n·{KNN_K} whenever
+    every vector has {KNN_K} valid neighbors. Neighbor search is the
+    exact all-pairs baseline shared with knn_label_audit (same
+    deterministic ranking, same joined-norm cosine; zero vectors yield
+    NULL cosines that sort last on both engines); at scale the
+    candidate stage swaps to IVF cells or SRP banding with the
+    occurrence rollup — one (qb)-keyed count — unchanged and linear."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql.window import Window
+
+    a = emb.select(
+        F.col("vec_id").alias("qa"),
+        F.col("embedding").alias("va"),
+        S.norm_double(F.col("embedding")).alias("na"),
+    )
+    b = emb.select(
+        F.col("vec_id").alias("qb"),
+        F.col("embedding").alias("vb"),
+        S.norm_double(F.col("embedding")).alias("nb"),
+    )
+    scored = a.join(b, F.col("qa") != F.col("qb")).select(
+        "qa",
+        "qb",
+        F.try_divide(
+            S.dot_double(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
+        ).alias("cos"),
+    )
+    w_nn = Window.partitionBy("qa").orderBy(F.desc("cos"), F.asc("qb"))
+    nn = (
+        scored.withColumn("rn", F.row_number().over(w_nn))
+        .where(F.col("rn") <= KNN_K)
+        .select("qa", "qb")
+    )
+    occ = nn.groupBy("qb").agg(F.count(F.lit(1)).alias("k_occ"))
+    per_vec = (
+        emb.select("vec_id")
+        .join(occ, emb.vec_id == occ.qb, "left")
+        .select(F.coalesce(F.col("k_occ"), F.lit(0)).alias("k_occ"))
+    )
+    return per_vec.groupBy("k_occ").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vectors")
+    ).select(F.col("k_occ").cast("long").alias("k_occurrence"), "n_vectors")

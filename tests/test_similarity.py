@@ -202,3 +202,17 @@ def test_srp_recall_held_bands_hold_recall(spark, sf_dir, monkeypatch):
     assert fixed_hi <= held_hi
     if exact and len(fixed_hi) < len(exact):
         assert len(held_hi) > len(fixed_hi), (len(held_hi), len(fixed_hi))
+
+
+def test_hubness_conservation_and_shape(spark, sf_dir):
+    """Σ k_occ·n_vectors == n·K (every vector casts exactly K neighbor
+    votes when n > K and no cosine is NULL); Σ n_vectors == n; histogram
+    values non-negative."""
+    from streamprocessing_spark.queries.similarity import KNN_K
+    from streamprocessing_spark.sources.readers import load_table
+
+    rows = SPECS["ann_hubness_audit"].fn(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == n
+    assert sum(r.k_occurrence * r.n_vectors for r in rows) == n * KNN_K
+    assert all(r.k_occurrence >= 0 and r.n_vectors > 0 for r in rows)
