@@ -2692,3 +2692,184 @@ def variance_optimal_allocation_sample(spark: SparkSession, sf_dir: str) -> Data
         .where(F.col("r") <= F.col("alloc"))
         .select("doc_id", "source", "lang")
     )
+
+
+_SNM_LEADS = ", ".join(
+    f"lead(p_name, {k}) OVER (PARTITION BY substr(reverse(p_name), 1, 1) "
+    f"ORDER BY reverse(p_name)) AS n{k}"
+    for k in range(1, SNM_WINDOW + 1)
+)
+
+
+@register(
+    "blocking_strategy_audit",
+    oracle=f"""
+    WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
+    truth AS (
+      SELECT a.p_name AS name_a, b.p_name AS name_b
+      FROM n a JOIN n b
+        ON a.p_name < b.p_name
+       AND abs(length(a.p_name) - length(b.p_name)) <= 2
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ),
+    tt AS (SELECT count(*) AS total FROM truth),
+    lh AS (SELECT length(p_name) AS l, count(*) AS c FROM n GROUP BY 1),
+    lb AS (
+      SELECT COALESCE(sum(CASE WHEN a.l = b.l THEN a.c * (a.c - 1) // 2
+                               ELSE a.c * b.c END), 0) AS cand
+      FROM lh a JOIN lh b ON b.l BETWEEN a.l AND a.l + 2
+    ),
+    p3 AS (SELECT substr(p_name, 1, 3) AS k, count(*) AS c FROM n GROUP BY 1),
+    p3c AS (SELECT COALESCE(sum(c * (c - 1) // 2), 0) AS cand FROM p3),
+    p3f AS (SELECT count(*) AS found FROM truth
+            WHERE substr(name_a, 1, 3) = substr(name_b, 1, 3)),
+    snm_l AS (SELECT p_name, {_SNM_LEADS} FROM n),
+    snm_p AS (
+      SELECT least(p_name, nb) AS name_a, greatest(p_name, nb) AS name_b
+      FROM snm_l,
+           unnest([{", ".join(f"n{k}" for k in range(1, SNM_WINDOW + 1))}]) AS u(nb)
+      WHERE nb IS NOT NULL
+    ),
+    snm_c AS (SELECT count(*) AS cand,
+                     COALESCE(sum(CASE WHEN levenshtein(name_a, name_b) <= 2
+                                       THEN 1 ELSE 0 END), 0) AS found
+              FROM snm_p)
+    SELECT s.strategy,
+           CAST(s.n_candidates AS BIGINT) AS n_candidates,
+           CAST(s.true_found AS BIGINT) AS true_found,
+           CAST(t.total AS BIGINT) AS true_total,
+           CAST(CASE WHEN t.total > 0 THEN (1000 * s.true_found) // t.total
+                END AS BIGINT) AS recall_milli
+    FROM (
+      SELECT 'length_band' AS strategy, lb.cand AS n_candidates,
+             (SELECT total FROM tt) AS true_found FROM lb
+      UNION ALL
+      SELECT 'prefix3', p3c.cand, p3f.found FROM p3c, p3f
+      UNION ALL
+      SELECT 'snm_rev_w{SNM_WINDOW}', snm_c.cand, snm_c.found FROM snm_c
+    ) s, tt t
+    """,
+    tags=("curation", "dedup", "fuzzy", "observability"),
+)
+def blocking_strategy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution BLOCKING scorecard — the pairs-completeness vs
+    reduction-ratio table an ER pipeline is tuned from, for three
+    blocking strategies over the distinct part names against the exact
+    edit-distance-≤2 truth: (1) the lossless length band (recall 1.0 by
+    the |len diff| ≤ |edit distance| theorem — its candidate count is
+    the price of losslessness), (2) equality blocking on the first-3
+    prefix, (3) the reversed-name sorted-neighborhood pass
+    (sorted_neighborhood_pairs' designed key). One query answers "which
+    block key do I ship, and what recall am I buying".
+
+    The scale discipline: candidate COUNTS for the partition-style
+    blockers come from block-size HISTOGRAMS in closed form
+    (Σ c·(c−1)/2 — dimension-sized, no pair is ever materialized to be
+    counted); only the SNM leg and the truth verify touch real pairs,
+    and both are candidate-bounded (names·W and the length band). NULL
+    names are excluded up front on both engines (a NULL name can't be
+    verified against anything). recall_milli uses a guarded integer
+    division (NULL when the truth set is empty, not a fake 1000)."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").isNotNull())
+        .select("p_name")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a = names.select(F.col("p_name").alias("name_a"))
+    b = names.select(F.col("p_name").alias("name_b"))
+    truth = (
+        a.join(
+            b,
+            (F.col("name_a") < F.col("name_b"))
+            & (F.abs(F.length("name_a") - F.length("name_b")) <= 2),
+        )
+        .where(F.levenshtein("name_a", "name_b") <= 2)
+        .localCheckpoint(eager=True)
+    )
+    tt = truth.agg(F.count(F.lit(1)).alias("total"))
+
+    lh = names.groupBy(F.length("p_name").alias("l")).agg(F.count(F.lit(1)).alias("c"))
+    lha, lhb = lh.alias("a"), lh.alias("b")
+    lb = (
+        lha.join(lhb, F.col("b.l").between(F.col("a.l"), F.col("a.l") + 2))
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("a.l") == F.col("b.l"),
+                        F.expr("a.c * (a.c - 1) div 2"),
+                    ).otherwise(F.col("a.c") * F.col("b.c"))
+                ),
+                F.lit(0),
+            ).alias("cand")
+        )
+    )
+    leg1 = lb.join(F.broadcast(tt)).select(
+        F.lit("length_band").alias("strategy"),
+        F.col("cand").alias("n_candidates"),
+        F.col("total").alias("true_found"),
+    )
+
+    p3 = names.groupBy(F.substring("p_name", 1, 3).alias("k")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    p3c = p3.agg(
+        F.coalesce(F.sum(F.expr("c * (c - 1) div 2")), F.lit(0)).alias("cand")
+    )
+    p3f = truth.where(
+        F.substring("name_a", 1, 3) == F.substring("name_b", 1, 3)
+    ).agg(F.count(F.lit(1)).alias("found"))
+    leg2 = p3c.join(F.broadcast(p3f)).select(
+        F.lit("prefix3").alias("strategy"),
+        F.col("cand").alias("n_candidates"),
+        F.col("found").alias("true_found"),
+    )
+
+    w = Window.partitionBy(F.substring(F.reverse(F.col("p_name")), 1, 1)).orderBy(
+        F.reverse(F.col("p_name"))
+    )
+    leads = (
+        names.select(
+            "p_name",
+            F.array(
+                *[F.lead("p_name", k).over(w) for k in range(1, SNM_WINDOW + 1)]
+            ).alias("nbs"),
+        )
+        .select("p_name", F.explode("nbs").alias("nb"))
+        .where(F.col("nb").isNotNull())
+        .select(
+            F.least("p_name", "nb").alias("name_a"),
+            F.greatest("p_name", "nb").alias("name_b"),
+        )
+    )
+    leg3 = leads.agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.coalesce(
+            F.sum(F.when(F.levenshtein("name_a", "name_b") <= 2, 1).otherwise(0)),
+            F.lit(0),
+        ).alias("true_found"),
+    ).select(
+        F.lit(f"snm_rev_w{SNM_WINDOW}").alias("strategy"),
+        "n_candidates",
+        "true_found",
+    )
+
+    return (
+        leg1.unionAll(leg2)
+        .unionAll(leg3)
+        .join(F.broadcast(tt))
+        .select(
+            "strategy",
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.col("true_found").cast("long").alias("true_found"),
+            F.col("total").cast("long").alias("true_total"),
+            F.when(
+                F.col("total") > 0,
+                F.expr("(1000 * true_found) div total"),
+            )
+            .cast("long")
+            .alias("recall_milli"),
+        )
+    )

@@ -158,3 +158,38 @@ def test_variance_allocation_prefers_noisy_strata(spark):
         by_source[r.source] += 1
     assert by_source["flat"] == 0
     assert by_source["noisy"] == 50  # capped at the stratum population
+
+
+def test_blocking_audit_laws(spark, sf_dir):
+    """(a) the length band is lossless (recall exactly 1000 milli);
+    (b) found <= total for every strategy; (c) the histogram closed form
+    for length-band candidates equals a directly materialized banded
+    pair count; (d) SNM candidates are bounded by names * W."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_spark.queries.curation import SNM_WINDOW
+    from streamprocessing_spark.sources.readers import load_table
+
+    rows = {r.strategy: r for r in
+            SPECS["blocking_strategy_audit"].fn(spark, sf_dir).collect()}
+    assert rows["length_band"].recall_milli == 1000
+    assert rows["length_band"].true_found == rows["length_band"].true_total
+    for r in rows.values():
+        assert r.true_found <= r.true_total
+        assert r.true_found <= r.n_candidates
+
+    names = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").isNotNull())
+        .select("p_name").distinct()
+    )
+    n_names = names.count()
+    a = names.select(F.col("p_name").alias("na"))
+    b = names.select(F.col("p_name").alias("nb"))
+    banded = a.join(
+        b,
+        (F.col("na") < F.col("nb"))
+        & (F.abs(F.length("na") - F.length("nb")) <= 2),
+    ).count()
+    assert rows["length_band"].n_candidates == banded
+    assert rows[f"snm_rev_w{SNM_WINDOW}"].n_candidates <= n_names * SNM_WINDOW
