@@ -140,6 +140,17 @@ HEADLINE = [
     "theil_sen_user_slopes",
     "source_schema_evolution",
     "exact_median_two_scan",
+    # round-4 additions (ann_hubness_audit deliberately excluded: it
+    # shares knn_label_audit's quadratic exact-baseline candidate stage
+    # — a measured cost floor, not a throughput path)
+    "dedup_containment_join",
+    "ngram_novelty_score",
+    "interval_overlap_peak_sessions",
+    "max_concurrent_sessions_daily",
+    "l_diversity_audit",
+    "variance_optimal_allocation_sample",
+    "clustering_skipping_compare",
+    "blocking_strategy_audit",
 ]
 
 
