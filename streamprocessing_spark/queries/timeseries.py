@@ -3035,3 +3035,131 @@ def max_concurrent_sessions_daily(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("max_concurrent"),
         )
     )
+
+
+_GAPS_MIN = (5, 15, 30, 60)
+
+
+@register(
+    "sessionization_gap_sensitivity",
+    oracle=f"""
+    WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    gaps AS (
+      SELECT us - lag(us) OVER (PARTITION BY user_id ORDER BY us, event_id) AS gap_us
+      FROM ev
+    ),
+    g AS (SELECT unnest([{", ".join(str(g) for g in _GAPS_MIN)}]) AS gap_minutes),
+    agg AS (
+      SELECT g.gap_minutes,
+             sum(CASE WHEN gaps.gap_us IS NULL
+                       OR gaps.gap_us > CAST(g.gap_minutes AS BIGINT) * 60000000
+                      THEN 1 ELSE 0 END) AS n_sessions,
+             count(*) AS n_events
+      FROM gaps, g GROUP BY g.gap_minutes
+    )
+    SELECT CAST(gap_minutes AS BIGINT) AS gap_minutes,
+           CAST(n_sessions AS BIGINT) AS n_sessions,
+           CAST(CASE WHEN n_sessions > 0
+                THEN (1000 * n_events) // n_sessions END AS BIGINT)
+             AS avg_events_per_session_milli
+    FROM agg
+    """,
+    tags=("timeseries", "session", "observability"),
+)
+def sessionization_gap_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inactivity-gap SENSITIVITY for sessionization — the table the
+    30-minute constant should be chosen from, not assumed: session
+    count and mean session size at gap ∈ {5, 15, 30, 60} min, all from
+    ONE window pass (per-user lag once; each gap threshold is a
+    conditional sum over the same gap column — a knee in n_sessions(gap)
+    marks the natural inactivity scale of the data). Exact integers:
+    epoch-microsecond gaps, milli-scaled integer mean with a guarded
+    division. One shuffle on user_id; the gap grid is a 4-row generated
+    dimension crossed AFTER the window, so the fact table is scanned and
+    sorted exactly once regardless of grid size."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("us", "event_id")
+    gaps = ev.select(
+        F.unix_micros("ts").alias("us"), "user_id", "event_id"
+    ).select((F.col("us") - F.lag("us").over(w)).alias("gap_us"))
+    # long literals: 60 min * 60e6 us overflows int32 under ANSI
+    grid = F.array(*[F.lit(g).cast("long") for g in _GAPS_MIN])
+    crossed = gaps.select(
+        "gap_us", F.explode(grid).alias("gap_minutes")
+    )
+    agg = crossed.groupBy("gap_minutes").agg(
+        F.sum(
+            F.when(
+                F.col("gap_us").isNull()
+                | (F.col("gap_us") > F.col("gap_minutes") * 60_000_000),
+                1,
+            ).otherwise(0)
+        ).alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return agg.select(
+        F.col("gap_minutes").cast("long").alias("gap_minutes"),
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        F.when(
+            F.col("n_sessions") > 0,
+            F.expr("(1000 * n_events) div n_sessions"),
+        )
+        .cast("long")
+        .alias("avg_events_per_session_milli"),
+    )
+
+
+@register(
+    "late_arrival_audit",
+    oracle="""
+    WITH ev AS (SELECT user_id, event_id, epoch_us(ts) AS us FROM events),
+    runs AS (
+      SELECT user_id, us,
+             max(us) OVER (PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max
+      FROM ev
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(CASE WHEN us < prev_max THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_late,
+           CAST(max(CASE WHEN us < prev_max THEN prev_max - us END) AS BIGINT)
+             AS max_lateness_us
+    FROM runs GROUP BY user_id
+    """,
+    tags=("timeseries", "observability", "streaming"),
+)
+def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OUT-OF-ORDER arrival audit — the batch query that sizes a
+    streaming WATERMARK before the stream exists: per user, how many
+    events arrived (arrival order ≈ event_id, the monotone ingest key)
+    with an event time EARLIER than the running maximum already seen,
+    and the worst such lateness. max(max_lateness_us) over users is the
+    smallest watermark delay that would have dropped nothing; the
+    n_late/n_events ratio is the data loss a tighter delay buys.
+    NULL max_lateness (not fake 0) for users with no late events — the
+    hostile-fixture convention. One user-keyed window over the ingest
+    order, one aggregate; exact epoch-microsecond integers throughout."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    runs = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("us"),
+        F.max(F.unix_micros("ts")).over(w).alias("prev_max"),
+    )
+    return runs.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(F.when(F.col("us") < F.col("prev_max"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_late"),
+        F.max(
+            F.when(F.col("us") < F.col("prev_max"), F.col("prev_max") - F.col("us"))
+        )
+        .cast("long")
+        .alias("max_lateness_us"),
+    )

@@ -427,3 +427,42 @@ def test_interval_overlap_join_is_broadcast_and_exact(spark, sf_dir):
     }
     assert got == expect
     assert len(expect) > 0
+
+
+def test_gap_sensitivity_monotone_and_consistent(spark, sf_dir):
+    """n_sessions must be non-increasing in the gap (a larger inactivity
+    threshold can only merge sessions), and the 30-min row must equal
+    sessionize_events' session count exactly."""
+    rows = sorted(
+        SPECS["sessionization_gap_sensitivity"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.gap_minutes,
+    )
+    counts = [r.n_sessions for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    n30 = next(r.n_sessions for r in rows if r.gap_minutes == 30)
+    assert n30 == SPECS["sessionize_events"].fn(spark, sf_dir).count()
+
+
+def test_late_arrival_matches_python(spark, sf_dir):
+    """Pure-Python replay of the running-max lateness per user."""
+    rows = _events(spark, sf_dir)
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append(
+            (r.event_id, int(r.ts.timestamp() * 1_000_000))
+        )
+    expect = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        mx, n_late, worst = None, 0, None
+        for _eid, us in evs:
+            if mx is not None and us < mx:
+                n_late += 1
+                worst = max(worst or 0, mx - us)
+            mx = us if mx is None else max(mx, us)
+        expect[u] = (len(evs), n_late, worst)
+    got = {
+        r.user_id: (r.n_events, r.n_late, r.max_lateness_us)
+        for r in SPECS["late_arrival_audit"].fn(spark, sf_dir).collect()
+    }
+    assert got == expect
