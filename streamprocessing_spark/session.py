@@ -9,6 +9,7 @@ so timestamp semantics match the (naive-timestamp) parquet test data.
 from __future__ import annotations
 
 import os
+from pathlib import Path
 
 from pyspark.sql import SparkSession
 
@@ -51,6 +52,17 @@ def get_spark(app_name: str = "streamprocessing-spark", master: str | None = Non
         # generations write micros NTZ and ignore it.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # shuffle/blockmgr scratch OUT of /tmp: the harness box reaps /tmp
+        # mid-run (observed twice: shuffle_*.data FileNotFound cascades
+        # killing multi-minute jobs). A real cluster sets SPARK_LOCAL_DIRS
+        # to provisioned scratch disks for the same reason.
+        .config(
+            "spark.local.dir",
+            os.environ.get(
+                "SPARK_GRAFT_LOCAL_DIR",
+                str(Path(__file__).resolve().parent.parent / ".spark-local"),
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )

@@ -76,6 +76,9 @@ def worker(queries: list[str]) -> None:
         .master(f"local[{cpus},2]")
         .config("spark.driver.memory", SQUEEZE_MEM)
         .config("spark.memory.fraction", SQUEEZE_FRACTION)
+        # /tmp is reaped mid-run on this box (shuffle FileNotFound
+        # cascades) — keep scratch under the repo like session.py does
+        .config("spark.local.dir", str(REPO / ".spark-local"))
         .config("spark.ui.enabled", "true")
         .config("spark.ui.port", str(UI_PORT))
         .config("spark.sql.adaptive.enabled", "true")
@@ -153,8 +156,18 @@ def main() -> None:
         capture_output=True, text=True, env=env, cwd=REPO,
     )
     sys.stderr.write(proc.stderr[-4000:])
-    line = proc.stdout.strip().splitlines()[-1] if proc.stdout.strip() else "{}"
-    per_query = json.loads(line)
+    # last PARSEABLE line: a dying executor can interleave stack traces
+    # into stdout after the result line
+    per_query = None
+    for line in reversed(proc.stdout.strip().splitlines() or []):
+        try:
+            per_query = json.loads(line)
+            break
+        except json.JSONDecodeError:
+            continue
+    if per_query is None:
+        sys.stderr.write(proc.stdout[-2000:])
+        raise SystemExit("worker produced no JSON result line")
 
     # pull the unsqueezed row counts for the survives-with-same-result
     # comparison where scale_bench measured them
