@@ -152,6 +152,17 @@ QUERIES = (
     "degree_assortativity_parts",
     # sketch-guided exact selection over the proxied lineitem
     "exact_median_two_scan",
+    # round-4 additions over the proxied documents/events tables
+    # (l_diversity / clustering_skipping / blocking ride orders/part —
+    # pass-through dimensions, nothing to measure; ann_hubness_audit is
+    # the labeled quadratic baseline, same exclusion as knn_label_audit)
+    "dedup_containment_join",
+    "ngram_novelty_score",
+    "interval_overlap_peak_sessions",
+    "max_concurrent_sessions_daily",
+    "sessionization_gap_sensitivity",
+    "late_arrival_audit",
+    "variance_optimal_allocation_sample",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
@@ -399,6 +410,15 @@ def main() -> None:
         }
         print(f"# {name}: {small_s:.2f}s -> {big_s:.2f}s (x{big_s / small_s:.1f})",
               file=sys.stderr)
+    # merge into SCALEBENCH.json so subset runs accumulate (the graph100
+    # path already does this; the manual-merge era ends here)
+    out = Path(__file__).resolve().parent.parent / "SCALEBENCH.json"
+    if out.is_file():
+        prior = json.loads(out.read_text())
+        merged = dict(prior.get("queries", {}))
+        merged.update(result["queries"])
+        result["queries"] = merged
+    out.write_text(json.dumps(result, indent=1) + "\n")
     print(json.dumps(result))
 
 
