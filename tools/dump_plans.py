@@ -149,6 +149,18 @@ PLAN_SET = [
     "ks_two_sample_value",
     "kaplan_meier_activity",
     "unimax_budget_allocation",
+    # round-4 additions
+    "dedup_containment_join",
+    "ngram_novelty_score",
+    "interval_overlap_peak_sessions",
+    "max_concurrent_sessions_daily",
+    "l_diversity_audit",
+    "variance_optimal_allocation_sample",
+    "clustering_skipping_compare",
+    "ann_hubness_audit",
+    "blocking_strategy_audit",
+    "sessionization_gap_sensitivity",
+    "late_arrival_audit",
 ]
 
 
