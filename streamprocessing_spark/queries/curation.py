@@ -2873,3 +2873,102 @@ def blocking_strategy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("recall_milli"),
         )
     )
+
+
+@register(
+    "er_match_transitivity_audit",
+    oracle="""
+    WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
+    edges AS (
+      SELECT a.p_name AS x, b.p_name AS y
+      FROM n a JOIN n b
+        ON a.p_name < b.p_name
+       AND abs(length(a.p_name) - length(b.p_name)) <= 2
+      WHERE levenshtein(a.p_name, b.p_name) <= 2
+    ),
+    adj AS (SELECT x AS m, y AS v FROM edges
+            UNION ALL SELECT y AS m, x AS v FROM edges),
+    wedges AS (
+      SELECT a.v AS x, b.v AS y
+      FROM adj a JOIN adj b ON a.m = b.m AND a.v < b.v
+    ),
+    w AS (
+      SELECT count(*) AS n_wedges,
+             sum(CASE WHEN e.x IS NOT NULL THEN 1 ELSE 0 END) AS n_closed
+      FROM wedges wd
+      LEFT JOIN edges e ON e.x = wd.x AND e.y = wd.y
+    )
+    SELECT CAST((SELECT count(*) FROM n) AS BIGINT) AS n_names,
+           CAST((SELECT count(*) FROM edges) AS BIGINT) AS n_edges,
+           CAST(COALESCE(n_wedges, 0) AS BIGINT) AS n_wedges,
+           CAST(COALESCE(n_closed, 0) AS BIGINT) AS n_closed,
+           CAST(CASE WHEN n_wedges > 0
+                THEN (1000 * n_closed) // n_wedges END AS BIGINT)
+             AS transitivity_milli
+    FROM w
+    """,
+    tags=("curation", "dedup", "fuzzy", "observability", "graph"),
+)
+def er_match_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSITIVITY audit of the fuzzy-match graph — the consistency
+    number behind golden-record survivorship: if a≈b and b≈c but the
+    matcher denies a≈c, connected-components clustering (what
+    golden_record_parts runs) silently glues records the pairwise
+    evidence contradicts. This query counts wedges (x–m–y paths) in the
+    edit-distance-≤2 name graph and how many close into triangles; the
+    global transitivity ratio (milli, guarded division) is the
+    one-number health check — LOW transitivity means component-based
+    merging is overclaiming and a stricter threshold or a
+    verify-within-cluster pass is due.
+
+    Scale shape: the match graph is pairs-over-distinct-names
+    (dimension-sized relative to the fact tables); the wedge join keys
+    on the CENTER node so cost is Σ deg(m)² — the degree-oriented bound
+    triangle_count_copurchase documents, here over a far smaller graph.
+    NULL names excluded on both engines; inherits the adjudicated
+    byte-vs-char levenshtein exclusion on the hostile fixture."""
+    names = (
+        load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").isNotNull())
+        .select("p_name")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    a = names.select(F.col("p_name").alias("x"))
+    b = names.select(F.col("p_name").alias("y"))
+    edges = (
+        a.join(
+            b,
+            (F.col("x") < F.col("y"))
+            & (F.abs(F.length("x") - F.length("y")) <= 2),
+        )
+        .where(F.levenshtein("x", "y") <= 2)
+        .localCheckpoint(eager=True)
+    )
+    adj = edges.select(F.col("x").alias("m"), F.col("y").alias("v")).unionAll(
+        edges.select(F.col("y").alias("m"), F.col("x").alias("v"))
+    )
+    aa = adj.select("m", F.col("v").alias("x"))
+    bb = adj.select("m", F.col("v").alias("y"))
+    wedges = aa.join(bb, ["m"]).where(F.col("x") < F.col("y")).select("x", "y")
+    closed = wedges.join(
+        edges.withColumn("is_edge", F.lit(1)), ["x", "y"], "left"
+    )
+    w = closed.agg(
+        F.count(F.lit(1)).alias("n_wedges"),
+        F.coalesce(F.sum("is_edge"), F.lit(0)).alias("n_closed"),
+    )
+    counts = names.agg(F.count(F.lit(1)).alias("n_names")).crossJoin(
+        edges.agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+    return counts.crossJoin(F.broadcast(w)).select(
+        F.col("n_names").cast("long").alias("n_names"),
+        F.col("n_edges").cast("long").alias("n_edges"),
+        F.col("n_wedges").cast("long").alias("n_wedges"),
+        F.col("n_closed").cast("long").alias("n_closed"),
+        F.when(
+            F.col("n_wedges") > 0, F.expr("(1000 * n_closed) div n_wedges")
+        )
+        .cast("long")
+        .alias("transitivity_milli"),
+    )

@@ -1552,3 +1552,95 @@ def ann_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_vec.groupBy("k_occ").agg(
         F.count(F.lit(1)).cast("long").alias("n_vectors")
     ).select(F.col("k_occ").cast("long").alias("k_occurrence"), "n_vectors")
+
+
+N_SHARDS = 4
+
+
+@register(
+    "ann_shard_plan",
+    oracle=f"""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding AS cv
+                  FROM embeddings WHERE vec_id < 16),
+    assigned AS (
+      SELECT id, cent_id FROM (
+        SELECT e.vec_id AS id, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_sql_cos('e.embedding', 'c.cv')} DESC,
+                                           c.cent_id) AS rn
+        FROM embeddings e CROSS JOIN cent c)
+      WHERE rn = 1),
+    cells AS (SELECT cent_id, count(*) AS n_vecs FROM assigned GROUP BY cent_id),
+    ranked AS (SELECT cent_id, n_vecs,
+                      row_number() OVER (ORDER BY n_vecs DESC, cent_id) AS rn
+               FROM cells)
+    SELECT CAST(cent_id AS BIGINT) AS cent_id,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           CAST(CASE WHEN ((rn - 1) // {N_SHARDS}) % 2 = 0
+                     THEN (rn - 1) % {N_SHARDS}
+                     ELSE {N_SHARDS - 1} - (rn - 1) % {N_SHARDS}
+                END AS BIGINT) AS shard_id
+    FROM ranked
+    """,
+    tags=("similarity", "layout", "llm-pipeline", "scale"),
+)
+def ann_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serving-SHARD plan for the IVF index — the layout step between
+    training a quantizer and serving queries: assign every vector to its
+    cell (the same deterministic min-id-centroid assignment
+    ann_ivf_topk probes), then pack the cells onto {N_SHARDS} shards in
+    SNAKE order (cells ranked by population descending; rank r goes to
+    shard (r−1)%S on even rounds and its mirror on odd rounds). Snake
+    packing is the CLOSED-FORM cousin of LPT greedy: near-balanced
+    loads (each shard gets one cell per round, large-with-small), but
+    expressible as pure rank arithmetic — no sequential least-loaded
+    loop, so both engines compute the identical plan and a 100 TB
+    planner runs it as one dimension-sized window, never a driver loop.
+    Per-cell output keeps the plan auditable (the shard loads and the
+    imbalance bound are asserted in tests against a pure-Python snake
+    reference).
+
+    Scale: the assignment is one broadcast of K centroids against the
+    corpus (K = √n in the production tier — kmeans_embeddings supplies
+    trained centroids through the same machinery); everything after is
+    K-row dimension work."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from pyspark.sql.window import Window
+
+    cent = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("embedding").alias("cv"),
+        S.norm_double(F.col("embedding")).alias("nc"),
+    )
+    e = emb.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+        S.norm_double(F.col("embedding")).alias("nv"),
+    )
+    scored = e.crossJoin(F.broadcast(cent)).select(
+        "id",
+        "cent_id",
+        F.try_divide(
+            S.dot_double(F.col("v"), F.col("cv")), F.col("nv") * F.col("nc")
+        ).alias("cos_c"),
+    )
+    w_assign = Window.partitionBy("id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    assigned = (
+        scored.withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") == 1)
+        .select("id", "cent_id")
+    )
+    cells = assigned.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n_vecs"))
+    w_rank = Window.orderBy(F.desc("n_vecs"), F.asc("cent_id"))  # K cells only
+    return (
+        cells.withColumn("rn", F.row_number().over(w_rank))
+        .select(
+            F.col("cent_id").cast("long").alias("cent_id"),
+            F.col("n_vecs").cast("long").alias("n_vecs"),
+            F.expr(
+                f"CAST(CASE WHEN ((rn - 1) div {N_SHARDS}) % 2 = 0"
+                f" THEN (rn - 1) % {N_SHARDS}"
+                f" ELSE {N_SHARDS - 1} - (rn - 1) % {N_SHARDS} END AS BIGINT)"
+            ).alias("shard_id"),
+        )
+    )

@@ -193,3 +193,64 @@ def test_blocking_audit_laws(spark, sf_dir):
     ).count()
     assert rows["length_band"].n_candidates == banded
     assert rows[f"snm_rev_w{SNM_WINDOW}"].n_candidates <= n_names * SNM_WINDOW
+
+
+def test_er_transitivity_matches_python(spark, sf_dir):
+    """Wedge/closure accounting recomputed from the collected edge set:
+    n_wedges = sum over nodes of C(deg,2); n_closed = 3 * triangles
+    counted directly; the milli ratio is the guarded integer division."""
+    from collections import defaultdict
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+    from streamprocessing_spark.sources.readers import load_table
+
+    names = [
+        r.p_name
+        for r in load_table(spark, sf_dir, "part")
+        .where(F.col("p_name").isNotNull())
+        .select("p_name").distinct().collect()
+    ]
+    edges = set()
+    by_len = defaultdict(list)
+    for nm in names:
+        by_len[len(nm)].append(nm)
+
+    def lev(a, b):
+        # O(len^2) DP, fine at fixture scale
+        if a > b:
+            a, b = b, a
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[-1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    for la, group in by_len.items():
+        for lb in (la, la + 1, la + 2):
+            for x in group:
+                for y in by_len.get(lb, []):
+                    # normalize AFTER the distance test: the smaller
+                    # string can live in the longer length group
+                    if x != y and lev(x, y) <= 2:
+                        edges.add((min(x, y), max(x, y)))
+    nbrs = defaultdict(set)
+    for x, y in edges:
+        nbrs[x].add(y)
+        nbrs[y].add(x)
+    n_wedges = sum(len(vs) * (len(vs) - 1) // 2 for vs in nbrs.values())
+    n_closed = sum(
+        1
+        for m, vs in nbrs.items()
+        for x, y in combinations(sorted(vs), 2)
+        if (min(x, y), max(x, y)) in edges
+    )
+    row = SPECS["er_match_transitivity_audit"].fn(spark, sf_dir).first()
+    assert row.n_edges == len(edges)
+    assert row.n_wedges == n_wedges
+    assert row.n_closed == n_closed
+    if n_wedges:
+        assert row.transitivity_milli == (1000 * n_closed) // n_wedges

@@ -38,6 +38,7 @@ HOSTILE_EXCLUSIONS: dict[str, str] = {
     "sorted_neighborhood_pairs": "DuckDB levenshtein is byte-based on multibyte text",
     "golden_record_parts": "DuckDB levenshtein is byte-based on multibyte text",
     "blocking_strategy_audit": "DuckDB levenshtein is byte-based on multibyte text",
+    "er_match_transitivity_audit": "DuckDB levenshtein is byte-based on multibyte text",
     # The schema_of_variant drift column exists to DETECT heterogeneous
     # document shapes; the hostile props pool injects exactly that, so
     # the column correctly diverges from the oracle's clean-corpus

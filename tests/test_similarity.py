@@ -216,3 +216,29 @@ def test_hubness_conservation_and_shape(spark, sf_dir):
     assert sum(r.n_vectors for r in rows) == n
     assert sum(r.k_occurrence * r.n_vectors for r in rows) == n * KNN_K
     assert all(r.k_occurrence >= 0 and r.n_vectors > 0 for r in rows)
+
+
+def test_ann_shard_plan_snake_balance(spark, sf_dir):
+    """(a) Σ n_vecs over cells == corpus size (assignment partitions);
+    (b) shard ids are exactly the snake pattern recomputed in Python;
+    (c) snake packing's balance bound holds: max load − min load <=
+    the largest single cell."""
+    from collections import defaultdict
+
+    from streamprocessing_spark.queries.similarity import N_SHARDS
+    from streamprocessing_spark.sources.readers import load_table
+
+    rows = SPECS["ann_shard_plan"].fn(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n
+    ranked = sorted(rows, key=lambda r: (-r.n_vecs, r.cent_id))
+    for i, r in enumerate(ranked):
+        rnd, pos = divmod(i, N_SHARDS)
+        expect = pos if rnd % 2 == 0 else N_SHARDS - 1 - pos
+        assert r.shard_id == expect
+    loads = defaultdict(int)
+    for r in rows:
+        loads[r.shard_id] += r.n_vecs
+    if len(loads) == N_SHARDS:
+        biggest_cell = max(r.n_vecs for r in rows)
+        assert max(loads.values()) - min(loads.values()) <= biggest_cell
