@@ -151,6 +151,10 @@ HEADLINE = [
     "variance_optimal_allocation_sample",
     "clustering_skipping_compare",
     "blocking_strategy_audit",
+    "sessionization_gap_sensitivity",
+    "late_arrival_audit",
+    "ann_shard_plan",
+    "er_match_transitivity_audit",
 ]
 
 

@@ -161,6 +161,8 @@ PLAN_SET = [
     "blocking_strategy_audit",
     "sessionization_gap_sensitivity",
     "late_arrival_audit",
+    "ann_shard_plan",
+    "er_match_transitivity_audit",
 ]
 
 

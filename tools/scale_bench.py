@@ -140,9 +140,8 @@ QUERIES = (
     "dedup_cluster_size_histogram",
     "multimodal_phash_arrow",
     # round-3 second-session additions over the proxied tables
-    # (isotonic_hourly_value absent: its cost driver is the events
-    # table, which the proxy does not grow; group_by_all /
-    # script_transform ride orders/part — same reason)
+    # (group_by_all / script_transform ride orders/part — pass-through
+    # dimensions, nothing to measure)
     "ccnet_perplexity_buckets",
     "dsir_importance_weights",
     "char_entropy_filter",
@@ -163,6 +162,7 @@ QUERIES = (
     "sessionization_gap_sensitivity",
     "late_arrival_audit",
     "variance_optimal_allocation_sample",
+    "ann_shard_plan",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
