@@ -804,7 +804,11 @@ def containment_prefix_pairs(df: DataFrame, id_col: str, text_col: str) -> DataF
     Shuffles: shingle-frequency join, one per-doc window, the
     prefix-probe equi-join, one verify aggregation — all keyed on
     shingle or doc id, never all-pairs. 100 TB posture matches the
-    PPJoin tier (measured 461×/9.5× candidate reduction machinery)."""
+    PPJoin tier (measured 461×/9.5× candidate reduction machinery).
+    The shingle frame is deliberately RECOMPUTED per consumer (6 scans
+    in the plan): it is larger than its input, so re-scanning the
+    corpus beats materializing it — the minhash family's measured
+    recompute-over-persist trade (SCALE.md duplicate-scan audit)."""
     sh = shingle_df(df, id_col, text_col)
     freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("f"))
     w_ord = Window.partitionBy("id").orderBy(F.col("f").asc(), F.col("sh").asc())

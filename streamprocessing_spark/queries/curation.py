@@ -2629,12 +2629,15 @@ def variance_optimal_allocation_sample(spark: SparkSession, sf_dir: str) -> Data
         F.expr(f"sum({dec})").alias("s1"),
         F.expr(f"sum({dec} * n_chars)").alias("s2"),
     )
+    # strata frame is dimension-sized; checkpointing it collapses what
+    # would be FIVE documents scans (Catalyst does not CSE unpersisted
+    # subtrees — every downstream consumer re-runs the groupBy) to two
     w0 = st.select(
         "source",
         "lang",
         "n",
         F.expr("COALESCE((n * s2 - s1 * s1) div n, 0)").alias("w_raw"),
-    )
+    ).localCheckpoint(eager=True)
     tot = w0.agg(
         F.sum("w_raw").alias("w_all"), F.sum("n").alias("n_all")
     )

@@ -1577,7 +1577,9 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale shape as the exact-dedup tier, never all-pairs. Docs shorter
     than the shingle width keep a row with zero counts and NULL novelty
     (the hostile-fixture convention: absence of evidence is NULL, not a
-    fake 0.0 score)."""
+    fake 0.0 score). The shingle frame is recomputed per consumer
+    (3 corpus scans) rather than materialized — it is larger than its
+    input; the minhash family's measured trade (SCALE.md)."""
     from streamprocessing_spark.operators import dedup as D
 
     d = load_table(spark, sf_dir, "documents")

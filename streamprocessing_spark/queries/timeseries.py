@@ -2885,6 +2885,9 @@ def interval_overlap_peak_sessions(spark: SparkSession, sf_dir: str) -> DataFram
         ev.select(F.expr(f"unix_micros(ts) div {_HR_US}").alias("hr"))
         .groupBy("hr")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        # hour histogram is dimension-sized and feeds TWO consumers
+        # (total + peak filter) — checkpoint or the events scan runs twice
+        .localCheckpoint(eager=True)
     )
     tot = hrs.agg(
         F.count(F.lit(1)).alias("n_hours"), F.sum("cnt").alias("total")

@@ -580,3 +580,21 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
         df = o.join(c.hint(hint), o.o_custkey == c.c_custkey).select("o_orderkey")
         plan = X.formatted_plan(df)
         assert op in plan, (hint, plan)
+
+
+def test_round4_dimension_aggregates_checkpointed(spark, sf_dir):
+    """The round-3 systemic find applied to round-4 ops: dimension-sized
+    shared aggregates must be materialized so fact tables are scanned
+    once — variance allocation was measured at FIVE documents scans and
+    the interval join at three events scans before their strata/hour
+    frames were checkpointed."""
+    import re
+    from collections import Counter
+
+    for name, table, limit in (
+        ("variance_optimal_allocation_sample", "documents", 1),
+        ("interval_overlap_peak_sessions", "events", 1),
+    ):
+        plan = X.formatted_plan(SPECS[name].fn(spark, sf_dir))
+        scans = Counter(re.findall(r"Location:.*?([a-z_]+)\.parquet", plan))
+        assert scans.get(table, 0) <= limit, (name, dict(scans))
