@@ -281,3 +281,61 @@ def multimodal_audio_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     media = M.attach_payload(d, "doc_id", "text")
     return M.audio_energy_frames(media)
+
+
+def _sql_media_manifest() -> str:
+    from streamprocessing_spark.operators.dedup import sql_connected_components
+
+    cc = sql_connected_components(_sql_phash_oracle())
+    return f"""
+    WITH comp AS MATERIALIZED ({cc})
+    SELECT d.doc_id AS media_id,
+           CAST(COALESCE(c.component, d.doc_id) AS BIGINT) AS canonical_id,
+           COALESCE(c.component, d.doc_id) = d.doc_id AS is_canonical
+    FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+    """
+
+
+@register(
+    "multimodal_dedup_manifest",
+    oracle=_sql_media_manifest(),
+    tags=("multimodal", "dedup", "llm-pipeline"),
+)
+def multimodal_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MEDIA dedup manifest — the multimodal twin of
+    dedup_keep_canonical, composed end-to-end: perceptual-hash kernel
+    (Arrow-batched over payload bytes) → 4×15-bit band-bucket candidates
+    (pigeonhole-exact at hamming ≤ 3) → popcount verify →
+    large-star/small-star connected components → one canonical id per
+    near-duplicate cluster. Every media row keeps a manifest entry
+    (media_id, canonical_id, is_canonical) — the table a training
+    pipeline joins against to drop duplicate images/audio while
+    retaining provenance of WHAT was dropped and WHY (canonical_id
+    points at the kept twin).
+
+    Scale shape: all stages are the audited paths — payloads never
+    shuffle (8-byte hashes do), banding is O(media × 4 bands), the
+    component graph is pair-sized, and the manifest join is a broadcast
+    of the clustered sliver against the corpus. The oracle replays the
+    whole cascade including the kernel arithmetic and the recursive-CTE
+    reachability closure."""
+    from streamprocessing_spark.operators import dedup as D
+
+    d = load_table(spark, sf_dir, "documents")
+    media = M.attach_payload(d, "doc_id", "text")
+    pairs = M.phash_neardup_pairs(media).select("id_a", "id_b")
+    comp = D.connected_components(pairs)
+    return (
+        d.select(F.col("doc_id").alias("media_id"))
+        .join(F.broadcast(comp), F.col("media_id") == F.col("id"), "left")
+        .select(
+            "media_id",
+            F.coalesce(F.col("component"), F.col("media_id"))
+            .cast("long")
+            .alias("canonical_id"),
+            (
+                F.coalesce(F.col("component"), F.col("media_id"))
+                == F.col("media_id")
+            ).alias("is_canonical"),
+        )
+    )
