@@ -155,6 +155,7 @@ HEADLINE = [
     "late_arrival_audit",
     "ann_shard_plan",
     "er_match_transitivity_audit",
+    "multimodal_dedup_manifest",
 ]
 
 

@@ -163,6 +163,7 @@ PLAN_SET = [
     "late_arrival_audit",
     "ann_shard_plan",
     "er_match_transitivity_audit",
+    "multimodal_dedup_manifest",
 ]
 
 
