@@ -163,6 +163,7 @@ QUERIES = (
     "late_arrival_audit",
     "variance_optimal_allocation_sample",
     "ann_shard_plan",
+    "multimodal_dedup_manifest",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
