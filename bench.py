@@ -156,6 +156,8 @@ HEADLINE = [
     "ann_shard_plan",
     "er_match_transitivity_audit",
     "multimodal_dedup_manifest",
+    "longest_duplicated_span",
+    "funnel_steps_dropoff",
 ]
 
 

@@ -4668,3 +4668,105 @@ def map_hof_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         # double bound) — the maps carry the raw (n, cents) pair
         F.expr("CAST(v.cents div v.n AS BIGINT)").alias("avg_cents"),
     )
+
+
+_FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+# (event time, event id) packed into one orderable integer: micros get
+# 24 low bits for the id, so same-instant events still chain
+# deterministically. DECIMAL(38)/HUGEINT because the product tops 2^63.
+_FUNNEL_KEY = "CAST(unix_micros(ts) AS DECIMAL(38,0)) * 16777216 + event_id"
+_FUNNEL_KEY_DUCK = "CAST(epoch_us(ts) AS HUGEINT) * 16777216 + event_id"
+
+
+def _sql_funnel() -> str:
+    steps = _FUNNEL_STEPS
+    ctes = [
+        f"ev AS (SELECT user_id, event_type, {_FUNNEL_KEY_DUCK} AS k FROM events)",
+        f"s1 AS (SELECT user_id, min(k) AS k1 FROM ev"
+        f" WHERE event_type = '{steps[0]}' GROUP BY user_id)",
+    ]
+    for i in range(1, len(steps)):
+        ctes.append(
+            f"s{i + 1} AS (SELECT e.user_id, min(e.k) AS k{i + 1}"
+            f" FROM ev e JOIN s{i} p ON e.user_id = p.user_id"
+            f" WHERE e.event_type = '{steps[i]}' AND e.k > p.k{i}"
+            f" GROUP BY e.user_id)"
+        )
+    legs = "\n      UNION ALL\n".join(
+        f"      SELECT {i + 1} AS step_idx, '{s}' AS step,"
+        f" (SELECT count(*) FROM s{i + 1}) AS n_users"
+        for i, s in enumerate(steps)
+    )
+    return f"""
+    WITH {", ".join(ctes)},
+    counts AS (
+{legs}
+    )
+    SELECT CAST(step_idx AS BIGINT) AS step_idx, step,
+           CAST(n_users AS BIGINT) AS n_users,
+           CAST(CASE WHEN (SELECT n_users FROM counts WHERE step_idx = 1) > 0
+                THEN (1000 * n_users) //
+                     (SELECT n_users FROM counts WHERE step_idx = 1)
+                END AS BIGINT) AS conversion_milli
+    FROM counts
+    """
+
+
+@register(
+    "funnel_steps_dropoff",
+    oracle=_sql_funnel(),
+    tags=("analytics", "funnel", "session"),
+)
+def funnel_steps_dropoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered k-step FUNNEL (signup → view → click → purchase) — the
+    drop-off table product analytics is built on, with the
+    ordered-subsequence semantics stated exactly: a user reaches step i
+    iff an event of step i's type exists strictly AFTER the user's
+    earliest feasible step-(i−1) event (greedy-earliest chaining, which
+    maximizes completion and is the standard funnel contract). Event
+    order is the (time, event_id) pack — one orderable DECIMAL(38)
+    integer, so same-instant events chain deterministically on both
+    engines. funnel_click_to_purchase is the 2-step range-join cousin;
+    this is the general k-step ladder.
+
+    Scale shape: k sequential per-user conditional-min aggregates, each
+    one shuffle keyed on user_id — Catalyst reuses the exchange across
+    stages (same key), and each stage's frame shrinks (only survivors
+    propagate). The final table is k rows; the step-1 denominator is a
+    broadcast. No windows over the fact table, no event-type pivot
+    holding all steps in memory per user."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.expr(_FUNNEL_KEY).alias("k")
+    )
+    steps = _FUNNEL_STEPS
+    prev = (
+        ev.where(F.col("event_type") == steps[0])
+        .groupBy("user_id")
+        .agg(F.min("k").alias("pk"))
+    )
+    counts = [prev.agg(F.count(F.lit(1)).alias("n_users"))
+              .select(F.lit(1).alias("step_idx"), F.lit(steps[0]).alias("step"), "n_users")]
+    for i, s in enumerate(steps[1:], start=2):
+        prev = (
+            ev.where(F.col("event_type") == s)
+            .join(prev, "user_id")
+            .where(F.col("k") > F.col("pk"))
+            .groupBy("user_id")
+            .agg(F.min("k").alias("pk"))
+        )
+        counts.append(
+            prev.agg(F.count(F.lit(1)).alias("n_users"))
+            .select(F.lit(i).alias("step_idx"), F.lit(s).alias("step"), "n_users")
+        )
+    table = counts[0]
+    for c in counts[1:]:
+        table = table.unionAll(c)
+    base = counts[0].select(F.col("n_users").alias("n1"))
+    return table.crossJoin(F.broadcast(base)).select(
+        F.col("step_idx").cast("long").alias("step_idx"),
+        "step",
+        F.col("n_users").cast("long").alias("n_users"),
+        F.when(F.col("n1") > 0, F.expr("(1000 * n_users) div n1"))
+        .cast("long")
+        .alias("conversion_milli"),
+    )

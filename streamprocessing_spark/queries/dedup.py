@@ -318,11 +318,11 @@ def duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(0)
         .alias("new_island"),
     ).select("doc_id", "pos", F.sum("new_island").over(w_run).alias("island"))
-    cov = (
-        isl.groupBy("doc_id", "island")
-        .agg(F.min("pos").alias("min_pos"), F.max("pos").alias("max_pos"))
-        .groupBy("doc_id")
-        .agg(F.sum(F.col("max_pos") - F.col("min_pos") + SPAN_GRAM).alias("covered"))
+    spans = isl.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("min_pos"), F.max("pos").alias("max_pos")
+    )
+    cov = spans.groupBy("doc_id").agg(
+        F.sum(F.col("max_pos") - F.col("min_pos") + SPAN_GRAM).alias("covered")
     )
     return (
         toks.where(F.col("n") > 0)
@@ -331,6 +331,110 @@ def duplicate_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.col("n").cast("long").alias("n_tokens"),
             F.coalesce(F.col("covered"), F.lit(0)).cast("long").alias("dup_covered_tokens"),
+        )
+    )
+
+
+_SQL_LONGEST_SPAN = _SQL_SPAN_COVERAGE.replace(
+    f"""cov AS (
+      SELECT doc_id, sum(max_pos - min_pos + {SPAN_GRAM}) AS covered
+      FROM (SELECT doc_id, island, min(pos) AS min_pos, max(pos) AS max_pos
+            FROM isl2 GROUP BY doc_id, island)
+      GROUP BY doc_id)
+    SELECT toks.doc_id, CAST(toks.n AS BIGINT) AS n_tokens,
+           CAST(coalesce(cov.covered, 0) AS BIGINT) AS dup_covered_tokens""",
+    f"""cov AS (
+      SELECT doc_id, max(max_pos - min_pos + {SPAN_GRAM}) AS longest
+      FROM (SELECT doc_id, island, min(pos) AS min_pos, max(pos) AS max_pos
+            FROM isl2 GROUP BY doc_id, island)
+      GROUP BY doc_id)
+    SELECT toks.doc_id, CAST(toks.n AS BIGINT) AS n_tokens,
+           CAST(coalesce(cov.longest, 0) AS BIGINT) AS longest_dup_span_tokens""",
+)
+assert "longest_dup_span_tokens" in _SQL_LONGEST_SPAN  # replace() must have hit
+
+
+@register(
+    "longest_duplicated_span",
+    oracle=_SQL_LONGEST_SPAN,
+    tags=("dedup", "llm-pipeline", "quality", "observability"),
+)
+def longest_duplicated_span(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest corpus-repeated SPAN per document (in tokens) — the
+    memorization-risk metric from Lee et al.'s exact-substring dedup:
+    duplicate_span_coverage answers "how MUCH of this doc is
+    boilerplate", this answers "how LONG is the worst verbatim block" —
+    the number that decides between down-weighting (short scattered
+    spans) and hard removal (one 500-token verbatim quote a model will
+    memorize). Same machinery end-to-end: duplicated 8-gram start
+    positions, gaps-and-islands merge of overlapping [pos, pos+7]
+    intervals, then MAX island length instead of the coverage SUM.
+    Docs with no duplicated grams report 0 (a true measured zero, not
+    absence). Scale shape identical to duplicate_span_coverage: one
+    gram-keyed shuffle, doc-partitioned windows, no global sort."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        T.tokens(F.col("text")).alias("t"),
+        T.token_count(F.col("text")).alias("n"),
+    )
+    grams = (
+        toks.where(F.col("n") >= SPAN_GRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(CAST(0 AS BIGINT), n - {SPAN_GRAM})")
+            ).alias("pos"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.array_join(
+                F.expr(f"slice(t, CAST(pos + 1 AS INT), {SPAN_GRAM})"), " "
+            ).alias("gram"),
+        )
+    )
+    gcnt = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    dup = grams.join(gcnt.where(F.col("c") >= 2), "gram").select("doc_id", "pos")
+    from pyspark.sql.window import Window
+
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    isl = dup.select(
+        "doc_id",
+        "pos",
+        F.when(
+            F.col("pos")
+            > F.coalesce(F.max(F.col("pos") + SPAN_GRAM - 1).over(w_prev), F.lit(-1)),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    ).select("doc_id", "pos", F.sum("new_island").over(w_run).alias("island"))
+    longest = (
+        isl.groupBy("doc_id", "island")
+        .agg(F.min("pos").alias("min_pos"), F.max("pos").alias("max_pos"))
+        .groupBy("doc_id")
+        .agg(F.max(F.col("max_pos") - F.col("min_pos") + SPAN_GRAM).alias("longest"))
+    )
+    return (
+        toks.where(F.col("n") > 0)
+        .join(longest, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n").cast("long").alias("n_tokens"),
+            F.coalesce(F.col("longest"), F.lit(0))
+            .cast("long")
+            .alias("longest_dup_span_tokens"),
         )
     )
 

@@ -184,3 +184,19 @@ def test_ngram_novelty_laws(spark, sf_dir):
         out.where(F.col("n_shingles") > 0).orderBy("doc_id").first()
     )
     assert first_doc.novelty == 1.0
+
+
+def test_longest_span_vs_coverage_laws(spark, sf_dir):
+    """Per doc: longest island <= total coverage <= n_tokens; docs with
+    zero coverage have zero longest; a doc with ONE island has
+    longest == coverage exactly."""
+    from pyspark.sql import functions as F
+
+    cov = {r.doc_id: r.dup_covered_tokens
+           for r in all_specs()["duplicate_span_coverage"].fn(spark, sf_dir).collect()}
+    rows = all_specs()["longest_duplicated_span"].fn(spark, sf_dir).collect()
+    assert len(rows) == len(cov)
+    for r in rows:
+        assert r.longest_dup_span_tokens <= cov[r.doc_id] <= r.n_tokens
+        assert (r.longest_dup_span_tokens == 0) == (cov[r.doc_id] == 0)
+    assert any(r.longest_dup_span_tokens > 0 for r in rows)

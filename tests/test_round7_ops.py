@@ -481,3 +481,38 @@ def test_schema_evolution_legacy_cohort_is_exactly_even_keys(spark, sf_dir):
         F.sum(F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long"))
     ).first()[0]
     assert sum(r.cents for r in rows) == total_cents
+
+
+def test_funnel_monotone_and_matches_python(spark, sf_dir):
+    """Step counts are non-increasing, and the greedy-earliest chain is
+    replayed per user in pure Python."""
+    from collections import defaultdict
+
+    from streamprocessing_spark.queries.analytics import _FUNNEL_STEPS
+    from streamprocessing_spark.registry import all_specs
+    from streamprocessing_spark.sources.readers import load_table
+
+    rows = sorted(
+        all_specs()["funnel_steps_dropoff"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.step_idx,
+    )
+    counts = [r.n_users for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    assert rows[0].conversion_milli == 1000 if counts[0] else True
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    per_user = defaultdict(list)
+    for e in ev:
+        k = int(e.ts.timestamp() * 1_000_000) * 16_777_216 + e.event_id
+        per_user[e.user_id].append((k, e.event_type))
+    expect = [0] * len(_FUNNEL_STEPS)
+    for _u, evs in per_user.items():
+        evs.sort()
+        cur = -1
+        for i, step in enumerate(_FUNNEL_STEPS):
+            nxt = min((k for k, t in evs if t == step and k > cur), default=None)
+            if nxt is None:
+                break
+            expect[i] += 1
+            cur = nxt
+    assert counts == expect

@@ -164,6 +164,8 @@ PLAN_SET = [
     "ann_shard_plan",
     "er_match_transitivity_audit",
     "multimodal_dedup_manifest",
+    "longest_duplicated_span",
+    "funnel_steps_dropoff",
 ]
 
 

@@ -164,6 +164,8 @@ QUERIES = (
     "variance_optimal_allocation_sample",
     "ann_shard_plan",
     "multimodal_dedup_manifest",
+    "longest_duplicated_span",
+    "funnel_steps_dropoff",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
