@@ -822,3 +822,127 @@ def dedup_containment_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     operators/dedup.containment_prefix_pairs for the 100 TB posture."""
     d = load_table(spark, sf_dir, "documents")
     return D.containment_prefix_pairs(d, "doc_id", "text")
+
+
+def _sql_recall_curve() -> str:
+    h = D.sql_h32("sh")
+    mins = ",\n           ".join(
+        f"min(({a} * {h} + {b}) % {D.MOD32}) AS mh_{j}"
+        for j, (a, b) in enumerate(D.COEFFS)
+    )
+    band_rows = "\n      UNION ALL\n".join(
+        "      SELECT id, {b} AS band, {sig} AS sig FROM sig_t".format(
+            b=b,
+            sig=" || '-' || ".join(
+                f"CAST(mh_{b * D.ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(D.ROWS_PER_BAND)
+            ),
+        )
+        for b in range(D.BANDS)
+    )
+    return f"""
+    WITH {D.sql_shingles()},
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    sig_t AS (SELECT id,
+           {mins}
+           FROM sh GROUP BY id),
+    buckets AS (
+{band_rows}
+    ),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM buckets a
+             JOIN buckets b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+    common AS (SELECT a.id AS id_a, b.id AS id_b, count(*) AS c
+               FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+               GROUP BY 1, 2),
+    exact AS (
+      SELECT co.id_a, co.id_b,
+             CAST(floor((co.c * 1.0 / (sa.n + sb.n - co.c)) * 10000.0 + 0.5)
+                  AS BIGINT) AS j4
+      FROM common co
+      JOIN sizes sa ON co.id_a = sa.id
+      JOIN sizes sb ON co.id_b = sb.id
+      WHERE 2 * co.c >= sa.n + sb.n - co.c),
+    bucketed AS (
+      SELECT e.j4 // 500 AS bucket,
+             count(*) AS n_pairs,
+             sum(CASE WHEN cd.id_a IS NOT NULL THEN 1 ELSE 0 END) AS n_detected
+      FROM exact e
+      LEFT JOIN cand cd ON cd.id_a = e.id_a AND cd.id_b = e.id_b
+      GROUP BY 1)
+    SELECT CAST(bucket * 500 AS BIGINT) AS jaccard_lo_m4,
+           CAST(n_pairs AS BIGINT) AS n_pairs,
+           CAST(n_detected AS BIGINT) AS n_detected,
+           CAST((1000 * n_detected) // n_pairs AS BIGINT) AS detection_milli
+    FROM bucketed
+    """
+
+
+@register(
+    "dedup_minhash_recall_curve",
+    oracle=_sql_recall_curve(),
+    tags=("dedup", "llm-pipeline", "lsh", "observability", "statistics"),
+)
+def dedup_minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The EMPIRICAL MinHash detection S-curve on THIS corpus — the
+    measured companion to the analytic 1−(1−s^r)^b banding law: every
+    true pair with Jaccard ≥ 0.5 (exact shared-shingle join) bucketed
+    by similarity (0.05-wide bins on the integer-quantized jaccard, no
+    float bucket boundaries) with the fraction the 16×4 band-bucket
+    candidate stage actually catches. The curve a pipeline reads before
+    trusting the LSH tier at a new threshold: detection must be 1000
+    milli in every bucket ≥ 0.8 (the no-false-negative region the
+    lsh==exact test pins) and the sub-threshold roll-off is the recall
+    a cheaper threshold would trade away.
+
+    Scale shape: the candidate side is the audited banded self-join;
+    the exact side is the shared-shingle pair join at threshold 0.5 —
+    a CORRECTNESS-AUDIT cost (same family as the estimate audit), run
+    on a sample at 100 TB, not the whole corpus. Every compare is
+    cross-multiplied or quantized-integer arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = D.shingle_df(d, "doc_id", "text")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    sa = sh.select(F.col("id").alias("id_a"), "sh")
+    sb = sh.select(F.col("id").alias("id_b"), "sh")
+    common = (
+        sa.join(sb, ["sh"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    na = sizes.select(F.col("id").alias("id_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("id").alias("id_b"), F.col("n").alias("nb"))
+    exact = (
+        common.join(na, "id_a")
+        .join(nb, "id_b")
+        .where(2 * F.col("c") >= F.col("na") + F.col("nb") - F.col("c"))
+        .select(
+            "id_a",
+            "id_b",
+            F.floor(
+                (F.col("c") / (F.col("na") + F.col("nb") - F.col("c")))
+                * 10000.0
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("j4"),
+        )
+    )
+    cand = D.lsh_candidate_pairs(D.minhash_signature_df(sh)).withColumn(
+        "hit", F.lit(1)
+    )
+    bucketed = (
+        exact.join(cand, ["id_a", "id_b"], "left")
+        .groupBy(F.expr("j4 div 500").alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.coalesce(F.sum("hit"), F.lit(0)).alias("n_detected"),
+        )
+    )
+    return bucketed.select(
+        (F.col("bucket") * 500).cast("long").alias("jaccard_lo_m4"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_detected").cast("long").alias("n_detected"),
+        F.expr("(1000 * n_detected) div n_pairs").cast("long").alias("detection_milli"),
+    )

@@ -200,3 +200,17 @@ def test_longest_span_vs_coverage_laws(spark, sf_dir):
         assert r.longest_dup_span_tokens <= cov[r.doc_id] <= r.n_tokens
         assert (r.longest_dup_span_tokens == 0) == (cov[r.doc_id] == 0)
     assert any(r.longest_dup_span_tokens > 0 for r in rows)
+
+
+def test_recall_curve_no_false_negative_region(spark, sf_dir):
+    """Buckets at or above the 0.8 design threshold must detect at
+    exactly 1000 milli (the lsh==exact theorem restated as a curve),
+    detected <= pairs everywhere, and bucket edges are multiples of
+    the 0.05 quantization."""
+    rows = all_specs()["dedup_minhash_recall_curve"].fn(spark, sf_dir).collect()
+    assert rows, "fixture has near-dup pairs above 0.5"
+    for r in rows:
+        assert 0 <= r.n_detected <= r.n_pairs
+        assert r.jaccard_lo_m4 % 500 == 0
+        if r.jaccard_lo_m4 >= 8000:
+            assert r.detection_milli == 1000, r
