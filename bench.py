@@ -158,6 +158,7 @@ HEADLINE = [
     "multimodal_dedup_manifest",
     "longest_duplicated_span",
     "funnel_steps_dropoff",
+    "dedup_minhash_recall_curve",
 ]
 
 

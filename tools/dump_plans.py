@@ -166,6 +166,7 @@ PLAN_SET = [
     "multimodal_dedup_manifest",
     "longest_duplicated_span",
     "funnel_steps_dropoff",
+    "dedup_minhash_recall_curve",
 ]
 
 
