@@ -4671,11 +4671,14 @@ def map_hof_user_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _FUNNEL_STEPS = ("signup", "view", "click", "purchase")
-# (event time, event id) packed into one orderable integer: micros get
-# 24 low bits for the id, so same-instant events still chain
-# deterministically. DECIMAL(38)/HUGEINT because the product tops 2^63.
-_FUNNEL_KEY = "CAST(unix_micros(ts) AS DECIMAL(38,0)) * 16777216 + event_id"
-_FUNNEL_KEY_DUCK = "CAST(epoch_us(ts) AS HUGEINT) * 16777216 + event_id"
+# (event time, event id) packed into one orderable integer: the id slot
+# is 10^19 wide — strictly larger than any non-negative BIGINT
+# (max 2^63-1 ≈ 9.2e18) — so the pack is collision- and misorder-free
+# for the ENTIRE id domain, no scale-factor guard needed (ADVICE r04).
+# DECIMAL(38)/HUGEINT hold the product: micros ≈ 7e15 × 1e19 ≈ 7e34.
+_FUNNEL_ID_SLOT = 10**19
+_FUNNEL_KEY = f"CAST(unix_micros(ts) AS DECIMAL(38,0)) * {_FUNNEL_ID_SLOT} + event_id"
+_FUNNEL_KEY_DUCK = f"CAST(epoch_us(ts) AS HUGEINT) * {_FUNNEL_ID_SLOT} + event_id"
 
 
 def _sql_funnel() -> str:

@@ -2632,11 +2632,26 @@ def variance_optimal_allocation_sample(spark: SparkSession, sf_dir: str) -> Data
     # strata frame is dimension-sized; checkpointing it collapses what
     # would be FIVE documents scans (Catalyst does not CSE unpersisted
     # subtrees — every downstream consumer re-runs the groupBy) to two
+    # Overflow guard (ADVICE r04): on DECIMAL(38,0), s1*s1 overflows once
+    # a stratum's n_chars sum tops ~1.3e19 — non-ANSI Spark yields NULL,
+    # which a bare COALESCE would silently turn into weight 0 while the
+    # DuckDB HUGEINT oracle stays exact (or errors): a cross-engine
+    # divergence. NULL-with-non-NULL-s1 can ONLY mean overflow (s1/s2 go
+    # NULL together), so that case now raises loudly on both engines
+    # (DuckDB's HUGEINT overflow already errors by itself); the COALESCE
+    # keeps handling the legitimate all-NULL-measurement stratum.
     w0 = st.select(
         "source",
         "lang",
         "n",
-        F.expr("COALESCE((n * s2 - s1 * s1) div n, 0)").alias("w_raw"),
+        F.expr(
+            "CASE WHEN s1 IS NOT NULL AND (n * s2 - s1 * s1) IS NULL THEN "
+            "CAST(raise_error('variance_optimal_allocation_sample: "
+            "DECIMAL(38) overflow in n*s2 - s1*s1 (stratum n_chars sum "
+            "> ~1.3e19); switch to the centered two-pass form') "
+            "AS DECIMAL(38,0)) "
+            "ELSE COALESCE((n * s2 - s1 * s1) div n, 0) END"
+        ).alias("w_raw"),
     ).localCheckpoint(eager=True)
     tot = w0.agg(
         F.sum("w_raw").alias("w_all"), F.sum("n").alias("n_all")

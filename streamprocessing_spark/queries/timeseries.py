@@ -2989,7 +2989,15 @@ def max_concurrent_sessions_daily(spark: SparkSession, sf_dir: str) -> DataFrame
     sweep — so the decomposition identity is re-proven on every run."""
     sessions = _sessions_df(spark, sf_dir).localCheckpoint()
     starts = sessions.select(F.col("s_start_us").alias("p"), F.lit(1).alias("delta"))
-    ends = sessions.select((F.col("s_end_us") + 1).alias("p"), F.lit(-1).alias("delta"))
+    # An end delta lands at p = s_end_us + 1. When that p is EXACTLY a
+    # day boundary (p % DAY == 0) the session ended at the last
+    # microsecond of the previous day: it is inactive throughout day
+    # p div DAY AND absent from that day's carry (carry requires
+    # s_end_us >= d*DAY), so its -1 must not enter that day's prefix —
+    # it would deflate the baseline by 1 per boundary-ending session.
+    ends = sessions.select(
+        (F.col("s_end_us") + 1).alias("p"), F.lit(-1).alias("delta")
+    ).where((F.col("p") % _DAY_US) != 0)
     pts = (
         starts.unionAll(ends)
         .groupBy("p")

@@ -160,6 +160,30 @@ def test_variance_allocation_prefers_noisy_strata(spark):
     assert by_source["noisy"] == 50  # capped at the stratum population
 
 
+def test_variance_allocation_overflow_raises_not_zero(spark):
+    """ADVICE r04: a stratum whose n_chars sums push the DECIMAL(38,0)
+    terms past capacity must FAIL LOUDLY, not silently coalesce an
+    overflow NULL into weight 0 (which would treat the hottest stratum
+    as zero-variance while the HUGEINT oracle stays exact). Under ANSI
+    (Spark 4 default) the decimal aggregate itself raises
+    ARITHMETIC_OVERFLOW; with ANSI off, the query's explicit raise_error
+    guard fires instead — either way, never a silent zero."""
+    import os
+    import tempfile
+
+    import pytest
+
+    big = 9_000_000_000_000_000_000  # 2 rows: s1 = 1.8e19, s1^2 > 1e38
+    rows = [(1, "hot", "en", big), (2, "hot", "en", big)] + [
+        (10 + i, "cool", "en", 10 + i) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "lang", "n_chars"])
+    with tempfile.TemporaryDirectory() as td:
+        df.coalesce(1).write.parquet(os.path.join(td, "documents.parquet"))
+        with pytest.raises(Exception, match="(?i)overflow"):
+            SPECS["variance_optimal_allocation_sample"].fn(spark, td).collect()
+
+
 def test_blocking_audit_laws(spark, sf_dir):
     """(a) the length band is lossless (recall exactly 1000 milli);
     (b) found <= total for every strategy; (c) the histogram closed form

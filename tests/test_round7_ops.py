@@ -488,7 +488,7 @@ def test_funnel_monotone_and_matches_python(spark, sf_dir):
     replayed per user in pure Python."""
     from collections import defaultdict
 
-    from streamprocessing_spark.queries.analytics import _FUNNEL_STEPS
+    from streamprocessing_spark.queries.analytics import _FUNNEL_ID_SLOT, _FUNNEL_STEPS
     from streamprocessing_spark.registry import all_specs
     from streamprocessing_spark.sources.readers import load_table
 
@@ -503,7 +503,7 @@ def test_funnel_monotone_and_matches_python(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").collect()
     per_user = defaultdict(list)
     for e in ev:
-        k = int(e.ts.timestamp() * 1_000_000) * 16_777_216 + e.event_id
+        k = int(e.ts.timestamp() * 1_000_000) * _FUNNEL_ID_SLOT + e.event_id
         per_user[e.user_id].append((k, e.event_type))
     expect = [0] * len(_FUNNEL_STEPS)
     for _u, evs in per_user.items():

@@ -358,32 +358,74 @@ def _python_sessions(rows):
     return sessions
 
 
-def test_max_concurrency_matches_python_sweep(spark, sf_dir):
-    """The day-partitioned carry-in decomposition must equal a single
-    global pure-Python sweep line (+1 at start, -1 after end) evaluated
-    day by day — the decomposition identity proven against a reference
-    that never decomposes."""
-    sessions = _python_sessions(_events(spark, sf_dir))
+def _sweep_daily_max(sessions):
+    """Ground-truth daily peak concurrency from ONE GLOBAL sweep line
+    (+1 at start, -1 just after end) that never decomposes by day: each
+    day's max is max(carry at day start, conc at every sweep point
+    inside the day). Deliberately a different construction from the
+    query's per-day-prefix + carry decomposition, so boundary bugs in
+    the decomposition (e.g. a session ending at the last microsecond of
+    a day leaking its -1 into the next day) cannot hide."""
     DAY = 86_400_000_000
     deltas = Counter()
     for _u, s, e in sessions:
         deltas[s] += 1
         deltas[e + 1] -= 1
+    conc, conc_at = 0, {}
+    for p in sorted(deltas):
+        conc += deltas[p]
+        conc_at[p] = conc
     days = sorted({d for _u, s, e in sessions for d in range(s // DAY, e // DAY + 1)})
     expect = {}
     for d in days:
         carry = sum(1 for _u, s, e in sessions if s < d * DAY <= e)
-        conc, mx = carry, carry
-        for p in sorted(p for p in deltas if d * DAY <= p < (d + 1) * DAY):
-            conc += deltas[p]
-            mx = max(mx, conc)
-        expect[d] = mx
+        in_day = [conc_at[p] for p in conc_at if d * DAY <= p < (d + 1) * DAY]
+        expect[d] = max([carry, *in_day])
+    return expect
+
+
+def test_max_concurrency_matches_python_sweep(spark, sf_dir):
+    """The day-partitioned carry-in decomposition must equal a single
+    global pure-Python sweep line evaluated day by day — the
+    decomposition identity proven against a reference that never
+    decomposes."""
+    expect = _sweep_daily_max(_python_sessions(_events(spark, sf_dir)))
     got = {
         r.day_idx: r.max_concurrent
         for r in SPECS["max_concurrent_sessions_daily"].fn(spark, sf_dir).collect()
     }
     assert got == expect
     assert max(expect.values()) > 1, "fixture should exercise real concurrency"
+
+
+def test_max_concurrency_day_boundary_ending_session(spark, tmp_path):
+    """ADVICE r04 (high): a session ending at the LAST MICROSECOND of a
+    day places its end delta exactly on the next day's boundary — it is
+    in neither the next day's carry nor legitimately in its prefix, so
+    the unfixed construction deflated that day's baseline. Hostile
+    fixture: one session ends at day-1's last microsecond while another
+    runs inside day 1; day 1's peak must be 1, not 0."""
+    import pyspark.sql.functions as SF
+
+    DAY = 86_400_000_000
+    # user A: two events spanning to exactly DAY-1 (one 30-min-gap
+    # session [x, DAY-1]); user B: one event inside day 1.
+    rows = [
+        ("A", 1, DAY - 1 - 60_000_000),
+        ("A", 2, DAY - 1),
+        ("B", 3, DAY + 7_200_000_000),
+    ]
+    ev = spark.createDataFrame(rows, "user_id string, event_id long, us long").select(
+        "user_id", "event_id", SF.timestamp_micros("us").alias("ts")
+    )
+    ev.write.mode("overwrite").parquet(f"{tmp_path}/events.parquet")
+    got = {
+        r.day_idx: r.max_concurrent
+        for r in SPECS["max_concurrent_sessions_daily"].fn(spark, str(tmp_path)).collect()
+    }
+    sessions = _python_sessions(ev.collect())
+    assert got == _sweep_daily_max(sessions)
+    assert got[1] == 1, f"day-1 peak deflated by boundary-ending session: {got}"
 
 
 def test_interval_overlap_join_is_broadcast_and_exact(spark, sf_dir):
