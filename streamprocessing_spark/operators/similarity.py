@@ -714,15 +714,16 @@ def srp_lsh_cosine_pairs_fast(
     numpy kernel (mapInPandas) — the measured fast path for the stage
     that dominates every all-pairs tier.
 
-    Same candidates, same threshold; numerically the scores differ from
-    the fold tier only by summation order (numpy pairwise summation vs
-    sequential fold — sub-ulp-scale), so this variant is rows-only
-    rather than bit-oracled: the DuckDB oracle can replay a sequential
-    fold but not numpy's tree sum. tests/test_similarity.py asserts the
-    PAIR SET matches the bit-exact tier away from the threshold
-    boundary. Use this tier when throughput matters and the consumer
-    thresholds, buckets, or ranks the score; use the fold tier when a
-    downstream system must reproduce the exact doubles."""
+    Same candidates, same threshold, and — since round 5 — the SAME
+    DOUBLES: the kernel folds dimension-by-dimension (one vectorized add
+    per dim, sequential across dims) instead of numpy's pairwise tree
+    sum, so each row's dot/norm is the identical IEEE left-fold the
+    Catalyst aggregate() and DuckDB list_sum() compute, and the whole
+    tier is bit-for-bit oracle-checkable (VERDICT r04 item #2).
+    Vectorization across the BATCH axis is untouched — the dim loop is
+    64 fused numpy ops per batch, still ~10-100× the interpreted fold —
+    tests/test_similarity.py asserts bit-equality against the fold tier
+    and SCALE.md records the wall-clock win."""
     weights = srp_weights(dim)
     buckets = emb.select(
         F.col(id_col).alias("id"),
@@ -751,9 +752,21 @@ def srp_lsh_cosine_pairs_fast(
                 continue
             va_m = np.stack(pdf["va"].to_numpy()).astype(np.float64)
             vb_m = np.stack(pdf["vb"].to_numpy()).astype(np.float64)
-            cos = (va_m * vb_m).sum(axis=1) / (
-                np.linalg.norm(va_m, axis=1) * np.linalg.norm(vb_m, axis=1)
-            )
+            n = len(pdf)
+            # sequential left-fold over dims (vectorized over rows):
+            # bit-identical to aggregate(zip_with(...), 0.0, acc + x)
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for i in range(va_m.shape[1]):
+                x, y = va_m[:, i], vb_m[:, i]
+                dot = dot + x * y
+                na = na + x * x
+                nb = nb + y * y
+            with np.errstate(invalid="ignore", divide="ignore"):
+                # 0/0 (zero-norm vector ⇒ dot 0 too) → NaN, which fails
+                # the >= like the fold tier's try_divide NULL
+                cos = dot / (np.sqrt(na) * np.sqrt(nb))
             keep = cos >= threshold
             out = pdf.loc[keep, ["id_a", "id_b"]].copy()
             out["cos_sim"] = np.floor(cos[keep] * 1e6 + 0.5) / 1e6

@@ -304,16 +304,42 @@ def distinct_users_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_distinct_users", tags=("analytics", "aggregate", "approx"))
+@register(
+    "approx_distinct_users",
+    oracle="""
+    SELECT event_type,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+           TRUE AS approx_within_5pct
+    FROM events GROUP BY event_type
+    """,
+    tags=("analytics", "aggregate", "approx"),
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct count — the scale path for distincts (no
-    exact-distinct expansion, mergeable sketches). No SQL oracle: HLL
-    estimates are engine-specific; the test suite bounds its error vs the
-    exact count instead (tests/test_analytics.py)."""
-    return (
+    exact-distinct expansion, mergeable sketches). Promoted to a FULL
+    oracle row (VERDICT r04 item #2): Spark's native HLL++ estimate is
+    engine-specific (not hash-comparable), so the gated row carries the
+    EXACT count as the audit column plus a tolerance flag asserting the
+    native sketch (rsd=0.02) landed within 5% (2.5σ) of it — a sketch
+    that drifts out of tolerance flips the flag and fails the hash. A
+    production run drops the exact audit aggregate and keeps only the
+    sketch; the deterministic md5-HLL whose ESTIMATE is itself
+    hash-oracleable is hll_sketch_rollup_users."""
+    est = (
         load_table(spark, sf_dir, "events")
         .groupBy("event_type")
-        .agg(F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_approx"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_est"),
+            F.count_distinct("user_id").cast("long").alias("n_users_exact"),
+        )
+    )
+    return est.select(
+        "event_type",
+        "n_users_exact",
+        (
+            F.abs(F.col("n_est") - F.col("n_users_exact")) * 20
+            <= F.col("n_users_exact")
+        ).alias("approx_within_5pct"),
     )
 
 
@@ -644,18 +670,48 @@ def percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("approx_percentiles_by_segment", tags=("analytics", "aggregate", "approx"))
+@register(
+    "approx_percentiles_by_segment",
+    oracle="""
+    SELECT c_mktsegment,
+           CAST(count(c_acctbal) AS BIGINT) AS n_vals,
+           TRUE AS p50_valid, TRUE AS p95_valid
+    FROM customer GROUP BY c_mktsegment
+    """,
+    tags=("analytics", "aggregate", "approx"),
+)
 def approx_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate percentiles (GK sketch via percentile_approx) — the
     constant-memory scale path for percentiles_by_segment: the sketch is
     mergeable across partitions, so no per-group sort/materialization at
-    100 TB. No SQL oracle: sketch outputs are engine-specific; the test
-    suite bounds its error against the exact tier instead
-    (tests/test_approx_aggregates.py)."""
-    c = load_table(spark, sf_dir, "customer")
-    return c.groupBy("c_mktsegment").agg(
-        F.expr("percentile_approx(c_acctbal, 0.5, 10000)").alias("p50_approx"),
-        F.expr("percentile_approx(c_acctbal, 0.95, 10000)").alias("p95_approx"),
+    100 TB. Promoted to a FULL oracle row (VERDICT r04 item #2): the
+    sketch's returned element is engine-specific, so the gated row
+    asserts the GK rank GUARANTEE itself — percentile_approx returns an
+    observed element v, and with accuracy ≥ group size the rank bound
+    collapses to "v is a TRUE discrete p-quantile": #(x < v) ≤ p·n and
+    #(x ≤ v) ≥ p·n, checked in exact integer arithmetic (2·below ≤ n,
+    20·below ≤ 19·n for p95) by joining the sketch output back against
+    the value multiset. An invalid element flips the flag and fails the
+    hash; the exact n_vals audit count rides alongside. A production run
+    keeps only the sketch aggregate."""
+    c = load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
+    sk = c.groupBy("c_mktsegment").agg(
+        F.expr("percentile_approx(c_acctbal, 0.5, 10000)").alias("p50a"),
+        F.expr("percentile_approx(c_acctbal, 0.95, 10000)").alias("p95a"),
+    )
+    j = c.join(F.broadcast(sk), "c_mktsegment")
+    audit = j.groupBy("c_mktsegment").agg(
+        F.count("c_acctbal").alias("n_vals"),
+        F.sum(F.when(F.col("c_acctbal") < F.col("p50a"), 1).otherwise(0)).alias("b50"),
+        F.sum(F.when(F.col("c_acctbal") <= F.col("p50a"), 1).otherwise(0)).alias("a50"),
+        F.sum(F.when(F.col("c_acctbal") < F.col("p95a"), 1).otherwise(0)).alias("b95"),
+        F.sum(F.when(F.col("c_acctbal") <= F.col("p95a"), 1).otherwise(0)).alias("a95"),
+    )
+    return audit.select(
+        "c_mktsegment",
+        F.col("n_vals").cast("long").alias("n_vals"),
+        ((F.col("b50") * 2 <= F.col("n_vals")) & (F.col("a50") * 2 >= F.col("n_vals"))).alias("p50_valid"),
+        ((F.col("b95") * 20 <= F.col("n_vals") * 19) & (F.col("a95") * 20 >= F.col("n_vals") * 19)).alias("p95_valid"),
     )
 
 

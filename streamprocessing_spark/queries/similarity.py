@@ -777,32 +777,90 @@ def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "srp_lsh_cosine_pairs_fast",
-    tags=("similarity", "dedup", "llm-pipeline", "lsh", "approx", "pandas-udf", "baseline-fixed-scale"),
+    oracle=_sql_srp_oracle(SRP_THRESHOLD),
+    tags=("similarity", "dedup", "llm-pipeline", "lsh", "pandas-udf", "baseline-fixed-scale"),
 )
 def srp_lsh_cosine_pairs_fast(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SRP near-dup pipeline with its dominant stage — the exact
     cosine verify — on the Arrow/numpy fast path (mapInPandas) instead
-    of interpreted Catalyst folds. Rows-only by design (numpy's pairwise
-    summation re-orders the adds, so the doubles differ from any
-    SQL-replayable fold at sub-ulp scale); the pair SET is asserted
-    equal to the bit-exact tier away from the threshold boundary in
-    tests/test_similarity.py, and the wall-clock win is measured in
-    SCALE.md."""
+    of interpreted Catalyst folds. Promoted to a FULL oracle row
+    (VERDICT r04 item #2): the kernel now folds dims sequentially
+    (vectorized across the batch axis), producing the identical IEEE
+    doubles as the Catalyst fold and the DuckDB list_sum replay, so it
+    shares the fold tier's oracle bit-for-bit; tests/test_similarity.py
+    asserts exact equality with the slow tier, and the wall-clock win
+    stays measured in SCALE.md."""
     emb = load_table(spark, sf_dir, "embeddings")
     row = emb.select("embedding").head()
     dim = len(row[0]) if row else 1
     return S.srp_lsh_cosine_pairs_fast(emb, SRP_THRESHOLD, dim)
 
 
-@register("ann_ivf_kmeans_topk", tags=("similarity", "llm-pipeline", "approx", "iterative"))
+def _sql_ivf_kmeans_oracle() -> str:
+    """Generated oracle for ann_ivf_kmeans_topk: the unrolled Lloyd CTE
+    chain (shared with kmeans_embeddings/prototypicality_prune) extended
+    by the FINAL centroid update, materialized as mean vectors, then the
+    same assign → probe(nprobe=2) → rank replay ann_ivf_topk's oracle
+    runs against its static centroids."""
+    from streamprocessing_spark.operators.similarity import KMEANS_ITERS
+
+    km = _sql_kmeans_oracle()
+    prefix = km[: km.rindex("\n    SELECT id AS vec_id")]
+    last = f"a{KMEANS_ITERS}"
+    return f"""{prefix},{_sql_km_centroids(last, "cfin")},
+    cent AS (
+      SELECT k AS cent_id,
+             list_transform(s, sv -> CAST(sv AS DOUBLE) / cnt) AS cv
+      FROM cfin),
+    assigned AS (
+      SELECT id, v, cent_id FROM (
+        SELECT e.vec_id AS id, e.embedding AS v, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_sql_cos('e.embedding', 'c.cv')} DESC,
+                                           c.cent_id) AS rn
+        FROM embeddings e CROSS JOIN cent c)
+      WHERE rn = 1),
+    probes AS (
+      SELECT query_id, qv, cent_id FROM (
+        SELECT qq.query_id, qq.qv, c.cent_id,
+               row_number() OVER (PARTITION BY qq.query_id
+                                  ORDER BY {_sql_cos('qq.qv', 'c.cv')} DESC,
+                                           c.cent_id) AS rn
+        FROM (SELECT vec_id AS query_id, embedding AS qv
+              FROM embeddings WHERE vec_id < {N_QUERIES}) qq
+        CROSS JOIN cent c)
+      WHERE rn <= 2),
+    scored AS (
+      SELECT p.query_id, a.id AS neighbor_id,
+             {_sql_cos('a.v', 'p.qv')} AS cos
+      FROM assigned a JOIN probes p USING (cent_id)
+      WHERE a.id <> p.query_id)
+    SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored)
+    WHERE rn <= {TOP_K}
+    """
+
+
+@register(
+    "ann_ivf_kmeans_topk",
+    oracle=_sql_ivf_kmeans_oracle(),
+    tags=("similarity", "llm-pipeline", "approx", "iterative"),
+)
 def ann_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF top-k probing a TRAINED quantizer: the k-means centroids
     (exact-integer Lloyd state, kmeans_embeddings) replace ann_ivf_topk's
     arbitrary smallest-id sample — the composition production IVF
     indexes actually are (train coarse quantizer → assign corpus to
-    cells → probe nprobe cells per query). Deterministic end-to-end but
-    rows-only like the other ANN tiers; recall vs the exact tier is
-    asserted in tests/test_similarity.py."""
+    cells → probe nprobe cells per query). Promoted to a FULL oracle row
+    (VERDICT r04 item #2): every stage is deterministic — exact-integer
+    Lloyd state, bit-portable cosine folds, (cos DESC, id) tie-breaks —
+    and the output carries only integer ids/ranks, so the DuckDB mirror
+    (unrolled Lloyd CTEs + the ann_ivf_topk probe replay) reproduces it
+    exactly while the op stays approximate-by-design vs the exact tier
+    (recall asserted in tests/test_similarity.py)."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
@@ -916,13 +974,18 @@ def prototypicality_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _sql_pq_oracle() -> str:
+def _sql_pq_oracle(coarse: bool = False) -> str:
     """Generated oracle for ann_pq_adc_topk: per-subspace unrolled exact
     Lloyd (slice → assign/update × PQ_ITERS, PLUS the final centroid
     update that becomes the codebook), then the ADC lookup join — the
     same fixed-order 4-term double sum and (adc, id) top-k the Spark
-    operator computes."""
+    operator computes. With ``coarse=True`` (ann_ivfpq_topk) the chain
+    is prefixed by the full-vector Lloyd CTEs and the ADC candidates are
+    restricted to the cells each query probes (nprobe nearest final
+    centroids by the same integer-state distance fold)."""
     from streamprocessing_spark.operators.similarity import (
+        IVFPQ_NPROBE,
+        KMEANS_ITERS,
         KMEANS_SCALE,
         PQ_ITERS,
         PQ_K,
@@ -969,6 +1032,17 @@ def _sql_pq_oracle() -> str:
         for j in range(PQ_M)
     )
     adc = " + ".join(f"l{j}.d" for j in range(PQ_M))
+    cell_joins = ""
+    if coarse:
+        # restrict ADC candidates to probed cells: corpus cell from the
+        # final coarse assignment, probe set from the query's nprobe
+        # nearest FINAL centroids (cfin) — replicating ivfpq_topk's
+        # asymmetry (assignment vs c_{iters-1}, probing vs the
+        # post-final-update state).
+        cell_joins = (
+            f" JOIN a{KMEANS_ITERS} ca ON ca.id = c.id"
+            " JOIN probes pr ON pr.cell = ca.k AND pr.query_id = l0.query_id"
+        )
     parts.append(
         f""",
     codes AS MATERIALIZED (
@@ -977,7 +1051,7 @@ def _sql_pq_oracle() -> str:
     lut AS MATERIALIZED ({lut_branches}),
     scored AS (
       SELECT l0.query_id, c.id, {adc} AS adc
-      FROM codes c {lut_joins})
+      FROM codes c {lut_joins}{cell_joins})
     SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank,
            floor(adc * 1000000.0 + 0.5) / 1000000.0 AS adc_dist
     FROM (
@@ -987,7 +1061,25 @@ def _sql_pq_oracle() -> str:
       FROM scored WHERE id <> query_id)
     WHERE rn <= {TOP_K}"""
     )
-    return "".join(parts)
+    sql = "".join(parts)
+    if coarse:
+        km = _sql_kmeans_oracle()
+        prefix = km[: km.rindex("\n    SELECT id AS vec_id")]
+        dprobe = "(CAST(q.xi[i] AS DOUBLE) - CAST(c.s[i] AS DOUBLE) / c.cnt)"
+        dist_probe = (
+            f"list_sum(list_transform(range(1, len(q.xi) + 1), i -> {dprobe} * {dprobe}))"
+        )
+        probes = f""",{_sql_km_centroids(f"a{KMEANS_ITERS}", "cfin")},
+    probes AS (
+      SELECT id AS query_id, k AS cell FROM (
+        SELECT q.id, c.k,
+               row_number() OVER (PARTITION BY q.id
+                                  ORDER BY {dist_probe} ASC, c.k) AS rn
+        FROM (SELECT * FROM q WHERE id < {N_QUERIES}) q
+        CROSS JOIN cfin c)
+      WHERE rn <= {IVFPQ_NPROBE})"""
+        sql = prefix + probes + sql.replace("WITH base AS MATERIALIZED", ", base AS MATERIALIZED", 1)
+    return sql
 
 
 @register(
@@ -1013,6 +1105,7 @@ def ann_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_ivfpq_topk",
+    oracle=_sql_pq_oracle(coarse=True),
     tags=("similarity", "llm-pipeline", "approx", "iterative"),
 )
 def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1020,8 +1113,11 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer partitions the corpus into inverted lists; queries probe
     their 3 nearest cells; candidates are ranked on PQ codes via the
     ADC lookup table). Approximate BY DESIGN twice over (cell pruning +
-    code quantization), so this is a rows-only entry; recall vs exact
-    L2 and the subset relation vs full-scan PQ are bounded in
+    code quantization), yet deterministic end-to-end — promoted to a
+    FULL oracle row (VERDICT r04 item #2): the DuckDB mirror chains the
+    full-vector Lloyd CTEs (cells + probes) with the per-subspace PQ
+    chain and replays the cell-restricted ADC ranking exactly. Recall
+    vs exact L2 and the subset relation vs full-scan PQ stay bounded in
     tests/test_round3_ops.py. See operators/similarity.ivfpq_topk."""
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
@@ -1202,11 +1298,54 @@ MMR_K = 16  # documents selected
 MMR_LAMBDA = 0.5  # relevance / diversity balance
 
 
+def _sql_mmr_oracle() -> str:
+    """Generated oracle for mmr_diverse_select: the greedy loop as ONE
+    recursive CTE — the recursion state is just the selected-id list
+    (max-sim-to-selected is recomputed per round as a max over that set,
+    which is order-independent in IEEE doubles, so the iterated
+    greatest() the Spark loop maintains equals this from-scratch max
+    bit-for-bit). Each step takes the (score DESC, id) argmax over the
+    not-yet-selected candidates via a correlated LIMIT 1."""
+    dot_qv = _SQL_DOT.format(a="b.v", b="qv.q")
+    dot_ps = _SQL_DOT.format(a="c.v", b="p2.v")
+    return f"""
+    WITH RECURSIVE
+    base AS MATERIALIZED (
+      SELECT vec_id AS id, embedding AS v,
+             {_SQL_NORM.format(a="embedding")} AS nrm
+      FROM embeddings),
+    qv AS (SELECT v AS q, nrm AS nq FROM base ORDER BY id LIMIT 1),
+    cand AS MATERIALIZED (
+      SELECT b.id, b.v, b.nrm, {dot_qv} / (b.nrm * qv.nq) AS rel
+      FROM base b, qv WHERE b.nrm > 0),
+    sel(rank, id, score, sel_ids) AS (
+      (SELECT 1, id, rel, [id]
+       FROM cand ORDER BY rel DESC, id LIMIT 1)
+      UNION ALL
+      SELECT s.rank + 1, p.id, p.score, list_append(s.sel_ids, p.id)
+      FROM sel s, LATERAL (
+        SELECT c.id,
+               CASE WHEN ms.m IS NULL THEN c.rel
+                    ELSE {MMR_LAMBDA} * c.rel - {1.0 - MMR_LAMBDA} * ms.m
+               END AS score
+        FROM cand c,
+             LATERAL (SELECT max({dot_ps} / (c.nrm * p2.nrm)) AS m
+                      FROM base p2
+                      WHERE list_contains(s.sel_ids, p2.id)) ms
+        WHERE NOT list_contains(s.sel_ids, c.id)
+        ORDER BY score DESC, c.id
+        LIMIT 1) p
+      WHERE s.rank < {{MMR_K}}
+    )
+    SELECT CAST(rank AS INTEGER) AS rank, id AS vec_id,
+           floor(score * 1000000.0 + 0.5) / 1000000.0 AS score
+    FROM sel
+    """.replace("{MMR_K}", str(MMR_K))
+
+
 @register(
     "mmr_diverse_select",
-    # rows-only by design: greedy argmax over float cosines isn't
-    # SQL-replayable at reasonable oracle cost; tests re-run the greedy
-    # loop in numpy and assert the identical selection sequence.
+    oracle=_sql_mmr_oracle(),
     tags=("similarity", "llm-pipeline", "sampling", "approx"),
 )
 def mmr_diverse_select(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1250,13 +1389,19 @@ def mmr_diverse_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         "embedding",
         S.norm_double(F.col("embedding")).alias("nrm"),
     ).where(F.col("nrm") > 0)
+    # ms = max cosine to the selected set; NULL (not a numeric sentinel)
+    # while the set is empty — a real cosine can be arbitrarily negative,
+    # so a -1.0/-0.5 sentinel would misclassify anti-correlated
+    # candidates as "first pick" (round-5 cleanup with the oracle
+    # promotion; greatest() skips NULL on the first update)
     cand = cand.select(
-        "vec_id", "embedding", "nrm", cos_to(qvec).alias("rel"), F.lit(-1.0).alias("ms")
+        "vec_id", "embedding", "nrm", cos_to(qvec).alias("rel"),
+        F.lit(None).cast("double").alias("ms"),
     ).localCheckpoint(eager=True)
     picked: list[tuple[int, float]] = []
     for _ in range(MMR_K):
         score = F.when(
-            F.col("ms") < -0.5, F.col("rel")  # first pick: pure relevance
+            F.col("ms").isNull(), F.col("rel")  # first pick: pure relevance
         ).otherwise(
             F.lit(MMR_LAMBDA) * F.col("rel") - F.lit(1.0 - MMR_LAMBDA) * F.col("ms")
         )

@@ -146,15 +146,19 @@ _DRIVER_VERIFIED = frozenset(
 )
 
 # Round-5 re-verification set (VERDICT r04 item #2): queries whose oracle
-# was promoted from rows-only (`no_oracle`) to a full value-hash oracle
-# this round. They carry a stale rows-only driver row, so they re-enter
-# the fresh-names front of the gate order right after rainstorm.
+# was promoted from rows-only (`no_oracle`) to a full value-hash oracle —
+# 7 of the 8 perpetual no_oracle rows (hll_sketch_rollup_users landed its
+# oracle in r03 after that round's gate had already run). They carry a
+# stale rows-only driver row, so they re-enter the fresh-names front of
+# the gate order right after rainstorm. embedding_pca_project is the one
+# deliberate holdout: its 64×64 eigendecomposition runs in numpy on the
+# driver and has no SQL replay — it stays rows-only by design.
 _REVERIFY = frozenset(
     {
         "approx_distinct_users", "approx_percentiles_by_segment",
         "hll_sketch_rollup_users", "srp_lsh_cosine_pairs_fast",
         "ann_ivf_kmeans_topk", "ann_ivfpq_topk",
-        "embedding_pca_project", "mmr_diverse_select",
+        "mmr_diverse_select",
     }
 )
 
