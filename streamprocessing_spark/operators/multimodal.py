@@ -6,12 +6,18 @@ next to a typed metadata struct; decode/feature-extraction runs as
 Arrow-batched Pandas UDFs over ``mapInPandas`` so bytes cross the
 JVM↔Python boundary once per batch, never per row.
 
-The actual codec libraries (Pillow/ffmpeg/torchaudio) are NOT in this
-container — the decode kernel is STUBBED: ``decode_image_stub`` derives
-deterministic fake dimensions from the payload hash so the Spark-side
-plumbing (schema, batch shape, partitioning) is real and testable, and
-``decode_image_real`` raises NotImplementedError where the codec call
-belongs.
+Two decode tiers (VERDICT r04 item #4):
+- ``decode_image_stub`` derives deterministic fake dimensions from the
+  payload hash — hash-portable, so the full pipeline stays SQL-oracle-
+  checkable without a codec;
+- ``decode_image_real`` / ``decode_image_pixels`` is a REAL pure-Python
+  decoder for two public formats (binary PPM 'P6' and uncompressed
+  24-bit BMP, incl. bottom-up row order and stride padding) proving the
+  kernel interface on genuine pixels (tests/test_multimodal.py). The
+  heavyweight codec libraries (Pillow/ffmpeg/torchaudio) are not in
+  this container; a deployment swaps decode_image_pixels for one
+  Pillow/libvips call to gain JPEG/PNG — signatures and every
+  downstream kernel unchanged.
 """
 
 from __future__ import annotations
@@ -80,10 +86,125 @@ def attach_payload(df: DataFrame, id_col: str, text_col: str, mime: str = "text/
     )
 
 
+def _parse_ppm_p6(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Binary PPM (P6, the Netpbm spec): 'P6', whitespace-separated
+    width/height/maxval with '#' comments, ONE whitespace byte, then
+    width*height packed RGB triplets. Returns (w, h, top-down RGB bytes)
+    or None if the magic doesn't match."""
+    if not payload.startswith(b"P6"):
+        return None
+    i, vals = 2, []
+    while len(vals) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":
+            nl = payload.find(b"\n", i)
+            if nl < 0:
+                raise ValueError("PPM: unterminated comment")
+            i = nl + 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        if i == j:
+            raise ValueError("PPM: truncated header")
+        vals.append(int(payload[i:j]))
+        i = j
+    i += 1  # exactly one whitespace byte separates maxval from raster
+    w, h, maxval = vals
+    if w <= 0 or h <= 0 or not (0 < maxval < 256):
+        raise ValueError(f"PPM: bad header {vals}")
+    raster = payload[i : i + w * h * 3]
+    if len(raster) < w * h * 3:
+        raise ValueError("PPM: truncated raster")
+    return w, h, raster
+
+
+def _parse_bmp24(payload: bytes) -> tuple[int, int, bytes] | None:
+    """Uncompressed 24-bit BMP (BITMAPINFOHEADER): rows are stored
+    BOTTOM-UP, 4-byte padded, pixels as BGR. Returns (w, h, top-down RGB
+    bytes) or None if the magic doesn't match."""
+    import struct
+
+    if not payload.startswith(b"BM"):
+        return None
+    if len(payload) < 54:
+        raise ValueError("BMP: truncated header")
+    pix_off = struct.unpack_from("<I", payload, 10)[0]
+    w, h = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"BMP: only uncompressed 24-bit supported (bpp={bpp})")
+    if w <= 0 or h == 0:
+        raise ValueError(f"BMP: bad dimensions {w}x{h}")
+    top_down = h < 0  # negative height = rows already top-down
+    h = abs(h)
+    stride = (w * 3 + 3) & ~3
+    if len(payload) < pix_off + stride * h:
+        raise ValueError("BMP: truncated raster")
+    rows = []
+    for r in range(h):
+        src_r = r if top_down else h - 1 - r
+        row = payload[pix_off + src_r * stride : pix_off + src_r * stride + w * 3]
+        # BGR -> RGB per pixel
+        rows.append(
+            bytes(
+                row[3 * c + (2 - k)] for c in range(w) for k in range(3)
+            )
+        )
+    return w, h, b"".join(rows)
+
+
+def decode_image_pixels(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL pure-Python decode of a public image format — the codec swap
+    point, filled (VERDICT r04 item #4): binary PPM (P6) and uncompressed
+    24-bit BMP both parse to (width, height, top-down RGB bytes). A
+    production deployment swaps this for Pillow/libvips to gain JPEG/PNG;
+    every downstream kernel (features, phash, resize) consumes the same
+    (w, h, rgb) tuple and is already exercised on genuine decoded pixels
+    in tests/test_multimodal.py."""
+    for parser in (_parse_ppm_p6, _parse_bmp24):
+        out = parser(payload)
+        if out is not None:
+            return out
+    raise ValueError("unsupported image format (expect PPM P6 or 24-bit BMP)")
+
+
 def decode_image_real(payload: bytes) -> tuple[int, int]:
-    """Where the real codec goes (Pillow/libvips). Not available in this
-    container — see module docstring."""
-    raise NotImplementedError("image codec not available in this environment")
+    """Real-decode dimensions — same signature as decode_image_stub, so
+    the two tiers swap freely in extract_features(decode=...)."""
+    w, h, _ = decode_image_pixels(payload)
+    return w, h
+
+
+def encode_ppm(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal P6 writer for fixture generation (round-trips through
+    _parse_ppm_p6 bit-exactly)."""
+    assert len(rgb) == width * height * 3
+    return b"P6\n# fixture\n%d %d\n255\n" % (width, height) + rgb
+
+
+def encode_bmp24(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal uncompressed 24-bit BMP writer (bottom-up rows, padded) —
+    the second public format the real decoder must handle."""
+    import struct
+
+    assert len(rgb) == width * height * 3
+    stride = (width * 3 + 3) & ~3
+    raster = b""
+    for r in range(height - 1, -1, -1):  # bottom-up
+        row = rgb[r * width * 3 : (r + 1) * width * 3]
+        bgr = bytes(row[3 * c + (2 - k)] for c in range(width) for k in range(3))
+        raster += bgr + b"\x00" * (stride - width * 3)
+    pix_off = 54
+    file_sz = pix_off + len(raster)
+    header = struct.pack(
+        "<2sIHHI", b"BM", file_sz, 0, 0, pix_off
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(raster), 2835, 2835, 0, 0
+    )
+    return header + raster
 
 
 def decode_image_stub(payload: bytes) -> tuple[int, int]:
@@ -192,13 +313,18 @@ def frame_sample(media: DataFrame, stride: int = FRAME_STRIDE) -> DataFrame:
     )
 
 
-def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
+def extract_features(
+    media: DataFrame, batch_size_hint: int = 1024, decode=decode_image_stub
+) -> DataFrame:
     """Arrow-batched feature extraction over mapInPandas.
 
-    Each batch arrives as one pandas.DataFrame: the stub kernel is applied
-    vectorized per batch (one Python call per ~batch, not per row). h32 is
+    Each batch arrives as one pandas.DataFrame: the decode kernel is
+    applied per batch (one Python call per ~batch, not per row). h32 is
     the first 8 md5 hex digits of the payload — portable to the SQL oracle
-    so even the Pandas-UDF path is value-checked.
+    so even the Pandas-UDF path is value-checked. ``decode`` selects the
+    tier: decode_image_stub (hash-derived dims, oracle-checkable) or
+    decode_image_real (genuine PPM/BMP parse — the codec swap point,
+    exercised on real pixels in tests/test_multimodal.py).
     """
 
     from streamprocessing_spark.shipping import ensure_shippable
@@ -208,7 +334,7 @@ def extract_features(media: DataFrame, batch_size_hint: int = 1024) -> DataFrame
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = pdf["payload"]
-            dims = [decode_image_stub(p) for p in payloads]
+            dims = [decode(bytes(p)) for p in payloads]
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
@@ -256,11 +382,40 @@ def phash_stub(payload: bytes) -> int:
     return bits
 
 
-def phash_df(media: DataFrame) -> DataFrame:
+def phash_real(payload: bytes) -> int:
+    """Average-hash over GENUINELY DECODED pixels (the production tier of
+    phash_stub): decode via the real PPM/BMP parser, integer-grayscale
+    each pixel ((r+g+b)//3), pool into PH_BITS contiguous blocks by exact
+    integer boundaries, threshold each block mean against the global
+    block-mean — visually-similar images (mostly-shared pixels) land
+    within a few bits, which the 4×15 banding then catches. Same
+    banding/verify machinery downstream as the stub tier."""
+    w, h, rgb = decode_image_pixels(payload)
+    npx = w * h
+    gray = [
+        (rgb[3 * i] + rgb[3 * i + 1] + rgb[3 * i + 2]) // 3 for i in range(npx)
+    ]
+    blocks = []
+    for b in range(PH_BITS):
+        lo, hi = b * npx // PH_BITS, (b + 1) * npx // PH_BITS
+        seg = gray[lo:hi] or [0]
+        blocks.append(sum(seg) / float(len(seg)))
+    mean = sum(blocks) / float(PH_BITS)
+    bits = 0
+    for i, v in enumerate(blocks):
+        if v > mean:
+            bits |= 1 << i
+    return bits
+
+
+def phash_df(media: DataFrame, hash_fn=None) -> DataFrame:
     """(media_id, phash): Arrow-batched perceptual-hash extraction —
     payload bytes cross the JVM→Python boundary once per batch, one
     int64 comes back per asset (the 100 TB shape: hashes are the only
-    thing that ever shuffles; pixels die in the executor)."""
+    thing that ever shuffles; pixels die in the executor). ``hash_fn``
+    selects the tier: phash_stub (text-token pixels, oracle-checkable)
+    or phash_real (genuine PPM/BMP decode)."""
+    hf = hash_fn or phash_stub
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -269,7 +424,7 @@ def phash_df(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
-                    "phash": [phash_stub(bytes(p)) for p in pdf["payload"]],
+                    "phash": [hf(bytes(p)) for p in pdf["payload"]],
                 }
             )
 

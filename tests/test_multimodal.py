@@ -24,9 +24,81 @@ def test_stub_decode_deterministic_and_bounded():
     assert 64 <= w <= 255 and 64 <= h <= 255
 
 
-def test_real_decode_is_explicit_stub():
-    with pytest.raises(NotImplementedError):
-        M.decode_image_real(b"\x89PNG")
+def test_real_decode_rejects_unknown_format():
+    with pytest.raises(ValueError, match="unsupported image format"):
+        M.decode_image_real(b"\x89PNG\r\n\x1a\n")
+
+
+def _gradient_rgb(w, h, seed=0):
+    """Deterministic synthetic image: smooth gradient + seed offset."""
+    return bytes(
+        ((x * 7 + y * 5 + c * 11 + seed) % 256)
+        for y in range(h)
+        for x in range(w)
+        for c in range(3)
+    )
+
+
+def test_ppm_and_bmp_roundtrip_real_decode():
+    """The REAL codec tier (VERDICT r04 item #4): encode → decode must
+    round-trip dimensions AND pixel bytes exactly for both public
+    formats — including BMP's bottom-up row order and stride padding
+    (w=5 forces a non-trivial pad)."""
+    for w, h in [(5, 3), (8, 8), (1, 1), (16, 4)]:
+        rgb = _gradient_rgb(w, h)
+        ppm = M.encode_ppm(w, h, rgb)
+        assert M.decode_image_pixels(ppm) == (w, h, rgb)
+        assert M.decode_image_real(ppm) == (w, h)
+        bmp = M.encode_bmp24(w, h, rgb)
+        assert M.decode_image_pixels(bmp) == (w, h, rgb)
+        assert M.decode_image_real(bmp) == (w, h)
+    # PPM with comments in the header
+    ppm_c = b"P6\n# a comment\n# another\n4 2\n255\n" + _gradient_rgb(4, 2)
+    assert M.decode_image_pixels(ppm_c)[:2] == (4, 2)
+    # truncated raster must fail loudly, not return garbage
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_image_pixels(M.encode_ppm(4, 2, _gradient_rgb(4, 2))[:-5])
+
+
+def test_real_decode_feature_and_phash_pipeline(spark):
+    """End-to-end on GENUINE pixels: PPM/BMP payloads flow through the
+    same mapInPandas kernels as the stub tier — extract_features reports
+    the true decoded dimensions, and phash_neardup_pairs over phash_real
+    links perturbed near-copies (few-pixel edits) while keeping distinct
+    images apart."""
+    W, H = 30, 20
+    base = bytearray(_gradient_rgb(W, H))
+    near = bytearray(base)
+    for i in range(0, 9):  # tweak 3 pixels
+        near[i] = (near[i] + 120) % 256
+    other = _gradient_rgb(W, H, seed=97)  # different image entirely
+    inv = bytes(255 - b for b in base)    # maximally different
+    payloads = [
+        (0, M.encode_ppm(W, H, bytes(base))),
+        (1, M.encode_bmp24(W, H, bytes(near))),   # mixed formats on purpose
+        (2, M.encode_ppm(W, H, other)),
+        (3, M.encode_ppm(W, H, inv)),
+    ]
+    media = spark.createDataFrame(
+        [(i, p) for i, p in payloads], "media_id bigint, payload binary"
+    )
+    feats = {
+        r.media_id: r
+        for r in M.extract_features(media, decode=M.decode_image_real).collect()
+    }
+    assert all((feats[i].fake_width, feats[i].fake_height) == (W, H) for i, _ in payloads)
+    hashes = {r.media_id: r.phash for r in M.phash_df(media, hash_fn=M.phash_real).collect()}
+    assert hashes[0] == M.phash_real(payloads[0][1])  # kernel == local
+    assert bin(hashes[0] ^ hashes[1]).count("1") <= M.PH_MAX_HAMMING
+    assert bin(hashes[0] ^ hashes[3]).count("1") > M.PH_MAX_HAMMING
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in M.phash_neardup_pairs(
+            media, hasher=lambda m: M.phash_df(m, hash_fn=M.phash_real)
+        ).collect()
+    }
+    assert (0, 1) in pairs, pairs
+    assert (0, 3) not in pairs and (1, 3) not in pairs, pairs
 
 
 def test_feature_extraction_matches_local_kernel(spark, sf_dir):
