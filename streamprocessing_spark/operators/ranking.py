@@ -74,6 +74,83 @@ def global_row_number(
     )
 
 
+def global_running_max_prev(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    out: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """``max(value) OVER (ORDER BY order_cols ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)`` — the strictly-preceding running max
+    (the sweep-line primitive under skyline/Pareto queries) without a
+    single-task WindowExec: range-partition on the order key, run the
+    intra-partition running max per slice, and stitch across slices with
+    a cumulative max over the P per-partition maxima (a P-row window).
+    Rows in partition p all order strictly after partition p-1's (the
+    order key must be UNIQUE per row — range boundaries between equal
+    keys would otherwise leak a same-key value into the "strictly
+    preceding" carry). First global row gets NULL, like the empty frame.
+    """
+    ranged = df.repartitionByRange(num_partitions, *order_cols)
+    # same two-consumer materialization rationale as global_row_number
+    tagged = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+    w_local = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = tagged.withColumn("_loc", F.max(value_col).over(w_local))
+    summ = tagged.groupBy(_PID).agg(F.max(value_col).alias("_pm"))
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    carry = summ.select(_PID, F.max("_pm").over(w_off).alias("_carry"))
+    return (
+        local.join(F.broadcast(carry), _PID)
+        # greatest() skips NULLs: first slice has NULL carry, first row
+        # of a slice has NULL local max — NULL only when both are (the
+        # true empty-preceding-frame case)
+        .withColumn(out, F.greatest(F.col("_loc"), F.col("_carry")))
+        .drop(_PID, "_loc", "_carry")
+    )
+
+
+def global_running_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    out: str,
+    num_partitions: int = 32,
+) -> DataFrame:
+    """``sum(value) OVER (ORDER BY order_cols ROWS BETWEEN UNBOUNDED
+    PRECEDING AND CURRENT ROW)`` without a single-task WindowExec — the
+    cumulative-distribution primitive (equi-depth boundaries, CDF
+    sampling). Same stitch as global_running_max_prev, with the slice
+    carry ADDED to the inclusive intra-slice prefix sum. Order key must
+    be unique per row."""
+    ranged = df.repartitionByRange(num_partitions, *order_cols)
+    tagged = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
+        eager=True
+    )
+    w_local = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = tagged.withColumn("_loc", F.sum(value_col).over(w_local))
+    summ = tagged.groupBy(_PID).agg(F.sum(value_col).alias("_ps"))
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    carry = summ.select(
+        _PID, F.coalesce(F.sum("_ps").over(w_off), F.lit(0)).alias("_carry")
+    )
+    return (
+        local.join(F.broadcast(carry), _PID)
+        .withColumn(out, F.col("_loc") + F.col("_carry"))
+        .drop(_PID, "_loc", "_carry")
+    )
+
+
 def ntile_from_rank(rk: Column, n_total: Column, tiles: int) -> Column:
     """SQL ``ntile(tiles)`` as a closed form of the 1-based global rank:
     with q = N div tiles and r = N mod tiles, buckets 1..r hold q+1 rows

@@ -1226,13 +1226,15 @@ def domain_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"), F.sum("n_chars").alias("sum_chars")
     )
     avg_micro = F.expr("CAST(1000000 * sum_chars AS BIGINT) div n_docs")
-    ranked = stats.select(
-        "domain",
-        F.row_number()
-        .over(Window.orderBy(avg_micro.asc(), F.col("domain").asc()))
-        .alias("rk"),
+    # bottom-K as orderBy+limit (TakeOrdered) — |domains| reaches 1e7-1e8
+    # on a web-scale corpus, too big to gamble on a one-task row_number
+    # window (round-5 global-window audit)
+    blocked = (
+        stats.select("domain", avg_micro.alias("am"))
+        .orderBy(F.col("am").asc(), F.col("domain").asc())
+        .limit(BLOCK_K)
+        .select("domain")
     )
-    blocked = ranked.where(F.col("rk") <= BLOCK_K).select("domain")
     return d.join(F.broadcast(blocked), "domain", "left_anti").select("doc_id", "domain")
 
 

@@ -138,20 +138,24 @@ def range_partition_boundaries(spark: SparkSession, sf_dir: str) -> DataFrame:
     8 buckets: boundary_i = the smallest value whose cumulative row count
     reaches ceil(total·i/8).
 
-    The trick that scales: aggregate to DISTINCT values first (one
-    shuffle, map-side combine), then run the cumulative sum window over
-    the distinct-value table — |distinct| rows, not |table| rows. The
+    The shape that scales: aggregate to DISTINCT values first (one
+    shuffle, map-side combine), then run the cumulative sum through
+    ranking.global_running_sum — distinct totalprices are near-unique
+    per order, so a bare global window here would still be an
+    order-count-sized single task (round-5 global-window audit); the
+    stitched form pays range slices + a P-row carry window instead. The
     ceil is integer arithmetic ((total·i + 7) div 8), so the chosen ranks
     are exact in both engines; the boundary lookup is a tiny
     inequality join the optimizer turns into a broadcast."""
+    from streamprocessing_spark.operators.ranking import global_running_sum
+
     # boundaries are defined over rows that HAVE a sort key: NULL keys
     # route to a designated partition in real range partitioning and
     # would also sort FIRST in Spark's cumulative window but LAST in
     # DuckDB's (hostile-sweep divergence)
     o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
     c = o.groupBy(F.col("o_totalprice").alias("p")).agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cum = c.select("p", F.sum("n").over(w).alias("cum"))
+    cum = global_running_sum(c, [F.col("p")], "n", "cum").select("p", "cum")
     tot = o.agg(F.count(F.lit(1)).alias("total"))
     targets = tot.select(
         F.explode(F.sequence(F.lit(1), F.lit(N_BUCKETS - 1))).alias("b"),

@@ -477,12 +477,11 @@ def token_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     df_t = dt.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.desc("n"), F.asc("tok"))
-    vocab = (
-        df_t.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") <= COOC_VOCAB)
-        .select("tok", "n")
-    )
+    # top-K vocab as orderBy+limit (TakeOrdered: per-partition partial
+    # top-K merged on the driver) — the vocabulary is Heaps-law-unbounded,
+    # so the global row_number window this replaced was a vocab-sized
+    # single task (round-5 global-window audit)
+    vocab = df_t.orderBy(F.desc("n"), F.asc("tok")).limit(COOC_VOCAB).select("tok", "n")
     dv = dt.join(F.broadcast(vocab.select("tok")), "tok").select("doc_id", "tok")
     tot = d.select(F.countDistinct("doc_id").alias("n_docs"))
     a = dv.select(F.col("doc_id").alias("d"), F.col("tok").alias("tok_a"))

@@ -598,3 +598,74 @@ def test_round4_dimension_aggregates_checkpointed(spark, sf_dir):
         plan = X.formatted_plan(SPECS[name].fn(spark, sf_dir))
         scans = Counter(re.findall(r"Location:.*?([a-z_]+)\.parquet", plan))
         assert scans.get(table, 0) <= limit, (name, dict(scans))
+
+
+def test_global_window_allowlist():
+    """Round-5 global-window audit (SCALE.md §Windows): every
+    ``Window.orderBy(...)`` call with NO partitionBy is a one-task sort
+    at execution time, so each one must be consciously classified as
+    dimension-bounded. This pin fails when a NEW unpartitioned window
+    appears anywhere in the package until it is audited into the
+    SCALE.md table (or re-planned via operators/ranking.py)."""
+    import ast
+    from pathlib import Path
+
+    pkg = Path(__file__).resolve().parent.parent / "streamprocessing_spark"
+    found: dict[str, int] = {}
+    for py in sorted(pkg.rglob("*.py")):
+        tree = ast.parse(py.read_text())
+        n = sum(
+            1
+            for node in ast.walk(tree)
+            if isinstance(node, ast.Call)
+            and isinstance(node.func, ast.Attribute)
+            and node.func.attr == "orderBy"
+            and isinstance(node.func.value, ast.Name)
+            and node.func.value.id == "Window"
+        )
+        if n:
+            found[str(py.relative_to(pkg))] = n
+    # AUDITED allowlist — every entry classified in SCALE.md's table:
+    allow = {
+        "operators/ranking.py": 3,   # the P-row stitch windows themselves
+        "queries/analytics.py": 2,   # sketch medians; 2^20-bucket summaries
+        "queries/curation.py": 3,    # post-limit KMV; sources; strata
+        "queries/similarity.py": 1,  # IVF cells (K = ceil(sqrt(n)))
+        "queries/text.py": 1,        # per-ingest-batch rows
+        "queries/timeseries.py": 4,  # calendar days x3; hour histogram
+    }
+    assert found == allow, (
+        f"unaudited global windows changed: {found} != {allow} — "
+        "classify in SCALE.md or re-plan via operators/ranking.py"
+    )
+
+
+def test_stitched_rank_primitives_match_single_task_windows(spark, sf_dir):
+    """The ranking.py stitch primitives must equal their single-task
+    window definitions value-for-value (on gate-scale data where the
+    single-task form is still runnable)."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from streamprocessing_spark.operators.ranking import (
+        global_running_max_prev,
+        global_running_sum,
+    )
+    from streamprocessing_spark.sources.readers import load_table
+
+    o = load_table(spark, sf_dir, "orders").where(F.col("o_totalprice").isNotNull())
+    c = o.groupBy(F.col("o_totalprice").alias("p")).agg(
+        F.count(F.lit(1)).alias("n"), F.max("o_orderdate").alias("mx")
+    )
+    w_sum = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_max = Window.orderBy("p").rowsBetween(Window.unboundedPreceding, -1)
+    ref = {
+        r.p: (r.cum, r.runmx)
+        for r in c.select(
+            "p", F.sum("n").over(w_sum).alias("cum"), F.max("mx").over(w_max).alias("runmx")
+        ).collect()
+    }
+    got_sum = {r.p: r.cum for r in global_running_sum(c, [F.col("p")], "n", "cum").collect()}
+    got_max = {r.p: r.runmx for r in global_running_max_prev(c, [F.col("p")], "mx", "runmx").collect()}
+    assert got_sum == {p: v[0] for p, v in ref.items()}
+    assert got_max == {p: v[1] for p, v in ref.items()}
