@@ -121,12 +121,39 @@ def _cmd_rainstorm(args: argparse.Namespace) -> int:
     return 0
 
 
+# Tag marking all-pairs / quadratic oracle baselines: correct at any
+# scale but O(n²) by design — registered for oracle comparison, NOT for
+# production corpora. Each one's docstring names its scalable sibling.
+FIXED_SCALE_TAG = "baseline-fixed-scale"
+
+
+def _fixed_scale_warning(name: str) -> str:
+    return (
+        f"WARNING: {name!r} is tagged {FIXED_SCALE_TAG}: an oracle "
+        "baseline whose candidate volume grows superlinearly with the "
+        "corpus (all-pairs join or frozen banding resolution). Use its "
+        "scalable sibling for real data (see the query's docstring / "
+        "`explain`)."
+    )
+
+
 def _cmd_list(_args: argparse.Namespace) -> int:
     from streamprocessing_spark.registry import all_specs
 
+    n_fixed = 0
     for name, spec in all_specs().items():
         oracle = "oracled" if spec.oracle else "rows-only"
-        print(f"{name}\t{oracle}\t{','.join(spec.tags)}")
+        mark = ""
+        if FIXED_SCALE_TAG in spec.tags:
+            mark = "\t!! fixed-scale baseline (superlinear candidates; not for production corpora)"
+            n_fixed += 1
+        print(f"{name}\t{oracle}\t{','.join(spec.tags)}{mark}")
+    if n_fixed:
+        print(
+            f"\n{n_fixed} queries marked '!!' are {FIXED_SCALE_TAG} oracle "
+            "baselines — each docstring names the scalable tier to use instead.",
+            file=sys.stderr,
+        )
     return 0
 
 
@@ -137,6 +164,8 @@ def _cmd_run(args: argparse.Namespace) -> int:
     specs = all_specs()
     if args.query not in specs:
         raise SystemExit(f"unknown query {args.query!r}; see `list`")
+    if FIXED_SCALE_TAG in specs[args.query].tags:
+        print(_fixed_scale_warning(args.query), file=sys.stderr)
     spark = get_spark("query-cli")
     df = specs[args.query].fn(spark, args.sf)
     df.show(args.n, truncate=False)

@@ -95,7 +95,7 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_ngram_jaccard",
     oracle=D.sql_exact_jaccard(JACCARD_THRESHOLD),
-    tags=("dedup", "llm-pipeline"),
+    tags=("dedup", "llm-pipeline", "baseline-fixed-scale"),
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact all-pairs word-3-gram Jaccard ≥ 0.8 — the near-dup
@@ -149,7 +149,7 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_char_ngram_jaccard",
     oracle=D.sql_char_jaccard(0.75, k=5),
-    tags=("dedup", "llm-pipeline"),
+    tags=("dedup", "llm-pipeline", "baseline-fixed-scale"),
 )
 def dedup_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Character 5-gram Jaccard ≥ 0.75 — the shingle variant for short or

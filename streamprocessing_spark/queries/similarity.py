@@ -73,7 +73,7 @@ def ann_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
     WHERE {_sql_cos('a.embedding', 'b.embedding')} >= 0.45
     """,
-    tags=("similarity", "dedup", "llm-pipeline"),
+    tags=("similarity", "dedup", "llm-pipeline", "baseline-fixed-scale"),
 )
 def embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup: all pairs with cosine ≥ 0.45 (the corpus has no
@@ -474,7 +474,7 @@ KNN_K = 5
              AS label_agrees
     FROM embeddings e JOIN maj m ON e.vec_id = m.qa
     """,
-    tags=("similarity", "llm-pipeline", "quality"),
+    tags=("similarity", "llm-pipeline", "quality", "baseline-fixed-scale"),
 )
 def knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Label-noise audit (confident-learning style): each vector's label

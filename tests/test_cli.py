@@ -89,3 +89,28 @@ def test_cli_explain_unknown_query(spark):
 
     with _pytest.raises(SystemExit):
         main(["explain", "no_such_query"])
+
+
+def test_cli_list_marks_fixed_scale_baselines(capsys):
+    """VERDICT r04 item #7: the registry's quadratic oracle baselines
+    must be visibly flagged so nobody runs an all-pairs tier blind on a
+    100 TB corpus — `list` marks them, `run` warns on stderr."""
+    from streamprocessing_spark.cli import FIXED_SCALE_TAG, main
+    from streamprocessing_spark.registry import all_specs
+
+    tagged = {n for n, s in all_specs().items() if FIXED_SCALE_TAG in s.tags}
+    # the four quadratic tiers the round-4 verdict called out, plus the
+    # SRP frozen-banding baselines
+    assert {
+        "dedup_ngram_jaccard", "dedup_char_ngram_jaccard",
+        "embedding_cosine_pairs", "knn_label_audit",
+    } <= tagged
+
+    main(["list"])
+    out = capsys.readouterr()
+    for name in tagged:
+        line = next(ln for ln in out.out.splitlines() if ln.startswith(name + "\t"))
+        assert "!!" in line, line
+    ok_line = next(ln for ln in out.out.splitlines() if ln.startswith("q1_pricing_summary\t"))
+    assert "!!" not in ok_line
+    assert FIXED_SCALE_TAG in out.err
