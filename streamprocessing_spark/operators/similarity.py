@@ -50,6 +50,65 @@ def cosine(a: Column, b: Column) -> Column:
     return F.try_divide(dot_double(a, b), norm_double(a) * norm_double(b))
 
 
+def with_cosine_fast(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    out_col: str = "cos",
+    threshold: float | None = None,
+) -> DataFrame:
+    """Append cos(a_col, b_col) via an Arrow-batched numpy kernel that
+    folds DIMENSION-BY-DIMENSION (sequential over dims, vectorized over
+    the batch axis) — bit-identical to ``cosine()``'s interpreted
+    try_divide(dot_double, norm_double·norm_double) sequence, at numpy
+    speed (the round-5 unlock: ROADMAP had written this swap off as
+    "breaks bit-parity" when only numpy's pairwise tree sum was
+    considered; the dim-loop IS the sequential fold). The two vector
+    columns are consumed; all other columns pass through. A zero-norm
+    vector gives 0/0 → NULL, exactly like try_divide (NaN is masked to
+    NULL so downstream DESC ranks agree with the fold tier). With
+    ``threshold`` the filter runs in-kernel, so non-qualifying pairs
+    never cross Arrow back."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    keep = [f for f in df.schema.fields if f.name not in (a_col, b_col)]
+    out_schema = StructType([*keep, StructField(out_col, DoubleType())])
+    keep_names = [f.name for f in keep]
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a_m = np.stack(pdf[a_col].to_numpy()).astype(np.float64)
+            b_m = np.stack(pdf[b_col].to_numpy()).astype(np.float64)
+            n = len(pdf)
+            dot = np.zeros(n)
+            na = np.zeros(n)
+            nb = np.zeros(n)
+            for i in range(a_m.shape[1]):
+                x, y = a_m[:, i], b_m[:, i]
+                dot = dot + x * y
+                na = na + x * x
+                nb = nb + y * y
+            with np.errstate(invalid="ignore", divide="ignore"):
+                cos = dot / (np.sqrt(na) * np.sqrt(nb))
+            if threshold is not None:
+                m = cos >= threshold  # NaN fails, like NULL
+                out = pdf.loc[m, keep_names].copy()
+                out[out_col] = cos[m]
+            else:
+                out = pdf[keep_names].copy()
+                arr = pd.array(cos, dtype="Float64")
+                arr[~np.isfinite(cos)] = pd.NA  # try_divide's NULL
+                out[out_col] = arr
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
+
+
 def topk_per_query(
     emb: DataFrame,
     queries: DataFrame,
@@ -59,14 +118,23 @@ def topk_per_query(
     query_id_col: str = "query_id",
     query_vec_col: str = "query_vec",
 ) -> DataFrame:
-    """Exact brute-force top-k: broadcast-join queries × corpus, score,
+    """Exact brute-force top-k: broadcast-join queries × corpus, score
+    (numpy dim-fold kernel — bit-identical to the interpreted fold),
     keep k per query. TakeOrdered semantics via row_number: each shuffle
     partition only carries its local survivors. Output
     (query_id, neighbor_id, rank)."""
-    scored = emb.join(F.broadcast(queries)).where(F.col(id_col) != F.col(query_id_col)).select(
-        F.col(query_id_col),
-        F.col(id_col).alias("neighbor_id"),
-        cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
+    scored = with_cosine_fast(
+        emb.join(F.broadcast(queries))
+        .where(F.col(id_col) != F.col(query_id_col))
+        .select(
+            F.col(query_id_col),
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("av"),
+            F.col(query_vec_col).alias("bv"),
+        ),
+        "av",
+        "bv",
+        "cos",
     )
     w = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -81,17 +149,18 @@ def cosine_pairs(
     """All-pairs cosine ≥ threshold (embedding near-dup). O(n²) scoring —
     correct baseline; at scale, prefilter candidates with SRP-LSH banding
     (same banding skeleton as operators/dedup.lsh_candidate_pairs) and
-    verify with this exact score. Output (id_a, id_b, cos rounded)."""
+    verify with this exact score. Output (id_a, id_b, cos rounded). The
+    n²/2 scores run the numpy dim-fold kernel (with_cosine_fast) with
+    the threshold applied in-kernel — bit-identical to the interpreted
+    fold, and failing pairs never cross Arrow back."""
     a = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
     b = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
-    pairs = a.join(b, F.col("id_a") < F.col("id_b")).select(
-        "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos")
-    )
     from streamprocessing_spark.functions.text import portable_round
 
-    return pairs.where(F.col("cos") >= threshold).select(
-        "id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim")
+    scored = with_cosine_fast(
+        a.join(b, F.col("id_a") < F.col("id_b")), "va", "vb", "cos", threshold=threshold
     )
+    return scored.select("id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim"))
 
 
 # ------------------------------------------------------------------ SRP-LSH
@@ -164,6 +233,62 @@ def _srp_band_structs(
         for b in range(bands)
     )
     return F.expr(f"array({structs})")
+
+
+def srp_buckets_fast(
+    df: DataFrame,
+    weights: list[list[float]],
+    rows_per_band: int,
+    bands: int,
+    id_col: str = "id",
+    vec_col: str = "v",
+    r_col: str | None = None,
+) -> DataFrame:
+    """(id, band, sig) bucket rows via a numpy dim-fold signature kernel —
+    bit-identical to _srp_band_structs' interpreted per-hyperplane
+    aggregate folds (each (row, bit) dot accumulates sequentially over
+    dims; the batch×bits plane is one fused numpy op per dim). With
+    ``r_col`` (adaptive tiers) each band's signature is truncated to that
+    row's r — the count-derived resolution arrives as a column, exactly
+    like the in-plan broadcast the Catalyst form cross-joins."""
+    w_mat = [list(map(float, w)) for w in weights]
+    nbits = len(w_mat)
+    assert nbits == rows_per_band * bands
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        w_np = np.array(w_mat, dtype=np.float64)  # (nbits, dim)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, dim)
+            n = len(pdf)
+            acc = np.zeros((n, nbits))
+            for i in range(x.shape[1]):
+                # one fused (n × nbits) multiply-add per dim — each
+                # element's accumulation is sequential over dims, the
+                # exact IEEE fold aggregate() runs
+                acc = acc + x[:, i : i + 1] * w_np[None, :, i]
+            bits = np.where(acc >= 0.0, "1", "0")
+            ids = pdf[id_col].to_numpy()
+            rs = pdf[r_col].to_numpy() if r_col else None
+            out_id, out_band, out_sig = [], [], []
+            for row in range(n):
+                chars = bits[row]
+                r = int(rs[row]) if rs is not None else rows_per_band
+                for b_i in range(bands):
+                    out_id.append(ids[row])
+                    out_band.append(b_i)
+                    out_sig.append(
+                        "".join(chars[b_i * rows_per_band : b_i * rows_per_band + r])
+                    )
+            yield pd.DataFrame(
+                {"id": out_id, "band": pd.array(out_band, dtype="int32"), "sig": out_sig}
+            )
+
+    return df.mapInPandas(kernel, "id bigint, band int, sig string")
 
 
 def srp_lsh_cosine_pairs(
@@ -285,18 +410,17 @@ def srp_lsh_cosine_pairs_recall_held(
     r = srp_r_for_count(n_rows)
     bands = SRP_RECALL_BANDS[r]
     weights = srp_weights(dim, nbits=bands * SRP_RMAX)
-    buckets = (
+    # numpy dim-fold signature kernel (srp_buckets_fast): bit-identical
+    # to the b·RMAX interpreted hyperplane folds, at Arrow-batch speed —
+    # the stage the recall-held law pays its p^−r price in.
+    buckets = srp_buckets_fast(
         emb.select(
-            F.col(id_col).alias("id"),
-            F.explode(
-                _srp_band_structs(vec_col, weights, rows_per_band=SRP_RMAX, bands=bands)
-            ).alias("bs"),
-        )
-        .select(
-            "id",
-            F.col("bs.band").alias("band"),
-            F.expr(f"substring(bs.sig, 1, {r})").alias("sig"),
-        )
+            F.col(id_col).alias("id"), F.col(vec_col).alias("v"), F.lit(r).alias("r")
+        ),
+        weights,
+        rows_per_band=SRP_RMAX,
+        bands=bands,
+        r_col="r",
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
@@ -309,29 +433,16 @@ def srp_lsh_cosine_pairs_recall_held(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # Norm-once discipline (see srp_lsh_cosine_pairs): identical doubles
-    # to per-pair folds, a third of the interpreted-HOF cost.
-    va = emb.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-        norm_double(F.col(vec_col)).alias("na"),
-    )
-    vb = emb.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-        norm_double(F.col(vec_col)).alias("nb"),
-    )
+    # numpy dim-fold verify (with_cosine_fast): bit-identical doubles to
+    # the interpreted per-pair folds, at Arrow-batch speed.
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     from streamprocessing_spark.functions.text import portable_round
 
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.try_divide(dot_double(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")).alias("cos"),
-        )
-        .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim"))
+    scored = with_cosine_fast(
+        cand.join(va, "id_a").join(vb, "id_b"), "va", "vb", "cos", threshold=threshold
     )
+    return scored.select("id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim"))
 
 
 def srp_lsh_cosine_pairs_adaptive(
@@ -362,16 +473,17 @@ def srp_lsh_cosine_pairs_adaptive(
             f"CAST(ceil(log2(greatest(count(1), 2))) AS INT) - {SRP_R_SHIFT})) AS INT)"
         ).alias("r")
     )
-    full = emb.select(
-        F.col(id_col).alias("id"),
-        F.explode(
-            _srp_band_structs(vec_col, weights, rows_per_band=SRP_RMAX)
-        ).alias("bs"),
-    )
-    buckets = full.crossJoin(F.broadcast(r)).select(
-        "id",
-        F.col("bs.band").alias("band"),
-        F.expr("substring(bs.sig, 1, r)").alias("sig"),
+    # numpy dim-fold signature kernel; the in-plan count-derived r rides
+    # in as a broadcast-joined column, truncating each band's signature
+    # exactly like the Catalyst substring form it replaced
+    buckets = srp_buckets_fast(
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).crossJoin(
+            F.broadcast(r)
+        ),
+        weights,
+        rows_per_band=SRP_RMAX,
+        bands=SRP_BANDS,
+        r_col="r",
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
@@ -384,29 +496,16 @@ def srp_lsh_cosine_pairs_adaptive(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    # Norm-once discipline (see srp_lsh_cosine_pairs): identical doubles
-    # to per-pair folds, a third of the interpreted-HOF cost.
-    va = emb.select(
-        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-        norm_double(F.col(vec_col)).alias("na"),
-    )
-    vb = emb.select(
-        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-        norm_double(F.col(vec_col)).alias("nb"),
-    )
+    # numpy dim-fold verify (with_cosine_fast): bit-identical doubles to
+    # the interpreted per-pair folds, at Arrow-batch speed.
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
     from streamprocessing_spark.functions.text import portable_round
 
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.try_divide(dot_double(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")).alias("cos"),
-        )
-        .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim"))
+    scored = with_cosine_fast(
+        cand.join(va, "id_a").join(vb, "id_b"), "va", "vb", "cos", threshold=threshold
     )
+    return scored.select("id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim"))
 
 
 IVF_PAIR_NASSIGN = 3
@@ -453,35 +552,29 @@ def ivf_cosine_pairs(
         .select(
             F.col(id_col).alias("cent_id"),
             F.col(vec_col).alias("cent_vec"),
-            norm_double(F.col(vec_col)).alias("nc"),
         )
     )
-    # Norms once per vector (the srp_lsh_cosine_pairs discipline): the
-    # HOF folds are interpreted, so cosine = dot + 2 inline norms would
-    # triple both hot stages. norm-once == norm-inline bit-for-bit.
-    vecs = emb.select(
-        F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        norm_double(F.col(vec_col)).alias("nv"),
-    )
+    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # both hot stages (n·K assignment cosines, candidate verify) run the
+    # numpy dim-fold kernel — bit-identical to the interpreted folds
     w_assign = Window.partitionBy("id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
     assigned = (
-        vecs.join(F.broadcast(centroids))
-        .select(
-            "id",
-            "cent_id",
-            F.try_divide(dot_double(F.col("v"), F.col("cent_vec")), F.col("nv") * F.col("nc")).alias(
-                "cos_c"
+        with_cosine_fast(
+            vecs.join(F.broadcast(centroids)).select(
+                "id", "cent_id", F.col("v").alias("av"), F.col("cent_vec").alias("bv")
             ),
+            "av",
+            "bv",
+            "cos_c",
         )
         .withColumn("rn", F.row_number().over(w_assign))
         .where(F.col("rn") <= nassign)
         .select("id", "cent_id")
-        # the assignment pipeline (n·K interpreted dot folds + a window)
-        # feeds BOTH sides of the candidate self-join: materialize it once
-        # instead of evaluating it twice (measured 2× the dominant stage
-        # at the 10× proxy) — same multi-consumer discipline as the
-        # co-purchase edge list
+        # the assignment pipeline (n·K dot folds + a window) feeds BOTH
+        # sides of the candidate self-join: materialize it once instead
+        # of evaluating it twice (measured 2× the dominant stage at the
+        # 10× proxy) — same multi-consumer discipline as the co-purchase
+        # edge list
         .localCheckpoint(eager=True)
     )
     a, b = assigned.alias("a"), assigned.alias("b")
@@ -493,21 +586,14 @@ def ivf_cosine_pairs(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
-    va = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"), F.col("nv").alias("na"))
-    vb = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"), F.col("nv").alias("nb"))
+    va = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
+    vb = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
     from streamprocessing_spark.functions.text import portable_round
 
-    return (
-        cand.join(va, "id_a")
-        .join(vb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.try_divide(dot_double(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")).alias("cos"),
-        )
-        .where(F.col("cos") >= threshold)
-        .select("id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim"))
+    scored = with_cosine_fast(
+        cand.join(va, "id_a").join(vb, "id_b"), "va", "vb", "cos", threshold=threshold
     )
+    return scored.select("id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim"))
 
 
 def ivf_topk(
@@ -539,11 +625,18 @@ def ivf_topk(
         centroids = emb.where(F.col(id_col) < num_centroids).select(
             F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec")
         )
+    # all three cosine stages run the numpy dim-fold kernel — bit-identical
+    # to the interpreted cosine() folds (see with_cosine_fast)
     w_assign = Window.partitionBy(id_col).orderBy(F.desc("cos_c"), F.asc("cent_id"))
     assigned = (
-        emb.join(F.broadcast(centroids))
-        .select(
-            id_col, vec_col, "cent_id", cosine(F.col(vec_col), F.col("cent_vec")).alias("cos_c")
+        with_cosine_fast(
+            emb.join(F.broadcast(centroids)).select(
+                id_col, vec_col, "cent_id",
+                F.col(vec_col).alias("av"), F.col("cent_vec").alias("bv"),
+            ),
+            "av",
+            "bv",
+            "cos_c",
         )
         .withColumn("rn", F.row_number().over(w_assign))
         .where(F.col("rn") == 1)
@@ -551,25 +644,31 @@ def ivf_topk(
     )
     w_probe = Window.partitionBy(query_id_col).orderBy(F.desc("cos_q"), F.asc("cent_id"))
     probes = (
-        queries.join(F.broadcast(centroids))
-        .select(
-            query_id_col,
-            query_vec_col,
-            "cent_id",
-            cosine(F.col(query_vec_col), F.col("cent_vec")).alias("cos_q"),
+        with_cosine_fast(
+            queries.join(F.broadcast(centroids)).select(
+                query_id_col, query_vec_col, "cent_id",
+                F.col(query_vec_col).alias("av"), F.col("cent_vec").alias("bv"),
+            ),
+            "av",
+            "bv",
+            "cos_q",
         )
         .withColumn("rn", F.row_number().over(w_probe))
         .where(F.col("rn") <= nprobe)
         .select(query_id_col, query_vec_col, "cent_id")
     )
-    scored = (
+    scored = with_cosine_fast(
         assigned.join(probes, "cent_id")
         .where(F.col(id_col) != F.col(query_id_col))
         .select(
             query_id_col,
             F.col(id_col).alias("neighbor_id"),
-            cosine(F.col(vec_col), F.col(query_vec_col)).alias("cos"),
-        )
+            F.col(vec_col).alias("av"),
+            F.col(query_vec_col).alias("bv"),
+        ),
+        "av",
+        "bv",
+        "cos",
     )
     w_rank = Window.partitionBy(query_id_col).orderBy(F.desc("cos"), F.asc("neighbor_id"))
     return (
@@ -725,10 +824,13 @@ def srp_lsh_cosine_pairs_fast(
     tests/test_similarity.py asserts bit-equality against the fold tier
     and SCALE.md records the wall-clock win."""
     weights = srp_weights(dim)
-    buckets = emb.select(
-        F.col(id_col).alias("id"),
-        F.explode(_srp_band_structs(vec_col, weights)).alias("bs"),
-    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    # signatures AND verify both on the numpy dim-fold path
+    buckets = srp_buckets_fast(
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")),
+        weights,
+        rows_per_band=SRP_ROWS_PER_BAND,
+        bands=SRP_BANDS,
+    )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(

@@ -695,11 +695,16 @@ def approx_percentiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame
     hash; the exact n_vals audit count rides alongside. A production run
     keeps only the sketch aggregate."""
     c = load_table(spark, sf_dir, "customer").select("c_mktsegment", "c_acctbal")
-    sk = c.groupBy("c_mktsegment").agg(
+    sk = c.groupBy(F.col("c_mktsegment").alias("seg")).agg(
         F.expr("percentile_approx(c_acctbal, 0.5, 10000)").alias("p50a"),
         F.expr("percentile_approx(c_acctbal, 0.95, 10000)").alias("p95a"),
     )
-    j = c.join(F.broadcast(sk), "c_mktsegment")
+    # null-safe join-back: a NULL segment is a legal group (the oracle's
+    # GROUP BY keeps it) — a bare equi-join would drop it (hostile-sweep
+    # find, round 5)
+    j = c.join(
+        F.broadcast(sk), F.col("c_mktsegment").eqNullSafe(F.col("seg"))
+    ).drop("seg")
     audit = j.groupBy("c_mktsegment").agg(
         F.count("c_acctbal").alias("n_vals"),
         F.sum(F.when(F.col("c_acctbal") < F.col("p50a"), 1).otherwise(0)).alias("b50"),

@@ -493,23 +493,18 @@ def knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     from pyspark.sql.window import Window
 
-    # Norms are computed ONCE per vector (the srp_lsh_cosine_pairs
-    # pattern): higher-order-function folds are interpreted, so per-pair
-    # cosine = dot + 2 norms would triple the dominant cost of the n²
-    # scoring stage (measured 74 s → 26 s at sf0.1). The joined norm is
-    # bit-identical to the per-pair fold the oracle computes.
-    a = emb.select(
-        F.col("vec_id").alias("qa"), F.col("embedding").alias("va"),
-        S.norm_double(F.col("embedding")).alias("na"),
-    )
+    # n² scoring through the numpy dim-fold kernel (S.with_cosine_fast):
+    # bit-identical doubles to the interpreted per-pair folds the oracle
+    # computes (this stage measured 74 s → 26 s at sf0.1 already under
+    # the norm-once fold; the Arrow kernel removes the interpreted-HOF
+    # cost entirely).
+    a = emb.select(F.col("vec_id").alias("qa"), F.col("embedding").alias("va"))
     b = emb.select(
         F.col("vec_id").alias("qb"), F.col("embedding").alias("vb"),
         F.col("label").alias("nl"),
-        S.norm_double(F.col("embedding")).alias("nb"),
     )
-    scored = a.join(b, F.col("qa") != F.col("qb")).select(
-        "qa", "qb", "nl",
-        F.try_divide(S.dot_double(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")).alias("cos"),
+    scored = S.with_cosine_fast(
+        a.join(b, F.col("qa") != F.col("qb")), "va", "vb", "cos"
     )
     w_nn = Window.partitionBy("qa").orderBy(F.desc("cos"), F.asc("qb"))
     nn = (
@@ -1665,22 +1660,12 @@ def ann_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     from pyspark.sql.window import Window
 
-    a = emb.select(
-        F.col("vec_id").alias("qa"),
-        F.col("embedding").alias("va"),
-        S.norm_double(F.col("embedding")).alias("na"),
-    )
-    b = emb.select(
-        F.col("vec_id").alias("qb"),
-        F.col("embedding").alias("vb"),
-        S.norm_double(F.col("embedding")).alias("nb"),
-    )
-    scored = a.join(b, F.col("qa") != F.col("qb")).select(
-        "qa",
-        "qb",
-        F.try_divide(
-            S.dot_double(F.col("va"), F.col("vb")), F.col("na") * F.col("nb")
-        ).alias("cos"),
+    a = emb.select(F.col("vec_id").alias("qa"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("qb"), F.col("embedding").alias("vb"))
+    # n² scoring through the numpy dim-fold kernel — bit-identical to the
+    # interpreted folds (see S.with_cosine_fast)
+    scored = S.with_cosine_fast(
+        a.join(b, F.col("qa") != F.col("qb")), "va", "vb", "cos"
     )
     w_nn = Window.partitionBy("qa").orderBy(F.desc("cos"), F.asc("qb"))
     nn = (
