@@ -82,19 +82,33 @@ def with_cosine_fast(
         for pdf in batches:
             if not len(pdf):
                 continue
-            a_m = np.stack(pdf[a_col].to_numpy()).astype(np.float64)
-            b_m = np.stack(pdf[b_col].to_numpy()).astype(np.float64)
+            a_list = pdf[a_col].to_numpy()
+            b_list = pdf[b_col].to_numpy()
             n = len(pdf)
-            dot = np.zeros(n)
-            na = np.zeros(n)
-            nb = np.zeros(n)
-            for i in range(a_m.shape[1]):
-                x, y = a_m[:, i], b_m[:, i]
-                dot = dot + x * y
-                na = na + x * x
-                nb = nb + y * y
-            with np.errstate(invalid="ignore", divide="ignore"):
-                cos = dot / (np.sqrt(na) * np.sqrt(nb))
+            la = np.fromiter((len(v) for v in a_list), dtype=np.int64, count=n)
+            lb = np.fromiter((len(v) for v in b_list), dtype=np.int64, count=n)
+            cos = np.full(n, np.nan)
+            # ragged guard (hostile fixtures): zip_with pads the shorter
+            # array with NULL, nulling the dot → try_divide NULL; equal
+            # empty arrays give 0/0 → NULL too. Vectorize per length
+            # group; mismatched/empty rows stay NaN (→ NULL below).
+            for ln in np.unique(la):
+                m = (la == ln) & (lb == ln)
+                if ln == 0 or not m.any():
+                    continue
+                a_m = np.stack(a_list[m]).astype(np.float64)
+                b_m = np.stack(b_list[m]).astype(np.float64)
+                k = int(m.sum())
+                dot = np.zeros(k)
+                na = np.zeros(k)
+                nb = np.zeros(k)
+                for i in range(int(ln)):
+                    x, y = a_m[:, i], b_m[:, i]
+                    dot = dot + x * y
+                    na = na + x * x
+                    nb = nb + y * y
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos[m] = dot / (np.sqrt(na) * np.sqrt(nb))
             if threshold is not None:
                 m = cos >= threshold  # NaN fails, like NULL
                 out = pdf.loc[m, keep_names].copy()
@@ -260,18 +274,30 @@ def srp_buckets_fast(
         import pandas as pd
 
         w_np = np.array(w_mat, dtype=np.float64)  # (nbits, dim)
+        dim = w_np.shape[1]
         for pdf in batches:
             if not len(pdf):
                 continue
-            x = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)  # (n, dim)
+            v_list = pdf[vec_col].to_numpy()
             n = len(pdf)
-            acc = np.zeros((n, nbits))
-            for i in range(x.shape[1]):
-                # one fused (n × nbits) multiply-add per dim — each
-                # element's accumulation is sequential over dims, the
-                # exact IEEE fold aggregate() runs
-                acc = acc + x[:, i : i + 1] * w_np[None, :, i]
-            bits = np.where(acc >= 0.0, "1", "0")
+            lv = np.fromiter((len(v) for v in v_list), dtype=np.int64, count=n)
+            acc = np.full((n, nbits), np.nan)
+            # ragged guard: a vector whose length differs from the
+            # hyperplane dim zip_with-pads to NULL → NULL dot → CASE
+            # yields '0' for every bit (NaN >= 0 is False below, same
+            # result). Equal-length rows take the vectorized fold.
+            m = lv == dim
+            if m.any():
+                x = np.stack(v_list[m]).astype(np.float64)  # (k, dim)
+                a = np.zeros((int(m.sum()), nbits))
+                for i in range(dim):
+                    # one fused (k × nbits) multiply-add per dim — each
+                    # element's accumulation is sequential over dims, the
+                    # exact IEEE fold aggregate() runs
+                    a = a + x[:, i : i + 1] * w_np[None, :, i]
+                acc[m] = a
+            with np.errstate(invalid="ignore"):
+                bits = np.where(acc >= 0.0, "1", "0")
             ids = pdf[id_col].to_numpy()
             rs = pdf[r_col].to_numpy() if r_col else None
             out_id, out_band, out_sig = [], [], []
@@ -694,6 +720,68 @@ def _km_dist_expr(xi: str, s: str, cnt: str) -> str:
     )
 
 
+def with_km_dist_fast(
+    df: DataFrame, xi_col: str, s_col: str, cnt_col: str, out_col: str
+) -> DataFrame:
+    """Append the squared-L2 distance between a quantized vector and a
+    (sum array, count) centroid via the numpy dim-fold kernel —
+    bit-identical to _km_dist_expr's interpreted fold (per element:
+    exact int→double widening, one IEEE divide, subtract, square;
+    accumulation sequential over dims). Consumes the two array columns;
+    the Arrow batch replaces n·K interpreted lambda evaluations.
+
+    Tradeoff, measured at sf0.1: for SHORT slices (PQ's 8-dim subspaces)
+    the fixed mapInPandas stage cost roughly cancels the fold win
+    (ann_pq_adc_topk 4.9→5.4 s) — kept anyway because the per-row fold
+    cost is what scales with n while the stage cost is constant: at
+    100 TB corpus sizes the kernel side wins outright, and one code
+    path keeps the bit-exactness argument in one place."""
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    keep = [f for f in df.schema.fields if f.name not in (xi_col, s_col)]
+    out_schema = StructType([*keep, StructField(out_col, DoubleType())])
+    keep_names = [f.name for f in keep]
+
+    def kernel(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x_list = pdf[xi_col].to_numpy()
+            s_list = pdf[s_col].to_numpy()
+            cnt_all = pdf[cnt_col].to_numpy().astype(np.float64)
+            n = len(pdf)
+            lx = np.fromiter((len(v) for v in x_list), dtype=np.int64, count=n)
+            ls = np.fromiter((len(v) for v in s_list), dtype=np.int64, count=n)
+            acc = np.full(n, np.nan)
+            # ragged guard: zip_with over equal-length arrays folds
+            # normally (empty → the fold's 0.0 — PQ's out-of-range
+            # slices hit this); mismatched lengths pad with NULL →
+            # NULL dist (→ masked below).
+            acc[(lx == 0) & (ls == 0)] = 0.0
+            for ln in np.unique(lx):
+                m = (lx == ln) & (ls == ln)
+                if ln == 0 or not m.any():
+                    continue
+                x = np.stack(x_list[m]).astype(np.float64)
+                s = np.stack(s_list[m]).astype(np.float64)
+                cnt = cnt_all[m]
+                a = np.zeros(int(m.sum()))
+                for i in range(int(ln)):
+                    d = x[:, i] - s[:, i] / cnt
+                    a = a + d * d
+                acc[m] = a
+            out = pdf[keep_names].copy()
+            arr = pd.array(acc, dtype="Float64")
+            arr[~np.isfinite(acc)] = pd.NA  # ragged/NULL-element rows
+            out[out_col] = arr
+            yield out
+
+    return df.mapInPandas(kernel, out_schema)
+
+
 def kmeans_assign(
     emb: DataFrame,
     k: int = KMEANS_K,
@@ -760,8 +848,7 @@ def _kmeans_loop(
     for _ in range(iters):
         w = Window.partitionBy("id").orderBy(F.asc("dist"), F.asc("k"))
         asg = (
-            q.join(F.broadcast(cent))
-            .select("id", "k", F.expr(_km_dist_expr("xi", "s", "cnt")).alias("dist"))
+            with_km_dist_fast(q.join(F.broadcast(cent)), "xi", "s", "cnt", "dist")
             .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select("id", "k")
@@ -923,8 +1010,7 @@ def pq_train_encode(
     w = Window.partitionBy("j", "id").orderBy(F.asc("dist"), F.asc("k"))
     for _ in range(PQ_ITERS):
         asg = (
-            sub.join(F.broadcast(cent), "j")
-            .select("j", "id", "k", F.expr(_km_dist_expr("xi", "s", "cnt")).alias("dist"))
+            with_km_dist_fast(sub.join(F.broadcast(cent), "j"), "xi", "s", "cnt", "dist")
             .withColumn("rn", F.row_number().over(w))
             .where(F.col("rn") == 1)
             .select("j", "id", "k")
@@ -960,8 +1046,8 @@ def pq_query_lut(queries: DataFrame, cent: DataFrame) -> DataFrame:
         "query_id", F.posexplode(_pq_slices_col("query_vec")).alias("j", "qxi")
     )
     return (
-        qslices.join(F.broadcast(cent), "j")
-        .select("query_id", "j", "k", F.expr(_km_dist_expr("qxi", "s", "cnt")).alias("d"))
+        with_km_dist_fast(qslices.join(F.broadcast(cent), "j"), "qxi", "s", "cnt", "d")
+        .select("query_id", "j", "k", "d")
         .localCheckpoint(eager=True)  # probed PQ_M times
     )
 
@@ -1070,8 +1156,7 @@ def ivfpq_topk(
     )
     w_cell = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("k"))
     probes = (
-        qx.crossJoin(F.broadcast(coarse_cent))
-        .select("query_id", "k", F.expr(_km_dist_expr("xi", "s", "cnt")).alias("dist"))
+        with_km_dist_fast(qx.crossJoin(F.broadcast(coarse_cent)), "xi", "s", "cnt", "dist")
         .withColumn("rn", F.row_number().over(w_cell))
         .where(F.col("rn") <= nprobe)
         .select("query_id", F.col("k").alias("cell"))
