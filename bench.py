@@ -159,6 +159,9 @@ HEADLINE = [
     "longest_duplicated_span",
     "funnel_steps_dropoff",
     "dedup_minhash_recall_curve",
+    # round-5 additions
+    "calibration_ece_audit",
+    "annotator_agreement_kappa",
 ]
 
 

@@ -546,6 +546,87 @@ def minhash_jaccard_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+@register(
+    "calibration_ece_audit",
+    oracle=f"""
+    WITH pairs AS ({{audit_sql}}),
+    lab AS (
+      SELECT match_64,
+             CASE WHEN 10 * n_inter >= {int(JACCARD_THRESHOLD * 10)} * n_union
+                  THEN 1 ELSE 0 END AS pos
+      FROM pairs),
+    bins AS (
+      SELECT least(match_64 // 8, 7) AS bin,
+             count(*) AS n_pairs,
+             sum(pos) AS n_pos,
+             sum(match_64) AS sum_match_64
+      FROM lab GROUP BY 1),
+    tot AS (SELECT sum(n_pairs) AS n_all,
+                   sum(abs(64 * n_pos - sum_match_64)) AS gap_all
+            FROM bins)
+    SELECT CAST(b.bin AS BIGINT) AS bin,
+           CAST(b.n_pairs AS BIGINT) AS n_pairs,
+           CAST(b.n_pos AS BIGINT) AS n_pos,
+           CAST(b.sum_match_64 AS BIGINT) AS sum_match_64,
+           CAST(abs(64 * b.n_pos - b.sum_match_64) AS BIGINT) AS abs_gap_64n,
+           CAST((1000 * t.gap_all) // (64 * t.n_all) AS BIGINT) AS ece_milli
+    FROM bins b, tot t
+    """.format(audit_sql=D.sql_minhash_estimate_audit()),
+    tags=("dedup", "llm-pipeline", "quality", "statistics"),
+)
+def calibration_ece_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected-Calibration-Error audit of the MinHash sketch as a
+    duplicate-probability PREDICTOR — the reliability-diagram companion
+    to dedup_signal_auc (AUC measures ranking; ECE measures whether the
+    predicted probabilities MEAN what they say): for every LSH candidate
+    pair, confidence = match_64/64 (E[match/64] = true Jaccard) and
+    label = exact Jaccard ≥ {JACCARD_THRESHOLD}. Eight equal-width
+    confidence bins; per bin the accuracy-vs-confidence gap, plus the
+    corpus ECE. The audit a curation pipeline runs before using sketch
+    scores as sampling weights or threshold inputs rather than ranks.
+
+    Exact integers end to end: per-bin gap·n_b·64 = |64·pos_b − Σmatch|
+    and ECE·64·N·1000 is an integer before one floor division — no
+    float ever forms, so the reliability table hash-matches bit-for-bit
+    (the countmin/HLL promotion discipline). Scale shape: identical to
+    the LSH tier through candidates (band buckets, never all-pairs),
+    then an 8-row aggregate; ECE rides every row as a constant column
+    via a broadcast of the 1-row total."""
+    audit = minhash_jaccard_estimate_audit(spark, sf_dir)
+    lab = audit.select(
+        "match_64",
+        F.when(
+            F.col("n_inter") * 10 >= F.lit(int(JACCARD_THRESHOLD * 10)) * F.col("n_union"),
+            1,
+        )
+        .otherwise(0)
+        .alias("pos"),
+    )
+    bins = (
+        lab.groupBy(F.least(F.expr("match_64 div 8"), F.lit(7)).alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum("pos").alias("n_pos"),
+            F.sum("match_64").alias("sum_match_64"),
+        )
+        .localCheckpoint(eager=True)  # 8 rows, two consumers
+    )
+    tot = bins.agg(
+        F.sum("n_pairs").alias("n_all"),
+        F.sum(F.abs(F.lit(64) * F.col("n_pos") - F.col("sum_match_64"))).alias("gap_all"),
+    )
+    return bins.crossJoin(F.broadcast(tot)).select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.col("n_pos").cast("long").alias("n_pos"),
+        F.col("sum_match_64").cast("long").alias("sum_match_64"),
+        F.abs(F.lit(64) * F.col("n_pos") - F.col("sum_match_64"))
+        .cast("long")
+        .alias("abs_gap_64n"),
+        F.expr("CAST((1000 * gap_all) div (64 * n_all) AS BIGINT)").alias("ece_milli"),
+    )
+
+
 _SQL_SPLIT = """
     SELECT doc_id,
            CASE WHEN h < 80 THEN 'train'

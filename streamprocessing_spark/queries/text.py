@@ -769,6 +769,110 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "annotator_agreement_kappa",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, text,
+             {_sql_hits('en')} AS en, {_sql_hits('de')} AS de,
+             {_sql_hits('fr')} AS fr, {_sql_hits('es')} AS es
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+        CASE
+          WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+          WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+          WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+          WHEN fr >= es AND fr > 0 THEN 'fr'
+          WHEN es > 0 THEN 'es'
+          ELSE 'und'
+        END AS lang_pred
+      FROM h),
+    conf AS (SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2),
+    tot AS (SELECT sum(n) AS n_docs,
+                   sum(CASE WHEN lang IS NOT DISTINCT FROM lang_pred
+                            THEN n ELSE 0 END) AS n_agree
+            FROM conf),
+    rowm AS (SELECT lang AS cls, sum(n) AS rn FROM conf GROUP BY 1),
+    colm AS (SELECT lang_pred AS cls, sum(n) AS cn FROM conf GROUP BY 1),
+    pe AS (SELECT sum(COALESCE(r.rn, 0) * COALESCE(c.cn, 0)) AS pe_num
+           FROM rowm r FULL JOIN colm c ON r.cls IS NOT DISTINCT FROM c.cls)
+    SELECT CAST(t.n_docs AS BIGINT) AS n_docs,
+           CAST(t.n_agree AS BIGINT) AS n_agree,
+           CAST((1000 * t.n_agree) // t.n_docs AS BIGINT) AS po_milli,
+           CAST((1000 * p.pe_num) // (t.n_docs * t.n_docs) AS BIGINT) AS pe_milli,
+           CAST(CASE WHEN t.n_docs * t.n_docs <> p.pe_num
+                THEN (1000 * (t.n_docs * t.n_agree - p.pe_num))
+                     // (t.n_docs * t.n_docs - p.pe_num) END AS BIGINT)
+             AS kappa_milli
+    FROM tot t, pe p
+    """,
+    tags=("text", "llm-pipeline", "quality", "statistics"),
+)
+def annotator_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's κ between two 'annotators' of the corpus — the declared
+    ``lang`` column vs the stopword language-ID heuristic — the
+    inter-annotator-agreement audit every labeling/preference-data
+    pipeline runs before trusting its raters (κ corrects raw agreement
+    for the agreement two raters would reach by CHANCE from their
+    marginal label rates; Landis-Koch reads ≥0.61 as substantial).
+
+    Exact integer arithmetic throughout: with N docs, A agreements and
+    pe_num = Σ_k row_k·col_k, κ·1000 = 1000·(N·A − pe_num) div
+    (N² − pe_num) — no float ever forms, so the row hash-matches
+    bit-for-bit. NULL labels are a legal rater output: they group as
+    their own class (null-safe marginal join), and NULL ≠ anything means
+    they never count as agreement on either engine. Scale shape: one
+    corpus scan → class²-sized confusion matrix → class-sized marginals;
+    everything after the first aggregate is dimension-sized. Degenerate
+    guard: pe = 1 (single-class raters) yields NULL κ rather than 0/0."""
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select("lang", "text", T.tokens(F.col("text")).alias("t"))
+    hits = {
+        lang: T.stopword_hits(F.col("t"), lang).alias(f"hits_{lang}")
+        for lang in T.STOPWORDS
+    }
+    scored = toked.select("lang", "text", *hits.values())
+    hit_cols = {lang: F.col(f"hits_{lang}") for lang in T.STOPWORDS}
+    conf = (
+        scored.select("lang", T.lang_pick(hit_cols, F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # class²-sized; three consumers
+    )
+    tot = conf.agg(
+        F.sum("n").alias("n_docs"),
+        F.sum(
+            F.when(F.col("lang").eqNullSafe(F.col("lang_pred")), F.col("n")).otherwise(0)
+        ).alias("n_agree"),
+    )
+    rowm = conf.groupBy(F.col("lang").alias("cls")).agg(F.sum("n").alias("rn"))
+    colm = conf.groupBy(F.col("lang_pred").alias("cls2")).agg(F.sum("n").alias("cn"))
+    pe = (
+        rowm.join(colm, F.col("cls").eqNullSafe(F.col("cls2")), "full")
+        .agg(
+            F.sum(
+                F.coalesce(F.col("rn"), F.lit(0)) * F.coalesce(F.col("cn"), F.lit(0))
+            ).alias("pe_num")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(pe))
+        .select(
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("n_agree").cast("long").alias("n_agree"),
+            F.expr("CAST((1000 * n_agree) div n_docs AS BIGINT)").alias("po_milli"),
+            F.expr("CAST((1000 * pe_num) div (n_docs * n_docs) AS BIGINT)").alias("pe_milli"),
+            F.expr(
+                "CAST(CASE WHEN n_docs * n_docs <> pe_num THEN "
+                "(1000 * (n_docs * n_agree - pe_num)) div (n_docs * n_docs - pe_num) "
+                "END AS BIGINT)"
+            ).alias("kappa_milli"),
+        )
+    )
+
+
 # --- count-min sketch heavy hitters -----------------------------------
 CM_D = 4          # hash rows
 CM_W = 256        # buckets per row: ~961 distinct bigrams -> real collisions

@@ -516,3 +516,64 @@ def test_funnel_monotone_and_matches_python(spark, sf_dir):
             expect[i] += 1
             cur = nxt
     assert counts == expect
+
+
+def test_ece_bins_match_python_rederivation(spark, sf_dir):
+    """Re-derive the reliability table in pure Python from the shared
+    estimate-audit rows (confidence = match_64/64, label = exact
+    Jaccard >= threshold): bins, per-bin gap, and the ECE identity
+    ece_milli = (1000*sum|64*pos_b - summatch_b|) div (64*N) must all
+    agree, and per-bin the gap can never exceed 64*n_pairs."""
+    from streamprocessing_spark.queries.dedup import JACCARD_THRESHOLD
+
+    audit = all_specs()["minhash_jaccard_estimate_audit"].fn(spark, sf_dir).collect()
+    bins: dict[int, list[int]] = {}
+    for r in audit:
+        b = min(r.match_64 // 8, 7)
+        n, pos, sm = bins.get(b, (0, 0, 0))
+        lab = 1 if 10 * r.n_inter >= int(JACCARD_THRESHOLD * 10) * r.n_union else 0
+        bins[b] = (n + 1, pos + lab, sm + r.match_64)
+    got = {r.bin: r for r in all_specs()["calibration_ece_audit"].fn(spark, sf_dir).collect()}
+    assert set(got) == set(bins)
+    n_all = sum(v[0] for v in bins.values())
+    gap_all = sum(abs(64 * v[1] - v[2]) for v in bins.values())
+    for b, (n, pos, sm) in bins.items():
+        r = got[b]
+        assert (r.n_pairs, r.n_pos, r.sum_match_64) == (n, pos, sm)
+        assert r.abs_gap_64n == abs(64 * pos - sm) <= 64 * n
+        assert r.ece_milli == (1000 * gap_all) // (64 * n_all)
+
+
+def test_kappa_matches_confusion_matrix_rederivation(spark, sf_dir):
+    """Cohen's kappa re-derived from the lang_id_confusion matrix (the
+    same two raters): po/pe/kappa integer identities, bounds
+    (po,pe in [0,1000], kappa <= 1000), and the chance-correction
+    direction (kappa <= po since pe >= 0)."""
+    conf = all_specs()["lang_id_confusion"].fn(spark, sf_dir).collect()
+    n = sum(r.n_docs for r in conf)
+    agree = sum(
+        r.n_docs
+        for r in conf
+        if r.lang == r.lang_pred or (r.lang is None and r.lang_pred is None)
+    )
+    rowm: dict = {}
+    colm: dict = {}
+    for r in conf:
+        rowm[r.lang] = rowm.get(r.lang, 0) + r.n_docs
+        colm[r.lang_pred] = colm.get(r.lang_pred, 0) + r.n_docs
+    pe_num = sum(rn * colm.get(cls, 0) for cls, rn in rowm.items())
+    row = all_specs()["annotator_agreement_kappa"].fn(spark, sf_dir).first()
+    assert (row.n_docs, row.n_agree) == (n, agree)
+    assert row.po_milli == (1000 * agree) // n
+    assert row.pe_milli == (1000 * pe_num) // (n * n)
+    if n * n != pe_num:
+        # both engines TRUNCATE integer division toward zero (Spark div,
+        # DuckDB // on integers) — Python // floors, so mirror truncation
+        num, den = 1000 * (n * agree - pe_num), n * n - pe_num
+        q = abs(num) // abs(den)
+        assert row.kappa_milli == (q if (num < 0) == (den < 0) else -q)
+    else:
+        assert row.kappa_milli is None
+    assert 0 <= row.po_milli <= 1000
+    assert 0 <= row.pe_milli <= 1000
+    assert row.kappa_milli is None or row.kappa_milli <= 1000

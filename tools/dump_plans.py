@@ -167,6 +167,9 @@ PLAN_SET = [
     "longest_duplicated_span",
     "funnel_steps_dropoff",
     "dedup_minhash_recall_curve",
+    # round-5 additions
+    "calibration_ece_audit",
+    "annotator_agreement_kappa",
 ]
 
 
