@@ -2992,3 +2992,141 @@ def er_match_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("transitivity_milli"),
     )
+
+
+# Fellegi-Sunter comparison fields over the part catalog: the name
+# adjective plus the three structured attributes. m (the probability a
+# TRUE match agrees on the field) is the classic 0.9 prior; u (chance
+# agreement) is ESTIMATED from the value-frequency distribution with
+# add-one smoothing so constant and all-distinct fields stay finite.
+FS_FIELDS = ("adj", "brand", "type", "size")
+FS_M_NUM, FS_M_DEN = 9, 10  # m = 9/10
+
+
+def _sql_fellegi_sunter() -> str:
+    from streamprocessing_spark.functions.text import sql_mlog2
+
+    freq = "\n    UNION ALL\n".join(
+        f"    SELECT '{f}' AS field, sum(CAST(c AS HUGEINT) * (c - 1)) AS s\n"
+        f"    FROM (SELECT {f}, count(*) AS c FROM rec GROUP BY 1)"
+        for f in FS_FIELDS
+    )
+    wa = {
+        f: f"(SELECT {sql_mlog2(f'{FS_M_NUM} * (nn + 2)')} - "
+        f"{sql_mlog2(f'{FS_M_DEN} * (s + 1)')} FROM u WHERE field = '{f}')"
+        for f in FS_FIELDS
+    }
+    wd = {
+        f: f"(SELECT {sql_mlog2('nn + 2')} - "
+        f"{sql_mlog2(f'{FS_M_DEN} * (nn + 1 - s)')} FROM u WHERE field = '{f}')"
+        for f in FS_FIELDS
+    }
+    score = " + ".join(
+        f"CASE WHEN a.{f} IS NOT DISTINCT FROM b.{f} THEN {wa[f]} ELSE {wd[f]} END"
+        for f in FS_FIELDS
+    )
+    agree_cols = ",\n           ".join(
+        f"CAST(CASE WHEN a.{f} IS NOT DISTINCT FROM b.{f} THEN 1 ELSE 0 END AS BIGINT)"
+        f" AS agree_{f}"
+        for f in FS_FIELDS
+    )
+    return f"""
+    WITH rec AS (
+      SELECT p_partkey AS k,
+             split_part(p_name, ' ', 1) AS adj,
+             split_part(p_name, ' ', 2) AS noun,
+             p_brand AS brand, p_type AS type, p_size AS size
+      FROM part),
+    n AS (SELECT CAST(count(*) AS HUGEINT) * (count(*) - 1) AS nn FROM rec),
+    u AS (
+      SELECT field, s, nn FROM (
+{freq}
+      ) CROSS JOIN n)
+    SELECT a.k AS key_a, b.k AS key_b,
+           {agree_cols},
+           CAST({score} AS BIGINT) AS score_milli
+    FROM rec a JOIN rec b ON a.noun = b.noun AND a.k < b.k
+    """
+
+
+@register(
+    "fellegi_sunter_scores",
+    oracle=_sql_fellegi_sunter(),
+    tags=("curation", "dedup", "fuzzy", "statistics"),
+)
+def fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter probabilistic record linkage (the 1969 theory of
+    record linkage — the scoring layer the edit-distance tiers lack):
+    noun-blocked candidate part pairs scored by the sum of per-field
+    log-likelihood weights — agreement on field f contributes
+    log2(m/u_f), disagreement log2((1−m)/(1−u_f)) — so a pair's score
+    is the log-odds evidence it refers to one real-world entity. m is
+    the classic 0.9 prior; u_f (chance agreement) is estimated from the
+    data itself as Σ_v c_v(c_v−1)/(N(N−1)) with add-one smoothing, so
+    rare-value fields (brand) weigh more than common-value fields —
+    the property that distinguishes FS from naive field counting.
+
+    Exact integers via mlog2: every weight is mlog2 of integer
+    arguments (u's rational folds into the log difference), quantized
+    once per FIELD (4 scalars), so each pair score is a small-integer
+    sum — bit-oracled. Frequency sums in HUGEINT/DECIMAL(38) (c·(c−1)
+    reaches N² past BIGINT at ~3e9 records). NULL fields compare
+    null-safely (NULL agrees with NULL — a shared missing value IS weak
+    evidence under m/u logic, and both engines say so identically).
+
+    Scale shape: u estimation is one vocab-sized aggregate per field;
+    weights are a 4-row broadcast; candidates come from equality
+    blocking on the name noun (a broadcast-able dimension join here —
+    for corpus-scale entity tables swap the block key for the
+    sorted-neighborhood or prefix-filter tiers, which bound block
+    size)."""
+    from streamprocessing_spark.functions import text as T
+
+    p = load_table(spark, sf_dir, "part")
+    rec = p.select(
+        F.col("p_partkey").alias("k"),
+        F.expr("split_part(p_name, ' ', 1)").alias("adj"),
+        F.expr("split_part(p_name, ' ', 2)").alias("noun"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("type"),
+        F.col("p_size").alias("size"),
+    ).localCheckpoint(eager=True)  # dimension-sized; feeds stats AND both join sides
+    dec = "DECIMAL(38,0)"
+    n = rec.agg(F.expr(f"CAST(count(*) AS {dec}) * (count(*) - 1)").alias("nn"))
+    weights = None
+    for f in FS_FIELDS:
+        s = (
+            rec.groupBy(f)
+            .agg(F.count(F.lit(1)).alias("c"))
+            .agg(F.sum(F.expr(f"CAST(c AS {dec}) * (c - 1)")).alias("s"))
+            .crossJoin(F.broadcast(n))
+            .select(
+                (
+                    T.mlog2(F.expr(f"{FS_M_NUM} * (nn + 2)"))
+                    - T.mlog2(F.expr(f"{FS_M_DEN} * (s + 1)"))
+                ).alias(f"wa_{f}"),
+                (
+                    T.mlog2(F.expr("nn + 2"))
+                    - T.mlog2(F.expr(f"{FS_M_DEN} * (nn + 1 - s)"))
+                ).alias(f"wd_{f}"),
+            )
+        )
+        weights = s if weights is None else weights.crossJoin(s)
+    a = rec.select(*[F.col(c).alias(f"a_{c}") for c in rec.columns])
+    b = rec.select(*[F.col(c).alias(f"b_{c}") for c in rec.columns])
+    pairs = a.join(
+        b, (F.col("a_noun") == F.col("b_noun")) & (F.col("a_k") < F.col("b_k"))
+    ).crossJoin(F.broadcast(weights))
+    score = None
+    agree_cols = []
+    for f in FS_FIELDS:
+        ag = F.col(f"a_{f}").eqNullSafe(F.col(f"b_{f}"))
+        agree_cols.append(ag.cast("long").alias(f"agree_{f}"))
+        term = F.when(ag, F.col(f"wa_{f}")).otherwise(F.col(f"wd_{f}"))
+        score = term if score is None else score + term
+    return pairs.select(
+        F.col("a_k").alias("key_a"),
+        F.col("b_k").alias("key_b"),
+        *agree_cols,
+        score.cast("long").alias("score_milli"),
+    )

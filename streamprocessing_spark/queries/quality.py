@@ -597,3 +597,89 @@ def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("low_entropy"),
         )
     )
+
+
+@register(
+    "mutual_information_source_lang",
+    oracle=f"""
+    WITH cell AS (
+      SELECT source, lang, CAST(count(*) AS BIGINT) AS o
+      FROM documents GROUP BY 1, 2),
+    r AS (SELECT source, sum(o) AS rt FROM cell GROUP BY 1),
+    c AS (SELECT lang, sum(o) AS ct FROM cell GROUP BY 1),
+    n AS (SELECT sum(o) AS nt FROM cell),
+    contrib AS (
+      SELECT cell.source, cell.lang, cell.o,
+             cell.o * ({T.sql_mlog2('cell.o * n.nt')}
+                       - {T.sql_mlog2('r.rt * c.ct')}) AS q
+      FROM cell
+      JOIN r ON r.source = cell.source
+      JOIN c ON c.lang = cell.lang
+      CROSS JOIN n),
+    tot AS (SELECT sum(q) AS qs FROM contrib)
+    SELECT contrib.source, contrib.lang,
+           CAST(contrib.o AS BIGINT) AS observed,
+           CAST(contrib.q AS BIGINT) AS contrib_q,
+           CAST(tot.qs // n.nt AS BIGINT) AS mi_milli_bits
+    FROM contrib CROSS JOIN tot CROSS JOIN n
+    """,
+    tags=("quality", "statistics", "llm-pipeline"),
+)
+def mutual_information_source_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual information I(source; lang) in exact milli-bits — the
+    feature-selection / leakage-strength companion to
+    chisq_independence_source_lang: chi-square answers "is the
+    dependence statistically surprising", MI answers "how many BITS does
+    knowing the source tell you about the language" — the number a
+    curation pipeline compares against downstream probe accuracy before
+    deciding a metadata column leaks label information into a split.
+
+    Exact integer arithmetic via the mlog2 quantization: each cell's
+    contribution q = O·(mlog2(O·N) − mlog2(R·C)) quantizes
+    O·1000·log2(O·N/(R·C)) once per cell, so the corpus statistic
+    mi_milli_bits = (Σ q) div N is a pure BIGINT pipeline — no float
+    ever forms and the row hash-matches bit-for-bit. Truncating div on
+    both engines (Σq may be slightly negative near independence — the
+    quantization noise of a true MI ≈ 0; document-level truth keeps
+    MI ≥ 0). mlog2's portability margin is argued for k < 2²²; the
+    products O·N and R·C exceed that only as DIMENSION-sized scalars
+    (|sources|·|langs| cells), where the per-value boundary-collision
+    chance is ~1e-11 each — the same corpus-total-scalar argument as
+    ccnet_perplexity_buckets' mlog2(T).
+
+    Scale shape identical to the chi-square: one scan collapses to
+    |sources|×|langs| cells; marginals, the grand total, and the MI
+    reduction are all dimension-sized broadcast arithmetic after that."""
+    d = load_table(spark, sf_dir, "documents")
+    cell = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=True)  # feeds marginals, total, and output
+    )
+    r = cell.groupBy("source").agg(F.sum("o").alias("rt"))
+    c = cell.groupBy("lang").agg(F.sum("o").alias("ct"))
+    n = cell.agg(F.sum("o").alias("nt"))
+    contrib = (
+        cell.join(F.broadcast(r), "source")
+        .join(F.broadcast(c), "lang")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "lang",
+            "o",
+            "nt",
+            (
+                F.col("o")
+                * (T.mlog2(F.col("o") * F.col("nt")) - T.mlog2(F.col("rt") * F.col("ct")))
+            ).alias("q"),
+        )
+        .localCheckpoint(eager=True)  # cell-sized; feeds the total and output
+    )
+    tot = contrib.agg(F.sum("q").alias("qs"))
+    return contrib.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "lang",
+        F.col("o").cast("long").alias("observed"),
+        F.col("q").cast("long").alias("contrib_q"),
+        F.expr("CAST(qs div nt AS BIGINT)").alias("mi_milli_bits"),
+    )

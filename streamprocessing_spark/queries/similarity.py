@@ -1774,3 +1774,85 @@ def ann_shard_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("shard_id"),
         )
     )
+
+
+MRL_DIM = 32  # truncated prefix length audited against the full 64 dims
+
+
+@register(
+    "matryoshka_truncation_audit",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS qv
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    full_rank AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_sql_cos('e.embedding', 'q.qv')} DESC,
+                                           e.vec_id) AS rn
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+      WHERE rn <= {TOP_K}),
+    trunc_rank AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_sql_cos(f'e.embedding[1:{MRL_DIM}]', f'q.qv[1:{MRL_DIM}]')} DESC,
+                                           e.vec_id) AS rn
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+      WHERE rn <= {TOP_K})
+    SELECT f.query_id,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST((1000 * count(t.neighbor_id))
+                // ({2 * TOP_K} - count(t.neighbor_id)) AS BIGINT) AS jaccard_milli
+    FROM full_rank f
+    LEFT JOIN trunc_rank t USING (query_id, neighbor_id)
+    GROUP BY f.query_id
+    """,
+    tags=("similarity", "llm-pipeline", "quality"),
+)
+def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation retrieval audit (Kusupati et al. 2022, MRL):
+    how much of the exact top-{TOP_K} neighborhood survives when queries
+    AND corpus are truncated to the first {MRL_DIM} of 64 dimensions —
+    per query the overlap count and top-k Jaccard between the full-dim
+    and truncated-dim neighbor sets. THE measurement behind the
+    serve-cheap/rerank-full pattern: a high floor means the short prefix
+    is safe as a first-stage filter (and sizes how much rerank headroom
+    the truncation needs); this synthetic corpus' embeddings are NOT
+    MRL-trained, so the audit correctly reports weak prefix fidelity.
+
+    Both rankings reuse the exact brute-force tier at the fixed
+    {N_QUERIES}-query audit set (queries broadcast, ONE corpus scan per
+    ranking, numpy dim-fold scoring — bit-identical to the interpreted
+    fold, so the float ordering agrees with DuckDB and the overlap
+    COUNTS are exact integers). Truncation is a zero-copy F.slice at
+    the scan — no second embedding table materializes. Scale: identical
+    to ann_cosine_topk ×2 (Q·n scoring, never n²); the overlap join is
+    (Q·k)-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    full = S.topk_per_query(emb, queries, TOP_K)
+    t_emb = emb.select("vec_id", F.slice("embedding", 1, MRL_DIM).alias("embedding"))
+    t_q = queries.select("query_id", F.slice("query_vec", 1, MRL_DIM).alias("query_vec"))
+    trunc = S.topk_per_query(t_emb, t_q, TOP_K).select(
+        "query_id", F.col("neighbor_id").alias("t_neighbor_id")
+    )
+    hit = full.join(
+        trunc,
+        (full["query_id"] == trunc["query_id"])
+        & (full["neighbor_id"] == trunc["t_neighbor_id"]),
+        "left",
+    )
+    return (
+        hit.groupBy(full["query_id"].alias("query_id"))
+        .agg(F.count("t_neighbor_id").alias("n_overlap"))
+        .select(
+            "query_id",
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            F.expr(f"CAST((1000 * n_overlap) div ({2 * TOP_K} - n_overlap) AS BIGINT)").alias(
+                "jaccard_milli"
+            ),
+        )
+    )

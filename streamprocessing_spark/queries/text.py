@@ -4,7 +4,7 @@ oracles re-express the identical arithmetic in DuckDB SQL."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from streamprocessing_spark.functions import text as T
@@ -528,10 +528,9 @@ _BM25_SQL_SUM = "\n             + ".join(
 )
 
 
-@register(
-    "bm25_rank_docs",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
+# The BM25 scoring CTE chain (through `tot` = (doc_id, raw score s)) is
+# shared between the standalone ranking and the RRF fusion oracle.
+_BM25_CTES = f"""toks AS (SELECT doc_id, unnest({_SQL_TOKENS}) AS tok FROM documents),
     dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl FROM toks GROUP BY doc_id),
     stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
                      CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
@@ -548,7 +547,13 @@ _BM25_SQL_SUM = "\n             + ".join(
     tot AS (
       SELECT doc_id,
              {_BM25_SQL_SUM} AS s
-      FROM per GROUP BY doc_id)
+      FROM per GROUP BY doc_id)"""
+
+
+@register(
+    "bm25_rank_docs",
+    oracle=f"""
+    WITH {_BM25_CTES}
     SELECT doc_id, round(s, 4) AS score
     FROM tot ORDER BY round(s, 4) DESC, doc_id LIMIT {BM25_TOP}
     """,
@@ -1709,3 +1714,95 @@ def ngram_novelty_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty"),
         )
     )
+
+
+RRF_K = 60        # the canonical reciprocal-rank-fusion damping constant
+RRF_POOL = 20     # candidates taken from each retrieval system
+RRF_TOP = 10      # fused results returned
+RRF_QUERY_VEC = 0  # the semantic query: embedding of doc 0 (vec_id == doc_id)
+
+
+def _sql_rrf() -> str:
+    from streamprocessing_spark.queries.similarity import _sql_cos
+
+    return f"""
+    WITH {_BM25_CTES},
+    lex AS (
+      SELECT doc_id, CAST(rn AS BIGINT) AS lex_rank FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY round(s, 4) DESC, doc_id) AS rn
+        FROM tot)
+      WHERE rn <= {RRF_POOL}),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = {RRF_QUERY_VEC}),
+    sem AS (
+      SELECT doc_id, CAST(rn AS BIGINT) AS sem_rank FROM (
+        SELECT e.vec_id AS doc_id,
+               row_number() OVER (ORDER BY {_sql_cos('e.embedding', 'qv.q')} DESC,
+                                  e.vec_id) AS rn
+        FROM embeddings e, qv WHERE e.vec_id <> {RRF_QUERY_VEC})
+      WHERE rn <= {RRF_POOL}),
+    fused AS (
+      SELECT COALESCE(lex.doc_id, sem.doc_id) AS doc_id,
+             lex.lex_rank, sem.sem_rank,
+             COALESCE(1000000 // ({RRF_K} + lex.lex_rank), 0)
+               + COALESCE(1000000 // ({RRF_K} + sem.sem_rank), 0) AS rrf_micro
+      FROM lex FULL JOIN sem ON lex.doc_id = sem.doc_id)
+    SELECT doc_id, lex_rank, sem_rank, CAST(rrf_micro AS BIGINT) AS rrf_micro
+    FROM fused ORDER BY rrf_micro DESC, doc_id LIMIT {RRF_TOP}
+    """
+
+
+@register(
+    "hybrid_rrf_retrieval",
+    oracle=_sql_rrf(),
+    tags=("text", "similarity", "llm-pipeline", "ranking"),
+)
+def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by Reciprocal-Rank Fusion (Cormack et al. 2009 —
+    the fusion every RAG stack runs): the BM25 lexical top-{RRF_POOL}
+    (query = the fixed BM25_TERMS) fused with the embedding-cosine
+    top-{RRF_POOL} (query = doc {RRF_QUERY_VEC}'s vector; vec_id is the
+    embedding of doc_id) by RRF(d) = Σ_systems 1/(k + rank_d), k = {RRF_K}.
+    Rank fusion needs NO score calibration between a float-logit system
+    and a probability system — exactly why it wins in production.
+
+    Exact integers where it matters: each contribution is the floored
+    micro-unit 1000000 div ({RRF_K} + rank) of an integer RANK, so the
+    fused score is a BIGINT sum and the row hash-matches bit-for-bit;
+    floats exist only inside the two upstream rankers, whose orderings
+    the oracle already pins (bm25_rank_docs, ann_cosine_topk). A doc in
+    one list only still fuses (full outer join, missing side = 0) — the
+    mechanism that lets semantic recall rescue lexical misses.
+
+    Scale shape: both rankers are the registered tiers' plans (one
+    corpus scan each, TakeOrdered top-k); fusion itself is a
+    (2·{RRF_POOL})-row full outer join + top-{RRF_TOP}. The one
+    unpartitioned rank window runs over the post-limit {RRF_POOL}-row
+    lexical list (allowlisted: bounded by an explicit upstream limit)."""
+    from streamprocessing_spark.operators import similarity as S
+    from streamprocessing_spark.queries.similarity import load_table as _lt
+
+    lex_scores = bm25_rank_docs(spark, sf_dir)  # top-BM25_TOP (= RRF_POOL), rounded
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = lex_scores.select(
+        "doc_id", F.row_number().over(w).cast("long").alias("lex_rank")
+    ).where(F.col("lex_rank") <= RRF_POOL)
+    emb = _lt(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    sem = (
+        S.topk_per_query(emb, q, RRF_POOL)
+        .select(F.col("neighbor_id").alias("sem_doc_id"), F.col("rank").alias("sem_rank"))
+    )
+    fused = lex.join(sem, lex["doc_id"] == sem["sem_doc_id"], "full").select(
+        F.coalesce(lex["doc_id"], sem["sem_doc_id"]).alias("doc_id"),
+        "lex_rank",
+        "sem_rank",
+        (
+            F.coalesce(F.expr(f"1000000 div ({RRF_K} + lex_rank)"), F.lit(0))
+            + F.coalesce(F.expr(f"1000000 div ({RRF_K} + sem_rank)"), F.lit(0))
+        )
+        .cast("long")
+        .alias("rrf_micro"),
+    )
+    return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(RRF_TOP)

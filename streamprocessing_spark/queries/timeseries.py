@@ -3179,3 +3179,227 @@ def late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("max_lateness_us"),
     )
+
+
+PSI_BUCKETS = 16          # fixed-width value histogram cells
+PSI_BUCKET_CENTS = 2048   # cell width in exact cents
+
+
+def _sql_psi() -> str:
+    from streamprocessing_spark.functions.text import sql_mlog2
+
+    return f"""
+    WITH ev AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+             least(CAST(floor(value * 100.0 + 0.5) AS BIGINT) // {PSI_BUCKET_CENTS},
+                   {PSI_BUCKETS - 1}) AS bucket
+      FROM events WHERE value IS NOT NULL),
+    bounds AS (SELECT (min(day) + max(day) + 1) // 2 AS cutoff FROM ev),
+    hist AS (
+      SELECT bucket,
+             sum(CASE WHEN day <  cutoff THEN 1 ELSE 0 END) AS a,
+             sum(CASE WHEN day >= cutoff THEN 1 ELSE 0 END) AS b
+      FROM ev CROSS JOIN bounds GROUP BY 1),
+    grid AS (
+      SELECT g.bucket, COALESCE(h.a, 0) + 1 AS a1, COALESCE(h.b, 0) + 1 AS b1
+      FROM (SELECT unnest(range({PSI_BUCKETS})) AS bucket) g
+      LEFT JOIN hist h ON h.bucket = g.bucket),
+    tot AS (SELECT sum(a1) AS ta, sum(b1) AS tb FROM grid),
+    contrib AS (
+      SELECT bucket, a1, b1,
+             (CAST(a1 AS HUGEINT) * tb - CAST(b1 AS HUGEINT) * ta)
+               * ({sql_mlog2('a1 * tb')} - {sql_mlog2('b1 * ta')}) AS q
+      FROM grid CROSS JOIN tot),
+    psi AS (SELECT sum(q) AS qs FROM contrib)
+    SELECT CAST(c.bucket AS BIGINT) AS bucket,
+           CAST(c.a1 - 1 AS BIGINT) AS n_early,
+           CAST(c.b1 - 1 AS BIGINT) AS n_late,
+           CAST(c.q AS BIGINT) AS contrib_q,
+           CAST(p.qs // (t.ta * t.tb) AS BIGINT) AS psi_milli_bits
+    FROM contrib c CROSS JOIN psi p CROSS JOIN tot t
+    """
+
+
+@register(
+    "psi_value_drift",
+    oracle=_sql_psi(),
+    tags=("timeseries", "statistics", "quality", "llm-pipeline"),
+)
+def psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-Stability-Index drift monitor over the event value
+    distribution — early half vs late half of the time range (cutoff =
+    midpoint calendar day), the standard model-monitoring statistic
+    (PSI = Σ (p_b − q_b)·log(p_b/q_b); the industry rule of thumb reads
+    > 0.2 as actionable drift). KS (ks_two_sample_value) compares CDFs
+    of two TYPES; PSI compares the SAME measure across TIME on a fixed
+    bucket grid — the shape a daily ingest monitor actually runs.
+
+    Exact integers end to end: cents → fixed {PSI_BUCKETS}-cell grid
+    (generated, so empty cells exist on both engines), add-1 smoothing
+    makes every cell positive, and each cell's contribution
+    q = (a₁·B − b₁·A)·(mlog2(a₁·B) − mlog2(b₁·A)) is a product of
+    SAME-SIGN factors — q ≥ 0 always, like the true PSI. The corpus
+    statistic psi_milli_bits = Σq div (A·B) is 1000·PSI in bits (log2,
+    not ln — divide by ln2·1000 for the classical scale). First factor
+    in 38-digit integers (a₁·B reaches n² — past BIGINT at ~3e9 rows
+    per side); mlog2 args are bucket-grid-sized scalars, the same
+    portability argument as the chi-square/MI dimension products.
+
+    Scale shape: one pass for the date bounds (min/max only), one
+    map-side-combinable histogram aggregate; everything after is
+    {PSI_BUCKETS}-row broadcast arithmetic. The histogram never carries
+    more than {PSI_BUCKETS} rows regardless of corpus size."""
+    from streamprocessing_spark.functions import text as T
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("day"),
+            F.least(
+                F.expr(f"CAST(floor(value * 100.0 + 0.5) AS BIGINT) div {PSI_BUCKET_CENTS}"),
+                F.lit(PSI_BUCKETS - 1),
+            ).alias("bucket"),
+        )
+    )
+    bounds = ev.agg(
+        F.expr("CAST((min(day) + max(day) + 1) div 2 AS INT)").alias("cutoff")
+    )
+    hist = (
+        ev.crossJoin(F.broadcast(bounds))
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("day") < F.col("cutoff"), 1).otherwise(0)).alias("a"),
+            F.sum(F.when(F.col("day") >= F.col("cutoff"), 1).otherwise(0)).alias("b"),
+        )
+    )
+    grid = (
+        spark.range(PSI_BUCKETS)
+        .select(F.col("id").cast("long").alias("bucket"))
+        .join(hist, "bucket", "left")
+        .select(
+            "bucket",
+            (F.coalesce("a", F.lit(0)) + 1).alias("a1"),
+            (F.coalesce("b", F.lit(0)) + 1).alias("b1"),
+        )
+        .localCheckpoint(eager=True)  # 16 rows; feeds totals and contributions
+    )
+    tot = grid.agg(F.sum("a1").alias("ta"), F.sum("b1").alias("tb"))
+    dec = "DECIMAL(38,0)"
+    contrib = (
+        grid.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "a1",
+            "b1",
+            "ta",
+            "tb",
+            (
+                F.expr(f"CAST(a1 AS {dec}) * tb - CAST(b1 AS {dec}) * ta")
+                * (T.mlog2(F.col("a1") * F.col("tb")) - T.mlog2(F.col("b1") * F.col("ta")))
+            ).alias("q"),
+        )
+        .localCheckpoint(eager=True)  # 16 rows; feeds the PSI total and output
+    )
+    psi = contrib.agg(F.sum("q").alias("qs"))
+    return contrib.crossJoin(F.broadcast(psi)).select(
+        F.col("bucket").cast("long").alias("bucket"),
+        (F.col("a1") - 1).cast("long").alias("n_early"),
+        (F.col("b1") - 1).cast("long").alias("n_late"),
+        F.col("q").cast("long").alias("contrib_q"),
+        F.expr(f"CAST(qs div (CAST(ta AS {dec}) * tb) AS BIGINT)").alias("psi_milli_bits"),
+    )
+
+
+ACF_MAX_LAG = 7  # weekly seasonality shows as a spike at lag 7
+
+
+@register(
+    "daily_value_autocorrelation",
+    oracle=f"""
+    WITH o AS (
+      SELECT datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) AS day,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders),
+    agg AS (SELECT day, sum(cents) AS x FROM o GROUP BY 1),
+    bounds AS (SELECT min(day) AS lo, max(day) AS hi FROM agg),
+    grid AS (SELECT unnest(range(lo, hi + 1)) AS day FROM bounds),
+    series AS (
+      SELECT g.day, COALESCE(a.x, 0) AS x
+      FROM grid g LEFT JOIN agg a ON a.day = g.day),
+    stats AS (SELECT count(*) AS n, sum(x) AS s FROM series),
+    ys AS (
+      SELECT day, CAST(n AS HUGEINT) * x - s AS y
+      FROM series CROSS JOIN stats),
+    den AS (SELECT sum(y * y) AS d, count(*) AS n_days FROM ys),
+    lags AS (SELECT unnest(range(1, {ACF_MAX_LAG} + 1)) AS lag),
+    num AS (
+      SELECT l.lag, count(*) AS n_terms, sum(a.y * b.y) AS nm
+      FROM ys a CROSS JOIN lags l JOIN ys b ON b.day = a.day + l.lag
+      GROUP BY 1)
+    SELECT CAST(num.lag AS BIGINT) AS lag,
+           CAST(den.n_days AS BIGINT) AS n_days,
+           CAST(num.n_terms AS BIGINT) AS n_terms,
+           CAST(CASE WHEN den.d <> 0
+                THEN (1000000 * num.nm) // den.d END AS BIGINT) AS acf_micro
+    FROM num CROSS JOIN den
+    """,
+    tags=("timeseries", "statistics"),
+)
+def daily_value_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function of the daily-revenue series at lags
+    1..{ACF_MAX_LAG} — the seasonality detector run before choosing a
+    forecasting baseline (a lag-7 spike ⇒ weekly cycle; all-lags decay ⇒
+    trend): r_L = Σ(x_t−x̄)(x_{{t+L}}−x̄) / Σ(x_t−x̄)² over the DENSE
+    calendar grid (zero-revenue days are real observations, so the grid
+    is generated, never scanned — the time_bucket_gapfill discipline).
+
+    Exact integers end to end: with n days and S = Σx, the centered
+    series n·(x_t−x̄) = n·x_t−S needs no division, so r_L =
+    Σ y_t·y_{{t+L}} / Σ y_t² in 38-digit integers (y ~ n·x reaches
+    ~2.5e16 at 100 TB ⇒ y² ~ 6e32 — past BIGINT, inside DECIMAL(38)/
+    HUGEINT) with ONE truncating division to micro units at the end —
+    both engines truncate, so the row hash-matches bit-for-bit.
+    Degenerate constant series (den = 0) reports NULL, not 0/0.
+
+    Scale shape: orders collapse to a |days|-sized series in one
+    map-side-combinable aggregate; every later step (grid join, the
+    lag-shifted self-join ON b.day = a.day + lag, the lag×1 reductions)
+    is calendar-dimension-sized — deliberately a broadcast self-join
+    instead of a global lead() window, so NO single task ever holds the
+    whole series and nothing here entered the global-window allowlist."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.datediff(F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")).alias("day"),
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    agg = o.groupBy("day").agg(F.sum("cents").alias("x"))
+    grid = agg.agg(F.min("day").alias("lo"), F.max("day").alias("hi")).select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    series = grid.join(agg, "day", "left").select(
+        "day", F.coalesce("x", F.lit(0)).alias("x")
+    )
+    stats = series.agg(F.count(F.lit(1)).alias("n"), F.sum("x").alias("s"))
+    dec = "DECIMAL(38,0)"
+    ys = (
+        series.crossJoin(F.broadcast(stats))
+        .select("day", F.expr(f"CAST(n AS {dec}) * x - s").alias("y"))
+        .localCheckpoint(eager=True)  # |days| rows; feeds den AND the lag join
+    )
+    den = ys.agg(F.sum(F.expr("y * y")).alias("d"), F.count(F.lit(1)).alias("n_days"))
+    lags = spark.range(1, ACF_MAX_LAG + 1).select(F.col("id").alias("lag"))
+    b = ys.select(F.col("day").alias("bday"), F.col("y").alias("by"))
+    num = (
+        ys.crossJoin(F.broadcast(lags))
+        .join(F.broadcast(b), F.col("bday") == F.col("day") + F.col("lag"))
+        .groupBy("lag")
+        .agg(F.count(F.lit(1)).alias("n_terms"), F.sum(F.expr("y * by")).alias("nm"))
+    )
+    return num.crossJoin(F.broadcast(den)).select(
+        F.col("lag").cast("long").alias("lag"),
+        F.col("n_days").cast("long").alias("n_days"),
+        F.col("n_terms").cast("long").alias("n_terms"),
+        F.expr(
+            "CAST(CASE WHEN d <> 0 THEN (1000000 * nm) div d END AS BIGINT)"
+        ).alias("acf_micro"),
+    )

@@ -631,7 +631,7 @@ def test_global_window_allowlist():
         "queries/analytics.py": 2,   # sketch medians; 2^20-bucket summaries
         "queries/curation.py": 3,    # post-limit KMV; sources; strata
         "queries/similarity.py": 1,  # IVF cells (K = ceil(sqrt(n)))
-        "queries/text.py": 1,        # per-ingest-batch rows
+        "queries/text.py": 2,        # per-ingest-batch rows; post-limit RRF lex rank
         "queries/timeseries.py": 4,  # calendar days x3; hour histogram
     }
     assert found == allow, (

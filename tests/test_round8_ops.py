@@ -1,0 +1,282 @@
+"""Round-5 second-session operators (MI, PSI, ACF, Fellegi-Sunter,
+Matryoshka audit, RRF fusion): independent pure-Python/numpy
+re-derivations and the structural laws the DuckDB oracle comparison
+can't express."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from streamprocessing_spark.registry import all_specs
+from streamprocessing_spark.sources.readers import load_table
+
+SPECS = all_specs()
+
+
+def _mlog2(k: int) -> int:
+    return math.floor(1000.0 * math.log2(k) + 0.5)
+
+
+def test_mutual_information_matches_python_rederivation(spark, sf_dir):
+    """Re-derive every cell contribution and the corpus MI from raw
+    (source, lang) counts; the quantized MI must also sit within the
+    quantization budget of the float MI (|cells| half-millibit units)."""
+    d = load_table(spark, sf_dir, "documents").groupBy("source", "lang").count()
+    cells = {(r.source, r.lang): r["count"] for r in d.collect()}
+    n = sum(cells.values())
+    rowm: dict = {}
+    colm: dict = {}
+    for (s, l), o in cells.items():
+        rowm[s] = rowm.get(s, 0) + o
+        colm[l] = colm.get(l, 0) + o
+    q = {
+        k: o * (_mlog2(o * n) - _mlog2(rowm[k[0]] * colm[k[1]]))
+        for k, o in cells.items()
+    }
+    qs = sum(q.values())
+    mi_milli = abs(qs) // n if qs >= 0 else -(abs(qs) // n)
+    rows = SPECS["mutual_information_source_lang"].fn(spark, sf_dir).collect()
+    assert {(r.source, r.lang): (r.observed, r.contrib_q) for r in rows} == {
+        k: (cells[k], q[k]) for k in cells
+    }
+    assert all(r.mi_milli_bits == mi_milli for r in rows)
+    mi_true = sum(
+        (o / n) * math.log2(o * n / (rowm[s] * colm[l]))
+        for (s, l), o in cells.items()
+    )
+    assert abs(mi_milli - 1000.0 * mi_true) <= len(cells) / 2 + 1
+    assert mi_true >= -1e-12  # information is non-negative in truth
+
+
+def test_psi_contributions_nonneg_and_match_python(spark, sf_dir):
+    """Every PSI cell contribution is ≥ 0 (same-sign factors), counts
+    reconcile with a raw replay of the day-split histogram, and the PSI
+    identity Σq div (A·B) holds."""
+    from streamprocessing_spark.queries.timeseries import (
+        PSI_BUCKET_CENTS,
+        PSI_BUCKETS,
+    )
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date")).alias("day"),
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    rows = SPECS["psi_value_drift"].fn(spark, sf_dir).collect()
+    assert len(rows) == PSI_BUCKETS
+    assert all(r.contrib_q >= 0 for r in rows)
+    if not ev:
+        assert all(r.contrib_q == 0 and r.psi_milli_bits == 0 for r in rows)
+        return
+    days = [r.day for r in ev]
+    cutoff = (min(days) + max(days) + 1) // 2
+    a = [0] * PSI_BUCKETS
+    b = [0] * PSI_BUCKETS
+    for r in ev:
+        bkt = min(r.cents // PSI_BUCKET_CENTS, PSI_BUCKETS - 1)
+        (a if r.day < cutoff else b)[bkt] += 1
+    got = {r.bucket: r for r in rows}
+    ta = sum(a) + PSI_BUCKETS
+    tb = sum(b) + PSI_BUCKETS
+    qs = 0
+    for k in range(PSI_BUCKETS):
+        assert (got[k].n_early, got[k].n_late) == (a[k], b[k])
+        a1, b1 = a[k] + 1, b[k] + 1
+        qk = (a1 * tb - b1 * ta) * (_mlog2(a1 * tb) - _mlog2(b1 * ta))
+        assert got[k].contrib_q == qk >= 0
+        qs += qk
+    assert all(r.psi_milli_bits == qs // (ta * tb) for r in rows)
+
+
+def test_acf_matches_numpy_and_is_bounded(spark, sf_dir):
+    """Exact-integer ACF equals the numpy float ACF to within the final
+    truncation, and |r_L| ≤ 1 by Cauchy-Schwarz (micro units, with one
+    unit of truncation headroom)."""
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            F.datediff(
+                F.to_date("o_orderdate"), F.lit("1970-01-01").cast("date")
+            ).alias("day"),
+            F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .groupBy("day")
+        .agg(F.sum("c").alias("x"))
+        .collect()
+    )
+    rows = SPECS["daily_value_autocorrelation"].fn(spark, sf_dir).collect()
+    if not o:
+        assert rows == []
+        return
+    by_day = {r.day: r.x for r in o}
+    lo, hi = min(by_day), max(by_day)
+    x = np.array([by_day.get(d, 0) for d in range(lo, hi + 1)], dtype=object)
+    n = len(x)
+    s = sum(int(v) for v in x)
+    y = [n * int(v) - s for v in x]
+    den = sum(v * v for v in y)
+    got = {r.lag: r for r in rows}
+    from streamprocessing_spark.queries.timeseries import ACF_MAX_LAG
+
+    assert set(got) == set(range(1, ACF_MAX_LAG + 1))
+    for lag in range(1, ACF_MAX_LAG + 1):
+        r = got[lag]
+        assert r.n_days == n
+        assert r.n_terms == max(n - lag, 0)
+        num = sum(y[t] * y[t + lag] for t in range(n - lag))
+        if den == 0:
+            assert r.acf_micro is None
+            continue
+        expect = abs(1000000 * num) // den
+        expect = expect if (num >= 0) == (den >= 0) else -expect
+        assert r.acf_micro == expect
+        assert abs(r.acf_micro) <= 1000001
+        # float agreement: within one micro of numpy's ACF
+        yf = np.array([float(v) for v in y])
+        rf = float(np.dot(yf[: n - lag], yf[lag:]) / np.dot(yf, yf))
+        assert abs(r.acf_micro / 1e6 - rf) < 5e-6
+
+
+def test_fellegi_sunter_weights_and_scores(spark, sf_dir):
+    """Re-derive the four field weights from raw value frequencies and
+    replay the score of every candidate pair; agreement weights must be
+    positive and disagreement weights negative whenever the field is
+    genuinely discriminative (u < m and u > 1-m)."""
+    from streamprocessing_spark.queries.curation import FS_FIELDS, FS_M_DEN, FS_M_NUM
+
+    p = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("k"),
+        F.expr("split_part(p_name, ' ', 1)").alias("adj"),
+        F.expr("split_part(p_name, ' ', 2)").alias("noun"),
+        F.col("p_brand").alias("brand"),
+        F.col("p_type").alias("type"),
+        F.col("p_size").alias("size"),
+    )
+    recs = p.collect()
+    rows = SPECS["fellegi_sunter_scores"].fn(spark, sf_dir).collect()
+    if len(recs) < 2:
+        assert rows == []
+        return
+    n = len(recs)
+    nn = n * (n - 1)
+    wa, wd = {}, {}
+    for f in FS_FIELDS:
+        freq: dict = {}
+        for r in recs:
+            freq[r[f]] = freq.get(r[f], 0) + 1
+        s = sum(c * (c - 1) for c in freq.values())
+        wa[f] = _mlog2(FS_M_NUM * (nn + 2)) - _mlog2(FS_M_DEN * (s + 1))
+        wd[f] = _mlog2(nn + 2) - _mlog2(FS_M_DEN * (nn + 1 - s))
+        u = (s + 1) / (nn + 2)
+        if u < FS_M_NUM / FS_M_DEN:
+            assert wa[f] > 0
+        if 1 - u > 1 - FS_M_NUM / FS_M_DEN:
+            assert wd[f] < 0
+    by_key = {r.k: r for r in recs}
+    expect_pairs = {}
+    for ra in recs:
+        for rb in recs:
+            if ra.noun == rb.noun and ra.k < rb.k:
+                sc = sum(
+                    wa[f] if ra[f] == rb[f] else wd[f] for f in FS_FIELDS
+                )
+                expect_pairs[(ra.k, rb.k)] = sc
+    got = {(r.key_a, r.key_b): r for r in rows}
+    assert set(got) == set(expect_pairs)
+    for (ka, kb), r in got.items():
+        assert r.score_milli == expect_pairs[(ka, kb)]
+        a, b = by_key[ka], by_key[kb]
+        for f in FS_FIELDS:
+            assert r[f"agree_{f}"] == (1 if a[f] == b[f] else 0)
+
+
+def test_matryoshka_overlap_matches_numpy(spark, sf_dir):
+    """Re-derive both top-k lists with numpy float64 cosines and compare
+    overlap counts; jaccard identity and 0 ≤ overlap ≤ k bounds."""
+    from streamprocessing_spark.queries.similarity import (
+        MRL_DIM,
+        N_QUERIES,
+        TOP_K,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    rows = SPECS["matryoshka_truncation_audit"].fn(spark, sf_dir).collect()
+    if not emb:
+        assert rows == []
+        return
+    ids = np.array([r.vec_id for r in emb])
+    X = np.array([list(r.embedding) for r in emb], dtype=np.float64)
+
+    def topk(q_vec, q_id, M):
+        mask = ids != q_id
+        xs = M[mask]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = xs @ q_vec / (np.linalg.norm(xs, axis=1) * np.linalg.norm(q_vec))
+        cos = np.nan_to_num(cos, nan=-np.inf)
+        order = sorted(zip(-cos, ids[mask]))
+        return [int(i) for _, i in order[:TOP_K]]
+
+    got = {r.query_id: r for r in rows}
+    for r in emb:
+        if r.vec_id >= N_QUERIES:
+            continue
+        q = np.array(list(r.embedding), dtype=np.float64)
+        full = set(topk(q, r.vec_id, X))
+        trunc = set(topk(q[:MRL_DIM], r.vec_id, X[:, :MRL_DIM]))
+        ov = len(full & trunc)
+        g = got[r.vec_id]
+        assert g.n_overlap == ov
+        assert 0 <= g.n_overlap <= TOP_K
+        assert g.jaccard_milli == (1000 * ov) // (2 * TOP_K - ov)
+
+
+def test_rrf_fusion_replays_from_component_rankings(spark, sf_dir):
+    """Fuse the two registered component rankings in pure Python and
+    compare the fused top list, scores included; every fused score must
+    equal the sum of its per-system reciprocal contributions."""
+    from streamprocessing_spark.operators import similarity as S
+    from streamprocessing_spark.queries.text import (
+        RRF_K,
+        RRF_POOL,
+        RRF_QUERY_VEC,
+        RRF_TOP,
+        bm25_rank_docs,
+    )
+
+    lex_rows = bm25_rank_docs(spark, sf_dir).collect()
+    lex = {
+        r.doc_id: i + 1
+        for i, r in enumerate(
+            sorted(lex_rows, key=lambda r: (-r.score, r.doc_id))[:RRF_POOL]
+        )
+    }
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    sem = {
+        r.neighbor_id: r.rank
+        for r in S.topk_per_query(emb, q, RRF_POOL).collect()
+    }
+    fused = {}
+    for d, rk in lex.items():
+        fused[d] = fused.get(d, 0) + 1000000 // (RRF_K + rk)
+    for d, rk in sem.items():
+        fused[d] = fused.get(d, 0) + 1000000 // (RRF_K + rk)
+    expect = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:RRF_TOP]
+    rows = SPECS["hybrid_rrf_retrieval"].fn(spark, sf_dir).collect()
+    assert [(r.doc_id, r.rrf_micro) for r in rows] == expect
+    for r in rows:
+        want = (1000000 // (RRF_K + lex[r.doc_id]) if r.doc_id in lex else 0) + (
+            1000000 // (RRF_K + sem[r.doc_id]) if r.doc_id in sem else 0
+        )
+        assert r.rrf_micro == want
+        assert r.lex_rank == lex.get(r.doc_id)
+        assert r.sem_rank == sem.get(r.doc_id)

@@ -170,6 +170,12 @@ PLAN_SET = [
     # round-5 additions
     "calibration_ece_audit",
     "annotator_agreement_kappa",
+    "mutual_information_source_lang",
+    "psi_value_drift",
+    "daily_value_autocorrelation",
+    "fellegi_sunter_scores",
+    "matryoshka_truncation_audit",
+    "hybrid_rrf_retrieval",
 ]
 
 
