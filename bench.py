@@ -168,6 +168,9 @@ HEADLINE = [
     "fellegi_sunter_scores",
     "matryoshka_truncation_audit",
     "hybrid_rrf_retrieval",
+    "modularity_communities",
+    "hits_part_authorities",
+    "decontaminate_semantic",
 ]
 
 

@@ -616,10 +616,10 @@ def _sql_lp_round(prev: str, out: str) -> str:
       WHERE rn = 1)"""
 
 
-@register(
-    "label_prop_communities",
-    oracle=f"""
-    WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+# The label-propagation CTE chain (sparsified edges e/ed + unrolled
+# rounds, final labels in l{LP_ROUNDS}) is shared with the modularity
+# audit's oracle.
+_LP_CTES = f"""op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
     sup AS MATERIALIZED (
       SELECT a.l_partkey AS s, b.l_partkey AS d, count(*) AS n
       FROM op a JOIN op b
@@ -629,7 +629,13 @@ def _sql_lp_round(prev: str, out: str) -> str:
     ed AS MATERIALIZED (SELECT s AS src, d AS dst FROM e
                         UNION ALL SELECT d, s FROM e),
     l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM ed),
-    {",".join(_sql_lp_round(f'l{r}', f'l{r + 1}') for r in range(LP_ROUNDS))}
+    {",".join(_sql_lp_round(f'l{r}', f'l{r + 1}') for r in range(LP_ROUNDS))}"""
+
+
+@register(
+    "label_prop_communities",
+    oracle=f"""
+    WITH {_LP_CTES}
     SELECT node AS l_partkey, CAST(label AS BIGINT) AS community
     FROM l{LP_ROUNDS}
     """,
@@ -975,4 +981,192 @@ def degree_assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE -((1000 * (sx * sx - m2 * sxy)) div (m2 * sxx - sx * sx))"
             " END AS BIGINT)"
         ).alias("assortativity_milli"),
+    )
+
+
+@register(
+    "modularity_communities",
+    oracle=f"""
+    WITH {_LP_CTES},
+    lab AS (SELECT node, label FROM l{LP_ROUNDS}),
+    m AS (SELECT CAST(count(*) AS HUGEINT) AS m FROM e),
+    inn AS (
+      SELECT la.label AS community, count(*) AS in_edges
+      FROM e JOIN lab la ON la.node = e.s
+             JOIN lab lb ON lb.node = e.d
+      WHERE la.label = lb.label GROUP BY 1),
+    deg AS (SELECT src AS node, count(*) AS d FROM ed GROUP BY 1),
+    tot AS (
+      SELECT lab.label AS community,
+             count(*) AS n_nodes,
+             CAST(sum(deg.d) AS HUGEINT) AS tot_deg
+      FROM lab JOIN deg ON deg.node = lab.node GROUP BY 1),
+    contrib AS (
+      SELECT t.community, t.n_nodes,
+             COALESCE(i.in_edges, 0) AS in_edges, t.tot_deg,
+             4 * m.m * COALESCE(i.in_edges, 0) - t.tot_deg * t.tot_deg AS c
+      FROM tot t LEFT JOIN inn i ON i.community = t.community CROSS JOIN m),
+    q AS (SELECT sum(c) AS cs FROM contrib)
+    SELECT contrib.community, CAST(contrib.n_nodes AS BIGINT) AS n_nodes,
+           CAST(contrib.in_edges AS BIGINT) AS in_edges,
+           CAST(contrib.tot_deg AS BIGINT) AS tot_deg,
+           CAST(contrib.c AS BIGINT) AS contrib_4m2,
+           CAST((1000000 * q.cs) // (4 * m.m * m.m) AS BIGINT) AS q_micro
+    FROM contrib CROSS JOIN q CROSS JOIN m
+    """,
+    tags=("graph", "statistics"),
+)
+def modularity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity Q of the label-propagation partition on the
+    same LP_SUPPORT-sparsified co-purchase graph — the standard "is this
+    community structure better than chance" audit (Q > 0.3 reads as
+    strong structure; ≈ 0 means LPA found nothing): per community the
+    internal edge count and total degree, plus
+    Q = Σ_c [in_c/m − (tot_c/2m)²] as one exact integer.
+
+    Exactness: multiply through by 4m² — contrib_4m2 = 4m·in_c − tot_c²
+    and q_micro = (10⁶·Σ contribs) div (4m²), so no fraction ever forms
+    (q_micro can be negative for anti-community partitions; both
+    engines truncate identically). 38-digit integers since tot_c² and
+    4m² reach ~4m² past BIGINT once m > ~1.5e9 edges. The labels are
+    the REGISTERED label_prop_communities result (shared unrolled-CTE
+    chain on the oracle side, shared Spark loop on this side), so this
+    audit certifies the partition the user actually gets.
+
+    Scale shape: beyond the LPA rounds themselves, two label joins on
+    the edge list (partitioned by node id like every LPA round) and
+    community-sized everything after — the m scalar broadcasts."""
+    op = _op_view(spark, sf_dir)
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= LP_SUPPORT)
+        .select("s", "d")
+        .localCheckpoint(eager=True)  # feeds m, in-edges AND degrees
+    )
+    lab = label_prop_communities(spark, sf_dir).select(
+        F.col("l_partkey").alias("node"), F.col("community").alias("label")
+    ).localCheckpoint(eager=True)  # node-sized; joined three times
+    dec = "DECIMAL(38,0)"
+    m = e.agg(F.expr(f"CAST(count(*) AS {dec})").alias("m"))
+    la = lab.select(F.col("node").alias("s"), F.col("label").alias("la"))
+    lb = lab.select(F.col("node").alias("d"), F.col("label").alias("lb"))
+    inn = (
+        e.join(la, "s")
+        .join(lb, "d")
+        .where(F.col("la") == F.col("lb"))
+        .groupBy(F.col("la").alias("community"))
+        .agg(F.count(F.lit(1)).alias("in_edges"))
+    )
+    ed = e.select(F.col("s").alias("node")).unionByName(
+        e.select(F.col("d").alias("node"))
+    )
+    deg = ed.groupBy("node").agg(F.count(F.lit(1)).alias("d"))
+    tot = (
+        lab.join(deg, "node")
+        .groupBy(F.col("label").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.expr(f"CAST(sum(d) AS {dec})").alias("tot_deg"),
+        )
+    )
+    contrib = (
+        tot.join(inn, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("in_edges", F.lit(0)).alias("in_edges"),
+            "tot_deg",
+            F.expr(
+                "4 * m * COALESCE(in_edges, 0) - tot_deg * tot_deg"
+            ).alias("c"),
+            "m",
+        )
+        .localCheckpoint(eager=True)  # community-sized; feeds Q and output
+    )
+    q = contrib.agg(F.sum("c").alias("cs"))
+    return contrib.crossJoin(F.broadcast(q)).select(
+        F.col("community").cast("long").alias("community"),
+        F.col("n_nodes").cast("long").alias("n_nodes"),
+        F.col("in_edges").cast("long").alias("in_edges"),
+        F.col("tot_deg").cast("long").alias("tot_deg"),
+        F.col("c").cast("long").alias("contrib_4m2"),
+        F.expr("CAST((1000000 * cs) div (4 * m * m) AS BIGINT)").alias("q_micro"),
+    )
+
+
+HITS_TOP = 20  # authorities reported
+
+
+@register(
+    "hits_part_authorities",
+    oracle=f"""
+    WITH cp AS MATERIALIZED (
+      SELECT DISTINCT o.o_custkey AS c, l.l_partkey AS p
+      FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey),
+    h1 AS (SELECT c, CAST(count(*) AS HUGEINT) AS h FROM cp GROUP BY 1),
+    a1 AS (SELECT cp.p, sum(h1.h) AS a FROM cp JOIN h1 USING (c) GROUP BY 1),
+    h2 AS (SELECT cp.c, sum(a1.a) AS h FROM cp JOIN a1 USING (p) GROUP BY 1),
+    a2 AS (SELECT cp.p, sum(h2.h) AS a FROM cp JOIN h2 USING (c) GROUP BY 1)
+    SELECT a2.p AS l_partkey,
+           CAST(a1.a AS BIGINT) AS auth_round1,
+           CAST(a2.a AS BIGINT) AS auth_round2
+    FROM a2 JOIN a1 USING (p)
+    ORDER BY a2.a DESC, a2.p LIMIT {HITS_TOP}
+    """,
+    tags=("graph", "iterative", "ranking"),
+)
+def hits_part_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) on the bipartite
+    customer→part purchase graph: hubs are customers (broad buyers),
+    authorities are parts (bought by strong hubs) — the mutual-
+    reinforcement ranking PageRank can't express on a bipartite
+    relation. Two unrolled iterations h=Σa, a=Σh from a₀=1, reported
+    UNNORMALIZED: skipping the classical per-round norm keeps every
+    score an exact integer (normalization only rescales, so the RANKING
+    is identical) — the same trick as the integer-exact PageRank. Both
+    rounds emitted so the audit shows rank movement between degree
+    ordering (round 1 ≈ weighted degree) and the converged order.
+
+    Scale shape: each half-round is one join of the edge list against a
+    node-sized score table + one map-side-combinable sum — the PageRank
+    cost profile on alternating sides of the bipartition. Scores in
+    38-digit integers (a₂ ~ degree³ products overflow BIGINT on
+    power-law graphs at ~1e6 degrees). Top-{HITS_TOP} via
+    TakeOrdered (no global sort), unique-key tiebreak."""
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    cp = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .repartition("c")
+        .localCheckpoint(eager=True)  # the graph: four traversals below
+    )
+    dec = "DECIMAL(38,0)"
+    h1 = cp.groupBy("c").agg(F.expr(f"CAST(count(*) AS {dec})").alias("h"))
+    a1 = (
+        cp.join(h1, "c")
+        .groupBy("p")
+        .agg(F.sum("h").alias("a"))
+        .localCheckpoint(eager=True)  # part-sized; feeds h2 AND the output join
+    )
+    h2 = cp.join(a1, "p").groupBy("c").agg(F.sum("a").alias("h"))
+    a2 = cp.join(h2, "c").groupBy("p").agg(F.sum("h").alias("a2"))
+    return (
+        a2.join(a1.select("p", F.col("a").alias("a1")), "p")
+        .select(
+            F.col("p").alias("l_partkey"),
+            F.col("a1").cast("long").alias("auth_round1"),
+            F.col("a2").cast("long").alias("auth_round2"),
+        )
+        .orderBy(F.desc("auth_round2"), F.asc("l_partkey"))
+        .limit(HITS_TOP)
     )

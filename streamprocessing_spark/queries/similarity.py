@@ -1856,3 +1856,87 @@ def matryoshka_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+SEMDECON_THRESHOLD = 0.45  # cosine bar shared with the SRP near-dup tier
+
+
+@register(
+    "decontaminate_semantic",
+    oracle=f"""
+    WITH pairs AS ({_sql_srp_oracle(SEMDECON_THRESHOLD)}),
+    sp AS (
+      SELECT doc_id,
+             CASE WHEN h < 80 THEN 'train'
+                  WHEN h < 90 THEN 'valid'
+                  ELSE 'test' END AS split
+      FROM (SELECT doc_id,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS h
+            FROM documents)),
+    oriented AS (
+      SELECT CASE WHEN a.split = 'train' THEN p.id_a ELSE p.id_b END AS train_id,
+             CASE WHEN a.split = 'train' THEN p.id_b ELSE p.id_a END AS eval_id,
+             CASE WHEN a.split = 'train' THEN b.split ELSE a.split END AS eval_split,
+             p.cos_sim
+      FROM pairs p
+      JOIN sp a ON a.doc_id = p.id_a
+      JOIN sp b ON b.doc_id = p.id_b
+      WHERE (a.split = 'train') <> (b.split = 'train'))
+    SELECT train_id, eval_id, eval_split, cos_sim
+    FROM oriented
+    """,
+    tags=("similarity", "curation", "llm-pipeline", "lsh"),
+)
+def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SEMANTIC decontamination — train docs whose EMBEDDING sits within
+    cosine {SEMDECON_THRESHOLD} of a valid/test doc (vec_id is the
+    embedding of doc_id, md5 80/10/10 split shared bit-for-bit with
+    split_leakage_audit / train_test_split). The modern complement to
+    the n-gram tiers (decontaminate_hashed/_benchmark_overlap): verbatim
+    decontamination misses PARAPHRASED benchmark rows, which live only
+    in embedding space — this is the check frontier-lab eval hygiene
+    actually runs (e.g. the GPT-4/Llama report protocol: lexical pass +
+    embedding pass). Emits oriented (train_id, eval_id, eval_split,
+    cos_sim) evidence rows — the actionable artifact: drop/flag
+    train_id, cite eval_id.
+
+    Composition, fully reused machinery: candidates from the SRP band
+    buckets (shuffle scales with bucket sizes, never all-pairs),
+    exact-cosine verify, then two broadcast split-map joins keep only
+    cross-boundary (train, non-train) pairs and orient them. Precision
+    exact, recall = the banding curve the recall-held tier measures; at
+    100 TB swap the fixed-(r,b) candidate stage for
+    srp_lsh_cosine_pairs_scaled exactly as the near-dup cascade does
+    (same interface, count-scaled r)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # one-row probe for the dataset-constant dimension (the registered
+    # SRP tier's convention); empty table → dim 1 → empty result
+    row = emb.select("embedding").head()
+    dim = len(row[0]) if row else 1
+    pairs = S.srp_lsh_cosine_pairs(emb, SEMDECON_THRESHOLD, dim)
+    d = load_table(spark, sf_dir, "documents")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    sp = d.select(
+        "doc_id",
+        F.when(h < 80, F.lit("train"))
+        .when(h < 90, F.lit("valid"))
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    sa = sp.select(F.col("doc_id").alias("id_a"), F.col("split").alias("spl_a"))
+    sb = sp.select(F.col("doc_id").alias("id_b"), F.col("split").alias("spl_b"))
+    a_is_train = F.col("spl_a") == "train"
+    b_is_train = F.col("spl_b") == "train"
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .where(a_is_train != b_is_train)
+        .select(
+            F.when(a_is_train, F.col("id_a")).otherwise(F.col("id_b")).alias("train_id"),
+            F.when(a_is_train, F.col("id_b")).otherwise(F.col("id_a")).alias("eval_id"),
+            F.when(a_is_train, F.col("spl_b")).otherwise(F.col("spl_a")).alias("eval_split"),
+            "cos_sim",
+        )
+    )

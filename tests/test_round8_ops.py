@@ -280,3 +280,132 @@ def test_rrf_fusion_replays_from_component_rankings(spark, sf_dir):
         assert r.rrf_micro == want
         assert r.lex_rank == lex.get(r.doc_id)
         assert r.sem_rank == sem.get(r.doc_id)
+
+
+def test_modularity_reconciles_with_edges_and_labels(spark, sf_dir):
+    """Replay Q from the raw sparsified edge list and the registered
+    label table: per-community in-edge/degree reconciliation, the
+    Σ tot_deg == 2m conservation law, and the Q identity."""
+    from streamprocessing_spark.queries.graph import LP_SUPPORT
+
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct().collect()
+    baskets: dict = {}
+    for r in op:
+        baskets.setdefault(r.l_orderkey, set()).add(r.l_partkey)
+    cnt: dict = {}
+    for parts in baskets.values():
+        ps = sorted(parts)
+        for i, s in enumerate(ps):
+            for d in ps[i + 1 :]:
+                cnt[(s, d)] = cnt.get((s, d), 0) + 1
+    edges = [k for k, n in cnt.items() if n >= LP_SUPPORT]
+    lab = {
+        r.l_partkey: r.community
+        for r in SPECS["label_prop_communities"].fn(spark, sf_dir).collect()
+    }
+    rows = SPECS["modularity_communities"].fn(spark, sf_dir).collect()
+    if not edges:
+        assert rows == []
+        return
+    m = len(edges)
+    inn: dict = {}
+    deg: dict = {}
+    for s, d in edges:
+        deg[s] = deg.get(s, 0) + 1
+        deg[d] = deg.get(d, 0) + 1
+        if lab[s] == lab[d]:
+            inn[lab[s]] = inn.get(lab[s], 0) + 1
+    tot: dict = {}
+    nn: dict = {}
+    for node, dd in deg.items():
+        c = lab[node]
+        tot[c] = tot.get(c, 0) + dd
+        nn[c] = nn.get(c, 0) + 1
+    got = {r.community: r for r in rows}
+    assert set(got) == set(tot)
+    assert sum(tot.values()) == 2 * m
+    qs = 0
+    for c, r in got.items():
+        assert (r.n_nodes, r.in_edges, r.tot_deg) == (
+            nn[c],
+            inn.get(c, 0),
+            tot[c],
+        )
+        ck = 4 * m * inn.get(c, 0) - tot[c] * tot[c]
+        assert r.contrib_4m2 == ck
+        qs += ck
+    expect = abs(1000000 * qs) // (4 * m * m)
+    expect = expect if qs >= 0 else -expect
+    assert all(r.q_micro == expect for r in rows)
+    # the float Q agrees within the final truncation
+    qf = sum(
+        inn.get(c, 0) / m - (tot[c] / (2 * m)) ** 2 for c in tot
+    )
+    assert abs(expect / 1e6 - qf) < 2e-6
+
+
+def test_hits_matches_python_power_iterations(spark, sf_dir):
+    """Replay two unnormalized HITS iterations in pure Python over the
+    bipartite customer-part edges; the top list (scores and order) must
+    agree, and round-2 must preserve or refine — never contradict —
+    the bipartite reinforcement identity a2 = Σ_c h2."""
+    from streamprocessing_spark.queries.graph import HITS_TOP
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey").collect()
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey").collect()
+    cust_of = {r.o_orderkey: r.o_custkey for r in o}
+    cp = {
+        (cust_of[r.l_orderkey], r.l_partkey)
+        for r in li
+        if r.l_orderkey in cust_of
+    }
+    rows = SPECS["hits_part_authorities"].fn(spark, sf_dir).collect()
+    if not cp:
+        assert rows == []
+        return
+    h1: dict = {}
+    for c, _p in cp:
+        h1[c] = h1.get(c, 0) + 1
+    a1: dict = {}
+    for c, p in cp:
+        a1[p] = a1.get(p, 0) + h1[c]
+    h2: dict = {}
+    for c, p in cp:
+        h2[c] = h2.get(c, 0) + a1[p]
+    a2: dict = {}
+    for c, p in cp:
+        a2[p] = a2.get(p, 0) + h2[c]
+    expect = sorted(a2.items(), key=lambda kv: (-kv[1], kv[0]))[:HITS_TOP]
+    assert [(r.l_partkey, r.auth_round2) for r in rows] == expect
+    for r in rows:
+        assert r.auth_round1 == a1[r.l_partkey]
+
+
+def test_semantic_decontamination_is_cross_split_subset(spark, sf_dir):
+    """Every flagged pair must (a) appear in the registered SRP pair set,
+    (b) cross the train/eval boundary under the shared md5 split, and
+    (c) orient train-side first; eval_split is never 'train'."""
+    import hashlib
+
+    pairs = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in SPECS["srp_lsh_cosine_pairs"].fn(spark, sf_dir).collect()
+    }
+
+    def split(doc_id: int) -> str:
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+        return "train" if h < 80 else ("valid" if h < 90 else "test")
+
+    rows = SPECS["decontaminate_semantic"].fn(spark, sf_dir).collect()
+    expect = {}
+    for (a, b), cos in pairs.items():
+        sa, sb = split(a), split(b)
+        if (sa == "train") != (sb == "train"):
+            t, e = (a, b) if sa == "train" else (b, a)
+            expect[(t, e)] = (split(e), cos)
+    got = {(r.train_id, r.eval_id): (r.eval_split, r.cos_sim) for r in rows}
+    assert got == expect
+    for r in rows:
+        assert split(r.train_id) == "train"
+        assert r.eval_split in ("valid", "test")

@@ -176,6 +176,9 @@ PLAN_SET = [
     "fellegi_sunter_scores",
     "matryoshka_truncation_audit",
     "hybrid_rrf_retrieval",
+    "modularity_communities",
+    "hits_part_authorities",
+    "decontaminate_semantic",
 ]
 
 
