@@ -171,6 +171,10 @@ HEADLINE = [
     "modularity_communities",
     "hits_part_authorities",
     "decontaminate_semantic",
+    "emd_value_distributions",
+    "hill_tail_index_value",
+    "multimodal_silence_ratio",
+    "source_ablation_impact",
 ]
 
 

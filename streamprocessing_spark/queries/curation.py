@@ -3130,3 +3130,99 @@ def fellegi_sunter_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         *agree_cols,
         score.cast("long").alias("score_milli"),
     )
+
+
+@register(
+    "source_ablation_impact",
+    oracle="""
+    WITH doc AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT) AS n_tok,
+             md5(text) AS h
+      FROM documents),
+    hc AS (SELECT h, count(*) AS c FROM doc GROUP BY 1),
+    d2 AS (
+      SELECT doc.source, doc.n_tok,
+             CASE WHEN hc.c > 1 THEN 1 ELSE 0 END AS is_dup
+      FROM doc JOIN hc USING (h)),
+    per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS toks,
+             CAST(sum(is_dup) AS BIGINT) AS dups
+      FROM d2 GROUP BY 1),
+    tot AS (SELECT sum(n_docs) AS nn, sum(toks) AS tt, sum(dups) AS dd FROM per)
+    SELECT per.source, per.n_docs,
+           CAST((1000000 * t.tt) // t.nn AS BIGINT) AS mean_tok_micro,
+           CAST(CASE WHEN t.nn > per.n_docs THEN
+                (1000000 * (t.tt - per.toks)) // (t.nn - per.n_docs)
+                END AS BIGINT) AS mean_tok_wo_micro,
+           CAST(CASE WHEN t.nn > per.n_docs THEN
+                (1000000 * (t.tt - per.toks)) // (t.nn - per.n_docs)
+                - (1000000 * t.tt) // t.nn END AS BIGINT) AS tok_impact_micro,
+           CAST((1000000 * t.dd) // t.nn AS BIGINT) AS dup_rate_micro,
+           CAST(CASE WHEN t.nn > per.n_docs THEN
+                (1000000 * (t.dd - per.dups)) // (t.nn - per.n_docs)
+                END AS BIGINT) AS dup_rate_wo_micro
+    FROM per CROSS JOIN tot t
+    """,
+    tags=("curation", "llm-pipeline", "quality", "statistics"),
+)
+def source_ablation_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-source-out ablation datasheet — for every source, what
+    the corpus-level health metrics become WITHOUT it: mean tokens per
+    doc and exact-duplicate rate, each next to the overall value and
+    (for tokens) the signed impact. The cheap first pass of data-mixture
+    ablation: before spending GPU runs on per-source mixture sweeps
+    (DoReMi-style), a pipeline ranks sources by how much each one drags
+    the corpus statistics — a source whose removal RAISES mean length
+    and LOWERS dup rate is the first candidate to down-weight.
+
+    Exactly additive algebra makes LOO free: per-source sums subtract
+    from broadcast grand totals, so all |sources| ablations cost ONE
+    corpus scan + one dup-hash shuffle (the md5 groupBy), not |sources|
+    recomputations. All metrics are exact micro-unit integers (one
+    truncating div each, both engines agree); a single-source corpus
+    reports NULL ablations rather than 0/0. Dup membership is
+    corpus-global (a doc whose twin lives in ANOTHER source still
+    counts dup here — removal arithmetic stays additive because the
+    FLAG, not the pair, is summed)."""
+    from streamprocessing_spark.functions import text as T
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        T.token_count(F.col("text")).alias("n_tok"),
+        F.md5("text").alias("h"),
+    )
+    hc = d.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    d2 = d.join(hc, "h").select(
+        "source",
+        "n_tok",
+        F.when(F.col("c") > 1, 1).otherwise(0).alias("is_dup"),
+    )
+    per = d2.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").alias("toks"),
+        F.sum("is_dup").alias("dups"),
+    )
+    tot = per.agg(
+        F.sum("n_docs").alias("nn"), F.sum("toks").alias("tt"), F.sum("dups").alias("dd")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.expr("CAST((1000000 * tt) div nn AS BIGINT)").alias("mean_tok_micro"),
+        F.expr(
+            "CAST(CASE WHEN nn > n_docs THEN"
+            " (1000000 * (tt - toks)) div (nn - n_docs) END AS BIGINT)"
+        ).alias("mean_tok_wo_micro"),
+        F.expr(
+            "CAST(CASE WHEN nn > n_docs THEN"
+            " (1000000 * (tt - toks)) div (nn - n_docs)"
+            " - (1000000 * tt) div nn END AS BIGINT)"
+        ).alias("tok_impact_micro"),
+        F.expr("CAST((1000000 * dd) div nn AS BIGINT)").alias("dup_rate_micro"),
+        F.expr(
+            "CAST(CASE WHEN nn > n_docs THEN"
+            " (1000000 * (dd - dups)) div (nn - n_docs) END AS BIGINT)"
+        ).alias("dup_rate_wo_micro"),
+    )

@@ -339,3 +339,83 @@ def multimodal_dedup_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("is_canonical"),
         )
     )
+
+@register(
+    "multimodal_silence_ratio",
+    oracle=f"""
+    WITH ascii_docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE text IS NOT NULL
+        AND octet_length(encode(text)) = length(text)),
+    f AS (
+      SELECT doc_id,
+             (p - 1) // {M.AUDIO_FRAME} AS fi,
+             ascii(substr(text, CAST(p AS INTEGER), 1)) - 128 AS s
+      FROM ascii_docs,
+           unnest(range(1, (len(text) // {M.AUDIO_FRAME}) * {M.AUDIO_FRAME} + 1)) AS u(p)),
+    fe AS (
+      SELECT doc_id, fi, CAST(sum(s * s) AS BIGINT) AS energy
+      FROM f GROUP BY 1, 2),
+    per AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS nf,
+             CAST(sum(energy) AS BIGINT) AS te
+      FROM fe GROUP BY 1),
+    q AS (
+      SELECT fe.doc_id,
+             CAST(sum(CASE WHEN fe.energy * per.nf < per.te THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_quiet
+      FROM fe JOIN per USING (doc_id) GROUP BY 1)
+    SELECT per.doc_id AS media_id, per.nf AS n_frames,
+           per.te AS total_energy, q.n_quiet,
+           CAST((1000 * q.n_quiet) // per.nf AS BIGINT) AS quiet_milli
+    FROM per JOIN q USING (doc_id)
+    """,
+    tags=("multimodal", "llm-pipeline", "quality"),
+)
+def multimodal_silence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relative-silence (VAD-style) audit per audio payload: the fraction
+    of {M.AUDIO_FRAME}-sample frames whose energy sits BELOW the
+    payload's own mean frame energy — the threshold-free form of the
+    silence-trim decision (an absolute dB threshold needs calibration
+    per corpus; below-own-mean is deterministic and non-vacuous on any
+    signal that isn't constant). A curation pipeline drops or trims
+    media whose quiet fraction is extreme at either end (near-1 ⇒ mostly
+    silence, near-0 with low total energy ⇒ constant hum).
+
+    Exact integers throughout: the mean comparison cross-multiplies
+    (energy·n_frames < Σ energy — no division), so quiet_milli is a pure
+    BIGINT pipeline over the SAME bit-oracled Arrow kernel as
+    multimodal_audio_energy (fixture payload = ASCII text ⇒ DuckDB
+    replays sample extraction with ascii/substr; a real corpus swaps
+    only the decode line). Scale shape: frames shuffle (media_id-keyed,
+    map-side-combinable), payload bytes cross the Arrow boundary once;
+    the per-media aggregate and the quiet-count join are both keyed on
+    media_id — one partitioning serves all stages."""
+    d = load_table(spark, sf_dir, "documents").where(
+        F.expr("octet_length(text) = length(text)")
+    )
+    media = M.attach_payload(d, "doc_id", "text")
+    fe = M.audio_energy_frames(media).localCheckpoint(
+        eager=True  # frames feed the per-media totals AND the quiet count
+    )
+    per = fe.groupBy("media_id").agg(
+        F.count(F.lit(1)).alias("nf"), F.sum("energy").alias("te")
+    )
+    q = (
+        fe.join(per, "media_id")
+        .select(
+            "media_id",
+            F.when(F.col("energy") * F.col("nf") < F.col("te"), 1)
+            .otherwise(0)
+            .alias("is_quiet"),
+        )
+        .groupBy("media_id")
+        .agg(F.sum("is_quiet").alias("n_quiet"))
+    )
+    return per.join(q, "media_id").select(
+        "media_id",
+        F.col("nf").cast("long").alias("n_frames"),
+        F.col("te").cast("long").alias("total_energy"),
+        F.col("n_quiet").cast("long").alias("n_quiet"),
+        F.expr("CAST((1000 * n_quiet) div nf AS BIGINT)").alias("quiet_milli"),
+    )

@@ -3403,3 +3403,185 @@ def daily_value_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CASE WHEN d <> 0 THEN (1000000 * nm) div d END AS BIGINT)"
         ).alias("acf_micro"),
     )
+
+
+@register(
+    "emd_value_distributions",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s1,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS s2
+      FROM events
+      WHERE value IS NOT NULL AND event_type IN ('purchase', 'click')),
+    hist AS (
+      SELECT cents, CAST(sum(s1) AS BIGINT) AS c1, CAST(sum(s2) AS BIGINT) AS c2
+      FROM v GROUP BY 1),
+    tot AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM hist),
+    cum AS (
+      SELECT cents,
+             sum(c1) OVER w AS f1,
+             sum(c2) OVER w AS f2,
+             lead(cents) OVER (ORDER BY cents) AS next_cents
+      FROM hist
+      WINDOW w AS (ORDER BY cents ROWS UNBOUNDED PRECEDING)),
+    d AS (
+      SELECT sum(abs(CAST(f1 AS HUGEINT) * t.n2 - CAST(f2 AS HUGEINT) * t.n1)
+                 * (next_cents - cents)) AS emd_num
+      FROM cum CROSS JOIN tot t WHERE next_cents IS NOT NULL)
+    SELECT CAST(t.n1 AS BIGINT) AS n1,
+           CAST(t.n2 AS BIGINT) AS n2,
+           CAST(d.emd_num AS BIGINT) AS emd_num,
+           CAST(CASE WHEN t.n1 * t.n2 <> 0
+                THEN (1000 * d.emd_num) // (t.n1 * t.n2) END AS BIGINT)
+             AS emd_milli_cents
+    FROM d CROSS JOIN tot t
+    """,
+    tags=("timeseries", "statistics", "quality"),
+)
+def emd_value_distributions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earth-Mover (Wasserstein-1) distance between the purchase and
+    click value distributions — completing the distribution-shift
+    instrument set: KS (ks_two_sample_value) is the sup-norm CDF gap,
+    PSI (psi_value_drift) the binned divergence, EMD the INTEGRAL
+    transport cost in actual cents — the only one of the three with
+    units a product owner can read ("the distributions are 47.3 cents
+    of movement apart").
+
+    Exact via the 1-D closed form W₁ = ∫|F₁ − F₂| dx = Σ over distinct
+    cents values |F₁·n₂ − F₂·n₁|·(next − cur) / (n₁·n₂): cumulative
+    integer counts on the distinct-value histogram, cross-multiplied to
+    avoid fractions (HUGEINT/DECIMAL38 — F·n reaches n² past BIGINT at
+    ~3e9 per side), ONE truncating division to milli-cents at the end.
+    Both-sides-empty reports NULL, not 0/0.
+
+    Scale shape identical to the KS tier: one map-side-combinable
+    histogram aggregate; the cumulative + lead window runs over the
+    DISTINCT-VALUE dimension (bounded by the price domain, ≤1e6-ish
+    values at any corpus size — the allowlisted KS frame, one more
+    consumer)."""
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("event_type").isin("purchase", "click")
+    )
+    v = ev.select(
+        F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("s1"),
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("s2"),
+    )
+    hist = (
+        v.groupBy("cents")
+        .agg(F.sum("s1").alias("c1"), F.sum("s2").alias("c2"))
+        .localCheckpoint(eager=True)  # feeds totals AND the cumulative pass
+    )
+    tot = hist.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    from pyspark.sql.window import Window as W
+
+    w_cum = W.orderBy("cents").rowsBetween(W.unboundedPreceding, W.currentRow)
+    w_lead = W.orderBy("cents")
+    dec = "DECIMAL(38,0)"
+    cum = hist.select(
+        "cents",
+        F.sum("c1").over(w_cum).alias("f1"),
+        F.sum("c2").over(w_cum).alias("f2"),
+        F.lead("cents").over(w_lead).alias("next_cents"),
+    )
+    d = (
+        cum.where(F.col("next_cents").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.expr(
+                f"abs(CAST(f1 AS {dec}) * n2 - CAST(f2 AS {dec}) * n1)"
+                " * (next_cents - cents)"
+            ).alias("term")
+        )
+        .agg(F.sum("term").alias("emd_num"))
+    )
+    return d.crossJoin(F.broadcast(tot)).select(
+        F.col("n1").cast("long").alias("n1"),
+        F.col("n2").cast("long").alias("n2"),
+        F.col("emd_num").cast("long").alias("emd_num"),
+        F.expr(
+            "CAST(CASE WHEN n1 * n2 <> 0 THEN (1000 * emd_num) div (n1 * n2) END AS BIGINT)"
+        ).alias("emd_milli_cents"),
+    )
+
+
+HILL_K = 100  # tail order statistics used by the Hill estimator
+
+
+def _sql_hill() -> str:
+    from streamprocessing_spark.functions.text import sql_mlog2
+
+    return f"""
+    WITH v AS (
+      SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents, event_id
+      FROM events WHERE value IS NOT NULL
+        AND CAST(floor(value * 100.0 + 0.5) AS BIGINT) > 0),
+    top AS (
+      SELECT cents FROM v ORDER BY cents DESC, event_id LIMIT {HILL_K + 1}),
+    agg AS (
+      SELECT count(*) AS n_top, min(cents) AS xk1,
+             sum({sql_mlog2('cents')}) AS sum_ml
+      FROM top)
+    SELECT CAST(n_top - 1 AS BIGINT) AS k,
+           CAST(xk1 AS BIGINT) AS xk1_cents,
+           CAST(CASE WHEN n_top > 1 THEN
+                (sum_ml - n_top * {sql_mlog2('xk1')}) // (n_top - 1)
+                END AS BIGINT) AS hill_milli_bits
+    FROM agg WHERE n_top > 0
+    """
+
+
+@register(
+    "hill_tail_index_value",
+    oracle=_sql_hill(),
+    tags=("timeseries", "statistics", "quality"),
+)
+def hill_tail_index_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hill estimator of the event-value tail index (Hill 1975) — the
+    heavy-tail audit run before trusting means/CIs on a value column:
+    H = (1/k)·Σ_{{i≤k}} log(x_(i)/x_(k+1)) over the top-k order
+    statistics; tail index α = 1/H_nats (finite variance needs α > 2;
+    H in bits ⇒ α = 1000/(ln2 · hill_milli_bits/1000)). Fat-tailed
+    revenue data makes z-score outlier rules and bootstrap CIs lie —
+    this measures whether they can be trusted.
+
+    Exact integers via mlog2: Σ mlog2(x_i) − k·mlog2(x_(k+1)) over the
+    top-(k+1) cents values, one truncating div by k. The top-(k+1) set
+    is ORDER BY cents DESC with an event_id tiebreak — deterministic,
+    and since mlog2 depends only on cents, boundary TIES cannot change
+    the statistic regardless of which tied row the cut keeps (the
+    Σ−min(one-row) algebra makes the tie-break value-invariant).
+    Zero/negative cents are excluded on both engines (log undefined);
+    an empty tail yields zero rows, a single value yields NULL H.
+
+    Scale shape: top-(k+1) is a distributed TakeOrdered (each partition
+    ships at most k+1 rows, no global sort); everything after is a
+    (k+1)-row aggregate. k = {HILL_K} is the estimator's own parameter,
+    not a data bound."""
+    from streamprocessing_spark.functions import text as T
+
+    v = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(
+            F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+            "event_id",
+        )
+        .where(F.col("cents") > 0)
+    )
+    top = v.orderBy(F.desc("cents"), F.asc("event_id")).limit(HILL_K + 1).select("cents")
+    agg = top.agg(
+        F.count(F.lit(1)).alias("n_top"),
+        F.min("cents").alias("xk1"),
+        F.sum(T.mlog2(F.col("cents"))).alias("sum_ml"),
+    )
+    return agg.where(F.col("n_top") > 0).select(
+        (F.col("n_top") - 1).cast("long").alias("k"),
+        F.col("xk1").cast("long").alias("xk1_cents"),
+        F.expr(
+            "CAST(CASE WHEN n_top > 1 THEN "
+            "(sum_ml - n_top * CAST(floor(1000*log2(xk1)+0.5) AS BIGINT)) div (n_top - 1) "
+            "END AS BIGINT)"
+        ).alias("hill_milli_bits"),
+    )

@@ -606,7 +606,11 @@ def test_global_window_allowlist():
     at execution time, so each one must be consciously classified as
     dimension-bounded. This pin fails when a NEW unpartitioned window
     appears anywhere in the package until it is audited into the
-    SCALE.md table (or re-planned via operators/ranking.py)."""
+    SCALE.md table (or re-planned via operators/ranking.py). ALIAS-AWARE
+    (round-5 second session): the original pin only matched the literal
+    name ``Window``, so ``from pyspark.sql.window import Window as W``
+    sites were invisible — the audit now resolves import aliases, which
+    surfaced 7 previously-unaudited sites (all classified bounded)."""
     import ast
     from pathlib import Path
 
@@ -614,6 +618,15 @@ def test_global_window_allowlist():
     found: dict[str, int] = {}
     for py in sorted(pkg.rglob("*.py")):
         tree = ast.parse(py.read_text())
+        aliases = {"Window"}
+        for node in ast.walk(tree):
+            if isinstance(node, ast.ImportFrom) and node.module in (
+                "pyspark.sql",
+                "pyspark.sql.window",
+            ):
+                for a in node.names:
+                    if a.name == "Window":
+                        aliases.add(a.asname or a.name)
         n = sum(
             1
             for node in ast.walk(tree)
@@ -621,18 +634,19 @@ def test_global_window_allowlist():
             and isinstance(node.func, ast.Attribute)
             and node.func.attr == "orderBy"
             and isinstance(node.func.value, ast.Name)
-            and node.func.value.id == "Window"
+            and node.func.value.id in aliases
         )
         if n:
             found[str(py.relative_to(pkg))] = n
     # AUDITED allowlist — every entry classified in SCALE.md's table:
     allow = {
         "operators/ranking.py": 3,   # the P-row stitch windows themselves
-        "queries/analytics.py": 2,   # sketch medians; 2^20-bucket summaries
+        "queries/analytics.py": 3,   # sketch medians; 2^20-bucket summaries; median cents histogram
         "queries/curation.py": 3,    # post-limit KMV; sources; strata
+        "queries/dedup.py": 1,       # AUC micro-score histogram (<= 1e6+1 values)
         "queries/similarity.py": 1,  # IVF cells (K = ceil(sqrt(n)))
-        "queries/text.py": 2,        # per-ingest-batch rows; post-limit RRF lex rank
-        "queries/timeseries.py": 4,  # calendar days x3; hour histogram
+        "queries/text.py": 3,        # per-ingest-batch rows; zipf freq-of-freq histogram; post-limit RRF lex rank
+        "queries/timeseries.py": 9,  # calendar days x3; hour histogram; KM day folds x2; KS + EMD cents histograms x3
     }
     assert found == allow, (
         f"unaudited global windows changed: {found} != {allow} — "
