@@ -175,6 +175,8 @@ HEADLINE = [
     "hill_tail_index_value",
     "multimodal_silence_ratio",
     "source_ablation_impact",
+    "hard_negative_mining",
+    "conformal_quality_threshold",
 ]
 
 

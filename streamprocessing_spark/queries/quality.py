@@ -683,3 +683,126 @@ def mutual_information_source_lang(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("q").cast("long").alias("contrib_q"),
         F.expr("CAST(qs div nt AS BIGINT)").alias("mi_milli_bits"),
     )
+
+
+CONFORMAL_ALPHA_PCT = 5  # miscoverage level alpha = 5%
+
+
+def _sql_conformal() -> str:
+    from streamprocessing_spark.functions.text import sql_mlog2
+
+    n_e, s_e = _entropy_exprs()
+    ent = f"{sql_mlog2('n')} - sm // n"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS h,
+             CAST({ent} AS BIGINT) AS score
+      FROM (SELECT doc_id, {n_e} AS n, {s_e} AS sm
+            FROM (SELECT doc_id, lower(text) AS s FROM documents))
+      WHERE n > 0),
+    cal AS (SELECT score FROM scored WHERE h >= 80 AND h < 90),
+    ev  AS (SELECT score FROM scored WHERE h >= 90),
+    nc AS (SELECT count(*) AS n_cal,
+                  ({CONFORMAL_ALPHA_PCT} * (count(*) + 1)) // 100 AS k
+           FROM cal),
+    hist AS (SELECT score, count(*) AS c FROM cal GROUP BY 1),
+    cum AS (SELECT score,
+                   sum(c) OVER (ORDER BY score ROWS UNBOUNDED PRECEDING) AS f
+            FROM hist),
+    thr AS (SELECT min(score) AS threshold
+            FROM cum CROSS JOIN nc WHERE nc.k >= 1 AND cum.f >= nc.k)
+    SELECT CAST(nc.n_cal AS BIGINT) AS n_cal,
+           CAST(nc.k AS BIGINT) AS k,
+           CAST(thr.threshold AS BIGINT) AS threshold_milli_bits,
+           CAST((SELECT count(*) FROM ev) AS BIGINT) AS n_eval,
+           CAST((SELECT count(*) FROM ev
+                 WHERE thr.threshold IS NOT NULL AND ev.score < thr.threshold)
+                AS BIGINT) AS n_flagged
+    FROM nc CROSS JOIN thr
+    """
+
+
+@register(
+    "conformal_quality_threshold",
+    oracle=_sql_conformal(),
+    tags=("quality", "statistics", "llm-pipeline"),
+)
+def conformal_quality_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split-conformal anomaly threshold for the char-entropy quality
+    score (Vovk's conformal prediction, the Angelopoulos-Bates split
+    recipe): from the held-out calibration slice (the shared md5
+    'valid' split), q̂ = the k-th smallest calibration score with
+    k = ⌊α·(n_cal+1)⌋ — then flagging eval docs with score < q̂ carries
+    the FINITE-SAMPLE guarantee P(flag a clean doc) ≤ α = {CONFORMAL_ALPHA_PCT}%
+    under exchangeability, with no distributional assumption. This is
+    how a curation pipeline turns any heuristic score into a filter
+    with a certified false-positive budget (the fixed-cutoff tiers like
+    char_entropy_filter promise nothing).
+
+    Exact integers: scores are the mlog2 milli-bit entropies, k is one
+    floor-div, and the order statistic comes from a cumulative count
+    over the DISTINCT-SCORE histogram — bounded by the score domain
+    (≤ mlog2(len) distinct milli-bit values at any corpus size; the
+    dedup_signal_auc window class), never by doc count. Degenerate
+    calibration (k = 0, fewer than ~20 docs at α=5%) yields a NULL
+    threshold and zero flags — refuse-to-certify, the honest conformal
+    answer. Scale: one scan scores everything (zero-shuffle length
+    arithmetic), one histogram aggregate, dimension-sized everything
+    after."""
+    d = load_table(spark, sf_dir, "documents")
+    n_e, s_e = _entropy_exprs()
+    from streamprocessing_spark.functions.text import sql_mlog2
+
+    ent = f"{sql_mlog2('n')} - sm div n"
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    ) % 100
+    scored = (
+        d.select("doc_id", F.lower(F.col("text")).alias("s"))
+        .select("doc_id", F.expr(n_e).alias("n"), F.expr(s_e).alias("sm"))
+        .where(F.col("n") > 0)
+        .select(h.alias("h"), F.expr(f"CAST({ent} AS BIGINT)").alias("score"))
+        .localCheckpoint(eager=True)  # feeds cal histogram, counts, eval flags
+    )
+    cal = scored.where((F.col("h") >= 80) & (F.col("h") < 90)).select("score")
+    ev = scored.where(F.col("h") >= 90).select("score")
+    nc = cal.agg(
+        F.count(F.lit(1)).alias("n_cal"),
+        F.expr(f"CAST(({CONFORMAL_ALPHA_PCT} * (count(*) + 1)) div 100 AS BIGINT)").alias("k"),
+    )
+    hist = cal.groupBy("score").agg(F.count(F.lit(1)).alias("c"))
+    from pyspark.sql.window import Window as W
+
+    w_cum = W.orderBy("score").rowsBetween(W.unboundedPreceding, W.currentRow)
+    cum = hist.select("score", F.sum("c").over(w_cum).alias("f"))
+    thr = (
+        cum.crossJoin(F.broadcast(nc))
+        .where((F.col("k") >= 1) & (F.col("f") >= F.col("k")))
+        .agg(F.min("score").alias("threshold"))
+    )
+    ev_stats = ev.crossJoin(F.broadcast(thr)).agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        # coalesce: SUM over an empty eval slice is NULL in Spark where the
+        # oracle's filtered COUNT(*) is 0
+        F.coalesce(
+            F.sum(
+                F.when(
+                    F.col("threshold").isNotNull() & (F.col("score") < F.col("threshold")),
+                    1,
+                ).otherwise(0)
+            ),
+            F.lit(0),
+        ).alias("n_flagged"),
+    )
+    return (
+        nc.crossJoin(F.broadcast(thr))
+        .crossJoin(F.broadcast(ev_stats))
+        .select(
+            F.col("n_cal").cast("long").alias("n_cal"),
+            F.col("k").cast("long").alias("k"),
+            F.col("threshold").cast("long").alias("threshold_milli_bits"),
+            F.col("n_eval").cast("long").alias("n_eval"),
+            F.col("n_flagged").cast("long").alias("n_flagged"),
+        )
+    )

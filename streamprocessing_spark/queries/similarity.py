@@ -1940,3 +1940,84 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cos_sim",
         )
     )
+
+
+HARDNEG_K = 10  # negatives mined per anchor
+
+
+@register(
+    "hard_negative_mining",
+    oracle=f"""
+    WITH q AS (SELECT vec_id AS anchor_id, embedding AS qv, label AS ql
+               FROM embeddings WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT q.anchor_id, q.ql, e.vec_id AS negative_id, e.label AS nl,
+             {_sql_cos('e.embedding', 'q.qv')} AS cos
+      FROM embeddings e, q
+      WHERE e.vec_id <> q.anchor_id
+        AND e.label IS DISTINCT FROM q.ql)
+    SELECT anchor_id, CAST(ql AS BIGINT) AS anchor_label,
+           negative_id, CAST(nl AS BIGINT) AS negative_label,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT anchor_id, ql, negative_id, nl,
+             row_number() OVER (PARTITION BY anchor_id
+                                ORDER BY cos DESC, negative_id) AS rn
+      FROM scored)
+    WHERE rn <= {HARDNEG_K}
+    """,
+    tags=("similarity", "llm-pipeline", "curation"),
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive embedding training (the
+    DPR/SimCSE/SBERT data-prep step): for each anchor, the top-{HARDNEG_K}
+    highest-cosine vectors carrying a DIFFERENT label — the negatives
+    that actually move a contrastive loss (random negatives are too easy;
+    the hardest ones sit just across the decision boundary). Same-label
+    near neighbors are excluded (they're positives), NULL labels count as
+    differing from every concrete label on both engines (IS DISTINCT
+    FROM — unlabeled corpus rows are legal negative candidates).
+
+    Exact determinism: ranking by the bit-identical dim-fold cosine with
+    an id tiebreak — the ann_cosine_topk contract plus a label
+    anti-predicate pushed BEFORE scoring, so excluded rows never pay the
+    dot product. Scale shape: Q·n scoring at the fixed {N_QUERIES}-anchor
+    audit set (anchors broadcast, one corpus scan, WindowGroupLimit
+    keeps per-anchor state at O(k)); production mining swaps candidate
+    generation to the IVF cells exactly as knn_label_audit documents,
+    with the label filter and ranking unchanged."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("ql"),
+    )
+    scored = S.with_cosine_fast(
+        emb.join(F.broadcast(q))
+        .where(
+            (F.col("vec_id") != F.col("anchor_id"))
+            & ~F.col("label").eqNullSafe(F.col("ql"))
+        )
+        .select(
+            "anchor_id",
+            "ql",
+            F.col("vec_id").alias("negative_id"),
+            F.col("label").alias("nl"),
+            F.col("embedding").alias("av"),
+            F.col("qv").alias("bv"),
+        ),
+        "av",
+        "bv",
+        "cos",
+    )
+    w = Window.partitionBy("anchor_id").orderBy(F.desc("cos"), F.asc("negative_id"))
+    return (
+        scored.select(
+            "anchor_id",
+            F.col("ql").cast("long").alias("anchor_label"),
+            "negative_id",
+            F.col("nl").cast("long").alias("negative_label"),
+            F.row_number().over(w).cast("long").alias("rank"),
+        )
+        .where(F.col("rank") <= HARDNEG_K)
+    )

@@ -644,6 +644,7 @@ def test_global_window_allowlist():
         "queries/analytics.py": 3,   # sketch medians; 2^20-bucket summaries; median cents histogram
         "queries/curation.py": 3,    # post-limit KMV; sources; strata
         "queries/dedup.py": 1,       # AUC micro-score histogram (<= 1e6+1 values)
+        "queries/quality.py": 1,     # conformal calibration score histogram
         "queries/similarity.py": 1,  # IVF cells (K = ceil(sqrt(n)))
         "queries/text.py": 3,        # per-ingest-batch rows; zipf freq-of-freq histogram; post-limit RRF lex rank
         "queries/timeseries.py": 9,  # calendar days x3; hour histogram; KM day folds x2; KS + EMD cents histograms x3

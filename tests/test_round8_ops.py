@@ -550,3 +550,75 @@ def test_source_ablation_additivity(spark, sf_dir):
                 assert r.tok_impact_micro >= 0
         else:
             assert r.mean_tok_wo_micro is None and r.tok_impact_micro is None
+
+
+def test_hard_negatives_exclude_same_label_and_match_numpy(spark, sf_dir):
+    """Every mined negative carries a label differing from its anchor,
+    and the ranking equals a numpy float64 re-derivation restricted to
+    different-label candidates."""
+    from streamprocessing_spark.queries.similarity import HARDNEG_K, N_QUERIES
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    rows = SPECS["hard_negative_mining"].fn(spark, sf_dir).collect()
+    if not emb:
+        assert rows == []
+        return
+    by_id = {r.vec_id: r for r in emb}
+    for r in rows:
+        assert r.negative_label != r.anchor_label or (
+            r.negative_label is None and r.anchor_label is None and False
+        )
+    import numpy as np
+
+    got: dict = {}
+    for r in rows:
+        got.setdefault(r.anchor_id, []).append((r.rank, r.negative_id))
+    for aid, lst in got.items():
+        a = by_id[aid]
+        q = np.array(list(a.embedding), dtype=np.float64)
+        cand = [
+            e for e in emb
+            if e.vec_id != aid and not (e.label == a.label or (e.label is None and a.label is None))
+        ]
+        scores = []
+        for e in cand:
+            v = np.array(list(e.embedding), dtype=np.float64)
+            denom = np.linalg.norm(v) * np.linalg.norm(q)
+            c = float(v @ q / denom) if denom else float("-inf")
+            scores.append((-c, e.vec_id))
+        expect = [vid for _, vid in sorted(scores)[:HARDNEG_K]]
+        assert [vid for _, vid in sorted(lst)] == expect
+    assert set(got) <= set(range(N_QUERIES))
+
+
+def test_conformal_threshold_is_exact_order_statistic(spark, sf_dir):
+    """Replay the calibration order statistic and the eval flag count in
+    pure Python from the registered entropy scores; the miscoverage
+    guarantee's k = floor(alpha*(n+1)) and the refuse-to-certify NULL
+    must both hold."""
+    from streamprocessing_spark.queries.quality import CONFORMAL_ALPHA_PCT
+    import hashlib
+
+    ent = {
+        r.doc_id: r.entropy_milli_bits
+        for r in SPECS["char_entropy_filter"].fn(spark, sf_dir).collect()
+    }
+
+    def bucket(doc_id: int) -> int:
+        return int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+
+    cal = sorted(v for d, v in ent.items() if 80 <= bucket(d) < 90)
+    ev = [v for d, v in ent.items() if bucket(d) >= 90]
+    r = SPECS["conformal_quality_threshold"].fn(spark, sf_dir).first()
+    k = (CONFORMAL_ALPHA_PCT * (len(cal) + 1)) // 100
+    assert (r.n_cal, r.k, r.n_eval) == (len(cal), k, len(ev))
+    if k >= 1:
+        thr = cal[k - 1]
+        assert r.threshold_milli_bits == thr
+        assert r.n_flagged == sum(1 for v in ev if v < thr)
+        # finite-sample coverage on the calibration set itself: at most
+        # k-1 calibration scores sit strictly below the k-th smallest
+        assert sum(1 for v in cal if v < thr) <= k - 1 + cal.count(thr)
+    else:
+        assert r.threshold_milli_bits is None
+        assert r.n_flagged == 0

@@ -183,6 +183,8 @@ PLAN_SET = [
     "hill_tail_index_value",
     "multimodal_silence_ratio",
     "source_ablation_impact",
+    "hard_negative_mining",
+    "conformal_quality_threshold",
 ]
 
 
