@@ -177,6 +177,8 @@ HEADLINE = [
     "source_ablation_impact",
     "hard_negative_mining",
     "conformal_quality_threshold",
+    "lang_id_macro_f1",
+    "frequent_triples_apriori",
 ]
 
 

@@ -502,6 +502,18 @@ def minhash_jaccard_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFram
     (band-bucket self-join, never all-pairs); the estimate adds one
     signature join (64 bigints per doc), the exact side reuses the
     shingle-intersection verify already paid by the LSH tier."""
+    return _estimate_audit_view(spark, sf_dir)
+
+
+def _estimate_audit_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (id_a, id_b, match_64, n_inter, n_union) estimate-audit frame,
+    memoized per (session, sf_dir): the calibration audits (AUC-style and
+    ECE) consume the same rows, so the shingle/signature/candidate
+    pipeline runs once, not once per consumer."""
+    return shared_view(spark, "mhaudit", sf_dir, lambda: _estimate_audit_build(spark, sf_dir))
+
+
+def _estimate_audit_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     sh = D.shingle_df(d, "doc_id", "text")
     sig = D.minhash_signature_df(sh)

@@ -1170,3 +1170,94 @@ def hits_part_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("auth_round2"), F.asc("l_partkey"))
         .limit(HITS_TOP)
     )
+
+
+TRIPLE_SUPPORT = 2  # orders containing all three parts
+
+
+@register(
+    "frequent_triples_apriori",
+    oracle=f"""
+    WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    fp AS MATERIALIZED (
+      SELECT a.l_partkey AS x, b.l_partkey AS y
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= {TRIPLE_SUPPORT}),
+    tri AS (
+      SELECT a.l_partkey AS p_a, b.l_partkey AS p_b, c.l_partkey AS p_c,
+             count(*) AS n_abc
+      FROM op a
+      JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      JOIN op c ON a.l_orderkey = c.l_orderkey AND b.l_partkey < c.l_partkey
+      JOIN fp ab ON ab.x = a.l_partkey AND ab.y = b.l_partkey
+      JOIN fp bc ON bc.x = b.l_partkey AND bc.y = c.l_partkey
+      JOIN fp ac ON ac.x = a.l_partkey AND ac.y = c.l_partkey
+      GROUP BY 1, 2, 3)
+    SELECT p_a, p_b, p_c, CAST(n_abc AS BIGINT) AS n_abc
+    FROM tri WHERE n_abc >= {TRIPLE_SUPPORT}
+    """,
+    tags=("graph", "analytics", "join"),
+)
+def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent part TRIPLES (support ≥ {TRIPLE_SUPPORT} orders) with the
+    Apriori anti-monotone prune (Agrawal-Srikant 1994): a triple can only
+    be frequent if ALL THREE of its pairs are, so the size-3 candidate
+    join runs against the frequent-PAIR table, not the raw basket
+    expansion — the prune that makes level-wise itemset mining survive
+    scale (the unpruned 3-way self-join is O(orders·basket³); the pruned
+    form touches only extensions of already-frequent pairs, and frequent
+    pairs are the heavy-tail sliver of all pairs).
+
+    All exact integer counts. The three pair-membership probes are
+    semijoin-shaped (broadcast-able: the frequent-pair table is the
+    sliver) on top of the same order-keyed basket self-join every graph
+    operator here uses; the canonical a<b<c ordering emits each triple
+    once. Scale shape: one orderkey-partitioned 3-leg join (legs share
+    the exchange), then a map-side-combinable count over (a,b,c)."""
+    op = _op_view(spark, sf_dir)
+    a, b, c = op.alias("a"), op.alias("b"), op.alias("c")
+    fp = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= TRIPLE_SUPPORT)
+        .select("x", "y")
+        .localCheckpoint(eager=True)  # the frequent sliver: probed three times
+    )
+    tri = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .join(
+            c,
+            (F.col("a.l_orderkey") == F.col("c.l_orderkey"))
+            & (F.col("b.l_partkey") < F.col("c.l_partkey")),
+        )
+        .join(
+            F.broadcast(fp.select(F.col("x").alias("ab_x"), F.col("y").alias("ab_y"))),
+            (F.col("a.l_partkey") == F.col("ab_x")) & (F.col("b.l_partkey") == F.col("ab_y")),
+        )
+        .join(
+            F.broadcast(fp.select(F.col("x").alias("bc_x"), F.col("y").alias("bc_y"))),
+            (F.col("b.l_partkey") == F.col("bc_x")) & (F.col("c.l_partkey") == F.col("bc_y")),
+        )
+        .join(
+            F.broadcast(fp.select(F.col("x").alias("ac_x"), F.col("y").alias("ac_y"))),
+            (F.col("a.l_partkey") == F.col("ac_x")) & (F.col("c.l_partkey") == F.col("ac_y")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("p_a"),
+            F.col("b.l_partkey").alias("p_b"),
+            F.col("c.l_partkey").alias("p_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_abc"))
+        .where(F.col("n_abc") >= TRIPLE_SUPPORT)
+    )
+    return tri.select("p_a", "p_b", "p_c", F.col("n_abc").cast("long").alias("n_abc"))

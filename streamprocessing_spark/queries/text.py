@@ -1806,3 +1806,111 @@ def hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rrf_micro"),
     )
     return fused.orderBy(F.desc("rrf_micro"), F.asc("doc_id")).limit(RRF_TOP)
+
+
+@register(
+    "lang_id_macro_f1",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang, text,
+             {_sql_hits('en')} AS en, {_sql_hits('de')} AS de,
+             {_sql_hits('fr')} AS fr, {_sql_hits('es')} AS es
+      FROM documents
+    ),
+    pred AS (
+      SELECT lang,
+        CASE
+          WHEN regexp_matches(text, '[一-鿿]') THEN 'zh'
+          WHEN en >= de AND en >= fr AND en >= es AND en > 0 THEN 'en'
+          WHEN de >= fr AND de >= es AND de > 0 THEN 'de'
+          WHEN fr >= es AND fr > 0 THEN 'fr'
+          WHEN es > 0 THEN 'es'
+          ELSE 'und'
+        END AS lang_pred
+      FROM h),
+    conf AS (SELECT lang, lang_pred, count(*) AS n FROM pred GROUP BY 1, 2),
+    rowm AS (SELECT lang AS cls, sum(n) AS rn,
+                    sum(CASE WHEN lang IS NOT DISTINCT FROM lang_pred
+                             THEN n ELSE 0 END) AS tp
+             FROM conf GROUP BY 1),
+    colm AS (SELECT lang_pred AS cls, sum(n) AS cn FROM conf GROUP BY 1),
+    per AS (
+      SELECT r.cls AS lang, r.tp,
+             COALESCE(c.cn, 0) - r.tp AS fp,
+             r.rn - r.tp AS fn,
+             (2000 * r.tp) // (2 * r.tp + (COALESCE(c.cn, 0) - r.tp) + (r.rn - r.tp))
+               AS f1_milli
+      FROM rowm r LEFT JOIN colm c ON c.cls IS NOT DISTINCT FROM r.cls),
+    mac AS (SELECT sum(f1_milli) // count(*) AS macro FROM per)
+    SELECT per.lang, CAST(per.tp AS BIGINT) AS tp,
+           CAST(per.fp AS BIGINT) AS fp, CAST(per.fn AS BIGINT) AS fn,
+           CAST(per.f1_milli AS BIGINT) AS f1_milli,
+           CAST(mac.macro AS BIGINT) AS macro_f1_milli
+    FROM per CROSS JOIN mac
+    """,
+    tags=("text", "llm-pipeline", "quality", "statistics"),
+)
+def lang_id_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall ingredients and macro-F1 of the
+    language-ID heuristic against the labeled lang column — completing
+    the classifier-eval family (confusion matrix = the raw table,
+    Cohen's κ = chance-corrected agreement, macro-F1 = the class-
+    imbalance-robust score model cards actually report). Macro (not
+    micro) because a rare language's misclassification should cost as
+    much as a common one's — the property that matters when the filter
+    gates which languages survive curation.
+
+    Exact integers: F1 = 2tp/(2tp+fp+fn) needs only ONE truncating div
+    per class (the p·r/(p+r) algebra cancels), macro is a second div
+    over class-count rows; classes with zero support can't occur (a
+    class exists because gold rows carry it), and the denominator
+    2tp+fp+fn ≥ rn ≥ 1 — never 0/0. NULL gold labels form their own
+    class via null-safe equality, the κ convention. Scale shape: one
+    scan → class²-sized confusion matrix → class-sized everything."""
+    d = load_table(spark, sf_dir, "documents")
+    toked = d.select("lang", "text", T.tokens(F.col("text")).alias("t"))
+    hits = {
+        lang: T.stopword_hits(F.col("t"), lang).alias(f"hits_{lang}")
+        for lang in T.STOPWORDS
+    }
+    scored = toked.select("lang", "text", *hits.values())
+    hit_cols = {lang: F.col(f"hits_{lang}") for lang in T.STOPWORDS}
+    conf = (
+        scored.select("lang", T.lang_pick(hit_cols, F.col("text")).alias("lang_pred"))
+        .groupBy("lang", "lang_pred")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=True)  # class²-sized; feeds both marginals
+    )
+    rowm = conf.groupBy(F.col("lang").alias("cls")).agg(
+        F.sum("n").alias("rn"),
+        F.sum(
+            F.when(F.col("lang").eqNullSafe(F.col("lang_pred")), F.col("n")).otherwise(0)
+        ).alias("tp"),
+    )
+    colm = conf.groupBy(F.col("lang_pred").alias("cls2")).agg(F.sum("n").alias("cn"))
+    per = (
+        rowm.join(colm, F.col("cls").eqNullSafe(F.col("cls2")), "left")
+        .select(
+            F.col("cls").alias("lang"),
+            "tp",
+            (F.coalesce("cn", F.lit(0)) - F.col("tp")).alias("fp"),
+            (F.col("rn") - F.col("tp")).alias("fn"),
+        )
+        .select(
+            "lang",
+            "tp",
+            "fp",
+            "fn",
+            F.expr("(2000 * tp) div (2 * tp + fp + fn)").alias("f1_milli"),
+        )
+        .localCheckpoint(eager=True)  # class-sized; feeds macro and output
+    )
+    mac = per.agg(F.expr("sum(f1_milli) div count(*)").alias("macro"))
+    return per.crossJoin(F.broadcast(mac)).select(
+        "lang",
+        F.col("tp").cast("long").alias("tp"),
+        F.col("fp").cast("long").alias("fp"),
+        F.col("fn").cast("long").alias("fn"),
+        F.col("f1_milli").cast("long").alias("f1_milli"),
+        F.col("macro").cast("long").alias("macro_f1_milli"),
+    )

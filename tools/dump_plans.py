@@ -185,6 +185,8 @@ PLAN_SET = [
     "source_ablation_impact",
     "hard_negative_mining",
     "conformal_quality_threshold",
+    "lang_id_macro_f1",
+    "frequent_triples_apriori",
 ]
 
 

@@ -166,6 +166,24 @@ QUERIES = (
     "multimodal_dedup_manifest",
     "longest_duplicated_span",
     "funnel_steps_dropoff",
+    # round-5 additions over the proxied documents/embeddings/lineitem
+    # tables. Excluded with golden_record-style rationale:
+    # fellegi_sunter_scores (part dimension — the proxy does not grow
+    # part, a ratio would measure fixed overhead); hits_part_authorities
+    # (joins orders⋈lineitem — the proxy shifts l_orderkey without a
+    # matching orders proxy, so replicas would drop at the join);
+    # psi/emd/hill/acf (events/orders — not proxied).
+    "calibration_ece_audit",
+    "mutual_information_source_lang",
+    "annotator_agreement_kappa",
+    "hybrid_rrf_retrieval",
+    "matryoshka_truncation_audit",
+    "decontaminate_semantic",
+    "hard_negative_mining",
+    "modularity_communities",
+    "multimodal_silence_ratio",
+    "source_ablation_impact",
+    "conformal_quality_threshold",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
