@@ -179,6 +179,8 @@ HEADLINE = [
     "conformal_quality_threshold",
     "lang_id_macro_f1",
     "frequent_triples_apriori",
+    "gini_value_inequality",
+    "kendall_tau_revenue_volume",
 ]
 
 

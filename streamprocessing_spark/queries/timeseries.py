@@ -3585,3 +3585,178 @@ def hill_tail_index_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             "END AS BIGINT)"
         ).alias("hill_milli_bits"),
     )
+
+
+@register(
+    "gini_value_inequality",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE value IS NOT NULL),
+    hist AS (SELECT cents, CAST(count(*) AS BIGINT) AS c FROM v GROUP BY 1),
+    cum AS (
+      SELECT cents, c,
+             COALESCE(sum(c) OVER w, 0) AS f_prev,
+             COALESCE(sum(cents * c) OVER w, 0) AS s_prev
+      FROM hist
+      WINDOW w AS (ORDER BY cents ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    p AS (
+      SELECT sum(CAST(cents AS HUGEINT) * c * f_prev - CAST(c AS HUGEINT) * s_prev)
+               AS pair_gap
+      FROM cum),
+    tot AS (SELECT CAST(count(*) AS HUGEINT) AS n, CAST(sum(cents) AS HUGEINT) AS t
+            FROM v)
+    SELECT CAST(tot.n AS BIGINT) AS n_events,
+           CAST(tot.t AS BIGINT) AS total_cents,
+           CAST(p.pair_gap AS BIGINT) AS pair_gap_cents,
+           CAST(CASE WHEN tot.n * tot.t <> 0
+                THEN (1000000 * p.pair_gap) // (tot.n * tot.t) END AS BIGINT)
+             AS gini_micro
+    FROM p CROSS JOIN tot
+    """,
+    tags=("timeseries", "statistics", "quality"),
+)
+def gini_value_inequality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of the event-value distribution — the inequality
+    datasheet stat (0 = perfectly equal, →1 = one event carries all the
+    value) a pipeline reads before choosing between mean-based and
+    quantile-based normalizations, next to the Hill tail index (Hill
+    asks "how heavy is the tail", Gini "how concentrated is the mass").
+
+    Exact closed form from the distinct-value histogram: with sorted
+    distinct cents v_j (count c_j, strictly-preceding cumulative count
+    F and sum S), Σ_{i<j}(v_j−v_i)c_i c_j = Σ_j (v_j·c_j·F_j − c_j·S_j)
+    — so G = pair_gap/(n·T) with ONE truncating micro division (the
+    mean-difference identity G = Σ|x_i−x_j| / (2n²x̄) folded). 38-digit
+    integers: v·c·F reaches value·n² past BIGINT at ~2e9 events. Empty
+    input or zero total reports NULL, not 0/0.
+
+    Scale shape: one map-side-combinable histogram aggregate; the
+    strictly-preceding cumulative window runs over the DISTINCT-VALUE
+    dimension (price domain — the allowlisted KS/EMD frame, one more
+    consumer); everything after is one row."""
+    v = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"))
+    )
+    hist = (
+        v.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # feeds the cumulative pass AND totals
+    )
+    from pyspark.sql.window import Window as W
+
+    w_prev = W.orderBy("cents").rowsBetween(W.unboundedPreceding, -1)
+    dec = "DECIMAL(38,0)"
+    cum = hist.select(
+        "cents",
+        "c",
+        F.coalesce(F.sum("c").over(w_prev), F.lit(0)).alias("f_prev"),
+        F.coalesce(F.sum(F.col("cents") * F.col("c")).over(w_prev), F.lit(0)).alias("s_prev"),
+    )
+    p = cum.agg(
+        F.sum(
+            F.expr(f"CAST(cents AS {dec}) * c * f_prev - CAST(c AS {dec}) * s_prev")
+        ).alias("pair_gap")
+    )
+    tot = hist.agg(
+        # coalesce: the oracle's COUNT(*) over an empty table is 0 where
+        # Spark's SUM over the empty histogram is NULL; the total stays
+        # NULL on both (SUM semantics agree there)
+        F.expr(f"COALESCE(CAST(sum(c) AS {dec}), 0)").alias("n"),
+        F.expr(f"CAST(sum(cents * c) AS {dec})").alias("t"),
+    )
+    return p.crossJoin(F.broadcast(tot)).select(
+        F.col("n").cast("long").alias("n_events"),
+        F.col("t").cast("long").alias("total_cents"),
+        F.col("pair_gap").cast("long").alias("pair_gap_cents"),
+        F.expr(
+            "CAST(CASE WHEN n * t <> 0 THEN (1000000 * pair_gap) div (n * t) END AS BIGINT)"
+        ).alias("gini_micro"),
+    )
+
+
+@register(
+    "kendall_tau_revenue_volume",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS rev,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM orders GROUP BY 1),
+    pairs AS (
+      SELECT CASE WHEN (a.rev - b.rev) * (a.cnt - b.cnt) > 0 THEN 1 ELSE 0 END AS conc,
+             CASE WHEN (a.rev - b.rev) * (a.cnt - b.cnt) < 0 THEN 1 ELSE 0 END AS disc,
+             CASE WHEN a.rev = b.rev THEN 1 ELSE 0 END AS tie_rev,
+             CASE WHEN a.cnt = b.cnt THEN 1 ELSE 0 END AS tie_cnt
+      FROM daily a JOIN daily b ON a.day < b.day),
+    agg AS (
+      SELECT CAST(sum(conc) AS BIGINT) AS c, CAST(sum(disc) AS BIGINT) AS d,
+             CAST(sum(tie_rev) AS BIGINT) AS t_rev,
+             CAST(sum(tie_cnt) AS BIGINT) AS t_cnt,
+             CAST(count(*) AS BIGINT) AS n_pairs
+      FROM pairs)
+    SELECT c AS concordant, d AS discordant,
+           t_rev AS ties_rev, t_cnt AS ties_cnt,
+           n_pairs,
+           CAST(CASE WHEN n_pairs <> 0
+                THEN (1000000 * (c - d)) // n_pairs END AS BIGINT) AS tau_a_micro
+    FROM agg WHERE n_pairs IS NOT NULL
+    """,
+    tags=("timeseries", "statistics"),
+)
+def kendall_tau_revenue_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall rank correlation (τ-a) between daily revenue and daily
+    order volume — 'are high-revenue days just high-volume days, or does
+    basket value drive them?': concordant/discordant day pairs counted
+    exactly, τ-a = (C−D)/(n(n−1)/2) with the tie counts emitted
+    alongside so a reader can derive τ-b if they care. The rank-based
+    companion to regression_value_by_hour's Pearson machinery — τ is
+    outlier-robust where moment-based correlation is not (one whale
+    order can't flip it).
+
+    All exact integers: the concordance sign is a product of BIGINT
+    differences, τ·10⁶ is one truncating div (C−D may be negative; both
+    engines truncate). Scale shape: orders collapse to the calendar-day
+    dimension in one map-side-combinable aggregate; the pair self-join
+    is |days|² — dimension-sized at any corpus size (×100 data = same
+    day count), the same bound class as the gap-fill grid."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")).alias("rev"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .localCheckpoint(eager=True)  # |days| rows; both join sides
+    )
+    a = daily.select(F.col("day").alias("da"), F.col("rev").alias("ra"), F.col("cnt").alias("ca"))
+    b = daily.select(F.col("day").alias("db"), F.col("rev").alias("rb"), F.col("cnt").alias("cb"))
+    pairs = a.join(F.broadcast(b), F.col("da") < F.col("db")).select(
+        F.when((F.col("ra") - F.col("rb")) * (F.col("ca") - F.col("cb")) > 0, 1)
+        .otherwise(0)
+        .alias("conc"),
+        F.when((F.col("ra") - F.col("rb")) * (F.col("ca") - F.col("cb")) < 0, 1)
+        .otherwise(0)
+        .alias("disc"),
+        F.when(F.col("ra") == F.col("rb"), 1).otherwise(0).alias("tie_rev"),
+        F.when(F.col("ca") == F.col("cb"), 1).otherwise(0).alias("tie_cnt"),
+    )
+    agg = pairs.agg(
+        F.sum("conc").alias("c"),
+        F.sum("disc").alias("d"),
+        F.sum("tie_rev").alias("t_rev"),
+        F.sum("tie_cnt").alias("t_cnt"),
+        F.count(F.lit(1)).alias("n_pairs"),
+    )
+    return agg.where(F.col("n_pairs").isNotNull()).select(
+        F.col("c").cast("long").alias("concordant"),
+        F.col("d").cast("long").alias("discordant"),
+        F.col("t_rev").cast("long").alias("ties_rev"),
+        F.col("t_cnt").cast("long").alias("ties_cnt"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        F.expr(
+            "CAST(CASE WHEN n_pairs <> 0 THEN (1000000 * (c - d)) div n_pairs END AS BIGINT)"
+        ).alias("tau_a_micro"),
+    )

@@ -647,7 +647,7 @@ def test_global_window_allowlist():
         "queries/quality.py": 1,     # conformal calibration score histogram
         "queries/similarity.py": 1,  # IVF cells (K = ceil(sqrt(n)))
         "queries/text.py": 3,        # per-ingest-batch rows; zipf freq-of-freq histogram; post-limit RRF lex rank
-        "queries/timeseries.py": 9,  # calendar days x3; hour histogram; KM day folds x2; KS + EMD cents histograms x3
+        "queries/timeseries.py": 10,  # calendar days x3; hour histogram; KM day folds x2; KS/EMD/Gini cents histograms x4
     }
     assert found == allow, (
         f"unaudited global windows changed: {found} != {allow} — "

@@ -701,4 +701,73 @@ def test_apriori_triples_match_bruteforce_and_antimonotone(spark, sf_dir):
     assert got == expect
     for (a, b, c), n in got.items():
         for sub in ((a, b), (b, c), (a, c)):
-            assert pair[sub] >= TRIPLE_SUPPORT >= n or pair[sub] >= n
+            # anti-monotonicity: every sub-pair supports at least the
+            # triple, and clears the frequency bar
+            assert pair[sub] >= n and pair[sub] >= TRIPLE_SUPPORT
+
+
+def test_gini_matches_brute_force_pairs(spark, sf_dir):
+    """Replay G = Σ|x_i − x_j| / (2n²x̄) by brute force over raw cents
+    (quadratic, test-scale only) and via the histogram identity; both
+    must equal the query's exact integers, and 0 ≤ G < 1."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("value").isNotNull())
+        .select(F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long").alias("cents"))
+        .collect()
+    )
+    rows = SPECS["gini_value_inequality"].fn(spark, sf_dir).collect()
+    xs = sorted(r.cents for r in ev)
+    r = rows[0]
+    if not xs:
+        assert r.n_events == 0 and r.gini_micro is None
+        return
+    n, t = len(xs), sum(xs)
+    # O(n log n) pair-gap via sorted prefix sums (equals the brute force)
+    pair_gap = 0
+    prefix = 0
+    for i, x in enumerate(xs):
+        pair_gap += i * x - prefix
+        prefix += x
+    assert (r.n_events, r.total_cents, r.pair_gap_cents) == (n, t, pair_gap)
+    if n * t:
+        g = (1000000 * pair_gap) // (n * t)
+        assert r.gini_micro == g
+        assert 0 <= g < 1000000
+
+
+def test_kendall_tau_matches_python_pairs(spark, sf_dir):
+    """Replay concordant/discordant/tie counts over all day pairs in
+    pure Python; τ-a identity and the C+D+ties ≥ n_pairs accounting."""
+    daily = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy(F.to_date("o_orderdate").alias("day"))
+        .agg(
+            F.sum(F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long")).alias("rev"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .collect()
+    )
+    rows = SPECS["kendall_tau_revenue_volume"].fn(spark, sf_dir).collect()
+    r = rows[0]
+    ds = sorted(daily, key=lambda x: x.day)
+    if len(ds) < 2:
+        assert r.n_pairs in (0, None) or r.n_pairs == 0
+        return
+    c = d = t_rev = t_cnt = n_pairs = 0
+    for i in range(len(ds)):
+        for j in range(i + 1, len(ds)):
+            a, b = ds[i], ds[j]
+            s = (a.rev - b.rev) * (a.cnt - b.cnt)
+            c += s > 0
+            d += s < 0
+            t_rev += a.rev == b.rev
+            t_cnt += a.cnt == b.cnt
+            n_pairs += 1
+    assert (r.concordant, r.discordant, r.ties_rev, r.ties_cnt, r.n_pairs) == (
+        c, d, t_rev, t_cnt, n_pairs,
+    )
+    num = 1000000 * (c - d)
+    q = abs(num) // n_pairs
+    assert r.tau_a_micro == (q if num >= 0 else -q)
+    assert c + d <= n_pairs
