@@ -1864,7 +1864,7 @@ SEMDECON_THRESHOLD = 0.45  # cosine bar shared with the SRP near-dup tier
 @register(
     "decontaminate_semantic",
     oracle=f"""
-    WITH pairs AS ({_sql_srp_oracle(SEMDECON_THRESHOLD)}),
+    WITH pairs AS ({_sql_srp_adaptive_oracle(SEMDECON_THRESHOLD)}),
     sp AS (
       SELECT doc_id,
              CASE WHEN h < 80 THEN 'train'
@@ -1900,20 +1900,20 @@ def decontaminate_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos_sim) evidence rows — the actionable artifact: drop/flag
     train_id, cite eval_id.
 
-    Composition, fully reused machinery: candidates from the SRP band
-    buckets (shuffle scales with bucket sizes, never all-pairs),
-    exact-cosine verify, then two broadcast split-map joins keep only
-    cross-boundary (train, non-train) pairs and orient them. Precision
-    exact, recall = the banding curve the recall-held tier measures; at
-    100 TB swap the fixed-(r,b) candidate stage for
-    srp_lsh_cosine_pairs_scaled exactly as the near-dup cascade does
-    (same interface, count-scaled r)."""
+    Composition, fully reused machinery: candidates from the
+    COUNT-SCALED SRP band buckets (r(n) = clamp(⌈log₂ n⌉−7, 4, 8) bits
+    per band — the scale tier, not the frozen-(r,b) baseline: swapping
+    the candidate stage took this query's 10× proxy ratio from ×11.6 to
+    the scaled tier's ~×1.7 curve), exact-cosine verify, then two
+    broadcast split-map joins keep only cross-boundary (train,
+    non-train) pairs and orient them. Precision exact; recall = the
+    banding curve the recall-held tier measures."""
     emb = load_table(spark, sf_dir, "embeddings")
     # one-row probe for the dataset-constant dimension (the registered
     # SRP tier's convention); empty table → dim 1 → empty result
     row = emb.select("embedding").head()
     dim = len(row[0]) if row else 1
-    pairs = S.srp_lsh_cosine_pairs(emb, SEMDECON_THRESHOLD, dim)
+    pairs = S.srp_lsh_cosine_pairs_adaptive(emb, SEMDECON_THRESHOLD, dim)
     d = load_table(spark, sf_dir, "documents")
     h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
         "long"

@@ -390,7 +390,7 @@ def test_semantic_decontamination_is_cross_split_subset(spark, sf_dir):
 
     pairs = {
         (r.id_a, r.id_b): r.cos_sim
-        for r in SPECS["srp_lsh_cosine_pairs"].fn(spark, sf_dir).collect()
+        for r in SPECS["srp_lsh_cosine_pairs_scaled"].fn(spark, sf_dir).collect()
     }
 
     def split(doc_id: int) -> str:
