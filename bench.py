@@ -181,6 +181,8 @@ HEADLINE = [
     "frequent_triples_apriori",
     "gini_value_inequality",
     "kendall_tau_revenue_volume",
+    "markov_entropy_rate",
+    "partition_divergence_proof",
 ]
 
 

@@ -3760,3 +3760,82 @@ def kendall_tau_revenue_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(CASE WHEN n_pairs <> 0 THEN (1000000 * (c - d)) div n_pairs END AS BIGINT)"
         ).alias("tau_a_micro"),
     )
+
+
+def _sql_markov_entropy() -> str:
+    from streamprocessing_spark.functions.text import sql_mlog2
+
+    return f"""
+    WITH s AS (
+      SELECT user_id, event_type,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events),
+    c AS (SELECT event_type AS from_type, nxt AS to_type, count(*) AS n
+          FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2),
+    t AS (SELECT from_type, sum(n) AS row_total,
+                 sum(n * {sql_mlog2('n')}) AS sum_nml
+          FROM c GROUP BY 1),
+    hrow AS (
+      SELECT from_type, row_total,
+             row_total * {sql_mlog2('row_total')} - sum_nml AS h_num
+      FROM t),
+    tot AS (SELECT sum(row_total) AS nn, sum(h_num) AS hh FROM hrow)
+    SELECT hrow.from_type,
+           CAST(hrow.row_total AS BIGINT) AS row_total,
+           CAST(hrow.h_num // hrow.row_total AS BIGINT) AS h_cond_milli_bits,
+           CAST(tot.hh // tot.nn AS BIGINT) AS entropy_rate_milli_bits
+    FROM hrow CROSS JOIN tot
+    """
+
+
+@register(
+    "markov_entropy_rate",
+    oracle=_sql_markov_entropy(),
+    tags=("timeseries", "statistics", "llm-pipeline"),
+)
+def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entropy RATE of the first-order behavioral Markov chain — per
+    state H(next | state) and the stationary-weighted rate
+    Σ p̂(s)·H(·|s) in exact milli-bits: the information-theoretic
+    answer to "how predictable is user behavior" (bot traffic shows a
+    collapsed rate; the transition MATRIX says what follows what, the
+    RATE compresses it to one comparable number — the sequence-level
+    sibling of char_entropy_filter's per-document score, and the
+    sequence-mining prior behind event_path_trigrams).
+
+    Exact via the entropy-of-counts identity: H(·|s)·n_s = n_s·mlog2(n_s)
+    − Σ_t n_st·mlog2(n_st) (every term a BIGINT; the same algebra as the
+    l-diversity and char-entropy tiers), one truncating div per state
+    and one for the rate — the empirical-visit weighting p̂(s) = n_s/N
+    folds into Σ h_num div N with no intermediate fraction. Scale
+    shape: one user-partitioned lead() pass (the transition matrix's
+    shuffle), then type²-sized everything."""
+    from streamprocessing_spark.functions import text as T
+
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql.window import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = ev.select("user_id", "event_type", F.lead("event_type").over(w).alias("nxt"))
+    c = (
+        s.where(F.col("nxt").isNotNull())
+        .groupBy(F.col("event_type").alias("from_type"), F.col("nxt").alias("to_type"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    t = c.groupBy("from_type").agg(
+        F.sum("n").alias("row_total"),
+        F.sum(F.col("n") * T.mlog2(F.col("n"))).alias("sum_nml"),
+    )
+    hrow = t.select(
+        "from_type",
+        "row_total",
+        (F.col("row_total") * T.mlog2(F.col("row_total")) - F.col("sum_nml")).alias("h_num"),
+    ).localCheckpoint(eager=True)  # type-sized; feeds the rate and output
+    tot = hrow.agg(F.sum("row_total").alias("nn"), F.sum("h_num").alias("hh"))
+    return hrow.crossJoin(F.broadcast(tot)).select(
+        "from_type",
+        F.col("row_total").cast("long").alias("row_total"),
+        F.expr("CAST(h_num div row_total AS BIGINT)").alias("h_cond_milli_bits"),
+        F.expr("CAST(hh div nn AS BIGINT)").alias("entropy_rate_milli_bits"),
+    )

