@@ -2021,3 +2021,98 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .where(F.col("rank") <= HARDNEG_K)
     )
+
+
+_SQL_Q8 = (
+    "list_transform({v}, x -> CASE WHEN {mx} = 0 THEN 0.0 "
+    "ELSE floor(CAST(x AS DOUBLE) * 127.0 / {mx} + 0.5) END)"
+)
+
+
+@register(
+    "int8_quantization_recall_audit",
+    oracle=f"""
+    WITH qv AS (
+      SELECT vec_id,
+             {_SQL_Q8.format(v='embedding', mx="list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE))))")} AS q8
+      FROM embeddings),
+    q AS (SELECT e.vec_id AS query_id, e.embedding AS fq, qv.q8 AS iq
+          FROM embeddings e JOIN qv ON qv.vec_id = e.vec_id
+          WHERE e.vec_id < {N_QUERIES}),
+    full_rank AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, e.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_sql_cos('e.embedding', 'q.fq')} DESC,
+                                           e.vec_id) AS rn
+        FROM embeddings e, q WHERE e.vec_id <> q.query_id)
+      WHERE rn <= {TOP_K}),
+    int8_rank AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_sql_cos('c.q8', 'q.iq')} DESC,
+                                           c.vec_id) AS rn
+        FROM qv c, q WHERE c.vec_id <> q.query_id)
+      WHERE rn <= {TOP_K})
+    SELECT f.query_id,
+           CAST(count(t.neighbor_id) AS BIGINT) AS n_overlap,
+           CAST((1000 * count(t.neighbor_id))
+                // ({2 * TOP_K} - count(t.neighbor_id)) AS BIGINT) AS jaccard_milli
+    FROM full_rank f
+    LEFT JOIN int8_rank t USING (query_id, neighbor_id)
+    GROUP BY f.query_id
+    """,
+    tags=("similarity", "llm-pipeline", "quality"),
+)
+def int8_quantization_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-fidelity audit of int8 embedding quantization — the
+    companion measurement to quantize_embeddings_int8 (which produces
+    the quantized table) and matryoshka_truncation_audit (the DIMENSION
+    cut; this is the PRECISION cut): per fixed query, overlap + Jaccard
+    between the float-cosine top-{TOP_K} and the top-{TOP_K} under the
+    SAME per-vector symmetric int8 scheme. Cosine is per-vector-scale
+    invariant, so the int8 ranking needs NO dequantization — the q
+    arrays rank as-is, exactly how an int8 serving index scores.
+    The number a pipeline reads before shipping 4× smaller vectors.
+
+    Same exactness contract as the matryoshka audit: both rankings are
+    deterministic (bit-identical dim-fold cosine, id tiebreak), overlap
+    counts are integers, quantization arithmetic is the registered
+    tier's expression text on both engines. Scale: Q·n scoring twice at
+    the fixed {N_QUERIES}-query set; the quantized column derives in
+    the scan projection — no second table materializes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    mx = "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+    q8 = (
+        f"transform(embedding, x -> CASE WHEN {mx} = 0D THEN 0.0D "
+        f"ELSE floor(CAST(x AS DOUBLE) * 127.0D / {mx} + 0.5D) END)"
+    )
+    qv = emb.select("vec_id", F.expr(q8).alias("embedding"))
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    iqueries = qv.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    full = S.topk_per_query(emb, queries, TOP_K)
+    int8 = S.topk_per_query(qv, iqueries, TOP_K).select(
+        "query_id", F.col("neighbor_id").alias("t_neighbor_id")
+    )
+    hit = full.join(
+        int8,
+        (full["query_id"] == int8["query_id"])
+        & (full["neighbor_id"] == int8["t_neighbor_id"]),
+        "left",
+    )
+    return (
+        hit.groupBy(full["query_id"].alias("query_id"))
+        .agg(F.count("t_neighbor_id").alias("n_overlap"))
+        .select(
+            "query_id",
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            F.expr(f"CAST((1000 * n_overlap) div ({2 * TOP_K} - n_overlap) AS BIGINT)").alias(
+                "jaccard_milli"
+            ),
+        )
+    )

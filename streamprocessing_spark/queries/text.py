@@ -1914,3 +1914,107 @@ def lang_id_macro_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("f1_milli").cast("long").alias("f1_milli"),
         F.col("macro").cast("long").alias("macro_f1_milli"),
     )
+
+
+# Rank-biased overlap at p = 1/2, truncated at depth RRF_POOL: with
+# X_d = |S_1:d ∩ T_1:d|, RBO = (1-p)·Σ_d p^(d-1)·X_d/d. Every doc in
+# both lists contributes Σ_{d >= m} (1/2)^d / d from its first joint
+# depth m = max(r1, r2) (the extra 1/2 folds (1-p)·p^(d-1) = (1/2)^d),
+# so scaling by U·2^DEPTH (U = lcm(1..DEPTH)) makes the whole statistic
+# one integer lookup per doc: W(m) = Σ_{d=m..DEPTH} (U/d)·2^(DEPTH-d),
+# RBO = Σ W(m) / (U·2^DEPTH). The table is a DEPTH-entry literal both
+# engines share — exact dyadic arithmetic, no float ever forms.
+_RBO_DEPTH = RRF_POOL
+_RBO_U = 232792560  # lcm(1..20)
+_RBO_W = [
+    sum((_RBO_U // d) * (1 << (_RBO_DEPTH - d)) for d in range(m, _RBO_DEPTH + 1))
+    for m in range(1, _RBO_DEPTH + 1)
+]
+_RBO_DEN = _RBO_U * (1 << _RBO_DEPTH)
+
+
+def _sql_rbo() -> str:
+    from streamprocessing_spark.queries.similarity import _sql_cos
+
+    cos = _sql_cos("e.embedding", "qv.q")
+    wt = ",".join(map(str, _RBO_W))
+    return f"""
+    WITH {_BM25_CTES},
+    lex AS (
+      SELECT doc_id, CAST(rn AS BIGINT) AS r1 FROM (
+        SELECT doc_id, row_number() OVER (ORDER BY round(s, 4) DESC, doc_id) AS rn
+        FROM tot)
+      WHERE rn <= {_RBO_DEPTH}),
+    qv AS (SELECT embedding AS q FROM embeddings WHERE vec_id = {RRF_QUERY_VEC}),
+    sem AS (
+      SELECT doc_id, CAST(rn AS BIGINT) AS r2 FROM (
+        SELECT e.vec_id AS doc_id,
+               row_number() OVER (ORDER BY {cos} DESC, e.vec_id) AS rn
+        FROM embeddings e, qv WHERE e.vec_id <> {RRF_QUERY_VEC})
+      WHERE rn <= {_RBO_DEPTH}),
+    joint AS (
+      SELECT greatest(lex.r1, sem.r2) AS m
+      FROM lex JOIN sem USING (doc_id)),
+    agg AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_both,
+             COALESCE(sum(CAST([{wt}][CAST(m AS INTEGER)] AS HUGEINT)), 0) AS w_sum
+      FROM joint)
+    SELECT n_both,
+           CAST(w_sum AS BIGINT) AS rbo_num_scaled,
+           CAST((1000000 * w_sum) // {_RBO_DEN} AS BIGINT) AS rbo_micro
+    FROM agg
+    """
+
+
+@register(
+    "rbo_lexical_semantic",
+    oracle=_sql_rbo(),
+    tags=("text", "similarity", "ranking", "statistics"),
+)
+def rbo_lexical_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rank-Biased Overlap (Webber et al. 2010, p = 1/2) between the two
+    retrieval systems the RRF query fuses — BM25's lexical top-{_RBO_DEPTH}
+    and the embedding-cosine top-{_RBO_DEPTH}: the top-weighted list
+    agreement that Kendall/Jaccard get wrong for rankings (disagreement
+    at rank 1 should cost more than at rank 20; RBO's geometric decay
+    encodes exactly that). LOW RBO is the justification for hybrid
+    fusion — if the lists agreed, one system would suffice.
+
+    Exact dyadic arithmetic: at p = 1/2 every per-doc contribution
+    Σ_{{d≥m}} (1/2)^d/d scales to the integer W(m) table (lcm·2^depth
+    units, a {_RBO_DEPTH}-entry literal shared by both engines), so the
+    statistic is one integer lookup-sum over the joined lists and one
+    truncating micro division — no float ever forms. 38-digit
+    accumulation (W(1)·depth ≈ 2.4e18 brushes BIGINT). Scale: both
+    rankers are the registered tiers' plans; the RBO join touches
+    2·{_RBO_DEPTH} rows."""
+    from streamprocessing_spark.operators import similarity as S
+    from streamprocessing_spark.queries.similarity import load_table as _lt
+
+    lex_scores = bm25_rank_docs(spark, sf_dir)
+    w = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = lex_scores.select(
+        "doc_id", F.row_number().over(w).cast("long").alias("r1")
+    ).where(F.col("r1") <= _RBO_DEPTH)
+    emb = _lt(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    sem = S.topk_per_query(emb, q, _RBO_DEPTH).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("r2")
+    )
+    wt = f"array({','.join(str(x) + 'L' for x in _RBO_W)})"
+    joint = lex.join(sem, "doc_id").select(
+        F.expr(
+            f"CAST(element_at({wt}, CAST(greatest(r1, r2) AS INT)) AS DECIMAL(38,0))"
+        ).alias("wm")
+    )
+    agg = joint.agg(
+        F.count(F.lit(1)).alias("n_both"),
+        F.coalesce(F.sum("wm"), F.lit(0).cast("decimal(38,0)")).alias("w_sum"),
+    )
+    return agg.select(
+        F.col("n_both").cast("long").alias("n_both"),
+        F.col("w_sum").cast("long").alias("rbo_num_scaled"),
+        F.expr(f"CAST((1000000 * w_sum) div {_RBO_DEN} AS BIGINT)").alias("rbo_micro"),
+    )

@@ -646,7 +646,7 @@ def test_global_window_allowlist():
         "queries/dedup.py": 1,       # AUC micro-score histogram (<= 1e6+1 values)
         "queries/quality.py": 1,     # conformal calibration score histogram
         "queries/similarity.py": 1,  # IVF cells (K = ceil(sqrt(n)))
-        "queries/text.py": 3,        # per-ingest-batch rows; zipf freq-of-freq histogram; post-limit RRF lex rank
+        "queries/text.py": 4,        # per-ingest-batch rows; zipf freq-of-freq histogram; post-limit RRF + RBO lex ranks
         "queries/timeseries.py": 10,  # calendar days x3; hour histogram; KM day folds x2; KS/EMD/Gini cents histograms x4
     }
     assert found == allow, (

@@ -815,3 +815,82 @@ def test_partition_proof_reconciles_with_flat_fingerprint(spark, sf_dir):
     assert sum(r.fingerprint for r in rows) % (1 << 48) == flat.fingerprint
     assert len(rows) <= MERKLE_BUCKETS
     assert all(0 <= r.bucket < MERKLE_BUCKETS for r in rows)
+
+
+def test_int8_recall_audit_matches_numpy(spark, sf_dir):
+    """Re-derive both rankings with numpy (float64 cosine of the raw and
+    the symmetric-int8-quantized vectors) and compare overlaps; identity
+    jaccard bounds; quantizing an already-quantized vector is idempotent
+    for the ranking."""
+    from streamprocessing_spark.queries.similarity import N_QUERIES, TOP_K
+
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    rows = SPECS["int8_quantization_recall_audit"].fn(spark, sf_dir).collect()
+    if not emb:
+        assert rows == []
+        return
+    ids = np.array([r.vec_id for r in emb])
+    X = np.array([list(r.embedding) for r in emb], dtype=np.float64)
+    mx = np.abs(X).max(axis=1)
+    Q = np.where(
+        mx[:, None] == 0, 0.0, np.floor(X * 127.0 / np.where(mx == 0, 1, mx)[:, None] + 0.5)
+    )
+
+    def topk(M, qi):
+        q = M[ids == qi][0]
+        mask = ids != qi
+        xs = M[mask]
+        with np.errstate(invalid="ignore", divide="ignore"):
+            cos = xs @ q / (np.linalg.norm(xs, axis=1) * np.linalg.norm(q))
+        cos = np.nan_to_num(cos, nan=-np.inf)
+        return {int(i) for _, i in sorted(zip(-cos, ids[mask]))[:TOP_K]}
+
+    got = {r.query_id: r for r in rows}
+    for qi in range(min(N_QUERIES, len(emb))):
+        if qi not in got:
+            continue
+        full = topk(X, qi)
+        quant = topk(Q, qi)
+        ov = len(full & quant)
+        assert got[qi].n_overlap == ov
+        assert got[qi].jaccard_milli == (1000 * ov) // (2 * TOP_K - ov)
+
+
+def test_rbo_matches_python_definition(spark, sf_dir):
+    """Replay RBO@20 (p=1/2) from the two component rankings using the
+    textbook Σ (1-p)·p^(d-1)·|S∩T|@d/d definition in exact fractions;
+    the scaled-integer statistic must agree, and 0 ≤ RBO ≤ 1."""
+    from fractions import Fraction
+
+    from streamprocessing_spark.operators import similarity as S
+    from streamprocessing_spark.queries.text import (
+        _RBO_DEN,
+        _RBO_DEPTH,
+        RRF_QUERY_VEC,
+        bm25_rank_docs,
+    )
+
+    lex_rows = bm25_rank_docs(spark, sf_dir).collect()
+    lex = [
+        r.doc_id
+        for r in sorted(lex_rows, key=lambda r: (-r.score, r.doc_id))[:_RBO_DEPTH]
+    ]
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == RRF_QUERY_VEC).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    sem_rows = S.topk_per_query(emb, q, _RBO_DEPTH).collect()
+    sem = [r.neighbor_id for r in sorted(sem_rows, key=lambda r: r.rank)]
+    r = SPECS["rbo_lexical_semantic"].fn(spark, sf_dir).first()
+    if not lex and not sem:
+        assert r.n_both == 0 and r.rbo_micro == 0
+        return
+    rbo = Fraction(0)
+    p = Fraction(1, 2)
+    for d in range(1, _RBO_DEPTH + 1):
+        xd = len(set(lex[:d]) & set(sem[:d]))
+        rbo += (1 - p) * p ** (d - 1) * Fraction(xd, d)
+    assert r.n_both == len(set(lex) & set(sem))
+    assert Fraction(r.rbo_num_scaled, _RBO_DEN) == rbo
+    assert r.rbo_micro == (1000000 * r.rbo_num_scaled) // _RBO_DEN
+    assert 0 <= r.rbo_micro <= 1000000

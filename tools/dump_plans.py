@@ -191,6 +191,8 @@ PLAN_SET = [
     "kendall_tau_revenue_volume",
     "markov_entropy_rate",
     "partition_divergence_proof",
+    "int8_quantization_recall_audit",
+    "rbo_lexical_semantic",
 ]
 
 
