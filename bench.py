@@ -185,6 +185,7 @@ HEADLINE = [
     "partition_divergence_proof",
     "int8_quantization_recall_audit",
     "rbo_lexical_semantic",
+    "shard_balance_audit",
 ]
 
 

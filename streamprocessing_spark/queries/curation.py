@@ -3226,3 +3226,85 @@ def source_ablation_impact(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (1000000 * (dd - dups)) div (nn - n_docs) END AS BIGINT)"
         ).alias("dup_rate_wo_micro"),
     )
+
+
+CHISQ_SCALE_SHARD = 1000
+
+
+@register(
+    "shard_balance_audit",
+    oracle=f"""
+    WITH cell AS (
+      SELECT doc_id % {PACK_SHARDS} AS shard_id, lang,
+             CAST(count(*) AS HUGEINT) AS o
+      FROM documents GROUP BY 1, 2),
+    r AS (SELECT shard_id, sum(o) AS rt FROM cell GROUP BY 1),
+    c AS (SELECT lang, sum(o) AS ct FROM cell GROUP BY 1),
+    n AS (SELECT sum(o) AS nt FROM cell),
+    contrib AS (
+      SELECT cell.shard_id, cell.lang, cell.o,
+             CAST(({CHISQ_SCALE_SHARD} * (cell.o * n.nt - r.rt * c.ct)
+                   * (cell.o * n.nt - r.rt * c.ct))
+                  // (n.nt * r.rt * c.ct) AS BIGINT) AS contrib_milli
+      FROM cell
+      JOIN r USING (shard_id) JOIN c ON c.lang IS NOT DISTINCT FROM cell.lang
+      CROSS JOIN n),
+    stat AS (SELECT sum(contrib_milli) AS chi FROM contrib)
+    SELECT CAST(contrib.shard_id AS BIGINT) AS shard_id, contrib.lang,
+           CAST(contrib.o AS BIGINT) AS observed,
+           contrib.contrib_milli,
+           CAST(stat.chi AS BIGINT) AS chisq_milli_total
+    FROM contrib CROSS JOIN stat
+    """,
+    tags=("curation", "llm-pipeline", "quality", "statistics"),
+)
+def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-shard BIAS audit: chi-square independence of the packing
+    shard assignment (doc_id % {PACK_SHARDS} — pack_documents_greedy's
+    shard key) against language — the check a distributed-training
+    pipeline runs before trusting that every loader worker sees the same
+    data mixture (a shard skewed toward one language makes that worker's
+    gradients systematically biased; with data-parallel training the
+    mixture damage is silent). A correct hash-shard assignment should
+    accept (χ² ≈ degrees of freedom); a doc_id-correlated lang column
+    would light this up.
+
+    Same exact-integer machinery as chisq_independence_source_lang —
+    floor(1000·(O·N−R·C)²/(N·R·C)) per cell in 38-digit integers, with
+    the corpus statistic alongside every row. NULL lang is its own
+    column class (null-safe marginal join). Scale shape: one scan
+    collapses to {PACK_SHARDS}×|langs| cells; dimension-sized after."""
+    d = load_table(spark, sf_dir, "documents")
+    cell = (
+        d.groupBy((F.col("doc_id") % PACK_SHARDS).alias("shard_id"), "lang")
+        .agg(F.count(F.lit(1)).alias("o"))
+        .localCheckpoint(eager=True)  # feeds marginals, total, output
+    )
+    r = cell.groupBy("shard_id").agg(F.sum("o").alias("rt"))
+    c = cell.groupBy(F.col("lang").alias("lang2")).agg(F.sum("o").alias("ct"))
+    n = cell.agg(F.sum("o").alias("nt"))
+    dec = "DECIMAL(38,0)"
+    contrib = (
+        cell.join(F.broadcast(r), "shard_id")
+        .join(F.broadcast(c), F.col("lang").eqNullSafe(F.col("lang2")))
+        .crossJoin(F.broadcast(n))
+        .select(
+            "shard_id",
+            "lang",
+            "o",
+            F.expr(
+                f"CAST(({CHISQ_SCALE_SHARD} * (CAST(o AS {dec}) * nt - CAST(rt AS {dec}) * ct)"
+                f" * (CAST(o AS {dec}) * nt - CAST(rt AS {dec}) * ct))"
+                f" div (CAST(nt AS {dec}) * rt * ct) AS BIGINT)"
+            ).alias("contrib_milli"),
+        )
+        .localCheckpoint(eager=True)  # cell-sized; feeds the statistic and output
+    )
+    stat = contrib.agg(F.sum("contrib_milli").alias("chi"))
+    return contrib.crossJoin(F.broadcast(stat)).select(
+        F.col("shard_id").cast("long").alias("shard_id"),
+        "lang",
+        F.col("o").cast("long").alias("observed"),
+        "contrib_milli",
+        F.col("chi").cast("long").alias("chisq_milli_total"),
+    )

@@ -894,3 +894,43 @@ def test_rbo_matches_python_definition(spark, sf_dir):
     assert Fraction(r.rbo_num_scaled, _RBO_DEN) == rbo
     assert r.rbo_micro == (1000000 * r.rbo_num_scaled) // _RBO_DEN
     assert 0 <= r.rbo_micro <= 1000000
+
+
+def test_shard_balance_matches_chisq_rederivation(spark, sf_dir):
+    """Replay the shard×lang chi-square in pure Python; contributions
+    and the total must agree, and a hash-uniform assignment should land
+    the statistic in a sane band (χ²/1000 within ~6× of the degrees of
+    freedom on the benign fixture — a loose sanity rail, not a test of
+    randomness)."""
+    from streamprocessing_spark.queries.curation import PACK_SHARDS
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang").collect()
+    rows = SPECS["shard_balance_audit"].fn(spark, sf_dir).collect()
+    if not d:
+        assert rows == []
+        return
+    cells: dict = {}
+    for r in d:
+        k = (r.doc_id % PACK_SHARDS, r.lang)
+        cells[k] = cells.get(k, 0) + 1
+    rowm: dict = {}
+    colm: dict = {}
+    for (s_, l), o in cells.items():
+        rowm[s_] = rowm.get(s_, 0) + o
+        colm[l] = colm.get(l, 0) + o
+    n = sum(cells.values())
+    expect = {}
+    chi = 0
+    for (s_, l), o in cells.items():
+        num = 1000 * (o * n - rowm[s_] * colm[l]) ** 2
+        cm = num // (n * rowm[s_] * colm[l])
+        expect[(s_, l)] = cm
+        chi += cm
+    got = {(r.shard_id, r.lang): r for r in rows}
+    assert set(got) == set(expect)
+    for k, r in got.items():
+        assert r.contrib_milli == expect[k]
+        assert r.chisq_milli_total == chi
+    dof = (len(rowm) - 1) * (len(colm) - 1)
+    if dof and n > 10 * len(cells):
+        assert chi // 1000 < 6 * dof + 20

@@ -193,6 +193,7 @@ PLAN_SET = [
     "partition_divergence_proof",
     "int8_quantization_recall_audit",
     "rbo_lexical_semantic",
+    "shard_balance_audit",
 ]
 
 
