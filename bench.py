@@ -186,6 +186,8 @@ HEADLINE = [
     "int8_quantization_recall_audit",
     "rbo_lexical_semantic",
     "shard_balance_audit",
+    "packing_efficiency_audit",
+    "embedding_anisotropy_audit",
 ]
 
 

@@ -3308,3 +3308,106 @@ def shard_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "contrib_milli",
         F.col("chi").cast("long").alias("chisq_milli_total"),
     )
+
+
+@register(
+    "packing_efficiency_audit",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             doc_id % {PACK_SHARDS} AS shard_id,
+             len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tokens
+      FROM documents
+    ),
+    cum AS (
+      SELECT shard_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard_id ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM sized
+    ),
+    marked AS (
+      SELECT shard_id, n_tokens,
+             CASE WHEN n_tokens > 0
+                   AND (cum_tokens - n_tokens) // {PACK_CONTEXT_TOKENS}
+                       <> (cum_tokens - 1) // {PACK_CONTEXT_TOKENS}
+                  THEN 1 ELSE 0 END AS split
+      FROM cum
+    )
+    SELECT CAST(shard_id AS BIGINT) AS shard_id,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(CASE WHEN sum(n_tokens) = 0 THEN 0
+                ELSE (sum(n_tokens) + {PACK_CONTEXT_TOKENS} - 1) // {PACK_CONTEXT_TOKENS}
+                END AS BIGINT) AS n_bins,
+           CAST(CASE WHEN sum(n_tokens) = 0 THEN 0
+                ELSE (sum(n_tokens) + {PACK_CONTEXT_TOKENS} - 1) // {PACK_CONTEXT_TOKENS}
+                     * {PACK_CONTEXT_TOKENS} - sum(n_tokens) END AS BIGINT) AS pad_waste,
+           CAST(sum(split) AS BIGINT) AS split_docs,
+           CAST(CASE WHEN sum(n_tokens) > 0 THEN
+                (1000 * sum(n_tokens)) //
+                ((sum(n_tokens) + {PACK_CONTEXT_TOKENS} - 1) // {PACK_CONTEXT_TOKENS}
+                 * {PACK_CONTEXT_TOKENS}) END AS BIGINT) AS util_milli
+    FROM marked GROUP BY shard_id
+    """,
+    tags=("curation", "llm-pipeline", "packing", "quality"),
+)
+def packing_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-cost datasheet for the concat-and-chunk packer
+    (pack_documents_greedy's exact layout): per shard, the two costs a
+    pretraining batch actually pays — PAD WASTE (only the final partial
+    chunk per shard; concat-and-chunk has none elsewhere, which is its
+    whole appeal over doc-per-row padding) and SPLIT DOCS (documents
+    crossing a context boundary and therefore truncated mid-text — the
+    quality price of zero padding; compare best-fit packers which trade
+    the opposite way). util_milli = tokens/(bins·capacity) is the
+    number reported next to tokens-per-second.
+
+    A doc is split iff its start and END land in different
+    capacity-{PACK_CONTEXT_TOKENS} chunks: floor((cum−n)/C) ≠
+    floor((cum−1)/C) — exact integer arithmetic on the SAME per-shard
+    cumulative window the packer runs (zero-token docs cannot split).
+    Scale: identical to the packer — per-shard windows distribute over
+    {PACK_SHARDS} tasks, then one shard-sized aggregate."""
+    from streamprocessing_spark.functions import text as T
+
+    d = load_table(spark, sf_dir, "documents")
+    sized = d.select(
+        "doc_id",
+        (F.col("doc_id") % PACK_SHARDS).cast("long").alias("shard_id"),
+        T.token_count(F.col("text")).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    C = PACK_CONTEXT_TOKENS
+    marked = sized.select(
+        "shard_id",
+        "n_tokens",
+        F.sum("n_tokens").over(w).alias("cum_tokens"),
+    ).select(
+        "shard_id",
+        "n_tokens",
+        F.expr(
+            f"CASE WHEN n_tokens > 0 AND (cum_tokens - n_tokens) div {C}"
+            f" <> (cum_tokens - 1) div {C} THEN 1 ELSE 0 END"
+        ).alias("split"),
+    )
+    bins = f"(sum(n_tokens) + {C} - 1) div {C}"
+    return marked.groupBy("shard_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.expr(f"CAST(CASE WHEN sum(n_tokens) = 0 THEN 0 ELSE {bins} END AS BIGINT)").alias(
+            "n_bins"
+        ),
+        F.expr(
+            f"CAST(CASE WHEN sum(n_tokens) = 0 THEN 0"
+            f" ELSE {bins} * {C} - sum(n_tokens) END AS BIGINT)"
+        ).alias("pad_waste"),
+        F.sum("split").cast("long").alias("split_docs"),
+        F.expr(
+            f"CAST(CASE WHEN sum(n_tokens) > 0 THEN"
+            f" (1000 * sum(n_tokens)) div ({bins} * {C}) END AS BIGINT)"
+        ).alias("util_milli"),
+    )

@@ -2116,3 +2116,84 @@ def int8_quantization_recall_audit(spark: SparkSession, sf_dir: str) -> DataFram
             ),
         )
     )
+
+
+@register(
+    "embedding_anisotropy_audit",
+    oracle=f"""
+    WITH n_t AS (SELECT count(*) AS n FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a,
+             ((a.vec_id + n_t.n // 2) % n_t.n) AS id_b
+      FROM embeddings a CROSS JOIN n_t
+      WHERE n_t.n >= 2 AND a.vec_id <> (a.vec_id + n_t.n // 2) % n_t.n),
+    scored AS (
+      SELECT CAST(floor({_sql_cos('ea.embedding', 'eb.embedding')} * 1000000.0 + 0.5)
+                  AS BIGINT) AS cos_micro
+      FROM pairs p
+      JOIN embeddings ea ON ea.vec_id = p.id_a
+      JOIN embeddings eb ON eb.vec_id = p.id_b)
+    SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+           CAST(sum(cos_micro) // count(*) AS BIGINT) AS mean_cos_micro,
+           CAST(min(cos_micro) AS BIGINT) AS min_cos_micro,
+           CAST(max(cos_micro) AS BIGINT) AS max_cos_micro
+    FROM scored WHERE cos_micro IS NOT NULL
+    """,
+    tags=("similarity", "llm-pipeline", "quality", "statistics"),
+)
+def embedding_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anisotropy audit of the embedding space (Ethayarajh 2019): the
+    mean cosine between DETERMINISTICALLY matched far-apart pairs
+    (vector i against vector (i + n/2) mod n — a derangement-style
+    matching, so every vector appears in exactly one pair per side and
+    no pair is a self-pair). Isotropic embeddings score ≈ 0; a high
+    floor means all vectors crowd a narrow cone — the pathology that
+    silently inflates every cosine-threshold dedup/ANN decision made
+    upstream, which is why this audit belongs next to those tiers (its
+    mean is the bias term to subtract when calibrating thresholds).
+
+    Determinism and exactness: the matching derives from the corpus
+    COUNT (both engines compute the same n), each cosine is the
+    bit-identical double both engines produce, quantized ONCE to micro
+    units (floor(cos·10⁶+0.5) — exact IEEE ops on an identical double),
+    so the mean is an order-independent integer sum + one truncating
+    div. Zero-norm vectors yield NULL cosines and drop from the stats
+    identically on both engines. Scale: one broadcast 1-row count, one
+    id-shift self-join (shuffle on vec_id), n/1 pairs — linear, never
+    all-pairs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_t = emb.agg(F.count(F.lit(1)).alias("n"))
+    pairs = (
+        emb.select("vec_id")
+        .crossJoin(F.broadcast(n_t))
+        .where(
+            (F.col("n") >= 2)
+            & (F.col("vec_id") != (F.col("vec_id") + F.expr("n div 2")) % F.col("n"))
+        )
+        .select(
+            F.col("vec_id").alias("id_a"),
+            ((F.col("vec_id") + F.expr("n div 2")) % F.col("n")).alias("id_b"),
+        )
+    )
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("av"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("bv"))
+    scored = S.with_cosine_fast(
+        pairs.join(va, "id_a").join(vb, "id_b"), "av", "bv", "cos"
+    ).select(
+        F.expr("CAST(floor(cos * 1000000.0D + 0.5D) AS BIGINT)").alias("cos_micro")
+    )
+    return (
+        scored.where(F.col("cos_micro").isNotNull())
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.expr("CAST(sum(cos_micro) div count(*) AS BIGINT)").alias("mean_cos_micro"),
+            F.min("cos_micro").alias("min_cos_micro"),
+            F.max("cos_micro").alias("max_cos_micro"),
+        )
+        .select(
+            F.col("n_pairs").cast("long").alias("n_pairs"),
+            "mean_cos_micro",
+            F.col("min_cos_micro").cast("long").alias("min_cos_micro"),
+            F.col("max_cos_micro").cast("long").alias("max_cos_micro"),
+        )
+    )

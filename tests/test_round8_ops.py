@@ -934,3 +934,85 @@ def test_shard_balance_matches_chisq_rederivation(spark, sf_dir):
     dof = (len(rowm) - 1) * (len(colm) - 1)
     if dof and n > 10 * len(cells):
         assert chi // 1000 < 6 * dof + 20
+
+
+def test_packing_audit_reconciles_with_packer(spark, sf_dir):
+    """Replay pad waste / split docs / utilization per shard from the
+    registered packer's own output (doc -> shard, bin, n_tokens): the
+    audit's totals must reconcile, and concat-and-chunk's invariant —
+    waste strictly under one capacity per shard — must hold."""
+    from streamprocessing_spark.queries.curation import (
+        PACK_CONTEXT_TOKENS,
+        PACK_SHARDS,
+    )
+
+    packed = SPECS["pack_documents_greedy"].fn(spark, sf_dir).collect()
+    rows = SPECS["packing_efficiency_audit"].fn(spark, sf_dir).collect()
+    if not packed:
+        assert rows == []
+        return
+    per: dict = {}
+    for r in sorted(packed, key=lambda r: r.doc_id):
+        nd, tok, cum, splits = per.get(r.shard_id, (0, 0, 0, 0))
+        start_chunk = cum // PACK_CONTEXT_TOKENS
+        end_chunk = (cum + r.n_tokens - 1) // PACK_CONTEXT_TOKENS if r.n_tokens else start_chunk
+        per[r.shard_id] = (
+            nd + 1,
+            tok + r.n_tokens,
+            cum + r.n_tokens,
+            splits + (1 if r.n_tokens and start_chunk != end_chunk else 0),
+        )
+    got = {r.shard_id: r for r in rows}
+    assert set(got) == set(per)
+    for sid, (nd, tok, _cum, splits) in per.items():
+        r = got[sid]
+        assert (r.n_docs, r.total_tokens, r.split_docs) == (nd, tok, splits)
+        bins = 0 if tok == 0 else -(-tok // PACK_CONTEXT_TOKENS)
+        assert r.n_bins == bins
+        assert r.pad_waste == (bins * PACK_CONTEXT_TOKENS - tok if tok else 0)
+        assert r.pad_waste < PACK_CONTEXT_TOKENS  # only the final chunk pads
+        if tok:
+            assert r.util_milli == (1000 * tok) // (bins * PACK_CONTEXT_TOKENS)
+    assert len(per) <= PACK_SHARDS
+
+
+def test_anisotropy_matches_numpy_matching(spark, sf_dir):
+    """Replay the derangement matching and micro-quantized cosine stats
+    in numpy; mean within [min, max]; n_pairs accounting (pairs drop
+    only for self-pairs at n<2 or NULL zero-norm cosines)."""
+    emb = load_table(spark, sf_dir, "embeddings").collect()
+    rows = SPECS["embedding_anisotropy_audit"].fn(spark, sf_dir).collect()
+    r = rows[0]
+    n = len(emb)
+    if n < 2:
+        assert r.n_pairs == 0
+        return
+    by_id = {e.vec_id: np.array(list(e.embedding), dtype=np.float64) for e in emb}
+    micros = []
+    for e in emb:
+        j = (e.vec_id + n // 2) % n
+        if j == e.vec_id or j not in by_id:
+            continue
+        a, b = by_id[e.vec_id], by_id[j]
+        if len(a) != len(b):
+            continue
+        # sequential dim-by-dim fold — the kernel's exact IEEE sequence
+        # (numpy @ may tree/BLAS-sum, which can differ in the last ulp
+        # right at a floor boundary)
+        dot = na = nb = 0.0
+        for x, y in zip(a, b):
+            dot += x * y
+            na += x * x
+            nb += y * y
+        den = math.sqrt(na) * math.sqrt(nb)
+        if den == 0:
+            continue
+        micros.append(math.floor((dot / den) * 1e6 + 0.5))
+    assert r.n_pairs == len(micros)
+    if micros:
+        assert r.min_cos_micro == min(micros)
+        assert r.max_cos_micro == max(micros)
+        s = sum(micros)
+        q = abs(s) // len(micros)
+        assert r.mean_cos_micro == (q if s >= 0 else -q)
+        assert r.min_cos_micro <= r.mean_cos_micro <= r.max_cos_micro

@@ -194,6 +194,8 @@ PLAN_SET = [
     "int8_quantization_recall_audit",
     "rbo_lexical_semantic",
     "shard_balance_audit",
+    "packing_efficiency_audit",
+    "embedding_anisotropy_audit",
 ]
 
 
