@@ -188,6 +188,7 @@ HEADLINE = [
     "shard_balance_audit",
     "packing_efficiency_audit",
     "embedding_anisotropy_audit",
+    "sink_python_datasource_roundtrip",
 ]
 
 

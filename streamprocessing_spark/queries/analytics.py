@@ -4901,3 +4901,57 @@ def partition_divergence_proof(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("bucket").cast("long").alias("bucket"), "n_rows", "fingerprint")
     )
+
+
+@register(
+    "sink_python_datasource_roundtrip",
+    oracle="""
+    SELECT CAST(o_orderkey AS BIGINT) AS o_orderkey,
+           o_orderstatus
+    FROM orders
+    """,
+    tags=("reference", "source", "sink"),
+)
+def sink_python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's keyed-line SINK (console+DFS append, O10 —
+    rainstorm/server.go:468-515) as a custom Spark 4 Python Data Source
+    WRITER (sources/linesink.py, format("keyed_lines")): rows publish
+    through the real two-phase task-commit protocol (private temp file →
+    rename on driver commit — retried attempts can never double-publish
+    because only delivered commit messages get renamed; the
+    fault-injection proof lives in tests/test_python_datasource.py).
+    This query proves VALUE fidelity end-to-end: write (orderkey,
+    status) through the sink, read the published part files back as
+    text, parse, and return — the oracle is the identity on orders.
+
+    Staging is a deterministic per-(sf, pid) temp dir like the other
+    roundtrip sources. Scale notes: one part file per task (the
+    reference wrote ONE DFS file — a single-writer bottleneck this
+    deliberately does not reproduce); keys/values are written as
+    tab-separated text, so the parse is a 2-column split."""
+    import hashlib
+    import os
+    import tempfile
+
+    from streamprocessing_spark.sources.linesink import register_sink
+
+    register_sink(spark)
+    d = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("string").alias("k"),
+        F.col("o_orderstatus").alias("v"),
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"sp_sink_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}",
+    )
+    # the sink appends; a fresh staging dir per run keeps the roundtrip
+    # an identity (mode semantics live in the commit protocol, not here)
+    import shutil
+
+    shutil.rmtree(out, ignore_errors=True)
+    d.write.format("keyed_lines").option("path", out).mode("append").save()
+    back = spark.read.text(out)
+    return back.select(
+        F.expr("CAST(split_part(value, '\t', 1) AS BIGINT)").alias("o_orderkey"),
+        F.expr("split_part(value, '\t', 2)").alias("o_orderstatus"),
+    )

@@ -1,0 +1,120 @@
+"""Custom Python Data Source WRITER: exactly-once keyed-line file sink.
+
+The reference's sink operator appends ``<key>\\t<value>`` lines to a
+HyDFS file and mirrors them to the console, flushing every 500 ms
+(rainstorm/server.go:468-515; SURVEY.md §2.1 O10). Its exactly-once
+story is a dedup set + WAL; Spark's native story for a FILE sink is the
+two-phase task-commit protocol — each task writes a private temp file,
+only the driver-side ``commit()`` publishes them, and a failed/retried
+attempt's orphan is swept by ``abort()`` or ignored at publish time.
+
+This module re-expresses the sink as a Spark 4 Python Data Source
+writer (``format("keyed_lines")``): a minimal but REAL implementation
+of that protocol —
+
+- ``write(iterator)`` streams rows to ``<dir>/.tmp-<uuid>`` and returns
+  the temp name + row count as its commit message (never touching the
+  published namespace);
+- ``commit(messages)`` renames exactly the temp files named in commit
+  messages to ``part-<i>.txt`` (rename is the atomic publish; a retried
+  task's SECOND attempt produces a second temp file, but only the
+  attempt whose message Spark delivers gets published — the same
+  "commit messages are the source of truth" contract FileCommitProtocol
+  uses);
+- ``abort(messages)`` deletes any temp litter.
+
+The reference's console mirror is deliberately NOT reproduced (a
+driver-side print is an anti-pattern at scale); the 500 ms flush cadence
+belongs to the streaming trigger, not the sink. Exactly-once under task
+retry is proven in tests/test_python_datasource.py by injecting a
+first-attempt failure and counting published rows.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceWriter,
+    WriterCommitMessage,
+)
+
+
+class _Committed(WriterCommitMessage):
+    def __init__(self, tmp_name: str, n_rows: int) -> None:
+        self.tmp_name = tmp_name
+        self.n_rows = n_rows
+
+
+class KeyedLinesWriter(DataSourceWriter):
+    def __init__(self, path: str, fail_first_attempt: bool) -> None:
+        self.path = path
+        self.fail_first_attempt = fail_first_attempt
+
+    def write(self, iterator: Iterator) -> _Committed:
+        from pyspark import TaskContext
+
+        ctx = TaskContext.get()
+        if (
+            self.fail_first_attempt
+            and ctx is not None
+            and ctx.partitionId() == 0
+            and ctx.attemptNumber() == 0
+        ):
+            # fault-injection hook (tests only): the first attempt of
+            # partition 0 dies AFTER writing temp litter — the retry
+            # must be the only attempt that publishes
+            tmp = os.path.join(self.path, f".tmp-{uuid.uuid4().hex}")
+            with open(tmp, "w", encoding="utf-8") as fh:
+                fh.write("LITTER\tnever-published\n")
+            raise RuntimeError("injected first-attempt failure")
+        tmp_name = f".tmp-{uuid.uuid4().hex}"
+        n = 0
+        with open(os.path.join(self.path, tmp_name), "w", encoding="utf-8") as fh:
+            for row in iterator:
+                fh.write(f"{row[0]}\t{row[1]}\n")
+                n += 1
+        return _Committed(tmp_name, n)
+
+    def commit(self, messages) -> None:
+        published = 0
+        for m in messages:
+            if m is None:
+                continue
+            src = os.path.join(self.path, m.tmp_name)
+            dst = os.path.join(self.path, f"part-{published:05d}.txt")
+            os.replace(src, dst)  # atomic publish
+            published += 1
+        # sweep litter from failed attempts — their temp names are in no
+        # commit message, so they can never have been published
+        for name in os.listdir(self.path):
+            if name.startswith(".tmp-"):
+                os.remove(os.path.join(self.path, name))
+
+    def abort(self, messages) -> None:
+        for name in os.listdir(self.path):
+            if name.startswith(".tmp-"):
+                os.remove(os.path.join(self.path, name))
+
+
+class KeyedLinesSink(DataSource):
+    """``spark.createDataFrame(...).write.format("keyed_lines")
+    .option("path", dir).mode("append").save()`` — two string-able
+    columns (key, value) to tab-separated published part files."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "keyed_lines"
+
+    def writer(self, schema, overwrite: bool) -> KeyedLinesWriter:
+        path = self.options["path"]
+        os.makedirs(path, exist_ok=True)
+        fail = str(self.options.get("failfirstattempt", "")).lower() == "true"
+        return KeyedLinesWriter(path, fail)
+
+
+def register_sink(spark) -> None:
+    spark.dataSource.register(KeyedLinesSink)

@@ -6,6 +6,7 @@ Structured Streaming (bounded replay + checkpoint recovery)."""
 
 from __future__ import annotations
 
+import os
 
 from streamprocessing_spark.sources.linesource import (
     plan_ranges,
@@ -123,3 +124,51 @@ def test_streaming_replay_and_recovery(spark, tmp_path):
     # restart on the same checkpoint: offsets committed, nothing replays,
     # no duplicates appear in the sink (exactly-once end to end)
     assert run() == _expected(lines)
+
+
+def test_keyed_lines_sink_roundtrip(spark, tmp_path):
+    """The Python Data Source WRITER (reference sink O10,
+    server.go:468-515): rows publish as part files via the two-phase
+    temp-write/rename-on-commit protocol; reading the directory back
+    recovers exactly the written (key, value) multiset and no temp
+    litter survives."""
+    from streamprocessing_spark.sources.linesink import register_sink
+
+    register_sink(spark)
+    out = str(tmp_path / "sink")
+    df = spark.range(100).selectExpr("CAST(id AS STRING) AS k", "CAST(id * 7 AS STRING) AS v")
+    df.repartition(4).write.format("keyed_lines").option("path", out).mode("append").save()
+    names = sorted(os.listdir(out))
+    assert names and all(n.startswith("part-") for n in names)
+    got = []
+    for n in names:
+        with open(os.path.join(out, n), encoding="utf-8") as fh:
+            got += [tuple(line.rstrip("\n").split("\t")) for line in fh]
+    assert sorted(got) == sorted((str(i), str(i * 7)) for i in range(100))
+
+
+def test_keyed_lines_sink_exactly_once_under_task_retry(spark, tmp_path):
+    """Fault injection (the RainStormWithFail analogue at the sink):
+    partition 0's first attempt writes temp litter and dies; Spark
+    retries; commit() publishes ONLY files named in delivered commit
+    messages — published rows equal the no-failure run exactly, litter
+    swept."""
+    from streamprocessing_spark.sources.linesink import register_sink
+
+    register_sink(spark)
+    out = str(tmp_path / "sink_retry")
+    df = spark.range(40).selectExpr("CAST(id AS STRING) AS k", "CAST(id AS STRING) AS v")
+    (
+        df.repartition(2)
+        .write.format("keyed_lines")
+        .option("path", out)
+        .option("failfirstattempt", "true")
+        .mode("append")
+        .save()
+    )
+    rows = []
+    for n in sorted(os.listdir(out)):
+        assert not n.startswith(".tmp-"), "temp litter survived commit"
+        with open(os.path.join(out, n), encoding="utf-8") as fh:
+            rows += [line.rstrip("\n").split("\t")[0] for line in fh]
+    assert sorted(rows, key=int) == [str(i) for i in range(40)]

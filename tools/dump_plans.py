@@ -196,6 +196,7 @@ PLAN_SET = [
     "shard_balance_audit",
     "packing_efficiency_audit",
     "embedding_anisotropy_audit",
+    "sink_python_datasource_roundtrip",
 ]
 
 
