@@ -180,10 +180,20 @@ def test_fellegi_sunter_weights_and_scores(spark, sf_dir):
         if 1 - u > 1 - FS_M_NUM / FS_M_DEN:
             assert wd[f] < 0
     by_key = {r.k: r for r in recs}
+
+    def _blocked(ra, rb):
+        # multi-pass blocking: same noun AND (same size OR same brand),
+        # NULL block keys never match (SQL join semantics)
+        if ra.noun is None or ra.noun != rb.noun:
+            return False
+        size_ok = ra.size is not None and ra.size == rb.size
+        brand_ok = ra.brand is not None and ra.brand == rb.brand
+        return size_ok or brand_ok
+
     expect_pairs = {}
     for ra in recs:
         for rb in recs:
-            if ra.noun == rb.noun and ra.k < rb.k:
+            if ra.k < rb.k and _blocked(ra, rb):
                 sc = sum(
                     wa[f] if ra[f] == rb[f] else wd[f] for f in FS_FIELDS
                 )
