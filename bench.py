@@ -189,6 +189,8 @@ HEADLINE = [
     "packing_efficiency_audit",
     "embedding_anisotropy_audit",
     "sink_python_datasource_roundtrip",
+    "shuffle_skew_audit",
+    "fano_burstiness_by_type",
 ]
 
 

@@ -4955,3 +4955,109 @@ def sink_python_datasource_roundtrip(spark: SparkSession, sf_dir: str) -> DataFr
         F.expr("CAST(split_part(value, '\t', 1) AS BIGINT)").alias("o_orderkey"),
         F.expr("split_part(value, '\t', 2)").alias("o_orderstatus"),
     )
+
+
+SKEW_TOPK = 10
+
+
+@register(
+    "shuffle_skew_audit",
+    oracle=f"""
+    WITH freq AS (
+      SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS c
+      FROM lineitem GROUP BY 1),
+    tot AS (SELECT CAST(sum(c) AS HUGEINT) AS n,
+                   CAST(count(*) AS HUGEINT) AS n_keys,
+                   max(c) AS max_c FROM freq),
+    topk AS (SELECT c FROM freq ORDER BY c DESC, k LIMIT {SKEW_TOPK}),
+    tk AS (SELECT CAST(sum(c) AS HUGEINT) AS top_c FROM topk),
+    hist AS (SELECT c AS v, CAST(count(*) AS BIGINT) AS m FROM freq GROUP BY 1),
+    cum AS (
+      SELECT v, m,
+             COALESCE(sum(m) OVER w, 0) AS f_prev,
+             COALESCE(sum(v * m) OVER w, 0) AS s_prev
+      FROM hist
+      WINDOW w AS (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+    gini AS (
+      SELECT sum(CAST(v AS HUGEINT) * m * f_prev - CAST(m AS HUGEINT) * s_prev)
+               AS pair_gap
+      FROM cum)
+    SELECT CAST(t.n AS BIGINT) AS n_rows,
+           CAST(t.n_keys AS BIGINT) AS n_keys,
+           CAST(t.max_c AS BIGINT) AS max_key_rows,
+           CAST((1000000 * t.max_c) // t.n AS BIGINT) AS top1_share_micro,
+           CAST((1000000 * tk.top_c) // t.n AS BIGINT) AS top{SKEW_TOPK}_share_micro,
+           CAST((1000000 * t.max_c * t.n_keys) // t.n AS BIGINT) AS skew_factor_micro,
+           CAST((1000000 * g.pair_gap) // (t.n_keys * t.n) AS BIGINT) AS gini_micro
+    FROM tot t CROSS JOIN tk CROSS JOIN gini g
+    """,
+    tags=("analytics", "quality", "statistics", "layout"),
+)
+def shuffle_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-flight SKEW audit of the engine's dominant shuffle key (the
+    orders⋈lineitem order key): top-1/top-{SKEW_TOPK} key share, the
+    skew factor max/mean (>> 1e6 micro ⇒ one reducer runs hot), and the
+    Gini of the key-frequency distribution — the numbers that decide
+    between letting AQE's skew-join handle it, salting, or doing
+    nothing (SCALE.md's measured three-way comparison assumed a known
+    skew; this measures it). At 100 TB this audit runs BEFORE the big
+    join, on the cheap key histogram.
+
+    Exact integers end to end: shares and the skew factor are one
+    truncating micro div each; the Gini reuses the distinct-value
+    histogram closed form (strictly-preceding cumulative sums over the
+    FREQUENCY-of-frequency dimension — bounded by the basket-size
+    domain, not key count). Top-{SKEW_TOPK} via distributed TakeOrdered
+    with a key tiebreak. Scale: one map-side-combinable key histogram,
+    then frequency-dimension-sized everything."""
+    li = load_table(spark, sf_dir, "lineitem")
+    freq = (
+        li.groupBy(F.col("l_orderkey").alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)  # feeds totals, topk, and the gini histogram
+    )
+    dec = "DECIMAL(38,0)"
+    tot = freq.agg(
+        F.expr(f"CAST(sum(c) AS {dec})").alias("n"),
+        F.expr(f"CAST(count(*) AS {dec})").alias("n_keys"),
+        F.max("c").alias("max_c"),
+    )
+    tk = (
+        freq.orderBy(F.desc("c"), F.asc("k"))
+        .limit(SKEW_TOPK)
+        .agg(F.expr(f"CAST(sum(c) AS {dec})").alias("top_c"))
+    )
+    hist = freq.groupBy(F.col("c").alias("v")).agg(F.count(F.lit(1)).alias("m"))
+    from pyspark.sql.window import Window as W
+
+    w_prev = W.orderBy("v").rowsBetween(W.unboundedPreceding, -1)
+    cum = hist.select(
+        "v",
+        "m",
+        F.coalesce(F.sum("m").over(w_prev), F.lit(0)).alias("f_prev"),
+        F.coalesce(F.sum(F.col("v") * F.col("m")).over(w_prev), F.lit(0)).alias("s_prev"),
+    )
+    gini = cum.agg(
+        F.sum(
+            F.expr(f"CAST(v AS {dec}) * m * f_prev - CAST(m AS {dec}) * s_prev")
+        ).alias("pair_gap")
+    )
+    return (
+        tot.crossJoin(F.broadcast(tk))
+        .crossJoin(F.broadcast(gini))
+        .select(
+            F.col("n").cast("long").alias("n_rows"),
+            F.col("n_keys").cast("long").alias("n_keys"),
+            F.col("max_c").cast("long").alias("max_key_rows"),
+            F.expr("CAST((1000000 * max_c) div n AS BIGINT)").alias("top1_share_micro"),
+            F.expr("CAST((1000000 * top_c) div n AS BIGINT)").alias(
+                f"top{SKEW_TOPK}_share_micro"
+            ),
+            F.expr("CAST((1000000 * max_c * n_keys) div n AS BIGINT)").alias(
+                "skew_factor_micro"
+            ),
+            F.expr("CAST((1000000 * pair_gap) div (n_keys * n) AS BIGINT)").alias(
+                "gini_micro"
+            ),
+        )
+    )

@@ -3839,3 +3839,72 @@ def markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(h_num div row_total AS BIGINT)").alias("h_cond_milli_bits"),
         F.expr("CAST(hh div nn AS BIGINT)").alias("entropy_rate_milli_bits"),
     )
+
+
+@register(
+    "fano_burstiness_by_type",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY 1, 2),
+    bounds AS (
+      SELECT CAST(min(CAST(ts AS DATE)) AS DATE) AS lo,
+             CAST(max(CAST(ts AS DATE)) AS DATE) AS hi,
+             CAST(datediff('day', min(CAST(ts AS DATE)), max(CAST(ts AS DATE))) + 1
+                  AS BIGINT) AS n_days
+      FROM events),
+    agg AS (
+      SELECT event_type,
+             CAST(count(*) AS BIGINT) AS n_active,
+             CAST(sum(c) AS BIGINT) AS s,
+             CAST(sum(c * c) AS BIGINT) AS s2
+      FROM daily GROUP BY 1)
+    SELECT a.event_type,
+           b.n_days,
+           a.s AS n_events,
+           CAST(CASE WHEN a.s > 0 THEN
+                (1000000 * (b.n_days * a.s2 - a.s * a.s)) // (b.n_days * a.s)
+                END AS BIGINT) AS fano_micro
+    FROM agg a CROSS JOIN bounds b
+    """,
+    tags=("timeseries", "statistics", "quality"),
+)
+def fano_burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fano factor (variance/mean of daily counts) per event type over
+    the DENSE calendar range — the burstiness index: a Poisson-like
+    arrival process scores ≈ 1e6 micro, bursty/bot-like traffic ≫ 1,
+    metronomic scripted traffic ≪ 1. The dispersion companion to
+    bot_rate_flags (which ranks users) — this classifies TYPES of
+    traffic, the triage view an abuse pipeline reads first.
+
+    Zero-filled days are real observations: with n_days from the corpus
+    range and per-type daily counts c (absent day ⇒ 0), Fano =
+    Var/mean = (D·Σc² − (Σc)²)/(D·Σc) — the zero days contribute
+    nothing to Σc/Σc² but inflate D, so the GRID NEVER MATERIALIZES
+    (the gap-fill identity folded into the moments: the dense-grid
+    variance falls out of sparse sums and the day count). One
+    truncating micro div; all moments exact BIGINTs. Scale: one
+    map-side-combinable (type, day) aggregate, then type-sized rows."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    bounds = ev.agg(
+        F.expr(
+            "CAST(datediff(max(CAST(ts AS DATE)), min(CAST(ts AS DATE))) + 1 AS BIGINT)"
+        ).alias("n_days")
+    )
+    agg = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_active"),
+        F.sum("c").alias("s"),
+        F.sum(F.col("c") * F.col("c")).alias("s2"),
+    )
+    return agg.crossJoin(F.broadcast(bounds)).select(
+        "event_type",
+        "n_days",
+        F.col("s").cast("long").alias("n_events"),
+        F.expr(
+            "CAST(CASE WHEN s > 0 THEN"
+            " (1000000 * (n_days * s2 - s * s)) div (n_days * s) END AS BIGINT)"
+        ).alias("fano_micro"),
+    )

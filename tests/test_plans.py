@@ -641,7 +641,7 @@ def test_global_window_allowlist():
     # AUDITED allowlist — every entry classified in SCALE.md's table:
     allow = {
         "operators/ranking.py": 3,   # the P-row stitch windows themselves
-        "queries/analytics.py": 3,   # sketch medians; 2^20-bucket summaries; median cents histogram
+        "queries/analytics.py": 4,   # sketch medians; 2^20-bucket summaries; median + skew-audit histograms
         "queries/curation.py": 3,    # post-limit KMV; sources; strata
         "queries/dedup.py": 1,       # AUC micro-score histogram (<= 1e6+1 values)
         "queries/quality.py": 1,     # conformal calibration score histogram

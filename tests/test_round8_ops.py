@@ -1026,3 +1026,73 @@ def test_anisotropy_matches_numpy_matching(spark, sf_dir):
         q = abs(s) // len(micros)
         assert r.mean_cos_micro == (q if s >= 0 else -q)
         assert r.min_cos_micro <= r.mean_cos_micro <= r.max_cos_micro
+
+
+def test_skew_audit_matches_python_histogram(spark, sf_dir):
+    """Replay every statistic from the raw key histogram: shares, skew
+    factor, and the frequency-Gini; identities max_share ≤ topk_share
+    and skew_factor ≥ 1e6 − truncation (max ≥ mean always)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey").collect()
+    rows = SPECS["shuffle_skew_audit"].fn(spark, sf_dir).collect()
+    r = rows[0]
+    from collections import Counter
+
+    freq = Counter(x.l_orderkey for x in li)
+    if not freq:
+        assert r.n_keys == 0
+        return
+    n = sum(freq.values())
+    cs = sorted(freq.values(), reverse=True)
+    from streamprocessing_spark.queries.analytics import SKEW_TOPK
+
+    assert (r.n_rows, r.n_keys, r.max_key_rows) == (n, len(freq), cs[0])
+    assert r.top1_share_micro == (1000000 * cs[0]) // n
+    topk = sum(cs[:SKEW_TOPK])
+    assert getattr(r, f"top{SKEW_TOPK}_share_micro") == (1000000 * topk) // n
+    assert r.skew_factor_micro == (1000000 * cs[0] * len(freq)) // n
+    assert r.skew_factor_micro >= 999999 - 1  # max >= mean
+    xs = sorted(freq.values())
+    pair_gap = 0
+    prefix = 0
+    for i, x in enumerate(xs):
+        pair_gap += i * x - prefix
+        prefix += x
+    assert r.gini_micro == (1000000 * pair_gap) // (len(freq) * n)
+    assert r.top1_share_micro <= getattr(r, f"top{SKEW_TOPK}_share_micro")
+
+
+def test_fano_folds_zero_days_into_moments(spark, sf_dir):
+    """Replay the dense-grid Fano factor per type in pure Python WITH an
+    explicit zero-filled grid and confirm the moment-folded form equals
+    it; Poisson-ish fixture types should not explode."""
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.to_date("ts").alias("day"))
+        .collect()
+    )
+    rows = SPECS["fano_burstiness_by_type"].fn(spark, sf_dir).collect()
+    if not ev:
+        assert rows == []
+        return
+    days = [r.day for r in ev]
+    lo, hi = min(days), max(days)
+    n_days = (hi - lo).days + 1
+    per: dict = {}
+    for r in ev:
+        per.setdefault(r.event_type, {}).setdefault(r.day, 0)
+        per[r.event_type][r.day] += 1
+    got = {r.event_type: r for r in rows}
+    assert set(got) == set(per)
+    for t, m in per.items():
+        s = sum(m.values())
+        s2 = sum(c * c for c in m.values())
+        r = got[t]
+        assert (r.n_days, r.n_events) == (n_days, s)
+        # dense-grid identity: Var*D*mean*1e6 scaled form
+        expect = (1000000 * (n_days * s2 - s * s)) // (n_days * s)
+        assert r.fano_micro == expect
+        # explicit grid replay agrees (zero days inflate D only)
+        counts = [m.get(lo + __import__("datetime").timedelta(days=i), 0) for i in range(n_days)]
+        mean = s / n_days
+        var = sum((c - mean) ** 2 for c in counts) / n_days
+        assert abs(expect / 1e6 - var / mean) < 2e-6
