@@ -193,6 +193,9 @@ HEADLINE = [
     "fano_burstiness_by_type",
 ]
 
+# streaming queries are benched via their shared concurrent drain in the
+# existing streaming rows; streaming_windowed_distinct_users rides it
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

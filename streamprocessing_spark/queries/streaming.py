@@ -238,6 +238,29 @@ def _build_hourly_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _build_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact windowed uniques via CHAINED streaming aggregations: the
+    # first agg dedups (window, user), the second counts survivors —
+    # the production form of "hourly unique users" that needs no sketch
+    # (approx_count_distinct) and no unbounded dedup state (the
+    # watermark closes windows, so per-window state retires)
+    ev = stream_events(spark, sf_dir).withWatermark("ts", "1 hour")
+    per_user = ev.groupBy(F.window("ts", "1 hour"), "user_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        per_user.groupBy("window")
+        .agg(F.count(F.lit(1)).alias("distinct_users"), F.sum("n").alias("n_events"))
+        .select(
+            F.concat(
+                F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss"), F.lit(" UTC")
+            ).alias("window_start"),
+            "distinct_users",
+            "n_events",
+        )
+    )
+
+
 def _build_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     from streamprocessing_spark.streaming.stateful import timeout_sessions
 
@@ -260,6 +283,7 @@ _PIPELINES: dict[str, tuple] = {
     "streaming_hourly_daily_rollup": (_build_hourly_daily_rollup, "append"),
     "streaming_left_outer_join": (_build_left_outer_join, "append"),
     "streaming_complete_topk": (_build_complete_topk, "complete"),
+    "streaming_windowed_distinct_users": (_build_windowed_distinct_users, "append"),
 }
 
 # (applicationId, sf_dir) -> {query_name: memory-sink table name}
@@ -775,3 +799,35 @@ def streaming_transition_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     State per key: one long + one short string, the minimum a lookback
     can hold; shuffles once on user_id, the state store's own key."""
     return _drained(spark, sf_dir, "streaming_transition_pairs")
+
+
+@register(
+    "streaming_windowed_distinct_users",
+    oracle="""
+    WITH mx AS (SELECT max(ts) AS mx FROM events),
+    win AS (
+      SELECT time_bucket(INTERVAL 1 HOUR, ts) AS h,
+             CAST(count(DISTINCT user_id) AS BIGINT) AS distinct_users,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM events GROUP BY 1)
+    SELECT strftime(h, '%Y-%m-%d %H:%M:%S') || ' UTC' AS window_start,
+           distinct_users, n_events
+    FROM win CROSS JOIN mx
+    WHERE epoch_us(h + INTERVAL 1 HOUR)
+          <= epoch_us(mx.mx) - CAST(3600 AS BIGINT) * 1000000
+    """,
+    tags=("streaming", "window", "aggregate"),
+)
+def streaming_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly EXACT unique users as a stream — the chained-aggregation
+    shape (dedup agg feeding a count agg) Spark only allows on streams
+    with watermarked windows on both levels: level 1 holds (window,
+    user) state, level 2 counts survivors; the watermark retires whole
+    windows so neither level's state is unbounded (the
+    dropDuplicates-without-watermark leak, §4.3.4, structurally can't
+    happen here). The production "hourly uniques" dashboard query with
+    no sketch error bar. Append-mode contract stated exactly by the
+    oracle (the hourly_daily_rollup algebra): a window emits iff its end
+    precedes the final watermark (max event time − 1 h), and every
+    emitted window is complete."""
+    return _drained(spark, sf_dir, "streaming_windowed_distinct_users")
