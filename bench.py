@@ -191,6 +191,7 @@ HEADLINE = [
     "sink_python_datasource_roundtrip",
     "shuffle_skew_audit",
     "fano_burstiness_by_type",
+    "t_closeness_audit",
 ]
 
 # streaming queries are benched via their shared concurrent drain in the

@@ -3446,3 +3446,154 @@ def packing_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             f" (1000 * sum(n_tokens)) div ({bins} * {C}) END AS BIGINT)"
         ).alias("util_milli"),
     )
+
+
+def _sql_t_closeness() -> str:
+    return """
+    WITH cust AS (
+      SELECT n.n_name, c.c_mktsegment AS seg,
+             CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey),
+    vals AS (SELECT DISTINCT cents FROM cust),
+    classes AS (SELECT n_name, seg, CAST(count(*) AS BIGINT) AS n_c
+                FROM cust GROUP BY 1, 2),
+    tot AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM cust),
+    ch AS (SELECT n_name, seg, cents, CAST(count(*) AS BIGINT) AS c
+           FROM cust GROUP BY 1, 2, 3),
+    gh AS (SELECT cents, CAST(count(*) AS BIGINT) AS g FROM cust GROUP BY 1),
+    grid AS (
+      SELECT cl.n_name, cl.seg, cl.n_c, v.cents,
+             COALESCE(ch.c, 0) AS c, gh.g
+      FROM classes cl CROSS JOIN vals v
+      JOIN gh ON gh.cents = v.cents
+      LEFT JOIN ch ON ch.n_name = cl.n_name AND ch.seg = cl.seg
+                  AND ch.cents = v.cents),
+    cum AS (
+      SELECT n_name, seg, n_c, cents,
+             sum(c) OVER (PARTITION BY n_name, seg
+                          ORDER BY cents ROWS UNBOUNDED PRECEDING) AS fc,
+             sum(g) OVER (PARTITION BY n_name, seg
+                          ORDER BY cents ROWS UNBOUNDED PRECEDING) AS fg,
+             lead(cents) OVER (PARTITION BY n_name, seg ORDER BY cents)
+               AS next_cents
+      FROM grid),
+    emd AS (
+      SELECT n_name, seg, n_c,
+             sum(abs(CAST(fc AS HUGEINT) * t.n - CAST(fg AS HUGEINT) * n_c)
+                 * (next_cents - cents)) AS emd_num
+      FROM cum CROSS JOIN tot t
+      WHERE next_cents IS NOT NULL
+      GROUP BY 1, 2, 3),
+    scored AS (
+      SELECT e.n_name, e.seg, e.n_c,
+             CAST((1000 * e.emd_num) // (e.n_c * t.n) AS BIGINT)
+               AS emd_milli_cents
+      FROM emd e CROSS JOIN tot t),
+    mx AS (SELECT max(emd_milli_cents) AS t_max FROM scored)
+    SELECT s.n_name, s.seg, s.n_c, s.emd_milli_cents,
+           CAST(mx.t_max AS BIGINT) AS t_max_milli_cents
+    FROM scored s CROSS JOIN mx
+    """
+
+
+@register(
+    "t_closeness_audit",
+    oracle=_sql_t_closeness(),
+    tags=("curation", "privacy", "statistics"),
+)
+def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li et al. 2007) — completing the
+    release-privacy trio: k-anonymity bounds class SIZE,
+    l-diversity class label VARIETY, t-closeness bounds how much a
+    class's SENSITIVE-VALUE DISTRIBUTION deviates from the global one
+    (the attack both others miss: a class whose balances are all
+    'high' leaks even with k large and l labels diverse). Per
+    (nation, segment) equivalence class — the same quasi-identifiers as
+    the l-diversity audit — the Earth-Mover distance in actual cents
+    between the class's account-balance distribution and the corpus
+    distribution, plus the release's t = max over classes.
+
+    Exact via the 1-D EMD closed form on a GENERATED class×value grid
+    (absent values still move mass — the global CDF steps there):
+    per-class cumulative counts, cross-multiplied |F_c·N − F·n_c|, gap
+    weighting, one truncating milli div. 38-digit integers (F_c·N
+    reaches n²). All windows PARTITION BY CLASS — nothing global. Scale
+    shape: two histogram aggregates, a (classes × distinct-values) grid
+    bounded by dimension × value domain, class-partitioned windows."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(load_table(spark, sf_dir, "nation")),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .localCheckpoint(eager=True)  # feeds values, classes, both histograms
+    )
+    vals = cust.select("cents").distinct()
+    classes = cust.groupBy("n_name", "seg").agg(F.count(F.lit(1)).alias("n_c"))
+    tot = cust.agg(F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"))
+    ch = cust.groupBy("n_name", "seg", "cents").agg(F.count(F.lit(1)).alias("c"))
+    gh = cust.groupBy("cents").agg(F.count(F.lit(1)).alias("g"))
+    grid = (
+        classes.crossJoin(vals)
+        .join(F.broadcast(gh), "cents")
+        .join(ch, ["n_name", "seg", "cents"], "left")
+        .select(
+            "n_name", "seg", "n_c", "cents", F.coalesce("c", F.lit(0)).alias("c"), "g"
+        )
+    )
+    from pyspark.sql.window import Window as W
+
+    w_cum = (
+        W.partitionBy("n_name", "seg")
+        .orderBy("cents")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    w_lead = W.partitionBy("n_name", "seg").orderBy("cents")
+    dec = "DECIMAL(38,0)"
+    cum = grid.select(
+        "n_name",
+        "seg",
+        "n_c",
+        "cents",
+        F.sum("c").over(w_cum).alias("fc"),
+        F.sum("g").over(w_cum).alias("fg"),
+        F.lead("cents").over(w_lead).alias("next_cents"),
+    )
+    emd = (
+        cum.where(F.col("next_cents").isNotNull())
+        .crossJoin(F.broadcast(tot))
+        .groupBy("n_name", "seg", "n_c")
+        .agg(
+            F.sum(
+                F.expr(
+                    f"abs(CAST(fc AS {dec}) * n - CAST(fg AS {dec}) * n_c)"
+                    " * (next_cents - cents)"
+                )
+            ).alias("emd_num")
+        )
+    )
+    scored = (
+        emd.crossJoin(F.broadcast(tot))
+        .select(
+            "n_name",
+            "seg",
+            F.col("n_c").cast("long").alias("n_c"),
+            F.expr(f"CAST((1000 * emd_num) div (CAST(n_c AS {dec}) * n) AS BIGINT)").alias(
+                "emd_milli_cents"
+            ),
+        )
+        .localCheckpoint(eager=True)  # class-sized; feeds max and output
+    )
+    mx = scored.agg(F.max("emd_milli_cents").alias("t_max"))
+    return scored.crossJoin(F.broadcast(mx)).select(
+        "n_name",
+        "seg",
+        "n_c",
+        "emd_milli_cents",
+        F.col("t_max").cast("long").alias("t_max_milli_cents"),
+    )

@@ -1096,3 +1096,51 @@ def test_fano_folds_zero_days_into_moments(spark, sf_dir):
         mean = s / n_days
         var = sum((c - mean) ** 2 for c in counts) / n_days
         assert abs(expect / 1e6 - var / mean) < 2e-6
+
+
+def test_t_closeness_matches_python_emd(spark, sf_dir):
+    """Replay per-class EMD in pure Python over the dense global value
+    list; t must be the max; the global-as-one-class identity (a class
+    equal to the whole corpus would score 0)."""
+    cust = (
+        load_table(spark, sf_dir, "customer")
+        .join(
+            load_table(spark, sf_dir, "nation"),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select(
+            "n_name",
+            F.col("c_mktsegment").alias("seg"),
+            F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    rows = SPECS["t_closeness_audit"].fn(spark, sf_dir).collect()
+    if not cust:
+        assert rows == []
+        return
+    import bisect
+    from collections import Counter, defaultdict
+
+    all_cents = sorted(r.cents for r in cust)
+    vals = sorted(set(all_cents))
+    n = len(all_cents)
+    per = defaultdict(list)
+    for r in cust:
+        per[(r.n_name, r.seg)].append(r.cents)
+    got = {(r.n_name, r.seg): r for r in rows}
+    assert set(got) == set(per)
+    expect_t = 0
+    for k, xs in per.items():
+        xs.sort()
+        n_c = len(xs)
+        emd_num = 0
+        for i in range(len(vals) - 1):
+            fc = bisect.bisect_right(xs, vals[i])
+            fg = bisect.bisect_right(all_cents, vals[i])
+            emd_num += abs(fc * n - fg * n_c) * (vals[i + 1] - vals[i])
+        e = (1000 * emd_num) // (n_c * n)
+        r = got[k]
+        assert (r.n_c, r.emd_milli_cents) == (n_c, e)
+        expect_t = max(expect_t, e)
+    assert all(r.t_max_milli_cents == expect_t for r in rows)

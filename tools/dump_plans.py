@@ -199,6 +199,7 @@ PLAN_SET = [
     "sink_python_datasource_roundtrip",
     "shuffle_skew_audit",
     "fano_burstiness_by_type",
+    "t_closeness_audit",
 ]
 
 
