@@ -192,6 +192,7 @@ HEADLINE = [
     "shuffle_skew_audit",
     "fano_burstiness_by_type",
     "t_closeness_audit",
+    "attribution_position_based",
 ]
 
 # streaming queries are benched via their shared concurrent drain in the

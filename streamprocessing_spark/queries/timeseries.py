@@ -3908,3 +3908,113 @@ def fano_burstiness_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             " (1000000 * (n_days * s2 - s * s)) div (n_days * s) END AS BIGINT)"
         ).alias("fano_micro"),
     )
+
+
+_POS_CREDIT = """
+    CASE WHEN n_touches = 1 THEN cents
+         WHEN n_touches = 2 THEN
+           CASE WHEN rn = 1 THEN (cents + 1) {div} 2 ELSE cents {div} 2 END
+         ELSE
+           CASE WHEN rn = 1 THEN (40 * cents) {div} 100
+                WHEN rn = n_touches THEN (40 * cents) {div} 100
+                ELSE (cents - 2 * ((40 * cents) {div} 100)) {div} (n_touches - 2)
+                     + CASE WHEN rn - 1 <=
+                         (cents - 2 * ((40 * cents) {div} 100)) % (n_touches - 2)
+                       THEN 1 ELSE 0 END
+           END
+    END"""
+
+
+@register(
+    "attribution_position_based",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id AS purchase_event_id, user_id,
+             epoch_us(ts) AS pus,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_type = 'purchase'),
+    c AS (
+      SELECT event_id AS click_event_id, user_id, epoch_us(ts) AS cus
+      FROM events WHERE event_type = 'click'),
+    touch AS (
+      SELECT p.purchase_event_id, p.user_id, p.cents, c.click_event_id,
+             row_number() OVER (PARTITION BY p.purchase_event_id
+                                ORDER BY c.cus, c.click_event_id) AS rn,
+             count(*) OVER (PARTITION BY p.purchase_event_id) AS n_touches
+      FROM p JOIN c ON c.user_id = p.user_id
+       AND c.cus >= p.pus - CAST({ATTR_WINDOW_US} AS BIGINT)
+       AND c.cus < p.pus)
+    SELECT purchase_event_id, click_event_id, user_id,
+           CAST(n_touches AS BIGINT) AS n_touches,
+           CAST(rn AS BIGINT) AS touch_rank,
+           CAST({_POS_CREDIT.format(div='//')} AS BIGINT) AS attributed_cents
+    FROM touch
+    """,
+    tags=("timeseries", "join", "range-join", "exact-money"),
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """POSITION-BASED (U-shaped 40/20/40) multi-touch attribution — the
+    scheme marketing teams actually default to when linear feels too
+    egalitarian: the FIRST touch (discovery) and LAST touch (closer) get
+    40% each, the middle touches split the remaining 20%. Same banded
+    7-day touch machinery as attribution_linear_multi_touch (purchases
+    explode to day buckets, equality join, exact range filter — the
+    lossless range-join binning), different credit curve.
+
+    Exact integer cents, conservation by construction: the two 40%
+    shares are floors, the middle pool is the exact REMAINDER
+    cents − 2·floor(40%·cents) (so pool ≈ 20% plus both flooring
+    residues — nothing is lost), split largest-remainder among middles
+    with pennies to the earliest; n=1 takes everything, n=2 splits
+    ((cents+1) div 2, cents div 2). Σ credits == purchase cents for
+    every n — asserted in tests and impossible with float percentages.
+    Scale shape identical to the linear tier."""
+    ev = load_table(spark, sf_dir, "events")
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.unix_micros("ts").alias("pus"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("long").alias("cents"),
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        F.col("user_id").alias("c_user_id"),
+        F.unix_micros("ts").alias("cus"),
+    )
+    p_band = p.withColumn(
+        "day_bucket",
+        F.explode(
+            F.sequence(
+                ((F.col("pus") - F.lit(ATTR_WINDOW_US)) / F.lit(_DAY_US)).cast("long"),
+                (F.col("pus") / F.lit(_DAY_US)).cast("long"),
+            )
+        ),
+    )
+    c_band = c.withColumn("c_day_bucket", (F.col("cus") / F.lit(_DAY_US)).cast("long"))
+    touch = p_band.join(
+        c_band,
+        (F.col("c_user_id") == F.col("user_id"))
+        & (F.col("day_bucket") == F.col("c_day_bucket"))
+        & (F.col("cus") >= F.col("pus") - F.lit(ATTR_WINDOW_US))
+        & (F.col("cus") < F.col("pus")),
+    )
+    w_rn = Window.partitionBy("purchase_event_id").orderBy("cus", "click_event_id")
+    w_n = Window.partitionBy("purchase_event_id")
+    ranked = touch.select(
+        "purchase_event_id",
+        "user_id",
+        "cents",
+        "click_event_id",
+        F.row_number().over(w_rn).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("n_touches"),
+    )
+    return ranked.select(
+        "purchase_event_id",
+        "click_event_id",
+        "user_id",
+        F.col("n_touches").cast("long").alias("n_touches"),
+        F.col("rn").cast("long").alias("touch_rank"),
+        F.expr(f"CAST({_POS_CREDIT.format(div='div')} AS BIGINT)").alias(
+            "attributed_cents"
+        ),
+    )

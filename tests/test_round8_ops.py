@@ -1144,3 +1144,38 @@ def test_t_closeness_matches_python_emd(spark, sf_dir):
         assert (r.n_c, r.emd_milli_cents) == (n_c, e)
         expect_t = max(expect_t, e)
     assert all(r.t_max_milli_cents == expect_t for r in rows)
+
+
+def test_position_attribution_conserves_and_shapes(spark, sf_dir):
+    """Per purchase: Σ credits == cents exactly; for n ≥ 3 first/last get
+    the exact 40% floors and each middle's credit differs by at most one
+    penny; agreement with the linear tier on WHICH touches exist."""
+    rows = SPECS["attribution_position_based"].fn(spark, sf_dir).collect()
+    lin = SPECS["attribution_linear_multi_touch"].fn(spark, sf_dir).collect()
+    assert {(r.purchase_event_id, r.click_event_id) for r in rows} == {
+        (r.purchase_event_id, r.click_event_id) for r in lin
+    }
+    ev = {
+        r.event_id: int(round(r.value * 100))
+        for r in load_table(spark, sf_dir, "events")
+        .where(F.col("event_type") == "purchase")
+        .select("event_id", "value")
+        .collect()
+    }
+    from collections import defaultdict
+
+    per = defaultdict(list)
+    for r in rows:
+        per[r.purchase_event_id].append(r)
+    for pid, touches in per.items():
+        cents = ev[pid]
+        assert sum(t.attributed_cents for t in touches) == cents
+        n = touches[0].n_touches
+        assert len(touches) == n
+        if n >= 3:
+            by_rank = {t.touch_rank: t.attributed_cents for t in touches}
+            f = (40 * cents) // 100
+            assert by_rank[1] == f and by_rank[n] == f
+            mids = [by_rank[r] for r in range(2, n)]
+            assert max(mids) - min(mids) <= 1
+            assert sum(mids) == cents - 2 * f

@@ -200,6 +200,7 @@ PLAN_SET = [
     "shuffle_skew_audit",
     "fano_burstiness_by_type",
     "t_closeness_audit",
+    "attribution_position_based",
 ]
 
 
