@@ -128,7 +128,10 @@ def global_running_sum(
     cumulative-distribution primitive (equi-depth boundaries, CDF
     sampling). Same stitch as global_running_max_prev, with the slice
     carry ADDED to the inclusive intra-slice prefix sum. Order key must
-    be unique per row."""
+    be unique per row. NULL values are skipped exactly like ``sum()
+    OVER`` skips them: a row whose global prefix holds no non-NULL value
+    gets NULL; otherwise NULLs contribute 0 (so an all-NULL intra-slice
+    prefix still surfaces the carry from earlier slices)."""
     ranged = df.repartitionByRange(num_partitions, *order_cols)
     tagged = ranged.withColumn(_PID, F.spark_partition_id()).localCheckpoint(
         eager=True
@@ -141,12 +144,22 @@ def global_running_sum(
     local = tagged.withColumn("_loc", F.sum(value_col).over(w_local))
     summ = tagged.groupBy(_PID).agg(F.sum(value_col).alias("_ps"))
     w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
-    carry = summ.select(
-        _PID, F.coalesce(F.sum("_ps").over(w_off), F.lit(0)).alias("_carry")
-    )
+    # carry stays NULL when NO preceding slice has a non-NULL value —
+    # needed to reproduce sum() OVER's "NULL until the first value" edge
+    carry = summ.select(_PID, F.sum("_ps").over(w_off).alias("_carry"))
     return (
         local.join(F.broadcast(carry), _PID)
-        .withColumn(out, F.col("_loc") + F.col("_carry"))
+        # NULL iff both sides are NULL (empty-of-values global prefix);
+        # else NULLs act as 0, exactly the skip-NULLs window semantics
+        .withColumn(
+            out,
+            F.when(
+                F.col("_loc").isNull() & F.col("_carry").isNull(), F.lit(None)
+            ).otherwise(
+                F.coalesce(F.col("_loc"), F.lit(0))
+                + F.coalesce(F.col("_carry"), F.lit(0))
+            ),
+        )
         .drop(_PID, "_loc", "_carry")
     )
 

@@ -65,8 +65,9 @@ def with_cosine_fast(
     "breaks bit-parity" when only numpy's pairwise tree sum was
     considered; the dim-loop IS the sequential fold). The two vector
     columns are consumed; all other columns pass through. A zero-norm
-    vector gives 0/0 → NULL, exactly like try_divide (NaN is masked to
-    NULL so downstream DESC ranks agree with the fold tier). With
+    vector gives 0/0 → NULL, exactly like try_divide (NaN and the
+    zero-divisor case mask to NULL; ±inf from a nonzero-divisor overflow
+    passes through, matching try_divide's IEEE behaviour). With
     ``threshold`` the filter runs in-kernel, so non-qualifying pairs
     never cross Arrow back."""
     from pyspark.sql.types import DoubleType, StructField, StructType
@@ -108,7 +109,13 @@ def with_cosine_fast(
                     na = na + x * x
                     nb = nb + y * y
                 with np.errstate(invalid="ignore", divide="ignore"):
-                    cos[m] = dot / (np.sqrt(na) * np.sqrt(nb))
+                    den = np.sqrt(na) * np.sqrt(nb)
+                    c = dot / den
+                    # try_divide NULLs on a ZERO divisor (numpy would
+                    # give ±inf for dot/0); a nonzero-divisor overflow
+                    # to ±inf passes through on both engines.
+                    c[den == 0.0] = np.nan
+                    cos[m] = c
             if threshold is not None:
                 m = cos >= threshold  # NaN fails, like NULL
                 out = pdf.loc[m, keep_names].copy()
@@ -116,7 +123,11 @@ def with_cosine_fast(
             else:
                 out = pdf[keep_names].copy()
                 arr = pd.array(cos, dtype="Float64")
-                arr[~np.isfinite(cos)] = pd.NA  # try_divide's NULL
+                # Only NaN maps to NULL: try_divide yields NULL solely on
+                # 0/0-style indeterminate folds; an overflow-to-±inf dot
+                # or norm passes through as ±Infinity there too, so it
+                # must here (bit-identical contract with cosine()).
+                arr[np.isnan(cos)] = pd.NA
                 out[out_col] = arr
             yield out
 
@@ -314,7 +325,10 @@ def srp_buckets_fast(
                 {"id": out_id, "band": pd.array(out_band, dtype="int32"), "sig": out_sig}
             )
 
-    return df.mapInPandas(kernel, "id bigint, band int, sig string")
+    # The id field keeps the caller's type (string doc ids, int32 keys…)
+    # instead of a hardcoded bigint that would Arrow-miscast at runtime.
+    id_type = df.schema[id_col].dataType.simpleString()
+    return df.mapInPandas(kernel, f"id {id_type}, band int, sig string")
 
 
 def srp_lsh_cosine_pairs(

@@ -3968,7 +3968,13 @@ def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
     with pennies to the earliest; n=1 takes everything, n=2 splits
     ((cents+1) div 2, cents div 2). Σ credits == purchase cents for
     every n — asserted in tests and impossible with float percentages.
-    Scale shape identical to the linear tier."""
+    Precondition: cents >= 0 (holds here — events.value > 0 on every
+    fixture, hostile included). For a negative
+    pool, truncating div + ``pool % (n-2)`` would under-distribute (the
+    largest-remainder +1 never fires on a negative remainder), so the
+    conservation claim is scoped to non-negative purchase values; both
+    engines still agree bit-for-bit either way. Scale shape identical to
+    the linear tier."""
     ev = load_table(spark, sf_dir, "events")
     p = ev.where(F.col("event_type") == "purchase").select(
         F.col("event_id").alias("purchase_event_id"),

@@ -142,30 +142,51 @@ _DRIVER_VERIFIED = frozenset(
         "pipe_syntax_showcase", "fuzzy_name_pairs", "late_arrival_audit",
         "anova_f_value_by_type", "daily_revenue_wow_change", "join_full_outer_daily_activity",
         "null_safe_bucket_join", "regression_two_factor_cramer",
+        # round 5 (CORRECTNESS_r05.json — 50 rows, all full-oracle: the 7
+        # rainstorm contract queries, 7 re-oracled sketch promotions, 36
+        # fresh gate-cost-ordered names)
+        "ab_assignment_srm_check", "ann_cosine_topk",
+        "cdc_apply_changes", "cohort_retention", "domain_quota_sample",
+        "dp_randomized_response_counts", "duplicate_charge_candidates",
+        "emd_value_distributions", "event_transition_matrix",
+        "fano_burstiness_by_type", "feature_hash_buckets",
+        "forward_fill_last_value", "funnel_click_to_purchase",
+        "hill_tail_index_value", "isotonic_hourly_value",
+        "kmv_distinct_sample", "lateral_top2_customers_per_nation",
+        "multimodal_resize", "packing_efficiency_audit",
+        "partition_divergence_proof", "rainstorm_exec_app2",
+        "rainstorm_plugin_app1", "rainstorm_plugin_app2",
+        "rainstorm_streaming_app1", "rainstorm_streaming_app2",
+        "rainstorm_vectorized_app1", "rainstorm_vectorized_app2",
+        "sessionization_gap_sensitivity", "sessionize_events",
+        "shard_balance_audit", "snapshot_diff_changelog",
+        "sorted_neighborhood_pairs", "temperature_sample_by_source",
+        "text_lang_id", "time_bucket_gapfill", "token_rarity_score",
+        "try_arith_safety_showcase", "url_canonical_dedup",
+        "welch_t2_by_event_type", "window_moving_spend_30d",
+        "zipf_law_audit", "zorder_key_orders", "zscore_outlier_events",
     }
 )
 
-# Round-5 re-verification set (VERDICT r04 item #2): queries whose oracle
-# was promoted from rows-only (`no_oracle`) to a full value-hash oracle —
-# 7 of the 8 perpetual no_oracle rows (hll_sketch_rollup_users landed its
-# oracle in r03 after that round's gate had already run). They carry a
-# stale rows-only driver row, so they re-enter the fresh-names front of
-# the gate order right after rainstorm. embedding_pca_project is the one
-# deliberate holdout: its 64×64 eigendecomposition runs in numpy on the
-# driver and has no SQL replay — it stays rows-only by design.
+# Round-6 re-verification set (VERDICT r05 item #8): one repeat pass of
+# exactly the rows round 5 first lit up — the 7 rainstorm contract rows
+# plus the 7 sketch oracles promoted from rows-only — so round 6 proves
+# their stability (guards against fixture drift). They lead the gate
+# order; every later slot goes to fresh driver-unverified names.
 _REVERIFY = frozenset(
     {
+        # rainstorm — the reference's literal op contract, first green r05
+        "rainstorm_plugin_app1", "rainstorm_plugin_app2",
+        "rainstorm_streaming_app1", "rainstorm_streaming_app2",
+        "rainstorm_vectorized_app1", "rainstorm_vectorized_app2",
+        "rainstorm_exec_app2",
+        # sketch oracles promoted rows-only → value-hash in r05
         "approx_distinct_users", "approx_percentiles_by_segment",
         "hll_sketch_rollup_users", "srp_lsh_cosine_pairs_fast",
         "ann_ivf_kmeans_topk", "ann_ivfpq_topk",
         "mmr_diverse_select",
     }
 )
-
-# Round-5 front (VERDICT r04 item #1): rainstorm is the only family with
-# ZERO driver rows after four rounds — and it is the reference's literal
-# op contract (rainstorm/server.go:320-361) — so its 7 queries lead.
-_ZERO_COVERAGE_FAMILIES = ("rainstorm",)
 
 _FAMILY_PRIORITY = (
     "core",
@@ -188,24 +209,19 @@ _FAMILY_PRIORITY = (
 def _presentation_order(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     """Stable re-ordering of the registry for the driver.
 
-    Round-5 layout (VERDICT r04 item #1): (0) the rainstorm family —
-    zero driver rows in four rounds for the reference's literal op
-    contract — ordered by measured gate cost ascending; (1) the
-    re-oracled sketch queries (_REVERIFY — rows-only rows now promoted
-    to full value-hash oracles, VERDICT r04 item #2); (2) every other
-    driver-unverified query by measured sf0.01 gate cost ascending
-    (Spark run + DuckDB oracle wall seconds, tools/gate_costs.py →
-    gate_order.py) so the wall-clock budget clears the maximum number of
-    fresh names; (3) the verified core reference ops (the parity signal,
-    re-checked as soon as fresh names are exhausted); (4) the verified
-    remainder. Queries with no measured cost yet sort at cost 0 within
-    their group — new operators need their first driver row most."""
+    Round-6 layout (VERDICT r05 items #1 and #8): (0) the 14-row
+    stability re-check (_REVERIFY — the rainstorm contract + the
+    promoted sketch oracles round 5 first lit up) by gate cost
+    ascending; (1) every driver-unverified query by measured sf0.01 gate
+    cost ascending (Spark run + DuckDB oracle wall seconds,
+    tools/gate_costs.py → gate_order.py) so the budget clears the
+    maximum number of fresh names from the 124-deep backlog; (2) the
+    verified core reference ops (the parity signal, re-checked as soon
+    as fresh names are exhausted); (3) the verified remainder. Queries
+    with no measured cost yet sort at cost 0 within their group — new
+    operators need their first driver row most."""
     fam_rank = {
         f"streamprocessing_spark.queries.{m}": i for i, m in enumerate(_FAMILY_PRIORITY)
-    }
-    zero_cov_rank = {
-        f"streamprocessing_spark.queries.{m}": i
-        for i, m in enumerate(_ZERO_COVERAGE_FAMILIES)
     }
     reg_index = {name: i for i, name in enumerate(registry)}
     try:
@@ -213,22 +229,19 @@ def _presentation_order(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     except ImportError:  # pre-measurement bootstrap
         GATE_COST = {}
 
-    def key(name: str) -> tuple[int, int, float, int, int]:
+    def key(name: str) -> tuple[int, float, int, int]:
         spec = registry[name]
         mod = spec.fn.__module__
-        if mod in zero_cov_rank and name not in _DRIVER_VERIFIED:
+        if name in _REVERIFY:
             group = 0
-        elif name in _REVERIFY:
-            group = 1
         elif name not in _DRIVER_VERIFIED:
-            group = 2
+            group = 1
         elif mod == "streamprocessing_spark.queries.core":
-            group = 3
+            group = 2
         else:
-            group = 4
-        subrank = zero_cov_rank.get(mod, 0) if group == 0 else 0
-        cost = GATE_COST.get(name, 0.0) if group <= 2 else 0.0
-        return (group, subrank, cost, fam_rank.get(mod, len(_FAMILY_PRIORITY)), reg_index[name])
+            group = 3
+        cost = GATE_COST.get(name, 0.0) if group <= 1 else 0.0
+        return (group, cost, fam_rank.get(mod, len(_FAMILY_PRIORITY)), reg_index[name])
 
     return {name: registry[name] for name in sorted(registry, key=key)}
 

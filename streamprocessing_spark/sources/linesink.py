@@ -16,7 +16,9 @@ of that protocol —
   the temp name + row count as its commit message (never touching the
   published namespace);
 - ``commit(messages)`` renames exactly the temp files named in commit
-  messages to ``part-<i>.txt`` (rename is the atomic publish; a retried
+  messages to ``part-<job-token>-<i>.txt`` (rename is the atomic
+  publish; the per-job token keeps successive append jobs into the same
+  directory from clobbering each other's parts; a retried
   task's SECOND attempt produces a second temp file, but only the
   attempt whose message Spark delivers gets published — the same
   "commit messages are the source of truth" contract FileCommitProtocol
@@ -53,6 +55,11 @@ class KeyedLinesWriter(DataSourceWriter):
     def __init__(self, path: str, fail_first_attempt: bool) -> None:
         self.path = path
         self.fail_first_attempt = fail_first_attempt
+        # Per-job token baked into published part names so a second
+        # .mode("append").save() into the same directory can never
+        # os.replace() over a previous job's parts (append semantics:
+        # publishes accumulate across jobs, they don't overwrite).
+        self.job_token = uuid.uuid4().hex[:12]
 
     def write(self, iterator: Iterator) -> _Committed:
         from pyspark import TaskContext
@@ -85,7 +92,11 @@ class KeyedLinesWriter(DataSourceWriter):
             if m is None:
                 continue
             src = os.path.join(self.path, m.tmp_name)
-            dst = os.path.join(self.path, f"part-{published:05d}.txt")
+            dst = os.path.join(
+                self.path, f"part-{self.job_token}-{published:05d}.txt"
+            )
+            if os.path.exists(dst):  # uuid collision — refuse to clobber
+                raise FileExistsError(dst)
             os.replace(src, dst)  # atomic publish
             published += 1
         # sweep litter from failed attempts — their temp names are in no
