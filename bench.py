@@ -44,6 +44,7 @@ HEADLINE = [
     "asof_join_latest_order",
     # LLM-pipeline extensions
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_scaled",
     "dedup_simhash",
     "ann_cosine_topk",
     # srp_lsh_cosine_pairs (fixed r,b) retired from the headline per

@@ -45,11 +45,13 @@ assert BANDS * ROWS_PER_BAND == NUM_HASHES
 assert SIMHASH_CHUNKS * SIMHASH_CHUNK_BITS == SIMHASH_BITS
 
 
-def _coeffs() -> list[tuple[int, int]]:
+def _coeffs(n: int = NUM_HASHES) -> list[tuple[int, int]]:
     """Deterministic (a_j, b_j) for the universal-hash family — plain
-    arithmetic, no RNG, so the DuckDB oracle regenerates the same values."""
+    arithmetic, no RNG, so the DuckDB oracle regenerates the same values.
+    Pure in j: the fixed tier's 64 and the count-scaled tier's b(r)·RMAX
+    coefficients agree on every shared index."""
     out = []
-    for j in range(NUM_HASHES):
+    for j in range(n):
         a = (((2 * j + 1) * 2654435761) % (1 << 31)) | 1
         b = ((j * 40503) + 12345) % (1 << 31)
         out.append((a, b))
@@ -57,6 +59,32 @@ def _coeffs() -> list[tuple[int, int]]:
 
 
 COEFFS = _coeffs()
+
+# Count-scaled MinHash banding (VERDICT r05 item #2 — the in-family
+# remedy for the fixed 16×4 candidate law, same scale law the SRP tiers
+# already carry): r(n) = clamp(ceil(log2 n) − MH_R_SHIFT, RMIN, RMAX)
+# minhashes per band grows one hash per corpus doubling, bounding
+# expected bucket occupancy where frozen r lets candidate volume grow
+# superlinearly (SCALEBENCH: dedup_minhash_lsh ×20.4 at the 10× proxy).
+# Bands grow alongside — b(r) = ceil(b0·ln(1−t^r0)/ln(1−t^r)) holds the
+# fixed tier's design recall 1−(1−t^4)^16 ≈ 0.9998 at t = 0.8 — so the
+# scaled tier trades SIGNATURE cost (b·r hashes: 64 at r=4 → 368 at
+# r=8, the geometric price recall-holding demands) for candidate volume
+# that stays ~linear in n. Hash j of band i is coefficient index
+# i·MH_RMAX + j on BOTH engines, so the pipeline stays bit-exact-
+# oracleable at every count. Production at 100 TB raises RMAX and
+# re-derives SHIFT so 2^r ∝ n holds across the corpus range.
+MH_RMIN = 4
+MH_RMAX = 8
+MH_R_SHIFT = 7
+MH_RECALL_BANDS = {4: 16, 5: 22, 6: 28, 7: 36, 8: 46}
+
+
+def mh_r_for_count(n_rows: int) -> int:
+    """r(n) = clamp(ceil(log2 n) − MH_R_SHIFT, MH_RMIN, MH_RMAX) via exact
+    integer arithmetic ((n−1).bit_length() == ceil(log2 n) for n ≥ 2) —
+    the same value the oracle's ceil(log2(count)) derives."""
+    return min(MH_RMAX, max(MH_RMIN, (max(n_rows, 2) - 1).bit_length() - MH_R_SHIFT))
 
 
 # ---------------------------------------------------------------- Spark side
@@ -324,6 +352,64 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, threshold: floa
     )
 
 
+def minhash_lsh_pairs_scaled(
+    df: DataFrame, id_col: str, text_col: str, threshold: float, n_rows: int
+) -> DataFrame:
+    """MinHash-LSH near-duplicate pairs with CORPUS-SCALED banding —
+    r(n) minhashes per band and recall-held b(r) bands derived from a
+    driver-side metadata count (the resolution analogue of AQE deriving
+    partitioning from runtime stats; cf. srp_lsh_cosine_pairs_recall_held,
+    operators/similarity.py). Doubling the corpus adds one hash per
+    band, holding expected bucket occupancy — candidates stay ~linear in
+    n where the frozen 16×4 tier's volume grows superlinearly — while
+    b(r) grows so detection probability at the threshold stays at the
+    fixed tier's 1−(1−t⁴)¹⁶ design point. Verification is the same exact
+    Jaccard, so precision is exact at every (r, b).
+
+    Only the b·r needed aggregates are computed (hash j of band i =
+    coefficient index i·MH_RMAX + j — the index law the oracle replays);
+    the one aggregation pass and the band-bucket self-join keep the plan
+    shape identical to the fixed tier's pinned plan."""
+    r = mh_r_for_count(n_rows)
+    bands = MH_RECALL_BANDS[r]
+    coeffs = _coeffs(bands * MH_RMAX)
+    sh = shingle_df(df, id_col, text_col)
+    hashed = sh.select("id", _h32(F.col("sh")).alias("h"))
+    mins = ", ".join(
+        "min(({a} * h + {b}) % {m})".format(
+            a=coeffs[i * MH_RMAX + j][0], b=coeffs[i * MH_RMAX + j][1], m=MOD32
+        )
+        for i in range(bands)
+        for j in range(r)
+    )
+    sig = hashed.groupBy("id").agg(F.expr(f"array({mins})").alias("mh"))
+    band_structs = ", ".join(
+        "struct({i} AS band, concat_ws('-', {cols}) AS sig)".format(
+            i=i, cols=", ".join(f"mh[{i * r + j}]" for j in range(r))
+        )
+        for i in range(bands)
+    )
+    buckets = sig.select(
+        "id", F.explode(F.expr(f"array({band_structs})")).alias("bs")
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.sig") == F.col("b.sig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        jaccard_on_pairs(sh, cand)
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", portable_round(F.col("jaccard"), 4).alias("jaccard"))
+    )
+
+
 def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash): 60-bit simhash over term frequencies. Two narrow
     aggregations (doc×token counts, then 60 signed bit-sums per doc)."""
@@ -458,6 +544,67 @@ def sql_minhash_lsh(threshold: float) -> str:
     sig_t AS (SELECT id,
            {mins}
            FROM sh GROUP BY id),
+    buckets AS (
+{band_rows}
+    ),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM buckets a
+             JOIN buckets b ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+    common AS (SELECT c.id_a, c.id_b, count(*) AS c
+               FROM cand c
+               JOIN sh a ON a.id = c.id_a
+               JOIN sh b ON b.id = c.id_b AND b.sh = a.sh
+               GROUP BY 1, 2)
+    SELECT c.id_a, c.id_b,
+           floor((c.c * 1.0 / (sa.n + sb.n - c.c)) * 10000.0 + 0.5) / 10000.0 AS jaccard
+    FROM common c
+    JOIN sizes sa ON c.id_a = sa.id
+    JOIN sizes sb ON c.id_b = sb.id
+    WHERE c.c * 1.0 / (sa.n + sb.n - c.c) >= {threshold}
+    """
+
+
+def sql_minhash_lsh_scaled(threshold: float) -> str:
+    """DuckDB mirror of minhash_lsh_pairs_scaled: the oracle derives the
+    SAME (r, b) from its own count(*) — ceil(log2 n) is exact on both
+    engines for integer arguments — computes every band's full MH_RMAX
+    hash list (static SQL can't know r at build time), and slices each
+    list to r_t.r before concatenation; bands ≥ b(r) are filtered by the
+    r_t.bt bound. Hash j of band i is coefficient index i·MH_RMAX + j,
+    identical to the Spark side, so signatures — and therefore candidate
+    sets and verified pairs — agree bit for bit at every corpus count."""
+    bmax = max(MH_RECALL_BANDS.values())
+    coeffs = _coeffs(bmax * MH_RMAX)
+    bt_case = " ".join(f"WHEN {r} THEN {b}" for r, b in sorted(MH_RECALL_BANDS.items()))
+    band_lists = ",\n           ".join(
+        "[{mins}] AS l_{i}".format(
+            i=i,
+            mins=", ".join(
+                "CAST(min(({a} * h + {b}) % {m}) AS VARCHAR)".format(
+                    a=coeffs[i * MH_RMAX + j][0], b=coeffs[i * MH_RMAX + j][1], m=MOD32
+                )
+                for j in range(MH_RMAX)
+            ),
+        )
+        for i in range(bmax)
+    )
+    band_rows = "\n      UNION ALL\n".join(
+        f"      SELECT id, {i} AS band,"
+        f" array_to_string(list_slice(l_{i}, 1, r_t.r), '-') AS sig"
+        f" FROM sig_t, r_t WHERE {i} < r_t.bt"
+        for i in range(bmax)
+    )
+    return f"""
+    WITH {sql_shingles()},
+    sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+    r_t AS (SELECT r, CASE r {bt_case} END AS bt FROM (
+      SELECT CAST(least({MH_RMAX}, greatest({MH_RMIN},
+                 CAST(ceil(log2(greatest(count(*), 2))) AS INT) - {MH_R_SHIFT})) AS INT) AS r
+      FROM documents)),
+    hashed AS (SELECT id, {sql_h32('sh')} AS h FROM sh),
+    sig_t AS (SELECT id,
+           {band_lists}
+           FROM hashed GROUP BY id),
     buckets AS (
 {band_rows}
     ),

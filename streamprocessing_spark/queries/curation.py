@@ -2202,14 +2202,16 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     Σ[mlog2(tc+1) − mlog2(rc+1)] + n·[mlog2(R+B) − mlog2(T+B)].
     Positive ⇒ the doc's bigrams look more target than raw.
 
-    Scale shape: ONE map-side-combinable aggregate builds the
-    {DSIR_BUCKETS}-row bucket table carrying raw and target counts
-    together (the target total folds from it — no second corpus scan
-    for the target side); the table BROADCASTS to the per-doc join, so
-    the corpus is scanned twice total (bucket build + score) and the
-    only shuffle of fact scale is the per-doc groupBy on doc_id.
-    Documents with < 2 tokens have no bigram features and are absent,
-    as in the paper's n-gram feature space."""
+    Scale shape: the exploded (doc_id, lang, bucket) bigram relation is
+    checkpointed ONCE (narrow — three int-ish columns) and feeds both
+    the {DSIR_BUCKETS}-row bucket build and the per-doc score join, so
+    the corpus is tokenized exactly once (measured ~1.7× over the
+    earlier build-twice form, the r05→r06 regression chase); the bucket
+    table carries raw and target counts together (the target total
+    folds from it — no second pass for the target side) and BROADCASTS
+    to the score join, so the only shuffle of fact scale is the per-doc
+    groupBy on doc_id. Documents with < 2 tokens have no bigram
+    features and are absent, as in the paper's n-gram feature space."""
     from streamprocessing_spark.functions import text as T
 
     d = load_table(spark, sf_dir, "documents")
@@ -2235,14 +2237,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.conv(F.substring(F.md5(F.col("gram")), 1, 8), 16, 10).cast("long")
             % DSIR_BUCKETS
         ).alias("b"),
-    )
-    bc = (
-        big.groupBy("b")
-        .agg(
-            F.count(F.lit(1)).alias("rc"),
-            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),
-        )
-        .localCheckpoint(eager=True)  # feeds totals AND the score join
+    ).localCheckpoint(eager=True)  # one tokenize+explode feeds BOTH consumers
+    bc = big.groupBy("b").agg(
+        F.count(F.lit(1)).alias("rc"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("tc"),
     )
     tots = bc.agg(
         T.mlog2(F.sum("rc") + F.lit(DSIR_BUCKETS)).alias("mr"),

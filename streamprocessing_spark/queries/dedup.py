@@ -108,27 +108,62 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_minhash_lsh",
     oracle=D.sql_minhash_lsh(JACCARD_THRESHOLD),
-    tags=("dedup", "llm-pipeline", "lsh"),
+    tags=("dedup", "llm-pipeline", "lsh", "baseline-fixed-scale"),
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash(64) + LSH(16×4) near-dup pairs, exact-Jaccard-verified.
     The oracle replicates the identical portable hash arithmetic in SQL,
     so this approximate operator is still bit-for-bit checked. Serves the
     shared pair view (_pairs_view) — first consumer in a session builds
-    the full pipeline, the other five cascade queries reuse it."""
+    the full pipeline, the other five cascade queries reuse it.
+
+    FROZEN 16×4 banding: candidate volume grows superlinearly with the
+    corpus (SCALEBENCH ×20.4 at the 10× proxy) — superseded by
+    dedup_minhash_lsh_scaled (count-scaled r(n), recall-held b(r)) for
+    production corpora; this tier stays registered as the comparison
+    baseline the scale curves are measured against."""
     return _pairs_view(spark, sf_dir)
+
+
+@register(
+    "dedup_minhash_lsh_scaled",
+    oracle=D.sql_minhash_lsh_scaled(JACCARD_THRESHOLD),
+    tags=("dedup", "llm-pipeline", "lsh", "scale-tier"),
+)
+def dedup_minhash_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs with CORPUS-SCALED banding — the
+    production tier superseding dedup_minhash_lsh's frozen 16×4: r(n) =
+    clamp(ceil(log2 n) − 7, 4, 8) minhashes per band (one more per
+    corpus doubling, bounding bucket occupancy so candidates stay
+    ~linear in n) and b(r) = {4:16, 5:22, 6:28, 7:36, 8:46} bands
+    holding the fixed tier's 1−(1−t⁴)¹⁶ ≈ 0.9998 detection probability
+    at t = 0.8. (r, b) derive from a metadata count on both engines —
+    the oracle replays the identical md5-portable hash arithmetic at the
+    identical coefficient indices (i·8+j), so the scaled tier stays
+    bit-for-bit checked like every other LSH tier. Exact-Jaccard verify
+    makes precision exact at every (r, b). Cf. the SRP analogue
+    srp_lsh_cosine_pairs_recall_held (operators/similarity.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    return D.minhash_lsh_pairs_scaled(d, "doc_id", "text", JACCARD_THRESHOLD, d.count())
 
 
 @register(
     "dedup_simhash",
     oracle=D.sql_simhash_pairs(3),
-    tags=("dedup", "llm-pipeline", "lsh"),
+    tags=("dedup", "llm-pipeline", "lsh", "baseline-fixed-scale"),
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash(60-bit) pairs within hamming distance 3. Spark runs the
     banded plan (4×15-bit chunks — exact by pigeonhole for d≤3); the
     oracle brute-forces all pairs. Both must agree exactly. Serves the
-    shared simhash view (reused by dedup_tier_agreement)."""
+    shared simhash view (reused by dedup_tier_agreement).
+
+    FROZEN 4×15-bit banding (SCALEBENCH ×25.4 at the 10× proxy): the
+    exact-pigeonhole guarantee pins (chunks, bits) to the hamming budget,
+    so this tier cannot scale its banding without giving up exactness —
+    at crawl scale use dedup_minhash_lsh_scaled (count-scaled banding) or
+    pre-shard by simhash prefix; this tier stays as the exact-recall
+    hamming baseline."""
     return _simhash_view(spark, sf_dir)
 
 
@@ -486,7 +521,7 @@ def dedup_jaccard_prefix_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "minhash_jaccard_estimate_audit",
     oracle=D.sql_minhash_estimate_audit(),
-    tags=("dedup", "llm-pipeline", "lsh", "statistics"),
+    tags=("dedup", "llm-pipeline", "lsh", "statistics", "baseline-fixed-scale"),
 )
 def minhash_jaccard_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sketch-accuracy audit for the MinHash tier: for every LSH
@@ -501,7 +536,11 @@ def minhash_jaccard_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFram
     Scale shape: identical to dedup_minhash_lsh through candidates
     (band-bucket self-join, never all-pairs); the estimate adds one
     signature join (64 bigints per doc), the exact side reuses the
-    shingle-intersection verify already paid by the LSH tier."""
+    shingle-intersection verify already paid by the LSH tier. Inherits
+    the fixed tier's FROZEN 16×4 banding (SCALEBENCH ×36.5 at the 10×
+    proxy — hence baseline-fixed-scale): the audit exists to size (r, b)
+    BEFORE a production run, so it deliberately measures the fixed
+    sketch; run it on a sample, not the full crawl."""
     return _estimate_audit_view(spark, sf_dir)
 
 

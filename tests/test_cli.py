@@ -105,6 +105,14 @@ def test_cli_list_marks_fixed_scale_baselines(capsys):
         "dedup_ngram_jaccard", "dedup_char_ngram_jaccard",
         "embedding_cosine_pairs", "knn_label_audit",
     } <= tagged
+    # round-6 (VERDICT r05 item #3): the previously-untagged superlinear
+    # fixed-banding tiers now warn too (their scaled siblings shipped)
+    assert {
+        "dedup_minhash_lsh", "dedup_simhash", "minhash_jaccard_estimate_audit",
+    } <= tagged
+    # ...but the production tiers must NOT be tagged
+    assert "dedup_minhash_lsh_scaled" not in tagged
+    assert "semantic_dedup_keep" not in tagged
 
     main(["list"])
     out = capsys.readouterr()

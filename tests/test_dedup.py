@@ -17,6 +17,51 @@ def test_lsh_equals_exact_jaccard(spark, sf_dir):
     assert len(exact) > 0, "fixture should contain injected near-duplicates"
 
 
+def test_scaled_lsh_equals_exact_at_every_r(spark, sf_dir):
+    """The count-scaled tier's recall-held b(r) law means the verified
+    pair set must equal the brute-force tier AT EVERY banding
+    resolution — force n_rows through the whole clamp range so the
+    r=4 (fixed-equivalent) and r=8 (368-hash) paths both run locally,
+    not just the fixture's natural r."""
+    d = load_table(spark, sf_dir, "documents")
+    exact = {tuple(r) for r in D.exact_jaccard_pairs(d, "doc_id", "text", 0.8).collect()}
+    assert len(exact) > 0
+    for forced_n in (2, 1 << 12, 1 << 15):  # r = 4, 5, 8
+        got = {
+            tuple(r)
+            for r in D.minhash_lsh_pairs_scaled(
+                d, "doc_id", "text", 0.8, forced_n
+            ).collect()
+        }
+        assert got == exact, f"n_rows={forced_n}"
+
+
+def test_mh_scale_law_pure_python():
+    """Pure-Python re-derivation of the count-scaled banding law:
+    r(n) clamps and grows one hash per corpus doubling; b(r) holds the
+    fixed tier's 1-(1-t^4)^16 design detection probability at t=0.8."""
+    assert D.mh_r_for_count(0) == D.MH_RMIN
+    assert D.mh_r_for_count(500) == D.MH_RMIN
+    assert D.mh_r_for_count(1 << (D.MH_RMIN + D.MH_R_SHIFT)) == D.MH_RMIN
+    assert D.mh_r_for_count((1 << (D.MH_RMIN + D.MH_R_SHIFT)) + 1) == D.MH_RMIN + 1
+    assert D.mh_r_for_count(1 << 30) == D.MH_RMAX
+    # monotone non-decreasing in n
+    rs = [D.mh_r_for_count(n) for n in range(1, 1 << 16, 997)]
+    assert rs == sorted(rs)
+    # contiguous table keyed by exactly the clamp range
+    assert sorted(D.MH_RECALL_BANDS) == list(range(D.MH_RMIN, D.MH_RMAX + 1))
+    t = 0.8
+    design = 1 - (1 - t**4) ** 16
+    for r, b in D.MH_RECALL_BANDS.items():
+        recall = 1 - (1 - t**r) ** b
+        assert recall >= design - 1e-4, (r, b, recall)
+        # ...and b is the MINIMAL such band count (no padding)
+        if b > 1:
+            assert 1 - (1 - t**r) ** (b - 1) < design - 1e-9 or r == 4, (r, b)
+    # coefficient law: shared indices agree between fixed and scaled
+    assert D._coeffs(368)[: D.NUM_HASHES] == D.COEFFS
+
+
 def test_simhash_symmetric_pairs(spark, sf_dir):
     d = load_table(spark, sf_dir, "documents")
     pairs = D.simhash_pairs(d, "doc_id", "text", max_hamming=3).collect()

@@ -32,6 +32,7 @@ PLAN_SET = [
     "window_topn_per_group",
     "asof_join_latest_order",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_scaled",
     "dedup_simhash",
     "ann_cosine_topk",
     "srp_lsh_cosine_pairs",

@@ -184,9 +184,22 @@ QUERIES = (
     "multimodal_silence_ratio",
     "source_ablation_impact",
     "conformal_quality_threshold",
+    # round-6 additions: the count-scaled MinHash tier (the in-family
+    # remedy for dedup_minhash_lsh's frozen 16×4 law), the unsuffixed
+    # semantic production name (its r05 row predated the round-4 repoint
+    # to the IVF cascade — stale SRP-era curve), and the bucketed join
+    # under the proxy-warm discipline (the join alone, not the write)
+    "dedup_minhash_lsh_scaled",
+    "semantic_dedup_keep",
+    "bucketed_join_revenue",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
+
+# Queries whose fn memoizes a ONE-TIME layout write (bucketed catalog
+# tables) per (session, sf): measured after a warm run at BOTH scales so
+# the curve is the recurring join, not the amortized write.
+PREWARM_PROXY = frozenset({"bucketed_join_revenue"})
 
 
 def build_proxy(spark, base: str, out: str) -> None:
@@ -421,6 +434,14 @@ def main() -> None:
         # warm (JIT/codegen/broadcast-threshold effects), then measure
         time_query(spec, spark, args.base)
         small_s, small_n = time_query(spec, spark, args.base)
+        if name in PREWARM_PROXY:
+            # one-time-layout queries memoize a catalog write per
+            # (session, sf): the base warm run above already absorbs it
+            # at sf0.1, but without a proxy warm run the measured proxy
+            # time includes re-WRITING the layout — the r05 ×7.13 curve
+            # for a join whose plan test proves zero exchanges. Warm at
+            # proxy too so both sides measure the JOIN alone.
+            time_query(spec, spark, PROXY_DIR)
         big_s, big_n = time_query(spec, spark, PROXY_DIR)
         result["queries"][name] = {
             "sf0.1_sec": round(small_s, 3),
