@@ -194,6 +194,9 @@ HEADLINE = [
     "fano_burstiness_by_type",
     "t_closeness_audit",
     "attribution_position_based",
+    # round-6 additions: real-codec phash tier + dirty-ingest accounting
+    "multimodal_phash_neardup_real",
+    "source_malformed_csv_permissive",
 ]
 
 # streaming queries are benched via their shared concurrent drain in the

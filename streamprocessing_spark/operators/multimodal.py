@@ -408,6 +408,55 @@ def phash_real(payload: bytes) -> int:
     return bits
 
 
+# Real-codec fixture geometry: w*h == PH_BITS so phash_real's block
+# pooling degenerates to one pixel per block — the pixel LAW (not the
+# encoded bytes) is what the SQL oracle replays, making the whole
+# encode→decode→hash pipeline end-to-end checkable on genuine rasters.
+REAL_W = 10
+REAL_H = 6
+
+
+def real_pixel_law(doc_id: int, i: int) -> int:
+    """Deterministic grayscale value of pixel i for document doc_id:
+    md5-derived from the doc's GROUP (doc_id div 5 — five docs share a
+    base image, the injected near-dup structure), except pixel
+    doc_id mod 60 which perturbs per-doc (so group pairs land at
+    hamming 0–2, inside the ≤3 banding guarantee). The DuckDB oracle
+    evaluates this identical arithmetic in SQL."""
+    if i == doc_id % PH_BITS:
+        return hashlib.md5(f"pp:{doc_id}:{i}".encode()).digest()[0]
+    return hashlib.md5(f"rpx:{doc_id // 5}:{i}".encode()).digest()[0]
+
+
+def build_real_media(docs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """(media_id, payload): REAL encoded image bytes per document —
+    grayscale REAL_W×REAL_H rasters from real_pixel_law, written as
+    binary PPM (P6) for even ids and bottom-up padded 24-bit BMP for odd
+    ids, so one corpus exercises BOTH codecs (including BMP's row-order
+    and stride handling — a decoder bug there changes decoded pixels,
+    changes the phash, and fails the oracle). Payloads are built AND
+    consumed executor-side; only ids and 8-byte hashes ever shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            payloads = []
+            for did in pdf[id_col]:
+                did = int(did)
+                rgb = b"".join(
+                    bytes([v, v, v])
+                    for v in (
+                        real_pixel_law(did, i) for i in range(REAL_W * REAL_H)
+                    )
+                )
+                enc = encode_ppm if did % 2 == 0 else encode_bmp24
+                payloads.append(enc(REAL_W, REAL_H, rgb))
+            yield pd.DataFrame({"media_id": pdf[id_col], "payload": payloads})
+
+    return docs.select(id_col).mapInPandas(kernel, "media_id bigint, payload binary")
+
+
 def phash_df(media: DataFrame, hash_fn=None) -> DataFrame:
     """(media_id, phash): Arrow-batched perceptual-hash extraction —
     payload bytes cross the JVM→Python boundary once per batch, one

@@ -859,6 +859,93 @@ def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_malformed_csv_permissive",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(count(*) FILTER (o_orderkey % 7 <> 0) AS BIGINT) AS n_parsed,
+           CAST(count(*) FILTER (o_orderkey % 7 = 0) AS BIGINT) AS n_quarantined,
+           CAST(coalesce(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                         FILTER (o_orderkey % 7 <> 0), 0) AS BIGINT) AS clean_cents
+    FROM orders
+    GROUP BY 1
+    """,
+    tags=("analytics", "source", "csv", "dirty-data"),
+)
+def source_malformed_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Malformed-input ingest under PERMISSIVE mode with _corrupt_record
+    accounting (VERDICT r05 item #5 — the first thing a real crawl
+    hits): a CSV staging of orders is DELIBERATELY corrupted — every
+    o_orderkey % 7 == 0 row gets a non-numeric cents field ('1234X'),
+    the reference analogue being op-exe contracts that silently drop
+    unparseable lines (app1op2.go:11-17; this op keeps them, counted) —
+    then read back with an explicit schema + columnNameOfCorruptRecord.
+    Per status: rows parsed clean, rows quarantined (raw line preserved
+    in the corrupt column — replayable into a quarantine sink), and the
+    exact cents sum over the CLEAN subset only. The oracle replays the
+    deterministic corruption rule against the orders table directly, so
+    the parser's quarantine behaviour itself is value-hash-checked.
+
+    Scale shape: the staging write is fixture plumbing (real crawls
+    arrive corrupted); the measured path is one schema'd CSV scan + a
+    map-side-combinable status aggregate — PERMISSIVE parsing is
+    per-row work at scan, no extra shuffle. A corrupted row keeps its
+    parseable columns (status — the standard PERMISSIVE partial-parse
+    contract), which is what lets the quarantine COUNT land in the
+    right status group without reparsing."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5))
+        .cast("long")
+        .alias("cents"),
+    )
+    lines = o.select(
+        F.concat_ws(
+            ",",
+            F.col("o_orderkey"),
+            F.col("o_orderstatus"),
+            F.when(
+                F.col("o_orderkey") % 7 == 0,
+                F.concat(F.col("cents").cast("string"), F.lit("X")),
+            ).otherwise(F.col("cents").cast("string")),
+        ).alias("value")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"sp_badcsv_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}",
+    )
+    lines.write.mode("overwrite").text(out)
+    schema = StructType(
+        [
+            StructField("o_orderkey", LongType()),
+            StructField("status", StringType()),
+            StructField("cents", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return parsed.groupBy("status").agg(
+        F.sum(F.when(~bad, 1).otherwise(0)).cast("long").alias("n_parsed"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_quarantined"),
+        F.coalesce(F.sum(F.when(~bad, F.col("cents"))), F.lit(0))
+        .cast("long")
+        .alias("clean_cents"),
+    )
+
+
+@register(
     "cube_counts",
     oracle="""
     SELECT o_orderstatus, o_orderpriority, CAST(count(*) AS BIGINT) AS cnt

@@ -60,6 +60,54 @@ def test_ppm_and_bmp_roundtrip_real_decode():
         M.decode_image_pixels(M.encode_ppm(4, 2, _gradient_rgb(4, 2))[:-5])
 
 
+def test_registered_real_tier_pixel_law_and_codec_mix(spark):
+    """The REGISTERED real-codec tier (VERDICT r05 item #4): payload
+    magic alternates PPM/BMP by id parity, the real decoder recovers
+    exactly the pixel-law raster from BOTH (a BMP row-order bug would
+    break odd ids only), and the query's pair set contains the injected
+    same-group near-dups."""
+    from streamprocessing_spark.registry import all_specs
+
+    media = M.build_real_media(
+        spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    ).collect()
+    assert len(media) == 20
+    for row in media:
+        payload = bytes(row.payload)
+        expect_magic = b"P6" if row.media_id % 2 == 0 else b"BM"
+        assert payload.startswith(expect_magic), row.media_id
+        w, h, rgb = M.decode_image_pixels(payload)
+        assert (w, h) == (M.REAL_W, M.REAL_H)
+        for i in range(w * h):
+            v = M.real_pixel_law(int(row.media_id), i)
+            assert rgb[3 * i : 3 * i + 3] == bytes([v, v, v]), (row.media_id, i)
+    spec = all_specs()["multimodal_phash_neardup_real"]
+    pairs = {
+        (r.id_a, r.id_b): r.hamming
+        for r in spec.fn(spark, "/root/testdata/sf0.001").collect()
+    }
+
+    # pure-Python re-derivation (independent of Spark AND the oracle):
+    # phash from the pixel law for all 500 docs, brute-force hamming<=3
+    def law_phash(did: int) -> int:
+        px = [M.real_pixel_law(did, i) for i in range(M.PH_BITS)]
+        mean = sum(px) / float(M.PH_BITS)
+        return sum(1 << i for i, p in enumerate(px) if p > mean)
+
+    n = 500
+    ph = [law_phash(d) for d in range(n)]
+    expect = {
+        (a, b): bin(ph[a] ^ ph[b]).count("1")
+        for a in range(n)
+        for b in range(a + 1, n)
+        if bin(ph[a] ^ ph[b]).count("1") <= M.PH_MAX_HAMMING
+    }
+    assert pairs == expect
+    # the injected structure dominates: most pairs are same-group
+    same_group = sum(1 for (a, b) in pairs if a // 5 == b // 5)
+    assert same_group / len(pairs) > 0.9 and len(pairs) > 500
+
+
 def test_real_decode_feature_and_phash_pipeline(spark):
     """End-to-end on GENUINE pixels: PPM/BMP payloads flow through the
     same mapInPandas kernels as the stub tier — extract_features reports

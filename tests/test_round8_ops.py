@@ -1179,3 +1179,34 @@ def test_position_attribution_conserves_and_shapes(spark, sf_dir):
             mids = [by_rank[r] for r in range(2, n)]
             assert max(mids) - min(mids) <= 1
             assert sum(mids) == cents - 2 * f
+
+
+def test_malformed_csv_permissive_quarantine_law(spark, sf_dir):
+    """Dirty-ingest accounting (round 6): the quarantine rule is exactly
+    o_orderkey % 7 == 0, the parsed/quarantined split is a partition of
+    the orders table per status, and the clean cents sum re-derives from
+    the parquet source directly."""
+    out = {
+        r.status: r
+        for r in SPECS["source_malformed_csv_permissive"].fn(spark, sf_dir).collect()
+    }
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.floor(F.col("o_totalprice") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
+    )
+    rows = o.collect()
+    agg: dict = {}
+    for r in rows:
+        st = r.o_orderstatus
+        p, q, c = agg.get(st, (0, 0, 0))
+        if r.o_orderkey % 7 == 0:
+            q += 1
+        else:
+            p += 1
+            c += r.cents
+        agg[st] = (p, q, c)
+    assert set(out) == set(agg)
+    for st, (p, q, c) in agg.items():
+        got = out[st]
+        assert (got.n_parsed, got.n_quarantined, got.clean_cents) == (p, q, c), st

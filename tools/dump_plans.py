@@ -202,6 +202,9 @@ PLAN_SET = [
     "fano_burstiness_by_type",
     "t_closeness_audit",
     "attribution_position_based",
+    # round-6 additions
+    "multimodal_phash_neardup_real",
+    "source_malformed_csv_permissive",
 ]
 
 
