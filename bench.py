@@ -197,6 +197,7 @@ HEADLINE = [
     # round-6 additions: real-codec phash tier + dirty-ingest accounting
     "multimodal_phash_neardup_real",
     "source_malformed_csv_permissive",
+    "source_malformed_jsonl_permissive",
 ]
 
 # streaming queries are benched via their shared concurrent drain in the

@@ -1907,6 +1907,89 @@ def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "source_malformed_jsonl_permissive",
+    oracle="""
+    SELECT CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END AS event_type,
+           CAST(count(*) FILTER (event_id % 11 <> 0) AS BIGINT) AS n_parsed,
+           CAST(count(*) FILTER (event_id % 11 = 0) AS BIGINT) AS n_quarantined,
+           CAST(coalesce(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                         FILTER (event_id % 11 <> 0), 0) AS BIGINT) AS clean_cents
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("analytics", "source", "json", "dirty-data"),
+)
+def source_malformed_jsonl_permissive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The JSONL twin of source_malformed_csv_permissive — and the
+    structurally different failure mode: a malformed JSON LINE loses the
+    WHOLE row (every schema field NULL, raw text in the corrupt column),
+    where malformed CSV keeps its parseable prefix fields. Every
+    event_id % 11 == 0 line gets a garbage byte PREPENDED (trailing
+    garbage after the root object is tolerated by the Jackson parser —
+    measured, not assumed; the prefix fails at the first token on every
+    parser); read back under PERMISSIVE with
+    columnNameOfCorruptRecord, quarantined rows therefore land in the
+    NULL event_type group (the partial-parse asymmetry this query
+    exists to pin down), parsed rows keep exact clean-subset cents. The
+    oracle replays the corruption rule with the same NULL-group law."""
+    import hashlib
+    import os
+    import tempfile
+
+    from pyspark.sql.types import (
+        DoubleType,
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    js = ev.select(
+        F.when(
+            F.col("event_id") % 11 == 0,
+            F.concat(F.lit("x"), F.to_json(F.struct("event_id", "event_type", "value"))),
+        )
+        .otherwise(F.to_json(F.struct("event_id", "event_type", "value")))
+        .alias("value")
+    )
+    out = os.path.join(
+        tempfile.gettempdir(),
+        f"sp_badjsonl_{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}_{os.getpid()}",
+    )
+    js.write.mode("overwrite").text(out)
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    parsed = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+    )
+    bad = F.col("_corrupt_record").isNotNull()
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.when(~bad, 1).otherwise(0)).cast("long").alias("n_parsed"),
+        F.sum(F.when(bad, 1).otherwise(0)).cast("long").alias("n_quarantined"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    ~bad, F.floor(F.col("value") * 100.0 + F.lit(0.5)).cast("long")
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("clean_cents"),
+    )
+
+
+@register(
     "map_lookup_enrich",
     oracle="""
     SELECT o_orderkey,

@@ -1210,3 +1210,32 @@ def test_malformed_csv_permissive_quarantine_law(spark, sf_dir):
     for st, (p, q, c) in agg.items():
         got = out[st]
         assert (got.n_parsed, got.n_quarantined, got.clean_cents) == (p, q, c), st
+
+
+def test_malformed_jsonl_whole_row_quarantine_law(spark, sf_dir):
+    """JSONL's failure mode differs from CSV's: a malformed line loses
+    the WHOLE row, so every quarantined row lands in the NULL
+    event_type group and parsed groups carry zero quarantines."""
+    rows = SPECS["source_malformed_jsonl_permissive"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value").collect()
+    n_bad = sum(1 for r in ev if r.event_id % 11 == 0)
+    got_bad = 0
+    for r in rows:
+        if r.event_type is None:
+            got_bad += r.n_quarantined
+        else:
+            assert r.n_quarantined == 0, r
+    assert got_bad == n_bad
+    # clean cents re-derivation per parsed group
+    from collections import defaultdict
+    import math
+    cents = defaultdict(int)
+    parsed = defaultdict(int)
+    for r in ev:
+        if r.event_id % 11 != 0:
+            parsed[r.event_type] += 1
+            if r.value is not None:
+                cents[r.event_type] += math.floor(r.value * 100.0 + 0.5)
+    for r in rows:
+        if r.event_type is not None:
+            assert (r.n_parsed, r.clean_cents) == (parsed[r.event_type], cents[r.event_type]), r

@@ -205,6 +205,7 @@ PLAN_SET = [
     # round-6 additions
     "multimodal_phash_neardup_real",
     "source_malformed_csv_permissive",
+    "source_malformed_jsonl_permissive",
 ]
 
 
