@@ -267,6 +267,47 @@ def _build_session_timeout(spark: SparkSession, sf_dir: str) -> DataFrame:
     return timeout_sessions(stream_events(spark, sf_dir))
 
 
+def _build_malformed_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = stream_events(spark, sf_dir).select("event_id", "event_type", "value")
+    js = ev.select(
+        F.when(
+            F.col("event_id") % 11 == 0,
+            F.concat(F.lit("x"), F.to_json(F.struct("event_id", "event_type", "value"))),
+        )
+        .otherwise(F.to_json(F.struct("event_id", "event_type", "value")))
+        .alias("raw")
+    )
+    # PERMISSIVE from_json returns an ALL-NULL ROW (not NULL) for a
+    # malformed record — measured, not assumed; the in-struct corrupt
+    # field is the reliable detector (and carries the raw line, the
+    # dead-letter payload)
+    parsed = js.select(
+        F.from_json(
+            F.col("raw"),
+            "event_id bigint, event_type string, value double, _corrupt string",
+            {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": "_corrupt"},
+        ).alias("r"),
+    )
+    bad = F.col("r._corrupt").isNotNull()
+    return parsed.select(F.col("r.event_type").alias("event_type"), "r", bad.alias("bad")).groupBy(
+        "event_type"
+    ).agg(
+        F.sum(F.when(~F.col("bad"), 1).otherwise(0)).cast("long").alias("n_parsed"),
+        F.sum(F.when(F.col("bad"), 1).otherwise(0)).cast("long").alias("n_quarantined"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    ~F.col("bad"),
+                    F.floor(F.col("r.value") * 100.0 + F.lit(0.5)).cast("long"),
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("long")
+        .alias("clean_cents"),
+    )
+
+
 _PIPELINES: dict[str, tuple] = {
     "streaming_count_update": (_build_count_update, "complete"),
     "streaming_append_sink": (_build_append_sink, "append"),
@@ -284,6 +325,7 @@ _PIPELINES: dict[str, tuple] = {
     "streaming_left_outer_join": (_build_left_outer_join, "append"),
     "streaming_complete_topk": (_build_complete_topk, "complete"),
     "streaming_windowed_distinct_users": (_build_windowed_distinct_users, "append"),
+    "streaming_malformed_json_quarantine": (_build_malformed_json_quarantine, "complete"),
 }
 
 # (applicationId, sf_dir) -> {query_name: memory-sink table name}
@@ -831,3 +873,34 @@ def streaming_windowed_distinct_users(spark: SparkSession, sf_dir: str) -> DataF
     precedes the final watermark (max event time − 1 h), and every
     emitted window is complete."""
     return _drained(spark, sf_dir, "streaming_windowed_distinct_users")
+
+
+@register(
+    "streaming_malformed_json_quarantine",
+    oracle="""
+    SELECT CASE WHEN event_id % 11 = 0 THEN NULL ELSE event_type END AS event_type,
+           CAST(count(*) FILTER (event_id % 11 <> 0) AS BIGINT) AS n_parsed,
+           CAST(count(*) FILTER (event_id % 11 = 0) AS BIGINT) AS n_quarantined,
+           CAST(coalesce(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                         FILTER (event_id % 11 <> 0), 0) AS BIGINT) AS clean_cents
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("streaming", "source", "json", "dirty-data", "aggregate"),
+)
+def streaming_malformed_json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dirty-data ingest AS A STREAM — the from_json quarantine law,
+    which differs from BOTH batch readers: the DSV reader partial-parses
+    (corrupt rows keep their parseable prefix), the JSONL reader nulls
+    the whole row but keeps the raw line in _corrupt_record, and
+    from_json — the only option when the payload arrives as a COLUMN of
+    an already-running stream (Kafka value, log line) — returns an
+    ALL-NULL row with the raw text preserved in the in-struct corrupt
+    field (measured: it does NOT return a null struct). Same deterministic
+    corruption fixture as the batch twins (event_id % 11 prefix
+    garbage); running per-type parsed/quarantined counts + exact clean
+    cents as update-state aggregates, replayed to end-of-stream and
+    checked against the batch oracle. At 100 TB this is the first stage
+    of every streaming crawl ingester: quarantined rows fork to a
+    dead-letter sink by the same `r IS NULL` predicate the counts use."""
+    return _drained(spark, sf_dir, "streaming_malformed_json_quarantine")

@@ -336,6 +336,74 @@ def build_proxy100(spark, proxy10: str, out: str) -> None:
         ).parquet(f"{out}/{t}.parquet")
 
 
+DEDUP100_QUERIES = (
+    "dedup_minhash_lsh_scaled",
+    "dedup_exact",
+)
+
+
+def build_docs100(spark, proxy10: str, out: str) -> None:
+    """100x documents from 10 replicas of the 10x proxy's documents —
+    same construction law (token suffix per replica: intra-replica dup
+    structure preserved, cross-replica similarity ~0; ids shifted to a
+    disjoint range). Lets the count-scaled MinHash tier be measured
+    across TWO decades, including the r == RMAX saturated regime."""
+    docs = spark.read.parquet(f"{proxy10}/documents.parquet")
+    parts = []
+    for k in range(10):
+        d = docs.withColumn("doc_id", F.col("doc_id") + F.lit(k * 10_000_000))
+        if k:
+            d = d.withColumn(
+                "text", F.regexp_replace(F.col("text"), r"(\w+)", rf"$1x{k}")
+            )
+        parts.append(d)
+    _union_all(parts).coalesce(64).write.mode("overwrite").parquet(
+        f"{out}/documents.parquet"
+    )
+
+
+def run_dedup100(spark, base: str, queries: list[str]) -> None:
+    """1x/10x/100x curve for documents-driven dedup tiers (the graph100
+    pattern applied to the round-6 count-scaled MinHash tier)."""
+    if not os.path.isdir(f"{PROXY100_DIR}/lineitem.parquet"):
+        print("building 100x lineitem proxy...", file=sys.stderr)
+        build_proxy100(spark, PROXY_DIR, PROXY100_DIR)
+    marker = f"{PROXY100_DIR}/.docs100"
+    if not os.path.isfile(marker):
+        print("building 100x documents proxy...", file=sys.stderr)
+        build_docs100(spark, PROXY_DIR, PROXY100_DIR)
+        with open(marker, "w") as fh:
+            fh.write("v1")
+    specs = all_specs()
+    result: dict = {"scales": [1, 10, 100], "base": base, "queries": {}}
+    for name in queries:
+        spec = specs[name]
+        time_query(spec, spark, base)  # warm
+        rows = {}
+        ts = []
+        for label, d, nparts in (("x1", base, 32), ("x10", PROXY_DIR, 64),
+                                 ("x100", PROXY100_DIR, 256)):
+            spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+            secs, nrows = time_query(spec, spark, d)
+            rows[label] = {"sec": round(secs, 2), "rows": nrows}
+            ts.append(secs)
+            print(f"# {name} {label}: {secs:.2f}s ({nrows} rows)", file=sys.stderr)
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        expo = fit_exponent([1.0, 10.0, 100.0], ts)
+        rows["fitted_exponent"] = round(expo, 3)
+        result["queries"][name] = rows
+        print(f"# {name}: exponent {expo:.3f}", file=sys.stderr)
+    out = Path(__file__).resolve().parent.parent / "SCALEBENCH100.json"
+    if out.is_file():
+        prior = json.loads(out.read_text())
+        merged = dict(prior.get("queries", {}))
+        merged.update(result["queries"])
+        result["queries"] = merged
+        result["scales"] = prior.get("scales", result["scales"])
+    out.write_text(json.dumps(result, indent=1) + "\n")
+    print(json.dumps(result))
+
+
 def fit_exponent(ns: list[float], ts: list[float]) -> float:
     """Least-squares slope of log(t) vs log(n) — the fitted growth
     exponent over however many decades were measured."""
@@ -394,6 +462,8 @@ def main() -> None:
     ap.add_argument("--rebuild", action="store_true")
     ap.add_argument("--graph100", action="store_true",
                     help="run the graph family at 1x/10x/100x and fit exponents")
+    ap.add_argument("--dedup100", action="store_true",
+                    help="run the dedup tiers at 1x/10x/100x documents and fit exponents")
     ap.add_argument("queries", nargs="*", help="subset of QUERIES to run")
     args = ap.parse_args()
 
@@ -424,6 +494,10 @@ def main() -> None:
 
     if args.graph100:
         run_graph100(spark, args.base, args.queries or list(GRAPH_QUERIES))
+        return
+
+    if args.dedup100:
+        run_dedup100(spark, args.base, args.queries or list(DEDUP100_QUERIES))
         return
 
     specs = all_specs()
