@@ -198,6 +198,7 @@ HEADLINE = [
     "multimodal_phash_neardup_real",
     "source_malformed_csv_permissive",
     "source_malformed_jsonl_permissive",
+    "bitext_mine_margin",
 ]
 
 # streaming queries are benched via their shared concurrent drain in the

@@ -2197,3 +2197,127 @@ def embedding_anisotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("max_cos_micro").cast("long").alias("max_cos_micro"),
         )
     )
+
+
+BITEXT_K = 4
+BITEXT_MARGIN_MILLI = 1100  # ratio-margin threshold 1.1, in milli-units
+
+
+def _sql_bitext_oracle() -> str:
+    """DuckDB replay of bitext_mine_margin: identical quantize-then-
+    integer arithmetic — cos is quantized to BIGINT micro-units BEFORE
+    the k-sums, so neighborhood sums are order-free integer adds on
+    both engines and the margin is ONE truncating division at the end
+    (the mlog2/money discipline applied to Artetxe-Schwenk margins)."""
+    cos = _sql_cos("x.xv", "y.yv")
+    return f"""
+    WITH x AS (SELECT d.doc_id AS xid, e.embedding AS xv
+               FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+               WHERE d.lang = 'en'),
+    y AS (SELECT d.doc_id AS yid, e.embedding AS yv
+          FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+          WHERE d.lang IS NOT NULL AND d.lang <> 'en'),
+    s AS (SELECT xid, yid,
+                 CAST(floor({cos} * 1000000.0 + 0.5) AS BIGINT) AS cq
+          FROM x CROSS JOIN y
+          WHERE {cos} IS NOT NULL),
+    fx AS (SELECT xid, sum(cq) AS sx FROM (
+             SELECT xid, cq,
+                    row_number() OVER (PARTITION BY xid ORDER BY cq DESC, yid) AS r
+             FROM s) WHERE r <= {BITEXT_K} GROUP BY xid),
+    fy AS (SELECT yid, sum(cq) AS sy FROM (
+             SELECT yid, cq,
+                    row_number() OVER (PARTITION BY yid ORDER BY cq DESC, xid) AS r
+             FROM s) WHERE r <= {BITEXT_K} GROUP BY yid),
+    best AS (SELECT xid, yid, cq FROM (
+               SELECT xid, yid, cq,
+                      row_number() OVER (PARTITION BY xid ORDER BY cq DESC, yid) AS r
+               FROM s) WHERE r = 1)
+    SELECT b.xid AS src_doc_id, b.yid AS tgt_doc_id,
+           CAST((2 * {BITEXT_K} * 1000 * b.cq) // (fx.sx + fy.sy) AS BIGINT)
+             AS margin_milli
+    FROM best b
+    JOIN fx ON fx.xid = b.xid
+    JOIN fy ON fy.yid = b.yid
+    WHERE fx.sx + fy.sy > 0
+      AND 2 * {BITEXT_K} * 1000 * b.cq >= {BITEXT_MARGIN_MILLI} * (fx.sx + fy.sy)
+    """
+
+
+@register(
+    "bitext_mine_margin",
+    oracle=_sql_bitext_oracle(),
+    tags=("similarity", "llm-pipeline", "text", "baseline-fixed-scale"),
+)
+def bitext_mine_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based BITEXT MINING (Artetxe & Schwenk 2019 — the
+    algorithm behind CCMatrix/LASER parallel-corpus extraction, a core
+    multilingual-LLM data op): for every English document, its best
+    non-English match by cosine, kept iff the RATIO MARGIN — cos(x,y)
+    over the mean of both sides' k-NN neighborhoods (k=4) — clears 1.1,
+    which suppresses hubness false positives that a bare cosine
+    threshold admits. Deterministic and bit-oracled: cosines quantize
+    to BIGINT micro-units BEFORE the neighborhood sums (order-free
+    integer adds), margin is one truncating division, ranking
+    tie-breaks on id.
+
+    Tagged baseline-fixed-scale: the scoring stage is the exact
+    all-pairs X x Y cross (broadcast of the smaller language slice —
+    fine at audit scale, quadratic by design). The production mining
+    run swaps the scorer for the IVF candidate route (ivf_cosine_pairs'
+    K=ceil(sqrt n) cells) or SRP banding and computes the SAME margin
+    law over candidates; at CCMatrix scale this is exactly how LASER
+    mines — FAISS-IVF shortlists, margin re-rank."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings")
+    joined = d.join(emb, d.doc_id == emb.vec_id).select("doc_id", "lang", "embedding")
+    x = joined.where(F.col("lang") == "en").select(
+        F.col("doc_id").alias("xid"), F.col("embedding").alias("xv")
+    )
+    y = joined.where(F.col("lang").isNotNull() & (F.col("lang") != "en")).select(
+        F.col("doc_id").alias("yid"), F.col("embedding").alias("yv")
+    )
+    # the English slice broadcasts (a language slice is a corpus
+    # fraction); numpy dim-fold kernel scores the cross — bit-identical
+    # to the interpreted try_divide fold (S.with_cosine_fast)
+    scored = S.with_cosine_fast(y.crossJoin(F.broadcast(x)), "xv", "yv", "cos")
+    s = scored.select(
+        "xid",
+        "yid",
+        F.expr("CAST(floor(cos * 1000000.0D + 0.5D) AS BIGINT)").alias("cq"),
+    ).where(F.col("cq").isNotNull())
+    wx = Window.partitionBy("xid").orderBy(F.desc("cq"), F.asc("yid"))
+    wy = Window.partitionBy("yid").orderBy(F.desc("cq"), F.asc("xid"))
+    ranked = s.withColumn("rx", F.row_number().over(wx)).withColumn(
+        "ry", F.row_number().over(wy)
+    )
+    fx = (
+        ranked.where(F.col("rx") <= BITEXT_K)
+        .groupBy("xid")
+        .agg(F.sum("cq").alias("sx"))
+    )
+    fy = (
+        ranked.where(F.col("ry") <= BITEXT_K)
+        .groupBy("yid")
+        .agg(F.sum("cq").alias("sy"))
+    )
+    best = ranked.where(F.col("rx") == 1).select("xid", "yid", "cq")
+    k2000 = 2 * BITEXT_K * 1000
+    return (
+        best.join(fx, "xid")
+        .join(fy, "yid")
+        .where(
+            (F.col("sx") + F.col("sy") > 0)
+            & (
+                F.lit(k2000) * F.col("cq")
+                >= F.lit(BITEXT_MARGIN_MILLI) * (F.col("sx") + F.col("sy"))
+            )
+        )
+        .select(
+            F.col("xid").alias("src_doc_id"),
+            F.col("yid").alias("tgt_doc_id"),
+            F.expr(f"CAST(({k2000} * cq) div (sx + sy) AS BIGINT)").alias(
+                "margin_milli"
+            ),
+        )
+    )

@@ -1239,3 +1239,59 @@ def test_malformed_jsonl_whole_row_quarantine_law(spark, sf_dir):
     for r in rows:
         if r.event_type is not None:
             assert (r.n_parsed, r.clean_cents) == (parsed[r.event_type], cents[r.event_type]), r
+
+
+def test_bitext_margin_numpy_rederivation(spark, sf_dir):
+    """Full numpy re-derivation of the margin-mining law (independent of
+    Spark AND the oracle): brute-force cosines, quantize to micro-units,
+    k-NN sums both directions, forward-best + ratio-margin filter."""
+    import numpy as np
+
+    got = {
+        (r.src_doc_id, r.tgt_doc_id): r.margin_milli
+        for r in SPECS["bitext_mine_margin"].fn(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings")
+    j = d.join(emb, d.doc_id == emb.vec_id).select("doc_id", "lang", "embedding").collect()
+    xs = [(r.doc_id, np.array(r.embedding, dtype=np.float64)) for r in j if r.lang == "en"]
+    ys = [
+        (r.doc_id, np.array(r.embedding, dtype=np.float64))
+        for r in j
+        if r.lang is not None and r.lang != "en"
+    ]
+    K, THR = 4, 1100
+    # sequential-fold cosine to mirror the engine's dim-ordered fold
+    def cos_q(a, b):
+        dot = na = nb = 0.0
+        for i in range(len(a)):
+            dot += a[i] * b[i]
+            na += a[i] * a[i]
+            nb += b[i] * b[i]
+        den = np.sqrt(na) * np.sqrt(nb)
+        if den == 0.0 or np.isnan(dot / den):
+            return None
+        return int(np.floor(dot / den * 1e6 + 0.5))
+
+    s = {}
+    for xid, xv in xs:
+        for yid, yv in ys:
+            q = cos_q(xv, yv)
+            if q is not None:
+                s[(xid, yid)] = q
+    def topk_sum(items, k):
+        return sum(v for v in sorted(items, reverse=True)[:k])
+    sx = {xid: topk_sum([v for (a, _), v in s.items() if a == xid], K) for xid, _ in xs}
+    sy = {yid: topk_sum([v for (_, b), v in s.items() if b == yid], K) for yid, _ in ys}
+    expect = {}
+    for xid, _ in xs:
+        cands = [(-v, b) for (a, b), v in s.items() if a == xid]
+        if not cands:
+            continue
+        negv, yid = min(cands)
+        cq = -negv
+        tot = sx[xid] + sy[yid]
+        if tot > 0 and 8000 * cq >= THR * tot:
+            expect[(xid, yid)] = (8000 * cq) // tot
+    assert got == expect
+    assert got, "fixture should mine at least one pair"

@@ -206,6 +206,7 @@ PLAN_SET = [
     "multimodal_phash_neardup_real",
     "source_malformed_csv_permissive",
     "source_malformed_jsonl_permissive",
+    "bitext_mine_margin",
 ]
 
 
