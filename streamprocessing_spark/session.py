@@ -52,6 +52,16 @@ def get_spark(app_name: str = "streamprocessing-spark", master: str | None = Non
         # generations write micros NTZ and ignore it.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # broadcast builds are collected THROUGH the driver and count
+        # against maxResultSize (default 1g): a join side that AQE sizes
+        # at ~100 MB on disk can serialize past 1 GB row-form, killing
+        # the job even though the driver heap would hold it. 0 = bounded
+        # by driver memory alone, the setting a real cluster uses when
+        # the driver is sized for its broadcasts.
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "4g"),
+        )
         # shuffle/blockmgr scratch OUT of /tmp: the harness box reaps /tmp
         # mid-run (observed twice: shuffle_*.data FileNotFound cascades
         # killing multi-minute jobs). A real cluster sets SPARK_LOCAL_DIRS
