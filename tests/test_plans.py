@@ -684,3 +684,14 @@ def test_stitched_rank_primitives_match_single_task_windows(spark, sf_dir):
     got_max = {r.p: r.runmx for r in global_running_max_prev(c, [F.col("p")], "mx", "runmx").collect()}
     assert got_sum == {p: v[0] for p, v in ref.items()}
     assert got_max == {p: v[1] for p, v in ref.items()}
+
+
+def test_bitext_cross_is_broadcast_not_cartesian(spark, sf_dir):
+    """The X×Y scoring cross must broadcast the English slice — a
+    partitioned CartesianProduct would re-shuffle the corpus for every
+    language pair at scale. The margin windows are xid/yid-partitioned
+    (no global window)."""
+    df = SPECS["bitext_mine_margin"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
