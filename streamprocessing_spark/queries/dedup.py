@@ -142,7 +142,17 @@ def dedup_minhash_lsh_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
     identical coefficient indices (i·8+j), so the scaled tier stays
     bit-for-bit checked like every other LSH tier. Exact-Jaccard verify
     makes precision exact at every (r, b). Cf. the SRP analogue
-    srp_lsh_cosine_pairs_recall_held (operators/similarity.py)."""
+    srp_lsh_cosine_pairs_recall_held (operators/similarity.py).
+
+    Incremental-ingest interaction (dedup_incremental_batch probes a
+    PERSISTED band table): count-scaled banding re-derives (r, b) only
+    when ⌈log₂ n⌉ steps — once per corpus DOUBLING — so the policy at
+    scale is: probe the persisted table at its recorded (r, b) between
+    steps (signatures are prefix-truncatable, so a longer-r signature
+    probes a shorter-r table by truncation), and rebuild the band table
+    at each doubling — an amortized O(1) rebuilds per lifetime of any
+    given corpus size, the same cadence LSM trees pay for level
+    compaction."""
     d = load_table(spark, sf_dir, "documents")
     return D.minhash_lsh_pairs_scaled(d, "doc_id", "text", JACCARD_THRESHOLD, d.count())
 
