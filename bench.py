@@ -199,6 +199,7 @@ HEADLINE = [
     "source_malformed_csv_permissive",
     "source_malformed_jsonl_permissive",
     "bitext_mine_margin",
+    "bitext_mine_margin_ivf",
 ]
 
 # streaming queries are benched via their shared concurrent drain in the

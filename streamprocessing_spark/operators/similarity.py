@@ -551,6 +551,43 @@ def srp_lsh_cosine_pairs_adaptive(
 IVF_PAIR_NASSIGN = 3
 
 
+def ivf_assignments(
+    emb: DataFrame,
+    nassign: int = IVF_PAIR_NASSIGN,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cent_id): every vector's ``nassign`` nearest cells under the
+    deterministic coarse quantizer (K = ceil(sqrt(n)) smallest-id
+    vectors as centroids — the same quantizer ivf_cosine_pairs /
+    ann_ivf_topk use, factored out so candidate-generation consumers
+    like bitext mining share one assignment law). Materialized once
+    (localCheckpoint): assignment is the n·K = n^1.5 hot stage and
+    every consumer joins it at least twice."""
+    k = emb.agg(F.ceil(F.sqrt(F.count(F.lit(1)))).cast("long").alias("k"))
+    centroids = (
+        emb.crossJoin(F.broadcast(k))
+        .where(F.col(id_col) < F.col("k"))
+        .select(F.col(id_col).alias("cent_id"), F.col(vec_col).alias("cent_vec"))
+    )
+    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    w_assign = Window.partitionBy("id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+    return (
+        with_cosine_fast(
+            vecs.join(F.broadcast(centroids)).select(
+                "id", "cent_id", F.col("v").alias("av"), F.col("cent_vec").alias("bv")
+            ),
+            "av",
+            "bv",
+            "cos_c",
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .where(F.col("rn") <= nassign)
+        .select("id", "cent_id")
+        .localCheckpoint(eager=True)
+    )
+
+
 def ivf_cosine_pairs(
     emb: DataFrame,
     threshold: float,

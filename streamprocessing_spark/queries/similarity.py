@@ -2321,3 +2321,144 @@ def bitext_mine_margin(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _sql_bitext_ivf_oracle() -> str:
+    """DuckDB replay of bitext_mine_margin_ivf: the identical
+    deterministic quantizer (K = ceil(sqrt(n)) smallest-id vectors over
+    the WHOLE embeddings table, nassign=3, tie-breaks on cent_id), the
+    identical cell-shortlist candidate law, then the exact-tier margin
+    arithmetic restricted to the shortlist."""
+    cos = _sql_cos("x.xv", "y.yv")
+    na = 3
+    return f"""
+    WITH k AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, embedding AS cv
+             FROM embeddings, k WHERE vec_id < k.k),
+    assigned AS (
+      SELECT id, cent_id FROM (
+        SELECT e.vec_id AS id, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_sql_cos('e.embedding', 'c.cv')} DESC,
+                                           c.cent_id) AS rn
+        FROM embeddings e CROSS JOIN cent c)
+      WHERE rn <= {na}),
+    x AS (SELECT d.doc_id AS xid, e.embedding AS xv
+          FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+          WHERE d.lang = 'en'),
+    y AS (SELECT d.doc_id AS yid, e.embedding AS yv
+          FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+          WHERE d.lang IS NOT NULL AND d.lang <> 'en'),
+    shortlist AS (
+      SELECT DISTINCT ax.id AS xid, ay.id AS yid
+      FROM assigned ax JOIN assigned ay ON ax.cent_id = ay.cent_id
+      WHERE ax.id IN (SELECT xid FROM x) AND ay.id IN (SELECT yid FROM y)),
+    s AS (SELECT sl.xid, sl.yid,
+                 CAST(floor({cos} * 1000000.0 + 0.5) AS BIGINT) AS cq
+          FROM shortlist sl
+          JOIN x ON x.xid = sl.xid
+          JOIN y ON y.yid = sl.yid
+          WHERE {cos} IS NOT NULL),
+    fx AS (SELECT xid, sum(cq) AS sx FROM (
+             SELECT xid, cq,
+                    row_number() OVER (PARTITION BY xid ORDER BY cq DESC, yid) AS r
+             FROM s) WHERE r <= {BITEXT_K} GROUP BY xid),
+    fy AS (SELECT yid, sum(cq) AS sy FROM (
+             SELECT yid, cq,
+                    row_number() OVER (PARTITION BY yid ORDER BY cq DESC, xid) AS r
+             FROM s) WHERE r <= {BITEXT_K} GROUP BY yid),
+    best AS (SELECT xid, yid, cq FROM (
+               SELECT xid, yid, cq,
+                      row_number() OVER (PARTITION BY xid ORDER BY cq DESC, yid) AS r
+               FROM s) WHERE r = 1)
+    SELECT b.xid AS src_doc_id, b.yid AS tgt_doc_id,
+           CAST((2 * {BITEXT_K} * 1000 * b.cq) // (fx.sx + fy.sy) AS BIGINT)
+             AS margin_milli
+    FROM best b
+    JOIN fx ON fx.xid = b.xid
+    JOIN fy ON fy.yid = b.yid
+    WHERE fx.sx + fy.sy > 0
+      AND 2 * {BITEXT_K} * 1000 * b.cq >= {BITEXT_MARGIN_MILLI} * (fx.sx + fy.sy)
+    """
+
+
+@register(
+    "bitext_mine_margin_ivf",
+    oracle=_sql_bitext_ivf_oracle(),
+    tags=("similarity", "llm-pipeline", "text", "approx", "production-tier"),
+)
+def bitext_mine_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION bitext mining — the margin law of bitext_mine_margin
+    computed over IVF-CELL SHORTLISTS instead of the exact X×Y cross
+    (exactly how LASER/CCMatrix mine at web scale: FAISS-IVF shortlist,
+    margin re-rank). Both language sides assign to the deterministic
+    K = ceil(sqrt(n)) quantizer (nassign = 3, the ivf_cosine_pairs
+    quantizer, shared via operators.similarity.ivf_assignments);
+    candidates are cross-language pairs sharing a cell — n^1.5 scoring
+    instead of |X|·|Y| — and the ratio-margin denominators use each
+    side's top-4 WITHIN the shortlist (the standard FAISS-kNN margin,
+    which is itself shortlist-approximate in every production miner).
+    Integer-quantized margin arithmetic identical to the exact tier;
+    the quantizer, shortlist law and margin are all deterministic, so
+    the whole approximate pipeline is still bit-exact-oracled. Recall
+    vs the exact tier asserted in tests."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = S.ivf_assignments(emb, nassign=3)
+    joined = d.join(emb, d.doc_id == emb.vec_id).select("doc_id", "lang", "embedding")
+    x = joined.where(F.col("lang") == "en").select(
+        F.col("doc_id").alias("xid"), F.col("embedding").alias("xv")
+    )
+    y = joined.where(F.col("lang").isNotNull() & (F.col("lang") != "en")).select(
+        F.col("doc_id").alias("yid"), F.col("embedding").alias("yv")
+    )
+    ax = assigned.join(x.select(F.col("xid").alias("id")), "id").select(
+        F.col("id").alias("xid"), "cent_id"
+    )
+    ay = assigned.join(y.select(F.col("yid").alias("id")), "id").select(
+        F.col("id").alias("yid"), "cent_id"
+    )
+    shortlist = ax.join(ay, "cent_id").select("xid", "yid").distinct()
+    scored = S.with_cosine_fast(
+        shortlist.join(x, "xid").join(y, "yid"), "xv", "yv", "cos"
+    )
+    s = scored.select(
+        "xid",
+        "yid",
+        F.expr("CAST(floor(cos * 1000000.0D + 0.5D) AS BIGINT)").alias("cq"),
+    ).where(F.col("cq").isNotNull())
+    wx = Window.partitionBy("xid").orderBy(F.desc("cq"), F.asc("yid"))
+    wy = Window.partitionBy("yid").orderBy(F.desc("cq"), F.asc("xid"))
+    ranked = s.withColumn("rx", F.row_number().over(wx)).withColumn(
+        "ry", F.row_number().over(wy)
+    )
+    fx = (
+        ranked.where(F.col("rx") <= BITEXT_K)
+        .groupBy("xid")
+        .agg(F.sum("cq").alias("sx"))
+    )
+    fy = (
+        ranked.where(F.col("ry") <= BITEXT_K)
+        .groupBy("yid")
+        .agg(F.sum("cq").alias("sy"))
+    )
+    best = ranked.where(F.col("rx") == 1).select("xid", "yid", "cq")
+    k2000 = 2 * BITEXT_K * 1000
+    return (
+        best.join(fx, "xid")
+        .join(fy, "yid")
+        .where(
+            (F.col("sx") + F.col("sy") > 0)
+            & (
+                F.lit(k2000) * F.col("cq")
+                >= F.lit(BITEXT_MARGIN_MILLI) * (F.col("sx") + F.col("sy"))
+            )
+        )
+        .select(
+            F.col("xid").alias("src_doc_id"),
+            F.col("yid").alias("tgt_doc_id"),
+            F.expr(f"CAST(({k2000} * cq) div (sx + sy) AS BIGINT)").alias(
+                "margin_milli"
+            ),
+        )
+    )

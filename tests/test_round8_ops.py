@@ -1295,3 +1295,21 @@ def test_bitext_margin_numpy_rederivation(spark, sf_dir):
             expect[(xid, yid)] = (8000 * cq) // tot
     assert got == expect
     assert got, "fixture should mine at least one pair"
+
+
+def test_bitext_ivf_recovers_exact_tier_pairs(spark, sf_dir):
+    """The IVF-shortlist production tier must recover the bulk of the
+    exact tier's mined PAIRS (the shortlist-restricted margin denominator
+    is smaller, so its margins are >= the exact tier's — misses can only
+    come from the best match not sharing a cell)."""
+    exact = {
+        (r.src_doc_id, r.tgt_doc_id)
+        for r in SPECS["bitext_mine_margin"].fn(spark, sf_dir).collect()
+    }
+    ivf = {
+        (r.src_doc_id, r.tgt_doc_id)
+        for r in SPECS["bitext_mine_margin_ivf"].fn(spark, sf_dir).collect()
+    }
+    assert exact, "fixture should mine pairs"
+    recall = len(exact & ivf) / len(exact)
+    assert recall >= 0.6, f"recall {recall:.2f} ({len(exact & ivf)}/{len(exact)})"

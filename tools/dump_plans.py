@@ -207,6 +207,7 @@ PLAN_SET = [
     "source_malformed_csv_permissive",
     "source_malformed_jsonl_permissive",
     "bitext_mine_margin",
+    "bitext_mine_margin_ivf",
 ]
 
 

@@ -192,6 +192,8 @@ QUERIES = (
     "dedup_minhash_lsh_scaled",
     "semantic_dedup_keep",
     "bucketed_join_revenue",
+    "bitext_mine_margin",
+    "bitext_mine_margin_ivf",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")

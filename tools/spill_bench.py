@@ -56,6 +56,7 @@ HEAVY = (
     "ann_pq_adc_topk",
     "interpolate_hourly_linear",
     "dedup_minhash_lsh",
+    "dedup_minhash_lsh_scaled",
     "dedup_keep_canonical",
     "curation_manifest_end2end",
 )
