@@ -200,6 +200,7 @@ HEADLINE = [
     "source_malformed_jsonl_permissive",
     "bitext_mine_margin",
     "bitext_mine_margin_ivf",
+    "dedup_aware_split",
 ]
 
 # streaming queries are benched via their shared concurrent drain in the

@@ -1088,3 +1088,69 @@ def dedup_minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_detected").cast("long").alias("n_detected"),
         F.expr("(1000 * n_detected) div n_pairs").cast("long").alias("detection_milli"),
     )
+
+
+@register(
+    "dedup_aware_split",
+    oracle=f"""
+    WITH RECURSIVE pair_t AS ({D.sql_minhash_lsh(JACCARD_THRESHOLD)}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pair_t
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pair_t
+    ),
+    reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.src AS id, reach.r AS r
+      FROM edges e JOIN reach ON e.dst = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    keyed AS (
+      SELECT d.doc_id,
+             CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster_id
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.id)
+    SELECT doc_id, cluster_id,
+           CASE WHEN h < 80 THEN 'train'
+                WHEN h < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, cluster_id,
+                 CAST(('0x' || substr(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 8))
+                   AS BIGINT) % 100 AS h
+          FROM keyed)
+    """,
+    tags=("dedup", "llm-pipeline", "sampling", "iterative"),
+)
+def dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP-AWARE train/valid/test split — the leak-proof version of
+    train_test_split: the hash key is the document's near-dup CLUSTER id
+    (MinHash-LSH → exact verify → connected components; singletons key
+    on their own id), so every member of a duplicate cluster lands in
+    the SAME split by construction. This closes the evaluation leak
+    split_leakage_audit measures: an id-hashed split scatters near-
+    identical documents across train and test, inflating eval scores —
+    the canonical LLM-benchmark bug. Same deterministic md5 80/10/10
+    law as train_test_split, salted with 'split:' so cluster-keyed and
+    id-keyed assignments are independent hash draws.
+
+    Scale shape: rides the shared pair/component views (one LSH+
+    star-contraction build per session, already audited), then a LEFT
+    broadcast join of the component sliver onto the corpus and a
+    per-row hash — scan-speed beyond the dedup pass itself. The
+    invariant (no cluster straddles splits) is re-derived in tests."""
+    from streamprocessing_spark.operators.dedup import _h32
+
+    d = load_table(spark, sf_dir, "documents")
+    comp = _components_view(spark, sf_dir).select(
+        F.col("id").alias("doc_id"), "component"
+    )
+    keyed = d.select("doc_id").join(F.broadcast(comp), "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("component"), F.col("doc_id")).cast("long").alias("cluster_id"),
+    )
+    h = _h32(F.concat(F.lit("split:"), F.col("cluster_id").cast("string"))) % 100
+    return keyed.select(
+        "doc_id",
+        "cluster_id",
+        F.when(h < 80, "train").when(h < 90, "valid").otherwise("test").alias("split"),
+    )

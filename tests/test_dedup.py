@@ -259,3 +259,25 @@ def test_recall_curve_no_false_negative_region(spark, sf_dir):
         assert r.jaccard_lo_m4 % 500 == 0
         if r.jaccard_lo_m4 >= 8000:
             assert r.detection_milli == 1000, r
+
+
+def test_dedup_aware_split_never_straddles_clusters(spark, sf_dir):
+    """The leak-proof-split invariant: every near-dup PAIR lands in one
+    split (the exact failure mode the id-hashed split has — re-derived
+    here from the pair graph, not from the cluster ids the query
+    computed), and the split proportions stay near 80/10/10."""
+    split = {
+        r.doc_id: r.split
+        for r in all_specs()["dedup_aware_split"].fn(spark, sf_dir).collect()
+    }
+    d = load_table(spark, sf_dir, "documents")
+    pairs = D.exact_jaccard_pairs(d, "doc_id", "text", 0.8).collect()
+    assert pairs
+    for r in pairs:
+        assert split[r.id_a] == split[r.id_b], (r.id_a, r.id_b)
+    from collections import Counter
+
+    c = Counter(split.values())
+    n = sum(c.values())
+    assert 0.65 <= c["train"] / n <= 0.92
+    assert set(c) <= {"train", "valid", "test"}

@@ -208,6 +208,7 @@ PLAN_SET = [
     "source_malformed_jsonl_permissive",
     "bitext_mine_margin",
     "bitext_mine_margin_ivf",
+    "dedup_aware_split",
 ]
 
 
