@@ -201,6 +201,7 @@ HEADLINE = [
     "bitext_mine_margin",
     "bitext_mine_margin_ivf",
     "dedup_aware_split",
+    "ann_ivf_persisted_topk",
 ]
 
 # streaming queries are benched via their shared concurrent drain in the

@@ -2462,3 +2462,137 @@ def bitext_mine_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _sql_ivf_topk_oracle() -> str:
+    """The ann_ivf_topk law (16 min-id centroids, rn=1 assignment,
+    nprobe=4, top-10) — shared verbatim by the in-memory tier and the
+    persisted-index tier: a LAYOUT must never change answers."""
+    return f"""
+    WITH cent AS (SELECT vec_id AS cent_id, embedding AS cv
+                  FROM embeddings WHERE vec_id < 16),
+    q AS (SELECT vec_id AS query_id, embedding AS qv
+          FROM embeddings WHERE vec_id < {N_QUERIES}),
+    assigned AS (
+      SELECT id, v, cent_id FROM (
+        SELECT e.vec_id AS id, e.embedding AS v, c.cent_id,
+               row_number() OVER (PARTITION BY e.vec_id
+                                  ORDER BY {_sql_cos('e.embedding', 'c.cv')} DESC,
+                                           c.cent_id) AS rn
+        FROM embeddings e CROSS JOIN cent c)
+      WHERE rn = 1),
+    probes AS (
+      SELECT query_id, qv, cent_id FROM (
+        SELECT q.query_id, q.qv, c.cent_id,
+               row_number() OVER (PARTITION BY q.query_id
+                                  ORDER BY {_sql_cos('q.qv', 'c.cv')} DESC,
+                                           c.cent_id) AS rn
+        FROM q CROSS JOIN cent c)
+      WHERE rn <= 4),
+    scored AS (
+      SELECT p.query_id, a.id AS neighbor_id,
+             {_sql_cos('a.v', 'p.qv')} AS cos
+      FROM assigned a JOIN probes p USING (cent_id)
+      WHERE a.id <> p.query_id)
+    SELECT query_id, neighbor_id, CAST(rn AS BIGINT) AS rank FROM (
+      SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY cos DESC, neighbor_id) AS rn
+      FROM scored)
+    WHERE rn <= {TOP_K}
+    """
+
+
+@register(
+    "ann_ivf_persisted_topk",
+    oracle=_sql_ivf_topk_oracle(),
+    tags=("similarity", "llm-pipeline", "approx", "layout"),
+)
+def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k served from a PERSISTED index — the ann_ivf_topk law
+    with the assignment relation materialized once as cent_id-
+    PARTITIONED parquet (the on-disk IVF layout: one directory per
+    cell), then every query answered by a scan whose partition filter is
+    DYNAMICALLY PRUNED from the broadcast probe set — Spark's dynamic
+    partition pruning turns "probe 4 of 16 cells" into literally reading
+    4/16 of the index files, which is the entire point of IVF at 100 TB
+    (a query touches nprobe/K of the corpus bytes; the serving fleet
+    never rescans the index build). The plan test pins the
+    dynamicpruning expression on the index scan. Identical oracle to
+    ann_ivf_topk: a layout must never change answers."""
+    import hashlib
+    import os
+    import tempfile
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+    app = spark.sparkContext.applicationId.replace("-", "_")
+    idx_dir = os.path.join(
+        tempfile.gettempdir(),
+        f"graft_ivf/{app}/{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}",
+    )
+    if not os.path.isdir(idx_dir):
+        w_assign = Window.partitionBy("id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+        assigned = (
+            S.with_cosine_fast(
+                emb.join(F.broadcast(centroids)).select(
+                    F.col("vec_id").alias("id"),
+                    F.col("embedding").alias("v"),
+                    "cent_id",
+                    F.col("embedding").alias("av"),
+                    F.col("cent_vec").alias("bv"),
+                ),
+                "av",
+                "bv",
+                "cos_c",
+            )
+            .withColumn("rn", F.row_number().over(w_assign))
+            .where(F.col("rn") == 1)
+            .select("id", "v", "cent_id")
+        )
+        assigned.write.mode("overwrite").partitionBy("cent_id").parquet(idx_dir)
+    # explicit read schema: an EMPTY corpus writes a partitionless
+    # directory parquet can't infer from (hostile/empty fixture), and at
+    # any size it skips a footer-sampling pass over the index files
+    vec_type = emb.schema["embedding"].dataType.simpleString()
+    index = spark.read.schema(f"id bigint, v {vec_type}, cent_id bigint").parquet(
+        idx_dir
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("cent_id"))
+    probes = (
+        S.with_cosine_fast(
+            queries.join(F.broadcast(centroids)).select(
+                "query_id", "qv", "cent_id",
+                F.col("qv").alias("av"), F.col("cent_vec").alias("bv"),
+            ),
+            "av",
+            "bv",
+            "cos_q",
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= 4)
+        .select("query_id", "qv", "cent_id")
+    )
+    scored = S.with_cosine_fast(
+        index.join(F.broadcast(probes), "cent_id")
+        .where(F.col("id") != F.col("query_id"))
+        .select("query_id", "id", F.col("v").alias("av"), F.col("qv").alias("bv")),
+        "av",
+        "bv",
+        "cos",
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            F.col("id").alias("neighbor_id"),
+            F.col("rank").cast("long").alias("rank"),
+        )
+    )

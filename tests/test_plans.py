@@ -695,3 +695,13 @@ def test_bitext_cross_is_broadcast_not_cartesian(spark, sf_dir):
     plan = X.formatted_plan(df)
     assert "BroadcastNestedLoopJoin" in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_persisted_ivf_scan_is_dynamically_pruned(spark, sf_dir):
+    """The persisted-index serving path's whole point: the cent_id-
+    partitioned index scan must carry a dynamicpruning partition filter
+    fed by the broadcast probe set — 4 of 16 cell directories read, the
+    nprobe/K byte-touch law IVF promises at 100 TB."""
+    df = SPECS["ann_ivf_persisted_topk"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "dynamicpruning" in plan.lower(), plan
