@@ -202,6 +202,7 @@ HEADLINE = [
     "bitext_mine_margin_ivf",
     "dedup_aware_split",
     "ann_ivf_persisted_topk",
+    "multimodal_resize_real",
 ]
 
 # streaming queries are benched via their shared concurrent drain in the

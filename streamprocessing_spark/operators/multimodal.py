@@ -604,3 +604,43 @@ def audio_energy_frames(media: DataFrame) -> DataFrame:
     return media.select("media_id", "payload").mapInPandas(
         _energy, "media_id bigint, frame_idx bigint, energy bigint"
     )
+
+
+def resize_nearest_real(payload: bytes, tw: int, th: int) -> tuple[int, int, bytes]:
+    """REAL nearest-neighbor downsample on genuinely decoded pixels:
+    decode (PPM/BMP), thumb pixel (r, c) = source pixel
+    (r·h div th, c·w div tw) — the integer NN index law an oracle can
+    replay exactly. Returns (tw, th, rgb). A deployment swaps this for
+    Pillow's LANCZOS with the same signature; everything downstream
+    (re-encode, fingerprint, dedup on thumbs) is unchanged."""
+    w, h, rgb = decode_image_pixels(payload)
+    out = bytearray()
+    for r in range(th):
+        sr = (r * h) // th
+        for c in range(tw):
+            sc = (c * w) // tw
+            i = 3 * (sr * w + sc)
+            out += rgb[i : i + 3]
+    return tw, th, bytes(out)
+
+
+def resize_real_df(media: DataFrame, tw: int, th: int) -> DataFrame:
+    """(media_id, thumb_px): Arrow-batched REAL decode → NN resize; the
+    thumbnail's grayscale pixel values serialize as a '-'-joined string
+    (integer domain — exactly replayable in SQL, unlike raw bytes, which
+    DuckDB's VARCHAR-only sha256 can't fingerprint). Payload bytes die
+    in the executor; only ids and tw·th-value strings shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            px = []
+            for p in pdf["payload"]:
+                _, _, rgb = resize_nearest_real(bytes(p), tw, th)
+                px.append("-".join(str(rgb[3 * i]) for i in range(tw * th)))
+            yield pd.DataFrame({"media_id": pdf["media_id"], "thumb_px": px})
+
+    return media.select("media_id", "payload").mapInPandas(
+        kernel, "media_id bigint, thumb_px string"
+    )

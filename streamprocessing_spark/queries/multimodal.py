@@ -483,3 +483,51 @@ def multimodal_silence_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_quiet").cast("long").alias("n_quiet"),
         F.expr("CAST((1000 * n_quiet) div nf AS BIGINT)").alias("quiet_milli"),
     )
+
+
+def _sql_resize_real_oracle(tw: int = 4, th: int = 3) -> str:
+    """DuckDB replay of multimodal_resize_real: thumb pixel i maps to
+    source pixel (((i div tw)·H) div th)·W + ((i mod tw)·W) div tw — pure
+    integer index arithmetic over the same pixel law the real-codec
+    phash oracle replays, so the decode → NN-resize chain is value-hash
+    checked end to end."""
+    from streamprocessing_spark.operators.multimodal import REAL_H, REAL_W, PH_BITS
+
+    src_i = (
+        f"((((i // {tw}) * {REAL_H}) // {th}) * {REAL_W}"
+        f" + (((i % {tw}) * {REAL_W}) // {tw}))"
+    )
+    px = (
+        f"CASE WHEN {src_i} = doc_id % {PH_BITS} "
+        f"THEN CAST(('0x' || substr(md5('pp:' || doc_id || ':' || {src_i}), 1, 2)) AS BIGINT) "
+        f"ELSE CAST(('0x' || substr(md5('rpx:' || (doc_id // 5) || ':' || {src_i}), 1, 2)) AS BIGINT) "
+        f"END"
+    )
+    return f"""
+    SELECT doc_id AS media_id,
+           array_to_string(list_transform(range(0, {tw * th}),
+                                          i -> CAST({px} AS VARCHAR)), '-') AS thumb_px
+    FROM documents
+    """
+
+
+@register(
+    "multimodal_resize_real",
+    oracle=_sql_resize_real_oracle(),
+    tags=("multimodal", "llm-pipeline", "pandas-udf", "real-codec"),
+)
+def multimodal_resize_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thumbnail RESIZE on REAL pixels end-to-end — completes the
+    real-codec story the phash tier started: genuine PPM/BMP payloads
+    (build_real_media, both codecs by id parity) decode inside the
+    Arrow-batched kernel and downsample by integer nearest-neighbor
+    (thumb(r,c) = src(r·H div th, c·W div tw)), 10×6 → 4×3. The oracle
+    replays the pixel law THROUGH the NN index arithmetic, so a bug in
+    decode (row order, stride) OR in the resampling index math fails the
+    value-hash gate. Thumbnail pixels serialize as an integer string
+    (raw bytes would need a binary-capable oracle hash). A deployment
+    swaps the NN kernel for Pillow LANCZOS with the same signature;
+    payloads never shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    media = M.build_real_media(d, "doc_id")
+    return M.resize_real_df(media, 4, 3)

@@ -202,3 +202,23 @@ def test_media_manifest_partition_laws(spark, sf_dir):
         for u in comp:
             assert canon[u] == rep, (u, canon[u], rep)
     assert any(not r.is_canonical for r in rows), "fixture should have dup media"
+
+
+def test_resize_nearest_real_laws():
+    """NN-resize invariants on genuine codec round-trips: identity
+    resize returns the source raster exactly (both formats), and every
+    thumb pixel equals the law-mapped source pixel."""
+    w, h = 10, 6
+    rgb = _gradient_rgb(w, h)
+    for enc in (M.encode_ppm, M.encode_bmp24):
+        payload = enc(w, h, rgb)
+        assert M.resize_nearest_real(payload, w, h) == (w, h, rgb)
+        tw, th = 4, 3
+        _, _, thumb = M.resize_nearest_real(payload, tw, th)
+        for r in range(th):
+            for c in range(tw):
+                sr, sc = (r * h) // th, (c * w) // tw
+                assert (
+                    thumb[3 * (r * tw + c) : 3 * (r * tw + c) + 3]
+                    == rgb[3 * (sr * w + sc) : 3 * (sr * w + sc) + 3]
+                )

@@ -210,6 +210,7 @@ PLAN_SET = [
     "bitext_mine_margin_ivf",
     "dedup_aware_split",
     "ann_ivf_persisted_topk",
+    "multimodal_resize_real",
 ]
 
 
