@@ -194,6 +194,10 @@ QUERIES = (
     "bucketed_join_revenue",
     "bitext_mine_margin",
     "bitext_mine_margin_ivf",
+    "dedup_aware_split",
+    "ann_ivf_persisted_topk",
+    "multimodal_resize_real",
+    "multimodal_phash_neardup_real",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
@@ -201,7 +205,17 @@ PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0"
 # Queries whose fn memoizes a ONE-TIME layout write (bucketed catalog
 # tables) per (session, sf): measured after a warm run at BOTH scales so
 # the curve is the recurring join, not the amortized write.
-PREWARM_PROXY = frozenset({"bucketed_join_revenue"})
+PREWARM_PROXY = frozenset({
+    "bucketed_join_revenue",
+    # persisted IVF index: the serve path is the op, the index write is
+    # the one-time layout
+    "ann_ivf_persisted_topk",
+    # rides the session-shared pair/components views whose build the
+    # BASE measurement already amortizes (the base warm run memoizes
+    # them): warm at proxy too so both sides measure the op's own
+    # marginal work, not one side marginal vs the other full-build
+    "dedup_aware_split",
+})
 
 
 def build_proxy(spark, base: str, out: str) -> None:
