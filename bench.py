@@ -203,6 +203,7 @@ HEADLINE = [
     "dedup_aware_split",
     "ann_ivf_persisted_topk",
     "multimodal_resize_real",
+    "dsir_importance_resample",
 ]
 
 # streaming queries are benched via their shared concurrent drain in the

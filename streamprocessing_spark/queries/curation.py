@@ -3595,3 +3595,60 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "emd_milli_cents",
         F.col("t_max").cast("long").alias("t_max_milli_cents"),
     )
+
+
+DSIR_RESAMPLE_K = 200
+
+
+def _sql_dsir_resample() -> str:
+    from streamprocessing_spark.functions.text import sql_mlog2
+
+    h = "CAST(('0x' || substr(md5('resample:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 1"
+    return f"""
+    WITH dsir AS ({_sql_dsir()})
+    SELECT doc_id, logw_milli_bits,
+           CAST({sql_mlog2(f"32001 - {sql_mlog2(h)}")} - logw_milli_bits AS BIGINT)
+             AS race_milli
+    FROM dsir
+    ORDER BY race_milli ASC, doc_id ASC
+    LIMIT {DSIR_RESAMPLE_K}
+    """
+
+
+@register(
+    "dsir_importance_resample",
+    oracle=_sql_dsir_resample(),
+    tags=("curation", "llm-pipeline", "text", "sampling"),
+)
+def dsir_importance_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESAMPLE step DSIR is named for — dsir_importance_weights
+    computes log w(doc); this op actually SELECTS the training subset:
+    Efraimidis-Spirakis weighted sampling without replacement
+    (key u^(1/w), keep top-K) run entirely in the exact log domain —
+    penalty −log₂(u)/w becomes the BIGINT race key
+    mlog2(32001 − mlog2(h)) − logw_milli_bits (md5-derived u, the
+    weighted_reservoir_sample derandomization applied to LOG-DOMAIN
+    weights, which that op's linear-weight division can't express:
+    w = 2^(logw/1000) would overflow/underflow any fixed-point linear
+    form, while subtracting logw_milli in the log domain is exact for
+    every weight magnitude). Top-{DSIR_RESAMPLE_K} smallest keys, ties
+    to doc_id; TakeOrdered, no global sort. One integer subtraction per
+    doc beyond the weights pass — the full pipeline (bucket build →
+    weights → race) stays bit-exact-oracled."""
+    from streamprocessing_spark.functions import text as T
+
+    w = dsir_importance_weights(spark, sf_dir)
+    hcol = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("resample:"), F.col("doc_id").cast("string"))), 1, 8),
+            16,
+            10,
+        ).cast("long")
+        + 1
+    )
+    race = T.mlog2(F.lit(32001) - T.mlog2(hcol)) - F.col("logw_milli_bits")
+    return (
+        w.select("doc_id", "logw_milli_bits", race.cast("long").alias("race_milli"))
+        .orderBy(F.asc("race_milli"), F.asc("doc_id"))
+        .limit(DSIR_RESAMPLE_K)
+    )

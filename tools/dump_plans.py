@@ -211,6 +211,7 @@ PLAN_SET = [
     "dedup_aware_split",
     "ann_ivf_persisted_topk",
     "multimodal_resize_real",
+    "dsir_importance_resample",
 ]
 
 
