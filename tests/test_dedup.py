@@ -281,3 +281,18 @@ def test_dedup_aware_split_never_straddles_clusters(spark, sf_dir):
     n = sum(c.values())
     assert 0.65 <= c["train"] / n <= 0.92
     assert set(c) <= {"train", "valid", "test"}
+
+
+def test_scaled_lsh_equals_exact_on_hostile(spark):
+    """The recall-held scaled tier must equal brute force on the
+    ADVERSARIAL corpus too (emoji/CJK/RTL text, NULL payloads, dup
+    injections) — the benign-fixture equality test can't see a Unicode
+    or NULL-handling divergence in the shingle/hash path."""
+    d = load_table(spark, "/root/repo/testdata_hostile/hostile", "documents")
+    exact = {tuple(r) for r in D.exact_jaccard_pairs(d, "doc_id", "text", 0.8).collect()}
+    n = d.count()
+    got = {
+        tuple(r)
+        for r in D.minhash_lsh_pairs_scaled(d, "doc_id", "text", 0.8, n).collect()
+    }
+    assert got == exact

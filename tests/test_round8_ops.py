@@ -1313,3 +1313,36 @@ def test_bitext_ivf_recovers_exact_tier_pairs(spark, sf_dir):
     assert exact, "fixture should mine pairs"
     recall = len(exact & ivf) / len(exact)
     assert recall >= 0.6, f"recall {recall:.2f} ({len(exact & ivf)}/{len(exact)})"
+
+
+def test_permissive_csv_partial_parse_law(spark, tmp_path):
+    """Pin the exact PERMISSIVE-CSV contract the dirty-ingest query's
+    per-status accounting depends on: a malformed FIELD keeps the row's
+    parseable prefix columns (status still lands in its group), nulls
+    the bad field, and preserves the RAW line in the corrupt column."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    raw = ["1,A,100", "7,B,200X", "3,C,300"]
+    p = tmp_path / "bad.csv"
+    p.write_text("\n".join(raw) + "\n")
+    schema = StructType(
+        [
+            StructField("k", LongType()),
+            StructField("status", StringType()),
+            StructField("cents", LongType()),
+            StructField("_corrupt_record", StringType()),
+        ]
+    )
+    rows = {
+        r.k: r
+        for r in spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(str(p))
+        .collect()
+    }
+    assert rows[1]._corrupt_record is None and rows[1].cents == 100
+    bad = rows[7]
+    assert bad._corrupt_record == "7,B,200X"  # raw line preserved
+    assert bad.status == "B"                  # prefix fields survive
+    assert bad.cents is None                  # only the bad field nulls
