@@ -912,7 +912,19 @@ def source_malformed_csv_permissive(spark: SparkSession, sf_dir: str) -> DataFra
             F.col("o_orderstatus"),
             F.when(
                 F.col("o_orderkey") % 7 == 0,
-                F.concat(F.col("cents").cast("string"), F.lit("X")),
+                # NULL-proof corruption (ADVICE r06): coalesce keeps the
+                # trailing 'X' even when cents is NULL — a bare
+                # concat(NULL,'X') is NULL and concat_ws would DROP the
+                # field, turning the line into a short-but-parseable row
+                # (PERMISSIVE pads missing trailing columns) that Spark
+                # counts parsed while the oracle's %7 law counts it
+                # quarantined. With the coalesce, every %7==0 line ends
+                # in a non-numeric token and quarantines on both engines
+                # regardless of NULL o_totalprice.
+                F.concat(
+                    F.coalesce(F.col("cents").cast("string"), F.lit("")),
+                    F.lit("X"),
+                ),
             ).otherwise(F.col("cents").cast("string")),
         ).alias("value")
     )

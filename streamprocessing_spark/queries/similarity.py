@@ -2522,16 +2522,24 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ann_ivf_topk: a layout must never change answers."""
     import hashlib
     import os
-    import tempfile
+    import shutil
+    import uuid
+    from pathlib import Path
 
     emb = load_table(spark, sf_dir, "embeddings")
     centroids = emb.where(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
     )
     app = spark.sparkContext.applicationId.replace("-", "_")
+    # Index root (ADVICE r06): the SAME non-/tmp scratch root session.py
+    # uses for SPARK_LOCAL_DIRS — this index is RE-READ on later
+    # invocations, and the harness box reaps /tmp mid-run.
+    scratch = os.environ.get(
+        "SPARK_GRAFT_LOCAL_DIR",
+        str(Path(__file__).resolve().parent.parent.parent / ".spark-local"),
+    )
     idx_dir = os.path.join(
-        tempfile.gettempdir(),
-        f"graft_ivf/{app}/{hashlib.md5(sf_dir.encode()).hexdigest()[:10]}",
+        scratch, "graft_ivf", app, hashlib.md5(sf_dir.encode()).hexdigest()[:10]
     )
     if not os.path.isdir(idx_dir):
         w_assign = Window.partitionBy("id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
@@ -2552,7 +2560,21 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .where(F.col("rn") == 1)
             .select("id", "v", "cent_id")
         )
-        assigned.write.mode("overwrite").partitionBy("cent_id").parquet(idx_dir)
+        # Publish-by-rename (ADVICE r06): build under a private temp name
+        # and atomically rename into place, so two concurrent invocations
+        # (bench threads, streaming drain sessions) can never interleave
+        # mode("overwrite") writes into the served directory, and a reader
+        # can never scan a half-written index. The rename loser (dir now
+        # exists) discards its build and serves the winner's — both builds
+        # are identical by construction (deterministic assignment).
+        tmp_dir = f"{idx_dir}.build-{uuid.uuid4().hex}"
+        assigned.write.mode("overwrite").partitionBy("cent_id").parquet(tmp_dir)
+        try:
+            os.rename(tmp_dir, idx_dir)
+        except OSError:
+            shutil.rmtree(tmp_dir, ignore_errors=True)
+            if not os.path.isdir(idx_dir):
+                raise
     # explicit read schema: an EMPTY corpus writes a partitionless
     # directory parquet can't infer from (hostile/empty fixture), and at
     # any size it skips a footer-sampling pass over the index files

@@ -172,3 +172,35 @@ def test_keyed_lines_sink_exactly_once_under_task_retry(spark, tmp_path):
         with open(os.path.join(out, n), encoding="utf-8") as fh:
             rows += [line.rstrip("\n").split("\t")[0] for line in fh]
     assert sorted(rows, key=int) == [str(i) for i in range(40)]
+
+
+def test_keyed_lines_sink_sequential_appends_never_clobber(spark, tmp_path):
+    """Reference append contract (dht.go:268-281): a second
+    .mode('append').save() into the same directory must PRESERVE the
+    first job's published parts — per-job token part names make the two
+    jobs' publishes disjoint (the round-6 ADVICE data-loss fix). Both
+    runs' rows must survive, with no overwrites and no temp litter."""
+    from streamprocessing_spark.sources.linesink import register_sink
+
+    register_sink(spark)
+    out = str(tmp_path / "sink_multi")
+
+    def write(lo, hi):
+        df = spark.range(lo, hi).selectExpr(
+            "CAST(id AS STRING) AS k", "CAST(id AS STRING) AS v"
+        )
+        df.repartition(3).write.format("keyed_lines").option("path", out).mode(
+            "append"
+        ).save()
+
+    write(0, 50)
+    first_parts = set(os.listdir(out))
+    write(50, 120)
+    names = sorted(os.listdir(out))
+    assert first_parts < set(names), "first job's parts were clobbered"
+    assert all(not n.startswith(".tmp-") for n in names)
+    rows = []
+    for n in names:
+        with open(os.path.join(out, n), encoding="utf-8") as fh:
+            rows += [line.rstrip("\n").split("\t")[0] for line in fh]
+    assert sorted(rows, key=int) == [str(i) for i in range(120)]

@@ -1346,3 +1346,34 @@ def test_permissive_csv_partial_parse_law(spark, tmp_path):
     assert bad._corrupt_record == "7,B,200X"  # raw line preserved
     assert bad.status == "B"                  # prefix fields survive
     assert bad.cents is None                  # only the bad field nulls
+
+
+def test_malformed_csv_null_totalprice_on_corrupt_key_still_quarantines(spark, tmp_path):
+    """ADVICE r06 (latent NULL divergence): a %7==0 order with NULL
+    o_totalprice must STILL quarantine — the corruption expression
+    coalesces NULL cents to '' before appending 'X', so the line stays
+    malformed instead of collapsing to a short-but-parseable row that
+    PERMISSIVE would count as parsed while the oracle's %7 law counts it
+    quarantined. Built on a synthetic orders table because no current
+    fixture has a NULL totalprice on a %7==0 key (that's exactly why the
+    bug was latent)."""
+    import os
+
+    mini = str(tmp_path / "mini_sf")
+    os.makedirs(mini, exist_ok=True)
+    spark.createDataFrame(
+        [
+            (7, "O", None),        # corrupt key, NULL price — the latent case
+            (14, "O", 123.45),     # corrupt key, normal price
+            (1, "F", 10.00),       # clean key, normal price
+            (2, "F", None),        # clean key, NULL price (parses, cents NULL)
+        ],
+        "o_orderkey long, o_orderstatus string, o_totalprice double",
+    ).write.parquet(os.path.join(mini, "orders.parquet"))
+    out = {
+        r.status: r
+        for r in SPECS["source_malformed_csv_permissive"].fn(spark, mini).collect()
+    }
+    assert out["O"].n_quarantined == 2 and out["O"].n_parsed == 0
+    assert out["F"].n_quarantined == 0 and out["F"].n_parsed == 2
+    assert out["F"].clean_cents == 1000

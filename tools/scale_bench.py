@@ -210,11 +210,15 @@ PREWARM_PROXY = frozenset({
     # persisted IVF index: the serve path is the op, the index write is
     # the one-time layout
     "ann_ivf_persisted_topk",
-    # rides the session-shared pair/components views whose build the
+    # ride the session-shared pair/components views whose build the
     # BASE measurement already amortizes (the base warm run memoizes
     # them): warm at proxy too so both sides measure the op's own
     # marginal work, not one side marginal vs the other full-build
     "dedup_aware_split",
+    # same shared-view amortization artifact (VERDICT r06 item #4: the
+    # r06 ×11.3 row measured the view build, not the ≤max-cluster-size
+    # histogram over the memoized components)
+    "dedup_cluster_size_histogram",
 })
 
 
@@ -355,7 +359,62 @@ def build_proxy100(spark, proxy10: str, out: str) -> None:
 DEDUP100_QUERIES = (
     "dedup_minhash_lsh_scaled",
     "dedup_exact",
+    # the full production cascade (scaled pairs -> components -> anti-join)
+    # measured COLD at every scale — shared views released before each
+    # timed run so the curve covers build+consume, not memoized-consume
+    # at x1 vs full-build at x100 (VERDICT r06 item #8)
+    "dedup_keep_canonical",
+    # embeddings-driven production miner (needs the 100x embeddings proxy)
+    "bitext_mine_margin_ivf",
 )
+
+# Queries measured with the session-shared views RELEASED before every
+# timed run: their registered fn rides memoized pair/component views, so
+# without the release x1 would measure the cheap consume while x10/x100
+# measure the full cascade build — an exponent artifact, the inverse of
+# the PREWARM_PROXY one.
+COLD_CASCADE = frozenset({"dedup_keep_canonical"})
+
+# Queries that read the embeddings table — trigger the 100x embeddings
+# proxy build (same sign-flip construction as the 10x proxy, second-level
+# salt, vec_id shifted by the SAME constant as doc_id so the fixture's
+# vec_id↔doc_id alignment survives at 100x).
+EMB100_QUERIES = frozenset({"bitext_mine_margin_ivf"})
+
+
+def build_emb100(spark, proxy10: str, out: str) -> None:
+    """100x embeddings from 10 replicas of the 10x proxy's embeddings —
+    per-replica deterministic sign flips (norms preserved, cross-replica
+    cosine decorrelated) keyed by a second-level salt so replicas of
+    replicas stay distinct; vec_id shifted by the same 10M constant
+    build_docs100 uses for doc_id, preserving the 1:1 alignment the
+    bitext/ANN queries join on."""
+    import hashlib
+
+    emb = spark.read.parquet(f"{proxy10}/embeddings.parquet")
+    dim = len(emb.select("embedding").head()[0])
+    parts = []
+    for k in range(10):
+        e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * 10_000_000))
+        if k:
+            signs = [
+                1.0
+                if int(hashlib.md5(f"sb2:{k}:{d}".encode()).hexdigest()[:2], 16) % 2
+                else -1.0
+                for d in range(dim)
+            ]
+            sign_arr = "array(" + ", ".join(f"{s}D" for s in signs) + ")"
+            e = e.withColumn(
+                "embedding",
+                F.expr(
+                    f"zip_with(embedding, {sign_arr},"
+                    " (v, s) -> CAST(CAST(v AS DOUBLE) * s AS FLOAT))"
+                ),
+            )
+        parts.append(e)
+    _union_all(parts).coalesce(64).write.mode("overwrite").parquet(
+        f"{out}/embeddings.parquet"
+    )
 
 
 def build_docs100(spark, proxy10: str, out: str) -> None:
@@ -390,16 +449,28 @@ def run_dedup100(spark, base: str, queries: list[str]) -> None:
         build_docs100(spark, PROXY_DIR, PROXY100_DIR)
         with open(marker, "w") as fh:
             fh.write("v1")
+    if any(q in EMB100_QUERIES for q in queries):
+        emb_marker = f"{PROXY100_DIR}/.emb100"
+        if not os.path.isfile(emb_marker):
+            print("building 100x embeddings proxy...", file=sys.stderr)
+            build_emb100(spark, PROXY_DIR, PROXY100_DIR)
+            with open(emb_marker, "w") as fh:
+                fh.write("v1")
+    from streamprocessing_spark.shared_views import release_shared_views
+
     specs = all_specs()
     result: dict = {"scales": [1, 10, 100], "base": base, "queries": {}}
     for name in queries:
         spec = specs[name]
+        cold = name in COLD_CASCADE
         time_query(spec, spark, base)  # warm
         rows = {}
         ts = []
         for label, d, nparts in (("x1", base, 32), ("x10", PROXY_DIR, 64),
                                  ("x100", PROXY100_DIR, 256)):
             spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+            if cold:
+                release_shared_views(spark)
             secs, nrows = time_query(spec, spark, d)
             rows[label] = {"sec": round(secs, 2), "rows": nrows}
             ts.append(secs)
