@@ -370,6 +370,12 @@ DEDUP100_QUERIES = (
     "dedup_keep_canonical",
     # embeddings-driven production miner (needs the 100x embeddings proxy)
     "bitext_mine_margin_ivf",
+    # round 7: the remaining expensive production tiers get two-decade
+    # exponents too — IVF near-dup pairs, the IVF semantic-dedup cascade,
+    # and the PQ/ADC top-k (quantizer K grows ~sqrt(n) at every scale)
+    "ivf_cosine_pairs",
+    "semantic_dedup_keep_ivf",
+    "ann_pq_adc_topk",
 )
 
 # Queries measured with the session-shared views RELEASED before every
@@ -390,7 +396,14 @@ COLD_VIEW_BUILD = frozenset({"dedup_minhash_lsh_scaled"})
 # proxy build (same sign-flip construction as the 10x proxy, second-level
 # salt, vec_id shifted by the SAME constant as doc_id so the fixture's
 # vec_id↔doc_id alignment survives at 100x).
-EMB100_QUERIES = frozenset({"bitext_mine_margin_ivf"})
+EMB100_QUERIES = frozenset(
+    {
+        "bitext_mine_margin_ivf",
+        "ivf_cosine_pairs",
+        "semantic_dedup_keep_ivf",
+        "ann_pq_adc_topk",
+    }
+)
 
 
 def build_emb100(spark, proxy10: str, out: str) -> None:
