@@ -17,8 +17,20 @@ from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+from streamprocessing_spark.engine import release_plugin_caches
 from streamprocessing_spark.registry import all_specs
 from streamprocessing_spark.session import get_spark
+from streamprocessing_spark.shared_views import release_shared_views
+
+# Queries that BUILD a session-shared view: released before each timed
+# rep so their row prices the build, while consumer rows stay marginal
+# (dedup_minhash_lsh_scaled builds mhpairs; mhcomp derives from it, so
+# both are released together to keep the cascade consistent).
+VIEW_BUILDER_KINDS = {
+    "dedup_minhash_lsh_scaled": ("mhcomp", "mhpairs"),
+    "dedup_simhash": ("shpairs",),
+    "copurchase_lift": ("graphop",),
+}
 
 # Headline set: the reference-derived pipelines + the heavier analytics /
 # LLM-pipeline operators. Kept explicit so bench timings stay comparable
@@ -225,10 +237,23 @@ def main() -> None:
     for name in names:
         best = float("inf")
         for _ in range(2):  # best-of-2: damps JIT/page-cache/GC variance
-            # identical plans would otherwise hit the CacheManager via the
-            # persisted intermediates some operators create (e.g. PluginOp)
-            # — rep 2 must measure computation, not a cache read
-            spark.catalog.clearCache()
+            # rep 2 must measure computation, not a cache read: release
+            # the per-run plugin intermediate caches (the one persist()
+            # query code creates). NOT a global clearCache — that evicted
+            # the session-shared views too, charging a full cascade
+            # rebuild to every rep of whichever queries compose the RAW
+            # pair view (measured round 7: signal_auc/leakage_audit 2.2×
+            # after the scaled-stage re-base) while components consumers
+            # dodged it via star contraction's localCheckpoint — neither
+            # marginal nor full-cascade, just inconsistent.
+            release_plugin_caches()
+            # Build-vs-marginal split, same discipline as scale_bench's
+            # COLD_VIEW_BUILD: the view BUILDER row measures the full
+            # build every rep (views released first), every consumer row
+            # measures its marginal op over the built view — exactly the
+            # amortization the driver's one-session gate sees.
+            for kind in VIEW_BUILDER_KINDS.get(name, ()):
+                release_shared_views(spark, kind)
             t0 = time.time()
             specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)

@@ -56,6 +56,36 @@ def test_dedup_shared_views_release_and_kind_scoping(spark, sf_dir):
     assert len(SV._VIEWS) == 0
 
 
+def test_bench_rep_hygiene_prices_build_to_builder(spark, sf_dir):
+    """bench.py's rep hygiene must (a) release plugin caches — not
+    clearCache(), which evicted the session-shared views and charged a
+    full cascade rebuild to every rep of the raw-pair-view consumers
+    (measured round 7: signal_auc/leakage_audit 2.2×) — and (b) release
+    a builder's own view kinds before its reps so the builder row prices
+    the build while consumers stay marginal. This pins the contract:
+    after a builder-style release, the next call REBUILDS (fresh cache
+    entry); without a release, a repeat call serves the same cached
+    relation (no rebuild)."""
+    from streamprocessing_spark import shared_views as SV
+    from streamprocessing_spark.queries import dedup as DQ
+
+    SV.release_shared_views(spark)
+    try:
+        DQ._pairs_view(spark, sf_dir)
+        name = next(k for k in SV._VIEWS if k.startswith("graft_sv_mhpairs"))
+        assert spark.catalog.isCached(name)
+        # consumer path: repeat call serves the SAME cached view
+        assert DQ._pairs_view(spark, sf_dir) is not None
+        assert spark.catalog.isCached(name)
+        # builder path: release → next call rebuilds a fresh cached view
+        assert SV.release_shared_views(spark, "mhpairs") == 1
+        assert not spark.catalog.tableExists(name)
+        DQ._pairs_view(spark, sf_dir).count()
+        assert spark.catalog.isCached(name)
+    finally:
+        SV.release_shared_views(spark)
+
+
 def test_op_view_registry_pickles_empty():
     """shared_views ships by value to executors — its view registry must
     serialize as an EMPTY mapping (a DataFrame holds a SparkContext,
