@@ -669,7 +669,7 @@ def _sql_manifest_oracle() -> str:
     from streamprocessing_spark.functions.text import SQL_TOKENS
 
     return f"""
-    WITH RECURSIVE pair_t AS ({D.sql_minhash_lsh_scaled(JACCARD_THRESHOLD)}),
+    WITH RECURSIVE pair_t AS MATERIALIZED ({D.sql_minhash_lsh_scaled(JACCARD_THRESHOLD)}),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pair_t
       UNION

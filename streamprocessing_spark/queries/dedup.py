@@ -222,7 +222,7 @@ def dedup_char_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_keep_canonical",
     oracle=f"""
-    WITH RECURSIVE pair_t AS ({D.sql_minhash_lsh_scaled(JACCARD_THRESHOLD)}),
+    WITH RECURSIVE pair_t AS MATERIALIZED ({D.sql_minhash_lsh_scaled(JACCARD_THRESHOLD)}),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pair_t
       UNION
@@ -821,7 +821,7 @@ def dedup_tier_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_cluster_size_histogram",
     oracle=f"""
-    WITH RECURSIVE pair_t AS ({D.sql_minhash_lsh_scaled(JACCARD_THRESHOLD)}),
+    WITH RECURSIVE pair_t AS MATERIALIZED ({D.sql_minhash_lsh_scaled(JACCARD_THRESHOLD)}),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pair_t
       UNION
@@ -880,7 +880,7 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_signal_auc",
     oracle=f"""
-    WITH pair_t AS ({D.sql_minhash_lsh_scaled(JACCARD_THRESHOLD)}),
+    WITH pair_t AS MATERIALIZED ({D.sql_minhash_lsh_scaled(JACCARD_THRESHOLD)}),
     members AS (
       SELECT id_a AS doc_id FROM pair_t UNION SELECT id_b FROM pair_t),
     span AS ({_SQL_SPAN_COVERAGE}),
@@ -1106,7 +1106,7 @@ def dedup_minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_aware_split",
     oracle=f"""
-    WITH RECURSIVE pair_t AS ({D.sql_minhash_lsh_scaled(JACCARD_THRESHOLD)}),
+    WITH RECURSIVE pair_t AS MATERIALIZED ({D.sql_minhash_lsh_scaled(JACCARD_THRESHOLD)}),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pair_t
       UNION

@@ -542,7 +542,7 @@ def knn_label_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "semantic_dedup_keep_ivf",
     oracle=f"""
-    WITH RECURSIVE pair_t AS ({_sql_ivf_pairs_oracle(SRP_THRESHOLD, 3)}),
+    WITH RECURSIVE pair_t AS MATERIALIZED ({_sql_ivf_pairs_oracle(SRP_THRESHOLD, 3)}),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pair_t
       UNION
@@ -587,7 +587,7 @@ def semantic_dedup_keep_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "semantic_dedup_keep",
     oracle=f"""
-    WITH RECURSIVE pair_t AS ({_sql_ivf_pairs_oracle(SRP_THRESHOLD, 3)}),
+    WITH RECURSIVE pair_t AS MATERIALIZED ({_sql_ivf_pairs_oracle(SRP_THRESHOLD, 3)}),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pair_t
       UNION
@@ -638,7 +638,7 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "semantic_dedup_keep_srp_baseline",
     oracle=f"""
-    WITH RECURSIVE pair_t AS ({_sql_srp_oracle(SRP_THRESHOLD)}),
+    WITH RECURSIVE pair_t AS MATERIALIZED ({_sql_srp_oracle(SRP_THRESHOLD)}),
     edges AS (
       SELECT id_a AS src, id_b AS dst FROM pair_t
       UNION

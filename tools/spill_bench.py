@@ -222,7 +222,17 @@ def main() -> None:
         "concurrent_tasks": SQUEEZE_TASKS,
         "queries": per_query,
     }
-    (REPO / "SPILLBENCH.json").write_text(json.dumps(result, indent=1) + "\n")
+    # merge with prior runs (same contract as SCALEBENCH100): a --queries
+    # subset run must refresh its rows, not clobber the rest of the
+    # artifact (the round-6 scaled-MinHash subset run silently dropped
+    # the other nine heavy-query rows)
+    out_path = REPO / "SPILLBENCH.json"
+    if out_path.is_file():
+        prior = json.loads(out_path.read_text())
+        merged = dict(prior.get("queries", {}))
+        merged.update(result["queries"])
+        result["queries"] = merged
+    out_path.write_text(json.dumps(result, indent=1) + "\n")
     print(json.dumps(result))
 
 
