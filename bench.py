@@ -28,8 +28,16 @@ from streamprocessing_spark.shared_views import release_shared_views
 # both are released together to keep the cascade consistent).
 VIEW_BUILDER_KINDS = {
     "dedup_minhash_lsh_scaled": ("mhcomp", "mhpairs"),
+    # the scaled builder drops mhcomp but its fn never rebuilds it, so
+    # the star-contraction components build must be priced to the FIRST
+    # components consumer in HEADLINE order (keep_canonical): it
+    # re-derives components from the cached pair view every rep, while
+    # later comp consumers (histogram, aware_split, manifest) stay
+    # marginal over the built components
+    "dedup_keep_canonical": ("mhcomp",),
     "dedup_simhash": ("shpairs",),
     "copurchase_lift": ("graphop",),
+    "minhash_jaccard_estimate_audit": ("mhaudit",),
 }
 
 # Headline set: the reference-derived pipelines + the heavier analytics /

@@ -30,6 +30,11 @@ def _sql_cos(a: str, b: str) -> str:
 
 
 N_QUERIES = 5
+
+# Persisted-IVF on-disk layout version: bump whenever the index schema,
+# centroid seeding, or assignment law changes, so content-keyed index
+# dirs from older code self-invalidate (ann_ivf_persisted_topk).
+_IVF_LAYOUT_V = "v1"
 TOP_K = 10
 
 
@@ -2530,7 +2535,6 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroids = emb.where(F.col("vec_id") < 16).select(
         F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
     )
-    app = spark.sparkContext.applicationId.replace("-", "_")
     # Index root (ADVICE r06): the SAME non-/tmp scratch root session.py
     # uses for SPARK_LOCAL_DIRS — this index is RE-READ on later
     # invocations, and the harness box reaps /tmp mid-run.
@@ -2538,8 +2542,30 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SPARK_GRAFT_LOCAL_DIR",
         str(Path(__file__).resolve().parent.parent.parent / ".spark-local"),
     )
+    # Keyed by CONTENT, not session: the index is a pure function of
+    # (corpus dir, layout version) — assignment is deterministic
+    # (seeded centroids, total-ordered argmax window), so any session's
+    # build is byte-interchangeable and the atomic-rename publish makes
+    # concurrent builders race safely. An applicationId key (round-7
+    # review finding) accumulated one full index copy per session under
+    # the never-reaped scratch root; content keying bounds the footprint
+    # to one index per corpus AND lets later sessions serve without
+    # rebuilding — the actual production serving contract. _IVF_LAYOUT_V
+    # must be bumped whenever the index schema/assignment law changes.
+    # The corpus fingerprint (file sizes + mtimes of the embeddings
+    # parquet) folds into the key so a REGENERATED fixture at the same
+    # path gets a fresh index instead of serving stale cells.
+    src = os.path.join(sf_dir, "embeddings.parquet")
+    fp = hashlib.md5(sf_dir.encode())
+    if os.path.isdir(src):
+        for f in sorted(os.listdir(src)):
+            st = os.stat(os.path.join(src, f))
+            fp.update(f"{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+    elif os.path.isfile(src):
+        st = os.stat(src)
+        fp.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
     idx_dir = os.path.join(
-        scratch, "graft_ivf", app, hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+        scratch, "graft_ivf", _IVF_LAYOUT_V, fp.hexdigest()[:16]
     )
     if not os.path.isdir(idx_dir):
         w_assign = Window.partitionBy("id").orderBy(F.desc("cos_c"), F.asc("cent_id"))

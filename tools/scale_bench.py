@@ -252,7 +252,16 @@ def build_proxy(spark, base: str, out: str) -> None:
     dim = len(emb.select("embedding").head()[0])
     emb_parts = []
     for k in range(REPLICAS):
-        e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * n_emb))
+        # shift by n_DOCS, not n_emb: vec_id joins doc_id (bitext mining
+        # takes lang labels through d.doc_id == emb.vec_id), and the
+        # fixture's alignment is vec i ↔ doc i. A k*n_emb shift landed
+        # replica-k VECTORS on replica-j DOCUMENTS (j = id div n_docs),
+        # scrambling the lang labeling across replicas — the workload
+        # still grew 10×, but its composition drifted from "10
+        # independent copies of the base task" (round-7 review finding).
+        # With k*n_docs the flipped replica vector pairs with the same
+        # base document's lang, n_emb ≤ n_docs keeps ids collision-free.
+        e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * n_docs))
         if k:
             signs = [
                 1.0 if int(hashlib.md5(f"sb:{k}:{d}".encode()).hexdigest()[:2], 16) % 2 else -1.0
@@ -376,6 +385,11 @@ DEDUP100_QUERIES = (
     "ivf_cosine_pairs",
     "semantic_dedup_keep_ivf",
     "ann_pq_adc_topk",
+    # text tiers with EXACT replica decorrelation (token suffixing ⇒
+    # zero shared shingles across replicas — the clean second decade
+    # the 64-dim embedding proxies can't give threshold queries)
+    "dedup_jaccard_prefix_filter",
+    "decontaminate_hashed",
 )
 
 # Queries measured with the session-shared views RELEASED before every
@@ -461,12 +475,36 @@ def build_docs100(spark, proxy10: str, out: str) -> None:
     )
 
 
+def _ensure_proxy100_fresh(spark) -> None:
+    """Key the ENTIRE 100x tree to the 10x proxy's .base marker: if the
+    10x proxy was rebuilt (different base, --rebuild, or a proxy-format
+    version bump), every 100x family derived from it is stale — without
+    this, the x100 points silently mix corpora from two different bases
+    while x1/x10 measure the new one (round-7 review finding: the old
+    per-family markers checked only their own existence)."""
+    src_m = f"{PROXY_DIR}/.base"
+    cur = open(src_m).read().strip() if os.path.isfile(src_m) else "unknown"
+    marker = f"{PROXY100_DIR}/.src"
+    fresh = (
+        os.path.isdir(f"{PROXY100_DIR}/lineitem.parquet")
+        and os.path.isfile(marker)
+        and open(marker).read().strip() == cur
+    )
+    if not fresh:
+        for fam in (".docs100", ".emb100", ".src"):
+            p = f"{PROXY100_DIR}/{fam}"
+            if os.path.isfile(p):
+                os.remove(p)
+        print("building 100x lineitem proxy...", file=sys.stderr)
+        build_proxy100(spark, PROXY_DIR, PROXY100_DIR)
+        with open(marker, "w") as fh:
+            fh.write(cur)
+
+
 def run_dedup100(spark, base: str, queries: list[str]) -> None:
     """1x/10x/100x curve for documents-driven dedup tiers (the graph100
     pattern applied to the round-6 count-scaled MinHash tier)."""
-    if not os.path.isdir(f"{PROXY100_DIR}/lineitem.parquet"):
-        print("building 100x lineitem proxy...", file=sys.stderr)
-        build_proxy100(spark, PROXY_DIR, PROXY100_DIR)
+    _ensure_proxy100_fresh(spark)
     marker = f"{PROXY100_DIR}/.docs100"
     if not os.path.isfile(marker):
         print("building 100x documents proxy...", file=sys.stderr)
@@ -500,6 +538,12 @@ def run_dedup100(spark, base: str, queries: list[str]) -> None:
             ts.append(secs)
             print(f"# {name} {label}: {secs:.2f}s ({nrows} rows)", file=sys.stderr)
         spark.conf.set("spark.sql.shuffle.partitions", "32")
+        if cold:
+            # ...and release AFTER the last timed run too: the x100
+            # pair/component caches would otherwise stay pinned through
+            # every later query's measurement, skewing their exponents
+            # with storage-memory pressure (round-7 review finding)
+            release_shared_views(spark)
         expo = fit_exponent([1.0, 10.0, 100.0], ts)
         rows["fitted_exponent"] = round(expo, 3)
         result["queries"][name] = rows
@@ -530,9 +574,7 @@ def fit_exponent(ns: list[float], ts: list[float]) -> float:
 
 
 def run_graph100(spark, base: str, queries: list[str]) -> None:
-    if not os.path.isdir(f"{PROXY100_DIR}/lineitem.parquet"):
-        print("building 100x lineitem proxy...", file=sys.stderr)
-        build_proxy100(spark, PROXY_DIR, PROXY100_DIR)
+    _ensure_proxy100_fresh(spark)
     specs = all_specs()
     result: dict = {"scales": [1, 10, 100], "base": base, "queries": {}}
     for name in queries:
@@ -587,7 +629,8 @@ def main() -> None:
     # changes so proxies built by older code self-invalidate (a stale
     # pre-partkey-shift proxy would silently exempt the graph operators
     # from the 10x measurement)
-    base_key = f"v3:{os.path.abspath(args.base)}"
+    # v4: vec_id replica shift aligned to doc_id space (k*n_docs)
+    base_key = f"v4:{os.path.abspath(args.base)}"
     stale = True
     if os.path.isdir(f"{PROXY_DIR}/documents.parquet") and os.path.isfile(marker):
         with open(marker) as fh:
