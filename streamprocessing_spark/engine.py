@@ -179,6 +179,20 @@ def release_plugin_caches(blocking: bool = False) -> int:
     return _PLUGIN_CACHES.release(blocking)
 
 
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """persist() a multi-consumer intermediate and register it for the
+    session's bounded eviction (release_plugin_caches / KEEP oldest-first).
+    Preferred over eager localCheckpoint for small intermediates: persist
+    is lazy (the first consumer's job pipelines the build instead of
+    paying a blocking materialization up front) and measured ~2× faster
+    with far less variance on a busy session (t_closeness_audit r07
+    regression post-mortem). Recompute-after-eviction is correct for the
+    deterministic queries this engine ships."""
+    df = df.persist()
+    _PLUGIN_CACHES.add(df)
+    return df
+
+
 def _collapse_tagged(tagged: DataFrame, contract: str = "mixed") -> DataFrame:
     """Tagged (kind, key, value) stream → the op's output records:
     'emit' rows pass through, 'count' rows aggregate to

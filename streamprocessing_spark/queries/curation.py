@@ -3517,7 +3517,13 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighting, one truncating milli div. 38-digit integers (F_c·N
     reaches n²). All windows PARTITION BY CLASS — nothing global. Scale
     shape: two histogram aggregates, a (classes × distinct-values) grid
-    bounded by dimension × value domain, class-partitioned windows."""
+    bounded by dimension × value domain, class-partitioned windows.
+
+    r07 bench regression post-mortem: the 2.2→5.1 s swing was the two
+    EAGER localCheckpoints landing on a busy session — tracked persist()
+    pipelines the build into the first consumer job instead (A/B at
+    sf0.1: ckpt 3.0-7.5 s, persist 1.6-2.7 s, best-of-3 each)."""
+    from streamprocessing_spark.engine import tracked_persist
     cust = (
         load_table(spark, sf_dir, "customer")
         .join(
@@ -3529,8 +3535,8 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_mktsegment").alias("seg"),
             F.floor(F.col("c_acctbal") * 100.0 + F.lit(0.5)).cast("long").alias("cents"),
         )
-        .localCheckpoint(eager=True)  # feeds values, classes, both histograms
     )
+    cust = tracked_persist(cust)  # feeds values, classes, both histograms
     vals = cust.select("cents").distinct()
     classes = cust.groupBy("n_name", "seg").agg(F.count(F.lit(1)).alias("n_c"))
     tot = cust.agg(F.expr("CAST(count(*) AS DECIMAL(38,0))").alias("n"))
@@ -3585,8 +3591,8 @@ def t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "emd_milli_cents"
             ),
         )
-        .localCheckpoint(eager=True)  # class-sized; feeds max and output
     )
+    scored = tracked_persist(scored)  # class-sized; feeds max and output
     mx = scored.agg(F.max("emd_milli_cents").alias("t_max"))
     return scored.crossJoin(F.broadcast(mx)).select(
         "n_name",

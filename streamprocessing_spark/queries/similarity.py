@@ -34,7 +34,7 @@ N_QUERIES = 5
 # Persisted-IVF on-disk layout version: bump whenever the index schema,
 # centroid seeding, or assignment law changes, so content-keyed index
 # dirs from older code self-invalidate (ann_ivf_persisted_topk).
-_IVF_LAYOUT_V = "v1"
+_IVF_LAYOUT_V = "v2"  # v2: two-level <sf_dir hash>/<content fp> key + publish-time GC
 TOP_K = 10
 
 
@@ -2554,9 +2554,15 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # must be bumped whenever the index schema/assignment law changes.
     # The corpus fingerprint (file sizes + mtimes of the embeddings
     # parquet) folds into the key so a REGENERATED fixture at the same
-    # path gets a fresh index instead of serving stale cells.
+    # path gets a fresh index instead of serving stale cells. The key is
+    # two-level — <sf_dir hash>/<content fingerprint> — so that publish
+    # can GC superseded indexes of THIS corpus path (ADVICE r07: a
+    # regenerated fixture minted a new fingerprint and the old index dir
+    # was never reaped) without ever touching the live index of a
+    # DIFFERENT sf_dir sharing the scratch root.
     src = os.path.join(sf_dir, "embeddings.parquet")
-    fp = hashlib.md5(sf_dir.encode())
+    sf_key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+    fp = hashlib.md5()
     if os.path.isdir(src):
         for f in sorted(os.listdir(src)):
             st = os.stat(os.path.join(src, f))
@@ -2564,9 +2570,9 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     elif os.path.isfile(src):
         st = os.stat(src)
         fp.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
-    idx_dir = os.path.join(
-        scratch, "graft_ivf", _IVF_LAYOUT_V, fp.hexdigest()[:16]
-    )
+    content_key = fp.hexdigest()[:16]
+    sf_root = os.path.join(scratch, "graft_ivf", _IVF_LAYOUT_V, sf_key)
+    idx_dir = os.path.join(sf_root, content_key)
     if not os.path.isdir(idx_dir):
         w_assign = Window.partitionBy("id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
         assigned = (
@@ -2601,6 +2607,21 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             shutil.rmtree(tmp_dir, ignore_errors=True)
             if not os.path.isdir(idx_dir):
                 raise
+        else:
+            # Stale-index GC (ADVICE r07): the publish winner reaps
+            # superseded fingerprints of the SAME corpus path — every
+            # sibling under this sf_dir hash that isn't the live index
+            # or a concurrent build of it. Best-effort: a concurrent
+            # session racing on the same (current) content key is never
+            # touched, and rmtree errors from a racing reaper are
+            # ignored. Bounds scratch to one index per corpus path even
+            # across fixture regenerations.
+            try:
+                for sib in os.listdir(sf_root):
+                    if not sib.startswith(content_key):
+                        shutil.rmtree(os.path.join(sf_root, sib), ignore_errors=True)
+            except OSError:
+                pass
     # explicit read schema: an EMPTY corpus writes a partitionless
     # directory parquet can't infer from (hostile/empty fixture), and at
     # any size it skips a footer-sampling pass over the index files

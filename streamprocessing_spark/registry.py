@@ -185,23 +185,50 @@ _DRIVER_VERIFIED = frozenset(
         "tfidf_top_terms", "udtf_bigrams",
         "variance_optimal_allocation_sample", "variant_props_rollup",
         "vocab_growth_by_batch", "window_rank_functions",
+        # round 7 (CORRECTNESS_r07.json — 49 fresh full-oracle greens plus
+        # the embedding_pca_project rows-only row, already listed above)
+        "ann_hubness_audit", "ann_ivf_persisted_topk", "ann_ivf_topk",
+        "bitext_mine_margin", "bitext_mine_margin_ivf", "bot_rate_flags",
+        "calibration_ece_audit", "category_share_shift", "decontaminate_semantic",
+        "dedup_aware_split", "dedup_char_ngram_jaccard", "dedup_cluster_components",
+        "dedup_cluster_size_histogram", "dedup_containment_join", "dedup_exact",
+        "dedup_keep_canonical", "dedup_minhash_lsh", "dedup_minhash_lsh_scaled",
+        "dedup_ngram_jaccard", "dedup_signal_auc", "dedup_simhash",
+        "domain_blocklist_filter", "embedding_anisotropy_audit", "embedding_cosine_pairs",
+        "embedding_drift_chi2_by_dim", "gini_value_inequality", "int8_quantization_recall_audit",
+        "kaplan_meier_activity", "knn_label_audit", "markov_entropy_rate",
+        "matryoshka_truncation_audit", "mutual_information_source_lang", "nest_order_lineitems",
+        "q3_shipping_priority", "referential_integrity_audit", "repetition_top_bigram_fraction",
+        "right_to_erasure_cascade", "semantic_dedup_keep_srp_baseline", "sequence_gap_audit",
+        "source_ablation_impact", "source_jsonl_roundtrip", "source_malformed_jsonl_permissive",
+        "source_orc_roundtrip", "srp_lsh_cosine_pairs", "srp_lsh_cosine_pairs_recall_held",
+        "srp_lsh_cosine_pairs_scaled", "target_encoding_loo", "unimax_budget_allocation",
+        "url_domain_stats",
     }
 )
 
-# Round-7 re-presentation set (VERDICT r06 missing item #3): the single
-# name that has never gone green at the driver — embedding_pca_project
-# errored once in r02 (rows-only by design) and was never re-presented.
-# It leads the gate order; every later slot goes to fresh names.
-_REVERIFY = frozenset({"embedding_pca_project"})
+# Round-8 re-presentation set: empty. embedding_pca_project's rows-only
+# row landed in r07 (500 rows, no_oracle by design) — nothing needs
+# re-presenting; every slot goes to the 50 never-gated names.
+_REVERIFY = frozenset()
 
-# Round-7 family front-load (VERDICT r06 item #2): the never-gated dedup
-# and similarity names — the engine's flagship LLM-pipeline families and
-# the two darkest verification pools (13 and 16 names) — take the first
-# fresh-gate slots, each family grouped so its shared session views
-# (mhpairs/mhcomp, the IVF index) amortize across consecutive rows.
+# Round-8 family front-load (VERDICT r07 item #1): the ENTIRE remaining
+# backlog is exactly the 50 never-gated names (raw gate total ~109 s —
+# inside one 50-slot budget), so every family with a dark name is
+# front-loaded, each family contiguous so shared session views (the
+# streaming single-drain, the graph edge view, the phash corpus)
+# amortize across consecutive rows. Cheap families first in case the
+# budget is wall-clock rather than count.
 _FRONTLOAD_MODULES = (
-    "streamprocessing_spark.queries.dedup",
-    "streamprocessing_spark.queries.similarity",
+    "streamprocessing_spark.queries.multimodal",
+    "streamprocessing_spark.queries.quality",
+    "streamprocessing_spark.queries.text",
+    "streamprocessing_spark.queries.layout",
+    "streamprocessing_spark.queries.graph",
+    "streamprocessing_spark.queries.curation",
+    "streamprocessing_spark.queries.timeseries",
+    "streamprocessing_spark.queries.analytics",
+    "streamprocessing_spark.queries.streaming",
 )
 
 _FAMILY_PRIORITY = (
@@ -225,19 +252,17 @@ _FAMILY_PRIORITY = (
 def _presentation_order(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     """Stable re-ordering of the registry for the driver.
 
-    Round-7 layout (VERDICT r06 items #2 and missing #3): (0) the one
-    never-green name (_REVERIFY: embedding_pca_project, errored r02,
-    rows-only by design); (1) driver-unverified dedup then similarity
-    names — the flagship families' dark pools — each family contiguous
-    (shared session views amortize) and gate-cost ascending within it;
-    (2) every other driver-unverified query by measured sf0.01 gate cost
-    ascending (Spark run + DuckDB oracle wall seconds, tools/
-    gate_costs.py → gate_order.py) so the budget clears the maximum
-    number of fresh names from the 99-deep backlog; (3) the verified
-    core reference ops (the parity signal, re-checked as soon as fresh
-    names are exhausted); (4) the verified remainder. Queries with no
-    measured cost yet sort at cost 0 within their group — new operators
-    need their first driver row most."""
+    Round-8 layout (VERDICT r07 item #1): the backlog IS the budget —
+    exactly 50 never-gated names remain (raw gate total ~109 s), so
+    (1) every driver-unverified name comes first, family-contiguous
+    (shared session views amortize: the streaming single-drain, graph
+    edge view, phash corpus) with cheap families leading and gate-cost
+    ascending within each family (tools/gate_costs.py → gate_order.py);
+    (2) any unverified stragglers by cost; (3) the verified core
+    reference ops (the parity signal, re-checked as soon as fresh names
+    are exhausted); (4) the verified remainder. Queries with no measured
+    cost yet sort at cost 0 within their group — new operators need
+    their first driver row most."""
     fam_rank = {
         f"streamprocessing_spark.queries.{m}": i for i, m in enumerate(_FAMILY_PRIORITY)
     }

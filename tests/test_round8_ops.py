@@ -1377,3 +1377,56 @@ def test_malformed_csv_null_totalprice_on_corrupt_key_still_quarantines(spark, t
     assert out["O"].n_quarantined == 2 and out["O"].n_parsed == 0
     assert out["F"].n_quarantined == 0 and out["F"].n_parsed == 2
     assert out["F"].clean_cents == 1000
+
+
+def test_persisted_ivf_gc_leaves_one_index_per_corpus(spark, tmp_path, monkeypatch):
+    """ADVICE r07: a REGENERATED fixture mints a new content fingerprint
+    and the superseded index dir must be reaped at publish — scratch is
+    bounded to ONE live index per corpus path across regenerations,
+    while a different corpus path under the same scratch root keeps its
+    own index untouched."""
+    import os
+    import shutil
+
+    from streamprocessing_spark.queries import similarity as SIM
+
+    scratch = str(tmp_path / "scratch")
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_DIR", scratch)
+
+    # Two corpus paths sharing the scratch root.
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    dirs = []
+    for name in ("corpusA", "corpusB"):
+        d = str(tmp_path / name)
+        os.makedirs(d)
+        shutil.copyfile(src, os.path.join(d, "embeddings.parquet"))
+        dirs.append(d)
+    a_dir, b_dir = dirs
+
+    fn = SPECS["ann_ivf_persisted_topk"].fn
+    assert fn(spark, a_dir).count() > 0
+    assert fn(spark, b_dir).count() > 0
+
+    def index_dirs(sf_dir):
+        import hashlib
+
+        root = os.path.join(
+            scratch, "graft_ivf", SIM._IVF_LAYOUT_V,
+            hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        )
+        return sorted(os.listdir(root)) if os.path.isdir(root) else []
+
+    assert len(index_dirs(a_dir)) == 1
+    assert len(index_dirs(b_dir)) == 1
+    before_b = index_dirs(b_dir)
+
+    # Regenerate corpus A (same bytes, new mtime → new fingerprint).
+    p = os.path.join(a_dir, "embeddings.parquet")
+    os.utime(p, ns=(os.stat(p).st_atime_ns, os.stat(p).st_mtime_ns + 10**9))
+    rows_after = fn(spark, a_dir).count()
+    assert rows_after > 0
+
+    # Publish reaped the stale fingerprint: exactly one live index for A,
+    # and B's index is untouched.
+    assert len(index_dirs(a_dir)) == 1
+    assert index_dirs(b_dir) == before_b

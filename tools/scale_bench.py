@@ -226,12 +226,40 @@ PREWARM_PROXY = frozenset({
 })
 
 
+def _base_fingerprint(base: str) -> str:
+    """Content fingerprint (file sizes + mtimes) of the three base tables
+    the proxy derives from. Folded into the .base marker so a REGENERATED
+    base fixture at the same path — or a --rebuild — invalidates the 100x
+    tree too (ADVICE r07: a path-only marker let x100 silently serve a
+    corpus derived from the OLD base while x1/x10 measured the new one)."""
+    import hashlib
+
+    h = hashlib.md5()
+    for tbl in ("documents", "embeddings", "lineitem"):
+        p = os.path.join(base, f"{tbl}.parquet")
+        if os.path.isdir(p):
+            for f in sorted(os.listdir(p)):
+                st = os.stat(os.path.join(p, f))
+                h.update(f"{tbl}/{f}:{st.st_size}:{st.st_mtime_ns}".encode())
+        elif os.path.isfile(p):
+            st = os.stat(p)
+            h.update(f"{tbl}:{st.st_size}:{st.st_mtime_ns}".encode())
+    return h.hexdigest()[:16]
+
+
 def build_proxy(spark, base: str, out: str) -> None:
     docs = spark.read.parquet(f"{base}/documents.parquet")
     emb = spark.read.parquet(f"{base}/embeddings.parquet")
     li = spark.read.parquet(f"{base}/lineitem.parquet")
     n_docs = docs.count()
     n_emb = emb.count()
+    # the k*n_docs vec_id shift below is only collision-free when
+    # n_emb <= n_docs; enforce the precondition instead of silently
+    # minting duplicate vec_ids across replicas (ADVICE r07)
+    if n_emb > n_docs:
+        raise ValueError(
+            f"proxy replica shift needs n_emb <= n_docs, got {n_emb} > {n_docs}"
+        )
 
     doc_parts = []
     for k in range(REPLICAS):
@@ -475,6 +503,129 @@ def build_docs100(spark, proxy10: str, out: str) -> None:
     )
 
 
+# --- 256-dim sparse-regime proxy for the THRESHOLD-PAIR tiers --------------
+# VERDICT r07 missing #2: the 64-dim x100 corpus PERCOLATES at θ=0.45
+# (σ = d^-1/2 = 0.125 ⇒ the threshold is 3.6σ; 5×10¹² cross pairs cross
+# it ~10⁶ times and transitive closure merges nearly everything), so the
+# 1.082/1.128 exponents recorded for ivf_cosine_pairs /
+# semantic_dedup_keep_ivf measured a pair-dense degenerate regime. Real
+# corpora run 512–1024-dim where θ=0.45 is 10–14σ. This proxy re-measures
+# the two tiers at 256 dims — θ=0.45 = 7.2σ, expected noise-floor
+# crossings ≤ ~1 even at x100's 2×10¹⁰ cross pairs — with the SAME decade
+# construction law as build_emb100 (per-replica deterministic sign flips,
+# dense id shifts) and PLANTED near-dup pairs (5% of vectors, cos ≈ 0.94)
+# so the qualifying-pair universe grows exactly linearly by construction.
+
+EMB256_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "emb256")
+EMB256_V = "v1"
+EMB256_QUERIES = ("ivf_cosine_pairs", "semantic_dedup_keep_ivf")
+EMB256_N, EMB256_DIM = 2000, 256  # x1 matches the sf0.1 embeddings count
+
+
+def build_emb256(spark) -> None:
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(20260816)
+    v = rng.standard_normal((EMB256_N, EMB256_DIM))
+    # plant near-dups: every id ≡ 1 (mod 20) perturbs its predecessor —
+    # cos ≈ 1/sqrt(1+0.35²) ≈ 0.94, far above θ=0.45, so the planted pair
+    # count (and nothing else) drives the output at every scale
+    for i in range(1, EMB256_N, 20):
+        v[i] = v[i - 1] + 0.35 * rng.standard_normal(EMB256_DIM)
+    v /= np.linalg.norm(v, axis=1, keepdims=True)
+    pdf = pd.DataFrame(
+        {
+            "vec_id": np.arange(EMB256_N, dtype=np.int64),
+            "embedding": [row.astype(np.float32) for row in v],
+            "label": (np.arange(EMB256_N) % 10).astype(np.int32),
+        }
+    )
+    x1 = f"{EMB256_DIR}/x1"
+    spark.createDataFrame(pdf).coalesce(4).write.mode("overwrite").parquet(
+        f"{x1}/embeddings.parquet"
+    )
+
+    def replicate(src: str, out: str, shift: int, salt: str) -> None:
+        emb = spark.read.parquet(f"{src}/embeddings.parquet")
+        parts = []
+        for k in range(10):
+            e = emb.withColumn("vec_id", F.col("vec_id") + F.lit(k * shift))
+            if k:
+                signs = [
+                    1.0
+                    if int(hashlib.md5(f"{salt}:{k}:{d}".encode()).hexdigest()[:2], 16) % 2
+                    else -1.0
+                    for d in range(EMB256_DIM)
+                ]
+                sign_arr = "array(" + ", ".join(f"{s}D" for s in signs) + ")"
+                e = e.withColumn(
+                    "embedding",
+                    F.expr(
+                        f"zip_with(embedding, {sign_arr},"
+                        " (v, s) -> CAST(CAST(v AS DOUBLE) * s AS FLOAT))"
+                    ),
+                )
+            parts.append(e)
+        _union_all(parts).coalesce(32).write.mode("overwrite").parquet(
+            f"{out}/embeddings.parquet"
+        )
+
+    replicate(x1, f"{EMB256_DIR}/x10", EMB256_N, "e256a")
+    replicate(f"{EMB256_DIR}/x10", f"{EMB256_DIR}/x100", 10 * EMB256_N, "e256b")
+
+
+def run_emb256(spark, queries: list[str]) -> None:
+    """Two-decade curve for the threshold-pair tiers on the 256-dim
+    sparse-regime corpus; rows land in SCALEBENCH100.json keyed
+    ``<name>@256d`` so the 64-dim stress rows stay as the labeled
+    degenerate case."""
+    marker = f"{EMB256_DIR}/.v"
+    fresh = (
+        os.path.isdir(f"{EMB256_DIR}/x100/embeddings.parquet")
+        and os.path.isfile(marker)
+        and open(marker).read().strip() == EMB256_V
+    )
+    if not fresh:
+        if os.path.isfile(marker):
+            os.remove(marker)
+        print("building 256-dim embeddings fixtures...", file=sys.stderr)
+        build_emb256(spark)
+        with open(marker, "w") as fh:
+            fh.write(EMB256_V)
+
+    specs = all_specs()
+    result: dict = {"scales": [1, 10, 100], "base": f"{EMB256_DIR}/x1", "queries": {}}
+    for name in queries:
+        spec = specs[name]
+        time_query(spec, spark, f"{EMB256_DIR}/x1")  # warm
+        rows = {"dim": EMB256_DIM, "regime": "sparse (theta=0.45 at 7.2 sigma)"}
+        ts = []
+        for label, nparts in (("x1", 32), ("x10", 64), ("x100", 256)):
+            spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+            secs, nrows = time_query(spec, spark, f"{EMB256_DIR}/{label}")
+            rows[label] = {"sec": round(secs, 2), "rows": nrows}
+            ts.append(secs)
+            print(f"# {name}@256d {label}: {secs:.2f}s ({nrows} rows)", file=sys.stderr)
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        expo = fit_exponent([1.0, 10.0, 100.0], ts)
+        rows["fitted_exponent"] = round(expo, 3)
+        result["queries"][f"{name}@256d"] = rows
+        print(f"# {name}@256d: exponent {expo:.3f}", file=sys.stderr)
+    out = Path(__file__).resolve().parent.parent / "SCALEBENCH100.json"
+    if out.is_file():
+        prior = json.loads(out.read_text())
+        merged = dict(prior.get("queries", {}))
+        merged.update(result["queries"])
+        result["queries"] = merged
+        result["scales"] = prior.get("scales", result["scales"])
+        result["base"] = prior.get("base", result["base"])
+    out.write_text(json.dumps(result, indent=1) + "\n")
+    print(json.dumps(result))
+
+
 def _ensure_proxy100_fresh(spark) -> None:
     """Key the ENTIRE 100x tree to the 10x proxy's .base marker: if the
     10x proxy was rebuilt (different base, --rebuild, or a proxy-format
@@ -617,10 +768,19 @@ def main() -> None:
                     help="run the graph family at 1x/10x/100x and fit exponents")
     ap.add_argument("--dedup100", action="store_true",
                     help="run the dedup tiers at 1x/10x/100x documents and fit exponents")
+    ap.add_argument("--emb256", action="store_true",
+                    help="run the threshold-pair tiers on the 256-dim sparse-regime "
+                         "fixtures at 1x/10x/100x and fit exponents")
     ap.add_argument("queries", nargs="*", help="subset of QUERIES to run")
     args = ap.parse_args()
 
     spark = get_spark("scale-bench")
+
+    if args.emb256:
+        # self-contained fixtures — no 10x/100x proxy needed
+        run_emb256(spark, args.queries or list(EMB256_QUERIES))
+        return
+
     # the cached proxy is only valid for the base it was derived from —
     # key the cache on the base path so `--base X` after a run with base Y
     # rebuilds instead of silently measuring against a stale proxy
@@ -629,8 +789,14 @@ def main() -> None:
     # changes so proxies built by older code self-invalidate (a stale
     # pre-partkey-shift proxy would silently exempt the graph operators
     # from the 10x measurement)
-    # v4: vec_id replica shift aligned to doc_id space (k*n_docs)
-    base_key = f"v4:{os.path.abspath(args.base)}"
+    # v4: vec_id replica shift aligned to doc_id space (k*n_docs).
+    # The key also folds in a CONTENT fingerprint of the base tables
+    # (ADVICE r07): a regenerated base at the same path now yields a new
+    # key, so _ensure_proxy100_fresh — which compares the 100x tree's
+    # .src marker against this marker — invalidates the derived 100x
+    # corpora in BOTH the regenerated-base and --rebuild cases instead of
+    # only on a path change.
+    base_key = f"v4:{os.path.abspath(args.base)}:{_base_fingerprint(args.base)}"
     stale = True
     if os.path.isdir(f"{PROXY_DIR}/documents.parquet") and os.path.isfile(marker):
         with open(marker) as fh:
@@ -641,6 +807,13 @@ def main() -> None:
         # next run validates
         if os.path.isfile(marker):
             os.remove(marker)
+        # an explicit --rebuild with an UNCHANGED base re-derives the 10x
+        # proxy under the same key; the 100x tree derived from the old
+        # build must not survive it — drop its .src so the next 100x run
+        # rebuilds from the fresh proxy
+        src100 = f"{PROXY100_DIR}/.src"
+        if os.path.isfile(src100):
+            os.remove(src100)
         build_proxy(spark, args.base, PROXY_DIR)
         os.makedirs(PROXY_DIR, exist_ok=True)
         with open(marker, "w") as fh:

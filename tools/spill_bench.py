@@ -215,6 +215,18 @@ def main() -> None:
         if row.get("ok") and q in ref_rows:
             row["rows_match_unsqueezed"] = row["rows"] == ref_rows[q]
 
+    # every row self-describes the squeeze it was measured under
+    # (ADVICE r07: the merge kept prior rows but overwrote the top-level
+    # heap/concurrent_tasks with the latest run's values, silently
+    # relabeling rows measured under a different squeeze config)
+    squeeze = {
+        "heap": SQUEEZE_MEM,
+        "memory_fraction": SQUEEZE_FRACTION,
+        "concurrent_tasks": SQUEEZE_TASKS,
+    }
+    for row in per_query.values():
+        if isinstance(row, dict):
+            row["squeeze"] = squeeze
     result = {
         "proxy": "10x of sf0.1 (scale_bench)",
         "heap": SQUEEZE_MEM,
@@ -229,7 +241,18 @@ def main() -> None:
     out_path = REPO / "SPILLBENCH.json"
     if out_path.is_file():
         prior = json.loads(out_path.read_text())
-        merged = dict(prior.get("queries", {}))
+        prior_squeeze = {
+            "heap": prior.get("heap"),
+            "memory_fraction": prior.get("memory_fraction"),
+            "concurrent_tasks": prior.get("concurrent_tasks"),
+        }
+        merged = {}
+        for q, row in prior.get("queries", {}).items():
+            # legacy rows carry no per-row config: stamp them with the
+            # artifact-level config they were actually measured under
+            if isinstance(row, dict) and "squeeze" not in row:
+                row = {**row, "squeeze": prior_squeeze}
+            merged[q] = row
         merged.update(result["queries"])
         result["queries"] = merged
     out_path.write_text(json.dumps(result, indent=1) + "\n")
