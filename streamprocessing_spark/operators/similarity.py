@@ -647,30 +647,110 @@ def ivf_cosine_pairs(
         .withColumn("rn", F.row_number().over(w_assign))
         .where(F.col("rn") <= nassign)
         .select("id", "cent_id")
-        # the assignment pipeline (n·K dot folds + a window) feeds BOTH
-        # sides of the candidate self-join: materialize it once instead
-        # of evaluating it twice (measured 2× the dominant stage at the
-        # 10× proxy) — same multi-consumer discipline as the co-purchase
-        # edge list
-        .localCheckpoint(eager=True)
     )
-    a, b = assigned.alias("a"), assigned.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.cent_id") == F.col("b.cent_id")) & (F.col("a.id") < F.col("b.id")),
+    # Verify WITHIN the cell (round-8 rework): the previous shape built
+    # the full candidate id-pair relation (n^1.5·nassign² rows), deduped
+    # it, then re-joined BOTH vector payloads onto every candidate — at
+    # the 100× proxy with 256-dim vectors that second join shuffles
+    # ~payload × candidates ≈ 400 GB and fills the disk (observed: the
+    # emb256 x100 run died ENOSPC in the verify shuffle). Cell-local
+    # verify ships each assigned vector exactly ONCE (n·nassign·d
+    # payload), generates candidate pairs INSIDE the per-cell kernel,
+    # folds the cosine dimension-by-dimension in pair-chunks (the same
+    # IEEE sequence as with_cosine_fast — bit-identical to the
+    # interpreted fold and the DuckDB oracle), and emits only survivors,
+    # so nothing pair-sized ever touches a shuffle or the Arrow
+    # boundary. This IS the docstring's 100 TB layout: corpus bucketed
+    # by cell id, pair work cell-partitioned with no global shuffle. A
+    # pair co-assigned to several cells is emitted by each (identical
+    # bits — deterministic arithmetic), collapsed by the final distinct
+    # over surviving pairs only.
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    pair_schema = StructType(
+        [
+            StructField("id_a", LongType()),
+            StructField("id_b", LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+    thr = float(threshold)
+
+    def cell_verify(pdf):
+        import numpy as np
+        import pandas as pd
+
+        ids_all = pdf["id"].to_numpy()
+        vec_all = pdf["v"].to_numpy()
+        n_rows = len(pdf)
+        if n_rows < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        lens = np.fromiter((len(v) for v in vec_all), dtype=np.int64, count=n_rows)
+        out_a: list = []
+        out_b: list = []
+        out_c: list = []
+        # ragged guard, same law as with_cosine_fast: only equal-length
+        # nonempty pairs can produce a non-NULL fold (zip_with pads the
+        # shorter side with NULL ⇒ NULL dot ⇒ try_divide NULL ⇒ fails
+        # the threshold), so cross-length pairs are skipped outright.
+        for ln in np.unique(lens):
+            if ln == 0:
+                continue
+            sel = lens == ln
+            if int(sel.sum()) < 2:
+                continue
+            ids = ids_all[sel]
+            mat = np.stack(vec_all[sel]).astype(np.float64)
+            m = len(ids)
+            ia_full, ib_full = np.triu_indices(m, k=1)
+            # chunk the pair axis so per-dim temporaries stay bounded
+            # (~8 MB per array at 1M pairs) regardless of cell skew
+            for s in range(0, len(ia_full), 1_000_000):
+                ia = ia_full[s : s + 1_000_000]
+                ib = ib_full[s : s + 1_000_000]
+                k = len(ia)
+                dot = np.zeros(k)
+                na = np.zeros(k)
+                nb = np.zeros(k)
+                for d in range(int(ln)):
+                    x = mat[ia, d]
+                    y = mat[ib, d]
+                    dot = dot + x * y
+                    na = na + x * x
+                    nb = nb + y * y
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    den = np.sqrt(na) * np.sqrt(nb)
+                    c = dot / den
+                    c[den == 0.0] = np.nan
+                keep = c >= thr  # NaN fails, like NULL
+                if keep.any():
+                    ka, kb = ids[ia[keep]], ids[ib[keep]]
+                    lo = np.minimum(ka, kb)
+                    hi = np.maximum(ka, kb)
+                    out_a.append(lo)
+                    out_b.append(hi)
+                    out_c.append(c[keep])
+        if not out_a:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cos": "float64"}
+            )
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a),
+                "id_b": np.concatenate(out_b),
+                "cos": np.concatenate(out_c),
+            }
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
-        .distinct()
-    )
-    va = vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va"))
-    vb = vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb"))
+
+    cell_vecs = assigned.join(vecs, "id").select("cent_id", "id", "v")
+    scored = cell_vecs.groupBy("cent_id").applyInPandas(cell_verify, pair_schema)
     from streamprocessing_spark.functions.text import portable_round
 
-    scored = with_cosine_fast(
-        cand.join(va, "id_a").join(vb, "id_b"), "va", "vb", "cos", threshold=threshold
-    )
-    return scored.select("id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim"))
+    return scored.select(
+        "id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim")
+    ).distinct()
 
 
 def ivf_topk(
