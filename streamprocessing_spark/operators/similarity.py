@@ -753,6 +753,120 @@ def ivf_cosine_pairs(
     ).distinct()
 
 
+def ivf_cell_cross_scores(
+    assigned: DataFrame,
+    x: DataFrame,
+    y: DataFrame,
+    x_id: str = "xid",
+    x_vec: str = "xv",
+    y_id: str = "yid",
+    y_vec: str = "yv",
+) -> DataFrame:
+    """All cross-side cosine scores over IVF-cell shortlists, computed
+    WITHOUT ever joining vector payloads onto the n^1.5 shortlist
+    relation — the bitext twin of ivf_cosine_pairs' cell-local verify
+    (round 8: the old shape shipped both embeddings onto every
+    shortlist pair through two shuffle joins, the exact payload×pairs
+    blow-up that ENOSPC'd the 256-dim x100 run for the dedup tier).
+    Each side's assigned vectors ship once (n·nassign·d), every
+    (x, y) cell-mate pair is scored in-kernel with the same
+    dimension-by-dimension IEEE fold as with_cosine_fast (bit-identical
+    to the interpreted fold and the DuckDB oracle), and only the skinny
+    (xid, yid, cos) rows cross Arrow back. Pairs sharing several cells
+    emit identical bits from each — collapsed by the final distinct.
+    NULL folds (cross-length or zero-norm pairs) are never emitted,
+    matching the downstream isNotNull drop every consumer applies."""
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    cx = assigned.join(
+        x.select(F.col(x_id).alias("id"), F.col(x_vec).alias("v")), "id"
+    ).select("cent_id", "id", F.lit(True).alias("is_x"), "v")
+    cy = assigned.join(
+        y.select(F.col(y_id).alias("id"), F.col(y_vec).alias("v")), "id"
+    ).select("cent_id", "id", F.lit(False).alias("is_x"), "v")
+    cell = cx.unionByName(cy)
+
+    out_schema = StructType(
+        [
+            StructField(x_id, LongType()),
+            StructField(y_id, LongType()),
+            StructField("cos", DoubleType()),
+        ]
+    )
+
+    def cell_cross(pdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({x_id: [], y_id: [], "cos": []}).astype(
+            {x_id: "int64", y_id: "int64", "cos": "float64"}
+        )
+        xm = pdf["is_x"].to_numpy()
+        if not xm.any() or xm.all():
+            return empty
+        ids_all = pdf["id"].to_numpy()
+        vec_all = pdf["v"].to_numpy()
+        lens = np.fromiter(
+            (len(v) for v in vec_all), dtype=np.int64, count=len(pdf)
+        )
+        out_x: list = []
+        out_y: list = []
+        out_c: list = []
+        # only equal-length nonempty pairs fold non-NULL (zip_with pads
+        # the shorter side ⇒ NULL dot ⇒ try_divide NULL ⇒ dropped)
+        for ln in np.unique(lens):
+            if ln == 0:
+                continue
+            sx = (lens == ln) & xm
+            sy = (lens == ln) & ~xm
+            if not sx.any() or not sy.any():
+                continue
+            xid_arr = ids_all[sx]
+            yid_arr = ids_all[sy]
+            X = np.stack(vec_all[sx]).astype(np.float64)
+            Y = np.stack(vec_all[sy]).astype(np.float64)
+            d = int(ln)
+            # per-row norm folds, same dim order as with_cosine_fast
+            nx = np.zeros(len(X))
+            ny = np.zeros(len(Y))
+            for i in range(d):
+                nx = nx + X[:, i] * X[:, i]
+                ny = ny + Y[:, i] * Y[:, i]
+            rx = np.sqrt(nx)
+            ry = np.sqrt(ny)
+            # block the X side so the dot grid stays bounded under skew
+            blk = max(1, 2_000_000 // max(1, len(Y)))
+            for s in range(0, len(X), blk):
+                Xb = X[s : s + blk]
+                dot = np.zeros((len(Xb), len(Y)))
+                for i in range(d):
+                    # outer-product accumulate: each pair's dot adds in
+                    # dim order — the same IEEE sequence as the
+                    # interpreted fold
+                    dot = dot + Xb[:, i : i + 1] * Y[:, i][None, :]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    den = rx[s : s + blk][:, None] * ry[None, :]
+                    c = dot / den
+                    c[den == 0.0] = np.nan
+                keep = ~np.isnan(c)
+                if keep.any():
+                    ii, jj = np.nonzero(keep)
+                    out_x.append(xid_arr[s + ii])
+                    out_y.append(yid_arr[jj])
+                    out_c.append(c[ii, jj])
+        if not out_x:
+            return empty
+        return pd.DataFrame(
+            {
+                x_id: np.concatenate(out_x),
+                y_id: np.concatenate(out_y),
+                "cos": np.concatenate(out_c),
+            }
+        )
+
+    return cell.groupBy("cent_id").applyInPandas(cell_cross, out_schema).distinct()
+
+
 def ivf_topk(
     emb: DataFrame,
     queries: DataFrame,

@@ -2417,16 +2417,11 @@ def bitext_mine_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = joined.where(F.col("lang").isNotNull() & (F.col("lang") != "en")).select(
         F.col("doc_id").alias("yid"), F.col("embedding").alias("yv")
     )
-    ax = assigned.join(x.select(F.col("xid").alias("id")), "id").select(
-        F.col("id").alias("xid"), "cent_id"
-    )
-    ay = assigned.join(y.select(F.col("yid").alias("id")), "id").select(
-        F.col("id").alias("yid"), "cent_id"
-    )
-    shortlist = ax.join(ay, "cent_id").select("xid", "yid").distinct()
-    scored = S.with_cosine_fast(
-        shortlist.join(x, "xid").join(y, "yid"), "xv", "yv", "cos"
-    )
+    # cell-local cross scoring (round 8): the old shape materialized the
+    # distinct shortlist then shuffled BOTH vector payloads onto every
+    # pair — payload × n^1.5 shuffle bytes; the kernel ships each
+    # assigned vector once and emits only skinny (xid, yid, cos) rows
+    scored = S.ivf_cell_cross_scores(assigned, x, y)
     s = scored.select(
         "xid",
         "yid",
