@@ -1430,3 +1430,40 @@ def test_persisted_ivf_gc_leaves_one_index_per_corpus(spark, tmp_path, monkeypat
     # and B's index is untouched.
     assert len(index_dirs(a_dir)) == 1
     assert index_dirs(b_dir) == before_b
+
+
+def test_ivf_cell_cross_scores_laws(spark):
+    """Structural laws of the cell-local bitext scorer that oracle
+    parity can't isolate: (a) a pair sharing several cells emits ONE
+    row (bit-identical duplicates collapsed); (b) cross-length and
+    zero-norm pairs are never emitted (the NULL-fold law); (c) scores
+    equal the interpreted cosine."""
+    import math
+
+    from streamprocessing_spark.operators import similarity as S
+
+    # two cells; x0 assigned to both cells, y0 too -> duplicate emission
+    assigned = spark.createDataFrame(
+        [(0, 10), (0, 11), (100, 10), (100, 11), (1, 10), (101, 10)],
+        "id long, cent_id long",
+    )
+    x = spark.createDataFrame(
+        [(0, [1.0, 0.0, 1.0]), (1, [0.5, 0.5, 0.0])],
+        "xid long, xv array<float>",
+    )
+    y = spark.createDataFrame(
+        [(100, [1.0, 1.0, 0.0]), (101, [0.0, 0.0])],  # 101: length mismatch
+        "yid long, yv array<float>",
+    )
+    rows = S.ivf_cell_cross_scores(assigned, x, y).collect()
+    got = {(r.xid, r.yid): r.cos for r in rows}
+    # (0,100) shares two cells -> exactly one row; (1,101)/(0,101) are
+    # cross-length -> absent; (1,100) shares cell 10
+    assert set(got) == {(0, 100), (1, 100)}
+    assert abs(got[(0, 100)] - 1.0 / (math.sqrt(2.0) * math.sqrt(2.0))) < 1e-12
+    # x1=[.5,.5,0], y100=[1,1,0]: dot=1, |x|=sqrt(.5), |y|=sqrt(2) -> cos=1
+    assert abs(got[(1, 100)] - 1.0) < 1e-12
+
+    # zero-norm pair never emitted
+    y2 = spark.createDataFrame([(100, [0.0, 0.0, 0.0])], "yid long, yv array<float>")
+    assert S.ivf_cell_cross_scores(assigned, x, y2).count() == 0
