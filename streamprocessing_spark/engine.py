@@ -140,8 +140,10 @@ class _PluginCacheRegistry:
 
     KEEP = 4  # jobs' caches kept live before oldest-first eviction
 
-    def __init__(self) -> None:
+    def __init__(self, keep: int | None = None) -> None:
         self.dfs: list[DataFrame] = []
+        if keep is not None:
+            self.KEEP = keep
 
     def __reduce__(self):
         return (_PluginCacheRegistry, ())
@@ -169,19 +171,32 @@ class _PluginCacheRegistry:
 
 _PLUGIN_CACHES = _PluginCacheRegistry()
 
+# Query-level persists live in their OWN registry (ADVICE r08):
+# t_closeness_audit registers two intermediates, and sharing the
+# plugin registry's KEEP=4 meant interleaved plugin ops could evict
+# cust/scored before all their consumers ran — correct (deterministic
+# recompute) but silently reintroducing the exact multi-consumer
+# rebuild tracked_persist exists to avoid. A separate bound keeps the
+# two lifetimes independent; KEEP=16 comfortably covers the deepest
+# query (2 intermediates) times a bench session's interleaving.
+_QUERY_CACHES = _PluginCacheRegistry(keep=16)
+
 
 def release_plugin_caches(blocking: bool = False) -> int:
-    """Unpersist every tagged cache left by mixed-contract plugin runs;
-    returns how many were released. Safe at any time: an unpersisted
-    result that is re-collected later just recomputes (correct for the
-    deterministic ops this engine ships; a non-deterministic user fn
-    should be released only after its output is materialized)."""
-    return _PLUGIN_CACHES.release(blocking)
+    """Unpersist every tagged cache left by mixed-contract plugin runs
+    AND query-level tracked persists; returns how many were released.
+    Safe at any time: an unpersisted result that is re-collected later
+    just recomputes (correct for the deterministic ops this engine
+    ships; a non-deterministic user fn should be released only after
+    its output is materialized)."""
+    return _PLUGIN_CACHES.release(blocking) + _QUERY_CACHES.release(blocking)
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
     """persist() a multi-consumer intermediate and register it for the
-    session's bounded eviction (release_plugin_caches / KEEP oldest-first).
+    session's bounded eviction (release_plugin_caches / KEEP oldest-first,
+    in a query-level registry separate from plugin caches so interleaved
+    plugin ops can't evict a query's intermediates mid-flight).
     Preferred over eager localCheckpoint for small intermediates: persist
     is lazy (the first consumer's job pipelines the build instead of
     paying a blocking materialization up front) and measured ~2× faster
@@ -189,7 +204,7 @@ def tracked_persist(df: DataFrame) -> DataFrame:
     regression post-mortem). Recompute-after-eviction is correct for the
     deterministic queries this engine ships."""
     df = df.persist()
-    _PLUGIN_CACHES.add(df)
+    _QUERY_CACHES.add(df)
     return df
 
 

@@ -704,34 +704,49 @@ def ivf_cosine_pairs(
             ids = ids_all[sel]
             mat = np.stack(vec_all[sel]).astype(np.float64)
             m = len(ids)
-            ia_full, ib_full = np.triu_indices(m, k=1)
-            # chunk the pair axis so per-dim temporaries stay bounded
-            # (~8 MB per array at 1M pairs) regardless of cell skew
-            for s in range(0, len(ia_full), 1_000_000):
-                ia = ia_full[s : s + 1_000_000]
-                ib = ib_full[s : s + 1_000_000]
-                k = len(ia)
-                dot = np.zeros(k)
-                na = np.zeros(k)
-                nb = np.zeros(k)
-                for d in range(int(ln)):
-                    x = mat[ia, d]
-                    y = mat[ib, d]
-                    dot = dot + x * y
-                    na = na + x * x
-                    nb = nb + y * y
+            d = int(ln)
+            # Per-row squared-norm fold in dim order — the same IEEE
+            # sequence each pair's na/nb fold produced before (sum of
+            # squares accumulated d=0..ln-1 from 0.0), so values are
+            # bit-identical to the per-pair gather form.
+            nrm = np.zeros(m)
+            for i in range(d):
+                nrm = nrm + mat[:, i] * mat[:, i]
+            rt = np.sqrt(nrm)
+            # Row-block the upper triangle (VERDICT r08 #1 / ADVICE):
+            # np.triu_indices(m) materialized O(m²) int64 index arrays
+            # before any chunking — a single hot cell (the near-dup
+            # cluster shape dedup corpora actually produce) allocated
+            # the whole triangle up front. Blockwise, each iteration
+            # scores a (blk × tail) dot grid accumulated per-dim in
+            # outer products (the cell_cross discipline) — the same
+            # IEEE dim-order fold per pair — and keeps peak memory at
+            # ~2M pairs' worth of temporaries regardless of cell skew.
+            blk = max(1, 2_000_000 // max(1, m - 1))
+            for s in range(0, m - 1, blk):
+                e = min(s + blk, m - 1)
+                Xb = mat[s:e]
+                Y = mat[s + 1 :]
+                dot = np.zeros((e - s, m - s - 1))
+                for i in range(d):
+                    dot = dot + Xb[:, i : i + 1] * Y[:, i][None, :]
                 with np.errstate(invalid="ignore", divide="ignore"):
-                    den = np.sqrt(na) * np.sqrt(nb)
+                    den = rt[s:e][:, None] * rt[s + 1 :][None, :]
                     c = dot / den
                     c[den == 0.0] = np.nan
-                keep = c >= thr  # NaN fails, like NULL
+                # grid row bi is global row s+bi; grid col cj is global
+                # row s+1+cj — upper triangle keeps cj >= bi
+                tri = np.arange(m - s - 1)[None, :] >= np.arange(e - s)[:, None]
+                keep = tri & (c >= thr)  # NaN fails, like NULL
                 if keep.any():
-                    ka, kb = ids[ia[keep]], ids[ib[keep]]
+                    bi, cj = np.nonzero(keep)
+                    ka = ids[s + bi]
+                    kb = ids[s + 1 + cj]
                     lo = np.minimum(ka, kb)
                     hi = np.maximum(ka, kb)
                     out_a.append(lo)
                     out_b.append(hi)
-                    out_c.append(c[keep])
+                    out_c.append(c[bi, cj])
         if not out_a:
             return pd.DataFrame({"id_a": [], "id_b": [], "cos": []}).astype(
                 {"id_a": "int64", "id_b": "int64", "cos": "float64"}

@@ -35,6 +35,10 @@ N_QUERIES = 5
 # centroid seeding, or assignment law changes, so content-keyed index
 # dirs from older code self-invalidate (ann_ivf_persisted_topk).
 _IVF_LAYOUT_V = "v2"  # v2: two-level <sf_dir hash>/<content fp> key + publish-time GC
+# A superseded PUBLISHED index is only reaped once this old, so a live
+# session still scanning an older fingerprint isn't torn down mid-query
+# (ADVICE r08). Tests pin it to 0 to assert the reap deterministically.
+_IVF_GC_MIN_AGE_S = 600.0
 TOP_K = 10
 
 
@@ -2603,18 +2607,33 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             if not os.path.isdir(idx_dir):
                 raise
         else:
-            # Stale-index GC (ADVICE r07): the publish winner reaps
-            # superseded fingerprints of the SAME corpus path — every
-            # sibling under this sf_dir hash that isn't the live index
-            # or a concurrent build of it. Best-effort: a concurrent
-            # session racing on the same (current) content key is never
-            # touched, and rmtree errors from a racing reaper are
-            # ignored. Bounds scratch to one index per corpus path even
-            # across fixture regenerations.
+            # Stale-index GC (ADVICE r07/r08): the publish winner reaps
+            # superseded PUBLISHED fingerprints of the SAME corpus path.
+            # Two classes of sibling are deliberately spared (ADVICE
+            # r08): (a) any '*.build-*' dir — a concurrent builder of a
+            # NEWER fingerprint builds under a tmp name that doesn't
+            # share this content_key prefix, and reaping it would make
+            # that builder's os.rename fail ENOENT; (b) any published
+            # sibling younger than _IVF_GC_MIN_AGE_S — a live session
+            # that fingerprinted the corpus before a regeneration may
+            # still be scanning it. Best-effort: rmtree errors from a
+            # racing reaper are ignored. Bounds scratch to one live
+            # index per corpus path (plus a grace window) across
+            # fixture regenerations.
+            import time as _time
+
+            now = _time.time()
             try:
                 for sib in os.listdir(sf_root):
-                    if not sib.startswith(content_key):
-                        shutil.rmtree(os.path.join(sf_root, sib), ignore_errors=True)
+                    if sib.startswith(content_key) or ".build-" in sib:
+                        continue
+                    sib_path = os.path.join(sf_root, sib)
+                    try:
+                        age = now - os.stat(sib_path).st_mtime
+                    except OSError:
+                        continue
+                    if age >= _IVF_GC_MIN_AGE_S:
+                        shutil.rmtree(sib_path, ignore_errors=True)
             except OSError:
                 pass
     # explicit read schema: an EMPTY corpus writes a partitionless

@@ -204,13 +204,49 @@ _DRIVER_VERIFIED = frozenset(
         "source_orc_roundtrip", "srp_lsh_cosine_pairs", "srp_lsh_cosine_pairs_recall_held",
         "srp_lsh_cosine_pairs_scaled", "target_encoding_loo", "unimax_budget_allocation",
         "url_domain_stats",
+        # round 8 (CORRECTNESS_r08.json — the final 50 never-gated names:
+        # 49 full-oracle greens plus huber_trend_slopes_grouped rows-only)
+        "annotator_agreement_kappa", "asof_join_next_order_7d",
+        "blocking_strategy_audit", "bloom_prefilter_join",
+        "bootstrap_ci_value_by_type", "bucketed_join_revenue",
+        "ccnet_perplexity_buckets", "char_entropy_filter",
+        "clustering_skipping_compare", "cogroup_asof_enrich",
+        "conformal_quality_threshold", "curation_manifest_end2end",
+        "dsir_importance_resample", "fellegi_sunter_scores", "fifo_match_returns",
+        "frequent_triples_apriori", "golden_record_parts", "hilbert_key_orders",
+        "hits_part_authorities", "huber_trend_slopes_grouped",
+        "hybrid_rrf_retrieval", "interpolate_hourly_linear",
+        "interval_overlap_peak_sessions", "join_size_sketch_estimate",
+        "k_anonymity_generalize", "kendall_tau_revenue_volume", "l_diversity_audit",
+        "lang_id_macro_f1", "mad_outlier_events", "max_concurrent_sessions_daily",
+        "modularity_communities", "multimodal_phash_arrow",
+        "multimodal_phash_neardup_real", "psi_value_drift",
+        "range_partition_boundaries", "rbo_lexical_semantic",
+        "recursive_cte_amortization", "rfm_customer_segments",
+        "sink_python_datasource_roundtrip", "skyline_orders",
+        "sliding_distinct_users_7d", "source_python_datasource",
+        "streaming_malformed_json_quarantine", "streaming_windowed_distinct_users",
+        "t_closeness_audit", "table_profile_orders", "unpivot_lineitem_metrics",
+        "user_lis_engagement", "vwap_part_monthly", "weighted_median_price_by_flag",
     }
 )
 
-# Round-8 re-presentation set: empty. embedding_pca_project's rows-only
-# row landed in r07 (500 rows, no_oracle by design) — nothing needs
-# re-presenting; every slot goes to the 50 never-gated names.
-_REVERIFY = frozenset()
+# Round-9 re-presentation set (VERDICT r08 item #1): the four names whose
+# kernels or on-disk layout were REWRITTEN in round 8 after their driver
+# rows landed — ivf_cosine_pairs (row r02, cell-local verify r08),
+# semantic_dedup_keep_ivf (r02, same kernel inherited),
+# bitext_mine_margin_ivf (r07, cell-local cross scorer r08),
+# ann_ivf_persisted_topk (r07, index layout v2 + publish GC r08). Fresh
+# rows restore the invariant that the driver ledger describes shipped
+# code. They lead the gate, before the round-9 never-gated names.
+_REVERIFY = frozenset(
+    {
+        "ivf_cosine_pairs",
+        "semantic_dedup_keep_ivf",
+        "bitext_mine_margin_ivf",
+        "ann_ivf_persisted_topk",
+    }
+)
 
 # Round-8 family front-load (VERDICT r07 item #1): the ENTIRE remaining
 # backlog is exactly the 50 never-gated names (raw gate total ~109 s —

@@ -1392,6 +1392,9 @@ def test_persisted_ivf_gc_leaves_one_index_per_corpus(spark, tmp_path, monkeypat
 
     scratch = str(tmp_path / "scratch")
     monkeypatch.setenv("SPARK_GRAFT_LOCAL_DIR", scratch)
+    # Reap immediately in the test; production keeps a grace window so
+    # a live reader of an older fingerprint isn't torn down (ADVICE r08).
+    monkeypatch.setattr(SIM, "_IVF_GC_MIN_AGE_S", 0.0)
 
     # Two corpus paths sharing the scratch root.
     src = "/root/testdata/sf0.001/embeddings.parquet"

@@ -1,0 +1,137 @@
+"""Round-9 hardening tests.
+
+1. The hot-cell law for the cell-local IVF verify (VERDICT r08 What's
+   wrong #1 / ADVICE medium): cell_verify must generate upper-triangle
+   pairs blockwise — a single near-duplicate cluster landing in one
+   cent_id (the shape dedup corpora actually produce) must run with
+   bounded kernel memory and produce exactly the brute-force answer.
+   The test crafts a corpus where every non-centroid vector assigns to
+   ONE cell, sized so the kernel's row-block loop runs multiple blocks.
+2. The publish-time GC spare laws (ADVICE r08 low): '*.build-*'
+   siblings are never reaped (a concurrent builder of a NEWER
+   fingerprint would ENOENT on its os.rename), and published siblings
+   younger than _IVF_GC_MIN_AGE_S survive (a live session on an older
+   fingerprint may still be scanning them).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from streamprocessing_spark.registry import all_specs
+
+SPECS = all_specs()
+
+
+def test_cell_verify_hot_cell_blockwise(spark):
+    """Every tail vector lands in centroid 0's cell (~2.4k rows in one
+    cent_id → the kernel's 2M-pair row-block loop runs 3+ blocks); the
+    output must equal the brute-force threshold pairs over that cell."""
+    from streamprocessing_spark.operators import similarity as S
+
+    m, d = 2500, 8
+    thr = 0.99999
+    # k = ceil(sqrt(2500)) = 50 centroids = the 50 smallest ids.
+    # id 0: the hot direction e0. ids 1..49: deterministic random unit
+    # vectors orthogonal to e0, so every tail vector (e0 + eps*e1, eps
+    # small) has cos≈1 with centroid 0 and small cos with every other
+    # centroid — the tail co-assigns to cent 0 with nassign=1: ONE hot
+    # cell. The expected set is computed from a numpy replica of the
+    # operator's own assignment law (argmax cos, ties to lowest cent).
+    rng = np.random.default_rng(9)
+    vecs = np.zeros((m, d))
+    vecs[0, 0] = 1.0
+    w = rng.normal(size=(49, d - 1))
+    vecs[1:50, 1:] = w / np.linalg.norm(w, axis=1, keepdims=True)
+    # eps caps at 0.49 so cos with cent 0 (≥0.898) always beats any
+    # random centroid (≤~0.4) — the whole tail lands in cent 0's cell.
+    eps = np.arange(50, m) * 2e-4
+    vecs[50:, 0] = 1.0
+    vecs[50:, 1] = eps
+
+    nrm = np.linalg.norm(vecs, axis=1)
+    cos_cent = (vecs @ vecs[:50].T) / np.outer(nrm, nrm[:50])
+    assign = np.argmax(cos_cent, axis=1)  # ties → lowest cent, like the op
+    hot_size = int((assign == 0).sum())
+    assert hot_size > 2_000  # the construction really is one hot cell
+
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in vecs[i]]) for i in range(m)],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in S.ivf_cosine_pairs(emb, thr, nassign=1).collect()
+    }
+
+    # Brute force per assigned cell: exactly the pairs the op must emit.
+    want: dict[tuple[int, int], float] = {}
+    for c in np.unique(assign):
+        ids = np.nonzero(assign == c)[0]
+        if len(ids) < 2:
+            continue
+        M = vecs[ids]
+        cs = (M @ M.T) / np.outer(nrm[ids], nrm[ids])
+        ii, jj = np.triu_indices(len(ids), k=1)
+        keep = cs[ii, jj] >= thr
+        for a, b in zip(ii[keep], jj[keep]):
+            lo, hi = int(min(ids[a], ids[b])), int(max(ids[a], ids[b]))
+            want[(lo, hi)] = cs[a, b]
+
+    assert len(want) > 10_000  # non-vacuous: a genuinely hot cell
+    assert set(got) == set(want)
+    for k_, v in want.items():
+        # matmul vs dim-order fold differ in final bits; both round to
+        # the same 6 decimals except exactly on a rounding boundary
+        assert got[k_] == pytest.approx(round(v, 6), abs=2e-6)
+
+
+def test_persisted_ivf_gc_spares_builds_and_young(spark, tmp_path, monkeypatch):
+    """Publish-time GC must skip '*.build-*' siblings of ANY fingerprint
+    and published siblings younger than the grace window; only an OLD
+    superseded published index is reaped."""
+    import hashlib
+    import os
+    import shutil
+
+    from streamprocessing_spark.queries import similarity as SIM
+
+    scratch = str(tmp_path / "scratch")
+    monkeypatch.setenv("SPARK_GRAFT_LOCAL_DIR", scratch)
+
+    src = "/root/testdata/sf0.001/embeddings.parquet"
+    corpus = str(tmp_path / "corpus")
+    os.makedirs(corpus)
+    shutil.copyfile(src, os.path.join(corpus, "embeddings.parquet"))
+
+    fn = SPECS["ann_ivf_persisted_topk"].fn
+    assert fn(spark, corpus).count() > 0
+
+    sf_root = os.path.join(
+        scratch,
+        "graft_ivf",
+        SIM._IVF_LAYOUT_V,
+        hashlib.md5(corpus.encode()).hexdigest()[:12],
+    )
+    # Plant three foreign siblings: a concurrent builder's tmp dir, a
+    # YOUNG published index (mtime = now), and an OLD published index.
+    build_sib = os.path.join(sf_root, "feedfacefeedface.build-deadbeef")
+    young_sib = os.path.join(sf_root, "0123456789abcdef")
+    old_sib = os.path.join(sf_root, "fedcba9876543210")
+    for p in (build_sib, young_sib, old_sib):
+        os.makedirs(p)
+    past = 10**9  # 2001 — far beyond any grace window
+    os.utime(old_sib, (past, past))
+
+    # Regenerate the corpus (new mtime → new fingerprint → publish+GC).
+    ep = os.path.join(corpus, "embeddings.parquet")
+    os.utime(ep, ns=(os.stat(ep).st_atime_ns, os.stat(ep).st_mtime_ns + 10**9))
+    assert fn(spark, corpus).count() > 0
+
+    assert os.path.isdir(build_sib), "in-flight build dirs must never be reaped"
+    assert os.path.isdir(young_sib), "young published siblings survive the grace window"
+    assert not os.path.isdir(old_sib), "old superseded indexes are reaped"
+    # The previous fingerprint of THIS corpus was young → also spared.
+    live = [s for s in os.listdir(sf_root) if ".build-" not in s]
+    assert len(live) == 3  # new index + previous young index + planted young
