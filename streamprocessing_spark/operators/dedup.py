@@ -564,7 +564,9 @@ def sql_minhash_lsh(threshold: float) -> str:
     """
 
 
-def sql_minhash_lsh_scaled(threshold: float) -> str:
+def sql_minhash_lsh_scaled(
+    threshold: float, table: str = "documents", id_col: str = "doc_id", pre: str = ""
+) -> str:
     """DuckDB mirror of minhash_lsh_pairs_scaled: the oracle derives the
     SAME (r, b) from its own count(*) — ceil(log2 n) is exact on both
     engines for integer arguments — computes every band's full MH_RMAX
@@ -572,7 +574,13 @@ def sql_minhash_lsh_scaled(threshold: float) -> str:
     list to r_t.r before concatenation; bands ≥ b(r) are filtered by the
     r_t.bt bound. Hash j of band i is coefficient index i·MH_RMAX + j,
     identical to the Spark side, so signatures — and therefore candidate
-    sets and verified pairs — agree bit for bit at every corpus count."""
+    sets and verified pairs — agree bit for bit at every corpus count.
+
+    ``table``/``id_col``/``pre`` re-target the whole pipeline at a
+    derived relation (round 9: paragraph-level dedup runs it over a
+    ``paras`` CTE injected via ``pre``, with the (r, b) count taken from
+    that same relation — the scale law follows the unit of dedup, not
+    the document count)."""
     bmax = max(MH_RECALL_BANDS.values())
     coeffs = _coeffs(bmax * MH_RMAX)
     bt_case = " ".join(f"WHEN {r} THEN {b}" for r, b in sorted(MH_RECALL_BANDS.items()))
@@ -595,12 +603,12 @@ def sql_minhash_lsh_scaled(threshold: float) -> str:
         for i in range(bmax)
     )
     return f"""
-    WITH {sql_shingles()},
+    WITH {pre}{sql_shingles(table, id_col)},
     sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
     r_t AS (SELECT r, CASE r {bt_case} END AS bt FROM (
       SELECT CAST(least({MH_RMAX}, greatest({MH_RMIN},
                  CAST(ceil(log2(greatest(count(*), 2))) AS INT) - {MH_R_SHIFT})) AS INT) AS r
-      FROM documents)),
+      FROM {table})),
     hashed AS (SELECT id, {sql_h32('sh')} AS h FROM sh),
     sig_t AS (SELECT id,
            {band_lists}
@@ -1014,3 +1022,55 @@ def sql_containment_pairs() -> str:
     FROM common c JOIN sizes sa ON c.id_a = sa.id
     WHERE {CONTAINMENT_DEN} * c.c >= {CONTAINMENT_NUM} * sa.n
     """
+
+
+# ------------------------------------------------- paragraph-level dedup
+
+# CCNet dedups at PARAGRAPH granularity (Wenzek et al. 2020 §3.2): the
+# unit of near-duplication in web crawls is the boilerplate paragraph,
+# not the page. The synthetic documents fixture carries no newlines, so
+# the splitter's deterministic fallback is fixed PARA_TOKENS-token
+# windows over the token stream — a law both engines replay exactly
+# (real corpora would split on '\n\n' first and fall back to windows for
+# wall-of-text pages). Paragraph ids pack (doc_id, window index) into
+# one int64 so the whole MinHash cascade runs unchanged over paragraphs.
+PARA_TOKENS = 25
+PARA_ID_STRIDE = 10_000  # windows per doc bound; docs are « 250k tokens
+
+
+def paragraph_df(
+    df: DataFrame, id_col: str, text_col: str, p: int = PARA_TOKENS
+) -> DataFrame:
+    """(doc_id, pid, ptext): fixed p-token windows over each document's
+    token stream; pid = doc_id·PARA_ID_STRIDE + window index. Shingles
+    never cross a window boundary (each window re-tokenizes to exactly
+    its token slice — tokens match TOKEN_RE individually, so the
+    space-join/re-extract round-trip is lossless)."""
+    toked = df.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("t")
+    ).where(F.size("t") > 0)
+    n_para = F.ceil(F.size("t") / F.lit(float(p))).cast("int")
+    return toked.select(
+        "doc_id",
+        "t",
+        F.explode(F.sequence(F.lit(0), n_para - 1)).alias("j"),
+    ).select(
+        "doc_id",
+        (F.col("doc_id") * PARA_ID_STRIDE + F.col("j")).alias("pid"),
+        F.array_join(F.expr(f"slice(t, j*{p}+1, {p})"), " ").alias("ptext"),
+    )
+
+
+def sql_paras(table: str = "documents", id_col: str = "doc_id", p: int = PARA_TOKENS) -> str:
+    """DuckDB CTEs (ptoks, paras) mirroring paragraph_df; the paras CTE
+    exposes its window text under the column name ``text`` so
+    sql_shingles/sql_minhash_lsh_scaled re-target it unchanged."""
+    return f"""
+    ptoks AS (SELECT {id_col} AS doc_id, {SQL_TOKENS} AS t FROM {table}),
+    paras AS (
+      SELECT doc_id, doc_id * {PARA_ID_STRIDE} + j AS pid,
+             array_to_string(t[j*{p}+1 : j*{p}+{p}], ' ') AS text
+      FROM (SELECT doc_id, t,
+                   unnest(range(0, CAST(ceil(len(t)/{p}.0) AS INT))) AS j
+            FROM ptoks WHERE len(t) > 0)
+    ),"""

@@ -1167,3 +1167,167 @@ def dedup_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.when(h < 80, "train").when(h < 90, "valid").otherwise("test").alias("split"),
     )
+
+
+_SQL_PARA_PAIRS = D.sql_minhash_lsh_scaled(
+    JACCARD_THRESHOLD, table="paras", id_col="pid", pre=D.sql_paras()
+)
+
+
+@register(
+    "dedup_paragraph_minhash",
+    oracle=f"""
+    WITH pair_t AS ({_SQL_PARA_PAIRS}),
+    {D.sql_paras()}
+    counts AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id),
+    dups AS (SELECT DISTINCT id_b AS pid FROM pair_t),
+    dd AS (SELECT CAST(floor(pid / {D.PARA_ID_STRIDE}.0) AS BIGINT) AS doc_id,
+                  count(*) AS n_dup_paras
+           FROM dups GROUP BY 1)
+    SELECT c.doc_id,
+           CAST(c.n_paras AS BIGINT) AS n_paras,
+           CAST(d.n_dup_paras AS BIGINT) AS n_dup_paras,
+           floor((d.n_dup_paras * 1.0 / c.n_paras) * 10000.0 + 0.5) / 10000.0
+             AS dup_fraction
+    FROM counts c JOIN dd d USING (doc_id)
+    """,
+    tags=("dedup", "llm-pipeline", "lsh", "scale-tier"),
+)
+def dedup_paragraph_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PARAGRAPH-level MinHash dedup — CCNet's unit of near-duplication
+    (Wenzek et al. 2020 §3.2: web-crawl boilerplate repeats per
+    paragraph, not per page). Documents explode into deterministic
+    PARA_TOKENS-token windows (the newline-free fixture's splitter
+    fallback; operators/dedup.py paragraph_df), and the COUNT-SCALED
+    MinHash tier (r(n)·b(r) banding, exact-Jaccard verify) runs
+    unchanged over the paragraph relation — the (r, b) law derives from
+    the PARAGRAPH count on both engines, so resolution follows the unit
+    of dedup. A paragraph is a duplicate if it pairs at Jaccard ≥ 0.8
+    with any LOWER pid (keep-first, the same canonical law as
+    dedup_keep_canonical); output is the per-document duplication
+    profile — the signal CCNet thresholds to drop boilerplate-heavy
+    pages.
+
+    Scale shape: the explode multiplies rows by ~tokens/25 but SHRINKS
+    per-row text, so total shingle volume is unchanged; the scaled
+    banding keeps candidates ~linear in paragraph count (inherited
+    SCALEBENCH law, exponent ≤ the document tier's 0.644); everything
+    downstream of the pair set is doc-count-sized."""
+    d = load_table(spark, sf_dir, "documents")
+    paras = D.paragraph_df(d, "doc_id", "text")
+    pairs = D.minhash_lsh_pairs_scaled(
+        paras, "pid", "ptext", JACCARD_THRESHOLD, paras.count()
+    )
+    per_doc = paras.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras")
+    )
+    dup_doc = (
+        pairs.select(F.col("id_b").alias("pid"))
+        .distinct()
+        .groupBy(F.floor(F.col("pid") / D.PARA_ID_STRIDE).alias("doc_id"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_dup_paras"))
+    )
+    return per_doc.join(dup_doc, "doc_id").select(
+        "doc_id",
+        "n_paras",
+        "n_dup_paras",
+        T.portable_round(F.col("n_dup_paras") / F.col("n_paras"), 4).alias(
+            "dup_fraction"
+        ),
+    )
+
+
+@register(
+    "contamination_matrix",
+    oracle=f"""
+    WITH pair_t AS ({D.sql_minhash_lsh_scaled(JACCARD_THRESHOLD)}),
+    sp AS ({_SQL_SPLIT}),
+    edges AS (SELECT id_a AS a, id_b AS b FROM pair_t
+              UNION ALL
+              SELECT id_b AS a, id_a AS b FROM pair_t),
+    cont AS (SELECT DISTINCT f.split AS split_from, t.split AS split_to, e.b AS doc_to
+             FROM edges e
+             JOIN sp f ON f.doc_id = e.a
+             JOIN sp t ON t.doc_id = e.b),
+    cells AS (SELECT split_from, split_to, count(*) AS n FROM cont GROUP BY 1, 2),
+    grid AS (SELECT f.s AS split_from, t.s AS split_to
+             FROM (VALUES ('train'), ('valid'), ('test')) f(s),
+                  (VALUES ('train'), ('valid'), ('test')) t(s)),
+    sizes AS (SELECT split, count(*) AS sz FROM sp GROUP BY 1)
+    SELECT g.split_from, g.split_to,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_contaminated,
+           CAST(coalesce(s.sz, 0) AS BIGINT) AS split_size,
+           floor((coalesce(c.n, 0) * 1.0 / nullif(s.sz, 0)) * 1000000.0 + 0.5)
+             / 1000000.0 AS contamination_rate
+    FROM grid g
+    LEFT JOIN cells c ON c.split_from = g.split_from AND c.split_to = g.split_to
+    LEFT JOIN sizes s ON s.split = g.split_to
+    """,
+    tags=("dedup", "llm-pipeline", "lsh", "quality"),
+)
+def contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-SPLIT CONTAMINATION MATRIX — the dense directional 3×3
+    generalization of split_leakage_audit: for every ordered
+    (split_from, split_to) cell, the number of DISTINCT documents in
+    split_to with a verified near-twin (MinHash-LSH ≥ 0.8, the shared
+    cascade pair view) in split_from, that split's size, and the
+    contamination RATE. The (train → test) cell is benchmark
+    contamination (a test doc whose twin is trained on — the number an
+    eval card must report); the diagonal is within-split duplication.
+    All 9 cells are always present (zero-filled grid), so the matrix is
+    non-vacuous at every fixture scale and downstream tooling can rely
+    on its shape.
+
+    Scale shape: rides the shared count-scaled pair view (one LSH build
+    per session); directional edges double a doc-pair-sized relation;
+    the two split joins are broadcast-sized maps (md5 of doc_id — no
+    shuffle of the corpus); output is a fixed 9-row grid."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = _pairs_view(spark, sf_dir)
+    from streamprocessing_spark.operators.dedup import _h32
+
+    h = _h32(F.col("doc_id").cast("string")) % 100
+    sp = d.select(
+        "doc_id",
+        F.when(h < 80, "train").when(h < 90, "valid").otherwise("test").alias("split"),
+    )
+    edges = pairs.select(F.col("id_a").alias("a"), F.col("id_b").alias("b")).unionAll(
+        pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
+    )
+    cont = (
+        edges.join(
+            sp.select(F.col("doc_id").alias("a"), F.col("split").alias("split_from")),
+            "a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("b"), F.col("split").alias("split_to")),
+            "b",
+        )
+        .select("split_from", "split_to", F.col("b").alias("doc_to"))
+        .distinct()
+    )
+    cells = cont.groupBy("split_from", "split_to").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    splits = ["train", "valid", "test"]
+    grid = spark.createDataFrame(
+        [(a, b) for a in splits for b in splits], "split_from string, split_to string"
+    )
+    sizes = sp.groupBy(F.col("split").alias("split_to")).agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return (
+        grid.join(cells, ["split_from", "split_to"], "left")
+        .join(sizes, "split_to", "left")
+        .select(
+            "split_from",
+            "split_to",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_contaminated"),
+            F.coalesce(F.col("sz"), F.lit(0)).cast("long").alias("split_size"),
+            T.portable_round(
+                F.coalesce(F.col("n"), F.lit(0))
+                / F.nullif(F.col("sz"), F.lit(0)),
+                6,
+            ).alias("contamination_rate"),
+        )
+    )
