@@ -622,6 +622,28 @@ def ivf_cosine_pairs(
     Everything — centroid choice, assignment ranking, tie-breaks, the
     verify arithmetic — is deterministic, so the full pipeline is
     bit-for-bit oracle-checkable, like srp_lsh_cosine_pairs."""
+    cell_vecs = ivf_cell_vectors(emb, nassign, id_col, vec_col)
+    pair_schema, cell_verify = cell_verify_kernel(threshold)
+    scored = cell_vecs.groupBy("cent_id").applyInPandas(cell_verify, pair_schema)
+    from streamprocessing_spark.functions.text import portable_round
+
+    return scored.select(
+        "id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim")
+    ).distinct()
+
+
+def ivf_cell_vectors(
+    emb: DataFrame,
+    nassign: int = IVF_PAIR_NASSIGN,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(cent_id, id, v): every vector joined to its ``nassign`` nearest
+    IVF cells under the deterministic K = ceil(sqrt(n)) smallest-id
+    quantizer — the assignment relation ivf_cosine_pairs verifies inside
+    and ivf_cosine_pairs_persisted materializes as the cent_id-
+    partitioned on-disk index (round 9). Factored out so the in-memory
+    and persisted tiers share one assignment law by construction."""
     k = emb.agg(F.ceil(F.sqrt(F.count(F.lit(1)))).cast("long").alias("k"))
     centroids = (
         emb.crossJoin(F.broadcast(k))
@@ -648,6 +670,14 @@ def ivf_cosine_pairs(
         .where(F.col("rn") <= nassign)
         .select("id", "cent_id")
     )
+    return assigned.join(vecs, "id").select("cent_id", "id", "v")
+
+
+def cell_verify_kernel(threshold: float):
+    """(pair_schema, cell_verify): the per-cell pair-verify kernel for
+    (cent_id, id, v) groups — shared by the in-memory tier
+    (ivf_cosine_pairs) and the persisted-index tier (round 9), so both
+    produce identical bits from identical cells by construction."""
     # Verify WITHIN the cell (round-8 rework): the previous shape built
     # the full candidate id-pair relation (n^1.5·nassign² rows), deduped
     # it, then re-joined BOTH vector payloads onto every candidate — at
@@ -759,13 +789,7 @@ def ivf_cosine_pairs(
             }
         )
 
-    cell_vecs = assigned.join(vecs, "id").select("cent_id", "id", "v")
-    scored = cell_vecs.groupBy("cent_id").applyInPandas(cell_verify, pair_schema)
-    from streamprocessing_spark.functions.text import portable_round
-
-    return scored.select(
-        "id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim")
-    ).distinct()
+    return pair_schema, cell_verify
 
 
 def ivf_cell_cross_scores(

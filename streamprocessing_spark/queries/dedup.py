@@ -1331,3 +1331,85 @@ def contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("contamination_rate"),
         )
     )
+
+
+@register(
+    "dedup_substring_containment",
+    oracle=f"""
+    WITH ptoks AS (SELECT doc_id AS id, {T.SQL_TOKENS} AS t FROM documents),
+    pos AS (SELECT id, i - 1 AS i, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+            FROM (SELECT id, t, unnest(range(1, len(t) - 1)) AS i
+                  FROM ptoks WHERE len(t) >= 3)),
+    sizes AS (SELECT id, count(*) AS n FROM pos GROUP BY id),
+    m AS (SELECT a.id AS id_inner, b.id AS id_outer, b.i - a.i AS o,
+                 count(*) AS matched
+          FROM pos a JOIN pos b ON a.sh = b.sh AND a.id <> b.id
+          GROUP BY 1, 2, 3)
+    SELECT m.id_inner, m.id_outer,
+           CAST(count(*) AS BIGINT) AS n_occurrences,
+           CAST(s.n AS BIGINT) AS n_shingles
+    FROM m JOIN sizes s ON s.id = m.id_inner
+    WHERE m.matched = s.n
+    GROUP BY m.id_inner, m.id_outer, s.n
+    """,
+    tags=("dedup", "llm-pipeline", "exact-tier"),
+)
+def dedup_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT substring-containment dedup — the suffix-array law (Lee et
+    al. 2022, ExactSubstr) expressed as a window over sorted positional
+    (shingle, doc, pos) runs: document A's full token stream occurs
+    CONTIGUOUSLY inside document B iff some offset o aligns every one
+    of A's positional 3-shingles with an equal shingle in B (matched
+    count at offset o == A's shingle count — each A-position contributes
+    at most one match per offset, so equality is exact containment, not
+    a bag overlap). Sits between the 8-gram span tiers
+    (duplicate_span_coverage) and whole-doc fingerprints (dedup_exact):
+    it catches truncations/quotations that set-Jaccard dilutes and exact
+    hashing misses. Output is directional: (id_inner contained-in
+    id_outer) with the occurrence count and A's shingle count; exact
+    duplicates appear in both directions by construction.
+
+    Scale shape: the positional self-join groups by shingle VALUE — the
+    distributed form of a suffix array's sorted runs. Non-duplicated
+    content has bounded shingle frequency (max 25 at sf0.1; join volume
+    sum f² = 2.8M rows), so the join scales ~linearly with the corpus;
+    frequency concentrates exactly on duplicated spans — the signal
+    being mined. At 100 TB: pre-bucket pos by shingle hash, cap
+    ultra-hot boilerplate shingles by frequency (they are dropped by
+    ExactSubstr's implementations for the same reason), and the
+    group-by-offset verify stays per-(pair) local."""
+    d = load_table(spark, sf_dir, "documents")
+    k = D.K_SHINGLE
+    toked = d.select(
+        F.col("doc_id").alias("id"), D.tokens_col(F.col("text")).alias("t")
+    ).where(F.size("t") >= k)
+    t = F.col("t")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(t) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(k)]),
+    )
+    pos = toked.select("id", F.posexplode(shingles).alias("i", "sh"))
+    sizes = pos.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = pos.alias("a"), pos.alias("b")
+    m = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") != F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_inner"),
+            F.col("b.id").alias("id_outer"),
+            (F.col("b.i") - F.col("a.i")).alias("o"),
+        )
+        .groupBy("id_inner", "id_outer", "o")
+        .agg(F.count(F.lit(1)).alias("matched"))
+    )
+    return (
+        m.join(sizes.select(F.col("id").alias("id_inner"), "n"), "id_inner")
+        .where(F.col("matched") == F.col("n"))
+        .groupBy("id_inner", "id_outer", "n")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .select(
+            "id_inner",
+            "id_outer",
+            "n_occurrences",
+            F.col("n").cast("long").alias("n_shingles"),
+        )
+    )

@@ -2507,58 +2507,48 @@ def _sql_ivf_topk_oracle() -> str:
     """
 
 
-@register(
-    "ann_ivf_persisted_topk",
-    oracle=_sql_ivf_topk_oracle(),
-    tags=("similarity", "llm-pipeline", "approx", "layout"),
-)
-def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF top-k served from a PERSISTED index — the ann_ivf_topk law
-    with the assignment relation materialized once as cent_id-
-    PARTITIONED parquet (the on-disk IVF layout: one directory per
-    cell), then every query answered by a scan whose partition filter is
-    DYNAMICALLY PRUNED from the broadcast probe set — Spark's dynamic
-    partition pruning turns "probe 4 of 16 cells" into literally reading
-    4/16 of the index files, which is the entire point of IVF at 100 TB
-    (a query touches nprobe/K of the corpus bytes; the serving fleet
-    never rescans the index build). The plan test pins the
-    dynamicpruning expression on the index scan. Identical oracle to
-    ann_ivf_topk: a layout must never change answers."""
+def _publish_index(
+    spark: SparkSession,
+    sf_dir: str,
+    namespace: str,
+    build_fn,
+    read_schema: str,
+) -> DataFrame:
+    """Content-keyed, publish-by-rename, GC'd cent_id-partitioned parquet
+    index under the scratch root — the shared serving layout for the
+    persisted IVF tiers (ann_ivf_persisted_topk and, round 9, the
+    pair-mining twin ivf_cosine_pairs_persisted).
+
+    Index root (ADVICE r06): the SAME non-/tmp scratch root session.py
+    uses for SPARK_LOCAL_DIRS — the index is RE-READ on later
+    invocations, and the harness box reaps /tmp mid-run.
+
+    Keyed by CONTENT, not session: the index is a pure function of
+    (corpus dir, layout version) — assignment is deterministic (seeded
+    centroids, total-ordered argmax window), so any session's build is
+    byte-interchangeable and the atomic-rename publish makes concurrent
+    builders race safely. An applicationId key (round-7 review finding)
+    accumulated one full index copy per session under the never-reaped
+    scratch root; content keying bounds the footprint to one index per
+    corpus AND lets later sessions serve without rebuilding — the actual
+    production serving contract. _IVF_LAYOUT_V must be bumped whenever
+    any index schema/assignment law changes. The corpus fingerprint
+    (file sizes + mtimes of the embeddings parquet) folds into the key
+    so a REGENERATED fixture at the same path gets a fresh index instead
+    of serving stale cells. The key is two-level — <sf_dir hash>/
+    <content fingerprint> — so publish can GC superseded indexes of
+    THIS corpus path (ADVICE r07) without ever touching the live index
+    of a DIFFERENT sf_dir sharing the scratch root."""
     import hashlib
     import os
     import shutil
     import uuid
     from pathlib import Path
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    centroids = emb.where(F.col("vec_id") < 16).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
-    )
-    # Index root (ADVICE r06): the SAME non-/tmp scratch root session.py
-    # uses for SPARK_LOCAL_DIRS — this index is RE-READ on later
-    # invocations, and the harness box reaps /tmp mid-run.
     scratch = os.environ.get(
         "SPARK_GRAFT_LOCAL_DIR",
         str(Path(__file__).resolve().parent.parent.parent / ".spark-local"),
     )
-    # Keyed by CONTENT, not session: the index is a pure function of
-    # (corpus dir, layout version) — assignment is deterministic
-    # (seeded centroids, total-ordered argmax window), so any session's
-    # build is byte-interchangeable and the atomic-rename publish makes
-    # concurrent builders race safely. An applicationId key (round-7
-    # review finding) accumulated one full index copy per session under
-    # the never-reaped scratch root; content keying bounds the footprint
-    # to one index per corpus AND lets later sessions serve without
-    # rebuilding — the actual production serving contract. _IVF_LAYOUT_V
-    # must be bumped whenever the index schema/assignment law changes.
-    # The corpus fingerprint (file sizes + mtimes of the embeddings
-    # parquet) folds into the key so a REGENERATED fixture at the same
-    # path gets a fresh index instead of serving stale cells. The key is
-    # two-level — <sf_dir hash>/<content fingerprint> — so that publish
-    # can GC superseded indexes of THIS corpus path (ADVICE r07: a
-    # regenerated fixture minted a new fingerprint and the old index dir
-    # was never reaped) without ever touching the live index of a
-    # DIFFERENT sf_dir sharing the scratch root.
     src = os.path.join(sf_dir, "embeddings.parquet")
     sf_key = hashlib.md5(sf_dir.encode()).hexdigest()[:12]
     fp = hashlib.md5()
@@ -2570,27 +2560,9 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         st = os.stat(src)
         fp.update(f"{st.st_size}:{st.st_mtime_ns}".encode())
     content_key = fp.hexdigest()[:16]
-    sf_root = os.path.join(scratch, "graft_ivf", _IVF_LAYOUT_V, sf_key)
+    sf_root = os.path.join(scratch, namespace, _IVF_LAYOUT_V, sf_key)
     idx_dir = os.path.join(sf_root, content_key)
     if not os.path.isdir(idx_dir):
-        w_assign = Window.partitionBy("id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
-        assigned = (
-            S.with_cosine_fast(
-                emb.join(F.broadcast(centroids)).select(
-                    F.col("vec_id").alias("id"),
-                    F.col("embedding").alias("v"),
-                    "cent_id",
-                    F.col("embedding").alias("av"),
-                    F.col("cent_vec").alias("bv"),
-                ),
-                "av",
-                "bv",
-                "cos_c",
-            )
-            .withColumn("rn", F.row_number().over(w_assign))
-            .where(F.col("rn") == 1)
-            .select("id", "v", "cent_id")
-        )
         # Publish-by-rename (ADVICE r06): build under a private temp name
         # and atomically rename into place, so two concurrent invocations
         # (bench threads, streaming drain sessions) can never interleave
@@ -2599,7 +2571,7 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exists) discards its build and serves the winner's — both builds
         # are identical by construction (deterministic assignment).
         tmp_dir = f"{idx_dir}.build-{uuid.uuid4().hex}"
-        assigned.write.mode("overwrite").partitionBy("cent_id").parquet(tmp_dir)
+        build_fn().write.mode("overwrite").partitionBy("cent_id").parquet(tmp_dir)
         try:
             os.rename(tmp_dir, idx_dir)
         except OSError:
@@ -2639,9 +2611,56 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # explicit read schema: an EMPTY corpus writes a partitionless
     # directory parquet can't infer from (hostile/empty fixture), and at
     # any size it skips a footer-sampling pass over the index files
+    return spark.read.schema(read_schema).parquet(idx_dir)
+
+
+@register(
+    "ann_ivf_persisted_topk",
+    oracle=_sql_ivf_topk_oracle(),
+    tags=("similarity", "llm-pipeline", "approx", "layout"),
+)
+def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-k served from a PERSISTED index — the ann_ivf_topk law
+    with the assignment relation materialized once as cent_id-
+    PARTITIONED parquet (the on-disk IVF layout: one directory per
+    cell), then every query answered by a scan whose partition filter is
+    DYNAMICALLY PRUNED from the broadcast probe set — Spark's dynamic
+    partition pruning turns "probe 4 of 16 cells" into literally reading
+    4/16 of the index files, which is the entire point of IVF at 100 TB
+    (a query touches nprobe/K of the corpus bytes; the serving fleet
+    never rescans the index build). The plan test pins the
+    dynamicpruning expression on the index scan. Identical oracle to
+    ann_ivf_topk: a layout must never change answers. Index lifecycle
+    (content keying, publish-by-rename, GC) lives in _publish_index,
+    shared with the pair-mining twin."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+
+    def _build() -> DataFrame:
+        w_assign = Window.partitionBy("id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+        return (
+            S.with_cosine_fast(
+                emb.join(F.broadcast(centroids)).select(
+                    F.col("vec_id").alias("id"),
+                    F.col("embedding").alias("v"),
+                    "cent_id",
+                    F.col("embedding").alias("av"),
+                    F.col("cent_vec").alias("bv"),
+                ),
+                "av",
+                "bv",
+                "cos_c",
+            )
+            .withColumn("rn", F.row_number().over(w_assign))
+            .where(F.col("rn") == 1)
+            .select("id", "v", "cent_id")
+        )
+
     vec_type = emb.schema["embedding"].dataType.simpleString()
-    index = spark.read.schema(f"id bigint, v {vec_type}, cent_id bigint").parquet(
-        idx_dir
+    index = _publish_index(
+        spark, sf_dir, "graft_ivf", _build, f"id bigint, v {vec_type}, cent_id bigint"
     )
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
@@ -2679,3 +2698,53 @@ def ann_ivf_persisted_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("long").alias("rank"),
         )
     )
+
+
+@register(
+    "ivf_cosine_pairs_persisted",
+    oracle=_sql_ivf_pairs_oracle(SRP_THRESHOLD, 3),
+    tags=("similarity", "dedup", "llm-pipeline", "approx", "layout"),
+)
+def ivf_cosine_pairs_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair mining served from the PERSISTED IVF index — the serving
+    twin of ivf_cosine_pairs (round 9, VERDICT r08 next #8): the
+    nassign=3 cell assignment (operators.similarity.ivf_cell_vectors,
+    the exact relation the in-memory tier groups) is materialized ONCE
+    as cent_id-partitioned parquet under the shared content-keyed
+    publish/GC lifecycle (_publish_index), and every subsequent mining
+    run is a single scan of the index feeding the cell-local verify
+    kernel — no assignment cosines, no n·K broadcast join, no window.
+
+    This is the production cadence at 100 TB: the corpus is assigned
+    and bucketed by cell as it lands (the index build amortizes across
+    every downstream mining/dedup/serving pass), and a mining run reads
+    cell directories already partitioned on the groupBy key. The plan
+    test pins the serving shape: one scan of the index path, the
+    FlatMapGroupsInPandas verify, and NO join anywhere — nothing
+    pair-sized or payload×candidate-sized ever forms. Identical oracle
+    to ivf_cosine_pairs: a layout must never change answers (both tiers
+    run the same kernel over the same cells by construction)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _build() -> DataFrame:
+        return S.ivf_cell_vectors(emb, nassign=3)
+
+    vec_type = emb.schema["embedding"].dataType.simpleString()
+    index = _publish_index(
+        spark,
+        sf_dir,
+        "graft_ivf_pairs",
+        _build,
+        f"id bigint, v {vec_type}, cent_id bigint",
+    )
+    pair_schema, cell_verify = S.cell_verify_kernel(SRP_THRESHOLD)
+    scored = (
+        index.select("cent_id", "id", "v")
+        .groupBy("cent_id")
+        .applyInPandas(cell_verify, pair_schema)
+    )
+    from streamprocessing_spark.functions.text import portable_round
+
+    return scored.select(
+        "id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim")
+    ).distinct()

@@ -241,6 +241,19 @@ def test_ivf_pairs_broadcasts_centroids(spark, sf_dir):
     assert X.has_broadcast_join(df), X.formatted_plan(df)
 
 
+def test_ivf_pairs_persisted_serving_shape(spark, sf_dir):
+    """The persisted pair-mining tier must be a pure serving scan: read
+    the cent_id-partitioned index, one exchange onto the groupBy key,
+    the in-kernel verify — and NO join of any kind (no assignment
+    cosines, no payload re-join; nothing pair-sized forms outside the
+    kernel)."""
+    df = SPECS["ivf_cosine_pairs_persisted"].fn(spark, sf_dir)
+    plan = X.formatted_plan(df)
+    assert "graft_ivf_pairs" in plan, plan
+    assert "FlatMapGroupsInPandas" in plan, plan
+    assert "Join" not in plan, plan
+
+
 def test_manifest_pushes_down_to_id_joins(spark, sf_dir):
     # the funnel intersection is id-keyed; the quality and split legs are
     # scan-shaped, so the plan must broadcast the keeper sliver rather
