@@ -224,6 +224,12 @@ HEADLINE = [
     "ann_ivf_persisted_topk",
     "multimodal_resize_real",
     "dsir_importance_resample",
+    # round-9 additions: paragraph-granularity + exact-containment dedup,
+    # the contamination matrix, and the persisted pair-mining serving tier
+    "dedup_paragraph_minhash",
+    "dedup_substring_containment",
+    "contamination_matrix",
+    "ivf_cosine_pairs_persisted",
 ]
 
 # streaming queries are benched via their shared concurrent drain in the
@@ -241,19 +247,28 @@ def main() -> None:
     # warm the JVM + parquet footers with one cheap pass
     specs[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
+    # Median-of-3 with per-query spread (VERDICT r08 item #5): a single
+    # cold run per round cannot distinguish a 30% host-noise swing from a
+    # real regression (BENCH_r08's +30% needed a whole adjudication).
+    # Three reps per query; the reported time is the MEDIAN, and the
+    # [min, max] spread rides along so any round-over-round delta can be
+    # checked against the same-run dispersion before blaming code.
+    reps_n = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
     timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
     for name in names:
-        best = float("inf")
-        for _ in range(2):  # best-of-2: damps JIT/page-cache/GC variance
-            # rep 2 must measure computation, not a cache read: release
-            # the per-run plugin intermediate caches (the one persist()
-            # query code creates). NOT a global clearCache — that evicted
-            # the session-shared views too, charging a full cascade
-            # rebuild to every rep of whichever queries compose the RAW
-            # pair view (measured round 7: signal_auc/leakage_audit 2.2×
-            # after the scaled-stage re-base) while components consumers
-            # dodged it via star contraction's localCheckpoint — neither
-            # marginal nor full-cascade, just inconsistent.
+        reps: list[float] = []
+        for _ in range(reps_n):
+            # each rep must measure computation, not a cache read:
+            # release the per-run plugin intermediate caches (the one
+            # persist() query code creates). NOT a global clearCache —
+            # that evicted the session-shared views too, charging a full
+            # cascade rebuild to every rep of whichever queries compose
+            # the RAW pair view (measured round 7: signal_auc/
+            # leakage_audit 2.2× after the scaled-stage re-base) while
+            # components consumers dodged it via star contraction's
+            # localCheckpoint — neither marginal nor full-cascade, just
+            # inconsistent.
             release_plugin_caches()
             # Build-vs-marginal split, same discipline as scale_bench's
             # COLD_VIEW_BUILD: the view BUILDER row measures the full
@@ -264,8 +279,12 @@ def main() -> None:
                 release_shared_views(spark, kind)
             t0 = time.time()
             specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.time() - t0)
-        timings[name] = round(best, 3)
+            reps.append(time.time() - t0)
+        reps.sort()
+        # lower-middle: odd reps → true median; reps=2 degrades to the
+        # pre-round-9 best-of-2 so reduced-rep runs stay comparable
+        timings[name] = round(reps[(len(reps) - 1) // 2], 3)
+        spread[name] = [round(reps[0], 3), round(reps[-1], 3)]
 
     # Throughput on the reference's own workloads (BASELINE.md measures
     # records/s for App-1/App-2; its Spark rows are ~800 rec/s on 10 VMs):
@@ -284,11 +303,28 @@ def main() -> None:
         "complex_task_records_per_s": tp(n_lineitem, "q1_pricing_summary"),
     }
 
+    # Dispersion summary: per-query relative spread ((max-min)/median),
+    # reported as the median and p90 across the headline — the same-run
+    # noise bound a round-over-round comparison must exceed to be a
+    # regression signal.
+    rel = sorted(
+        (spread[n][1] - spread[n][0]) / max(timings[n], 1e-9) for n in timings
+    )
+    dispersion = {
+        "rel_spread_median": round(rel[len(rel) // 2], 4),
+        "rel_spread_p90": round(rel[int(len(rel) * 0.9)], 4),
+        "value_min": round(sum(s[0] for s in spread.values()), 3),
+        "value_max": round(sum(s[1] for s in spread.values()), 3),
+        "reps": reps_n,
+    }
+
     payload = {
         "metric": "headline_queries_total",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
+        "spread": spread,
+        "dispersion": dispersion,
         "throughput": throughput,
         "sf": sf,
     }
@@ -315,6 +351,7 @@ def main() -> None:
         "value": payload["value"],
         "unit": "sec",
         "n_queries": len(timings),
+        "dispersion": dispersion,
         "throughput": throughput,
         "sf": sf,
     }

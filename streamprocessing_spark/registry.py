@@ -248,22 +248,14 @@ _REVERIFY = frozenset(
     }
 )
 
-# Round-8 family front-load (VERDICT r07 item #1): the ENTIRE remaining
-# backlog is exactly the 50 never-gated names (raw gate total ~109 s —
-# inside one 50-slot budget), so every family with a dark name is
-# front-loaded, each family contiguous so shared session views (the
-# streaming single-drain, the graph edge view, the phash corpus)
-# amortize across consecutive rows. Cheap families first in case the
-# budget is wall-clock rather than count.
+# Round-9 family front-load: after the 4 _REVERIFY rows, the backlog is
+# exactly the round's new registrations — 3 dedup names, 1 similarity,
+# 1 streaming (raw gate total well inside one budget). Families stay
+# contiguous so shared session state (the mhpairs cascade view, the
+# streaming single-drain) amortizes across consecutive rows.
 _FRONTLOAD_MODULES = (
-    "streamprocessing_spark.queries.multimodal",
-    "streamprocessing_spark.queries.quality",
-    "streamprocessing_spark.queries.text",
-    "streamprocessing_spark.queries.layout",
-    "streamprocessing_spark.queries.graph",
-    "streamprocessing_spark.queries.curation",
-    "streamprocessing_spark.queries.timeseries",
-    "streamprocessing_spark.queries.analytics",
+    "streamprocessing_spark.queries.dedup",
+    "streamprocessing_spark.queries.similarity",
     "streamprocessing_spark.queries.streaming",
 )
 
@@ -288,17 +280,18 @@ _FAMILY_PRIORITY = (
 def _presentation_order(registry: dict[str, QuerySpec]) -> dict[str, QuerySpec]:
     """Stable re-ordering of the registry for the driver.
 
-    Round-8 layout (VERDICT r07 item #1): the backlog IS the budget —
-    exactly 50 never-gated names remain (raw gate total ~109 s), so
-    (1) every driver-unverified name comes first, family-contiguous
-    (shared session views amortize: the streaming single-drain, graph
-    edge view, phash corpus) with cheap families leading and gate-cost
-    ascending within each family (tools/gate_costs.py → gate_order.py);
-    (2) any unverified stragglers by cost; (3) the verified core
-    reference ops (the parity signal, re-checked as soon as fresh names
-    are exhausted); (4) the verified remainder. Queries with no measured
-    cost yet sort at cost 0 within their group — new operators need
-    their first driver row most."""
+    Round-9 layout (VERDICT r08 items #1/#3-#8): (0) the _REVERIFY set —
+    the four names whose kernels/layout were rewritten in round 8 after
+    their driver rows landed — leads so the ledger describes shipped
+    code again; (1) the round's new registrations, family-contiguous
+    (shared session views amortize: the mhpairs cascade, the streaming
+    single-drain) with gate-cost ascending within each family
+    (tools/gate_costs.py → gate_order.py); (2) any unverified
+    stragglers by cost; (3) the verified core reference ops (the parity
+    signal, re-checked as soon as fresh names are exhausted); (4) the
+    verified remainder. Queries with no measured cost yet sort at cost
+    0 within their group — new operators need their first driver row
+    most."""
     fam_rank = {
         f"streamprocessing_spark.queries.{m}": i for i, m in enumerate(_FAMILY_PRIORITY)
     }

@@ -135,3 +135,86 @@ def test_persisted_ivf_gc_spares_builds_and_young(spark, tmp_path, monkeypatch):
     # The previous fingerprint of THIS corpus was young → also spared.
     live = [s for s in os.listdir(sf_root) if ".build-" not in s]
     assert len(live) == 3  # new index + previous young index + planted young
+
+
+def test_streaming_ivf_pairs_checkpoint_restart(spark, tmp_path):
+    """The streaming IVF pair tier must survive a stop/restart on one
+    checkpoint: run 1 drains only chunk 0, run 2 (same checkpoint, new
+    sink) drains the late-arriving chunks, and (a) the union of
+    emissions equals the batch tier bit-for-bit, (b) no pair is emitted
+    twice across runs (a pair emits when its LATER vector arrives —
+    exactly-once over restarts is the state-store contract)."""
+    import os
+    import shutil
+
+    import pyspark.sql.functions as F
+
+    from streamprocessing_spark.operators.similarity import ivf_cosine_pairs
+    from streamprocessing_spark.queries.similarity import SRP_THRESHOLD
+    from streamprocessing_spark.sources.readers import load_table
+    from streamprocessing_spark.streaming.ivf_pairs import ivf_pairs_stream
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    chunk_files = []
+    for i in range(3):
+        d = str(tmp_path / f"chunk{i}")
+        emb.where((F.col("vec_id") % 3) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        chunk_files.append((os.path.join(d, part), os.path.join(src, f"c{i}.parquet")))
+    schema = spark.read.parquet(chunk_files[0][0]).schema
+    ckpt = str(tmp_path / "ckpt")
+    out_dir = str(tmp_path / "out")
+
+    def run_once():
+        # a FILE sink: memory sinks refuse checkpoint recovery, and the
+        # restart is exactly what this test exists to exercise
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            ivf_pairs_stream(spark, sf, SRP_THRESHOLD, source=stream)
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def part_files():
+        return {
+            os.path.join(r, f)
+            for r, _, fs in os.walk(out_dir)
+            for f in fs
+            if f.endswith(".parquet")
+        }
+
+    shutil.copyfile(*chunk_files[0])
+    run_once()
+    files1 = part_files()
+    first = [tuple(r) for r in spark.read.parquet(*files1).collect()]
+
+    shutil.copyfile(*chunk_files[1])
+    shutil.copyfile(*chunk_files[2])
+    run_once()
+    files2 = part_files() - files1
+    second = [tuple(r) for r in spark.read.parquet(*files2).collect()]
+
+    assert first and second  # both runs really emitted pairs
+    assert not (set(first) & set(second))  # exactly-once across restart
+
+    import math
+
+    # the consumer's portable_round(·, 6) law, applied driver-side
+    got = sorted(
+        {(a, b, math.floor(c * 1e6 + 0.5) / 1e6) for a, b, c in first + second}
+    )
+    want_df = ivf_cosine_pairs(emb, SRP_THRESHOLD, nassign=3)
+    want = sorted(tuple(r) for r in want_df.collect())
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    for g, w in zip(got, want):
+        assert g[2] == w[2]
