@@ -198,6 +198,17 @@ QUERIES = (
     "ann_ivf_persisted_topk",
     "multimodal_resize_real",
     "multimodal_phash_neardup_real",
+    # round-9 additions: paragraph-granularity + exact-containment dedup,
+    # the contamination matrix (rides the shared pair view), and the
+    # persisted pair-mining serving tier. streaming_ivf_pairs_ingest is
+    # deliberately absent: its gate path drains ALL 19 streaming
+    # pipelines through the shared session drain, so a ratio would
+    # measure the whole drain, not the operator — its scale law is the
+    # batch tier's (bit-identical kernel over the same cells).
+    "dedup_paragraph_minhash",
+    "dedup_substring_containment",
+    "contamination_matrix",
+    "ivf_cosine_pairs_persisted",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
@@ -223,6 +234,12 @@ PREWARM_PROXY = frozenset({
     # FULL cascade (view build included) is measured separately by the
     # dedup100 COLD_CASCADE two-decade run
     "dedup_keep_canonical",
+    # round 9: rides the memoized pair view (same rationale as
+    # dedup_aware_split)
+    "contamination_matrix",
+    # round 9: serve path is the op; the cent_id-partitioned index write
+    # is the one-time layout (same rationale as ann_ivf_persisted_topk)
+    "ivf_cosine_pairs_persisted",
 })
 
 
