@@ -230,6 +230,7 @@ HEADLINE = [
     "dedup_substring_containment",
     "contamination_matrix",
     "ivf_cosine_pairs_persisted",
+    "quantization_recall_sweep",
 ]
 
 # streaming queries are benched via their shared concurrent drain in the

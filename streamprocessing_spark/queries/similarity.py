@@ -2748,3 +2748,145 @@ def ivf_cosine_pairs_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim")
     ).distinct()
+
+
+_SWEEP_LEVELS = (("int8", 127), ("int4", 7))
+# Thresholds sit in the probe set's occupied cosine range (p99 ≈ 0.29,
+# max ≈ 0.4 at every SF — measured), so every cell is non-vacuous; the
+# near-dup tiers own the θ ≥ 0.45 regime.
+_SWEEP_THR_MILLI = (150, 250, 350)
+
+
+def _sql_quant(v: str, levels: int) -> str:
+    mx = f"list_max(list_transform({v}, x -> abs(CAST(x AS DOUBLE))))"
+    return (
+        f"list_transform({v}, x -> CASE WHEN {mx} = 0 THEN 0.0 "
+        f"ELSE floor(CAST(x AS DOUBLE) * {levels}.0 / {mx} + 0.5) END)"
+    )
+
+
+def _sweep_oracle() -> str:
+    grid = ", ".join(
+        f"('{s}', {t})" for s, _ in _SWEEP_LEVELS for t in _SWEEP_THR_MILLI
+    )
+    return f"""
+    WITH qv AS (
+      SELECT vec_id, embedding,
+             {_sql_quant('embedding', 127)} AS e8,
+             {_sql_quant('embedding', 7)} AS e4
+      FROM embeddings),
+    q AS (SELECT vec_id AS query_id, embedding AS fq, e8 AS iq8, e4 AS iq4
+          FROM qv WHERE vec_id < {N_QUERIES}),
+    scored AS (
+      SELECT {_sql_cos('c.embedding', 'q.fq')} AS cf,
+             {_sql_cos('c.e8', 'q.iq8')} AS c8,
+             {_sql_cos('c.e4', 'q.iq4')} AS c4
+      FROM qv c, q WHERE c.vec_id <> q.query_id),
+    grid AS (SELECT * FROM (VALUES {grid}) g(scheme, thr_milli)),
+    cells AS (
+      SELECT g.scheme, g.thr_milli,
+             count(*) FILTER (WHERE s.cf >= g.thr_milli / 1000.0) AS n_true,
+             count(*) FILTER (
+               WHERE s.cf >= g.thr_milli / 1000.0
+                 AND (CASE g.scheme WHEN 'int8' THEN s.c8 ELSE s.c4 END)
+                     >= g.thr_milli / 1000.0) AS n_kept
+      FROM grid g LEFT JOIN scored s ON TRUE
+      GROUP BY 1, 2)
+    SELECT scheme, CAST(thr_milli AS BIGINT) AS thr_milli,
+           CAST(n_true AS BIGINT) AS n_true,
+           CAST(n_kept AS BIGINT) AS n_kept,
+           CAST(CASE WHEN n_true = 0 THEN NULL
+                     ELSE (1000 * n_kept) // n_true END AS BIGINT) AS recall_milli
+    FROM cells
+    """
+
+
+@register(
+    "quantization_recall_sweep",
+    oracle=_sweep_oracle(),
+    tags=("similarity", "llm-pipeline", "quality"),
+)
+def quantization_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantization-fidelity SWEEP (round 9): int8 AND int4 symmetric
+    per-vector quantization audited across similarity thresholds in ONE
+    scoring pass — the precision-budget curve a pipeline reads before
+    choosing a compression level (int8_quantization_recall_audit is the
+    single-scheme top-k cut; this is the scheme×threshold matrix). For
+    the fixed {N_QUERIES}-query probe set, every corpus vector is scored
+    once computing float, int8, and int4 cosines in the same projection;
+    each (scheme, θ∈{{0.15, 0.25, 0.35}}) cell reports how many
+    float-qualifying neighbor pairs survive quantization (exact integer
+    counts, milli-recall as exact integer division). All 6 cells are
+    always present (static grid), NULL recall on an empty corpus.
+
+    Exactness: quantized values are floor-scaled doubles (the registered
+    int8 tier's expression text at 127 and 7 levels), cosines fold
+    dim-by-dim on both engines, thresholds are the identical IEEE double
+    thr/1000.0 — so survival sets match bit-for-bit. Scale: Q·n rows
+    scored once; the sweep multiplies a 6-row grid, never the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def q(levels: int) -> str:
+        mx = "array_max(transform(embedding, x -> abs(CAST(x AS DOUBLE))))"
+        return (
+            f"transform(embedding, x -> CASE WHEN {mx} = 0D THEN 0.0D "
+            f"ELSE floor(CAST(x AS DOUBLE) * {levels}.0D / {mx} + 0.5D) END)"
+        )
+
+    corpus = emb.select(
+        "vec_id", "embedding", F.expr(q(127)).alias("e8"), F.expr(q(7)).alias("e4")
+    )
+    queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("fq"),
+        F.col("e8").alias("iq8"),
+        F.col("e4").alias("iq4"),
+    )
+    pairs = corpus.join(F.broadcast(queries)).where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    scored = S.with_cosine_fast(
+        S.with_cosine_fast(
+            S.with_cosine_fast(
+                pairs.select(
+                    "embedding", "e8", "e4", "fq", "iq8", "iq4",
+                    F.col("embedding").alias("av"), F.col("fq").alias("bv"),
+                ),
+                "av", "bv", "cf",
+            ).select(
+                "e4", "iq4", "cf",
+                F.col("e8").alias("av"), F.col("iq8").alias("bv"),
+            ),
+            "av", "bv", "c8",
+        ).select(
+            "cf", "c8", F.col("e4").alias("av"), F.col("iq4").alias("bv")
+        ),
+        "av", "bv", "c4",
+    )
+    grid = spark.createDataFrame(
+        [(s, t) for s, _ in _SWEEP_LEVELS for t in _SWEEP_THR_MILLI],
+        "scheme string, thr_milli long",
+    )
+    thr = F.col("thr_milli") / F.lit(1000.0)
+    qcos = F.when(F.col("scheme") == "int8", F.col("c8")).otherwise(F.col("c4"))
+    cells = (
+        F.broadcast(grid)
+        .join(scored, F.lit(True), "left")
+        .groupBy("scheme", "thr_milli")
+        .agg(
+            F.count(F.when(F.col("cf") >= thr, 1)).cast("long").alias("n_true"),
+            F.count(F.when((F.col("cf") >= thr) & (qcos >= thr), 1))
+            .cast("long")
+            .alias("n_kept"),
+        )
+    )
+    return cells.select(
+        "scheme",
+        "thr_milli",
+        "n_true",
+        "n_kept",
+        F.expr(
+            "CAST(CASE WHEN n_true = 0 THEN NULL"
+            " ELSE (1000 * n_kept) div n_true END AS BIGINT)"
+        ).alias("recall_milli"),
+    )

@@ -209,6 +209,7 @@ QUERIES = (
     "dedup_substring_containment",
     "contamination_matrix",
     "ivf_cosine_pairs_persisted",
+    "quantization_recall_sweep",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
