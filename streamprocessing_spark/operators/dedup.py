@@ -1074,3 +1074,49 @@ def sql_paras(table: str = "documents", id_col: str = "doc_id", p: int = PARA_TO
                    unnest(range(0, CAST(ceil(len(t)/{p}.0) AS INT))) AS j
             FROM ptoks WHERE len(t) > 0)
     ),"""
+
+
+def substring_containment_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = K_SHINGLE
+) -> DataFrame:
+    """(id_inner, id_outer, n_occurrences, n_shingles): directional exact
+    token-level substring containment via sorted positional-shingle runs
+    — doc A occurs contiguously in doc B iff some offset o aligns every
+    one of A's positional k-shingles with an equal shingle of B (each
+    A-position contributes at most one match per offset, so per-offset
+    matched count == A's shingle count is exact containment, not a bag
+    overlap). See dedup_substring_containment's docstring for the scale
+    shape and the oracle for the SQL mirror."""
+    toked = df.select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t")
+    ).where(F.size("t") >= k)
+    t = F.col("t")
+    shingles = F.transform(
+        F.sequence(F.lit(0), F.size(t) - k),
+        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(k)]),
+    )
+    pos = toked.select("id", F.posexplode(shingles).alias("i", "sh"))
+    sizes = pos.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    a, b = pos.alias("a"), pos.alias("b")
+    m = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") != F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_inner"),
+            F.col("b.id").alias("id_outer"),
+            (F.col("b.i") - F.col("a.i")).alias("o"),
+        )
+        .groupBy("id_inner", "id_outer", "o")
+        .agg(F.count(F.lit(1)).alias("matched"))
+    )
+    return (
+        m.join(sizes.select(F.col("id").alias("id_inner"), "n"), "id_inner")
+        .where(F.col("matched") == F.col("n"))
+        .groupBy("id_inner", "id_outer", "n")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .select(
+            "id_inner",
+            "id_outer",
+            "n_occurrences",
+            F.col("n").cast("long").alias("n_shingles"),
+        )
+    )

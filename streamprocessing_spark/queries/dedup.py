@@ -1379,37 +1379,4 @@ def dedup_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ExactSubstr's implementations for the same reason), and the
     group-by-offset verify stays per-(pair) local."""
     d = load_table(spark, sf_dir, "documents")
-    k = D.K_SHINGLE
-    toked = d.select(
-        F.col("doc_id").alias("id"), D.tokens_col(F.col("text")).alias("t")
-    ).where(F.size("t") >= k)
-    t = F.col("t")
-    shingles = F.transform(
-        F.sequence(F.lit(0), F.size(t) - k),
-        lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(k)]),
-    )
-    pos = toked.select("id", F.posexplode(shingles).alias("i", "sh"))
-    sizes = pos.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = pos.alias("a"), pos.alias("b")
-    m = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") != F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_inner"),
-            F.col("b.id").alias("id_outer"),
-            (F.col("b.i") - F.col("a.i")).alias("o"),
-        )
-        .groupBy("id_inner", "id_outer", "o")
-        .agg(F.count(F.lit(1)).alias("matched"))
-    )
-    return (
-        m.join(sizes.select(F.col("id").alias("id_inner"), "n"), "id_inner")
-        .where(F.col("matched") == F.col("n"))
-        .groupBy("id_inner", "id_outer", "n")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
-        .select(
-            "id_inner",
-            "id_outer",
-            "n_occurrences",
-            F.col("n").cast("long").alias("n_shingles"),
-        )
-    )
+    return D.substring_containment_pairs(d, "doc_id", "text")

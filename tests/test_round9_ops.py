@@ -218,3 +218,57 @@ def test_streaming_ivf_pairs_checkpoint_restart(spark, tmp_path):
     assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
     for g, w in zip(got, want):
         assert g[2] == w[2]
+
+
+def test_paragraph_df_window_law(spark):
+    """paragraph_df partitions the token stream into exact 25-token
+    windows: pid packing, per-doc window count, boundary (len % 25), and
+    the lossless space-join/re-tokenize round trip."""
+    from streamprocessing_spark.operators import dedup as D
+
+    docs = spark.createDataFrame(
+        [
+            (7, " ".join(f"w{i}" for i in range(60))),   # 3 windows: 25/25/10
+            (8, " ".join(f"w{i}" for i in range(25))),   # exactly 1 window
+            (9, "one two"),                               # 1 short window
+            (10, "!!! ???"),                              # no tokens → no paras
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r.pid: r for r in D.paragraph_df(docs, "doc_id", "text").collect()}
+    by_doc = {}
+    for pid, r in rows.items():
+        by_doc.setdefault(r.doc_id, []).append(pid)
+    assert sorted(by_doc[7]) == [7 * D.PARA_ID_STRIDE + j for j in range(3)]
+    assert by_doc[8] == [8 * D.PARA_ID_STRIDE]
+    assert by_doc[9] == [9 * D.PARA_ID_STRIDE]
+    assert 10 not in by_doc
+    assert rows[7 * D.PARA_ID_STRIDE].ptext == " ".join(f"w{i}" for i in range(25))
+    assert rows[7 * D.PARA_ID_STRIDE + 2].ptext == " ".join(
+        f"w{i}" for i in range(50, 60)
+    )
+
+
+def test_substring_containment_law(spark):
+    """Containment is CONTIGUOUS-substring exact: a doc embedded verbatim
+    in a larger doc is found (with its occurrence count), a doc sharing
+    all tokens in a different ORDER is not, and exact duplicates appear
+    in both directions."""
+    inner = "alpha beta gamma delta"
+    host = f"intro words {inner} middle filler {inner} closing words"
+    scrambled = "delta gamma beta alpha"  # same tokens, wrong order
+    twin_a = "same exact twin text here"
+    docs = spark.createDataFrame(
+        [(1, inner), (2, host), (3, scrambled), (4, twin_a), (5, twin_a)],
+        "doc_id long, text string",
+    )
+    from streamprocessing_spark.operators import dedup as D
+
+    got = {
+        (r.id_inner, r.id_outer): r.n_occurrences
+        for r in D.substring_containment_pairs(docs, "doc_id", "text").collect()
+    }
+    assert got[(1, 2)] == 2  # inner occurs twice in host
+    assert (3, 2) not in got and (2, 3) not in got  # order matters
+    assert got[(4, 5)] == 1 and got[(5, 4)] == 1  # exact dups both ways
+    assert (2, 1) not in got  # host not contained in inner

@@ -212,6 +212,12 @@ PLAN_SET = [
     "ann_ivf_persisted_topk",
     "multimodal_resize_real",
     "dsir_importance_resample",
+    # round-9 additions
+    "dedup_paragraph_minhash",
+    "dedup_substring_containment",
+    "contamination_matrix",
+    "ivf_cosine_pairs_persisted",
+    "quantization_recall_sweep",
 ]
 
 
