@@ -28,6 +28,9 @@ from streamprocessing_spark.shared_views import release_shared_views
 # both are released together to keep the cascade consistent).
 VIEW_BUILDER_KINDS = {
     "dedup_minhash_lsh_scaled": ("mhcomp", "mhpairs"),
+    # round 9: the paragraph-pair view builder — its row prices the
+    # build; dedup_paragraph_keep stays the marginal consumer
+    "dedup_paragraph_minhash": ("parapairs",),
     # the scaled builder drops mhcomp but its fn never rebuilds it, so
     # the star-contraction components build must be priced to the FIRST
     # components consumer in HEADLINE order (keep_canonical): it
@@ -231,6 +234,7 @@ HEADLINE = [
     "contamination_matrix",
     "ivf_cosine_pairs_persisted",
     "quantization_recall_sweep",
+    "dedup_paragraph_keep",
 ]
 
 # streaming queries are benched via their shared concurrent drain in the

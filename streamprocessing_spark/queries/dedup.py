@@ -1174,6 +1174,35 @@ _SQL_PARA_PAIRS = D.sql_minhash_lsh_scaled(
 )
 
 
+def _para_pairs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared paragraph near-dup pair set (id_a, id_b, jaccard)
+    — the count-scaled MinHash tier over the paragraph relation,
+    materialized once per (session, sf_dir) like _pairs_view: the
+    duplication-profile query and the keep/emit query (round 9) compose
+    this exact relation, and Catalyst does not CSE across query
+    invocations."""
+
+    def _build() -> DataFrame:
+        d = load_table(spark, sf_dir, "documents")
+        # merge hint (round 9, found at the ×100 proxy): Catalyst's
+        # STATIC size estimate for the explode-derived paragraph
+        # relation collapses (default 20-byte string width for the
+        # derived ptext vs the parquet-anchored width of the source
+        # scan), so every downstream join — including the band-bucket
+        # SELF-join — planned BroadcastHashJoin and collected the whole
+        # bucket relation to the driver (maxResultSize abort at ×100;
+        # a real cluster driver would OOM). Every relation derived from
+        # paragraphs is corpus-sized by construction, never a dimension:
+        # force shuffle joins. With the hint the ×100 plan is 5
+        # SortMergeJoins, zero broadcasts — the 100 TB-correct shape.
+        paras = D.paragraph_df(d, "doc_id", "text").hint("merge")
+        return D.minhash_lsh_pairs_scaled(
+            paras, "pid", "ptext", JACCARD_THRESHOLD, paras.count()
+        )
+
+    return shared_view(spark, "parapairs", sf_dir, _build)
+
+
 @register(
     "dedup_paragraph_minhash",
     oracle=f"""
@@ -1212,15 +1241,19 @@ def dedup_paragraph_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-row text, so total shingle volume is unchanged; the scaled
     banding keeps candidates ~linear in paragraph count (inherited
     SCALEBENCH law, exponent ≤ the document tier's 0.644); everything
-    downstream of the pair set is doc-count-sized."""
+    downstream of the pair set is doc-count-sized.
+
+    Serves the shared ``parapairs`` view — the keep/emit query
+    (dedup_paragraph_keep) reuses the same pair build per session."""
     d = load_table(spark, sf_dir, "documents")
     paras = D.paragraph_df(d, "doc_id", "text")
-    pairs = D.minhash_lsh_pairs_scaled(
-        paras, "pid", "ptext", JACCARD_THRESHOLD, paras.count()
-    )
+    pairs = _para_pairs_view(spark, sf_dir)
+    # merge hint: both sides are corpus-sized at 100 TB (one row per
+    # doc), and the explode-derived stats undercount — see
+    # _para_pairs_view's note on the ×100 broadcast cliff
     per_doc = paras.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_paras")
-    )
+    ).hint("merge")
     dup_doc = (
         pairs.select(F.col("id_b").alias("pid"))
         .distinct()
@@ -1380,3 +1413,70 @@ def dedup_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     group-by-offset verify stays per-(pair) local."""
     d = load_table(spark, sf_dir, "documents")
     return D.substring_containment_pairs(d, "doc_id", "text")
+
+
+@register(
+    "dedup_paragraph_keep",
+    oracle=f"""
+    WITH pair_t AS ({_SQL_PARA_PAIRS}),
+    {D.sql_paras()}
+    dups AS (SELECT DISTINCT id_b AS pid FROM pair_t),
+    kept AS (SELECT p.doc_id, p.pid, p.text FROM paras p
+             LEFT JOIN dups d ON d.pid = p.pid WHERE d.pid IS NULL),
+    counts AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY 1),
+    agg AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(text, ' ' ORDER BY pid) AS kept_text
+            FROM kept GROUP BY 1)
+    SELECT c.doc_id,
+           CAST(c.n_paras AS BIGINT) AS n_paras,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(a.kept_text, '') AS kept_text
+    FROM counts c LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("dedup", "llm-pipeline", "lsh", "scale-tier"),
+)
+def dedup_paragraph_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet EMIT path (round 9): the cleaned corpus after
+    paragraph-level dedup — every document re-assembled from only its
+    KEPT paragraphs (keep-first law: a paragraph is dropped iff it
+    pairs at Jaccard ≥ 0.8 with any LOWER pid, the shared ``parapairs``
+    view), in window order, space-joined. dedup_paragraph_minhash is
+    the per-doc duplication PROFILE; this is the artifact a training
+    pipeline actually writes — documents whose boilerplate paragraphs
+    were removed, including fully-deduplicated docs as empty strings
+    (the row must survive so downstream joins see the doc's fate).
+
+    Scale shape: one left-anti join of the paragraph relation against
+    the pid-sized dup sliver, then a per-doc sort-aggregate over ~2
+    paragraphs/doc — scan-speed beyond the shared pair build. At 100 TB
+    the emit writes straight back out partitioned however the corpus
+    was (the reconstruction never shuffles more than the corpus text
+    once)."""
+    d = load_table(spark, sf_dir, "documents")
+    paras = D.paragraph_df(d, "doc_id", "text")
+    dups = _para_pairs_view(spark, sf_dir).select(
+        F.col("id_b").alias("pid")
+    ).distinct()
+    kept = paras.join(dups, "pid", "left_anti")
+    counts = paras.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras")
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pid", "ptext"))),
+                lambda s: s.ptext,
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    # merge hint: counts and agg are both one-row-per-doc (corpus-sized
+    # at 100 TB — never broadcastable); the anti-join above is left
+    # unhinted so the pid-sized dup sliver broadcasts as it should
+    return counts.hint("merge").join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+    )

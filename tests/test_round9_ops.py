@@ -272,3 +272,27 @@ def test_substring_containment_law(spark):
     assert (3, 2) not in got and (2, 3) not in got  # order matters
     assert got[(4, 5)] == 1 and got[(5, 4)] == 1  # exact dups both ways
     assert (2, 1) not in got  # host not contained in inner
+
+
+def test_parapairs_build_never_broadcasts(spark):
+    """The ×100 broadcast cliff (round 9): Catalyst's static size
+    estimate for the explode-derived paragraph relation collapses, so
+    without the merge hint every join in the pair build — including the
+    band-bucket SELF-join — planned BroadcastHashJoin and collected the
+    bucket relation to the driver (maxResultSize abort at ×100). Pin
+    the fixed shape: zero broadcast anywhere in the pair-build plan, at
+    every corpus size (paragraph-derived relations are corpus-sized by
+    construction — never a dimension)."""
+    from streamprocessing_spark.operators import dedup as D
+    from streamprocessing_spark.queries.dedup import JACCARD_THRESHOLD
+    from streamprocessing_spark.sources.readers import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    paras = D.paragraph_df(d, "doc_id", "text").hint("merge")
+    pairs = D.minhash_lsh_pairs_scaled(
+        paras, "pid", "ptext", JACCARD_THRESHOLD, paras.count()
+    )
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert "SortMergeJoin" in plan, plan

@@ -210,6 +210,7 @@ QUERIES = (
     "contamination_matrix",
     "ivf_cosine_pairs_persisted",
     "quantization_recall_sweep",
+    "dedup_paragraph_keep",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
@@ -238,6 +239,10 @@ PREWARM_PROXY = frozenset({
     # round 9: rides the memoized pair view (same rationale as
     # dedup_aware_split)
     "contamination_matrix",
+    # round 9: rides the memoized PARAGRAPH pair view — the marginal op
+    # is the anti-join + per-doc reassembly; the builder's cold curve is
+    # dedup_paragraph_minhash's COLD_VIEW_BUILD row
+    "dedup_paragraph_keep",
     # round 9: serve path is the op; the cent_id-partitioned index write
     # is the one-time layout (same rationale as ann_ivf_persisted_topk)
     "ivf_cosine_pairs_persisted",
@@ -436,6 +441,11 @@ DEDUP100_QUERIES = (
     # the 64-dim embedding proxies can't give threshold queries)
     "dedup_jaccard_prefix_filter",
     "decontaminate_hashed",
+    # round 9: the paragraph-granularity scaled tier and the exact
+    # containment tier — both documents-driven, so the token-suffixed
+    # replicas give exact cross-replica decorrelation (clean decades)
+    "dedup_paragraph_minhash",
+    "dedup_substring_containment",
 )
 
 # Queries measured with the session-shared views RELEASED before every
@@ -445,12 +455,16 @@ DEDUP100_QUERIES = (
 # the PREWARM_PROXY one. dedup_minhash_lsh_scaled IS the view builder
 # since round 7: its row must measure the build at every scale (cold),
 # not memoized-read at x1 vs full-build at x10.
-COLD_CASCADE = frozenset({"dedup_keep_canonical", "dedup_minhash_lsh_scaled"})
+# dedup_paragraph_minhash serves the parapairs view since round 9 —
+# same builder-measures-cold law.
+COLD_CASCADE = frozenset(
+    {"dedup_keep_canonical", "dedup_minhash_lsh_scaled", "dedup_paragraph_minhash"}
+)
 
 # Main (10x) runner twin of COLD_CASCADE: only the view BUILDER runs
 # cold there — the consumers keep PREWARM_PROXY marginal-op rows (their
 # full-cascade curve lives in the dedup100 COLD_CASCADE artifact).
-COLD_VIEW_BUILD = frozenset({"dedup_minhash_lsh_scaled"})
+COLD_VIEW_BUILD = frozenset({"dedup_minhash_lsh_scaled", "dedup_paragraph_minhash"})
 
 # Queries that read the embeddings table — trigger the 100x embeddings
 # proxy build (same sign-flip construction as the 10x proxy, second-level
