@@ -228,31 +228,37 @@ _DRIVER_VERIFIED = frozenset(
         "streaming_malformed_json_quarantine", "streaming_windowed_distinct_users",
         "t_closeness_audit", "table_profile_orders", "unpivot_lineitem_metrics",
         "user_lis_engagement", "vwap_part_monthly", "weighted_median_price_by_flag",
+        # round 9 (CORRECTNESS_r09.json — 7 fresh names: the 4 _REVERIFY
+        # re-dates plus 39 dedup/similarity re-confirmations are repeats;
+        # these are the round-9 new registrations, all full-oracle green)
+        "contamination_matrix", "dedup_paragraph_keep",
+        "dedup_paragraph_minhash", "dedup_substring_containment",
+        "ivf_cosine_pairs_persisted", "quantization_recall_sweep",
+        "streaming_ivf_pairs_ingest",
     }
 )
 
-# Round-9 re-presentation set (VERDICT r08 item #1): the four names whose
-# kernels or on-disk layout were REWRITTEN in round 8 after their driver
-# rows landed — ivf_cosine_pairs (row r02, cell-local verify r08),
-# semantic_dedup_keep_ivf (r02, same kernel inherited),
-# bitext_mine_margin_ivf (r07, cell-local cross scorer r08),
-# ann_ivf_persisted_topk (r07, index layout v2 + publish GC r08). Fresh
-# rows restore the invariant that the driver ledger describes shipped
-# code. They lead the gate, before the round-9 never-gated names.
+# Round-10 re-presentation set (VERDICT r09 item #8): the registry is
+# fully driver-proven (375/375 across r01-r09, zero mismatches ever), so
+# the round-8 rework re-dates are done and _REVERIFY shrinks to the two
+# round-9 names with the most machinery between them and their oracle —
+# streaming_ivf_pairs_ingest (applyInPandasWithState + end-of-stream
+# batch parity) and ivf_cosine_pairs_persisted (persisted index
+# publish/GC + FlatMapGroupsInPandas scan). Each has exactly one driver
+# row; a second confirmation is cheap insurance, ahead of the round-10
+# new registrations.
 _REVERIFY = frozenset(
     {
-        "ivf_cosine_pairs",
-        "semantic_dedup_keep_ivf",
-        "bitext_mine_margin_ivf",
-        "ann_ivf_persisted_topk",
+        "streaming_ivf_pairs_ingest",
+        "ivf_cosine_pairs_persisted",
     }
 )
 
-# Round-9 family front-load: after the 4 _REVERIFY rows, the backlog is
-# exactly the round's new registrations — 3 dedup names, 1 similarity,
-# 1 streaming (raw gate total well inside one budget). Families stay
-# contiguous so shared session state (the mhpairs cascade view, the
-# streaming single-drain) amortizes across consecutive rows.
+# Round-10 family front-load: after the 2 _REVERIFY rows, the backlog is
+# the round's new registrations (dedup span-removal emit, IVF index
+# compaction, streaming paragraph twin, cross-lingual contamination).
+# Families stay contiguous so shared session state (the mhpairs cascade
+# view, the streaming single-drain) amortizes across consecutive rows.
 _FRONTLOAD_MODULES = (
     "streamprocessing_spark.queries.dedup",
     "streamprocessing_spark.queries.similarity",
