@@ -146,7 +146,11 @@ class _PluginCacheRegistry:
             self.KEEP = keep
 
     def __reduce__(self):
-        return (_PluginCacheRegistry, ())
+        # preserve the instance's KEEP bound (ADVICE r09): reconstructing
+        # with no args would silently reset _QUERY_CACHES to KEEP=4,
+        # reintroducing the mid-flight eviction its keep=16 prevents —
+        # only the cached DataFrames themselves must not ride along
+        return (_PluginCacheRegistry, (self.KEEP,))
 
     def add(self, df: DataFrame) -> None:
         self.dfs.append(df)

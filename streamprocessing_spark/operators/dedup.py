@@ -1049,7 +1049,17 @@ def paragraph_df(
     toked = df.select(
         F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("t")
     ).where(F.size("t") > 0)
-    n_para = F.ceil(F.size("t") / F.lit(float(p))).cast("int")
+    # Cap the window count at the pid stride (ADVICE r09): a doc with
+    # >= PARA_ID_STRIDE windows (~250k tokens at p=25) would silently
+    # pack its overflow paragraphs into the NEXT doc_id's pid range, and
+    # since the oracle replays the identical packing law, parity
+    # checking could never see the corruption. Truncation is the safe
+    # replayable law (mirrored in sql_paras); no fixture comes within
+    # two orders of magnitude of the cap.
+    n_para = F.least(
+        F.ceil(F.size("t") / F.lit(float(p))).cast("int"),
+        F.lit(PARA_ID_STRIDE),
+    )
     return toked.select(
         "doc_id",
         "t",
@@ -1071,7 +1081,8 @@ def sql_paras(table: str = "documents", id_col: str = "doc_id", p: int = PARA_TO
       SELECT doc_id, doc_id * {PARA_ID_STRIDE} + j AS pid,
              array_to_string(t[j*{p}+1 : j*{p}+{p}], ' ') AS text
       FROM (SELECT doc_id, t,
-                   unnest(range(0, CAST(ceil(len(t)/{p}.0) AS INT))) AS j
+                   unnest(range(0, LEAST(CAST(ceil(len(t)/{p}.0) AS INT),
+                                         {PARA_ID_STRIDE}))) AS j
             FROM ptoks WHERE len(t) > 0)
     ),"""
 

@@ -1195,9 +1195,14 @@ def _para_pairs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         # paragraphs is corpus-sized by construction, never a dimension:
         # force shuffle joins. With the hint the ×100 plan is 5
         # SortMergeJoins, zero broadcasts — the 100 TB-correct shape.
-        paras = D.paragraph_df(d, "doc_id", "text").hint("merge")
+        paras = D.paragraph_df(d, "doc_id", "text")
+        # count the UNHINTED relation (ADVICE r09): a hint on a plan
+        # with no join makes Spark log 'hint not part of a join
+        # relation' on every build, obscuring whether the load-bearing
+        # anti-broadcast hint below attached
+        n_paras = paras.count()
         return D.minhash_lsh_pairs_scaled(
-            paras, "pid", "ptext", JACCARD_THRESHOLD, paras.count()
+            paras.hint("merge"), "pid", "ptext", JACCARD_THRESHOLD, n_paras
         )
 
     return shared_view(spark, "parapairs", sf_dir, _build)
@@ -1210,7 +1215,7 @@ def _para_pairs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     {D.sql_paras()}
     counts AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id),
     dups AS (SELECT DISTINCT id_b AS pid FROM pair_t),
-    dd AS (SELECT CAST(floor(pid / {D.PARA_ID_STRIDE}.0) AS BIGINT) AS doc_id,
+    dd AS (SELECT pid // {D.PARA_ID_STRIDE} AS doc_id,
                   count(*) AS n_dup_paras
            FROM dups GROUP BY 1)
     SELECT c.doc_id,
@@ -1257,7 +1262,9 @@ def dedup_paragraph_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup_doc = (
         pairs.select(F.col("id_b").alias("pid"))
         .distinct()
-        .groupBy(F.floor(F.col("pid") / D.PARA_ID_STRIDE).alias("doc_id"))
+        # integer division, not floor(double/): exact for all BIGINT
+        # pids, where the double path loses exactness above ~2^53
+        .groupBy(F.expr(f"pid div {D.PARA_ID_STRIDE}").alias("doc_id"))
         .agg(F.count(F.lit(1)).cast("long").alias("n_dup_paras"))
     )
     return per_doc.join(dup_doc, "doc_id").select(

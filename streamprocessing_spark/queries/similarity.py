@@ -2579,31 +2579,50 @@ def _publish_index(
             if not os.path.isdir(idx_dir):
                 raise
         else:
-            # Stale-index GC (ADVICE r07/r08): the publish winner reaps
-            # superseded PUBLISHED fingerprints of the SAME corpus path.
-            # Two classes of sibling are deliberately spared (ADVICE
-            # r08): (a) any '*.build-*' dir — a concurrent builder of a
-            # NEWER fingerprint builds under a tmp name that doesn't
-            # share this content_key prefix, and reaping it would make
-            # that builder's os.rename fail ENOENT; (b) any published
-            # sibling younger than _IVF_GC_MIN_AGE_S — a live session
-            # that fingerprinted the corpus before a regeneration may
-            # still be scanning it. Best-effort: rmtree errors from a
+            # Stale-index GC (ADVICE r07/r08/r09): the publish winner
+            # reaps superseded PUBLISHED fingerprints of the SAME corpus
+            # path, and (r09) orphaned '*.build-*' dirs left by a
+            # crashed/killed builder. Both classes are age-gated by
+            # _IVF_GC_MIN_AGE_S: a published sibling younger than that
+            # may still be scanned by a live session that fingerprinted
+            # the corpus before a regeneration, and a build dir younger
+            # than that may belong to a LIVE concurrent builder (whose
+            # os.rename would fail ENOENT if we reaped it). A live
+            # builder writes task files continuously, so an old-mtime
+            # build dir is dead — check the newest mtime IN the dir, not
+            # just the dir inode, since the last touched file postdates
+            # the dir entry itself. Best-effort: rmtree errors from a
             # racing reaper are ignored. Bounds scratch to one live
             # index per corpus path (plus a grace window) across
-            # fixture regenerations.
+            # fixture regenerations and builder crashes.
             import time as _time
 
             now = _time.time()
+
+            def _newest_mtime(path: str) -> float:
+                newest = 0.0
+                try:
+                    newest = os.stat(path).st_mtime
+                    for root_, _dirs, files in os.walk(path):
+                        for f in files:
+                            try:
+                                newest = max(
+                                    newest,
+                                    os.stat(os.path.join(root_, f)).st_mtime,
+                                )
+                            except OSError:
+                                continue
+                except OSError:
+                    pass
+                return newest
+
             try:
                 for sib in os.listdir(sf_root):
-                    if sib.startswith(content_key) or ".build-" in sib:
-                        continue
+                    is_build = ".build-" in sib
+                    if sib.startswith(content_key) and not is_build:
+                        continue  # the index we just published
                     sib_path = os.path.join(sf_root, sib)
-                    try:
-                        age = now - os.stat(sib_path).st_mtime
-                    except OSError:
-                        continue
+                    age = now - _newest_mtime(sib_path)
                     if age >= _IVF_GC_MIN_AGE_S:
                         shutil.rmtree(sib_path, ignore_errors=True)
             except OSError:

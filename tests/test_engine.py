@@ -149,6 +149,19 @@ def test_plugin_cache_registry_bounded(spark, records):
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= baseline
 
 
+def test_plugin_cache_registry_pickle_preserves_keep():
+    """__reduce__ must carry the instance KEEP bound (ADVICE r09): a
+    pickled _QUERY_CACHES (keep=16) reconstructing with the class
+    default 4 would silently reintroduce mid-flight eviction. The
+    DataFrame list still pickles empty (driver-only state)."""
+    import pickle
+
+    rt = pickle.loads(pickle.dumps(E._PluginCacheRegistry(keep=16)))
+    assert rt.KEEP == 16 and rt.dfs == []
+    rt_q = pickle.loads(pickle.dumps(E._QUERY_CACHES))
+    assert rt_q.KEEP == E._QUERY_CACHES.KEEP == 16 and rt_q.dfs == []
+
+
 def test_exec_op_matches_plugin(spark, records):
     """ExecOp (argv/stdout subprocess contract, the reference's literal
     op surface) must agree record-for-record with the in-process plugin

@@ -88,9 +88,11 @@ def test_cell_verify_hot_cell_blockwise(spark):
 
 
 def test_persisted_ivf_gc_spares_builds_and_young(spark, tmp_path, monkeypatch):
-    """Publish-time GC must skip '*.build-*' siblings of ANY fingerprint
-    and published siblings younger than the grace window; only an OLD
-    superseded published index is reaped."""
+    """Publish-time GC must skip YOUNG '*.build-*' siblings (a live
+    concurrent builder) and YOUNG published siblings; OLD superseded
+    published indexes AND old orphaned build dirs (dead builders — a
+    live one writes continuously, so old-mtime means crashed; ADVICE
+    r09) are reaped."""
     import hashlib
     import os
     import shutil
@@ -114,24 +116,32 @@ def test_persisted_ivf_gc_spares_builds_and_young(spark, tmp_path, monkeypatch):
         SIM._IVF_LAYOUT_V,
         hashlib.md5(corpus.encode()).hexdigest()[:12],
     )
-    # Plant three foreign siblings: a concurrent builder's tmp dir, a
-    # YOUNG published index (mtime = now), and an OLD published index.
+    # Plant four foreign siblings: a LIVE concurrent builder's tmp dir
+    # (mtime = now), a YOUNG published index, an OLD published index,
+    # and an OLD orphaned build dir (crashed builder — contains a stale
+    # part file so the recursive newest-mtime walk sees only old files).
     build_sib = os.path.join(sf_root, "feedfacefeedface.build-deadbeef")
     young_sib = os.path.join(sf_root, "0123456789abcdef")
     old_sib = os.path.join(sf_root, "fedcba9876543210")
-    for p in (build_sib, young_sib, old_sib):
+    dead_build = os.path.join(sf_root, "deadc0dedeadc0de.build-cafebabe")
+    for p in (build_sib, young_sib, old_sib, dead_build):
         os.makedirs(p)
     past = 10**9  # 2001 — far beyond any grace window
+    with open(os.path.join(dead_build, "part-00000.parquet"), "w") as fh:
+        fh.write("stale")
+    os.utime(os.path.join(dead_build, "part-00000.parquet"), (past, past))
     os.utime(old_sib, (past, past))
+    os.utime(dead_build, (past, past))
 
     # Regenerate the corpus (new mtime → new fingerprint → publish+GC).
     ep = os.path.join(corpus, "embeddings.parquet")
     os.utime(ep, ns=(os.stat(ep).st_atime_ns, os.stat(ep).st_mtime_ns + 10**9))
     assert fn(spark, corpus).count() > 0
 
-    assert os.path.isdir(build_sib), "in-flight build dirs must never be reaped"
+    assert os.path.isdir(build_sib), "young (live) build dirs are never reaped"
     assert os.path.isdir(young_sib), "young published siblings survive the grace window"
     assert not os.path.isdir(old_sib), "old superseded indexes are reaped"
+    assert not os.path.isdir(dead_build), "old orphaned build dirs are reaped (ADVICE r09)"
     # The previous fingerprint of THIS corpus was young → also spared.
     live = [s for s in os.listdir(sf_root) if ".build-" not in s]
     assert len(live) == 3  # new index + previous young index + planted young
@@ -296,3 +306,29 @@ def test_parapairs_build_never_broadcasts(spark):
     assert "BroadcastHashJoin" not in plan, plan
     assert "BroadcastExchange" not in plan, plan
     assert "SortMergeJoin" in plan, plan
+
+
+def test_paragraph_query_plans_never_broadcast_corpus_relations(spark):
+    """Extend the broadcast-cliff pin to the FULL registered queries
+    (ADVICE r09): dedup_paragraph_minhash's whole plan must carry zero
+    broadcasts (both join sides are one-row-per-doc, corpus-sized at
+    100 TB), and dedup_paragraph_keep's only permissible broadcast is
+    the left-anti dup-pid sliver — a relation derived from the
+    MATERIALIZED pair view, so AQE sizes it from runtime stats rather
+    than the collapsed static estimate that caused the ×100 cliff; its
+    counts-onto-agg reassembly join must stay SortMergeJoin."""
+    from streamprocessing_spark.queries import dedup as QD
+
+    sf = "/root/testdata/sf0.001"
+    prof = QD.dedup_paragraph_minhash(spark, sf)
+    plan = prof._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "BroadcastExchange" not in plan, plan
+    assert "SortMergeJoin" in plan, plan
+
+    keep = QD.dedup_paragraph_keep(spark, sf)
+    kplan = keep._jdf.queryExecution().executedPlan().toString()
+    for line in kplan.splitlines():
+        if "BroadcastHashJoin" in line:
+            assert "LeftAnti" in line, kplan  # only the dup-pid sliver
+    assert "SortMergeJoin" in kplan, kplan  # the hinted reassembly join
