@@ -2882,21 +2882,35 @@ def quantization_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         "av", "bv", "c4",
     )
-    grid = spark.createDataFrame(
-        [(s, t) for s, _ in _SWEEP_LEVELS for t in _SWEEP_THR_MILLI],
-        "scheme string, thr_milli long",
+    # ONE conditional aggregation over the Q·n scored relation (VERDICT
+    # r09 "what's wrong" #3): the former 6-row grid cross multiplied the
+    # scored relation's aggregate input 6×; a count(when(...)) pair per
+    # (scheme, θ) cell reads each scored row once. The single agg row
+    # (always produced, zeros on an empty corpus) then stacks into the
+    # static 6-row grid driver-side of the data — dimension-sized, free.
+    sch = {"int8": F.col("c8"), "int4": F.col("c4")}
+    aggs = []
+    for t in _SWEEP_THR_MILLI:
+        thr = F.lit(t) / F.lit(1000.0)
+        aggs.append(
+            F.count(F.when(F.col("cf") >= thr, 1)).cast("long").alias(f"nt_{t}")
+        )
+        for s, _ in _SWEEP_LEVELS:
+            aggs.append(
+                F.count(F.when((F.col("cf") >= thr) & (sch[s] >= thr), 1))
+                .cast("long")
+                .alias(f"nk_{s}_{t}")
+            )
+    one = scored.agg(*aggs)
+    stack_args = ", ".join(
+        f"'{s}', CAST({t} AS BIGINT), nt_{t}, nk_{s}_{t}"
+        for s, _ in _SWEEP_LEVELS
+        for t in _SWEEP_THR_MILLI
     )
-    thr = F.col("thr_milli") / F.lit(1000.0)
-    qcos = F.when(F.col("scheme") == "int8", F.col("c8")).otherwise(F.col("c4"))
-    cells = (
-        F.broadcast(grid)
-        .join(scored, F.lit(True), "left")
-        .groupBy("scheme", "thr_milli")
-        .agg(
-            F.count(F.when(F.col("cf") >= thr, 1)).cast("long").alias("n_true"),
-            F.count(F.when((F.col("cf") >= thr) & (qcos >= thr), 1))
-            .cast("long")
-            .alias("n_kept"),
+    cells = one.select(
+        F.expr(
+            f"stack({len(_SWEEP_LEVELS) * len(_SWEEP_THR_MILLI)}, {stack_args})"
+            " AS (scheme, thr_milli, n_true, n_kept)"
         )
     )
     return cells.select(
