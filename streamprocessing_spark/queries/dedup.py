@@ -497,6 +497,132 @@ def longest_duplicated_span(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SQL_SUBSTRING_KEEP = f"""
+    WITH toks AS (
+      SELECT doc_id, {T.SQL_TOKENS} AS t, len({T.SQL_TOKENS}) AS n
+      FROM documents),
+    grams AS (
+      SELECT doc_id, CAST(unnest(range(0, n - {SPAN_GRAM} + 1)) AS BIGINT) AS pos,
+             array_to_string(list_slice(t, unnest(range(0, n - {SPAN_GRAM} + 1)) + 1,
+                                        unnest(range(0, n - {SPAN_GRAM} + 1)) + {SPAN_GRAM}),
+                             ' ') AS gram
+      FROM toks WHERE n >= {SPAN_GRAM}),
+    gcnt AS (SELECT gram, count(*) AS c FROM grams GROUP BY gram),
+    dup AS (
+      SELECT g.doc_id, g.pos
+      FROM grams g JOIN gcnt ON gcnt.gram = g.gram
+      WHERE gcnt.c >= 2),
+    cov AS (
+      SELECT DISTINCT doc_id, pos + u.d AS p
+      FROM dup CROSS JOIN (SELECT unnest(range(0, {SPAN_GRAM})) AS d) u),
+    poss AS (
+      SELECT doc_id, CAST(unnest(range(0, n)) AS BIGINT) AS p,
+             t[unnest(range(0, n)) + 1] AS tok
+      FROM toks WHERE n > 0),
+    kept AS (
+      SELECT poss.doc_id, poss.p, poss.tok
+      FROM poss LEFT JOIN cov ON cov.doc_id = poss.doc_id AND cov.p = poss.p
+      WHERE cov.doc_id IS NULL),
+    agg AS (
+      SELECT doc_id, count(*) AS n_kept,
+             string_agg(tok, ' ' ORDER BY p) AS kept_text
+      FROM kept GROUP BY doc_id)
+    SELECT toks.doc_id, CAST(toks.n AS BIGINT) AS n_tokens,
+           CAST(toks.n - coalesce(agg.n_kept, 0) AS BIGINT) AS n_removed,
+           coalesce(agg.kept_text, '') AS kept_text
+    FROM toks LEFT JOIN agg ON agg.doc_id = toks.doc_id
+    WHERE toks.n > 0
+    """
+
+
+@register(
+    "dedup_substring_keep",
+    oracle=_SQL_SUBSTRING_KEEP,
+    tags=("dedup", "llm-pipeline", "quality", "scale-tier"),
+)
+def dedup_substring_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ExactSubstr EMIT path (Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better", §ExactSubstr): the cleaned corpus
+    with corpus-REPEATED SPANS excised from every document — every token
+    position inside an 8-gram that occurs ≥ 2 times anywhere in the
+    corpus is removed, and the survivors re-join in order.
+    duplicate_span_coverage is the per-doc METRIC over exactly this
+    position set; this emits the artifact (the span-granularity sibling
+    of dedup_paragraph_keep: paragraphs drop whole boilerplate windows,
+    this surgically removes verbatim blocks a model would memorize).
+    Docs whose every position is covered survive as empty strings — the
+    row must keep its fate visible to downstream joins.
+
+    Law (identical on both engines): covered(doc) = ∪ [pos, pos+7] over
+    duplicated-gram starts; kept positions = all − covered, in order.
+    Conservation: n_removed == duplicate_span_coverage's
+    dup_covered_tokens and token_count(kept_text) == n_tokens −
+    n_removed (pinned in tests/test_round10_ops.py).
+
+    Scale shape: one gram-keyed shuffle O(total tokens) — the same
+    shuffle the coverage metric already pays (at 100 TB the gram key
+    becomes an 8-byte hash, the decontaminate_hashed trick) — then the
+    dup-start SLIVER groups per doc (cost concentrates on duplicated
+    text by construction), and the excision itself is per-row array
+    arithmetic: array_except of two position arrays, no window, no
+    token-level shuffle of clean documents. The final join of starts
+    onto the corpus is doc-keyed with AQE runtime stats (the starts side
+    came through a shuffle, so no static-estimate broadcast cliff)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        T.tokens(F.col("text")).alias("t"),
+        T.token_count(F.col("text")).alias("n"),
+    )
+    grams = (
+        toks.where(F.col("n") >= SPAN_GRAM)
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(f"sequence(CAST(0 AS BIGINT), n - {SPAN_GRAM})")
+            ).alias("pos"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            F.array_join(
+                F.expr(f"slice(t, CAST(pos + 1 AS INT), {SPAN_GRAM})"), " "
+            ).alias("gram"),
+        )
+    )
+    gcnt = grams.groupBy("gram").agg(F.count(F.lit(1)).alias("c"))
+    dup = grams.join(gcnt.where(F.col("c") >= 2), "gram").select("doc_id", "pos")
+    starts = dup.groupBy("doc_id").agg(F.collect_list("pos").alias("starts"))
+    excised = (
+        toks.where(F.col("n") > 0)
+        .join(starts, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n",
+            "t",
+            F.expr(
+                # union of [q, q+7] over dup starts, as a distinct set;
+                # array_except keeps the LEFT order, so positions stay sorted
+                f"array_except(sequence(CAST(0 AS BIGINT), n - 1),"
+                f" flatten(transform(coalesce(starts, array()),"
+                f" q -> sequence(q, q + {SPAN_GRAM - 1}))))"
+            ).alias("kept_pos"),
+        )
+    )
+    return excised.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_tokens"),
+        (F.col("n") - F.size("kept_pos")).cast("long").alias("n_removed"),
+        F.array_join(
+            F.transform(
+                F.col("kept_pos"), lambda p: F.element_at("t", (p + 1).cast("int"))
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+
+
 # The "new batch" of the incremental-ingest scenario: a deterministic 10%
 # slice of the corpus (doc_id ending in 7) arriving against the other 90%.
 _NEW_PRED = "{id} % 10 = 7"
