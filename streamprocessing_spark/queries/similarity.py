@@ -2514,6 +2514,21 @@ def _publish_index(
     build_fn,
     read_schema: str,
 ) -> DataFrame:
+    """Read-side wrapper over _ensure_index — see its docstring for the
+    full lifecycle (content keying, publish-by-rename, GC)."""
+    idx_dir = _ensure_index(spark, sf_dir, namespace, build_fn)
+    # explicit read schema: an EMPTY corpus writes a partitionless
+    # directory parquet can't infer from (hostile/empty fixture), and at
+    # any size it skips a footer-sampling pass over the index files
+    return spark.read.schema(read_schema).parquet(idx_dir)
+
+
+def _ensure_index(
+    spark: SparkSession,
+    sf_dir: str,
+    namespace: str,
+    build_fn,
+) -> str:
     """Content-keyed, publish-by-rename, GC'd cent_id-partitioned parquet
     index under the scratch root — the shared serving layout for the
     persisted IVF tiers (ann_ivf_persisted_topk and, round 9, the
@@ -2627,10 +2642,7 @@ def _publish_index(
                         shutil.rmtree(sib_path, ignore_errors=True)
             except OSError:
                 pass
-    # explicit read schema: an EMPTY corpus writes a partitionless
-    # directory parquet can't infer from (hostile/empty fixture), and at
-    # any size it skips a footer-sampling pass over the index files
-    return spark.read.schema(read_schema).parquet(idx_dir)
+    return idx_dir
 
 
 @register(
@@ -2756,6 +2768,138 @@ def ivf_cosine_pairs_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         _build,
         f"id bigint, v {vec_type}, cent_id bigint",
     )
+    pair_schema, cell_verify = S.cell_verify_kernel(SRP_THRESHOLD)
+    scored = (
+        index.select("cent_id", "id", "v")
+        .groupBy("cent_id")
+        .applyInPandas(cell_verify, pair_schema)
+    )
+    from streamprocessing_spark.functions.text import portable_round
+
+    return scored.select(
+        "id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim")
+    ).distinct()
+
+
+IVF_COMPACT_TARGET = 1 << 22  # 4 MiB target compacted-file size
+
+
+def _compact_index(
+    spark: SparkSession,
+    idx_dir: str,
+    read_schema: str,
+    target: int = IVF_COMPACT_TARGET,
+) -> str:
+    """OPTIMIZE for the persisted cent_id-partitioned index (round 10):
+    bin-pack each cell's small part files into ~target-byte output files
+    and publish the rewritten layout as the content-keyed sibling
+    '<idx>.compact' — the small-file maintenance a serving fleet runs
+    after many builds/ingest batches (the index analogue of
+    compaction_plan_binpack, same integer packing law: a file opens in
+    the bin its starting byte offset falls in, files in name order, so
+    bins are contiguous and deterministic from the manifest).
+
+    Execution is the Delta-OPTIMIZE shape: the PLAN is driver-side over
+    file METADATA (manifest-sized — cells × files, never data), then one
+    independent Spark job per bin rewrites exactly that bin's files,
+    submitted concurrently (embarrassingly parallel; each job reads ~one
+    target of bytes and writes one file). Publish-by-rename with the
+    same crash-safe lifecycle as the base index: builders race on the
+    atomic rename, losers discard, and the '.compact.build-*' staging
+    dirs age out under the publish GC. Idempotent: an existing compacted
+    sibling is served as-is (the layout is a pure function of the base
+    index, which is itself content-keyed)."""
+    import os
+    import shutil
+    import uuid
+    from concurrent.futures import ThreadPoolExecutor
+
+    out_dir = f"{idx_dir}.compact"
+    if os.path.isdir(out_dir):
+        return out_dir
+    plan: list[tuple[str, int, list[str]]] = []
+    for cell in sorted(os.listdir(idx_dir)):
+        cpath = os.path.join(idx_dir, cell)
+        if not (cell.startswith("cent_id=") and os.path.isdir(cpath)):
+            continue
+        cum = 0
+        groups: dict[int, list[str]] = {}
+        for f in sorted(os.listdir(cpath)):
+            if not f.endswith(".parquet"):
+                continue
+            fpath = os.path.join(cpath, f)
+            groups.setdefault(cum // target, []).append(fpath)
+            cum += os.stat(fpath).st_size
+        for b, fl in sorted(groups.items()):
+            plan.append((cell, b, fl))
+
+    build = f"{out_dir}.build-{uuid.uuid4().hex}"
+    os.makedirs(build, exist_ok=True)
+    # cent_id is a PARTITION column (lives in the dir name, not the
+    # files): bin reads/writes carry only the data columns
+    data_schema = read_schema.rsplit(", cent_id", 1)[0]
+
+    def _rewrite(job: tuple[str, int, list[str]]) -> None:
+        cell, b, files = job
+        stage = os.path.join(build, f"_stage-{cell}-{b}")
+        (
+            spark.read.schema(data_schema)
+            .parquet(*files)
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(stage)
+        )
+        cell_dir = os.path.join(build, cell)
+        os.makedirs(cell_dir, exist_ok=True)
+        for pf in os.listdir(stage):
+            if pf.endswith(".parquet"):
+                os.rename(
+                    os.path.join(stage, pf),
+                    os.path.join(cell_dir, f"part-bin{b:05d}.parquet"),
+                )
+        shutil.rmtree(stage, ignore_errors=True)
+
+    if plan:
+        with ThreadPoolExecutor(max_workers=min(8, len(plan))) as ex:
+            list(ex.map(_rewrite, plan))
+    try:
+        os.rename(build, out_dir)
+    except OSError:
+        shutil.rmtree(build, ignore_errors=True)
+        if not os.path.isdir(out_dir):
+            raise
+    return out_dir
+
+
+@register(
+    "ivf_cosine_pairs_compacted",
+    oracle=_sql_ivf_pairs_oracle(SRP_THRESHOLD, 3),
+    tags=("similarity", "dedup", "llm-pipeline", "approx", "layout"),
+)
+def ivf_cosine_pairs_compacted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pair mining served from the COMPACTED persisted IVF index — the
+    proof that the small-file maintenance job (_compact_index, the
+    OPTIMIZE step the persisted tiers gained in round 10) never changes
+    answers: identical oracle to ivf_cosine_pairs_persisted and
+    ivf_cosine_pairs, over the bin-packed rewrite of the exact same
+    content-keyed index. The serving shape is unchanged — one scan of
+    the (now few-files-per-cell) index feeding the cell-local verify
+    kernel, no join anywhere — but each cell dir now holds
+    ⌈cell_bytes/4 MiB⌉ files instead of one per build task, so a 100 TB
+    serving fleet opens thousands of footers per query instead of
+    millions. File-count and row-conservation laws are pinned in
+    tests/test_round10_ops.py; DPP over a compacted index is pinned
+    there too (the topk probes join prunes compacted cell dirs exactly
+    as it pruned the originals)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _build() -> DataFrame:
+        return S.ivf_cell_vectors(emb, nassign=3)
+
+    vec_type = emb.schema["embedding"].dataType.simpleString()
+    schema = f"id bigint, v {vec_type}, cent_id bigint"
+    idx_dir = _ensure_index(spark, sf_dir, "graft_ivf_pairs", _build)
+    index = spark.read.schema(schema).parquet(_compact_index(spark, idx_dir, schema))
     pair_schema, cell_verify = S.cell_verify_kernel(SRP_THRESHOLD)
     scored = (
         index.select("cent_id", "id", "v")

@@ -43,6 +43,152 @@ def test_substring_keep_conservation_laws(spark):
         assert r.n_emitted == r.n_tokens - r.n_removed, r
 
 
+def test_ivf_index_compaction_laws(spark, tmp_path):
+    """The OPTIMIZE job's laws on a FRAGMENTED index (the state streaming
+    appends / multi-task builds actually leave behind — the pristine
+    content-keyed build already writes one file per cell, where
+    compaction is a no-op by design): (1) bin-pack — every cell dir of
+    the compacted index holds exactly the planned ceil(cell_bytes /
+    target) files, strictly fewer than the fragmented input; (2)
+    conservation — identical (id, cent_id) row sets; (3) answers — the
+    registered compacted serving tier equals the persisted tier
+    row-for-row (also enforced by the shared oracle)."""
+    import math
+    import os
+
+    from streamprocessing_spark.operators import similarity as S
+    from streamprocessing_spark.queries import similarity as SIM
+    from streamprocessing_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    base = SPECS["ivf_cosine_pairs_persisted"].fn(spark, sf)
+    comp = SPECS["ivf_cosine_pairs_compacted"].fn(spark, sf)
+    assert sorted(map(tuple, base.collect())) == sorted(map(tuple, comp.collect()))
+
+    emb = load_table(spark, sf, "embeddings")
+    vec_type = emb.schema["embedding"].dataType.simpleString()
+    schema = f"id bigint, v {vec_type}, cent_id bigint"
+    idx = SIM._ensure_index(
+        spark, sf, "graft_ivf_pairs", lambda: S.ivf_cell_vectors(emb, nassign=3)
+    )
+    # Fragment: rewrite the index with 6-way round-robin repartitioning,
+    # scattering every cell's rows across up to 6 writer tasks — the
+    # many-small-files state a per-batch streaming append produces.
+    frag = str(tmp_path / "fragmented_idx")
+    (
+        spark.read.schema(schema)
+        .parquet(idx)
+        .repartition(6)
+        .write.partitionBy("cent_id")
+        .parquet(frag)
+    )
+    cdir = SIM._compact_index(spark, frag, schema)
+
+    def cells(d):
+        out = {}
+        for cell in os.listdir(d):
+            p = os.path.join(d, cell)
+            if cell.startswith("cent_id=") and os.path.isdir(p):
+                fs = [f for f in os.listdir(p) if f.endswith(".parquet")]
+                out[cell] = (
+                    len(fs),
+                    sum(os.stat(os.path.join(p, f)).st_size for f in fs),
+                )
+        return out
+
+    before, after = cells(frag), cells(cdir)
+    assert set(before) == set(after)
+    assert max(n for n, _ in before.values()) > 1  # genuinely fragmented
+    assert sum(n for n, _ in before.values()) > sum(n for n, _ in after.values())
+    for cell, (_n_before, nbytes) in before.items():
+        planned = max(1, math.ceil(nbytes / SIM.IVF_COMPACT_TARGET))
+        assert 1 <= after[cell][0] <= planned, (cell, after[cell], planned)
+
+    rows_frag = set(
+        map(tuple, spark.read.schema(schema).parquet(frag).select("id", "cent_id").collect())
+    )
+    rows_comp = set(
+        map(tuple, spark.read.schema(schema).parquet(cdir).select("id", "cent_id").collect())
+    )
+    assert rows_frag == rows_comp
+
+
+def test_compacted_topk_index_still_dpp_prunes(spark):
+    """Compacting the TOPK index must not defeat dynamic partition
+    pruning: the probes join over the compacted scan still carries a
+    dynamicpruning filter and returns exactly ann_ivf_persisted_topk's
+    rows."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from streamprocessing_spark.operators import similarity as S
+    from streamprocessing_spark.queries import similarity as SIM
+    from streamprocessing_spark.sources.readers import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    centroids = emb.where(F.col("vec_id") < 16).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent_vec")
+    )
+
+    def _build():
+        w = Window.partitionBy("id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
+        return (
+            S.with_cosine_fast(
+                emb.join(F.broadcast(centroids)).select(
+                    F.col("vec_id").alias("id"),
+                    F.col("embedding").alias("v"),
+                    "cent_id",
+                    F.col("embedding").alias("av"),
+                    F.col("cent_vec").alias("bv"),
+                ),
+                "av", "bv", "cos_c",
+            )
+            .withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("id", "v", "cent_id")
+        )
+
+    vec_type = emb.schema["embedding"].dataType.simpleString()
+    schema = f"id bigint, v {vec_type}, cent_id bigint"
+    idx = SIM._ensure_index(spark, sf, "graft_ivf", _build)
+    index = spark.read.schema(schema).parquet(SIM._compact_index(spark, idx, schema))
+
+    queries = emb.where(F.col("vec_id") < SIM.N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("cos_q"), F.asc("cent_id"))
+    probes = (
+        S.with_cosine_fast(
+            queries.join(F.broadcast(centroids)).select(
+                "query_id", "qv", "cent_id",
+                F.col("qv").alias("av"), F.col("cent_vec").alias("bv"),
+            ),
+            "av", "bv", "cos_q",
+        )
+        .withColumn("rn", F.row_number().over(w_probe))
+        .where(F.col("rn") <= 4)
+        .select("query_id", "qv", "cent_id")
+    )
+    scored = S.with_cosine_fast(
+        index.join(F.broadcast(probes), "cent_id")
+        .where(F.col("id") != F.col("query_id"))
+        .select("query_id", "id", F.col("v").alias("av"), F.col("qv").alias("bv")),
+        "av", "bv", "cos",
+    )
+    w_rank = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("id"))
+    topk = (
+        scored.withColumn("rank", F.row_number().over(w_rank))
+        .where(F.col("rank") <= SIM.TOP_K)
+        .select("query_id", F.col("id").alias("neighbor_id"),
+                F.col("rank").cast("long").alias("rank"))
+    )
+    plan = topk._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan
+    want = sorted(map(tuple, SPECS["ann_ivf_persisted_topk"].fn(spark, sf).collect()))
+    assert sorted(map(tuple, topk.collect())) == want
+
+
 def test_substring_keep_excision_law(spark, tmp_path):
     """Hand-crafted corpus: an 8+-token block repeated across two docs is
     excised from BOTH occurrences (ExactSubstr removes every copy — the
