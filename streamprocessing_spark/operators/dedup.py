@@ -352,6 +352,35 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, threshold: floa
     )
 
 
+def scaled_band_buckets(sh: DataFrame, n_rows: int) -> DataFrame:
+    """(id, band, sig) under the COUNT-SCALED banding law — r(n) hashes
+    per band, recall-held b(r) bands, coefficient index i·MH_RMAX + j
+    (the law minhash_lsh_pairs_scaled's oracle replays). Factored out
+    (round 10) so the streaming paragraph-ingest twin probes its
+    persisted band store with byte-identical bucket keys."""
+    r = mh_r_for_count(n_rows)
+    bands = MH_RECALL_BANDS[r]
+    coeffs = _coeffs(bands * MH_RMAX)
+    hashed = sh.select("id", _h32(F.col("sh")).alias("h"))
+    mins = ", ".join(
+        "min(({a} * h + {b}) % {m})".format(
+            a=coeffs[i * MH_RMAX + j][0], b=coeffs[i * MH_RMAX + j][1], m=MOD32
+        )
+        for i in range(bands)
+        for j in range(r)
+    )
+    sig = hashed.groupBy("id").agg(F.expr(f"array({mins})").alias("mh"))
+    band_structs = ", ".join(
+        "struct({i} AS band, concat_ws('-', {cols}) AS sig)".format(
+            i=i, cols=", ".join(f"mh[{i * r + j}]" for j in range(r))
+        )
+        for i in range(bands)
+    )
+    return sig.select(
+        "id", F.explode(F.expr(f"array({band_structs})")).alias("bs")
+    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+
+
 def minhash_lsh_pairs_scaled(
     df: DataFrame, id_col: str, text_col: str, threshold: float, n_rows: int
 ) -> DataFrame:
@@ -370,28 +399,8 @@ def minhash_lsh_pairs_scaled(
     coefficient index i·MH_RMAX + j — the index law the oracle replays);
     the one aggregation pass and the band-bucket self-join keep the plan
     shape identical to the fixed tier's pinned plan."""
-    r = mh_r_for_count(n_rows)
-    bands = MH_RECALL_BANDS[r]
-    coeffs = _coeffs(bands * MH_RMAX)
     sh = shingle_df(df, id_col, text_col)
-    hashed = sh.select("id", _h32(F.col("sh")).alias("h"))
-    mins = ", ".join(
-        "min(({a} * h + {b}) % {m})".format(
-            a=coeffs[i * MH_RMAX + j][0], b=coeffs[i * MH_RMAX + j][1], m=MOD32
-        )
-        for i in range(bands)
-        for j in range(r)
-    )
-    sig = hashed.groupBy("id").agg(F.expr(f"array({mins})").alias("mh"))
-    band_structs = ", ".join(
-        "struct({i} AS band, concat_ws('-', {cols}) AS sig)".format(
-            i=i, cols=", ".join(f"mh[{i * r + j}]" for j in range(r))
-        )
-        for i in range(bands)
-    )
-    buckets = sig.select(
-        "id", F.explode(F.expr(f"array({band_structs})")).alias("bs")
-    ).select("id", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig"))
+    buckets = scaled_band_buckets(sh, n_rows)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(

@@ -1334,9 +1334,11 @@ def _para_pairs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shared_view(spark, "parapairs", sf_dir, _build)
 
 
-@register(
-    "dedup_paragraph_minhash",
-    oracle=f"""
+# The per-document paragraph-duplication profile over the parapairs
+# relation — shared verbatim by the streaming ingest twin
+# (streaming_paragraph_dedup_ingest), whose end state must equal this
+# batch profile bit-for-bit.
+SQL_PARA_PROFILE = f"""
     WITH pair_t AS ({_SQL_PARA_PAIRS}),
     {D.sql_paras()}
     counts AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY doc_id),
@@ -1350,7 +1352,12 @@ def _para_pairs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
            floor((d.n_dup_paras * 1.0 / c.n_paras) * 10000.0 + 0.5) / 10000.0
              AS dup_fraction
     FROM counts c JOIN dd d USING (doc_id)
-    """,
+    """
+
+
+@register(
+    "dedup_paragraph_minhash",
+    oracle=SQL_PARA_PROFILE,
     tags=("dedup", "llm-pipeline", "lsh", "scale-tier"),
 )
 def dedup_paragraph_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -217,3 +217,113 @@ def test_substring_keep_excision_law(spark, tmp_path):
     assert got[2].kept_text == "" and got[2].n_removed == got[2].n_tokens == 9
     # doc 3: untouched, round-trips token-joined
     assert got[3].kept_text == docs[2][1] and got[3].n_removed == 0
+
+
+def _stage_doc_chunks(spark, docs, base, n=3):
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+    staged = []
+    for i in range(n):
+        d = os.path.join(base, f"chunk{i}")
+        docs.where((F.col("doc_id") % n) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        staged.append((os.path.join(d, part), os.path.join(src, f"c{i}.parquet")))
+    return src, staged
+
+
+def test_paragraph_ingest_checkpoint_restart_equals_batch(spark, tmp_path):
+    """The streaming paragraph tier must survive a stop/restart on one
+    checkpoint: run 1 drains only chunk 0, run 2 (same checkpoint,
+    same stores) drains the rest; (a) the final pair set equals the
+    batch parapairs view bit-for-bit, (b) no pair is emitted twice
+    across runs (batch=<id> overwrite + before_batch state visibility
+    is the exactly-once contract)."""
+    import os
+    import shutil
+
+    from streamprocessing_spark.operators import dedup as D
+    from streamprocessing_spark.queries.dedup import JACCARD_THRESHOLD
+    from streamprocessing_spark.sources.readers import load_table
+    from streamprocessing_spark.streaming.ingest_dedup import ParagraphIngestDedup
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    paras = D.paragraph_df(docs, "doc_id", "text")
+    n_total = paras.count()
+    src, staged = _stage_doc_chunks(spark, docs, str(tmp_path))
+    sink = ParagraphIngestDedup(
+        base=str(tmp_path / "state"),
+        threshold=JACCARD_THRESHOLD,
+        n_total_units=n_total,
+    )
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(sink.foreach_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    shutil.copyfile(*staged[0])
+    run_once()
+    first = [tuple(r) for r in sink.dup_pairs(spark).collect()]
+    shutil.copyfile(*staged[1])
+    shutil.copyfile(*staged[2])
+    run_once()
+    final = [tuple(r) for r in sink.dup_pairs(spark).collect()]
+
+    assert len(final) == len(set(final)), "a pair was emitted twice across runs"
+    assert set(first) <= set(final)
+
+    batch_pairs = {
+        tuple(r)
+        for r in D.minhash_lsh_pairs_scaled(
+            paras, "pid", "ptext", JACCARD_THRESHOLD, n_total
+        ).collect()
+    }
+    assert batch_pairs, "fixture yields no paragraph near-dup pairs"
+    assert set(final) == batch_pairs
+
+
+def test_paragraph_ingest_batch_retry_is_idempotent(spark, tmp_path):
+    """Replaying a batch with the same batch_id (Spark's foreachBatch
+    retry contract) must leave pair, paragraph, and bucket stores
+    unchanged — and must NOT self-match against its own first write."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_spark.operators import dedup as D
+    from streamprocessing_spark.queries.dedup import JACCARD_THRESHOLD
+    from streamprocessing_spark.sources.readers import load_table
+    from streamprocessing_spark.streaming.ingest_dedup import ParagraphIngestDedup
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    n_total = D.paragraph_df(docs, "doc_id", "text").count()
+    sink = ParagraphIngestDedup(
+        base=str(tmp_path / "state"),
+        threshold=JACCARD_THRESHOLD,
+        n_total_units=n_total,
+    )
+    b0 = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    sink.foreach_batch(b0, 0)
+    sink.foreach_batch(b1, 1)
+    first = sorted(map(tuple, sink.dup_pairs(spark).collect()))
+    n_paras = spark.read.parquet(f"{sink.docs_dir}/batch=*").count()
+    sink.foreach_batch(b1, 1)
+    sink.foreach_batch(b0, 0)
+    assert sorted(map(tuple, sink.dup_pairs(spark).collect())) == first
+    assert spark.read.parquet(f"{sink.docs_dir}/batch=*").count() == n_paras
