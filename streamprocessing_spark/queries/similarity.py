@@ -2781,6 +2781,112 @@ def ivf_cosine_pairs_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).distinct()
 
 
+# safe top-level import: queries.dedup precedes queries.similarity in
+# registry._QUERY_MODULES and imports nothing from this module
+from streamprocessing_spark.queries.dedup import _SQL_SPLIT  # noqa: E402
+
+
+@register(
+    "contamination_matrix_crosslingual",
+    oracle=f"""
+    WITH mined AS ({_sql_bitext_ivf_oracle()}),
+    sp AS ({_SQL_SPLIT}),
+    edges AS (SELECT src_doc_id AS a, tgt_doc_id AS b FROM mined
+              UNION ALL
+              SELECT tgt_doc_id AS a, src_doc_id AS b FROM mined),
+    cont AS (SELECT DISTINCT f.split AS split_from, t.split AS split_to, e.b AS doc_to
+             FROM edges e
+             JOIN sp f ON f.doc_id = e.a
+             JOIN sp t ON t.doc_id = e.b),
+    cells AS (SELECT split_from, split_to, count(*) AS n FROM cont GROUP BY 1, 2),
+    grid AS (SELECT f.s AS split_from, t.s AS split_to
+             FROM (VALUES ('train'), ('valid'), ('test')) f(s),
+                  (VALUES ('train'), ('valid'), ('test')) t(s)),
+    sizes AS (SELECT split, count(*) AS sz FROM sp GROUP BY 1)
+    SELECT g.split_from, g.split_to,
+           CAST(coalesce(c.n, 0) AS BIGINT) AS n_contaminated,
+           CAST(coalesce(s.sz, 0) AS BIGINT) AS split_size,
+           floor((coalesce(c.n, 0) * 1.0 / nullif(s.sz, 0)) * 1000000.0 + 0.5)
+             / 1000000.0 AS contamination_rate
+    FROM grid g
+    LEFT JOIN cells c ON c.split_from = g.split_from AND c.split_to = g.split_to
+    LEFT JOIN sizes s ON s.split = g.split_to
+    """,
+    tags=("similarity", "dedup", "llm-pipeline", "text", "quality", "approx"),
+)
+def contamination_matrix_crosslingual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-LINGUAL contamination matrix (round 10, VERDICT r09 next
+    #5): contamination_matrix catches same-language near-twins, but a
+    test document whose TRANSLATION was trained on leaks just as hard —
+    and MinHash over surface tokens is blind to it. This is the same
+    dense directional 3×3 (split_from, split_to) grid, with the twin
+    relation swapped for the PRODUCTION bitext tier: Artetxe-Schwenk
+    margin-mined translation pairs over IVF-cell shortlists
+    (bitext_mine_margin_ivf — en↔non-en pairs clearing ratio-margin
+    1.1), undirected edges both ways, distinct contaminated docs per
+    cell, zero-filled so all 9 rows are present at every fixture scale.
+    The (train → test) cell is translated-benchmark contamination — the
+    number a multilingual eval card must report (the reason MMLU
+    translations leak through token-level decontamination).
+
+    Scale shape: rides the bitext IVF tier (n^1.5 cell-local scoring,
+    never |X|·|Y|); edges double a mined-pair-sized sliver; the split
+    map is a hash of doc_id (no corpus shuffle); output is a fixed
+    9-row grid. Fully oracled end-to-end: quantizer, shortlist, margin
+    and split laws are all deterministic on both engines."""
+    from streamprocessing_spark.functions.text import portable_round
+    from streamprocessing_spark.operators.dedup import _h32
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = bitext_mine_margin_ivf(spark, sf_dir)
+    h = _h32(F.col("doc_id").cast("string")) % 100
+    sp = d.select(
+        "doc_id",
+        F.when(h < 80, "train").when(h < 90, "valid").otherwise("test").alias("split"),
+    )
+    edges = pairs.select(
+        F.col("src_doc_id").alias("a"), F.col("tgt_doc_id").alias("b")
+    ).unionAll(
+        pairs.select(F.col("tgt_doc_id").alias("a"), F.col("src_doc_id").alias("b"))
+    )
+    cont = (
+        edges.join(
+            sp.select(F.col("doc_id").alias("a"), F.col("split").alias("split_from")),
+            "a",
+        )
+        .join(
+            sp.select(F.col("doc_id").alias("b"), F.col("split").alias("split_to")),
+            "b",
+        )
+        .select("split_from", "split_to", F.col("b").alias("doc_to"))
+        .distinct()
+    )
+    cells = cont.groupBy("split_from", "split_to").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    splits = ["train", "valid", "test"]
+    grid = spark.createDataFrame(
+        [(a, b) for a in splits for b in splits], "split_from string, split_to string"
+    )
+    sizes = sp.groupBy(F.col("split").alias("split_to")).agg(
+        F.count(F.lit(1)).cast("long").alias("sz")
+    )
+    return (
+        grid.join(cells, ["split_from", "split_to"], "left")
+        .join(sizes, "split_to", "left")
+        .select(
+            "split_from",
+            "split_to",
+            F.coalesce(F.col("n"), F.lit(0)).cast("long").alias("n_contaminated"),
+            F.coalesce(F.col("sz"), F.lit(0)).cast("long").alias("split_size"),
+            portable_round(
+                F.coalesce(F.col("n"), F.lit(0)) / F.nullif(F.col("sz"), F.lit(0)),
+                6,
+            ).alias("contamination_rate"),
+        )
+    )
+
+
 IVF_COMPACT_TARGET = 1 << 22  # 4 MiB target compacted-file size
 
 

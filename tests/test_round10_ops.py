@@ -327,3 +327,45 @@ def test_paragraph_ingest_batch_retry_is_idempotent(spark, tmp_path):
     sink.foreach_batch(b0, 0)
     assert sorted(map(tuple, sink.dup_pairs(spark).collect())) == first
     assert spark.read.parquet(f"{sink.docs_dir}/batch=*").count() == n_paras
+
+
+def test_crosslingual_contamination_matrix_laws(spark):
+    """Shape and consistency laws: always the dense 3x3 grid; every
+    contaminated count is bounded by its split size; the matrix is
+    consistent with the mined pair relation it derives from (a doc
+    counted in (f, t) really has a mined translation partner across
+    that split boundary); non-vacuous at the smallest fixture."""
+    from streamprocessing_spark.operators.dedup import _h32
+    from pyspark.sql import functions as F
+
+    from streamprocessing_spark.sources.readers import load_table
+
+    rows = SPECS["contamination_matrix_crosslingual"].fn(spark, SF).collect()
+    assert len(rows) == 9
+    assert {(r.split_from, r.split_to) for r in rows} == {
+        (a, b)
+        for a in ("train", "valid", "test")
+        for b in ("train", "valid", "test")
+    }
+    assert sum(r.n_contaminated for r in rows) > 0  # non-vacuous
+    for r in rows:
+        assert 0 <= r.n_contaminated <= r.split_size, r
+
+    # consistency: replay one cell from the mined pairs directly
+    pairs = SPECS["bitext_mine_margin_ivf"].fn(spark, SF).collect()
+    d = load_table(spark, SF, "documents")
+    h = _h32(F.col("doc_id").cast("string")) % 100
+    split = {
+        r.doc_id: r.s
+        for r in d.select(
+            "doc_id",
+            F.when(h < 80, "train").when(h < 90, "valid").otherwise("test").alias("s"),
+        ).collect()
+    }
+    want = {}
+    for p in pairs:
+        for a, b in ((p.src_doc_id, p.tgt_doc_id), (p.tgt_doc_id, p.src_doc_id)):
+            want.setdefault((split[a], split[b]), set()).add(b)
+    got = {(r.split_from, r.split_to): r.n_contaminated for r in rows}
+    for cell, docs in want.items():
+        assert got[cell] == len(docs), cell
