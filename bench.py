@@ -235,6 +235,12 @@ HEADLINE = [
     "ivf_cosine_pairs_persisted",
     "quantization_recall_sweep",
     "dedup_paragraph_keep",
+    # round-10 additions: the ExactSubstr span-removal emit path, the
+    # compacted-index serving tier, and the cross-lingual matrix
+    # (streaming_paragraph_dedup_ingest rides its own drain, not benched)
+    "dedup_substring_keep",
+    "ivf_cosine_pairs_compacted",
+    "contamination_matrix_crosslingual",
 ]
 
 # streaming queries are benched via their shared concurrent drain in the

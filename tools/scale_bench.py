@@ -211,6 +211,13 @@ QUERIES = (
     "ivf_cosine_pairs_persisted",
     "quantization_recall_sweep",
     "dedup_paragraph_keep",
+    # round-10 additions: the ExactSubstr span-removal emit path, the
+    # compacted-index serving tier (index build+OPTIMIZE+serve, honest
+    # cold cost at each scale — the proxy corpus gets its own index),
+    # and the cross-lingual contamination matrix over the bitext IVF tier
+    "dedup_substring_keep",
+    "ivf_cosine_pairs_compacted",
+    "contamination_matrix_crosslingual",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
@@ -246,6 +253,9 @@ PREWARM_PROXY = frozenset({
     # round 9: serve path is the op; the cent_id-partitioned index write
     # is the one-time layout (same rationale as ann_ivf_persisted_topk)
     "ivf_cosine_pairs_persisted",
+    # round 10: serve path over the COMPACTED index is the op; the index
+    # build + OPTIMIZE rewrite are the one-time layout
+    "ivf_cosine_pairs_compacted",
 })
 
 
@@ -446,6 +456,9 @@ DEDUP100_QUERIES = (
     # replicas give exact cross-replica decorrelation (clean decades)
     "dedup_paragraph_minhash",
     "dedup_substring_containment",
+    # round 10: the ExactSubstr span-removal EMIT path (same gram-keyed
+    # shuffle as the containment tier, plus the per-row excision)
+    "dedup_substring_keep",
 )
 
 # Queries measured with the session-shared views RELEASED before every
