@@ -241,6 +241,11 @@ HEADLINE = [
     "dedup_substring_keep",
     "ivf_cosine_pairs_compacted",
     "contamination_matrix_crosslingual",
+    # round-10 second ring: quality-priority keep, CDC chunk dedup, and
+    # the incremental append+serve index tier
+    "dedup_keep_best_quality",
+    "dedup_cdc_chunks",
+    "ivf_cosine_pairs_incremental",
 ]
 
 # streaming queries are benched via their shared concurrent drain in the

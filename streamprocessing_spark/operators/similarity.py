@@ -637,16 +637,26 @@ def ivf_cell_vectors(
     nassign: int = IVF_PAIR_NASSIGN,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus: DataFrame | None = None,
 ) -> DataFrame:
     """(cent_id, id, v): every vector joined to its ``nassign`` nearest
     IVF cells under the deterministic K = ceil(sqrt(n)) smallest-id
     quantizer — the assignment relation ivf_cosine_pairs verifies inside
     and ivf_cosine_pairs_persisted materializes as the cent_id-
     partitioned on-disk index (round 9). Factored out so the in-memory
-    and persisted tiers share one assignment law by construction."""
-    k = emb.agg(F.ceil(F.sqrt(F.count(F.lit(1)))).cast("long").alias("k"))
+    and persisted tiers share one assignment law by construction.
+
+    ``corpus`` (round 10): train the quantizer on a DIFFERENT relation
+    than the vectors being assigned — the incremental-append tier
+    assigns a new batch slice against the full-corpus quantizer, so
+    per-vector assignments are identical whether a vector arrives in
+    the base build or a later batch (index(base) ∪ index(batch) ==
+    index(full), the maintenance law ivf_cosine_pairs_incremental
+    proves). Defaults to ``emb`` (the existing single-build law)."""
+    quant_src = corpus if corpus is not None else emb
+    k = quant_src.agg(F.ceil(F.sqrt(F.count(F.lit(1)))).cast("long").alias("k"))
     centroids = (
-        emb.crossJoin(F.broadcast(k))
+        quant_src.crossJoin(F.broadcast(k))
         .where(F.col(id_col) < F.col("k"))
         .select(
             F.col(id_col).alias("cent_id"),

@@ -261,6 +261,87 @@ def dedup_keep_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id").join(F.broadcast(losers), "doc_id", "left_anti")
 
 
+@register(
+    "dedup_keep_best_quality",
+    oracle=f"""
+    WITH RECURSIVE pair_t AS MATERIALIZED ({D.sql_minhash_lsh_scaled(JACCARD_THRESHOLD)}),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pair_t
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pair_t
+    ),
+    reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.src AS id, reach.r AS r
+      FROM edges e JOIN reach ON e.dst = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    tok AS (SELECT doc_id, len({T.SQL_TOKENS}) AS n_tokens FROM documents),
+    best AS (SELECT doc_id FROM (
+       SELECT c.id AS doc_id,
+              row_number() OVER (PARTITION BY c.component
+                                 ORDER BY t.n_tokens DESC, c.id) AS rn
+       FROM comp c JOIN tok t ON t.doc_id = c.id) WHERE rn = 1),
+    losers AS (SELECT c.id AS doc_id FROM comp c
+               WHERE c.id NOT IN (SELECT doc_id FROM best)),
+    sizes AS (SELECT component, count(*) AS n_members FROM comp GROUP BY 1)
+    SELECT t.doc_id,
+           coalesce(c.component, t.doc_id) AS cluster_id,
+           CAST(coalesce(s.n_members, 1) AS BIGINT) AS n_members,
+           CAST(t.n_tokens AS BIGINT) AS n_tokens
+    FROM tok t
+    LEFT JOIN comp c ON c.id = t.doc_id
+    LEFT JOIN sizes s ON s.component = c.component
+    WHERE t.doc_id NOT IN (SELECT doc_id FROM losers)
+    """,
+    tags=("dedup", "llm-pipeline", "lsh", "iterative", "quality"),
+)
+def dedup_keep_best_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-PRIORITY canonical selection — the keep law production
+    pipelines actually want: within each near-dup cluster keep the
+    HIGHEST-QUALITY member (here the deterministic proxy: most tokens,
+    ties to the smallest doc_id), not the smallest id.
+    dedup_keep_canonical's min-id law is the textbook one; real crawls
+    prefer the longest/cleanest copy of a page (CCNet keeps the best-
+    perplexity shard member; Dolma keeps the longest) because truncated
+    mirrors and boilerplate-stripped syndications share a cluster with
+    their fuller original. Output: one row per KEPT document with its
+    cluster provenance (cluster_id, n_members, n_tokens) — singletons
+    keep themselves with n_members = 1.
+
+    Scale shape: the argmax runs on the PAIR-GRAPH SLIVER only (cluster
+    members joined to a token count, one window partitioned by
+    component — cluster-sized partitions, never a corpus window); the
+    corpus pays one broadcast anti-join against the loser sliver, same
+    as dedup_keep_canonical."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
+    comp = _components_view(spark, sf_dir)
+    memb = comp.join(tok, comp["id"] == tok["doc_id"]).select(
+        tok["doc_id"], "component", "n_tokens"
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("component").orderBy(F.desc("n_tokens"), F.asc("doc_id"))
+    ranked = memb.withColumn("rn", F.row_number().over(w))
+    losers = ranked.where(F.col("rn") > 1).select("doc_id")
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    kept = tok.join(F.broadcast(losers), "doc_id", "left_anti")
+    return (
+        kept.join(comp.select(F.col("id").alias("doc_id"), "component"), "doc_id", "left")
+        .join(sizes, "component", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id")).cast("long").alias("cluster_id"),
+            F.coalesce(F.col("n_members"), F.lit(1)).cast("long").alias("n_members"),
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+        )
+    )
+
+
 SPAN_GRAM = 8  # exact-substring dedup granularity (tokens)
 
 
@@ -1619,4 +1700,104 @@ def dedup_paragraph_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_paras",
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+    )
+
+
+CDC_DIVISOR = 8  # expected content-defined chunk length (tokens)
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=f"""
+    WITH ptoks AS (SELECT doc_id, {T.SQL_TOKENS} AS t FROM documents),
+    pos AS (SELECT doc_id,
+                   CAST(unnest(range(1, len(t) + 1)) AS BIGINT) AS pos,
+                   t[unnest(range(1, len(t) + 1))] AS tok
+            FROM ptoks WHERE len(t) > 0),
+    fl AS (SELECT doc_id, pos, tok,
+                  CASE WHEN {D.sql_h32('tok')} % {CDC_DIVISOR} = 0
+                       THEN 1 ELSE 0 END AS b
+           FROM pos),
+    ch AS (SELECT doc_id, pos, tok,
+                  coalesce(sum(b) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+           FROM fl),
+    chunks AS (SELECT doc_id, chunk_idx,
+                      md5(string_agg(tok, ' ' ORDER BY pos)) AS fp
+               FROM ch GROUP BY 1, 2),
+    marked AS (SELECT doc_id, chunk_idx,
+                      row_number() OVER (PARTITION BY fp
+                                         ORDER BY doc_id, chunk_idx) AS rn
+               FROM chunks)
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_chunks,
+           CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks,
+           floor((sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0 / count(*))
+                 * 10000.0 + 0.5) / 10000.0 AS dup_fraction
+    FROM marked GROUP BY doc_id
+    """,
+    tags=("dedup", "llm-pipeline", "exact-tier"),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONTENT-DEFINED CHUNKING dedup — the storage-dedup law (Muthitacharoen
+    et al. 2001, LBFS; the technique behind restic/borg/ZFS dedup and
+    several crawl-pipeline chunk stores): a chunk boundary falls AFTER
+    token i iff h32(token_i) % {CDC_DIVISOR} == 0 (plus end-of-doc), so
+    boundaries are a pure function of LOCAL content — inserting a
+    sentence reshapes only the chunk it lands in, where the fixed
+    25-token windows of the paragraph tier shift EVERY downstream
+    window (the shift-resistance that makes CDC the right unit for
+    mirror/revision dedup). A chunk instance is a duplicate iff an
+    earlier instance (smaller (doc_id, chunk_idx)) of the same
+    fingerprint exists anywhere — keep-first, so
+    Σ n_dup_chunks == total chunks − distinct fingerprints (the exact
+    bytes a chunk store saves; conservation-tested). Output is the
+    per-document profile (n_chunks, n_dup_chunks, dup_fraction).
+
+    Scale shape: one posexplode (token-sized, skinny rows), a
+    doc-partitioned running-sum window (no global sort), a doc-keyed
+    sort-aggregate into ~n/{CDC_DIVISOR} chunks, then one
+    fingerprint-keyed window over the CHUNK relation (16-byte keys —
+    the text never shuffles twice). All integer/hash arithmetic, exact
+    on both engines."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    toked = d.select("doc_id", T.tokens(F.col("text")).alias("t")).where(
+        F.size("t") > 0
+    )
+    pos = toked.select("doc_id", F.posexplode("t").alias("i", "tok")).select(
+        "doc_id", (F.col("i") + 1).cast("long").alias("pos"), "tok"
+    )
+    fl = pos.withColumn(
+        "b", (D._h32(F.col("tok")) % CDC_DIVISOR == 0).cast("int")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ch = fl.withColumn(
+        "chunk_idx", F.coalesce(F.sum("b").over(w_prev), F.lit(0)).cast("long")
+    )
+    chunks = ch.groupBy("doc_id", "chunk_idx").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+                " ",
+            ).cast("binary")
+        ).alias("fp")
+    )
+    w_fp = Window.partitionBy("fp").orderBy("doc_id", "chunk_idx")
+    marked = chunks.withColumn("rn", F.row_number().over(w_fp))
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum((F.col("rn") > 1).cast("int")).cast("long").alias("n_dup_chunks"),
+        T.portable_round(
+            F.sum((F.col("rn") > 1).cast("int")) / F.count(F.lit(1)), 4
+        ).alias("dup_fraction"),
     )

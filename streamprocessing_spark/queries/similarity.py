@@ -2528,6 +2528,7 @@ def _ensure_index(
     sf_dir: str,
     namespace: str,
     build_fn,
+    writer=None,
 ) -> str:
     """Content-keyed, publish-by-rename, GC'd cent_id-partitioned parquet
     index under the scratch root — the shared serving layout for the
@@ -2586,7 +2587,13 @@ def _ensure_index(
         # exists) discards its build and serves the winner's — both builds
         # are identical by construction (deterministic assignment).
         tmp_dir = f"{idx_dir}.build-{uuid.uuid4().hex}"
-        build_fn().write.mode("overwrite").partitionBy("cent_id").parquet(tmp_dir)
+        if writer is not None:
+            # multi-phase builds (the incremental-append tier writes a
+            # base build then appends a batch) stage INSIDE the private
+            # tmp dir, so the atomic-rename publish contract holds
+            writer(tmp_dir)
+        else:
+            build_fn().write.mode("overwrite").partitionBy("cent_id").parquet(tmp_dir)
         try:
             os.rename(tmp_dir, idx_dir)
         except OSError:
@@ -2768,6 +2775,61 @@ def ivf_cosine_pairs_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         _build,
         f"id bigint, v {vec_type}, cent_id bigint",
     )
+    pair_schema, cell_verify = S.cell_verify_kernel(SRP_THRESHOLD)
+    scored = (
+        index.select("cent_id", "id", "v")
+        .groupBy("cent_id")
+        .applyInPandas(cell_verify, pair_schema)
+    )
+    from streamprocessing_spark.functions.text import portable_round
+
+    return scored.select(
+        "id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim")
+    ).distinct()
+
+
+@register(
+    "ivf_cosine_pairs_incremental",
+    oracle=_sql_ivf_pairs_oracle(SRP_THRESHOLD, 3),
+    tags=("similarity", "dedup", "llm-pipeline", "approx", "layout"),
+)
+def ivf_cosine_pairs_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL index maintenance (round 10): the corpus arrives in
+    two installments — a base build (vec_id % 10 != 7, the
+    dedup_incremental_batch slice convention) and a later batch — and
+    the batch is APPENDED to the cent_id-partitioned index rather than
+    triggering a rebuild. Both installments assign against the
+    FULL-CORPUS quantizer (offline-trained, the ivf_pairs_stream
+    precedent), and per-vector assignment depends only on the vector
+    and the quantizer, so index(base) ∪ index(batch) == index(full) —
+    serving from the appended index carries the identical oracle to
+    ivf_cosine_pairs / _persisted / _compacted. Both writes stage
+    inside the private build dir, so the atomic-rename publish contract
+    holds: readers see the pre-append index or the post-append index,
+    never a half-appended one.
+
+    This is the production cadence the compaction op exists for: every
+    appended batch adds one part file per touched cell (fragmentation
+    measured and pinned in tests), and _compact_index bin-packs them
+    back — append → fragment → OPTIMIZE → serve, answers invariant at
+    every step. At 100 TB the append is O(batch·K) assignment plus a
+    batch-sized write; the corpus is never rescanned."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec_type = emb.schema["embedding"].dataType.simpleString()
+    schema = f"id bigint, v {vec_type}, cent_id bigint"
+    base = emb.where(F.expr("vec_id % 10 != 7"))
+    batch = emb.where(F.expr("vec_id % 10 = 7"))
+
+    def writer(tmp_dir: str) -> None:
+        S.ivf_cell_vectors(base, nassign=3, corpus=emb).write.mode(
+            "overwrite"
+        ).partitionBy("cent_id").parquet(tmp_dir)
+        S.ivf_cell_vectors(batch, nassign=3, corpus=emb).write.mode(
+            "append"
+        ).partitionBy("cent_id").parquet(tmp_dir)
+
+    idx_dir = _ensure_index(spark, sf_dir, "graft_ivf_incr", None, writer=writer)
+    index = spark.read.schema(schema).parquet(idx_dir)
     pair_schema, cell_verify = S.cell_verify_kernel(SRP_THRESHOLD)
     scored = (
         index.select("cent_id", "id", "v")

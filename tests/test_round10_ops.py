@@ -369,3 +369,173 @@ def test_crosslingual_contamination_matrix_laws(spark):
     got = {(r.split_from, r.split_to): r.n_contaminated for r in rows}
     for cell, docs in want.items():
         assert got[cell] == len(docs), cell
+
+
+def test_keep_best_quality_laws(spark):
+    """Quality-priority canonical selection: exactly one keeper per
+    cluster (the max-token member, ties to min id), kept-set size equals
+    dedup_keep_canonical's (same clusters, one survivor each), singleton
+    rows carry n_members=1, and the law genuinely differs from min-id
+    (some cluster's keeper is not its min id) — else the op is a rename."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_spark.functions import text as T
+    from streamprocessing_spark.queries.dedup import _components_view
+    from streamprocessing_spark.sources.readers import load_table
+
+    kept = SPECS["dedup_keep_best_quality"].fn(spark, SF).collect()
+    canonical = SPECS["dedup_keep_canonical"].fn(spark, SF).collect()
+    assert len(kept) == len(canonical)
+
+    comp = {r.id: r.component for r in _components_view(spark, SF).collect()}
+    d = load_table(spark, SF, "documents")
+    ntok = {
+        r.doc_id: r.n
+        for r in d.select("doc_id", T.token_count(F.col("text")).alias("n")).collect()
+    }
+    clusters: dict[int, list[int]] = {}
+    for doc, c in comp.items():
+        clusters.setdefault(c, []).append(doc)
+    kept_ids = {r.doc_id for r in kept}
+    diverged = 0
+    for c, members in clusters.items():
+        best = min(members, key=lambda i: (-ntok[i], i))
+        assert best in kept_ids, (c, members)
+        for m in members:
+            if m != best:
+                assert m not in kept_ids, (c, m)
+        if best != min(members):
+            diverged += 1
+    assert diverged > 0, "keeper always == min id; law indistinguishable"
+    for r in kept:
+        if r.doc_id not in comp:
+            assert r.n_members == 1 and r.cluster_id == r.doc_id
+
+
+def test_cdc_chunks_conservation_and_shift_resistance(spark, tmp_path):
+    """(1) Keep-first conservation: sum of n_dup_chunks over the corpus
+    == total chunks - distinct chunk fingerprints (exactly the bytes a
+    chunk store saves). (2) The CDC property: prepending one token to a
+    duplicated document still leaves most of its chunks fingerprint-
+    identical to the original (boundaries are content-local), where the
+    fixed-window law would shift every downstream window."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from streamprocessing_spark.operators.dedup import _h32, tokens_col
+    from streamprocessing_spark.queries.dedup import CDC_DIVISOR
+    from streamprocessing_spark.sources.readers import load_table
+
+    prof = SPECS["dedup_cdc_chunks"].fn(spark, SF)
+    rows = prof.collect()
+    total_dup = sum(r.n_dup_chunks for r in rows)
+    total_chunks = sum(r.n_chunks for r in rows)
+    assert total_dup > 0  # non-vacuous
+
+    # recompute distinct fingerprints via the same chunking law
+    d = load_table(spark, SF, "documents")
+    from pyspark.sql.window import Window
+
+    toked = d.select("doc_id", tokens_col(F.col("text")).alias("t")).where(
+        F.size("t") > 0
+    )
+    pos = toked.select("doc_id", F.posexplode("t").alias("i", "tok")).select(
+        "doc_id", (F.col("i") + 1).alias("pos"), "tok"
+    )
+    fl = pos.withColumn("b", (_h32(F.col("tok")) % CDC_DIVISOR == 0).cast("int"))
+    w = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    ch = fl.withColumn("cid", F.coalesce(F.sum("b").over(w), F.lit(0)))
+    fps = (
+        ch.groupBy("doc_id", "cid")
+        .agg(
+            F.md5(
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                        lambda s: s.tok,
+                    ),
+                    " ",
+                ).cast("binary")
+            ).alias("fp")
+        )
+    )
+    n_distinct = fps.select("fp").distinct().count()
+    assert total_dup == total_chunks - n_distinct
+
+    # shift resistance on a hand-crafted pair
+    words = [f"w{i}" for i in range(60)]
+    base_text = " ".join(words)
+    shifted = "PREFIX " + base_text
+    docs = spark.createDataFrame(
+        [(1, base_text), (2, shifted)], "doc_id long, text string"
+    )
+    fx = str(tmp_path / "fx")
+    os.makedirs(fx)
+    docs.write.mode("overwrite").parquet(os.path.join(fx, "documents.parquet"))
+    got = {r.doc_id: r for r in SPECS["dedup_cdc_chunks"].fn(spark, fx).collect()}
+    # boundaries are content-local: the prefix perturbs only the FIRST
+    # chunk; every later chunk of doc 2 re-matches doc 1's fingerprints
+    assert got[2].n_dup_chunks >= got[2].n_chunks - 1
+    assert got[2].n_chunks > 2  # non-vacuous: several chunks exist
+
+
+def test_incremental_index_fragmented_then_compacted(spark):
+    """The append→fragment→OPTIMIZE→serve cycle: the incremental index
+    has at least one cell with ≥2 part files (the appended batch), its
+    serving output equals the single-build persisted tier bit-for-bit,
+    and compacting it changes neither the answers nor the row set."""
+    import os
+
+    from streamprocessing_spark.queries import similarity as SIM
+
+    sf = "/root/testdata/sf0.001"
+    inc = SPECS["ivf_cosine_pairs_incremental"].fn(spark, sf)
+    persisted = SPECS["ivf_cosine_pairs_persisted"].fn(spark, sf)
+    inc_rows = sorted(map(tuple, inc.collect()))
+    assert inc_rows == sorted(map(tuple, persisted.collect()))
+
+    # locate the incremental index on disk
+    from streamprocessing_spark.operators import similarity as S
+    from streamprocessing_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf, "embeddings")
+    vec_type = emb.schema["embedding"].dataType.simpleString()
+    schema = f"id bigint, v {vec_type}, cent_id bigint"
+
+    def writer(tmp_dir):
+        base = emb.where(F.expr("vec_id % 10 != 7"))
+        batch = emb.where(F.expr("vec_id % 10 = 7"))
+        S.ivf_cell_vectors(base, nassign=3, corpus=emb).write.mode(
+            "overwrite"
+        ).partitionBy("cent_id").parquet(tmp_dir)
+        S.ivf_cell_vectors(batch, nassign=3, corpus=emb).write.mode(
+            "append"
+        ).partitionBy("cent_id").parquet(tmp_dir)
+
+    idx = SIM._ensure_index(spark, sf, "graft_ivf_incr", None, writer=writer)
+    frag_cells = 0
+    for cell in os.listdir(idx):
+        p = os.path.join(idx, cell)
+        if cell.startswith("cent_id=") and os.path.isdir(p):
+            if len([f for f in os.listdir(p) if f.endswith(".parquet")]) >= 2:
+                frag_cells += 1
+    assert frag_cells > 0, "append produced no fragmentation to compact"
+
+    cdir = SIM._compact_index(spark, idx, schema)
+    pair_schema, cell_verify = S.cell_verify_kernel(SIM.SRP_THRESHOLD)
+    from streamprocessing_spark.functions.text import portable_round
+
+    served = (
+        spark.read.schema(schema)
+        .parquet(cdir)
+        .select("cent_id", "id", "v")
+        .groupBy("cent_id")
+        .applyInPandas(cell_verify, pair_schema)
+        .select("id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim"))
+        .distinct()
+    )
+    assert sorted(map(tuple, served.collect())) == inc_rows

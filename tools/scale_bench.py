@@ -218,6 +218,13 @@ QUERIES = (
     "dedup_substring_keep",
     "ivf_cosine_pairs_compacted",
     "contamination_matrix_crosslingual",
+    # round-10 second ring: quality-priority keep (pair-graph-sliver
+    # argmax + broadcast anti-join), CDC chunk dedup (token-sized
+    # running-sum window + fp-keyed chunk window), incremental
+    # append+serve (prewarmed like the other persisted tiers)
+    "dedup_keep_best_quality",
+    "dedup_cdc_chunks",
+    "ivf_cosine_pairs_incremental",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
@@ -256,6 +263,11 @@ PREWARM_PROXY = frozenset({
     # round 10: serve path over the COMPACTED index is the op; the index
     # build + OPTIMIZE rewrite are the one-time layout
     "ivf_cosine_pairs_compacted",
+    # round 10 second ring: the appended index is likewise one-time
+    # layout; and keep_best rides the memoized pair/components views
+    # (marginal op = sliver argmax + broadcast anti-join)
+    "ivf_cosine_pairs_incremental",
+    "dedup_keep_best_quality",
 })
 
 
