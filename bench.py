@@ -246,6 +246,9 @@ HEADLINE = [
     "dedup_keep_best_quality",
     "dedup_cdc_chunks",
     "ivf_cosine_pairs_incremental",
+    # round-10 third ring: the CDC emit path and cross-lingual decon
+    "dedup_cdc_keep",
+    "decontaminate_crosslingual",
 ]
 
 # streaming queries are benched via their shared concurrent drain in the

@@ -1801,3 +1801,112 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum((F.col("rn") > 1).cast("int")) / F.count(F.lit(1)), 4
         ).alias("dup_fraction"),
     )
+
+
+@register(
+    "dedup_cdc_keep",
+    oracle=f"""
+    WITH ptoks AS (SELECT doc_id, {T.SQL_TOKENS} AS t FROM documents),
+    pos AS (SELECT doc_id,
+                   CAST(unnest(range(1, len(t) + 1)) AS BIGINT) AS pos,
+                   t[unnest(range(1, len(t) + 1))] AS tok
+            FROM ptoks WHERE len(t) > 0),
+    fl AS (SELECT doc_id, pos, tok,
+                  CASE WHEN {D.sql_h32('tok')} % {{CDC}} = 0
+                       THEN 1 ELSE 0 END AS b
+           FROM pos),
+    ch AS (SELECT doc_id, pos, tok,
+                  coalesce(sum(b) OVER (
+                    PARTITION BY doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS chunk_idx
+           FROM fl),
+    chunks AS (SELECT doc_id, chunk_idx,
+                      string_agg(tok, ' ' ORDER BY pos) AS ctext
+               FROM ch GROUP BY 1, 2),
+    marked AS (SELECT doc_id, chunk_idx, ctext,
+                      row_number() OVER (PARTITION BY md5(ctext)
+                                         ORDER BY doc_id, chunk_idx) AS rn
+               FROM chunks),
+    counts AS (SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY 1),
+    keptagg AS (SELECT doc_id, count(*) AS n_kept,
+                       string_agg(ctext, ' ' ORDER BY chunk_idx) AS kept_text
+                FROM marked WHERE rn = 1 GROUP BY doc_id)
+    SELECT c.doc_id,
+           CAST(c.n_chunks AS BIGINT) AS n_chunks,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(k.kept_text, '') AS kept_text
+    FROM counts c LEFT JOIN keptagg k ON k.doc_id = c.doc_id
+    """.replace("{CDC}", str(CDC_DIVISOR)),
+    tags=("dedup", "llm-pipeline", "exact-tier"),
+)
+def dedup_cdc_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CDC EMIT path — completing the profile+emit pairing at every
+    dedup granularity (document → dedup_keep_canonical/_best_quality,
+    paragraph → dedup_paragraph_keep, span → dedup_substring_keep,
+    chunk → this): every document re-assembled from only its KEPT
+    content-defined chunks (keep-first: a chunk instance is dropped iff
+    an earlier instance of the same fingerprint exists anywhere), in
+    chunk order; fully-deduplicated docs survive as empty strings. This
+    is the chunk-store materialization law — what survives IS the
+    deduplicated storage; dedup_cdc_chunks is its accounting.
+
+    Scale shape identical to the profile op (the chunks relation is
+    shared machinery): token-sized running-sum window, doc-keyed chunk
+    aggregate, 16-byte fp-keyed chunk window, then a doc-keyed
+    reassembly sort-aggregate over ~n/{CDC_DIVISOR} chunks."""
+    d = load_table(spark, sf_dir, "documents")
+    from pyspark.sql.window import Window
+
+    toked = d.select("doc_id", T.tokens(F.col("text")).alias("t")).where(
+        F.size("t") > 0
+    )
+    pos = toked.select("doc_id", F.posexplode("t").alias("i", "tok")).select(
+        "doc_id", (F.col("i") + 1).cast("long").alias("pos"), "tok"
+    )
+    fl = pos.withColumn(
+        "b", (D._h32(F.col("tok")) % CDC_DIVISOR == 0).cast("int")
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ch = fl.withColumn(
+        "chunk_idx", F.coalesce(F.sum("b").over(w_prev), F.lit(0)).cast("long")
+    )
+    chunks = ch.groupBy("doc_id", "chunk_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("ctext")
+    )
+    w_fp = Window.partitionBy(F.md5(F.col("ctext").cast("binary"))).orderBy(
+        "doc_id", "chunk_idx"
+    )
+    marked = chunks.withColumn("rn", F.row_number().over(w_fp))
+    counts = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks")
+    )
+    keptagg = (
+        marked.where(F.col("rn") == 1)
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_idx", "ctext"))),
+                    lambda s: s.ctext,
+                ),
+                " ",
+            ).alias("kept_text"),
+        )
+    )
+    return counts.join(keptagg, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+    )

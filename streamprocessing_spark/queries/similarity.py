@@ -3235,3 +3235,78 @@ def quantization_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE (1000 * n_kept) div n_true END AS BIGINT)"
         ).alias("recall_milli"),
     )
+
+
+@register(
+    "decontaminate_crosslingual",
+    oracle=f"""
+    WITH mined AS ({_sql_bitext_ivf_oracle()}),
+    sp AS ({_SQL_SPLIT}),
+    oriented AS (
+      SELECT m.src_doc_id AS train_id, m.tgt_doc_id AS eval_id,
+             st.split AS eval_split, m.margin_milli
+      FROM mined m
+      JOIN sp ss ON ss.doc_id = m.src_doc_id AND ss.split = 'train'
+      JOIN sp st ON st.doc_id = m.tgt_doc_id AND st.split IN ('valid', 'test')
+      UNION
+      SELECT m.tgt_doc_id AS train_id, m.src_doc_id AS eval_id,
+             ss.split AS eval_split, m.margin_milli
+      FROM mined m
+      JOIN sp st ON st.doc_id = m.tgt_doc_id AND st.split = 'train'
+      JOIN sp ss ON ss.doc_id = m.src_doc_id AND ss.split IN ('valid', 'test'))
+    SELECT train_id, eval_id, eval_split,
+           CAST(margin_milli AS BIGINT) AS margin_milli
+    FROM oriented
+    """,
+    tags=("similarity", "dedup", "llm-pipeline", "text", "quality", "approx"),
+)
+def decontaminate_crosslingual(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-LINGUAL decontamination — the evidence-row twin of
+    decontaminate_semantic for TRANSLATED leakage: a train document
+    margin-paired (Artetxe-Schwenk over IVF shortlists,
+    bitext_mine_margin_ivf) with a valid/test document is a benchmark
+    row the model will see in another language — the leak the lexical
+    tiers (decontaminate_hashed) and the monolingual embedding tier
+    (decontaminate_semantic) both miss when the eval is translated
+    (MMLU→MMMLU, translated GSM8K). Emits oriented (train_id, eval_id,
+    eval_split, margin_milli) evidence rows — drop/flag train_id, cite
+    eval_id; contamination_matrix_crosslingual is the dashboard rollup
+    of this same relation.
+
+    Scale: the mined pair sliver joined twice against the broadcast
+    hash-split map; everything upstream is the bitext IVF tier's n^1.5
+    cell-local law. Fully oracled (all laws deterministic)."""
+    from streamprocessing_spark.operators.dedup import _h32
+
+    d = load_table(spark, sf_dir, "documents")
+    pairs = bitext_mine_margin_ivf(spark, sf_dir)
+    h = _h32(F.col("doc_id").cast("string")) % 100
+    sp = d.select(
+        "doc_id",
+        F.when(h < 80, "train").when(h < 90, "valid").otherwise("test").alias("split"),
+    )
+    tr = sp.where(F.col("split") == "train").select(F.col("doc_id").alias("t_id"))
+    ev = sp.where(F.col("split") != "train").select(
+        F.col("doc_id").alias("e_id"), F.col("split").alias("eval_split")
+    )
+    a = (
+        pairs.join(tr, pairs.src_doc_id == tr.t_id)
+        .join(ev, pairs.tgt_doc_id == ev.e_id)
+        .select(
+            F.col("src_doc_id").alias("train_id"),
+            F.col("tgt_doc_id").alias("eval_id"),
+            "eval_split",
+            "margin_milli",
+        )
+    )
+    b = (
+        pairs.join(tr, pairs.tgt_doc_id == tr.t_id)
+        .join(ev, pairs.src_doc_id == ev.e_id)
+        .select(
+            F.col("tgt_doc_id").alias("train_id"),
+            F.col("src_doc_id").alias("eval_id"),
+            "eval_split",
+            "margin_milli",
+        )
+    )
+    return a.unionByName(b).distinct()

@@ -539,3 +539,37 @@ def test_incremental_index_fragmented_then_compacted(spark):
         .distinct()
     )
     assert sorted(map(tuple, served.collect())) == inc_rows
+
+
+def test_cdc_keep_conservation(spark):
+    """The CDC emit path must agree with the CDC profile: per doc,
+    n_kept == n_chunks - n_dup_chunks, and the emitted text re-chunks
+    to exactly the kept instances (token-count conservation: kept_text
+    tokens == doc tokens - dup-chunk tokens is implied by chunk-level
+    equality; we check counts and the first-instance law on a sample)."""
+    keep = {r.doc_id: r for r in SPECS["dedup_cdc_keep"].fn(spark, SF).collect()}
+    prof = {r.doc_id: r for r in SPECS["dedup_cdc_chunks"].fn(spark, SF).collect()}
+    assert set(keep) == set(prof)
+    assert any(r.n_kept < r.n_chunks for r in keep.values())  # non-vacuous
+    for doc_id, r in keep.items():
+        assert r.n_kept == prof[doc_id].n_chunks - prof[doc_id].n_dup_chunks, doc_id
+        if r.n_kept == 0:
+            assert r.kept_text == ""
+
+
+def test_decontaminate_crosslingual_consistent_with_matrix(spark):
+    """The evidence rows and the dashboard rollup must agree: distinct
+    contaminated eval docs per eval_split in decontaminate_crosslingual
+    == the (train -> valid/test) cells of
+    contamination_matrix_crosslingual."""
+    rows = SPECS["decontaminate_crosslingual"].fn(spark, SF).collect()
+    assert rows  # non-vacuous at the smallest fixture
+    by_split: dict[str, set[int]] = {}
+    for r in rows:
+        by_split.setdefault(r.eval_split, set()).add(r.eval_id)
+    matrix = {
+        (r.split_from, r.split_to): r.n_contaminated
+        for r in SPECS["contamination_matrix_crosslingual"].fn(spark, SF).collect()
+    }
+    for split in ("valid", "test"):
+        assert matrix[("train", split)] == len(by_split.get(split, set())), split

@@ -225,6 +225,11 @@ QUERIES = (
     "dedup_keep_best_quality",
     "dedup_cdc_chunks",
     "ivf_cosine_pairs_incremental",
+    # round-10 third ring: the CDC emit path (shares the chunk
+    # machinery) and the cross-lingual decon evidence rows (rides the
+    # bitext IVF tier like the matrix)
+    "dedup_cdc_keep",
+    "decontaminate_crosslingual",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
