@@ -249,6 +249,10 @@ HEADLINE = [
     # round-10 third ring: the CDC emit path and cross-lingual decon
     "dedup_cdc_keep",
     "decontaminate_crosslingual",
+    # round-10 fourth ring: the containment drop decision and the
+    # quality-priority paragraph emit
+    "dedup_containment_keep",
+    "dedup_paragraph_keep_best",
 ]
 
 # streaming queries are benched via their shared concurrent drain in the

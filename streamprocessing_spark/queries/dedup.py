@@ -1632,8 +1632,118 @@ def dedup_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     ultra-hot boilerplate shingles by frequency (they are dropped by
     ExactSubstr's implementations for the same reason), and the
     group-by-offset verify stays per-(pair) local."""
+    return _containment_view(spark, sf_dir)
+
+
+def _containment_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared directional containment pair set (id_inner,
+    id_outer, n_occurrences, n_shingles) — the detection relation
+    composed by both the profile query (dedup_substring_containment)
+    and the keep/emit decision (dedup_containment_keep); Catalyst does
+    not CSE across query invocations, so the positional-shingle
+    self-join builds once per (session, sf_dir)."""
+    return shared_view(
+        spark,
+        "contain",
+        sf_dir,
+        lambda: D.substring_containment_pairs(
+            load_table(spark, sf_dir, "documents"), "doc_id", "text"
+        ),
+    )
+
+
+# The containment CTE chain shared textually by the profile oracle above
+# and the keep oracle below: cont(id_inner, id_outer) is the exact
+# directional containment relation.
+_SQL_CONT_CTES = f"""
+    ptoks AS (SELECT doc_id AS id, {T.SQL_TOKENS} AS t FROM documents),
+    pos AS (SELECT id, i - 1 AS i, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
+            FROM (SELECT id, t, unnest(range(1, len(t) - 1)) AS i
+                  FROM ptoks WHERE len(t) >= 3)),
+    sizes AS (SELECT id, count(*) AS n FROM pos GROUP BY id),
+    m AS (SELECT a.id AS id_inner, b.id AS id_outer, b.i - a.i AS o,
+                 count(*) AS matched
+          FROM pos a JOIN pos b ON a.sh = b.sh AND a.id <> b.id
+          GROUP BY 1, 2, 3),
+    cont AS (SELECT m.id_inner, m.id_outer
+             FROM m JOIN sizes s ON s.id = m.id_inner
+             WHERE m.matched = s.n
+             GROUP BY m.id_inner, m.id_outer)"""
+
+
+@register(
+    "dedup_containment_keep",
+    oracle=f"""
+    WITH {_SQL_CONT_CTES},
+    dropped AS (
+      SELECT DISTINCT c.id_inner AS doc_id
+      FROM cont c
+      LEFT JOIN cont r ON r.id_inner = c.id_outer AND r.id_outer = c.id_inner
+      WHERE r.id_inner IS NULL OR c.id_outer < c.id_inner),
+    nc AS (SELECT id_inner AS doc_id, count(DISTINCT id_outer) AS n_containers
+           FROM cont GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(CASE WHEN dr.doc_id IS NULL THEN 1 ELSE 0 END AS BIGINT) AS kept,
+           CAST(coalesce(nc.n_containers, 0) AS BIGINT) AS n_containers
+    FROM documents d
+    LEFT JOIN dropped dr ON dr.doc_id = d.doc_id
+    LEFT JOIN nc ON nc.doc_id = d.doc_id
+    """,
+    tags=("dedup", "llm-pipeline", "exact-tier"),
+)
+def dedup_containment_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The containment EMIT decision — ExactSubstr's whole-document drop
+    law (Lee et al. 2022 drop docs that occur verbatim inside another):
+    a document is DROPPED iff it is contained in a STRICTLY larger
+    document (containment one way only — mutual containment of token
+    streams forces identical streams, since equal shingle counts plus a
+    full per-offset alignment leave no slack), or in an identical twin
+    with a smaller doc_id (the keep-lowest exact-dup tie-break every
+    keep tier here uses). Content preservation is a theorem of the
+    all-pairs relation: a dropped doc's container chain (strict
+    containment raises length, mutual ties descend ids) terminates at a
+    kept doc, and transitivity of contiguous occurrence puts that
+    terminal pair in the relation itself — pinned by a law test. Output
+    is one row per corpus document (doc_id, kept, n_containers), the
+    manifest a curation pipeline anti-joins its corpus against.
+
+    Scale shape: detection is the shared containment view (join volume
+    Σf² concentrated on duplicated spans); the drop law adds one
+    self-join of the PAIR SLIVER against itself on reversed keys plus a
+    broadcast anti-probe of the corpus — the corpus text never moves."""
     d = load_table(spark, sf_dir, "documents")
-    return D.substring_containment_pairs(d, "doc_id", "text")
+    pairs = _containment_view(spark, sf_dir).select("id_inner", "id_outer")
+    rev = pairs.select(
+        F.col("id_inner").alias("r_inner"), F.col("id_outer").alias("r_outer")
+    )
+    dropped = (
+        pairs.join(
+            rev,
+            (F.col("r_inner") == F.col("id_outer"))
+            & (F.col("r_outer") == F.col("id_inner")),
+            "left",
+        )
+        .where(F.col("r_inner").isNull() | (F.col("id_outer") < F.col("id_inner")))
+        .select(F.col("id_inner").alias("doc_id"))
+        .distinct()
+    )
+    nc = (
+        pairs.groupBy(F.col("id_inner").alias("doc_id"))
+        .agg(F.countDistinct("id_outer").cast("long").alias("n_containers"))
+    )
+    return (
+        d.select("doc_id")
+        .join(F.broadcast(dropped.withColumn("is_dropped", F.lit(1))), "doc_id", "left")
+        .join(F.broadcast(nc), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_dropped").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("kept"),
+            F.coalesce(F.col("n_containers"), F.lit(0)).cast("long").alias("n_containers"),
+        )
+    )
 
 
 @register(
@@ -1695,6 +1805,112 @@ def dedup_paragraph_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     # merge hint: counts and agg are both one-row-per-doc (corpus-sized
     # at 100 TB — never broadcastable); the anti-join above is left
     # unhinted so the pid-sized dup sliver broadcasts as it should
+    return counts.hint("merge").join(agg, "doc_id", "left").select(
+        "doc_id",
+        "n_paras",
+        F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
+    )
+
+
+@register(
+    "dedup_paragraph_keep_best",
+    oracle=f"""
+    WITH RECURSIVE pair_t AS MATERIALIZED ({_SQL_PARA_PAIRS}),
+    {D.sql_paras()}
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pair_t
+      UNION
+      SELECT id_b AS src, id_a AS dst FROM pair_t
+    ),
+    reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.src AS id, reach.r AS r
+      FROM edges e JOIN reach ON e.dst = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    tok AS (SELECT doc_id, len({T.SQL_TOKENS}) AS n_tokens FROM documents),
+    memb AS (SELECT c.id AS pid, c.component, t.n_tokens
+             FROM comp c
+             JOIN paras p ON p.pid = c.id
+             JOIN tok t ON t.doc_id = p.doc_id),
+    losers AS (SELECT pid FROM (
+       SELECT pid, row_number() OVER (PARTITION BY component
+                                      ORDER BY n_tokens DESC, pid) AS rn
+       FROM memb) WHERE rn > 1),
+    kept AS (SELECT p.doc_id, p.pid, p.text FROM paras p
+             LEFT JOIN losers l ON l.pid = p.pid WHERE l.pid IS NULL),
+    counts AS (SELECT doc_id, count(*) AS n_paras FROM paras GROUP BY 1),
+    agg AS (SELECT doc_id, count(*) AS n_kept,
+                   string_agg(text, ' ' ORDER BY pid) AS kept_text
+            FROM kept GROUP BY 1)
+    SELECT c.doc_id,
+           CAST(c.n_paras AS BIGINT) AS n_paras,
+           CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(a.kept_text, '') AS kept_text
+    FROM counts c LEFT JOIN agg a USING (doc_id)
+    """,
+    tags=("dedup", "llm-pipeline", "lsh", "iterative", "quality", "scale-tier"),
+)
+def dedup_paragraph_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-PRIORITY paragraph emit — dedup_paragraph_keep's keep-first
+    law replaced by the law production crawls actually want (the
+    paragraph-granularity sibling of dedup_keep_best_quality): within
+    each paragraph near-dup CLUSTER (connected components of the shared
+    ``parapairs`` relation — pairwise keep-first under-merges chains,
+    the same reason the doc tier clusters first) keep the instance
+    whose CONTAINING DOCUMENT has the most tokens (ties to the smallest
+    pid) — boilerplate shared between a full page and its truncated
+    mirror survives in the fuller page, so reassembled documents
+    degrade from the worst copies first. Output contract matches
+    dedup_paragraph_keep exactly: (doc_id, n_paras, n_kept, kept_text),
+    fully-deduplicated docs surviving as empty strings.
+
+    Scale shape: components + the argmax window run on the PAIR-GRAPH
+    SLIVER only (cluster members joined to a doc-keyed token count;
+    cluster-sized window partitions); the corpus pays the shared pair
+    build, one broadcast anti-join against the loser sliver, and the
+    per-doc reassembly sort-aggregate. Corpus-sized relations never
+    broadcast (the paragraph merge-hint discipline, round 9)."""
+    d = load_table(spark, sf_dir, "documents")
+    paras = D.paragraph_df(d, "doc_id", "text")
+    tok = d.select("doc_id", T.token_count(F.col("text")).alias("n_tokens"))
+    comp = D.connected_components(_para_pairs_view(spark, sf_dir))
+    # comp is the pair-graph sliver: broadcast it against the corpus-
+    # sized paragraph relation (never the reverse — the round-9 cliff);
+    # tok is corpus-sized too, so that join is forced to sort-merge
+    memb = (
+        F.broadcast(comp)
+        .join(paras, comp["id"] == paras["pid"])
+        .select("pid", "component", "doc_id")
+        .join(tok.hint("merge"), "doc_id")
+        .select("pid", "component", "n_tokens")
+    )
+    from pyspark.sql.window import Window
+
+    w = Window.partitionBy("component").orderBy(F.desc("n_tokens"), F.asc("pid"))
+    losers = (
+        memb.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select("pid")
+    )
+    kept = paras.join(losers, "pid", "left_anti")
+    counts = paras.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_paras")
+    )
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pid", "ptext"))),
+                lambda s: s.ptext,
+            ),
+            " ",
+        ).alias("kept_text"),
+    )
+    # merge hint: counts and agg are both one-row-per-doc (corpus-sized
+    # at 100 TB); the anti-join above broadcasts only the pid sliver
     return counts.hint("merge").join(agg, "doc_id", "left").select(
         "doc_id",
         "n_paras",
