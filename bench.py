@@ -249,10 +249,11 @@ HEADLINE = [
     # round-10 third ring: the CDC emit path and cross-lingual decon
     "dedup_cdc_keep",
     "decontaminate_crosslingual",
-    # round-10 fourth ring: the containment drop decision and the
-    # quality-priority paragraph emit
+    # round-10 fourth ring: the containment drop decision, the
+    # quality-priority paragraph emit, and cross-lingual dedup keep
     "dedup_containment_keep",
     "dedup_paragraph_keep_best",
+    "dedup_crosslingual_keep",
 ]
 
 # streaming queries are benched via their shared concurrent drain in the

@@ -3310,3 +3310,83 @@ def decontaminate_crosslingual(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return a.unionByName(b).distinct()
+
+
+@register(
+    "dedup_crosslingual_keep",
+    oracle=f"""
+    WITH RECURSIVE pair_t AS MATERIALIZED ({_sql_bitext_ivf_oracle()}),
+    edges AS (
+      SELECT src_doc_id AS src, tgt_doc_id AS dst FROM pair_t
+      UNION
+      SELECT tgt_doc_id AS src, src_doc_id AS dst FROM pair_t
+    ),
+    reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.src AS id, reach.r AS r
+      FROM edges e JOIN reach ON e.dst = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    sizes AS (SELECT component, count(*) AS n_members FROM comp GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster_id,
+           CAST(coalesce(s.n_members, 1) AS BIGINT) AS n_members,
+           d.lang
+    FROM documents d
+    LEFT JOIN comp c ON c.id = d.doc_id
+    LEFT JOIN sizes s ON s.component = c.component
+    WHERE c.id IS NULL OR c.component = c.id
+    """,
+    tags=("similarity", "dedup", "llm-pipeline", "text", "approx", "iterative"),
+)
+def dedup_crosslingual_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CROSS-LINGUAL semantic dedup — the keep law over TRANSLATED
+    duplicate clusters: margin-mined bitext pairs (bitext_mine_margin_ivf,
+    the LASER/CCMatrix production tier) are near-dup EDGES, connected
+    components turn translation chains (en↔de, en↔fr ⇒ one trilingual
+    cluster) into groups, and one document per cluster survives (the
+    min doc_id, dedup_keep_canonical's law). This is the multilingual-
+    corpus question the monolingual tiers cannot ask: MinHash sees zero
+    lexical overlap between a page and its translation, and
+    semantic_dedup_keep's embedding cascade is same-language by
+    construction here (the bitext margin law is what certifies a
+    CROSS-language pair). Output: one row per KEPT document with
+    cluster provenance (doc_id, cluster_id, n_members, lang) —
+    singletons keep themselves with n_members = 1.
+
+    Scale shape: mining is the bitext IVF tier's n^1.5 cell-local law;
+    components + the keep anti-join run on the mined PAIR SLIVER
+    (star-contraction, O(log² n) rounds); the corpus pays one broadcast
+    anti-join. Fully oracled — quantizer, shortlist, margin and
+    components are all deterministic."""
+    from streamprocessing_spark.operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    pairs = bitext_mine_margin_ivf(spark, sf_dir).select(
+        F.col("src_doc_id").alias("id_a"), F.col("tgt_doc_id").alias("id_b")
+    )
+    comp = connected_components(pairs)
+    losers = comp.where(F.col("component") != F.col("id")).select(
+        F.col("id").alias("doc_id")
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    kept = d.join(F.broadcast(losers), "doc_id", "left_anti")
+    return (
+        kept.join(
+            F.broadcast(comp.select(F.col("id").alias("doc_id"), "component")),
+            "doc_id",
+            "left",
+        )
+        .join(F.broadcast(sizes), "component", "left")
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id"))
+            .cast("long")
+            .alias("cluster_id"),
+            F.coalesce(F.col("n_members"), F.lit(1)).cast("long").alias("n_members"),
+            "lang",
+        )
+    )

@@ -697,3 +697,42 @@ def test_paragraph_keep_best_laws(spark):
     lost_by_doc = collections.Counter(p // PARA_ID_STRIDE for p in expected_losers)
     for d, r in best.items():
         assert r.n_kept == r.n_paras - lost_by_doc.get(d, 0), d
+
+
+def test_crosslingual_keep_laws(spark):
+    """Keep law vs a python union-find replay over the mined bitext
+    pairs: exactly one kept member per translated cluster and it is the
+    min doc_id; singletons all kept with n_members = 1; non-vacuous
+    (at least one multi-member cluster)."""
+    kept = SPECS["dedup_crosslingual_keep"].fn(spark, SF).collect()
+    pairs = [
+        (r.src_doc_id, r.tgt_doc_id)
+        for r in SPECS["bitext_mine_margin_ivf"].fn(spark, SF).collect()
+    ]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        parent[find(a)] = find(b)
+    clusters = {}
+    for x in list(parent):
+        clusters.setdefault(find(x), set()).add(x)
+
+    kept_ids = {r.doc_id for r in kept}
+    by_id = {r.doc_id: r for r in kept}
+    assert any(len(m) >= 2 for m in clusters.values())  # non-vacuous
+    for members in clusters.values():
+        keep = min(members)
+        assert keep in kept_ids
+        assert members - {keep} <= (set(parent) - kept_ids)
+        assert by_id[keep].cluster_id == keep
+        assert by_id[keep].n_members == len(members)
+    for r in kept:
+        if r.doc_id not in parent:
+            assert r.cluster_id == r.doc_id and r.n_members == 1
