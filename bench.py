@@ -254,6 +254,7 @@ HEADLINE = [
     "dedup_containment_keep",
     "dedup_paragraph_keep_best",
     "dedup_crosslingual_keep",
+    "ivf_cosine_pairs_erased",
 ]
 
 # streaming queries are benched via their shared concurrent drain in the

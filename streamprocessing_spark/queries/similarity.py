@@ -3390,3 +3390,122 @@ def dedup_crosslingual_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lang",
         )
     )
+
+
+# deterministic GDPR tombstone sliver for the index-erasure op (~6% of
+# vectors) — the right_to_erasure_cascade convention applied to vec_ids
+_ERASE_PRED = "vec_id % 16 = 5"
+
+
+@register(
+    "ivf_cosine_pairs_erased",
+    oracle=f"""
+    WITH k AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, embedding AS cv
+             FROM embeddings, k WHERE vec_id < k.k),
+    live AS (SELECT vec_id, embedding FROM embeddings
+             WHERE NOT ({_ERASE_PRED})),
+    scored AS (
+      SELECT e.vec_id AS id, c.cent_id,
+             {_sql_cos('e.embedding', 'c.cv')} AS cos_c
+      FROM live e CROSS JOIN cent c),
+    assigned AS (
+      SELECT id, cent_id FROM (
+        SELECT id, cent_id,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY cos_c DESC, cent_id) AS rn
+        FROM scored)
+      WHERE rn <= 3),
+    cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+             FROM assigned a
+             JOIN assigned b ON a.cent_id = b.cent_id AND a.id < b.id)
+    SELECT c.id_a, c.id_b,
+           floor({_sql_cos('ea.embedding', 'eb.embedding')} * 1000000.0 + 0.5)
+             / 1000000.0 AS cos_sim
+    FROM cand c
+    JOIN live ea ON ea.vec_id = c.id_a
+    JOIN live eb ON eb.vec_id = c.id_b
+    WHERE {_sql_cos('ea.embedding', 'eb.embedding')} >= {SRP_THRESHOLD}
+    """,
+    tags=("similarity", "dedup", "llm-pipeline", "approx", "layout"),
+)
+def ivf_cosine_pairs_erased(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RIGHT-TO-ERASURE maintenance for the persisted IVF index — GDPR
+    against the serving layout (right_to_erasure_cascade is the
+    relational-table audit; this is the DELETE applied to the index a
+    serving fleet reads): a deterministic tombstone sliver
+    ({_ERASE_PRED}) is removed by rewriting ONLY the cell directories
+    that contain a tombstoned vector — untouched cells are HARD-LINKED
+    into the new index version (a metadata-only op), so erasure cost is
+    proportional to cells touched, never corpus size, and the atomic-
+    rename publish means readers see the pre- or post-erasure index,
+    never a half-deleted one. The QUANTIZER is deliberately unchanged
+    (centroids are the offline-trained model, retrained on schedule,
+    not per delete — the FAISS remove_ids semantics), so per-vector
+    assignment is invariant and the oracle is the pairs law over the
+    live (non-erased) corpus under the FULL-corpus quantizer. Erased
+    ids appear in no pair — the law the regulator checks — enforced by
+    the shared verify kernel reading only the erased index.
+
+    Scale shape: tombstone-cell discovery is one index scan emitting
+    cell ids; each touched cell rewrites in one cell-sized job (the
+    _compact_index cadence); serving is the persisted tier's
+    scan+kernel shape, no joins."""
+    import os
+    import shutil
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec_type = emb.schema["embedding"].dataType.simpleString()
+    schema = f"id bigint, v {vec_type}, cent_id bigint"
+    cell_schema = f"id bigint, v {vec_type}"
+
+    def _build_full() -> DataFrame:
+        return S.ivf_cell_vectors(emb, nassign=3)
+
+    def writer(tmp_dir: str) -> None:
+        src_idx = _ensure_index(spark, sf_dir, "graft_ivf_pairs", _build_full)
+        os.makedirs(tmp_dir, exist_ok=True)
+        full = spark.read.schema(schema).parquet(src_idx)
+        hit = {
+            r.cent_id
+            for r in full.where(F.expr(_ERASE_PRED.replace("vec_id", "id")))
+            .select("cent_id")
+            .distinct()
+            .collect()
+        }
+        for entry in sorted(os.listdir(src_idx)):
+            if not entry.startswith("cent_id="):
+                continue
+            cid = int(entry.split("=", 1)[1])
+            src_cell = os.path.join(src_idx, entry)
+            dst_cell = os.path.join(tmp_dir, entry)
+            if cid in hit:
+                (
+                    spark.read.schema(cell_schema)
+                    .parquet(src_cell)
+                    .where(~F.expr(_ERASE_PRED.replace("vec_id", "id")))
+                    .write.mode("overwrite")
+                    .parquet(dst_cell)
+                )
+            else:
+                os.makedirs(dst_cell, exist_ok=True)
+                for f in os.listdir(src_cell):
+                    s, t = os.path.join(src_cell, f), os.path.join(dst_cell, f)
+                    try:
+                        os.link(s, t)
+                    except OSError:
+                        shutil.copy2(s, t)
+
+    idx_dir = _ensure_index(spark, sf_dir, "graft_ivf_erase", None, writer=writer)
+    index = spark.read.schema(schema).parquet(idx_dir)
+    pair_schema, cell_verify = S.cell_verify_kernel(SRP_THRESHOLD)
+    scored = (
+        index.select("cent_id", "id", "v")
+        .groupBy("cent_id")
+        .applyInPandas(cell_verify, pair_schema)
+    )
+    from streamprocessing_spark.functions.text import portable_round
+
+    return scored.select(
+        "id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim")
+    ).distinct()

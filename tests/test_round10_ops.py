@@ -736,3 +736,54 @@ def test_crosslingual_keep_laws(spark):
     for r in kept:
         if r.doc_id not in parent:
             assert r.cluster_id == r.doc_id and r.n_members == 1
+
+
+def test_ivf_erasure_laws(spark):
+    """The erasure job's laws: (1) the erased index holds exactly the
+    full index minus the tombstoned sliver (same (id, cent_id) sets —
+    assignment invariant under the unchanged quantizer); (2) zero
+    tombstoned ids survive; (3) untouched cell files are HARD LINKS of
+    the source index's files (erasure cost ∝ touched cells — the
+    metadata-only claim), while touched cells are rewritten; (4)
+    non-vacuous both ways at sf0.001."""
+    import os
+
+    from streamprocessing_spark.operators import similarity as S
+    from streamprocessing_spark.queries import similarity as SIM
+    from streamprocessing_spark.sources.readers import load_table
+    from pyspark.sql import functions as F
+
+    # materialize both indexes (the query builds them on demand)
+    SPECS["ivf_cosine_pairs_erased"].fn(spark, SF).collect()
+    emb = load_table(spark, SF, "embeddings")
+    vec_type = emb.schema["embedding"].dataType.simpleString()
+    schema = f"id bigint, v {vec_type}, cent_id bigint"
+    full_dir = SIM._ensure_index(
+        spark, SF, "graft_ivf_pairs", lambda: S.ivf_cell_vectors(emb, nassign=3)
+    )
+    erased_dir = SIM._ensure_index(spark, SF, "graft_ivf_erase", None, writer=None)
+
+    full = {
+        (r.id, r.cent_id)
+        for r in spark.read.schema(schema).parquet(full_dir).collect()
+    }
+    erased = {
+        (r.id, r.cent_id)
+        for r in spark.read.schema(schema).parquet(erased_dir).collect()
+    }
+    tomb = {(i, c) for (i, c) in full if i % 16 == 5}
+    assert tomb  # non-vacuous erasure
+    assert erased == full - tomb
+    assert not {(i, c) for (i, c) in erased if i % 16 == 5}
+
+    hit_cells = {c for (_i, c) in tomb}
+    clean_cells = {c for (_i, c) in full} - hit_cells
+    assert hit_cells and clean_cells  # touched AND untouched cells exist
+    for cell in clean_cells:
+        s_cell = os.path.join(full_dir, f"cent_id={cell}")
+        d_cell = os.path.join(erased_dir, f"cent_id={cell}")
+        s_files = {f: os.stat(os.path.join(s_cell, f)).st_ino
+                   for f in os.listdir(s_cell) if f.endswith(".parquet")}
+        d_files = {f: os.stat(os.path.join(d_cell, f)).st_ino
+                   for f in os.listdir(d_cell) if f.endswith(".parquet")}
+        assert s_files == d_files, f"cell {cell} not hard-linked"
