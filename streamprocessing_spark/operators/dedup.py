@@ -1140,3 +1140,43 @@ def substring_containment_pairs(
             F.col("n").cast("long").alias("n_shingles"),
         )
     )
+
+
+# ------------------------------------------------ content-defined chunks
+
+CDC_DIVISOR = 8  # expected chunk length in tokens (LBFS boundary law)
+
+
+def cdc_chunk_df(
+    df: DataFrame, id_col: str, text_col: str, divisor: int = CDC_DIVISOR
+) -> DataFrame:
+    """(doc_id, chunk_idx, ctext): content-defined chunking — a boundary
+    falls AFTER token i iff h32(token_i) % divisor == 0 (plus end of
+    doc), so boundaries are a pure function of LOCAL content (the LBFS
+    law; see queries.dedup.dedup_cdc_chunks for the full story). Shared
+    by the batch profile/emit tiers and the streaming ingest twin — one
+    chunking law, three consumers."""
+    toked = df.select(
+        F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("t")
+    ).where(F.size("t") > 0)
+    pos = toked.select("doc_id", F.posexplode("t").alias("i", "tok")).select(
+        "doc_id", (F.col("i") + 1).cast("long").alias("pos"), "tok"
+    )
+    fl = pos.withColumn("b", (_h32(F.col("tok")) % divisor == 0).cast("int"))
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ch = fl.withColumn(
+        "chunk_idx", F.coalesce(F.sum("b").over(w_prev), F.lit(0)).cast("long")
+    )
+    return ch.groupBy("doc_id", "chunk_idx").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s.tok,
+            ),
+            " ",
+        ).alias("ctext")
+    )

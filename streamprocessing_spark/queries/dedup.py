@@ -1922,9 +1922,11 @@ def dedup_paragraph_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
 CDC_DIVISOR = 8  # expected content-defined chunk length (tokens)
 
 
-@register(
-    "dedup_cdc_chunks",
-    oracle=f"""
+# The per-document CDC duplication profile — shared verbatim by the
+# batch tier (dedup_cdc_chunks) and the streaming ingest twin
+# (streaming_cdc_chunks_ingest), whose end state must equal this batch
+# profile bit-for-bit.
+SQL_CDC_PROFILE = f"""
     WITH ptoks AS (SELECT doc_id, {T.SQL_TOKENS} AS t FROM documents),
     pos AS (SELECT doc_id,
                    CAST(unnest(range(1, len(t) + 1)) AS BIGINT) AS pos,
@@ -1952,7 +1954,12 @@ CDC_DIVISOR = 8  # expected content-defined chunk length (tokens)
            floor((sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) * 1.0 / count(*))
                  * 10000.0 + 0.5) / 10000.0 AS dup_fraction
     FROM marked GROUP BY doc_id
-    """,
+    """
+
+
+@register(
+    "dedup_cdc_chunks",
+    oracle=SQL_CDC_PROFILE,
     tags=("dedup", "llm-pipeline", "exact-tier"),
 )
 def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1976,37 +1983,13 @@ def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     sort-aggregate into ~n/{CDC_DIVISOR} chunks, then one
     fingerprint-keyed window over the CHUNK relation (16-byte keys —
     the text never shuffles twice). All integer/hash arithmetic, exact
-    on both engines."""
+    on both engines. Chunking law shared with the emit tier and the
+    streaming ingest twin via operators.dedup.cdc_chunk_df."""
     d = load_table(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
-    toked = d.select("doc_id", T.tokens(F.col("text")).alias("t")).where(
-        F.size("t") > 0
-    )
-    pos = toked.select("doc_id", F.posexplode("t").alias("i", "tok")).select(
-        "doc_id", (F.col("i") + 1).cast("long").alias("pos"), "tok"
-    )
-    fl = pos.withColumn(
-        "b", (D._h32(F.col("tok")) % CDC_DIVISOR == 0).cast("int")
-    )
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ch = fl.withColumn(
-        "chunk_idx", F.coalesce(F.sum("b").over(w_prev), F.lit(0)).cast("long")
-    )
-    chunks = ch.groupBy("doc_id", "chunk_idx").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s.tok,
-                ),
-                " ",
-            ).cast("binary")
-        ).alias("fp")
+    chunks = D.cdc_chunk_df(d, "doc_id", "text").withColumn(
+        "fp", F.md5(F.col("ctext").cast("binary"))
     )
     w_fp = Window.partitionBy("fp").orderBy("doc_id", "chunk_idx")
     marked = chunks.withColumn("rn", F.row_number().over(w_fp))
@@ -2073,32 +2056,7 @@ def dedup_cdc_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     from pyspark.sql.window import Window
 
-    toked = d.select("doc_id", T.tokens(F.col("text")).alias("t")).where(
-        F.size("t") > 0
-    )
-    pos = toked.select("doc_id", F.posexplode("t").alias("i", "tok")).select(
-        "doc_id", (F.col("i") + 1).cast("long").alias("pos"), "tok"
-    )
-    fl = pos.withColumn(
-        "b", (D._h32(F.col("tok")) % CDC_DIVISOR == 0).cast("int")
-    )
-    w_prev = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ch = fl.withColumn(
-        "chunk_idx", F.coalesce(F.sum("b").over(w_prev), F.lit(0)).cast("long")
-    )
-    chunks = ch.groupBy("doc_id", "chunk_idx").agg(
-        F.array_join(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                lambda s: s.tok,
-            ),
-            " ",
-        ).alias("ctext")
-    )
+    chunks = D.cdc_chunk_df(d, "doc_id", "text")
     w_fp = Window.partitionBy(F.md5(F.col("ctext").cast("binary"))).orderBy(
         "doc_id", "chunk_idx"
     )

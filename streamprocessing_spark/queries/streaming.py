@@ -1081,3 +1081,116 @@ def streaming_paragraph_dedup_ingest(spark: SparkSession, sf_dir: str) -> DataFr
     )
 
 
+
+
+_CDC_INGEST: dict[tuple[str, str], str] = {}
+
+
+def _cdc_ingest_base(spark: SparkSession, sf_dir: str) -> str:
+    """Drain the documents table through CdcIngestDedup once per
+    (session, sf_dir) — the same three doc_id%3 single-file chunks /
+    one-batch-per-file staging law as the paragraph twin — and return
+    the completed store's base dir."""
+    import hashlib
+    import os
+    import shutil
+    from pathlib import Path
+
+    from streamprocessing_spark.sources.readers import load_table
+    from streamprocessing_spark.streaming.ingest_dedup import CdcIngestDedup
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    base = _CDC_INGEST.get(key)
+    if base is not None and os.path.isfile(os.path.join(base, "_DONE")):
+        return base
+
+    scratch = os.environ.get(
+        "SPARK_GRAFT_LOCAL_DIR",
+        str(Path(__file__).resolve().parent.parent.parent / ".spark-local"),
+    )
+    tag = hashlib.md5(f"{key[0]}:{sf_dir}".encode()).hexdigest()[:12]
+    base = os.path.join(scratch, "graft_cdc_ingest", tag)
+    shutil.rmtree(base, ignore_errors=True)  # a half-built prior attempt
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for i in range(3):
+        d = os.path.join(base, f"chunk{i}")
+        docs.where((F.col("doc_id") % 3) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        shutil.copyfile(os.path.join(d, part), os.path.join(src, f"c{i}.parquet"))
+
+    sink = CdcIngestDedup(base=os.path.join(base, "state"), threshold=0.0)
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink.foreach_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    with open(os.path.join(base, "_DONE"), "w") as fh:
+        fh.write("ok")
+    _CDC_INGEST[key] = base
+    return base
+
+
+from streamprocessing_spark.queries.dedup import SQL_CDC_PROFILE as _SQL_CDC_PROFILE  # noqa: E402
+
+
+@register(
+    "streaming_cdc_chunks_ingest",
+    oracle=_SQL_CDC_PROFILE,
+    tags=("streaming", "dedup", "llm-pipeline", "exact-tier"),
+)
+def streaming_cdc_chunks_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the CDC chunk tier (round 10): documents stream
+    in as micro-batches, each batch chunks under the shared content-
+    defined boundary law (boundaries are LOCAL — the stream split can
+    never move them; the shift-resistance that makes CDC the right
+    streaming unit), fingerprints, and probes the persisted fp-min
+    store, emitting min-links whose forest carries the keep-first law
+    exactly (streaming/ingest_dedup.CdcIngestDedup — an instance is a
+    duplicate iff demoted by some link). Per-batch work is O(batch)
+    against the fp-keyed min store, corpus never re-chunked.
+
+    END state equals the batch tier bit-for-bit: this query derives the
+    per-document profile from the streamed link store and carries
+    dedup_cdc_chunks's oracle VERBATIM (queries.dedup.SQL_CDC_PROFILE)
+    — same chunking, same keep-first law, same rounding. Checkpoint-
+    restart equality and retry idempotence pinned in
+    tests/test_round10_ops.py."""
+    from streamprocessing_spark.functions.text import portable_round
+    from streamprocessing_spark.operators import dedup as D
+    from streamprocessing_spark.sources.readers import load_table
+    from streamprocessing_spark.streaming.ingest_dedup import (
+        CDC_ID_STRIDE,
+        CdcIngestDedup,
+    )
+
+    base = _cdc_ingest_base(spark, sf_dir)
+    sink = CdcIngestDedup(base=f"{base}/state", threshold=0.0)
+    dups = sink.dup_instances(spark)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    per_doc = (
+        D.cdc_chunk_df(docs, "doc_id", "text")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_chunks"))
+        .hint("merge")
+    )
+    dup_doc = dups.groupBy(
+        F.expr(f"id div {CDC_ID_STRIDE}").alias("doc_id")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_dup_chunks"))
+    return per_doc.join(dup_doc, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce(F.col("n_dup_chunks"), F.lit(0)).cast("long").alias("n_dup_chunks"),
+        portable_round(
+            F.coalesce(F.col("n_dup_chunks"), F.lit(0)) / F.col("n_chunks"), 4
+        ).alias("dup_fraction"),
+    )

@@ -234,3 +234,81 @@ class ParagraphIngestDedup(IngestDedup):
         dups.write.mode("overwrite").parquet(f"{self.dups_dir}/batch={batch_id}")
         paras.write.mode("overwrite").parquet(f"{self.docs_dir}/batch={batch_id}")
         b_new.write.mode("overwrite").parquet(f"{self.buckets_dir}/batch={batch_id}")
+
+
+CDC_ID_STRIDE = 1_000_000  # chunks per doc bound; docs are « 8M tokens
+
+
+@dataclass(frozen=True)
+class CdcIngestDedup(IngestDedup):
+    """Ingest-time CONTENT-DEFINED-CHUNK dedup over a persisted
+    fingerprint store (round 10) — the streaming twin of
+    ``queries.dedup.dedup_cdc_chunks``, the chunk-store write path run
+    at crawl cadence. Each micro-batch chunks its documents under the
+    shared boundary law (operators.dedup.cdc_chunk_df — boundaries are
+    a pure function of LOCAL content, so a batch chunks identically no
+    matter how the stream was split), fingerprints each chunk, and
+    emits MIN-LINKS instead of all pairs:
+
+    * batch-local — every instance links to its batch-min instance of
+      the same fp (one link per non-min instance);
+    * cross — one link per fp shared with the store, connecting the
+      stored GLOBAL min and the batch min (the store holds per-batch
+      per-fp min instance ids; the global min is their min).
+
+    The link forest carries the keep-first law exactly: an instance is
+    a duplicate iff it appears as the GREATER side of some link —
+    induction over batches: local links cover all but the batch min,
+    and the cross link demotes whichever of (stored global min, batch
+    min) is larger, so after every batch each instance except the
+    global fp-min has been demoted exactly where the batch tier's
+    row_number() > 1 would mark it. Work per batch is O(batch) chunking
+    plus one probe of the fp-keyed min store (16-byte keys — at 100 TB
+    the store is bucketed by fp and the probe is a bucket lookup);
+    links are O(instances), never quadratic in copy count. Exactly-once
+    via the inherited batch=<id> overwrite contract; instance ids pack
+    (doc_id, chunk_idx) as doc_id·CDC_ID_STRIDE + chunk_idx."""
+
+    def foreach_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql.window import Window
+
+        from streamprocessing_spark.operators.dedup import cdc_chunk_df
+
+        spark = batch.sparkSession
+        inst = (
+            cdc_chunk_df(
+                batch.select(self.id_col, self.text_col), self.id_col, self.text_col
+            )
+            .select(
+                (F.col("doc_id") * CDC_ID_STRIDE + F.col("chunk_idx")).alias("id"),
+                F.md5(F.col("ctext").cast("binary")).alias("fp"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        w = Window.partitionBy("fp")
+        marked = inst.withColumn("bmin", F.min("id").over(w))
+        links_local = marked.where(F.col("id") > F.col("bmin")).select(
+            F.col("bmin").alias("id_a"), F.col("id").alias("id_b")
+        )
+        bmins = (
+            inst.groupBy("fp").agg(F.min("id").alias("id")).localCheckpoint(eager=True)
+        )
+        stored = self._read(spark, self.buckets_dir, before_batch=batch_id)
+        links = links_local
+        if stored is not None:
+            smin = stored.groupBy("fp").agg(F.min("id").alias("sid"))
+            cross = bmins.join(smin, "fp").select(
+                F.least(F.col("id"), F.col("sid")).alias("id_a"),
+                F.greatest(F.col("id"), F.col("sid")).alias("id_b"),
+            )
+            links = links.unionByName(cross)
+        links.write.mode("overwrite").parquet(f"{self.dups_dir}/batch={batch_id}")
+        bmins.write.mode("overwrite").parquet(f"{self.buckets_dir}/batch={batch_id}")
+
+    def dup_instances(self, spark: SparkSession) -> DataFrame:
+        """Distinct instance ids demoted so far (the greater side of any
+        link) — exactly the batch tier's rn > 1 set at end of stream."""
+        df = self._read(spark, self.dups_dir)
+        if df is None:
+            return spark.createDataFrame([], "id bigint")
+        return df.select(F.col("id_b").alias("id")).distinct()

@@ -787,3 +787,87 @@ def test_ivf_erasure_laws(spark):
         d_files = {f: os.stat(os.path.join(d_cell, f)).st_ino
                    for f in os.listdir(d_cell) if f.endswith(".parquet")}
         assert s_files == d_files, f"cell {cell} not hard-linked"
+
+
+def test_cdc_ingest_checkpoint_restart_equals_batch(spark, tmp_path):
+    """The streaming CDC tier must survive a stop/restart on one
+    checkpoint: run 1 drains only chunk 0, run 2 (same checkpoint, same
+    stores) drains the rest; the final demoted-instance set equals the
+    batch tier's rn > 1 set exactly, and no link is emitted twice."""
+    import shutil
+
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from streamprocessing_spark.operators import dedup as D
+    from streamprocessing_spark.sources.readers import load_table
+    from streamprocessing_spark.streaming.ingest_dedup import (
+        CDC_ID_STRIDE,
+        CdcIngestDedup,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    src, staged = _stage_doc_chunks(spark, docs, str(tmp_path))
+    sink = CdcIngestDedup(base=str(tmp_path / "state"), threshold=0.0)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(sink.foreach_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    shutil.copyfile(*staged[0])
+    run_once()
+    first = {r.id for r in sink.dup_instances(spark).collect()}
+    shutil.copyfile(*staged[1])
+    shutil.copyfile(*staged[2])
+    run_once()
+    links = [tuple(r) for r in sink._read(spark, sink.dups_dir).drop("batch").collect()]
+    assert len(links) == len(set(links)), "a link was emitted twice across runs"
+    final = {r.id for r in sink.dup_instances(spark).collect()}
+    assert first <= final
+
+    chunks = D.cdc_chunk_df(docs, "doc_id", "text").withColumn(
+        "fp", F.md5(F.col("ctext").cast("binary"))
+    )
+    w_fp = Window.partitionBy("fp").orderBy("doc_id", "chunk_idx")
+    batch_dups = {
+        r.doc_id * CDC_ID_STRIDE + r.chunk_idx
+        for r in chunks.withColumn("rn", F.row_number().over(w_fp))
+        .where(F.col("rn") > 1)
+        .collect()
+    }
+    assert batch_dups, "fixture yields no duplicate chunks"
+    assert final == batch_dups
+
+
+def test_cdc_ingest_batch_retry_is_idempotent(spark, tmp_path):
+    """Replaying a batch with the same batch_id must leave link and
+    fp-min stores unchanged — and must NOT demote against its own first
+    write (before_batch state visibility)."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_spark.sources.readers import load_table
+    from streamprocessing_spark.streaming.ingest_dedup import CdcIngestDedup
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    sink = CdcIngestDedup(base=str(tmp_path / "state"), threshold=0.0)
+    b0 = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    sink.foreach_batch(b0, 0)
+    sink.foreach_batch(b1, 1)
+    first = sorted(r.id for r in sink.dup_instances(spark).collect())
+    n_mins = spark.read.parquet(f"{sink.buckets_dir}/batch=*").count()
+    sink.foreach_batch(b1, 1)
+    sink.foreach_batch(b0, 0)
+    assert sorted(r.id for r in sink.dup_instances(spark).collect()) == first
+    assert spark.read.parquet(f"{sink.buckets_dir}/batch=*").count() == n_mins
