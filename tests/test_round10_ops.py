@@ -871,3 +871,36 @@ def test_cdc_ingest_batch_retry_is_idempotent(spark, tmp_path):
     sink.foreach_batch(b0, 0)
     assert sorted(r.id for r in sink.dup_instances(spark).collect()) == first
     assert spark.read.parquet(f"{sink.buckets_dir}/batch=*").count() == n_mins
+
+
+def test_paragraph_keep_best_plan_discipline(spark):
+    """The quality-priority paragraph emit inherits the broadcast-cliff
+    discipline (round 9): corpus-sized relations (paragraphs, the doc
+    token counts, per-doc counts/agg) never broadcast — only the
+    pair-graph slivers may (the components relation and the loser-pid
+    left-anti sliver); the reassembly join stays SortMergeJoin."""
+    from streamprocessing_spark.queries import dedup as QD
+
+    plan = (
+        QD.dedup_paragraph_keep_best(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    import re
+
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line:
+            # permissible: the comp sliver built against the paragraph
+            # stream (BuildLeft), or components-internal id↔id joins —
+            # never a corpus-keyed (doc_id) broadcast
+            assert ("BuildLeft" in line) or re.search(
+                r"BroadcastHashJoin \[id#\d+L?\], \[id#\d+L?\]", line
+            ), plan
+            assert "doc_id" not in line, plan
+    # the three corpus-sized joins stay SortMergeJoin: reassembly
+    # (LeftOuter on doc_id), the loser anti-join (LeftAnti on pid), and
+    # the sliver-onto-token-counts join (Inner on doc_id)
+    assert re.search(r"SortMergeJoin \[doc_id#\d+L?\], \[doc_id#\d+L?\], LeftOuter", plan), plan
+    assert re.search(r"SortMergeJoin \[pid#\d+L?\], \[pid#\d+L?\], LeftAnti", plan), plan
+    assert re.search(r"SortMergeJoin \[doc_id#\d+L?\], \[doc_id#\d+L?\], Inner", plan), plan

@@ -230,6 +230,18 @@ QUERIES = (
     # bitext IVF tier like the matrix)
     "dedup_cdc_keep",
     "decontaminate_crosslingual",
+    # round-10 fourth ring: the containment drop decision (rides the
+    # shared containment view), the quality-priority paragraph emit
+    # (rides the memoized parapairs view), cross-lingual dedup keep
+    # (bitext IVF mining + sliver components), and the erased-index
+    # serving tier. streaming_cdc_chunks_ingest is deliberately absent
+    # (same rationale as the paragraph twin): its gate path stages and
+    # drains a dedicated store, so a ratio would price the drain
+    # harness; its scale law is the batch tier's shared chunking law.
+    "dedup_containment_keep",
+    "dedup_paragraph_keep_best",
+    "dedup_crosslingual_keep",
+    "ivf_cosine_pairs_erased",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
@@ -273,6 +285,14 @@ PREWARM_PROXY = frozenset({
     # (marginal op = sliver argmax + broadcast anti-join)
     "ivf_cosine_pairs_incremental",
     "dedup_keep_best_quality",
+    # round 10 fourth ring: containment keep rides the shared
+    # containment view (the profile op's un-prewarmed row prices the
+    # build); keep_best rides the memoized parapairs view (marginal op
+    # = sliver components + argmax + anti-join + reassembly); the
+    # erased index's build+erase writes are one-time layout
+    "dedup_containment_keep",
+    "dedup_paragraph_keep_best",
+    "ivf_cosine_pairs_erased",
 })
 
 
