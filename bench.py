@@ -255,6 +255,7 @@ HEADLINE = [
     "dedup_paragraph_keep_best",
     "dedup_crosslingual_keep",
     "ivf_cosine_pairs_erased",
+    "ivf_cell_balance_audit",
 ]
 
 # streaming queries are benched via their shared concurrent drain in the

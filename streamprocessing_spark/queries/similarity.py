@@ -3,6 +3,8 @@ extension: ANN over an array<float> column)."""
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -3509,3 +3511,81 @@ def ivf_cosine_pairs_erased(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.select(
         "id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim")
     ).distinct()
+
+
+@register(
+    "ivf_cell_balance_audit",
+    oracle=f"""
+    WITH k AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
+    cent AS (SELECT vec_id AS cent_id, embedding AS cv
+             FROM embeddings, k WHERE vec_id < k.k),
+    scored AS (
+      SELECT e.vec_id AS id, c.cent_id,
+             {_sql_cos('e.embedding', 'c.cv')} AS cos_c
+      FROM embeddings e CROSS JOIN cent c),
+    assigned AS (
+      SELECT id, cent_id FROM (
+        SELECT id, cent_id,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY cos_c DESC, cent_id) AS rn
+        FROM scored)
+      WHERE rn <= 3),
+    counts AS (SELECT cent_id, count(*) AS n_vecs FROM assigned GROUP BY 1),
+    tot AS (SELECT count(*) AS t, (SELECT k FROM k) AS kk FROM assigned)
+    SELECT c.cent_id,
+           CAST(coalesce(n.n_vecs, 0) AS BIGINT) AS n_vecs,
+           CAST((coalesce(n.n_vecs, 0) * 1000) // greatest(t.t, 1) AS BIGINT)
+             AS load_permille,
+           CAST(CASE WHEN coalesce(n.n_vecs, 0) * t.kk > 2 * t.t
+                     THEN 1 ELSE 0 END AS BIGINT) AS overloaded
+    FROM cent c
+    LEFT JOIN counts n ON n.cent_id = c.cent_id
+    CROSS JOIN tot t
+    """,
+    tags=("similarity", "llm-pipeline", "approx", "layout"),
+)
+def ivf_cell_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTIZER-BALANCE audit — the retrain trigger closing the index
+    lifecycle (build → append → compact → erase → BALANCE-AUDIT): the
+    per-cell occupancy of the production nassign=3 assignment relation
+    (the exact rows the persisted index materializes), each cell's
+    integer load share, and an `overloaded` flag (cell > 2× the mean —
+    the FAISS imbalance_factor convention read per-cell). Appends drift
+    the distribution the offline quantizer was trained on; when hot
+    cells accumulate, cell-local verify kernels and DPP-pruned serves
+    degrade toward scans of the hot cell — this audit is the dashboard
+    row that schedules the quantizer retrain (the one maintenance
+    decision the erase/append ops deliberately do NOT make per-call).
+    Empty cells still emit rows (n_vecs = 0) — an all-zeros tail is
+    itself a retrain signal (wasted quantizer resolution).
+
+    Scale shape: the n·K assignment is the shared hot stage every IVF
+    consumer already pays (or a metadata aggregate over the PERSISTED
+    index's cent_id partitions — one directory listing per cell);
+    output is K = ceil(sqrt(n)) rows, dimension-sized."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned = S.ivf_assignments(emb, nassign=3)
+    n = emb.count()
+    k = int(math.ceil(math.sqrt(n))) if n else 0
+    cent = emb.where(F.col("vec_id") < k).select(F.col("vec_id").alias("cent_id"))
+    counts = assigned.groupBy("cent_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs")
+    )
+    tot = assigned.agg(
+        F.count(F.lit(1)).cast("long").alias("t")
+    ).withColumn("kk", F.lit(k).cast("long"))
+    return (
+        cent.join(counts, "cent_id", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cent_id",
+            F.coalesce(F.col("n_vecs"), F.lit(0)).cast("long").alias("n_vecs"),
+            F.expr("(coalesce(n_vecs, 0) * 1000) div greatest(t, 1)")
+            .cast("long")
+            .alias("load_permille"),
+            F.when(F.coalesce(F.col("n_vecs"), F.lit(0)) * F.col("kk") > 2 * F.col("t"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("overloaded"),
+        )
+    )

@@ -904,3 +904,27 @@ def test_paragraph_keep_best_plan_discipline(spark):
     assert re.search(r"SortMergeJoin \[doc_id#\d+L?\], \[doc_id#\d+L?\], LeftOuter", plan), plan
     assert re.search(r"SortMergeJoin \[pid#\d+L?\], \[pid#\d+L?\], LeftAnti", plan), plan
     assert re.search(r"SortMergeJoin \[doc_id#\d+L?\], \[doc_id#\d+L?\], Inner", plan), plan
+
+
+def test_ivf_cell_balance_audit_laws(spark):
+    """Conservation: Σ n_vecs == nassign·n (every vector assigns to
+    exactly 3 cells on the clean fixture); every centroid cell emits a
+    row; the overloaded flag replays n_vecs·K > 2·total; load_permille
+    sums to ~1000 (integer floor loses at most K permille)."""
+    import math
+
+    from streamprocessing_spark.sources.readers import load_table
+
+    rows = SPECS["ivf_cell_balance_audit"].fn(spark, SF).collect()
+    n = load_table(spark, SF, "embeddings").count()
+    k = math.ceil(math.sqrt(n))
+    assert len(rows) == k
+    total = sum(r.n_vecs for r in rows)
+    assert total == 3 * n
+    assert any(r.overloaded == 1 for r in rows) or all(
+        r.n_vecs * k <= 2 * total for r in rows
+    )
+    for r in rows:
+        assert r.overloaded == (1 if r.n_vecs * k > 2 * total else 0)
+        assert r.load_permille == (r.n_vecs * 1000) // total
+    assert total - k <= sum(r.load_permille * total // 1000 for r in rows) <= total
