@@ -242,6 +242,9 @@ QUERIES = (
     "dedup_paragraph_keep_best",
     "dedup_crosslingual_keep",
     "ivf_cosine_pairs_erased",
+    # the balance audit pays the shared n·K assignment honestly
+    # (un-prewarmed — ivf_cosine_pairs' law) and emits K rows
+    "ivf_cell_balance_audit",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
