@@ -218,6 +218,22 @@ PLAN_SET = [
     "contamination_matrix",
     "ivf_cosine_pairs_persisted",
     "quantization_recall_sweep",
+    # round-10 additions (batch ops; the two streaming ingest twins
+    # drain stores at plan time and are plan-pinned in tests instead)
+    "dedup_paragraph_keep",
+    "dedup_substring_keep",
+    "ivf_cosine_pairs_compacted",
+    "contamination_matrix_crosslingual",
+    "dedup_keep_best_quality",
+    "dedup_cdc_chunks",
+    "dedup_cdc_keep",
+    "ivf_cosine_pairs_incremental",
+    "decontaminate_crosslingual",
+    "dedup_containment_keep",
+    "dedup_paragraph_keep_best",
+    "dedup_crosslingual_keep",
+    "ivf_cosine_pairs_erased",
+    "ivf_cell_balance_audit",
 ]
 
 
