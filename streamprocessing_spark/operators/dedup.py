@@ -1096,17 +1096,13 @@ def sql_paras(table: str = "documents", id_col: str = "doc_id", p: int = PARA_TO
     ),"""
 
 
-def substring_containment_pairs(
+def positional_shingles(
     df: DataFrame, id_col: str, text_col: str, k: int = K_SHINGLE
 ) -> DataFrame:
-    """(id_inner, id_outer, n_occurrences, n_shingles): directional exact
-    token-level substring containment via sorted positional-shingle runs
-    — doc A occurs contiguously in doc B iff some offset o aligns every
-    one of A's positional k-shingles with an equal shingle of B (each
-    A-position contributes at most one match per offset, so per-offset
-    matched count == A's shingle count is exact containment, not a bag
-    overlap). See dedup_substring_containment's docstring for the scale
-    shape and the oracle for the SQL mirror."""
+    """(id, i, sh): every positional k-shingle of every document with ≥ k
+    tokens — the distributed suffix-array surrogate the containment law
+    aligns over. Factored out (round 10) so the batch operator and the
+    streaming ingest twin extract shingles under one law."""
     toked = df.select(
         F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t")
     ).where(F.size("t") >= k)
@@ -1115,9 +1111,19 @@ def substring_containment_pairs(
         F.sequence(F.lit(0), F.size(t) - k),
         lambda i: F.concat_ws(" ", *[F.element_at(t, i + j + 1) for j in range(k)]),
     )
-    pos = toked.select("id", F.posexplode(shingles).alias("i", "sh"))
-    sizes = pos.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
-    a, b = pos.alias("a"), pos.alias("b")
+    return toked.select("id", F.posexplode(shingles).alias("i", "sh"))
+
+
+def containment_verify(
+    pos_inner: DataFrame, pos_outer: DataFrame, sizes_inner: DataFrame
+) -> DataFrame:
+    """The per-offset alignment verify over two positional-shingle
+    relations: (id_inner, id_outer, n_occurrences, n_shingles) where
+    id_inner's full stream occurs contiguously in id_outer — matched
+    count at some offset o equals id_inner's total shingle count
+    (``sizes_inner``: (id, n)). Shared by the batch operator (self-join
+    case) and the streaming twin (new×stored directional cases)."""
+    a, b = pos_inner.alias("a"), pos_outer.alias("b")
     m = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") != F.col("b.id")))
         .select(
@@ -1129,7 +1135,7 @@ def substring_containment_pairs(
         .agg(F.count(F.lit(1)).alias("matched"))
     )
     return (
-        m.join(sizes.select(F.col("id").alias("id_inner"), "n"), "id_inner")
+        m.join(sizes_inner.select(F.col("id").alias("id_inner"), "n"), "id_inner")
         .where(F.col("matched") == F.col("n"))
         .groupBy("id_inner", "id_outer", "n")
         .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
@@ -1140,6 +1146,22 @@ def substring_containment_pairs(
             F.col("n").cast("long").alias("n_shingles"),
         )
     )
+
+
+def substring_containment_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = K_SHINGLE
+) -> DataFrame:
+    """(id_inner, id_outer, n_occurrences, n_shingles): directional exact
+    token-level substring containment via sorted positional-shingle runs
+    — doc A occurs contiguously in doc B iff some offset o aligns every
+    one of A's positional k-shingles with an equal shingle of B (each
+    A-position contributes at most one match per offset, so per-offset
+    matched count == A's shingle count is exact containment, not a bag
+    overlap). See dedup_substring_containment's docstring for the scale
+    shape and the oracle for the SQL mirror."""
+    pos = positional_shingles(df, id_col, text_col, k)
+    sizes = pos.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
+    return containment_verify(pos, pos, sizes)
 
 
 # ------------------------------------------------ content-defined chunks

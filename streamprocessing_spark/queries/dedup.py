@@ -1587,9 +1587,10 @@ def contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "dedup_substring_containment",
-    oracle=f"""
+# The full containment pair relation — shared verbatim by the batch
+# profile op and the streaming ingest twin (streaming_containment_ingest),
+# whose end state must equal this batch relation bit-for-bit.
+SQL_CONTAINMENT_PAIRS = f"""
     WITH ptoks AS (SELECT doc_id AS id, {T.SQL_TOKENS} AS t FROM documents),
     pos AS (SELECT id, i - 1 AS i, t[i] || ' ' || t[i+1] || ' ' || t[i+2] AS sh
             FROM (SELECT id, t, unnest(range(1, len(t) - 1)) AS i
@@ -1605,7 +1606,12 @@ def contamination_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM m JOIN sizes s ON s.id = m.id_inner
     WHERE m.matched = s.n
     GROUP BY m.id_inner, m.id_outer, s.n
-    """,
+    """
+
+
+@register(
+    "dedup_substring_containment",
+    oracle=SQL_CONTAINMENT_PAIRS,
     tags=("dedup", "llm-pipeline", "exact-tier"),
 )
 def dedup_substring_containment(spark: SparkSession, sf_dir: str) -> DataFrame:

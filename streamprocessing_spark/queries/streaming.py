@@ -1194,3 +1194,91 @@ def streaming_cdc_chunks_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("n_dup_chunks"), F.lit(0)) / F.col("n_chunks"), 4
         ).alias("dup_fraction"),
     )
+
+
+_CONT_INGEST: dict[tuple[str, str], str] = {}
+
+
+def _containment_ingest_base(spark: SparkSession, sf_dir: str) -> str:
+    """Drain the documents table through ContainmentIngestDedup once per
+    (session, sf_dir) — same three doc_id%3 single-file staging law as
+    the other ingest twins."""
+    import hashlib
+    import os
+    import shutil
+    from pathlib import Path
+
+    from streamprocessing_spark.sources.readers import load_table
+    from streamprocessing_spark.streaming.ingest_dedup import ContainmentIngestDedup
+
+    key = (spark.sparkContext.applicationId, sf_dir)
+    base = _CONT_INGEST.get(key)
+    if base is not None and os.path.isfile(os.path.join(base, "_DONE")):
+        return base
+
+    scratch = os.environ.get(
+        "SPARK_GRAFT_LOCAL_DIR",
+        str(Path(__file__).resolve().parent.parent.parent / ".spark-local"),
+    )
+    tag = hashlib.md5(f"{key[0]}:{sf_dir}".encode()).hexdigest()[:12]
+    base = os.path.join(scratch, "graft_cont_ingest", tag)
+    shutil.rmtree(base, ignore_errors=True)  # a half-built prior attempt
+    src = os.path.join(base, "src")
+    os.makedirs(src, exist_ok=True)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    for i in range(3):
+        d = os.path.join(base, f"chunk{i}")
+        docs.where((F.col("doc_id") % 3) == i).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(d)
+        part = next(f for f in os.listdir(d) if f.endswith(".parquet"))
+        shutil.copyfile(os.path.join(d, part), os.path.join(src, f"c{i}.parquet"))
+
+    sink = ContainmentIngestDedup(base=os.path.join(base, "state"), threshold=0.0)
+    q = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(sink.foreach_batch)
+        .option("checkpointLocation", os.path.join(base, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    with open(os.path.join(base, "_DONE"), "w") as fh:
+        fh.write("ok")
+    _CONT_INGEST[key] = base
+    return base
+
+
+from streamprocessing_spark.queries.dedup import SQL_CONTAINMENT_PAIRS as _SQL_CONT_PAIRS  # noqa: E402
+
+
+@register(
+    "streaming_containment_ingest",
+    oracle=_SQL_CONT_PAIRS,
+    tags=("streaming", "dedup", "llm-pipeline", "exact-tier"),
+)
+def streaming_containment_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming twin of the EXACT-CONTAINMENT tier (round 10) —
+    completing streaming coverage of every dedup granularity: documents
+    stream in as micro-batches, each batch extracts positional
+    3-shingles under the shared law and runs the per-offset alignment
+    verify in three directional slices against the persisted shingle
+    store (new⊂new, new⊂stored, stored⊂new — the last is the direction
+    a fingerprint store cannot see: a newly arrived superstring demotes
+    documents ingested long ago). Each directional pair is emitted
+    exactly once, in the batch where the later document arrives; probe
+    join volume concentrates on duplicated spans (the Σf² law of the
+    batch tier, f split across arrival times).
+
+    END state equals dedup_substring_containment bit-for-bit — this
+    query returns the streamed pair store under the batch tier's oracle
+    VERBATIM (queries.dedup.SQL_CONTAINMENT_PAIRS). Checkpoint-restart
+    and retry idempotence pinned in tests/test_round10_ops.py."""
+    from streamprocessing_spark.streaming.ingest_dedup import ContainmentIngestDedup
+
+    base = _containment_ingest_base(spark, sf_dir)
+    sink = ContainmentIngestDedup(base=f"{base}/state", threshold=0.0)
+    return sink.containment_pairs(spark)

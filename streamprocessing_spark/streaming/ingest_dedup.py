@@ -312,3 +312,75 @@ class CdcIngestDedup(IngestDedup):
         if df is None:
             return spark.createDataFrame([], "id bigint")
         return df.select(F.col("id_b").alias("id")).distinct()
+
+
+@dataclass(frozen=True)
+class ContainmentIngestDedup(IngestDedup):
+    """Ingest-time EXACT-CONTAINMENT dedup over a persisted positional-
+    shingle store (round 10) — the streaming twin of
+    ``queries.dedup.dedup_substring_containment``, completing the
+    streaming coverage of every dedup granularity (document, paragraph,
+    chunk, and now contiguous substring). Each micro-batch extracts
+    positional 3-shingles under the shared law
+    (operators.dedup.positional_shingles) and runs the per-offset
+    alignment verify (operators.dedup.containment_verify) in three
+    directional slices, each emitted exactly once — in the batch where
+    the LATER document of the pair arrives:
+
+    * new ⊂ new — the batch-local self case;
+    * new ⊂ stored — the batch's shingles probe the store as INNER;
+    * stored ⊂ new — the store probes the batch as INNER (a newly
+      arrived superstring demotes documents ingested long ago — the
+      direction a fingerprint store cannot see).
+
+    Containment needs the INNER side's total shingle count, so the
+    store keeps (id, i, sh) plus a per-doc size table; the probe join
+    volume is Σ f_new·f_stored over shared shingle VALUES — cost
+    concentrates on duplicated spans exactly as in the batch tier (at
+    100 TB the store is bucketed by shingle hash and the probe is a
+    bucket join). END state equals the batch pair relation bit-for-bit
+    (same oracle; checkpoint-restart pinned). Exactly-once via the
+    inherited batch=<id> overwrite contract; the sizes store rides the
+    docs_dir slot."""
+
+    def foreach_batch(self, batch: DataFrame, batch_id: int) -> None:
+        from streamprocessing_spark.operators.dedup import (
+            containment_verify,
+            positional_shingles,
+        )
+
+        spark = batch.sparkSession
+        pos_new = positional_shingles(
+            batch.select(self.id_col, self.text_col), self.id_col, self.text_col
+        ).localCheckpoint(eager=True)
+        sizes_new = (
+            pos_new.groupBy("id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .localCheckpoint(eager=True)
+        )
+        stored_pos = self._read(spark, self.buckets_dir, before_batch=batch_id)
+        if stored_pos is not None:
+            stored_pos = stored_pos.select("id", "i", "sh")
+            stored_sizes = self._read(
+                spark, self.docs_dir, before_batch=batch_id
+            ).select("id", "n")
+            pos_outer_all = pos_new.unionByName(stored_pos)
+            dups = containment_verify(pos_new, pos_outer_all, sizes_new).unionByName(
+                containment_verify(stored_pos, pos_new, stored_sizes)
+            )
+        else:
+            dups = containment_verify(pos_new, pos_new, sizes_new)
+        dups.write.mode("overwrite").parquet(f"{self.dups_dir}/batch={batch_id}")
+        pos_new.write.mode("overwrite").parquet(f"{self.buckets_dir}/batch={batch_id}")
+        sizes_new.write.mode("overwrite").parquet(f"{self.docs_dir}/batch={batch_id}")
+
+    def containment_pairs(self, spark: SparkSession) -> DataFrame:
+        """All directional containment pairs emitted so far."""
+        df = self._read(spark, self.dups_dir)
+        if df is None:
+            return spark.createDataFrame(
+                [],
+                "id_inner bigint, id_outer bigint, "
+                "n_occurrences bigint, n_shingles bigint",
+            )
+        return df.drop("batch")

@@ -928,3 +928,78 @@ def test_ivf_cell_balance_audit_laws(spark):
         assert r.overloaded == (1 if r.n_vecs * k > 2 * total else 0)
         assert r.load_permille == (r.n_vecs * 1000) // total
     assert total - k <= sum(r.load_permille * total // 1000 for r in rows) <= total
+
+
+def test_containment_ingest_checkpoint_restart_equals_batch(spark, tmp_path):
+    """The streaming containment tier must survive a stop/restart on one
+    checkpoint: run 1 drains only chunk 0, run 2 (same checkpoint, same
+    stores) drains the rest; the final directional pair set equals the
+    batch operator bit-for-bit and no pair is emitted twice."""
+    import shutil
+
+    from streamprocessing_spark.operators import dedup as D
+    from streamprocessing_spark.sources.readers import load_table
+    from streamprocessing_spark.streaming.ingest_dedup import ContainmentIngestDedup
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    src, staged = _stage_doc_chunks(spark, docs, str(tmp_path))
+    sink = ContainmentIngestDedup(base=str(tmp_path / "state"), threshold=0.0)
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        q = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .writeStream.foreachBatch(sink.foreach_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    shutil.copyfile(*staged[0])
+    run_once()
+    first = [tuple(r) for r in sink.containment_pairs(spark).collect()]
+    shutil.copyfile(*staged[1])
+    shutil.copyfile(*staged[2])
+    run_once()
+    final = [tuple(r) for r in sink.containment_pairs(spark).collect()]
+    assert len(final) == len(set(final)), "a pair was emitted twice across runs"
+    assert set(first) <= set(final)
+
+    batch_pairs = {
+        tuple(r)
+        for r in D.substring_containment_pairs(docs, "doc_id", "text").collect()
+    }
+    assert batch_pairs, "fixture yields no containment pairs"
+    assert set(final) == batch_pairs
+    # the direction a fingerprint store cannot see must be non-vacuous:
+    # at least one pair where the INNER doc arrived in an earlier chunk
+    # than its outer (stored ⊂ new; chunks drain in doc_id%3 order)
+    assert any((i % 3) < (o % 3) for (i, o, _n, _s) in final)
+
+
+def test_containment_ingest_batch_retry_is_idempotent(spark, tmp_path):
+    """Replaying a batch with the same batch_id must leave the pair,
+    shingle, and size stores unchanged — and must NOT verify against its
+    own first write (before_batch state visibility)."""
+    from pyspark.sql import functions as F
+
+    from streamprocessing_spark.sources.readers import load_table
+    from streamprocessing_spark.streaming.ingest_dedup import ContainmentIngestDedup
+
+    sf = "/root/testdata/sf0.001"
+    docs = load_table(spark, sf, "documents").select("doc_id", "text")
+    sink = ContainmentIngestDedup(base=str(tmp_path / "state"), threshold=0.0)
+    b0 = docs.where(F.col("doc_id") % 3 == 0)
+    b1 = docs.where(F.col("doc_id") % 3 == 1)
+    sink.foreach_batch(b0, 0)
+    sink.foreach_batch(b1, 1)
+    first = sorted(map(tuple, sink.containment_pairs(spark).collect()))
+    n_sh = spark.read.parquet(f"{sink.buckets_dir}/batch=*").count()
+    sink.foreach_batch(b1, 1)
+    sink.foreach_batch(b0, 0)
+    assert sorted(map(tuple, sink.containment_pairs(spark).collect())) == first
+    assert spark.read.parquet(f"{sink.buckets_dir}/batch=*").count() == n_sh
