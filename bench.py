@@ -256,6 +256,7 @@ HEADLINE = [
     "dedup_crosslingual_keep",
     "ivf_cosine_pairs_erased",
     "ivf_cell_balance_audit",
+    "ivf_retrain_recall_gain",
 ]
 
 # streaming queries are benched via their shared concurrent drain in the

@@ -3589,3 +3589,111 @@ def ivf_cell_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("overloaded"),
         )
     )
+
+
+_STALE_PRED = "vec_id % 2 = 0"  # the corpus before it doubled
+
+
+def _sql_pairs_for_quantizer(cent_cte: str) -> str:
+    """Candidate+verify pair CTE chain parameterized by the centroid CTE
+    name — shared by the retrain-gain oracle's stale and fresh sides."""
+    tag = cent_cte
+    return f"""
+    scored_{tag} AS (
+      SELECT e.vec_id AS id, c.cent_id,
+             {_sql_cos('e.embedding', 'c.cv')} AS cos_c
+      FROM embeddings e CROSS JOIN {tag} c),
+    assigned_{tag} AS (
+      SELECT id, cent_id FROM (
+        SELECT id, cent_id,
+               row_number() OVER (PARTITION BY id
+                                  ORDER BY cos_c DESC, cent_id) AS rn
+        FROM scored_{tag})
+      WHERE rn <= 3),
+    cand_{tag} AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+                   FROM assigned_{tag} a
+                   JOIN assigned_{tag} b
+                     ON a.cent_id = b.cent_id AND a.id < b.id),
+    pairs_{tag} AS (
+      SELECT c.id_a, c.id_b,
+             floor({_sql_cos('ea.embedding', 'eb.embedding')} * 1000000.0 + 0.5)
+               / 1000000.0 AS cos_sim
+      FROM cand_{tag} c
+      JOIN embeddings ea ON ea.vec_id = c.id_a
+      JOIN embeddings eb ON eb.vec_id = c.id_b
+      WHERE {_sql_cos('ea.embedding', 'eb.embedding')} >= {SRP_THRESHOLD})"""
+
+
+@register(
+    "ivf_retrain_recall_gain",
+    oracle=f"""
+    WITH kb AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k
+                FROM embeddings WHERE {_STALE_PRED}),
+    stale AS (SELECT vec_id AS cent_id, embedding AS cv
+              FROM embeddings, kb
+              WHERE vec_id < kb.k AND ({_STALE_PRED})),
+    kf AS (SELECT CAST(ceil(sqrt(count(*))) AS BIGINT) AS k FROM embeddings),
+    fresh AS (SELECT vec_id AS cent_id, embedding AS cv
+              FROM embeddings, kf WHERE vec_id < kf.k),
+    {_sql_pairs_for_quantizer('stale')},
+    {_sql_pairs_for_quantizer('fresh')}
+    SELECT f.id_a, f.id_b, f.cos_sim, 'gained' AS status
+    FROM pairs_fresh f
+    LEFT JOIN pairs_stale s ON s.id_a = f.id_a AND s.id_b = f.id_b
+    WHERE s.id_a IS NULL
+    UNION ALL
+    SELECT s.id_a, s.id_b, s.cos_sim, 'lost' AS status
+    FROM pairs_stale s
+    LEFT JOIN pairs_fresh f ON f.id_a = s.id_a AND f.id_b = s.id_b
+    WHERE f.id_a IS NULL
+    """,
+    tags=("similarity", "dedup", "llm-pipeline", "approx", "layout"),
+)
+def ivf_retrain_recall_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RETRAIN payoff measurement — the decision evidence behind the
+    trigger ivf_cell_balance_audit schedules: mine pairs under the
+    STALE quantizer (trained when the corpus was HALF its current
+    size — the state an append-heavy index actually serves, since the
+    incremental tier deliberately never retrains per batch) and under the
+    RETRAINED full-corpus quantizer, and emit the symmetric difference
+    with a status column: 'gained' pairs only the retrained cells
+    recover (the recall the stale quantizer silently loses as the
+    corpus drifts), 'lost' pairs only the stale cells found (cell
+    churn — candidates are cell-coincidence-dependent, so retraining
+    can also drop borderline co-residents; both directions are the
+    honest accounting a maintenance dashboard needs before paying the
+    re-assignment cost). Both quantizers, assignments and verifies are
+    deterministic — the whole comparison is bit-exact-oracled.
+
+    Scale shape: two n·K assignment passes + two cell-local verifies
+    (the ivf_cosine_pairs n^1.5 law, twice), then an anti-join of two
+    pair SLIVERS. In production the stale side is the PERSISTED index
+    (already materialized — zero marginal cost) and only the retrained
+    side is computed, so the real cost is one rebuild priced against
+    the measured recall gain this op reports."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.where(F.expr(_STALE_PRED))
+    pair_schema, cell_verify = S.cell_verify_kernel(SRP_THRESHOLD)
+    from streamprocessing_spark.functions.text import portable_round
+
+    def _pairs(cells: DataFrame) -> DataFrame:
+        scored = (
+            cells.select("cent_id", "id", "v")
+            .groupBy("cent_id")
+            .applyInPandas(cell_verify, pair_schema)
+        )
+        return scored.select(
+            "id_a", "id_b", portable_round(F.col("cos"), 6).alias("cos_sim")
+        ).distinct()
+
+    stale = _pairs(S.ivf_cell_vectors(emb, nassign=3, corpus=base)).localCheckpoint(
+        eager=True
+    )
+    fresh = _pairs(S.ivf_cell_vectors(emb, nassign=3)).localCheckpoint(eager=True)
+    gained = fresh.join(stale, ["id_a", "id_b"], "left_anti").withColumn(
+        "status", F.lit("gained")
+    )
+    lost = stale.join(fresh, ["id_a", "id_b"], "left_anti").withColumn(
+        "status", F.lit("lost")
+    )
+    return gained.unionByName(lost)

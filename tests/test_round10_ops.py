@@ -1003,3 +1003,18 @@ def test_containment_ingest_batch_retry_is_idempotent(spark, tmp_path):
     sink.foreach_batch(b0, 0)
     assert sorted(map(tuple, sink.containment_pairs(spark).collect())) == first
     assert spark.read.parquet(f"{sink.buckets_dir}/batch=*").count() == n_sh
+
+
+def test_ivf_retrain_recall_gain_laws(spark):
+    """Set algebra against the registered fresh tier: gained ⊆
+    ivf_cosine_pairs (the retrained law), lost ∩ fresh = ∅, the two
+    statuses are disjoint, and the diff is non-vacuous at sf0.001
+    (the half-corpus stale quantizer genuinely drifts)."""
+    rows = SPECS["ivf_retrain_recall_gain"].fn(spark, SF).collect()
+    fresh = {(r.id_a, r.id_b) for r in SPECS["ivf_cosine_pairs"].fn(spark, SF).collect()}
+    gained = {(r.id_a, r.id_b) for r in rows if r.status == "gained"}
+    lost = {(r.id_a, r.id_b) for r in rows if r.status == "lost"}
+    assert rows  # non-vacuous
+    assert gained <= fresh
+    assert not (lost & fresh)
+    assert not (gained & lost)

@@ -245,6 +245,9 @@ QUERIES = (
     # the balance audit pays the shared n·K assignment honestly
     # (un-prewarmed — ivf_cosine_pairs' law) and emits K rows
     "ivf_cell_balance_audit",
+    # the retrain comparison pays TWO assignment+verify passes
+    # (deliberately un-prewarmed — 2× the ivf_cosine_pairs law)
+    "ivf_retrain_recall_gain",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
