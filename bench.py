@@ -257,6 +257,7 @@ HEADLINE = [
     "ivf_cosine_pairs_erased",
     "ivf_cell_balance_audit",
     "ivf_retrain_recall_gain",
+    "dedup_crosslingual_keep_best",
 ]
 
 # streaming queries are benched via their shared concurrent drain in the

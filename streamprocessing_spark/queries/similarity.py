@@ -3697,3 +3697,114 @@ def ivf_retrain_recall_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status", F.lit("lost")
     )
     return gained.unionByName(lost)
+
+
+@register(
+    "dedup_crosslingual_keep_best",
+    oracle=f"""
+    WITH RECURSIVE pair_t AS MATERIALIZED ({_sql_bitext_ivf_oracle()}),
+    edges AS (
+      SELECT src_doc_id AS src, tgt_doc_id AS dst FROM pair_t
+      UNION
+      SELECT tgt_doc_id AS src, src_doc_id AS dst FROM pair_t
+    ),
+    reach AS (
+      SELECT src AS id, src AS r FROM edges
+      UNION
+      SELECT e.src AS id, reach.r AS r
+      FROM edges e JOIN reach ON e.dst = reach.id
+    ),
+    comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+    attest AS (
+      SELECT id, sum(margin_milli) AS margin_sum FROM (
+        SELECT src_doc_id AS id, margin_milli FROM pair_t
+        UNION ALL
+        SELECT tgt_doc_id AS id, margin_milli FROM pair_t)
+      GROUP BY id),
+    best AS (SELECT id FROM (
+       SELECT c.id,
+              row_number() OVER (PARTITION BY c.component
+                                 ORDER BY a.margin_sum DESC, c.id) AS rn
+       FROM comp c JOIN attest a ON a.id = c.id) WHERE rn = 1),
+    losers AS (SELECT id FROM comp WHERE id NOT IN (SELECT id FROM best)),
+    sizes AS (SELECT component, count(*) AS n_members FROM comp GROUP BY 1)
+    SELECT d.doc_id,
+           CAST(coalesce(c.component, d.doc_id) AS BIGINT) AS cluster_id,
+           CAST(coalesce(s.n_members, 1) AS BIGINT) AS n_members,
+           CAST(coalesce(a.margin_sum, 0) AS BIGINT) AS margin_sum,
+           d.lang
+    FROM documents d
+    LEFT JOIN comp c ON c.id = d.doc_id
+    LEFT JOIN sizes s ON s.component = c.component
+    LEFT JOIN attest a ON a.id = d.doc_id
+    WHERE d.doc_id NOT IN (SELECT id FROM losers)
+    """,
+    tags=("similarity", "dedup", "llm-pipeline", "text", "approx", "iterative", "quality"),
+)
+def dedup_crosslingual_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALITY-PRIORITY cross-lingual keep — dedup_crosslingual_keep's
+    min-id law replaced by keep-the-BEST-ATTESTED member: within each
+    translated cluster keep the document with the highest SUM of mined
+    margin scores over its incident bitext edges (ties to min doc_id) —
+    the translation HUB every other member was confidently paired with,
+    the member a multilingual corpus most wants to retain (the margin
+    sum is the cluster-internal alignment-confidence mass, the same
+    role token count plays for dedup_keep_best_quality and doc length
+    for dedup_paragraph_keep_best — every keep tier now has a
+    canonical/min-id law AND a quality-priority law). Output adds
+    margin_sum to the provenance columns; singletons keep themselves
+    with margin_sum 0.
+
+    Scale shape: identical to the min-id tier (mining is the bitext IVF
+    n^1.5 law; components, the attestation aggregate and the argmax all
+    run on the mined pair sliver; one broadcast anti-join for the
+    corpus) — the quality law adds one sliver-sized aggregate."""
+    from pyspark.sql.window import Window
+
+    from streamprocessing_spark.operators.dedup import connected_components
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    mined = bitext_mine_margin_ivf(spark, sf_dir).localCheckpoint(eager=True)
+    pairs = mined.select(
+        F.col("src_doc_id").alias("id_a"), F.col("tgt_doc_id").alias("id_b")
+    )
+    comp = connected_components(pairs)
+    attest = (
+        mined.select(F.col("src_doc_id").alias("id"), "margin_milli")
+        .unionByName(mined.select(F.col("tgt_doc_id").alias("id"), "margin_milli"))
+        .groupBy("id")
+        .agg(F.sum("margin_milli").cast("long").alias("margin_sum"))
+    )
+    memb = comp.join(attest, "id")
+    w = Window.partitionBy("component").orderBy(F.desc("margin_sum"), F.asc("id"))
+    losers = (
+        memb.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .select(F.col("id").alias("doc_id"))
+    )
+    sizes = comp.groupBy("component").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members")
+    )
+    kept = d.join(F.broadcast(losers), "doc_id", "left_anti")
+    return (
+        kept.join(
+            F.broadcast(comp.select(F.col("id").alias("doc_id"), "component")),
+            "doc_id",
+            "left",
+        )
+        .join(F.broadcast(sizes), "component", "left")
+        .join(
+            F.broadcast(attest.select(F.col("id").alias("doc_id"), "margin_sum")),
+            "doc_id",
+            "left",
+        )
+        .select(
+            "doc_id",
+            F.coalesce(F.col("component"), F.col("doc_id"))
+            .cast("long")
+            .alias("cluster_id"),
+            F.coalesce(F.col("n_members"), F.lit(1)).cast("long").alias("n_members"),
+            F.coalesce(F.col("margin_sum"), F.lit(0)).cast("long").alias("margin_sum"),
+            "lang",
+        )
+    )

@@ -1018,3 +1018,41 @@ def test_ivf_retrain_recall_gain_laws(spark):
     assert gained <= fresh
     assert not (lost & fresh)
     assert not (gained & lost)
+
+
+def test_crosslingual_keep_best_laws(spark):
+    """Same cluster structure as the min-id tier (identical cluster_id /
+    n_members per kept row's cluster), exactly one kept per cluster and
+    it is the (max margin_sum, min id) member — replayed in python over
+    the mined relation; non-vacuously different from min-id keep."""
+    best = {r.doc_id: r for r in SPECS["dedup_crosslingual_keep_best"].fn(spark, SF).collect()}
+    minid = {r.doc_id: r for r in SPECS["dedup_crosslingual_keep"].fn(spark, SF).collect()}
+    mined = SPECS["bitext_mine_margin_ivf"].fn(spark, SF).collect()
+
+    assert len(best) == len(minid)  # one kept per cluster either way
+    assert set(best) != set(minid)  # non-vacuous: some hub beats its min
+
+    margin = {}
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for r in mined:
+        margin[r.src_doc_id] = margin.get(r.src_doc_id, 0) + r.margin_milli
+        margin[r.tgt_doc_id] = margin.get(r.tgt_doc_id, 0) + r.margin_milli
+        parent[find(r.src_doc_id)] = find(r.tgt_doc_id)
+    clusters = {}
+    for x in list(parent):
+        clusters.setdefault(find(x), set()).add(x)
+
+    for members in clusters.values():
+        keep = min(members, key=lambda m: (-margin[m], m))
+        assert keep in best
+        assert best[keep].margin_sum == margin[keep]
+        assert best[keep].n_members == len(members)
+        assert not (members - {keep}) & set(best)

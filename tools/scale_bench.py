@@ -248,6 +248,9 @@ QUERIES = (
     # the retrain comparison pays TWO assignment+verify passes
     # (deliberately un-prewarmed — 2× the ivf_cosine_pairs law)
     "ivf_retrain_recall_gain",
+    # quality-priority cross-lingual keep: the min-id tier's law plus
+    # one sliver aggregate (rides the same bitext IVF mining cost)
+    "dedup_crosslingual_keep_best",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
