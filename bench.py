@@ -258,6 +258,7 @@ HEADLINE = [
     "ivf_cell_balance_audit",
     "ivf_retrain_recall_gain",
     "dedup_crosslingual_keep_best",
+    "decontaminate_substring",
 ]
 
 # streaming queries are benched via their shared concurrent drain in the

@@ -2090,3 +2090,66 @@ def dedup_cdc_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
         F.coalesce(F.col("kept_text"), F.lit("")).alias("kept_text"),
     )
+
+
+@register(
+    "decontaminate_substring",
+    oracle=f"""
+    WITH {_SQL_CONT_CTES},
+    contn AS (SELECT m.id_inner, m.id_outer,
+                     CAST(count(*) AS BIGINT) AS n_occurrences,
+                     CAST(s.n AS BIGINT) AS n_shingles
+              FROM m JOIN sizes s ON s.id = m.id_inner
+              WHERE m.matched = s.n
+              GROUP BY m.id_inner, m.id_outer, s.n),
+    sp AS ({_SQL_SPLIT})
+    SELECT c.id_outer AS train_id, c.id_inner AS eval_id,
+           se.split AS eval_split, c.n_occurrences, c.n_shingles
+    FROM contn c
+    JOIN sp st ON st.doc_id = c.id_outer AND st.split = 'train'
+    JOIN sp se ON se.doc_id = c.id_inner AND se.split IN ('valid', 'test')
+    """,
+    tags=("dedup", "llm-pipeline", "exact-tier", "quality"),
+)
+def decontaminate_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT-SUBSTRING decontamination — the strictest tier of the
+    decontamination family (lexical n-gram hashing →
+    decontaminate_hashed, paraphrase embeddings → decontaminate_semantic,
+    translation → decontaminate_crosslingual, and now verbatim
+    quotation): an eval document whose ENTIRE token stream occurs
+    contiguously inside a training document is memorization risk in its
+    purest form (Lee et al. 2022's motivating case — benchmark items
+    quoted wholesale inside crawled pages; n-gram-overlap tiers dilute
+    this signal across thresholds, containment states it exactly).
+    Emits oriented evidence rows (train_id, eval_id, eval_split,
+    n_occurrences, n_shingles) — drop/flag train_id, cite eval_id —
+    from the SHARED containment view filtered through the hash-split
+    map: detection cost is paid once per session across the three
+    containment consumers (profile, keep, decon).
+
+    Scale shape: the containment view's Σf² law, then two broadcast
+    probes of the corpus-keyed split map against the pair SLIVER."""
+    from streamprocessing_spark.operators.dedup import _h32
+
+    d = load_table(spark, sf_dir, "documents")
+    h = _h32(F.col("doc_id").cast("string")) % 100
+    sp = d.select(
+        "doc_id",
+        F.when(h < 80, "train").when(h < 90, "valid").otherwise("test").alias("split"),
+    )
+    pairs = _containment_view(spark, sf_dir)
+    tr = sp.where(F.col("split") == "train").select(F.col("doc_id").alias("t_id"))
+    ev = sp.where(F.col("split") != "train").select(
+        F.col("doc_id").alias("e_id"), F.col("split").alias("eval_split")
+    )
+    return (
+        pairs.join(tr, pairs.id_outer == tr.t_id)
+        .join(ev, pairs.id_inner == ev.e_id)
+        .select(
+            F.col("id_outer").alias("train_id"),
+            F.col("id_inner").alias("eval_id"),
+            "eval_split",
+            "n_occurrences",
+            "n_shingles",
+        )
+    )

@@ -1056,3 +1056,35 @@ def test_crosslingual_keep_best_laws(spark):
         assert best[keep].margin_sum == margin[keep]
         assert best[keep].n_members == len(members)
         assert not (members - {keep}) & set(best)
+
+
+def test_decontaminate_substring_laws(spark):
+    """Consistency with the containment relation and the split law:
+    every evidence row is a containment pair whose outer is train and
+    inner is valid/test under the md5-hash split; non-vacuous; and the
+    relation is exactly the filtered view (no pair invented or lost)."""
+    import hashlib
+
+    rows = SPECS["decontaminate_substring"].fn(spark, SF).collect()
+    pairs = {
+        (r.id_inner, r.id_outer): (r.n_occurrences, r.n_shingles)
+        for r in SPECS["dedup_substring_containment"].fn(spark, SF).collect()
+    }
+
+    def split(doc_id):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+        return "train" if h < 80 else ("valid" if h < 90 else "test")
+
+    assert rows  # non-vacuous
+    got = set()
+    for r in rows:
+        assert split(r.train_id) == "train"
+        assert split(r.eval_id) == r.eval_split and r.eval_split in ("valid", "test")
+        assert pairs[(r.eval_id, r.train_id)] == (r.n_occurrences, r.n_shingles)
+        got.add((r.eval_id, r.train_id))
+    expected = {
+        (i, o)
+        for (i, o) in pairs
+        if split(o) == "train" and split(i) != "train"
+    }
+    assert got == expected

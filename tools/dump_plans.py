@@ -234,6 +234,9 @@ PLAN_SET = [
     "dedup_crosslingual_keep",
     "ivf_cosine_pairs_erased",
     "ivf_cell_balance_audit",
+    "ivf_retrain_recall_gain",
+    "dedup_crosslingual_keep_best",
+    "decontaminate_substring",
 ]
 
 

@@ -251,6 +251,9 @@ QUERIES = (
     # quality-priority cross-lingual keep: the min-id tier's law plus
     # one sliver aggregate (rides the same bitext IVF mining cost)
     "dedup_crosslingual_keep_best",
+    # substring decon rides the shared containment view (prewarmed —
+    # the profile op's row prices the build; marginal = split probes)
+    "decontaminate_substring",
 )
 REPLICAS = 10
 PROXY_DIR = str(Path(__file__).resolve().parent.parent / ".scalebench" / "sf1.0")
@@ -302,6 +305,9 @@ PREWARM_PROXY = frozenset({
     "dedup_containment_keep",
     "dedup_paragraph_keep_best",
     "ivf_cosine_pairs_erased",
+    # substring decon: marginal = two split probes over the memoized
+    # containment view (the profile op's un-prewarmed row is the build)
+    "decontaminate_substring",
 })
 
 
