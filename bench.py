@@ -41,6 +41,20 @@ VIEW_BUILDER_KINDS = {
     "dedup_simhash": ("shpairs",),
     "copurchase_lift": ("graphop",),
     "minhash_jaccard_estimate_audit": ("mhaudit",),
+    # round-10 optimization: the bitext mining cascade and the IVF pair
+    # set became session-shared views (4 + 2 headline consumers). The
+    # producing query prices the full build every rep; the first keep
+    # consumer prices the components build over the built pair view.
+    "bitext_mine_margin_ivf": ("bitextcomp", "bitext"),
+    "dedup_crosslingual_keep": ("bitextcomp",),
+    "ivf_cosine_pairs": ("ivfcomp", "ivfpairs"),
+    "semantic_dedup_keep_ivf": ("ivfcomp",),
+    # measurement-honesty fix (round 10): the mid-build session made the
+    # containment pair set a shared view but never priced its build to a
+    # bench row — the median-of-3 hid the build in rep 1 and
+    # dedup_substring_containment read as 0.04 s. Restore the round-9
+    # semantics: the profile query prices the containment build.
+    "dedup_substring_containment": ("contain",),
 }
 
 # Headline set: the reference-derived pipelines + the heavier analytics /

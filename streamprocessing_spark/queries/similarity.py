@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from streamprocessing_spark.operators import similarity as S
 from streamprocessing_spark.registry import register
+from streamprocessing_spark.shared_views import shared_view
 from streamprocessing_spark.sources.readers import load_table
 
 # Portable cosine in DuckDB SQL: identical arithmetic to operators.similarity
@@ -355,6 +356,36 @@ def _sql_ivf_pairs_oracle(threshold: float, nassign: int) -> str:
     """
 
 
+def _ivf_pairs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared IVF-cell cosine pair set (id_a, id_b, cos_sim) at
+    SRP_THRESHOLD — the relation ivf_cosine_pairs emits and both
+    semantic-dedup keep tiers compose. Catalyst does not CSE across
+    query invocations, so without sharing each consumer re-trained the
+    quantizer and re-ran the cell-local verify (round-10 optimization;
+    same discipline as dedup's mhpairs)."""
+
+    def _build() -> DataFrame:
+        emb = load_table(spark, sf_dir, "embeddings")
+        return S.ivf_cosine_pairs(emb, SRP_THRESHOLD, nassign=3)
+
+    return shared_view(spark, "ivfpairs", sf_dir, _build)
+
+
+def _ivf_comp_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the IVF pair graph — the semantic
+    dup-cluster map shared by semantic_dedup_keep and its _ivf alias
+    (both run the identical star contraction; one build per session,
+    mirroring dedup's mhcomp view)."""
+    from streamprocessing_spark.operators.dedup import connected_components
+
+    return shared_view(
+        spark,
+        "ivfcomp",
+        sf_dir,
+        lambda: connected_components(_ivf_pairs_view(spark, sf_dir)),
+    )
+
+
 @register(
     "ivf_cosine_pairs",
     oracle=_sql_ivf_pairs_oracle(SRP_THRESHOLD, 3),
@@ -367,9 +398,12 @@ def ivf_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     assignment and the verify at n^1.5 instead of banding's n²·c^r with
     frozen r. Same exact-cosine verify, same bit-exact oracle discipline
     as srp_lsh_cosine_pairs; recall vs the exact tier asserted in
-    tests/test_similarity.py."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    return S.ivf_cosine_pairs(emb, SRP_THRESHOLD, nassign=3)
+    tests/test_similarity.py.
+
+    Serves the session-shared ``ivfpairs`` view (round-10 optimization):
+    the semantic-dedup keep tiers compose this exact relation, so the
+    quantizer training + cell-local verify build once per session."""
+    return _ivf_pairs_view(spark, sf_dir)
 
 
 @register(
@@ -584,11 +618,8 @@ def semantic_dedup_keep_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     baseline. Keeps slightly different (IVF-recall) dup clusters — both
     variants are exact-verified at the same θ, so every removed vector
     really does have a ≥θ twin; only the candidate generator differs."""
-    from streamprocessing_spark.operators.dedup import connected_components
-
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = S.ivf_cosine_pairs(emb, SRP_THRESHOLD, nassign=3)
-    comp = connected_components(pairs)
+    comp = _ivf_comp_view(spark, sf_dir)
     losers = comp.where(F.col("component") != F.col("id")).select(
         F.col("id").alias("vec_id")
     )
@@ -635,11 +666,8 @@ def semantic_dedup_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     duplicates (paraphrases, re-encodings) that share no shingles — the
     two compose into the standard curation cascade (lexical pass, then
     semantic pass)."""
-    from streamprocessing_spark.operators.dedup import connected_components
-
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = S.ivf_cosine_pairs(emb, SRP_THRESHOLD, nassign=3)
-    comp = connected_components(pairs)
+    comp = _ivf_comp_view(spark, sf_dir)
     losers = comp.where(F.col("component") != F.col("id")).select(
         F.col("id").alias("vec_id")
     )
@@ -2393,26 +2421,10 @@ def _sql_bitext_ivf_oracle() -> str:
     """
 
 
-@register(
-    "bitext_mine_margin_ivf",
-    oracle=_sql_bitext_ivf_oracle(),
-    tags=("similarity", "llm-pipeline", "text", "approx", "production-tier"),
-)
-def bitext_mine_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PRODUCTION bitext mining — the margin law of bitext_mine_margin
-    computed over IVF-CELL SHORTLISTS instead of the exact X×Y cross
-    (exactly how LASER/CCMatrix mine at web scale: FAISS-IVF shortlist,
-    margin re-rank). Both language sides assign to the deterministic
-    K = ceil(sqrt(n)) quantizer (nassign = 3, the ivf_cosine_pairs
-    quantizer, shared via operators.similarity.ivf_assignments);
-    candidates are cross-language pairs sharing a cell — n^1.5 scoring
-    instead of |X|·|Y| — and the ratio-margin denominators use each
-    side's top-4 WITHIN the shortlist (the standard FAISS-kNN margin,
-    which is itself shortlist-approximate in every production miner).
-    Integer-quantized margin arithmetic identical to the exact tier;
-    the quantizer, shortlist law and margin are all deterministic, so
-    the whole approximate pipeline is still bit-exact-oracled. Recall
-    vs the exact tier asserted in tests."""
+def _bitext_mined_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full bitext IVF mining cascade (quantizer training, cell
+    assignment, cell-local cross scoring, margin re-rank) — the builder
+    behind the session-shared ``bitext`` view."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
     emb = load_table(spark, sf_dir, "embeddings")
     assigned = S.ivf_assignments(emb, nassign=3)
@@ -2468,6 +2480,61 @@ def bitext_mine_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+def _bitext_mined_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session-shared margin-mined bitext pair set (src_doc_id,
+    tgt_doc_id, margin_milli) — the production tier's output relation,
+    composed by four cross-lingual consumers (contamination matrix,
+    decontamination evidence, both dedup keeps). One quantizer training
+    + cell-local scoring pass per (session, sf_dir) instead of five
+    (round-10 optimization; the parapairs/mhpairs discipline)."""
+    return shared_view(
+        spark, "bitext", sf_dir, lambda: _bitext_mined_build(spark, sf_dir)
+    )
+
+
+def _bitext_comp_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components of the mined-bitext pair graph — the
+    translated-cluster map both cross-lingual keep tiers run star
+    contraction on; shared so the O(log² n) rounds build once per
+    session (mirrors dedup's mhcomp view)."""
+    from streamprocessing_spark.operators.dedup import connected_components
+
+    def _build() -> DataFrame:
+        pairs = _bitext_mined_view(spark, sf_dir).select(
+            F.col("src_doc_id").alias("id_a"), F.col("tgt_doc_id").alias("id_b")
+        )
+        return connected_components(pairs)
+
+    return shared_view(spark, "bitextcomp", sf_dir, _build)
+
+
+@register(
+    "bitext_mine_margin_ivf",
+    oracle=_sql_bitext_ivf_oracle(),
+    tags=("similarity", "llm-pipeline", "text", "approx", "production-tier"),
+)
+def bitext_mine_margin_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PRODUCTION bitext mining — the margin law of bitext_mine_margin
+    computed over IVF-CELL SHORTLISTS instead of the exact X×Y cross
+    (exactly how LASER/CCMatrix mine at web scale: FAISS-IVF shortlist,
+    margin re-rank). Both language sides assign to the deterministic
+    K = ceil(sqrt(n)) quantizer (nassign = 3, the ivf_cosine_pairs
+    quantizer, shared via operators.similarity.ivf_assignments);
+    candidates are cross-language pairs sharing a cell — n^1.5 scoring
+    instead of |X|·|Y| — and the ratio-margin denominators use each
+    side's top-4 WITHIN the shortlist (the standard FAISS-kNN margin,
+    which is itself shortlist-approximate in every production miner).
+    Integer-quantized margin arithmetic identical to the exact tier;
+    the quantizer, shortlist law and margin are all deterministic, so
+    the whole approximate pipeline is still bit-exact-oracled. Recall
+    vs the exact tier asserted in tests.
+
+    Serves the session-shared ``bitext`` view (round-10 optimization):
+    the four cross-lingual consumers compose this exact relation, so
+    the mining cascade builds once per session."""
+    return _bitext_mined_view(spark, sf_dir)
 
 
 def _sql_ivf_topk_oracle() -> str:
@@ -3362,13 +3429,8 @@ def dedup_crosslingual_keep(spark: SparkSession, sf_dir: str) -> DataFrame:
     (star-contraction, O(log² n) rounds); the corpus pays one broadcast
     anti-join. Fully oracled — quantizer, shortlist, margin and
     components are all deterministic."""
-    from streamprocessing_spark.operators.dedup import connected_components
-
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    pairs = bitext_mine_margin_ivf(spark, sf_dir).select(
-        F.col("src_doc_id").alias("id_a"), F.col("tgt_doc_id").alias("id_b")
-    )
-    comp = connected_components(pairs)
+    comp = _bitext_comp_view(spark, sf_dir)
     losers = comp.where(F.col("component") != F.col("id")).select(
         F.col("id").alias("doc_id")
     )
@@ -3761,14 +3823,11 @@ def dedup_crosslingual_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus) — the quality law adds one sliver-sized aggregate."""
     from pyspark.sql.window import Window
 
-    from streamprocessing_spark.operators.dedup import connected_components
-
     d = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
-    mined = bitext_mine_margin_ivf(spark, sf_dir).localCheckpoint(eager=True)
-    pairs = mined.select(
-        F.col("src_doc_id").alias("id_a"), F.col("tgt_doc_id").alias("id_b")
-    )
-    comp = connected_components(pairs)
+    # the shared view is an eager cache — the localCheckpoint that used
+    # to guard the multi-traversal of the mined relation is redundant
+    mined = _bitext_mined_view(spark, sf_dir)
+    comp = _bitext_comp_view(spark, sf_dir)
     attest = (
         mined.select(F.col("src_doc_id").alias("id"), "margin_milli")
         .unionByName(mined.select(F.col("tgt_doc_id").alias("id"), "margin_milli"))
