@@ -31,6 +31,7 @@ from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from streamprocessing_spark.functions.text import SQL_TOKENS, TOKEN_RE, portable_round
+from streamprocessing_spark.partitioning import fan_out
 
 K_SHINGLE = 3
 NUM_HASHES = 64
@@ -112,7 +113,9 @@ def shingle_df(df: DataFrame, id_col: str, text_col: str, k: int = K_SHINGLE) ->
     regexp tokenizer (~3×shingle-count times per row — measured 10× slower
     at sf0.1). array_distinct already dedupes within a doc, so no extra
     distinct shuffle is needed."""
-    toked = df.select(F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t"))
+    toked = fan_out(df, id_col).select(
+        F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t")
+    )
     t = F.col("t")
     shingles = F.transform(
         F.sequence(F.lit(0), F.size(t) - k),
@@ -422,7 +425,7 @@ def minhash_lsh_pairs_scaled(
 def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """(id, simhash): 60-bit simhash over term frequencies. Two narrow
     aggregations (doc×token counts, then 60 signed bit-sums per doc)."""
-    toks = df.select(
+    toks = fan_out(df, id_col).select(
         F.col(id_col).alias("id"), F.explode(tokens_col(F.col(text_col))).alias("tok")
     )
     # Hash BEFORE the shuffle: grouping on (id, h) ships 16 bytes/row
@@ -793,7 +796,7 @@ def char_shingle_df(df: DataFrame, id_col: str, text_col: str, k: int = 5) -> Da
     shingles are too coarse. Same downstream machinery (jaccard_on_pairs /
     minhash) as word shingles."""
     norm = F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
-    toked = df.select(F.col(id_col).alias("id"), norm.alias("s"))
+    toked = fan_out(df, id_col).select(F.col(id_col).alias("id"), norm.alias("s"))
     sgrams = F.transform(
         F.sequence(F.lit(1), F.length(F.col("s")) - k + 1),
         lambda i: F.col("s").substr(i, F.lit(k)),
@@ -1055,7 +1058,7 @@ def paragraph_df(
     never cross a window boundary (each window re-tokenizes to exactly
     its token slice — tokens match TOKEN_RE individually, so the
     space-join/re-extract round-trip is lossless)."""
-    toked = df.select(
+    toked = fan_out(df, id_col).select(
         F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("t")
     ).where(F.size("t") > 0)
     # Cap the window count at the pid stride (ADVICE r09): a doc with
@@ -1103,7 +1106,7 @@ def positional_shingles(
     tokens — the distributed suffix-array surrogate the containment law
     aligns over. Factored out (round 10) so the batch operator and the
     streaming ingest twin extract shingles under one law."""
-    toked = df.select(
+    toked = fan_out(df, id_col).select(
         F.col(id_col).alias("id"), tokens_col(F.col(text_col)).alias("t")
     ).where(F.size("t") >= k)
     t = F.col("t")
@@ -1178,7 +1181,7 @@ def cdc_chunk_df(
     law; see queries.dedup.dedup_cdc_chunks for the full story). Shared
     by the batch profile/emit tiers and the streaming ingest twin — one
     chunking law, three consumers."""
-    toked = df.select(
+    toked = fan_out(df, id_col).select(
         F.col(id_col).alias("doc_id"), tokens_col(F.col(text_col)).alias("t")
     ).where(F.size("t") > 0)
     pos = toked.select("doc_id", F.posexplode("t").alias("i", "tok")).select(

@@ -305,13 +305,17 @@ def test_countmin_sketch_is_broadcast(spark, sf_dir):
 
 
 def test_pq_luts_are_broadcast(spark, sf_dir):
-    """Every ADC lookup-table probe joins as a broadcast — PQ's scan must
-    stay a codes-table pass, not PQ_M shuffles."""
+    """The ADC lookup tables attach to the codes scan as ONE broadcast of
+    per-query (k -> d) maps read with element_at (round 10: the previous
+    discipline of PQ_M sequential broadcast joins re-materialized the
+    candidate relation per subquantizer). The codes table must never
+    shuffle to meet a LUT."""
     df = SPECS["ann_pq_adc_topk"].fn(spark, sf_dir)
     plan = X.formatted_plan(df)
-    from streamprocessing_spark.operators.similarity import PQ_M
 
-    assert plan.count("BroadcastHashJoin") >= PQ_M, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "map_from_entries" in plan and "element_at(lut_" in plan, plan
 
 
 def test_pit_join_is_one_exchange(spark, sf_dir):
