@@ -2207,12 +2207,18 @@ def asof_join_next_order_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("t").alias("o_t"),
         F.lit(None).cast("long").alias("event_id"),
     )
+    # Forward scan as a REVERSE-ordered growing frame: first(...) over
+    # [CURRENT ROW, UNBOUNDED FOLLOWING] makes Spark rescan to the
+    # partition end per row (quadratic in a hot key's timeline); last()
+    # over the reversed sort's unbounded-preceding frame is the same
+    # value computed incrementally (round 10 — see
+    # interpolate_hourly_linear for the measured sibling).
     w = (
         Window.partitionBy("k")
-        .orderBy("t", "side")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        .orderBy(F.col("t").desc(), F.col("side").desc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    picked = F.first(
+    picked = F.last(
         F.when(F.col("side") == 0, F.struct("o_t", "o_orderkey")), ignorenulls=True
     ).over(w)
     merged = left.unionByName(right).withColumn("nxt", picked)

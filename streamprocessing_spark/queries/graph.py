@@ -397,13 +397,19 @@ def _copurchase_triangles(op: DataFrame) -> tuple[DataFrame, DataFrame]:
     # hash-set intersection over avg-degree-60 arrays costs more than
     # shuffling the 41M wedge rows through the codegen'd hash join. The
     # wedge join also composes with AQE partition coalescing; keep it.
+    # The closure joins on ONE packed bigint (b·10⁹ + c, injective for
+    # ids < 10⁹ — the same domain bound _OK already relies on) instead
+    # of the (b_, c_) two-column key: sorting the 41M-row wedge side by
+    # a single long instead of two measured 4.9 s -> 1.6 s at sf0.1
+    # (round 10; a shuffled-hash hint on either key shape was slower).
     e1 = oe.select(F.col("u"), F.col("v").alias("b_"), F.col("okv").alias("ok1"))
     e2 = oe.select(F.col("u"), F.col("v").alias("c_"), F.col("okv").alias("ok2"))
     wedges = e1.join(e2, "u").where(F.col("ok1") < F.col("ok2"))
-    closer = oe.select(F.col("u").alias("b_"), F.col("v").alias("c_"))
-    tri = wedges.join(closer, ["b_", "c_"]).select(
-        F.col("u").alias("a_"), "b_", "c_"
-    )
+    pack = lambda x, y: (F.col(x) * _OK + F.col(y)).cast("long")  # noqa: E731
+    closer = oe.select(pack("u", "v").alias("bc"))
+    tri = wedges.select(
+        F.col("u").alias("a_"), "b_", "c_", pack("b_", "c_").alias("bc")
+    ).join(closer, "bc")
     counts = (
         tri.select(
             F.explode(F.array(F.col("a_"), F.col("b_"), F.col("c_"))).alias("l_partkey")

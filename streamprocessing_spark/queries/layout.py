@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from streamprocessing_spark.partitioning import fan_out
 from streamprocessing_spark.registry import register
 from streamprocessing_spark.sources.readers import load_table
 
@@ -343,7 +344,9 @@ def hilbert_key_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     a pure-Python reference pins the curve itself). Each step is a
     narrow projection — the whole key is one codegen'd expression
     pipeline over the scan, exactly like the Z-order key."""
-    o = load_table(spark, sf_dir, "orders")
+    # the 16-step walk runs pre-shuffle at scan parallelism — fan the
+    # single-split local scan out first (round 10)
+    o = fan_out(load_table(spark, sf_dir, "orders"), "o_orderkey")
     raw = o.select(
         "o_orderkey",
         F.col("o_custkey").cast("long").alias("xr"),
@@ -479,7 +482,8 @@ def clustering_skipping_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrowing — this query prices the layouts against each other."""
     from streamprocessing_spark.operators.ranking import global_row_number
 
-    o = load_table(spark, sf_dir, "orders")
+    # the Hilbert walk is the data-dependent cost here too (round 10)
+    o = fan_out(load_table(spark, sf_dir, "orders"), "o_orderkey")
     raw = o.select(
         "o_orderkey",
         F.col("o_custkey").cast("long").alias("xr"),
