@@ -1365,9 +1365,16 @@ def _pq_score_topk(scored: DataFrame, lut: DataFrame, top_k: int) -> DataFrame:
     (round-10 optimization): the previous form ran PQ_M sequential
     broadcast hash joins, each re-materializing the whole candidate
     relation. element_at on a map returns the identical double the
-    equi-join attached (every code_j is a surviving centroid of its
-    codebook, so no lookup can miss), and the ADC total keeps the same
-    left-to-right PQ_M-term order — bit-identical output."""
+    equi-join attached, and the ADC total keeps the same left-to-right
+    PQ_M-term order — bit-identical output. The map_contains_key guard
+    below replays the INNER-join semantics of the form this replaced:
+    a candidate whose (j, code_j) has no LUT entry must be DROPPED, not
+    scored NULL — reachable when a subspace's slice is empty (vectors
+    shorter than PQ_M·PQ_SUB dims, e.g. the hostile fixture's 8-d
+    embeddings: posexplode of the empty slice gives that codebook no
+    centroid sums, so its LUT side is empty) — and a NULL code_j never
+    matches (map_contains_key returns NULL, where() drops it), exactly
+    like the old NULL join key."""
     lut_maps = lut.groupBy("query_id").agg(
         *[
             F.map_from_entries(
@@ -1380,11 +1387,14 @@ def _pq_score_topk(scored: DataFrame, lut: DataFrame, top_k: int) -> DataFrame:
     )
     scored = scored.join(F.broadcast(lut_maps), "query_id")
     adc = F.element_at(F.col("lut_0"), F.col("code_0"))
+    hit = F.map_contains_key(F.col("lut_0"), F.col("code_0"))
     for j in range(1, PQ_M):
         adc = adc + F.element_at(F.col(f"lut_{j}"), F.col(f"code_{j}"))
+        hit = hit & F.map_contains_key(F.col(f"lut_{j}"), F.col(f"code_{j}"))
     w_top = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("id"))
     return (
         scored.where(F.col("id") != F.col("query_id"))
+        .where(hit)
         .withColumn("adc", adc)
         .withColumn("rank", F.row_number().over(w_top))
         .where(F.col("rank") <= top_k)

@@ -239,3 +239,23 @@ def test_ann_shard_plan_snake_balance(spark, sf_dir):
     if len(loads) == N_SHARDS:
         biggest_cell = max(r.n_vecs for r in rows)
         assert max(loads.values()) - min(loads.values()) <= biggest_cell
+
+
+def test_pq_adc_drops_candidates_with_missing_lut_entries(spark):
+    """Inner-join semantics of the ADC attach survive the map-broadcast
+    form (round-10): vectors SHORTER than PQ_M·PQ_SUB dims leave the
+    tail subspaces' slices empty, so those codebooks never produce
+    centroid sums and their LUT side is EMPTY — the old per-subspace
+    equi-joins emitted zero rows, and the element_at rewrite must not
+    resurrect candidates with NULL ADC terms (the oracle replays the
+    inner join and returns zero rows on such input — the hostile
+    fixture's 8-d embeddings hit exactly this)."""
+    emb = spark.createDataFrame(
+        [(i, [float(i % 7) + 0.25, 1.0 - float(i % 3), 0.5 * i, 1.0,
+              0.1 * i, 2.0, 3.0 - i, 0.75]) for i in range(40)],
+        "vec_id bigint, embedding array<double>",
+    )
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    assert S.pq_adc_topk(emb, queries, 10).count() == 0
