@@ -39,7 +39,10 @@ VIEW_BUILDER_KINDS = {
     # marginal over the built components
     "dedup_keep_canonical": ("mhcomp",),
     "dedup_simhash": ("shpairs",),
-    "copurchase_lift": ("graphop",),
+    # round-10 optimization: the basket pair-support relation became the
+    # second tier of the shared graph cascade (ten consumers) — the lift
+    # query prices BOTH builds every rep, consumers stay marginal
+    "copurchase_lift": ("copairs", "graphop"),
     "minhash_jaccard_estimate_audit": ("mhaudit",),
     # round-10 optimization: the bitext mining cascade and the IVF pair
     # set became session-shared views (4 + 2 headline consumers). The

@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from streamprocessing_spark.partitioning import fan_out
 from streamprocessing_spark.registry import register
 from streamprocessing_spark.shared_views import release_shared_views, shared_view
 from streamprocessing_spark.sources.readers import load_table
@@ -27,21 +28,72 @@ def _op_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     workload (and at bench time the nine graph queries stop paying the
     same distinct-shuffle nine times). Cache/staleness/eviction contract
     lives in shared_views (this module pioneered the pattern in round 2;
-    the dedup cascade now shares the same machinery)."""
+    the dedup cascade now shares the same machinery).
+
+    Round 10: the build fans the single-split scan out on l_orderkey
+    BEFORE the distinct — the orderkey hash partitioning satisfies the
+    (l_orderkey, l_partkey) grouping (subset rule), so the distinct adds
+    no second exchange, and every consumer that joins on l_orderkey
+    (the pair-support build, the Apriori 3-leg join) reads a cache that
+    is ALREADY partitioned on its join key — zero exchanges on the big
+    side of the basket self-join."""
     return shared_view(
         spark,
         "graphop",
         sf_dir,
-        lambda: load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct(),
+        lambda: fan_out(
+            load_table(spark, sf_dir, "lineitem").select(
+                "l_orderkey", "l_partkey"
+            ),
+            "l_orderkey",
+        ).distinct(),
     )
+
+
+def _pair_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The co-purchase PAIR-SUPPORT relation (s < d canonical part pair,
+    n = number of shared orders) — the second tier of the shared graph
+    cascade (round 10). Every graph operator's first real step is the
+    same O(orders · basket²) basket self-join over ``graphop``; before
+    this view each of the ten operators re-ran it per invocation
+    (Catalyst never CSEs across queries). All their edge relations are
+    algebraic slices of this one table:
+
+    - distinct canonical edges   = SELECT s, d
+    - symmetric / <> edge forms  = canonical UNION flipped (same n)
+    - support-thresholded graphs = WHERE n >= K
+    - copurchase_lift's pairs    = WHERE n >= MIN_SUPPORT (with n)
+
+    so sharing it changes no query's output, only where the self-join
+    cost is paid (priced to copurchase_lift's bench row, the first
+    headline consumer — same discipline as mhpairs/bitext/ivfpairs)."""
+
+    def build() -> DataFrame:
+        op = _op_view(spark, sf_dir)
+        a, b = op.alias("a"), op.alias("b")
+        return (
+            a.join(
+                b,
+                (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+                & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+            )
+            .groupBy(
+                F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d")
+            )
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+
+    return shared_view(spark, "copairs", sf_dir, build)
 
 
 def release_op_views(spark: SparkSession) -> int:
     """Drop the graph views and unpersist their caches — kept as the
-    graph-family alias of shared_views.release_shared_views."""
-    return release_shared_views(spark, "graphop")
+    graph-family alias of shared_views.release_shared_views. Releases
+    the derived pair-support tier FIRST so a staleness refresh can never
+    leave copairs serving data from a released graphop snapshot."""
+    return release_shared_views(spark, "copairs") + release_shared_views(
+        spark, "graphop"
+    )
 
 
 
@@ -78,27 +130,19 @@ def copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs, so the shuffle is O(orders · basket²), not O(parts²); the
     per-part counts are a broadcast-sized dimension joined back after
     aggregation."""
-    # three consumers (pair self-join sides, per-part counts, total) —
-    # the shared checkpointed view serves all of them (and every other
-    # graph operator in the session). The pair AGGREGATION dominates the
-    # runtime either way: a basket-collect + combination-explode
-    # formulation measured within 5% of this self-join at sf0.1.
+    # the pair aggregation is the shared copairs view (round 10) — this
+    # query's bench row prices its build; the filter below is the only
+    # marginal pair work. Per-part counts and the order total still read
+    # the op view. (A basket-collect + combination-explode formulation
+    # measured within 5% of the self-join at sf0.1.)
     op = _op_view(spark, sf_dir)
     tot = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     pc = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_p"))
-    a, b = op.alias("a"), op.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("p_a"), F.col("b.l_partkey").alias("p_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= MIN_SUPPORT)
-    )
+    pairs = _pair_view(spark, sf_dir).select(
+        F.col("s").alias("p_a"),
+        F.col("d").alias("p_b"),
+        F.col("n").alias("n_ab"),
+    ).filter(F.col("n_ab") >= MIN_SUPPORT)
     ca = pc.select(F.col("l_partkey").alias("p_a"), F.col("n_p").alias("n_a"))
     cb = pc.select(F.col("l_partkey").alias("p_b"), F.col("n_p").alias("n_b"))
     return (
@@ -158,15 +202,13 @@ def basket_bfs_part_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     recursive-CTE oracle enumerates (node, hops) pairs with UNION
     dedup, so both engines compute the same min-hop map."""
     op = _op_view(spark, sf_dir)
-    a, b = op.alias("a"), op.alias("b")
+    # the <> edge set is the symmetric closure of the shared canonical
+    # pair view (distinct by construction — s < d on one side, d > s on
+    # the other), so the basket self-join is never re-run here
+    pv = _pair_view(spark, sf_dir)
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
+        pv.select(F.col("s").alias("src"), F.col("d").alias("dst"))
+        .unionByName(pv.select(F.col("d").alias("src"), F.col("s").alias("dst")))
         .localCheckpoint(eager=True)
     )
     frontier = op.agg(F.min("l_partkey").alias("id")).withColumn("hops", F.lit(0))
@@ -247,16 +289,12 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(orders · basket²), the same bound as copurchase_lift; driver sees
     nothing but the loop counter (no convergence collect needed for a
     fixed-iteration rank)."""
-    op = _op_view(spark, sf_dir)
-    a, b = op.alias("a"), op.alias("b")
+    # symmetric closure of the shared canonical pair view (round 10) —
+    # the basket self-join is paid once per session, not per query
+    pv = _pair_view(spark, sf_dir)
     edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
+        pv.select(F.col("s").alias("src"), F.col("d").alias("dst"))
+        .unionByName(pv.select(F.col("d").alias("src"), F.col("s").alias("dst")))
         # reuse one src partitioning for the degree agg and every round's
         # rank join: one shuffle up front instead of one per consumer
         .repartition("src")
@@ -346,32 +384,22 @@ def triangle_count_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge blow-up because its edges point into it. All arithmetic is
     integer; both engines compute the identical oriented edge set, so
     the count is exact, not sampled."""
-    _, counts = _copurchase_triangles(_op_view(spark, sf_dir))
+    _, counts = _copurchase_triangles(_pair_view(spark, sf_dir))
     return counts
 
 
-def _copurchase_triangles(op: DataFrame) -> tuple[DataFrame, DataFrame]:
+def _copurchase_triangles(pv: DataFrame) -> tuple[DataFrame, DataFrame]:
     """(canonical src<dst edge list, per-node triangle counts) for the
     co-purchase graph — shared by triangle_count_copurchase and
     clustering_coefficient_parts.
 
-    Edges are built CANONICAL (src < dst) from the basket self-join —
-    half the pair-join output and half the distinct volume of the
-    both-directions form — and the degree orientation is then a per-edge
-    conditional FLIP instead of a filter, so no edge is materialized
-    twice anywhere. (Wall clock at sf0.1 sits in a 6-8 s band either
-    way; the halved shuffle is the part that compounds at 100 TB.)"""
-    a, b = op.alias("a"), op.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)  # three consumers: deg + two okey joins
-    )
+    Edges are CANONICAL (src < dst) — exactly the shared pair-support
+    view's key set (round 10: the basket self-join is no longer re-run
+    here) — and the degree orientation is a per-edge conditional FLIP
+    instead of a filter, so no edge is materialized twice anywhere."""
+    und = pv.select(
+        F.col("s").alias("src"), F.col("d").alias("dst")
+    ).localCheckpoint(eager=True)  # three consumers: deg + two okey joins
     okey = (
         und.select(F.explode(F.array("src", "dst")).alias("id"))
         .groupBy("id")
@@ -471,7 +499,7 @@ def clustering_coefficient_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     the copurchase_lift discipline. Cost is the triangle pipeline plus
     one broadcast-sized left join of the degree table against the
     triangle counts."""
-    und, counts = _copurchase_triangles(_op_view(spark, sf_dir))
+    und, counts = _copurchase_triangles(_pair_view(spark, sf_dir))
     # canonical (src < dst) edges: a node's degree counts it at EITHER end
     deg = (
         und.select(F.explode(F.array("src", "dst")).alias("l_partkey"))
@@ -560,18 +588,10 @@ def kcore_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ops. The per-round edge-count collect is the 1-row convergence check
     the driver is allowed (house rule). A degree-D hub costs D rows in
     the degree agg, never D² — no skew blowup."""
-    op = _op_view(spark, sf_dir)
-    a, b = op.alias("a"), op.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-        .localCheckpoint(eager=True)
-    )
+    # canonical edges = the shared pair view's key set (round 10)
+    edges = _pair_view(spark, sf_dir).select(
+        F.col("s").alias("src"), F.col("d").alias("dst")
+    ).localCheckpoint(eager=True)
     n_edges = edges.count()
     for _ in range(KCORE_ROUNDS):
         if n_edges == 0:
@@ -662,19 +682,8 @@ def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     PageRank cost profile, partitioning on the node id reused across
     rounds, lineage truncated per round. Fixed rounds ⇒ no convergence
     collect at all; the oracle unrolls the identical rounds."""
-    op = _op_view(spark, sf_dir)
-    a, b = op.alias("a"), op.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= LP_SUPPORT)
-        .select("s", "d")
-    )
+    # support-thresholded slice of the shared pair view (round 10)
+    e = _pair_view(spark, sf_dir).where(F.col("n") >= LP_SUPPORT).select("s", "d")
     ed = (
         e.select(F.col("s").alias("src"), F.col("d").alias("dst"))
         .unionByName(e.select(F.col("d").alias("src"), F.col("s").alias("dst")))
@@ -755,16 +764,8 @@ def sssp_weighted_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     path may be cheaper), which is why the union + min shape is the
     correct primitive."""
     op = _op_view(spark, sf_dir)
-    a, b = op.alias("a"), op.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d"))
-        .distinct()
-    )
+    # canonical distinct pairs = the shared pair view's keys (round 10)
+    e = _pair_view(spark, sf_dir).select("s", "d")
     w = F.lit(1) + (F.col("s") + F.col("d")) % F.lit(9)
     ed = (
         e.select(F.col("s").alias("src"), F.col("d").alias("dst"), w.alias("w"))
@@ -843,16 +844,11 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     shared neighbor bounds candidates exactly like triangle counting;
     the anti-join removes existing edges so the output is genuinely
     predictive; degrees broadcast back for the union term."""
-    op = _op_view(spark, sf_dir)
-    a, b = op.alias("a"), op.alias("b")
-    sup = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d"))
-        .agg(F.count(F.lit(1)).alias("n"))
+    # the <> support relation is the symmetric closure of the shared
+    # canonical pair view — counts are direction-independent (round 10)
+    pv = _pair_view(spark, sf_dir)
+    sup = pv.unionByName(
+        pv.select(F.col("d").alias("s"), F.col("s").alias("d"), "n")
     )
     wk = Window.partitionBy("s").orderBy(F.desc("n"), F.asc("d"))
     knn = sup.withColumn("rk", F.row_number().over(wk)).where(
@@ -946,22 +942,13 @@ def degree_assortativity_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     build is the shared-view support join every graph query pays; the
     degree join keys on node (vertex-dimension); the moments fold in one
     map-side-combinable aggregate. No windows, no collects."""
-    op = _op_view(spark, sf_dir)
-    a, b = op.alias("a"), op.alias("b")
+    # support-thresholded slice of the shared pair view (round 10) —
+    # three consumers (degree build, both instance-join sides) read the
+    # session cache, so no checkpoint copy is needed
     pairs = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("p_a"), F.col("b.l_partkey").alias("p_b"))
-        .agg(F.count(F.lit(1)).alias("n_ab"))
-        .filter(F.col("n_ab") >= MIN_SUPPORT)
-        .select("p_a", "p_b")
-        # edge-dimension table feeding THREE consumers (degree build and
-        # both sides of the instance join): materialize once or Catalyst
-        # re-runs the O(orders·basket²) support self-join per consumer
-        .localCheckpoint(eager=True)
+        _pair_view(spark, sf_dir)
+        .filter(F.col("n") >= MIN_SUPPORT)
+        .select(F.col("s").alias("p_a"), F.col("d").alias("p_b"))
     )
     dir_e = pairs.select(F.col("p_a").alias("u"), F.col("p_b").alias("v")).unionAll(
         pairs.select(F.col("p_b").alias("u"), F.col("p_a").alias("v"))
@@ -1042,20 +1029,9 @@ def modularity_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: beyond the LPA rounds themselves, two label joins on
     the edge list (partitioned by node id like every LPA round) and
     community-sized everything after — the m scalar broadcasts."""
-    op = _op_view(spark, sf_dir)
-    a, b = op.alias("a"), op.alias("b")
-    e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("s"), F.col("b.l_partkey").alias("d"))
-        .agg(F.count(F.lit(1)).alias("n"))
-        .where(F.col("n") >= LP_SUPPORT)
-        .select("s", "d")
-        .localCheckpoint(eager=True)  # feeds m, in-edges AND degrees
-    )
+    # support-thresholded slice of the shared pair view (round 10);
+    # feeds m, in-edges AND degrees — all straight off the session cache
+    e = _pair_view(spark, sf_dir).where(F.col("n") >= LP_SUPPORT).select("s", "d")
     lab = label_prop_communities(spark, sf_dir).select(
         F.col("l_partkey").alias("node"), F.col("community").alias("label")
     ).localCheckpoint(eager=True)  # node-sized; joined three times
@@ -1223,17 +1199,12 @@ def frequent_triples_apriori(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exchange), then a map-side-combinable count over (a,b,c)."""
     op = _op_view(spark, sf_dir)
     a, b, c = op.alias("a"), op.alias("b"), op.alias("c")
+    # frequent-pair sliver = support-thresholded shared pair view
+    # (round 10); probed three times straight off the session cache
     fp = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(F.col("a.l_partkey").alias("x"), F.col("b.l_partkey").alias("y"))
-        .agg(F.count(F.lit(1)).alias("n"))
+        _pair_view(spark, sf_dir)
         .where(F.col("n") >= TRIPLE_SUPPORT)
-        .select("x", "y")
-        .localCheckpoint(eager=True)  # the frequent sliver: probed three times
+        .select(F.col("s").alias("x"), F.col("d").alias("y"))
     )
     tri = (
         a.join(
