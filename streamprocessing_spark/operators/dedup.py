@@ -682,7 +682,11 @@ def _large_star(edges: DataFrame) -> DataFrame:
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
-        .distinct()
+        # no distinct here (round 10): the small-star half that always
+        # follows ends in distinct, which dedups this output's
+        # duplicates identically — dropping the mid-round exchange +
+        # aggregation costs nothing in correctness (set-equal) and the
+        # duplicate inflation is bounded by the pre-distinct edge count
     )
 
 
@@ -725,28 +729,33 @@ def connected_components(pairs: DataFrame, max_iterations: int = 30) -> DataFram
     inherent to iterative graph algorithms — each round is fully
     distributed; only the 1-row convergence check touches the driver.
     """
-    # localCheckpoint (eager) per round truncates the join lineage so
-    # round i does not re-execute rounds 1..i-1 (and the full pair
-    # generation) on every convergence check — the standard
-    # iterative-Spark pattern.
+    # The pair GENERATION pipeline is evaluated exactly ONCE (round 10):
+    # the id-pair projection is checkpointed first and nodes/edges both
+    # derive from that materialization — the previous shape evaluated
+    # the caller's pair build twice (once for the nodes checkpoint, once
+    # for the edges checkpoint), which for an expensive pair source
+    # (the phash band cascade, an uncached LSH tier) doubled the
+    # dominant cost. Checkpoints are LAZY with the count() supplying the
+    # materialization — an eager checkpoint runs its own internal count
+    # job, so eager + count paid two driver jobs per materialization.
     # nodes come from the UNFILTERED pairs: a reflexive pair (x, x)
     # contributes no edge but node x must still appear (component = x),
-    # matching the recursive-CTE oracle and the old implementation
+    # matching the recursive-CTE oracle and the old implementation.
+    base = pairs.select(
+        F.col("id_a").alias("u"), F.col("id_b").alias("v")
+    ).localCheckpoint(eager=False)
     nodes = (
-        pairs.select(F.col("id_a").alias("id"))
-        .unionByName(pairs.select(F.col("id_b").alias("id")))
+        base.select(F.col("u").alias("id"))
+        .unionByName(base.select(F.col("v").alias("id")))
         .distinct()
-        .localCheckpoint(eager=True)
     )
     edges = (
-        pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-        .where(F.col("u") != F.col("v"))
-        .distinct()
-        .localCheckpoint(eager=True)
+        base.where(F.col("u") != F.col("v")).distinct().localCheckpoint(eager=False)
     )
     prev_count = edges.count()
     for _ in range(max_iterations):
-        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=True)
+        # per-round lineage truncation (lazy; the count materializes it)
+        new_edges = _small_star(_large_star(edges)).localCheckpoint(eager=False)
         new_count = new_edges.count()
         # star forest ⇒ both ops are no-ops ⇒ edge set unchanged; compare
         # by count + one-sided set difference (both distinct)

@@ -25,6 +25,8 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from streamprocessing_spark.partitioning import fan_out
+
 
 def dot_double(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in double precision (portable)."""
@@ -147,9 +149,15 @@ def topk_per_query(
     (numpy dim-fold kernel — bit-identical to the interpreted fold),
     keep k per query. TakeOrdered semantics via row_number: each shuffle
     partition only carries its local survivors. Output
-    (query_id, neighbor_id, rank)."""
+    (query_id, neighbor_id, rank).
+
+    The corpus side fans out on its unique id first (round 10): the Q·n
+    scoring runs before the top-k shuffle, i.e. at scan parallelism —
+    one core on any single-row-group input, a plan no-op on a real
+    multi-split scan."""
     scored = with_cosine_fast(
-        emb.join(F.broadcast(queries))
+        fan_out(emb, id_col)
+        .join(F.broadcast(queries))
         .where(F.col(id_col) != F.col(query_id_col))
         .select(
             F.col(query_id_col),
@@ -328,7 +336,12 @@ def srp_buckets_fast(
     # The id field keeps the caller's type (string doc ids, int32 keys…)
     # instead of a hardcoded bigint that would Arrow-miscast at runtime.
     id_type = df.schema[id_col].dataType.simpleString()
-    return df.mapInPandas(kernel, f"id {id_type}, band int, sig string")
+    # fan the signature kernel out (round 10): mapInPandas runs at the
+    # input's partitioning — scan parallelism (one core on a single-split
+    # table) unless the caller already shuffled
+    return df.mapInPandas(
+        kernel, f"id {id_type}, band int, sig string"
+    )
 
 
 def srp_lsh_cosine_pairs(
@@ -663,7 +676,12 @@ def ivf_cell_vectors(
             F.col(vec_col).alias("cent_vec"),
         )
     )
-    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # fan the single-split scan out on the unique id (round 10): the
+    # n·K assignment cosines below run BEFORE the first shuffle, i.e. at
+    # scan parallelism — one core on any one-row-group input
+    vecs = fan_out(
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")), "id"
+    )
     # both hot stages (n·K assignment cosines, candidate verify) run the
     # numpy dim-fold kernel — bit-identical to the interpreted folds
     w_assign = Window.partitionBy("id").orderBy(F.desc("cos_c"), F.asc("cent_id"))
@@ -1124,12 +1142,17 @@ def _kmeans_loop(
     bit-identical to an uninterrupted run — the checkpoint/restart
     property iterative float pipelines can't have (asserted in
     tests/test_round3_ops.py)."""
-    q = emb.select(
-        F.col(id_col).alias("id"),
-        F.expr(
-            f"transform({vec_col}, x -> "
-            f"CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}.0 + 0.5) AS BIGINT))"
-        ).alias("xi"),
+    # fan_out BEFORE the checkpoint (round 10): the checkpoint freezes
+    # the partitioning, so a single-split scan otherwise pins every
+    # iteration's n·k distance folds to one core
+    q = (
+        emb.select(
+            F.col(id_col).alias("id"),
+            F.expr(
+                f"transform({vec_col}, x -> "
+                f"CAST(floor(CAST(x AS DOUBLE) * {KMEANS_SCALE}.0 + 0.5) AS BIGINT))"
+            ).alias("xi"),
+        )
     ).localCheckpoint(eager=True)  # re-scored every iteration
     cent = (
         init_cent
@@ -1292,8 +1315,16 @@ def pq_train_encode(
     codes: (id, code_0..code_{M-1}); codebooks: (j, k, s, cnt) exact
     integer Lloyd state (the kmeans_assign discipline — no RNG, no
     float accumulation)."""
+    # fan_out BEFORE the checkpoint (round 10): every Lloyd iteration
+    # re-scores sub at the checkpoint's frozen partitioning
     sub = (
-        emb.select(F.col(id_col).alias("id"), F.posexplode(_pq_slices_col(vec_col)).alias("j", "xi"))
+        fan_out(
+            emb.select(
+                F.col(id_col).alias("id"),
+                F.posexplode(_pq_slices_col(vec_col)).alias("j", "xi"),
+            ),
+            "id",
+        )
         .localCheckpoint(eager=True)  # re-scored every Lloyd iteration
     )
     cent = sub.where(F.col("id") < PQ_K).select(

@@ -3233,7 +3233,12 @@ def quantization_recall_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"ELSE floor(CAST(x AS DOUBLE) * {levels}.0D / {mx} + 0.5D) END)"
         )
 
-    corpus = emb.select(
+    # fan the single-split scan out (round 10): the quantize projections
+    # and all three Q·n cosine folds run before the final aggregation's
+    # shuffle, i.e. at scan parallelism
+    from streamprocessing_spark.partitioning import fan_out
+
+    corpus = fan_out(emb, "vec_id").select(
         "vec_id", "embedding", F.expr(q(127)).alias("e8"), F.expr(q(7)).alias("e4")
     )
     queries = corpus.where(F.col("vec_id") < N_QUERIES).select(
