@@ -224,7 +224,9 @@ def exact_jaccard_pairs(
     separate candidate pass + re-join. ``shingler`` selects the shingle
     function (word shingle_df by default; char_shingle_df for short
     texts)."""
-    sh = (shingler or shingle_df)(df, id_col, text_col)
+    # checkpoint the shingle set — three consumers (sizes + both join
+    # sides); see minhash_lsh_pairs' note
+    sh = (shingler or shingle_df)(df, id_col, text_col).localCheckpoint(eager=False)
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("id").alias("id_a"), "sh")
     sb = sh.select(F.col("id").alias("id_b"), "sh")
@@ -339,14 +341,19 @@ def minhash_lsh_pairs(df: DataFrame, id_col: str, text_col: str, threshold: floa
     stage makes precision exact, so for well-separated corpora the result
     set equals the brute-force oracle's.
     """
-    # The shingle set feeds both the signature and the verify join; persist
-    # it so the tokenize+explode runs once, not twice (at cluster scale
-    # this is a checkpoint/exchange-reuse; in-memory persist locally).
-    # Measured: persisting the exploded shingle set costs more than
-    # recomputing it for the verify join (materialization + lost
-    # pipelining), so both branches recompute from the (columnar, pruned)
-    # scan.
-    sh = shingle_df(df, id_col, text_col)
+    # The shingle set feeds the signature pass AND three verify-stage
+    # consumers (sizes + both join sides) with DIFFERENT projections and
+    # keys, so exchange reuse never applies and the tokenize + shingle
+    # explode re-ran up to 4× per build. A round-8 note here claimed
+    # materialization cost more than recompute; re-measured in round 10
+    # AFTER the fan_out change (the recompute is no longer hidden behind
+    # a single-core scan the other consumers wait on): checkpointing the
+    # shingle set roughly halves the scaled build (7.4 → 3.0 s at sf0.1)
+    # — and gives every downstream join ACCURATE runtime stats instead
+    # of the collapsed explode-derived static estimate (the same class
+    # of mis-estimate as the round-9 paragraph broadcast cliff). Lazy:
+    # the signature aggregation materializes it.
+    sh = shingle_df(df, id_col, text_col).localCheckpoint(eager=False)
     cand = lsh_candidate_pairs(minhash_signature_df(sh))
     return (
         jaccard_on_pairs(sh, cand)
@@ -385,7 +392,12 @@ def scaled_band_buckets(sh: DataFrame, n_rows: int) -> DataFrame:
 
 
 def minhash_lsh_pairs_scaled(
-    df: DataFrame, id_col: str, text_col: str, threshold: float, n_rows: int
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float,
+    n_rows: int,
+    merge_hint: bool = False,
 ) -> DataFrame:
     """MinHash-LSH near-duplicate pairs with CORPUS-SCALED banding —
     r(n) minhashes per band and recall-held b(r) bands derived from a
@@ -402,7 +414,17 @@ def minhash_lsh_pairs_scaled(
     coefficient index i·MH_RMAX + j — the index law the oracle replays);
     the one aggregation pass and the band-bucket self-join keep the plan
     shape identical to the fixed tier's pinned plan."""
-    sh = shingle_df(df, id_col, text_col)
+    # checkpoint the shingle set — four consumers with different keys;
+    # see minhash_lsh_pairs' note (measured 7.4 → 3.0 s at sf0.1).
+    # ``merge_hint``: the checkpoint is a materialization barrier, so a
+    # hint the CALLER put on ``df`` no longer reaches the joins above it
+    # — the paragraph tier re-applies its anti-broadcast discipline here
+    # (every relation derived from the shingle set is corpus-sized by
+    # construction; the round-9 ×100 cliff pin requires zero broadcasts
+    # in this build at every fixture scale).
+    sh = shingle_df(df, id_col, text_col).localCheckpoint(eager=False)
+    if merge_hint:
+        sh = sh.hint("merge")
     buckets = scaled_band_buckets(sh, n_rows)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (

@@ -1409,7 +1409,7 @@ def _para_pairs_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         # anti-broadcast hint below attached
         n_paras = paras.count()
         return D.minhash_lsh_pairs_scaled(
-            paras.hint("merge"), "pid", "ptext", JACCARD_THRESHOLD, n_paras
+            paras, "pid", "ptext", JACCARD_THRESHOLD, n_paras, merge_hint=True
         )
 
     return shared_view(spark, "parapairs", sf_dir, _build)

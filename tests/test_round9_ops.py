@@ -298,9 +298,12 @@ def test_parapairs_build_never_broadcasts(spark):
     from streamprocessing_spark.sources.readers import load_table
 
     d = load_table(spark, "/root/testdata/sf0.001", "documents")
-    paras = D.paragraph_df(d, "doc_id", "text").hint("merge")
+    paras = D.paragraph_df(d, "doc_id", "text")
+    # round 10: the build checkpoints its shingle set (a materialization
+    # barrier a caller-side hint cannot cross), so the anti-broadcast
+    # discipline rides the merge_hint parameter instead of a df hint
     pairs = D.minhash_lsh_pairs_scaled(
-        paras, "pid", "ptext", JACCARD_THRESHOLD, paras.count()
+        paras, "pid", "ptext", JACCARD_THRESHOLD, paras.count(), merge_hint=True
     )
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" not in plan, plan
