@@ -298,6 +298,17 @@ def decontaminate_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFra
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", T.tokens(F.col("text")).alias("t")
     )
+    # Round-10 optimization, A/B-measured in one session at sf0.1
+    # (5-rep medians): the shingle relation feeds BOTH join sides
+    # (bench filter + train filter) and Catalyst re-ran the whole
+    # tokenize + 8-gram explode per side — checkpoint it once (lazy,
+    # the bench distinct materializes it). The train side then skips
+    # its own pre-join distinct: the bench side IS distinct, so
+    # count(DISTINCT sh) per doc equals the old distinct-then-count,
+    # and the partial-distinct aggregation replaces a full shuffle of
+    # the train shingle relation. 2.94 → 1.79 s; a fan_out on the head
+    # was tried too and REVERTED (3.74 s — repartitioning full text
+    # costs more than the single-core 8-gram transform it saves).
     sh = docs.filter(F.size("t") >= NGRAM_N).select(
         "doc_id",
         F.explode(
@@ -306,11 +317,11 @@ def decontaminate_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFra
                 f" i -> array_join(slice(t, i, {NGRAM_N}), ' '))"
             )
         ).alias("sh"),
-    )
+    ).localCheckpoint(eager=False)
     bench = sh.filter(F.col("doc_id") % 11 == 0).select("sh").distinct()
-    train = sh.filter(F.col("doc_id") % 11 != 0).select("doc_id", "sh").distinct()
+    train = sh.filter(F.col("doc_id") % 11 != 0)
     return train.join(bench, "sh").groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_shared_shingles")
+        F.countDistinct("sh").alias("n_shared_shingles")
     )
 
 

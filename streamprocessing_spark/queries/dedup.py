@@ -784,8 +784,13 @@ def _estimate_audit_view(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _estimate_audit_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
-    sh = D.shingle_df(d, "doc_id", "text")
-    sig = D.minhash_signature_df(sh)
+    # the shingle set feeds the signature pass, the sizes aggregate and
+    # both exact-intersection join sides; the signature relation feeds
+    # the band buckets and both estimate join sides — checkpoint each
+    # once (lazy) instead of re-running the tokenize/shingle/minhash
+    # chain per consumer
+    sh = D.shingle_df(d, "doc_id", "text").localCheckpoint(eager=False)
+    sig = D.minhash_signature_df(sh).localCheckpoint(eager=False)
     cand = D.lsh_candidate_pairs(sig)
     sa = sig.select(F.col("id").alias("id_a"), F.col("mh").alias("ma"))
     sb = sig.select(F.col("id").alias("id_b"), F.col("mh").alias("mb"))
@@ -1263,6 +1268,10 @@ def dedup_minhash_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     on a sample at 100 TB, not the whole corpus. Every compare is
     cross-multiplied or quantized-integer arithmetic."""
     d = load_table(spark, sf_dir, "documents")
+    # (round-10 note: checkpointing the shingle set here was tried and
+    # reverted — unlike the pair builds, this query's cost is the exact
+    # shared-shingle self-join, and the checkpoint's write cost exactly
+    # cancelled the saved head recomputes: 2.60 → 2.58 s at sf0.1.)
     sh = D.shingle_df(d, "doc_id", "text")
     sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("n"))
     sa = sh.select(F.col("id").alias("id_a"), "sh")

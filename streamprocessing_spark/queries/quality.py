@@ -582,12 +582,20 @@ def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     n_e, s_e = _entropy_exprs()
     from streamprocessing_spark.functions.text import sql_mlog2
+    from streamprocessing_spark.partitioning import fan_out
 
     ent = f"{sql_mlog2('n')} - sm div n"
+    # fan the single-split scan out (the projection is ~37 replace()
+    # passes per row — scan parallelism is the whole cost), and filter
+    # BEFORE computing n: the old ``where(n > 0)`` was pushed below the
+    # projection, so the entire 37-replace chain evaluated twice per row
+    # (once in the Filter, once in the Project). n > 0 ⟺ the lowered
+    # text contains ≥ 1 alphabet char — one cheap rlike.
     return (
-        d.select("doc_id", F.lower(F.col("text")).alias("s"))
+        fan_out(d, "doc_id")
+        .select("doc_id", F.lower(F.col("text")).alias("s"))
+        .where(F.expr("s rlike '[a-z0-9 ]'"))
         .select("doc_id", F.expr(n_e).alias("n"), F.expr(s_e).alias("sm"))
-        .where(F.col("n") > 0)
         .select(
             "doc_id",
             F.col("n").cast("long").alias("n_counted"),

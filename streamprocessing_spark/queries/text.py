@@ -228,9 +228,15 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale the df table is vocabulary-sized — usually broadcastable,
     left to AQE here. The window's ORDER BY uses the ROUNDED score so
     the rank cut is engine-portable (ties resolve on the term)."""
+    from streamprocessing_spark.partitioning import fan_out
+
     d = load_table(spark, sf_dir, "documents")
     n_docs = d.count()
-    toks = d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("term"))
+    # fan the single-split scan out: tokenize + explode run before the
+    # first aggregation's shuffle, i.e. at scan parallelism
+    toks = fan_out(d, "doc_id").select(
+        "doc_id", F.explode(T.tokens(F.col("text"))).alias("term")
+    )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
     df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
     scored = tf.join(df_, "term").select(
@@ -471,6 +477,11 @@ def token_cooccurrence_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the tokenize+distinct projection once instead of re-scanning and
     # re-tokenizing the corpus per consumer (same pattern as
     # graph.copurchase_lift's order/part projection)
+    # (round-10 note: a fan_out on the tokenize head was tried and
+    # REVERTED — repartitioning the full text before the explode cost
+    # more than the single-core explode saved, 1.37 → 1.87 s at sf0.1;
+    # the distinct's own shuffle already parallelizes everything after
+    # the head.)
     dt = (
         d.select("doc_id", F.explode(T.tokens(F.col("text"))).alias("tok"))
         .distinct()

@@ -2017,34 +2017,67 @@ def _huber_bucket_kernel(pdf):
     Spark side by a coarse bucket instead of the raw user key is the
     cogroup_asof_enrich lesson applied to the grouped map: per-user
     groups paid one Arrow round-trip + kernel call per user (measured
-    4.4 s at sf0.1 for ~15k users; bucketed: 2.3 s — the remaining
-    cost is the per-user IRLS itself), while the
+    4.4 s at sf0.1 for ~15k users; bucketed: 2.3 s), while the
     per-user numpy arithmetic — and hence every emitted float — is
     UNCHANGED (the pure-Python IRLS equality test still passes
-    bit-for-bit)."""
-    import pandas as pd
+    bit-for-bit).
 
-    outs = [_huber_fit_one(g) for _, g in pdf.groupby("user_id", sort=True)]
-    return pd.concat(outs, ignore_index=True)
-
-
-def _huber_fit_one(pdf):
-    """Per-user robust trend fit: IRLS with Huber weights on
-    (hour-index, cents). numpy float64 end to end — deterministic for a
-    given input set (sorted before fitting), verified against a pure-
-    Python replication in tests."""
+    Round-10 optimization (guide §4.2 — batch the Python-side work):
+    the per-user pandas machinery (groupby sub-frame + per-user
+    sort_values + a one-row DataFrame per user + a 15k-frame concat)
+    dominated the kernel, not the IRLS. One global mergesort on
+    (user_id, x, event_id) yields every user's rows contiguously in
+    EXACTLY the order the per-user sort produced, so the fit runs on
+    numpy slices of two float64 arrays converted once; outputs collect
+    into plain lists and one DataFrame per bucket. Elementwise int→
+    float64 conversion and numpy's pairwise summation depend only on
+    the values and their order, so every emitted float is bit-identical
+    to the old path's."""
     import numpy as np
     import pandas as pd
 
-    pdf = pdf.sort_values(["x", "event_id"], kind="mergesort")
-    x = pdf["x"].to_numpy(dtype="float64")
-    y = pdf["y"].to_numpy(dtype="float64")
-    uid = int(pdf["user_id"].iloc[0])
+    if pdf.empty:
+        return pd.DataFrame(
+            {
+                "user_id": pd.Series(dtype="int64"),
+                "n": pd.Series(dtype="int64"),
+                "slope_milli": pd.Series(dtype="float64"),
+                "intercept_cents": pd.Series(dtype="float64"),
+            }
+        )
+    pdf = pdf.sort_values(["user_id", "x", "event_id"], kind="mergesort")
+    u = pdf["user_id"].to_numpy()
+    x_all = pdf["x"].to_numpy(dtype="float64")
+    y_all = pdf["y"].to_numpy(dtype="float64")
+    bounds = np.flatnonzero(np.r_[True, u[1:] != u[:-1], True])
+    uids, ns, slopes, intercepts = [], [], [], []
+    for s, e in zip(bounds[:-1], bounds[1:]):
+        slope, intercept = _huber_fit_arrays(x_all[s:e], y_all[s:e])
+        uids.append(int(u[s]))
+        ns.append(int(e - s))
+        slopes.append(slope)
+        intercepts.append(intercept)
+    return pd.DataFrame(
+        {
+            "user_id": uids,
+            "n": ns,
+            "slope_milli": slopes,
+            "intercept_cents": intercepts,
+        }
+    )
+
+
+def _huber_fit_arrays(x, y):
+    """Per-user robust trend fit: IRLS with Huber weights on
+    (hour-index, cents). numpy float64 end to end — deterministic for a
+    given input set (the caller presorts), verified against a pure-
+    Python replication in tests. Returns (slope_milli, intercept_cents)
+    — None/None when the fit is undefined (n < 2 or constant x)."""
+    import numpy as np
+
     n = len(x)
     if n < 2 or np.all(x == x[0]):
-        return pd.DataFrame(
-            {"user_id": [uid], "n": [n], "slope_milli": [None], "intercept_cents": [None]}
-        )
+        return None, None
     w = np.ones(n)
     a = b = 0.0  # y ≈ a + b·x
     for _ in range(HUBER_ITERS):
@@ -2059,14 +2092,7 @@ def _huber_fit_one(pdf):
         r = y - a - b * x
         ar = np.abs(r)
         w = np.where(ar <= HUBER_DELTA, 1.0, HUBER_DELTA / ar)
-    return pd.DataFrame(
-        {
-            "user_id": [uid],
-            "n": [n],
-            "slope_milli": [float(np.floor(b * 1000.0 + 0.5))],
-            "intercept_cents": [float(np.floor(a + 0.5))],
-        }
-    )
+    return float(np.floor(b * 1000.0 + 0.5)), float(np.floor(a + 0.5))
 
 
 @register(
