@@ -75,6 +75,13 @@ def get_spark(app_name: str = "streamprocessing-spark", master: str | None = Non
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # ContextCleaner only reclaims dead localCheckpoint/persist
+        # blocks after a JVM GC, and its default periodic GC is 30min —
+        # longer than a whole multi-query session here, so dead blocks
+        # accumulate (measured: one ~26 MB shingle checkpoint per pair
+        # build). 5min bounds the leak for long sessions; bench.py
+        # additionally pulses between timed queries.
+        .config("spark.cleaner.periodicGC.interval", "5min")
     )
     if master is not None:
         builder = builder.master(master)

@@ -43,8 +43,11 @@ def main() -> int:
         "overwrite"
     ).save()
 
+    from bench import _reclaim_dead_blocks  # noqa: E402
+
     total = 0.0
     for name in args.queries:
+        _reclaim_dead_blocks(spark)  # same janitor as bench.py, untimed
         reps: list[float] = []
         for _ in range(args.reps):
             release_plugin_caches()
