@@ -293,11 +293,6 @@ def decontaminate_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFra
     train side never shuffles its full shingle set. On 100 TB the shingle
     string would be replaced by xxhash64(shingle) to cut shuffle width —
     kept as text here so the oracle join is byte-identical."""
-    from streamprocessing_spark.functions import text as T
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", T.tokens(F.col("text")).alias("t")
-    )
     # Round-10 optimization, A/B-measured in one session at sf0.1
     # (5-rep medians): the shingle relation feeds BOTH join sides
     # (bench filter + train filter) and Catalyst re-ran the whole
@@ -309,7 +304,27 @@ def decontaminate_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFra
     # the train shingle relation. 2.94 → 1.79 s; a fan_out on the head
     # was tried too and REVERTED (3.74 s — repartitioning full text
     # costs more than the single-core 8-gram transform it saves).
-    sh = docs.filter(F.size("t") >= NGRAM_N).select(
+    # Column pruning to (doc_id, text) is pinned on the HEAD relation
+    # (tests/test_plans.py) — the checkpoint hides the scan from the
+    # full query's plan.
+    sh = _overlap_shingles(spark, sf_dir).localCheckpoint(eager=False)
+    bench = sh.filter(F.col("doc_id") % 11 == 0).select("sh").distinct()
+    train = sh.filter(F.col("doc_id") % 11 != 0)
+    return train.join(bench, "sh").groupBy("doc_id").agg(
+        F.countDistinct("sh").alias("n_shared_shingles")
+    )
+
+
+def _overlap_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, sh): every 8-token shingle of every document — the
+    un-checkpointed head of decontaminate_benchmark_overlap, factored
+    out so the plan test can pin its scan pruning."""
+    from streamprocessing_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.tokens(F.col("text")).alias("t")
+    )
+    return docs.filter(F.size("t") >= NGRAM_N).select(
         "doc_id",
         F.explode(
             F.expr(
@@ -317,11 +332,6 @@ def decontaminate_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFra
                 f" i -> array_join(slice(t, i, {NGRAM_N}), ' '))"
             )
         ).alias("sh"),
-    ).localCheckpoint(eager=False)
-    bench = sh.filter(F.col("doc_id") % 11 == 0).select("sh").distinct()
-    train = sh.filter(F.col("doc_id") % 11 != 0)
-    return train.join(bench, "sh").groupBy("doc_id").agg(
-        F.countDistinct("sh").alias("n_shared_shingles")
     )
 
 

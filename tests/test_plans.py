@@ -154,9 +154,17 @@ def test_interval_merge_shares_user_partitioning(spark, sf_dir):
 
 
 def test_decontaminate_scan_prunes_to_id_and_text(spark, sf_dir):
-    df = SPECS["decontaminate_benchmark_overlap"].fn(spark, sf_dir)
-    scans = X.read_schema_columns(df)
+    # round 10: the query checkpoints its shingle head once (both join
+    # sides re-ran the tokenize + 8-gram explode before), so the full
+    # plan carries NO parquet scan — the single-evaluation pin — and the
+    # pruning property is asserted on the head relation itself.
+    from streamprocessing_spark.queries.curation import _overlap_shingles
+
+    head = _overlap_shingles(spark, sf_dir)
+    scans = X.read_schema_columns(head)
     assert scans and all(set(s) <= {"doc_id", "text"} for s in scans), scans
+    df = SPECS["decontaminate_benchmark_overlap"].fn(spark, sf_dir)
+    assert not X.read_schema_columns(df), X.formatted_plan(df)
 
 
 def test_pack_documents_distributes_over_shards(spark, sf_dir):
