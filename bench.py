@@ -58,6 +58,12 @@ VIEW_BUILDER_KINDS = {
     # dedup_substring_containment read as 0.04 s. Restore the round-9
     # semantics: the profile query prices the containment build.
     "dedup_substring_containment": ("contain",),
+    # round-11 optimization: the count-scaled SRP pair set became a
+    # session-shared view (decontaminate_semantic composes the exact
+    # relation the scaled tier emits — same banding, same 0.45 bar).
+    # The scaled tier's row prices the full cascade build every rep;
+    # the decon row measures its marginal split-orientation join.
+    "srp_lsh_cosine_pairs_scaled": ("srppairs",),
 }
 
 # Headline set: the reference-derived pipelines + the heavier analytics /
@@ -301,10 +307,15 @@ def _reclaim_dead_blocks(spark) -> None:
     except Exception:  # noqa: BLE001 - janitor must never fail a bench
         return
     if used > (1 << 30):
-        import gc
+        # the GC pulse itself is guarded too (ADVICE r10): a py4j
+        # failure in System.gc() must not abort the bench either
+        try:
+            import gc
 
-        gc.collect()
-        sc._jvm.System.gc()
+            gc.collect()
+            sc._jvm.System.gc()
+        except Exception:  # noqa: BLE001 - janitor must never fail a bench
+            return
 
 
 def main() -> None:
@@ -325,12 +336,21 @@ def main() -> None:
     # [min, max] spread rides along so any round-over-round delta can be
     # checked against the same-run dispersion before blaming code.
     reps_n = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
-    timings: dict[str, float] = {}
-    spread: dict[str, list[float]] = {}
-    for name in names:
-        _reclaim_dead_blocks(spark)
-        reps: list[float] = []
-        for _ in range(reps_n):
+    # REP-MAJOR interleave (round 11, VERDICT r10 item #2): the box runs
+    # in hour-scale "performance regimes" that moved untouched queries
+    # ±30-45% between runs (rel_spread_median 0.35 in r10). Query-major
+    # rep loops sample each query's 3 reps within one ~100 ms window, so
+    # a regime shift lands WHOLLY on some queries and not others. Running
+    # the whole suite once per rep pass instead spreads every query's
+    # samples across the full run, so the per-query median sees every
+    # regime the run saw. Median-of-3 semantics, the noop sink, and the
+    # builder/consumer release discipline are unchanged — each (query,
+    # rep) cell measures exactly what it did before, only the execution
+    # ORDER changed.
+    raw: dict[str, list[float]] = {name: [] for name in names}
+    for _ in range(reps_n):
+        for name in names:
+            _reclaim_dead_blocks(spark)
             # each rep must measure computation, not a cache read:
             # release the per-run plugin intermediate caches (the one
             # persist() query code creates). NOT a global clearCache —
@@ -346,13 +366,18 @@ def main() -> None:
             # COLD_VIEW_BUILD: the view BUILDER row measures the full
             # build every rep (views released first), every consumer row
             # measures its marginal op over the built view — exactly the
-            # amortization the driver's one-session gate sees.
+            # amortization the driver's one-session gate sees. (Headline
+            # order puts every builder before its consumers, so each
+            # rep pass prices builds/marginals exactly as before.)
             for kind in VIEW_BUILDER_KINDS.get(name, ()):
                 release_shared_views(spark, kind)
             t0 = time.time()
             specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            reps.append(time.time() - t0)
-        reps.sort()
+            raw[name].append(time.time() - t0)
+    timings: dict[str, float] = {}
+    spread: dict[str, list[float]] = {}
+    for name in names:
+        reps = sorted(raw[name])
         # lower-middle: odd reps → true median; reps=2 degrades to the
         # pre-round-9 best-of-2 so reduced-rep runs stay comparable
         timings[name] = round(reps[(len(reps) - 1) // 2], 3)
@@ -427,6 +452,28 @@ def main() -> None:
         "throughput": throughput,
         "sf": sf,
     }
+    # Round 11 (VERDICT r10 item #1): the driver's tail capture is 2000
+    # bytes (measured from BENCH_r10.json), so the full 176-entry
+    # per-query map (~5.4 KB) can never reach PERF_r*.json. Give the
+    # summary line its own "queries" map holding as many of the SLOWEST
+    # queries as the byte budget allows (2-decimal medians, slowest
+    # first — the rows a round-over-round perf comparison actually
+    # adjudicates). This is an ADDITION: the first line and
+    # BENCH_LOCAL.json still carry every query, and "queries_omitted"
+    # records how many entries the budget clipped — nothing was removed
+    # from the bench itself (see n_queries).
+    tail_budget = 1900
+    by_cost = sorted(timings.items(), key=lambda kv: (-kv[1], kv[0]))
+    qmap: dict[str, float] = {}
+    for qn, qt in by_cost:
+        qmap[qn] = round(qt, 2)
+        summary["queries"] = qmap
+        summary["queries_omitted"] = len(timings) - len(qmap)
+        if len(json.dumps(summary, separators=(",", ":"))) > tail_budget:
+            del qmap[qn]
+            break
+    summary["queries"] = qmap
+    summary["queries_omitted"] = len(timings) - len(qmap)
     print(json.dumps(summary, separators=(",", ":")), flush=True)
 
 

@@ -367,7 +367,23 @@ def scaled_band_buckets(sh: DataFrame, n_rows: int) -> DataFrame:
     per band, recall-held b(r) bands, coefficient index i·MH_RMAX + j
     (the law minhash_lsh_pairs_scaled's oracle replays). Factored out
     (round 10) so the streaming paragraph-ingest twin probes its
-    persisted band store with byte-identical bucket keys."""
+    persisted band store with byte-identical bucket keys.
+
+    Round 11 (guide §2.3 narrower keys / §3.1 join keys, VERDICT r10
+    item #3): ``sig`` is ONE xxhash64 BIGINT over (band, the band's r
+    minhash values) instead of the old '-'-joined decimal string
+    (~r·11 chars). Two buckets collide on sig iff their (band, minhash
+    tuple) agree — up to xxhash64 collisions (~2⁻⁶⁴ per distinct-tuple
+    pair), which can only ADD candidates, and every scaled-tier
+    consumer (batch pair builds, the streaming paragraph ingest) passes
+    candidates through the exact-Jaccard ≥ threshold verify, so the
+    emitted pair set is unchanged. The band index is hashed IN, so the
+    single bigint is the entire bucket key: the band-bucket self-join
+    sorts/shuffles 8-byte longs instead of ~50-byte strings (the same
+    single-key win as the triangle closure's packed bigint). The
+    candidate-EXPOSING audits (mhaudit, the recall curve) live on the
+    fixed 16×4 tier (_band_buckets), which keeps its string sig —
+    their outputs are candidate-derived and stay byte-identical."""
     r = mh_r_for_count(n_rows)
     bands = MH_RECALL_BANDS[r]
     coeffs = _coeffs(bands * MH_RMAX)
@@ -381,7 +397,7 @@ def scaled_band_buckets(sh: DataFrame, n_rows: int) -> DataFrame:
     )
     sig = hashed.groupBy("id").agg(F.expr(f"array({mins})").alias("mh"))
     band_structs = ", ".join(
-        "struct({i} AS band, concat_ws('-', {cols}) AS sig)".format(
+        "struct({i} AS band, xxhash64({i}, {cols}) AS sig)".format(
             i=i, cols=", ".join(f"mh[{i * r + j}]" for j in range(r))
         )
         for i in range(bands)
@@ -427,11 +443,14 @@ def minhash_lsh_pairs_scaled(
         sh = sh.hint("merge")
     buckets = scaled_band_buckets(sh, n_rows)
     a, b = buckets.alias("a"), buckets.alias("b")
+    # the band index is folded into the xxhash64 sig (round 11), so the
+    # self-join keys on ONE bigint — an equality on band as well would
+    # only re-check what the hash already encodes while widening the
+    # sort/shuffle key
     cand = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.sig") == F.col("b.sig"))
+            (F.col("a.sig") == F.col("b.sig"))
             & (F.col("a.id") < F.col("b.id")),
         )
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))

@@ -336,9 +336,10 @@ def srp_buckets_fast(
     # The id field keeps the caller's type (string doc ids, int32 keys…)
     # instead of a hardcoded bigint that would Arrow-miscast at runtime.
     id_type = df.schema[id_col].dataType.simpleString()
-    # fan the signature kernel out (round 10): mapInPandas runs at the
-    # input's partitioning — scan parallelism (one core on a single-split
-    # table) unless the caller already shuffled
+    # Deliberately NOT fanned out (round-10 negative result): the numpy
+    # signature kernel is already fast at scan parallelism, and a
+    # fan_out repartition here taxed the downstream band join
+    # (srp_lsh_cosine_pairs_scaled 2.42 → 3.19 s at sf0.1; reverted).
     return df.mapInPandas(
         kernel, f"id {id_type}, band int, sig string"
     )

@@ -292,7 +292,15 @@ def decontaminate_benchmark_overlap(spark: SparkSession, sf_dir: str) -> DataFra
     magnitude smaller than the corpus, so Catalyst broadcasts it; the
     train side never shuffles its full shingle set. On 100 TB the shingle
     string would be replaced by xxhash64(shingle) to cut shuffle width —
-    kept as text here so the oracle join is byte-identical."""
+    kept as text here so the oracle join is byte-identical. Note the
+    tension (ADVICE r10): the localCheckpoint below materializes the
+    FULL text-shingle relation to local MEMORY_AND_DISK, which at 100 TB
+    would itself be a corpus-sized local write — at that scale, switch
+    to xxhash64 shingles (8 bytes/row checkpointed instead of ~50-char
+    strings) or drop the checkpoint and accept the double head
+    evaluation; the checkpoint-single-evaluation trade is only right
+    while the checkpointed bytes are text-shingle-sized × fixture
+    scale."""
     # Round-10 optimization, A/B-measured in one session at sf0.1
     # (5-rep medians): the shingle relation feeds BOTH join sides
     # (bench filter + train filter) and Catalyst re-ran the whole

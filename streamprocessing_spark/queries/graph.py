@@ -9,7 +9,7 @@ the same pattern as operators/dedup.connected_components).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from streamprocessing_spark.partitioning import fan_out
@@ -215,10 +215,18 @@ def basket_bfs_part_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     visited = frontier.localCheckpoint(eager=True)
     # per-round checkpoints are LAZY (round 10): eager ran an internal
     # count job on top of the loop's own materializing action, doubling
-    # driver jobs per round; the isEmpty/next-round action materializes
-    # (and fully persists) the checkpoint instead. Measured across the
-    # iterative family: pagerank 3.96→3.66, sssp 5.83→5.36, label_prop
-    # 2.05→1.81, kcore spread 3.7-6.2 → 3.9-4.2 at sf0.1.
+    # driver jobs per round. Round 11 (VERDICT r10 item #4): the
+    # emptiness probe is count()==0, NOT isEmpty() — isEmpty (take(1))
+    # computed only partition 0 of the lazy checkpoint, so the next
+    # round's anti-join re-ran the frontier expansion for the remaining
+    # partitions (the "double materialization"); count() is the same
+    # single driver action but materializes every partition of the
+    # round checkpoint exactly once. And the visited set is now a plain
+    # UNION of the per-round checkpointed frontiers instead of being
+    # re-checkpointed each round — re-persisting the growing union
+    # copied every prior frontier's rows again per round, while the
+    # union's inputs are already persisted blocks (the anti-join and
+    # the final projection just read them).
     for h in range(1, MAX_HOPS + 1):
         nxt = (
             edges.join(frontier, edges.src == frontier.id)
@@ -228,9 +236,9 @@ def basket_bfs_part_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("hops", F.lit(h))
             .localCheckpoint(eager=False)
         )
-        if nxt.isEmpty():
+        if nxt.count() == 0:
             break
-        visited = visited.unionByName(nxt).localCheckpoint(eager=False)
+        visited = visited.unionByName(nxt)
         frontier = nxt
     return visited.select(
         F.col("id").alias("l_partkey"), F.col("hops").cast("long").alias("hops")
@@ -310,25 +318,38 @@ def pagerank_copurchase(spark: SparkSession, sf_dir: str) -> DataFrame:
     # single join + aggregation per round instead of two joins
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     edges = edges.join(deg, "src").localCheckpoint(eager=True)
-    ranks = edges.select(F.col("src").alias("id")).distinct().select(
-        "id", F.lit(PR_SCALE).cast("long").alias("r")
+    # node set — fixed across rounds (the rank table's key set never
+    # changes under the left-join update), materialized once
+    nodes = edges.select(F.col("src").alias("id")).distinct().localCheckpoint(
+        eager=True
     )
+    ranks = nodes.select("id", F.lit(PR_SCALE).cast("long").alias("r"))
     for _ in range(PR_ITERS):
+        # Round 11 (guide §2.4, VERDICT r10 item #4): the old round was
+        # contrib-aggregate THEN ranks LEFT JOIN contrib — ranks had TWO
+        # consumers per round (the edge join and the left join) and the
+        # round paid two exchanges (groupBy dst + join) plus the
+        # coalesce-to-0 for contribution-less nodes. Union one explicit
+        # 0-contribution row per node instead and fold everything into
+        # ONE aggregate: sum(cb) over (contributions ∪ zeros) equals
+        # coalesce(sum(cb), 0) over contributions alone, keys stay
+        # exactly the node set, and the damping arithmetic is the same
+        # integer expression — identical ranks, one join + one
+        # aggregate per round, ranks consumed once.
         contrib = (
             edges.join(ranks, edges.src == ranks.id)
             .select("dst", F.expr("r div d").alias("cb"))
-            .groupBy("dst")
-            .agg(F.sum("cb").alias("c"))
         )
         ranks = (
-            ranks.join(contrib, ranks.id == contrib.dst, "left")
-            .select(
-                "id",
-                (
-                    F.lit(PR_SCALE // 8)
-                    + F.expr("(7 * coalesce(c, CAST(0 AS BIGINT))) div 8")
-                ).cast("long").alias("r"),
+            nodes.select(F.col("id").alias("dst"), F.lit(0).cast("long").alias("cb"))
+            .unionByName(contrib)
+            .groupBy("dst")
+            .agg(
+                (F.lit(PR_SCALE // 8) + F.expr("(7 * sum(cb)) div 8"))
+                .cast("long")
+                .alias("r")
             )
+            .select(F.col("dst").alias("id"), "r")
             # lazy (round 10): the next round's single job materializes
             # the round checkpoint — see basket_bfs note. 3.96→3.66 s.
             .localCheckpoint(eager=False)
@@ -704,15 +725,21 @@ def label_prop_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
     lab = ed.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
-    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label").asc())
     for _ in range(LP_ROUNDS):
+        # round 11 (guide §2.4): the adopt step is an ARGMAX, not a
+        # ranking — max_by(label, struct(c, -label)) picks the label
+        # with the highest count, smallest label on ties, exactly the
+        # (count DESC, label ASC) row_number()=1 the window computed
+        # ((c, -label) is unique per node since (node, label) is the
+        # first aggregation's key). The window's per-round full sort of
+        # the (node, label, c) relation is replaced by a hash aggregate
+        # with map-side partial max_by, and the rn filter disappears.
         lab = (
             ed.join(lab, ed.src == lab.node, "inner")
             .groupBy(F.col("dst").alias("node"), "label")
             .agg(F.count(F.lit(1)).alias("c"))
-            .withColumn("rn", F.row_number().over(w))
-            .where(F.col("rn") == 1)
-            .select("node", "label")
+            .groupBy("node")
+            .agg(F.expr("max_by(label, struct(c, -label))").alias("label"))
             # lazy (round 10) — see basket_bfs note. 2.05→1.81 s.
             .localCheckpoint(eager=False)
         )
@@ -779,20 +806,44 @@ def sssp_weighted_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # canonical distinct pairs = the shared pair view's keys (round 10)
     e = _pair_view(spark, sf_dir).select("s", "d")
     w = F.lit(1) + (F.col("s") + F.col("d")) % F.lit(9)
+    # Round 11 (guide §1.2, VERDICT r10 item #4): zero-weight SELF-LOOPS
+    # on every node fold the old per-round ``dist ∪ relax(dist)`` union
+    # into the relaxation join itself — min(dist(v), min_u dist(u)+w) is
+    # exactly the min over the self-loop-extended edge set, integer min
+    # being associative. The payoff is that each round's distance table
+    # now has ONE consumer (the next round's join) instead of two (the
+    # join AND the union), so nothing is evaluated twice between
+    # checkpoints and each round is one join + one aggregate, not one
+    # join + one union + one aggregate. Self-loops are node-sized
+    # against an edge-sized relation; built once into the same eager
+    # checkpoint the loop already paid for.
     ed = (
         e.select(F.col("s").alias("src"), F.col("d").alias("dst"), w.alias("w"))
         .unionByName(e.select(F.col("d").alias("src"), F.col("s").alias("dst"), w.alias("w")))
+        .unionByName(
+            op.select(F.col("l_partkey").alias("src"))
+            .distinct()
+            .select("src", F.col("src").alias("dst"), F.lit(0).alias("w"))
+        )
+        # the SEED's own self-loop, as a separate 1-row union branch: on
+        # an EMPTY graph the seed aggregate is (NULL, 0) — the row the
+        # old union formulation carried through every round — and only
+        # a (NULL, NULL, 0) loop row plus the null-safe join below keeps
+        # it alive. On non-empty data this duplicates one node
+        # self-loop, which the min-aggregate ignores.
+        .unionByName(
+            op.agg(F.min("l_partkey").alias("src")).select(
+                "src", F.col("src").alias("dst"), F.lit(0).alias("w")
+            )
+        )
         .repartition("src")
         .localCheckpoint(eager=True)
     )
     dist = op.agg(F.min("l_partkey").alias("id")).withColumn("dist", F.lit(0))
     for _ in range(SSSP_ROUNDS):
-        relaxed = (
-            ed.join(dist, ed.src == dist.id)
-            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
-        )
         dist = (
-            dist.unionByName(relaxed)
+            ed.join(dist, ed.src.eqNullSafe(dist.id))
+            .select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
             .groupBy("id")
             .agg(F.min("dist").alias("dist"))
             # lazy (round 10) — see basket_bfs note. 5.83→5.36 s.
@@ -863,9 +914,30 @@ def link_prediction_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     sup = pv.unionByName(
         pv.select(F.col("d").alias("s"), F.col("s").alias("d"), "n")
     )
-    wk = Window.partitionBy("s").orderBy(F.desc("n"), F.asc("d"))
-    knn = sup.withColumn("rk", F.row_number().over(wk)).where(
-        F.col("rk") <= KNN_EDGES
+    # Round 11 (guide §2.4, VERDICT r10 item #5): the kNN cut is a
+    # per-source TOP-K, not a ranking — the row_number window paid one
+    # exchange on s plus a FULL sort of the symmetric support relation
+    # (the query's dominant cost, builder-measured in round 10). One
+    # hash aggregate collects each source's neighbors and slices the 8
+    # smallest (-n, d) structs: ascending struct order is exactly the
+    # window's (n DESC, d ASC), and (s, d) is unique so the cut is
+    # deterministic — the kept (s, d) set is identical. Hub sources
+    # hold their neighbor list in one array during the aggregate; at
+    # 100 TB a degree-D hub costs one D-element array per aggregation
+    # task (bounded by per-task memory exactly like the window's
+    # per-partition sort run, minus the disk-spill path — split hub
+    # sources into hash ranges first if a single neighbor list
+    # outgrows a task).
+    knn = (
+        sup.select(
+            "s", F.struct((-F.col("n")).alias("nn"), F.col("d").alias("d")).alias("t")
+        )
+        .groupBy("s")
+        .agg(
+            F.slice(F.array_sort(F.collect_list("t")), 1, KNN_EDGES).alias("top")
+        )
+        .select("s", F.explode("top").alias("t"))
+        .select("s", F.col("t.d").alias("d"))
     )
     e = (
         knn.select(

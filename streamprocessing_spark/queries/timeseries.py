@@ -2122,7 +2122,14 @@ def huber_trend_slopes_grouped(spark: SparkSession, sf_dir: str) -> DataFrame:
     unchanged). Each bucket must fit one worker's memory; raise
     ASOF_COGROUP_BUCKETS-style the bucket count at larger scale.
     Arrow-batched both directions; no state, no driver loop."""
-    ev = load_table(spark, sf_dir, "events").where(F.col("value").isNotNull())
+    # null user_id rows are DROPPED up front (ADVICE r10): the old
+    # per-user pandas groupby silently dropped NaN keys, but the
+    # vectorized kernel's int(u[s]) would crash on a NaN key — with any
+    # null user_id Arrow delivers the column as float64. The filter
+    # preserves the original drop semantics instead of failing the query.
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("value").isNotNull() & F.col("user_id").isNotNull()
+    )
     pts = ev.select(
         F.expr("user_id % 256").alias("bkt"),
         "user_id",

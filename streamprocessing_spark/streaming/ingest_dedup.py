@@ -186,12 +186,15 @@ class ParagraphIngestDedup(IngestDedup):
             eager=True
         )
 
+        # the scaled tier's sig is one xxhash64 bigint with the band
+        # index folded in (round 11, operators.dedup.scaled_band_buckets)
+        # — both probes key on the single bigint, byte-identical to the
+        # batch tier's band join
         a, b = b_new.alias("a"), b_new.alias("b")
         cand = (
             a.join(
                 b,
-                (F.col("a.band") == F.col("b.band"))
-                & (F.col("a.sig") == F.col("b.sig"))
+                (F.col("a.sig") == F.col("b.sig"))
                 & (F.col("a.id") < F.col("b.id")),
             )
             .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
@@ -203,8 +206,7 @@ class ParagraphIngestDedup(IngestDedup):
                 b_new.alias("a")
                 .join(
                     stored_buckets.select("id", "band", "sig").alias("b"),
-                    (F.col("a.band") == F.col("b.band"))
-                    & (F.col("a.sig") == F.col("b.sig")),
+                    F.col("a.sig") == F.col("b.sig"),
                 )
                 .select(
                     F.least(F.col("a.id"), F.col("b.id")).alias("id_a"),
