@@ -1213,8 +1213,13 @@ def hits_part_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     cp = (
         o.join(li, o.o_orderkey == li.l_orderkey)
         .select(F.col("o_custkey").alias("c"), F.col("l_partkey").alias("p"))
-        .distinct()
+        # repartition BEFORE the distinct (round 11, the graphop subset
+        # rule): hash partitioning on c satisfies the (c, p) grouping,
+        # so the distinct adds no second exchange — the old
+        # distinct-then-repartition shape shuffled the edge relation
+        # twice ((c, p) exchange, then c exchange). Same set either way.
         .repartition("c")
+        .distinct()
         .localCheckpoint(eager=True)  # the graph: four traversals below
     )
     dec = "DECIMAL(38,0)"

@@ -4,6 +4,7 @@ within their advertised tolerance of the exact tiers."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from streamprocessing_spark.registry import all_specs
@@ -12,6 +13,7 @@ from streamprocessing_spark.sources.readers import load_table
 SPECS = all_specs()
 
 
+@pytest.mark.slow
 def test_hll_distinct_within_rsd(spark, sf_dir):
     """The promoted row carries the exact count + a 5% tolerance flag;
     both must hold, and the exact audit column must equal the exact
@@ -27,6 +29,7 @@ def test_hll_distinct_within_rsd(spark, sf_dir):
         assert r.approx_within_5pct, r
 
 
+@pytest.mark.slow
 def test_approx_percentile_close_to_exact(spark, sf_dir):
     """The promoted row asserts the GK rank guarantee (returned element
     is a true discrete p-quantile) per segment; n_vals must equal the
@@ -43,6 +46,7 @@ def test_approx_percentile_close_to_exact(spark, sf_dir):
         assert r.p50_valid and r.p95_valid, r
 
 
+@pytest.mark.slow
 def test_hll_sketch_rollup_merge_correctness(spark, sf_dir):
     """The union of per-day register tables must (a) land within HLL
     tolerance of the exact distinct count (m=256 → sigma ~6.5%; linear

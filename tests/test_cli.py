@@ -8,6 +8,8 @@ import csv
 import glob
 import os
 
+import pytest
+
 from streamprocessing_spark.cli import main
 
 _LINES = [
@@ -34,6 +36,7 @@ def _read_out(dest: str) -> set[tuple[str, str]]:
     return rows
 
 
+@pytest.mark.slow
 def test_cli_rainstorm_builtin_ops(spark, tmp_path):
     """App2 through built-in plugin ops: category counts of 'F' rows."""
     src = _write_src(tmp_path)
@@ -45,6 +48,7 @@ def test_cli_rainstorm_builtin_ops(spark, tmp_path):
     assert got == want
 
 
+@pytest.mark.slow
 def test_cli_rainstorm_exec_ops(spark, tmp_path):
     """The same job with the reference's argv/stdout contract: external
     executable ops produce identical output to the built-ins."""
@@ -62,6 +66,7 @@ def test_cli_rainstorm_exec_ops(spark, tmp_path):
     assert _read_out(dest) == {("PRI-0", "10"), ("PRI-1", "10"), ("PRI-2", "10")}
 
 
+@pytest.mark.slow
 def test_cli_rainstorm_with_fail_exactly_once(spark, tmp_path):
     """--with-fail (the RainStormWithFail analogue): first-attempt tasks
     are killed mid-job; output must still equal the clean run exactly."""

@@ -4,6 +4,7 @@ streaming small-file problem)."""
 
 from __future__ import annotations
 
+import pytest
 import shutil
 import tempfile
 
@@ -13,6 +14,7 @@ from streamprocessing_spark.streaming.compaction import CompactingParquetSink
 from conftest import stage_single_file_chunks
 
 
+@pytest.mark.slow
 def test_compacting_sink_exactly_once_and_compaction(spark, sf_dir):
     base = tempfile.mkdtemp(prefix="sp_compact_")
     try:

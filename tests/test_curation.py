@@ -3,6 +3,7 @@ invariants the value-hash comparison can't express directly."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from streamprocessing_spark.queries.curation import (
@@ -139,6 +140,7 @@ def test_variance_allocation_matches_python_apportionment(spark, sf_dir):
     assert len(got) <= B
 
 
+@pytest.mark.slow
 def test_variance_allocation_prefers_noisy_strata(spark):
     """Two equal-size strata, one constant and one spread: the constant
     stratum must get ZERO budget (its variance weight is 0)."""
@@ -160,6 +162,7 @@ def test_variance_allocation_prefers_noisy_strata(spark):
     assert by_source["noisy"] == 50  # capped at the stratum population
 
 
+@pytest.mark.slow
 def test_variance_allocation_overflow_raises_not_zero(spark):
     """ADVICE r04: a stratum whose n_chars sums push the DECIMAL(38,0)
     terms past capacity must FAIL LOUDLY, not silently coalesce an

@@ -2,11 +2,13 @@
 
 from __future__ import annotations
 
+import pytest
 from streamprocessing_spark.operators import dedup as D
 from streamprocessing_spark.sources.readers import load_table
 from streamprocessing_spark.registry import all_specs
 
 
+@pytest.mark.slow
 def test_lsh_equals_exact_jaccard(spark, sf_dir):
     """LSH prefilter + verify must find exactly the pairs the brute-force
     tier finds (detection probability at s>=0.8 is ~1 for 16x4 banding)."""
@@ -17,6 +19,7 @@ def test_lsh_equals_exact_jaccard(spark, sf_dir):
     assert len(exact) > 0, "fixture should contain injected near-duplicates"
 
 
+@pytest.mark.slow
 def test_scaled_lsh_equals_exact_at_every_r(spark, sf_dir):
     """The count-scaled tier's recall-held b(r) law means the verified
     pair set must equal the brute-force tier AT EVERY banding
@@ -78,6 +81,7 @@ def test_minhash_signature_shape(spark, sf_dir):
     assert all(0 <= v < D.MOD32 for v in row.mh)
 
 
+@pytest.mark.slow
 def test_custom_lsh_agrees_with_spark_ml_minhash(spark, sf_dir):
     """Independent cross-validation: pyspark.ml's MinHashLSH (different
     hash family, different banding) must find the same near-dup pairs as
@@ -112,6 +116,7 @@ def test_custom_lsh_agrees_with_spark_ml_minhash(spark, sf_dir):
     assert len(my_pairs) > 0
 
 
+@pytest.mark.slow
 def test_keep_canonical_partition(spark, sf_dir):
     """dedup_keep_canonical must keep exactly: all docs minus non-canonical
     dup-cluster members; every cluster keeps precisely its min-id doc."""
@@ -131,6 +136,7 @@ def test_keep_canonical_partition(spark, sf_dir):
             assert c in kept  # the canonical member survives
 
 
+@pytest.mark.slow
 def test_connected_components_long_chain_converges_fast(spark):
     """A 64-node path graph has diameter 63: plain neighbor-min label
     propagation needs ~63 rounds (the pre-pointer-jumping code raised its
@@ -160,6 +166,7 @@ def test_connected_components_keeps_reflexive_pair_nodes(spark):
     assert got == [(1, 1), (2, 1), (3, 3)]
 
 
+@pytest.mark.slow
 def test_containment_join_properties(spark, sf_dir):
     """Containment is directional and the prefix filter is lossless:
     (a) every emitted containment is >= 0.9 and <= 1.0;
@@ -211,6 +218,7 @@ def test_containment_catches_jaccard_blind_spot(spark):
     assert jac == [], "Jaccard tier must miss the pair (that's the blind spot)"
 
 
+@pytest.mark.slow
 def test_ngram_novelty_laws(spark, sf_dir):
     """Novelty bookkeeping laws: (a) Σ n_novel over docs == corpus
     distinct-shingle count (every shingle is novel exactly once);

@@ -27,6 +27,7 @@ def test_csv_quoting_respected(spark, records):
     assert out == {("2", "Streetname, Mast Arm")}
 
 
+@pytest.mark.slow
 def test_vectorized_equals_plugin(spark, records):
     """BatchPluginOp (pandas column ops) must reproduce the per-record
     PluginOp output exactly on both demo apps, including CSV quoting."""
@@ -135,6 +136,7 @@ def test_mixed_contract_cache_released(spark, records):
     assert not (_ids() & ours)
 
 
+@pytest.mark.slow
 def test_plugin_cache_registry_bounded(spark, records):
     """Even without explicit release, the cache registry is bounded:
     running many mixed-contract jobs keeps at most _PLUGIN_CACHE_KEEP
@@ -162,6 +164,7 @@ def test_plugin_cache_registry_pickle_preserves_keep():
     assert rt_q.KEEP == E._QUERY_CACHES.KEEP == 16 and rt_q.dfs == []
 
 
+@pytest.mark.slow
 def test_exec_op_matches_plugin(spark, records):
     """ExecOp (argv/stdout subprocess contract, the reference's literal
     op surface) must agree record-for-record with the in-process plugin

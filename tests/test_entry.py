@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 import importlib
 
 
@@ -24,6 +25,7 @@ def test_queries_and_oracles_consistent():
     assert set(os_) <= set(qs)
 
 
+@pytest.mark.slow
 def test_all_queries_run_at_smoke_scale(spark, sf_dir):
     mod = _entry_mod()
     for name, fn in mod.queries().items():

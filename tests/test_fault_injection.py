@@ -25,12 +25,14 @@ maxFailures=1 — the injected first-attempt failure would be fatal there.
 
 from __future__ import annotations
 
+import pytest
 import json
 import os
 import subprocess
 import sys
 
 
+@pytest.mark.slow
 def test_injected_task_failures_stay_exactly_once(tmp_path):
     job = os.path.join(os.path.dirname(__file__), "fault_injection_job.py")
     proc = subprocess.run(

@@ -25,6 +25,10 @@ from pathlib import Path
 
 import pytest
 
+# Round 11: the full-registry sweep is the slow tier — the default
+# fast tier must finish inside the driver's verify window (pytest.ini).
+pytestmark = pytest.mark.slow
+
 REPO = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(REPO / "tools"))
 

@@ -6,6 +6,7 @@ batch-computed expectation: every full-corpus MinHash pair relabeled
 
 from __future__ import annotations
 
+import pytest
 import shutil
 import tempfile
 
@@ -20,6 +21,7 @@ def _chunk(doc_id: int) -> int:
     return doc_id % N_CHUNKS
 
 
+@pytest.mark.slow
 def test_streaming_ingest_dedup_equals_batch_expectation(spark, sf_dir):
     from conftest import stage_single_file_chunks
 
@@ -63,6 +65,7 @@ def test_streaming_ingest_dedup_equals_batch_expectation(spark, sf_dir):
         shutil.rmtree(base, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_ingest_dedup_batch_retry_is_idempotent(spark, sf_dir):
     """Spark re-runs foreachBatch with the SAME batch_id after a failure:
     replaying a batch must overwrite its own batch= directories, leaving

@@ -161,6 +161,7 @@ def test_feature_extraction_matches_local_kernel(spark, sf_dir):
         assert (r.fake_width, r.fake_height) == M.decode_image_stub(payload)
 
 
+@pytest.mark.slow
 def test_media_manifest_partition_laws(spark, sf_dir):
     """(a) every media row has exactly one manifest entry; (b) canonical
     ids are themselves canonical (closure); (c) members of one cluster

@@ -11,6 +11,10 @@ from streamprocessing_spark.registry import all_specs
 from streamprocessing_spark.sources.readers import TABLES
 from tools.check import check_query
 
+# Round 11: the full-registry sweep is the slow tier — the default
+# fast tier must finish inside the driver's verify window (pytest.ini).
+pytestmark = pytest.mark.slow
+
 SPECS = all_specs()
 
 

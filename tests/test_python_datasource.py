@@ -6,6 +6,7 @@ Structured Streaming (bounded replay + checkpoint recovery)."""
 
 from __future__ import annotations
 
+import pytest
 import os
 
 from streamprocessing_spark.sources.linesource import (
@@ -84,6 +85,7 @@ def test_batch_read_partition_invariance(spark, tmp_path):
     assert rd(7).rdd.getNumPartitions() == 7
 
 
+@pytest.mark.slow
 def test_streaming_replay_and_recovery(spark, tmp_path):
     """The streaming twin: bounded replay (maxLinesPerBatch) must drain
     the whole file across micro-batches with no gaps or duplicates, and

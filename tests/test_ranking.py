@@ -4,6 +4,7 @@ rfm_customer_segments / bot_rate_flags depend on exactly this equality)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -28,6 +29,7 @@ def test_global_row_number_matches_window(spark):
     assert diff.count() == 0, diff.limit(5).collect()
 
 
+@pytest.mark.slow
 def test_ntile_from_rank_matches_sql_ntile(spark):
     # N values that exercise remainder handling: divisible, remainder 1-3,
     # and N < tiles (empty trailing buckets)

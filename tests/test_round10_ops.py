@@ -8,6 +8,7 @@
 
 from __future__ import annotations
 
+import pytest
 from streamprocessing_spark.registry import all_specs
 
 SPECS = all_specs()
@@ -238,6 +239,7 @@ def _stage_doc_chunks(spark, docs, base, n=3):
     return src, staged
 
 
+@pytest.mark.slow
 def test_paragraph_ingest_checkpoint_restart_equals_batch(spark, tmp_path):
     """The streaming paragraph tier must survive a stop/restart on one
     checkpoint: run 1 drains only chunk 0, run 2 (same checkpoint,
@@ -298,6 +300,7 @@ def test_paragraph_ingest_checkpoint_restart_equals_batch(spark, tmp_path):
     assert set(final) == batch_pairs
 
 
+@pytest.mark.slow
 def test_paragraph_ingest_batch_retry_is_idempotent(spark, tmp_path):
     """Replaying a batch with the same batch_id (Spark's foreachBatch
     retry contract) must leave pair, paragraph, and bucket stores
@@ -638,6 +641,7 @@ def test_containment_keep_exact_dup_tiebreak(spark, tmp_path):
     assert out == {10: 1, 11: 0, 12: 0, 20: 1, 21: 0, 22: 0, 30: 1}
 
 
+@pytest.mark.slow
 def test_paragraph_keep_best_laws(spark):
     """Quality-priority paragraph emit vs the keep-first sibling: same
     doc universe and per-doc n_paras; within every paragraph dup
@@ -789,6 +793,7 @@ def test_ivf_erasure_laws(spark):
         assert s_files == d_files, f"cell {cell} not hard-linked"
 
 
+@pytest.mark.slow
 def test_cdc_ingest_checkpoint_restart_equals_batch(spark, tmp_path):
     """The streaming CDC tier must survive a stop/restart on one
     checkpoint: run 1 drains only chunk 0, run 2 (same checkpoint, same
@@ -849,6 +854,7 @@ def test_cdc_ingest_checkpoint_restart_equals_batch(spark, tmp_path):
     assert final == batch_dups
 
 
+@pytest.mark.slow
 def test_cdc_ingest_batch_retry_is_idempotent(spark, tmp_path):
     """Replaying a batch with the same batch_id must leave link and
     fp-min stores unchanged — and must NOT demote against its own first
@@ -930,6 +936,7 @@ def test_ivf_cell_balance_audit_laws(spark):
     assert total - k <= sum(r.load_permille * total // 1000 for r in rows) <= total
 
 
+@pytest.mark.slow
 def test_containment_ingest_checkpoint_restart_equals_batch(spark, tmp_path):
     """The streaming containment tier must survive a stop/restart on one
     checkpoint: run 1 drains only chunk 0, run 2 (same checkpoint, same
@@ -981,6 +988,7 @@ def test_containment_ingest_checkpoint_restart_equals_batch(spark, tmp_path):
     assert any((i % 3) < (o % 3) for (i, o, _n, _s) in final)
 
 
+@pytest.mark.slow
 def test_containment_ingest_batch_retry_is_idempotent(spark, tmp_path):
     """Replaying a batch with the same batch_id must leave the pair,
     shingle, and size stores unchanged — and must NOT verify against its

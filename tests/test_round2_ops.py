@@ -4,6 +4,7 @@ between tiers, conservation laws, reconstruction checks)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from streamprocessing_spark.registry import all_specs
@@ -12,6 +13,7 @@ from streamprocessing_spark.sources.readers import load_table
 SPECS = all_specs()
 
 
+@pytest.mark.slow
 def test_incremental_pairs_subset_of_full(spark, sf_dir):
     """Every incremental (new-batch × corpus) duplicate pair must appear
     in the full self-join MinHash result (as either orientation), and
@@ -124,6 +126,7 @@ def test_mad_flags_exceed_threshold(spark, sf_dir):
         assert r.dev_x10k > 3 * r.mad_x10k
 
 
+@pytest.mark.slow
 def test_semantic_dedup_variants_agree_on_verified_pairs(spark, sf_dir):
     """Both semantic-dedup variants remove only vectors that have an
     exact-verified ≥θ twin: their removed sets must be subsets of the

@@ -5,6 +5,7 @@ peeling fixpoints, merge-state conservation."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Window
 from pyspark.sql import functions as F
 
@@ -159,6 +160,7 @@ def test_countmin_one_sided_and_mergeable(spark, sf_dir):
     assert merged == g, "shard sketches must sum to the global sketch"
 
 
+@pytest.mark.slow
 def test_pq_adc_recall_vs_exact_l2(spark, sf_dir):
     """PQ/ADC is approximate by design; its top-10 must still overlap the
     exact L2 top-10 materially (mean recall floor), and ADC distances
@@ -401,6 +403,7 @@ def test_inverted_index_reconciles(spark, sf_dir):
         assert r.tf_total >= r.df
 
 
+@pytest.mark.slow
 def test_ivfpq_recall_and_adc_consistency(spark, sf_dir):
     """IVFPQ must (a) return top_k ranked rows per query, (b) score every
     returned neighbor with the SAME ADC distance the full-scan PQ tier
@@ -606,6 +609,7 @@ def test_pit_join_never_leaks_future_state(spark, sf_dir):
     assert seen_real > 0, "PIT join must assign real state at test scale"
 
 
+@pytest.mark.slow
 def test_kmeans_checkpoint_resume_is_bit_identical(spark, sf_dir, tmp_path):
     """Iterative-job fault tolerance: persist the exact-integer centroid
     state after 1 Lloyd round, resume 2 more rounds from the parquet

@@ -317,6 +317,7 @@ def test_minhash_estimate_tracks_exact_jaccard(spark, sf_dir):
     assert sum(errs) / len(errs) < 0.15, "64-hash estimator should track Jaccard"
 
 
+@pytest.mark.slow
 def test_tokenizer_fertility_laws(spark, sf_dir):
     """fertility ≥ 1 (every token ≥ 1 piece), chars ≥ pieces (every
     piece ≥ 1 char), totals re-derivable from the trained segmentation
@@ -478,6 +479,7 @@ def test_domain_quota_caps_every_domain(spark, sf_dir):
         assert n == min(DOMAIN_QUOTA, stats[dom]), dom
 
 
+@pytest.mark.slow
 def test_mmr_matches_numpy_greedy(spark, sf_dir):
     """The distributed greedy MMR must pick the identical sequence as a
     numpy re-implementation (same floats, same tiebreak)."""
@@ -693,6 +695,7 @@ def test_bitmap_popcounts_equal_distinct_counts_and_retention(spark, sf_dir):
     assert checked > 0
 
 
+@pytest.mark.slow
 def test_tier_agreement_counts_match_pair_tiers(spark, sf_dir):
     """The agreement matrix must reconcile exactly with the two pair
     sets collected independently."""
@@ -742,6 +745,7 @@ def test_srm_check_balanced_on_fixture(spark, sf_dir):
     assert hi - lo <= 6 * (n ** 0.5)
 
 
+@pytest.mark.slow
 def test_rfm_quartiles_balanced_and_consistent(spark, sf_dir):
     """Each R/F/M dimension partitions customers into near-equal
     quartiles (ntile law), segment re-derivable, and better recency ⇒
@@ -1167,6 +1171,7 @@ def test_sequence_gaps_cover_exactly_missing_ids(spark, sf_dir):
     assert covered == missing and covered
 
 
+@pytest.mark.slow
 def test_golden_records_partition_names(spark, sf_dir):
     """Every distinct name lands in exactly one cluster; n_name_variants
     sums to the distinct-name count; multi-variant clusters exist; the

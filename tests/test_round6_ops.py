@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 
@@ -37,6 +38,7 @@ def test_release_op_views_unpins_graph_cache(spark, sf_dir):
     G.release_op_views(spark)
 
 
+@pytest.mark.slow
 def test_dedup_shared_views_release_and_kind_scoping(spark, sf_dir):
     """The dedup cascade shares pair/component views through the same
     machinery; releasing one kind must not evict another family's view."""
@@ -56,6 +58,7 @@ def test_dedup_shared_views_release_and_kind_scoping(spark, sf_dir):
     assert len(SV._VIEWS) == 0
 
 
+@pytest.mark.slow
 def test_bench_rep_hygiene_prices_build_to_builder(spark, sf_dir):
     """bench.py's rep hygiene must (a) release plugin caches — not
     clearCache(), which evicted the session-shared views and charged a
@@ -289,6 +292,7 @@ def test_join_fanout_audit_laws(spark, sf_dir):
         assert 0 <= r.share_micro <= 1_000_000
 
 
+@pytest.mark.slow
 def test_cluster_size_histogram_conservation(spark, sf_dir):
     """Histogram mass must account for every document exactly once:
     Σ size·n_clusters == corpus size, and multi-doc clusters exist."""

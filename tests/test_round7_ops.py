@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 import math
 
 from pyspark.sql import functions as F
@@ -193,6 +194,7 @@ def test_zipf_slope_matches_python_reference(spark, sf_dir):
     assert r.slope_milli < 0
 
 
+@pytest.mark.slow
 def test_assortativity_matches_networkx_free_reference(spark, sf_dir):
     """Recompute Newman's r from the edge list in pure Python (Fractions)
     and require the exact milli value. Also pins |r| <= 1."""

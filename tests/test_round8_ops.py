@@ -5,6 +5,7 @@ can't express."""
 
 from __future__ import annotations
 
+import pytest
 import math
 
 import numpy as np
@@ -292,6 +293,7 @@ def test_rrf_fusion_replays_from_component_rankings(spark, sf_dir):
         assert r.sem_rank == sem.get(r.doc_id)
 
 
+@pytest.mark.slow
 def test_modularity_reconciles_with_edges_and_labels(spark, sf_dir):
     """Replay Q from the raw sparsified edge list and the registered
     label table: per-community in-edge/degree reconciliation, the
@@ -746,6 +748,7 @@ def test_gini_matches_brute_force_pairs(spark, sf_dir):
         assert 0 <= g < 1000000
 
 
+@pytest.mark.slow
 def test_kendall_tau_matches_python_pairs(spark, sf_dir):
     """Replay concordant/discordant/tie counts over all day pairs in
     pure Python; τ-a identity and the C+D+ties ≥ n_pairs accounting."""
@@ -1241,6 +1244,7 @@ def test_malformed_jsonl_whole_row_quarantine_law(spark, sf_dir):
             assert (r.n_parsed, r.clean_cents) == (parsed[r.event_type], cents[r.event_type]), r
 
 
+@pytest.mark.slow
 def test_bitext_margin_numpy_rederivation(spark, sf_dir):
     """Full numpy re-derivation of the margin-mining law (independent of
     Spark AND the oracle): brute-force cosines, quantize to micro-units,
@@ -1297,6 +1301,7 @@ def test_bitext_margin_numpy_rederivation(spark, sf_dir):
     assert got, "fixture should mine at least one pair"
 
 
+@pytest.mark.slow
 def test_bitext_ivf_recovers_exact_tier_pairs(spark, sf_dir):
     """The IVF-shortlist production tier must recover the bulk of the
     exact tier's mined PAIRS (the shortlist-restricted margin denominator
@@ -1379,6 +1384,7 @@ def test_malformed_csv_null_totalprice_on_corrupt_key_still_quarantines(spark, t
     assert out["F"].clean_cents == 1000
 
 
+@pytest.mark.slow
 def test_persisted_ivf_gc_leaves_one_index_per_corpus(spark, tmp_path, monkeypatch):
     """ADVICE r07: a REGENERATED fixture mints a new content fingerprint
     and the superseded index dir must be reaped at publish — scratch is

@@ -24,6 +24,7 @@ from streamprocessing_spark.registry import all_specs
 SPECS = all_specs()
 
 
+@pytest.mark.slow
 def test_cell_verify_hot_cell_blockwise(spark):
     """Every tail vector lands in centroid 0's cell (~2.4k rows in one
     cent_id → the kernel's 2M-pair row-block loop runs 3+ blocks); the
@@ -87,6 +88,7 @@ def test_cell_verify_hot_cell_blockwise(spark):
         assert got[k_] == pytest.approx(round(v, 6), abs=2e-6)
 
 
+@pytest.mark.slow
 def test_persisted_ivf_gc_spares_builds_and_young(spark, tmp_path, monkeypatch):
     """Publish-time GC must skip YOUNG '*.build-*' siblings (a live
     concurrent builder) and YOUNG published siblings; OLD superseded
@@ -147,6 +149,7 @@ def test_persisted_ivf_gc_spares_builds_and_young(spark, tmp_path, monkeypatch):
     assert len(live) == 3  # new index + previous young index + planted young
 
 
+@pytest.mark.slow
 def test_streaming_ivf_pairs_checkpoint_restart(spark, tmp_path):
     """The streaming IVF pair tier must survive a stop/restart on one
     checkpoint: run 1 drains only chunk 0, run 2 (same checkpoint, new
@@ -311,6 +314,7 @@ def test_parapairs_build_never_broadcasts(spark):
     assert "SortMergeJoin" in plan, plan
 
 
+@pytest.mark.slow
 def test_paragraph_query_plans_never_broadcast_corpus_relations(spark):
     """Extend the broadcast-cliff pin to the FULL registered queries
     (ADVICE r09): dedup_paragraph_minhash's whole plan must carry zero

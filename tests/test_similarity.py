@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from streamprocessing_spark.operators import similarity as S
@@ -84,6 +85,7 @@ def test_knn_label_audit_structure(spark, sf_dir):
         assert r.label_agrees == (1 if r.pred_label == r.label else 0)
 
 
+@pytest.mark.slow
 def test_kmeans_deterministic_and_nontrivial(spark, sf_dir):
     """k-means assignments are deterministic across runs (integer-exact
     centroid state), every vector is assigned, and the fixture splits
@@ -112,6 +114,7 @@ def test_srp_fast_path_matches_fold_tier(spark, sf_dir):
     assert fold == fast
 
 
+@pytest.mark.slow
 def test_ivf_kmeans_recall_vs_brute_force(spark, sf_dir):
     """The trained-quantizer IVF tier must keep usable recall against the
     exact tier (8 k-means cells, nprobe=2 — a 25% corpus probe)."""
@@ -152,6 +155,7 @@ def test_srp_scaled_precision_recall_and_r_derivation(spark, sf_dir):
     assert min(S.SRP_RMAX, max(S.SRP_RMIN, math.ceil(math.log2(2 ** (S.SRP_R_SHIFT + S.SRP_RMIN + 1))) - S.SRP_R_SHIFT)) == S.SRP_RMIN + 1
 
 
+@pytest.mark.slow
 def test_srp_recall_held_bands_hold_recall(spark, sf_dir, monkeypatch):
     """The recall-held tier (VERDICT r03 item #4): at every r the held
     band count b(r) must (a) keep precision 1.0 (exact verify), (b) at
@@ -241,6 +245,7 @@ def test_ann_shard_plan_snake_balance(spark, sf_dir):
         assert max(loads.values()) - min(loads.values()) <= biggest_cell
 
 
+@pytest.mark.slow
 def test_pq_adc_drops_candidates_with_missing_lut_entries(spark):
     """Inner-join semantics of the ADC attach survive the map-broadcast
     form (round-10): vectors SHORTER than PQ_M·PQ_SUB dims leave the

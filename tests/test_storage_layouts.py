@@ -142,6 +142,7 @@ def test_zorder_layout_enables_2d_skipping(spark, sf_dir):
     assert avg_frac(z_spans, "y", g.sy) < 0.6
 
 
+@pytest.mark.slow
 def test_dynamic_partition_overwrite_backfill(spark, sf_dir, tmp_path):
     """Backfill orchestration: a daily-partitioned aggregate table is
     recomputed for TWO corrupted days with dynamic partition overwrite —
@@ -319,6 +320,7 @@ def test_hilbert_key_matches_python_and_clusters_both_dims(spark, sf_dir):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_skipping_compare_laws(spark, sf_dir):
     """(a) all layouts permute the same table (rows_selected identical,
     n_files identical); (b) zone maps never skip a file that holds a hit
@@ -344,6 +346,7 @@ def test_skipping_compare_laws(spark, sf_dir):
         assert rows["zorder"].files_scanned < rows["linear"].files_scanned
 
 
+@pytest.mark.slow
 def test_skipping_compare_curves_win_at_scale(spark):
     """The strict cross-layout claim needs enough files to matter: at
     sf0.01 (150 simulated files) both space-filling curves must scan

@@ -61,6 +61,7 @@ def _start_count_query(spark, src_dir, schema, ckpt, name):
     )
 
 
+@pytest.mark.slow
 def test_rainstorm_plugin_jobs_on_true_stream(spark):
     """The reference's ACTUAL operating mode: both demo apps through the
     plugin facade over a real readStream, drained with AvailableNow —
@@ -113,6 +114,7 @@ def test_rainstorm_plugin_jobs_on_true_stream(spark):
         shutil.rmtree(base, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_left_outer_interval_join_emits_unmatched(spark, sf_dir):
     """Stream-stream LEFT OUTER interval join: purchases joined to the
     same user's clicks in the preceding hour; a purchase with no click
@@ -174,6 +176,7 @@ def test_left_outer_interval_join_emits_unmatched(spark, sf_dir):
     assert any(c is None for _p, c in expected)
 
 
+@pytest.mark.slow
 def test_checkpoint_recovery_across_restart(spark, staged_events):
     """Stop after chunk1, 'fail over', restart with the same checkpoint:
     the state store must resume (not recount chunk1) and converge to the
@@ -201,6 +204,7 @@ def test_checkpoint_recovery_across_restart(spark, staged_events):
     assert sum(phase1.values()) < sum(expected.values())  # phase1 saw only chunk1
 
 
+@pytest.mark.slow
 def test_update_mode_emits_running_counts(spark, staged_events):
     """Update mode re-emits a key's count every micro-batch it changes in —
     the reference's per-input running-count emission, aggregated to
@@ -239,6 +243,7 @@ def test_update_mode_emits_running_counts(spark, staged_events):
     assert maxes == final
 
 
+@pytest.mark.slow
 def test_custom_stateful_running_count(spark, staged_events):
     """Custom keyed state via applyInPandasWithState: a hand-rolled running
     count (the reference framework's count path, rainstorm/server.go:39,
@@ -292,6 +297,7 @@ def test_custom_stateful_running_count(spark, staged_events):
     assert maxes == final
 
 
+@pytest.mark.slow
 def test_midrun_task_failure_exactly_once(spark, tmp_path):
     """The RainStormWithFail analogue (main.go:223-243,
     rainstorm/server.go:553-572): the reference kills 2 workers mid-job
@@ -368,6 +374,7 @@ def test_midrun_task_failure_exactly_once(spark, tmp_path):
         shutil.rmtree(base, ignore_errors=True)
 
 
+@pytest.mark.slow
 def test_stateful_alerts_state_carries_across_batches(spark, sf_dir, tmp_path):
     """threshold_crossing_alerts holds its per-user accumulator in the
     state store ACROSS micro-batches: replaying events as two time-ordered
@@ -425,6 +432,7 @@ def test_stateful_alerts_state_carries_across_batches(spark, sf_dir, tmp_path):
     assert 0 < n_early_alerts < len(got)
 
 
+@pytest.mark.slow
 def test_stateful_alerts_exactly_once_through_task_failure(spark, sf_dir, tmp_path):
     """Mid-batch task failure inside the applyInPandasWithState kernel:
     the first attempt of partition 0 kills itself AFTER folding rows into
@@ -493,6 +501,7 @@ def test_stateful_alerts_exactly_once_through_task_failure(spark, sf_dir, tmp_pa
     assert len(kills) >= 1, "failure injection never triggered"
 
 
+@pytest.mark.slow
 def test_watermark_drops_late_data_after_state_eviction(spark, tmp_path):
     """Event-time semantics proof, stated the way Spark actually
     guarantees it: the watermark promises INCLUSION of data within the
@@ -559,6 +568,7 @@ def test_watermark_drops_late_data_after_state_eviction(spark, tmp_path):
     assert got == {"09:00": 1, "10:00": 1, "12:00": 2}, got
 
 
+@pytest.mark.slow
 def test_transition_pairs_state_carries_across_batches(spark, sf_dir, tmp_path):
     """event_transitions links each user's FIRST event of batch 2 to
     their LAST event of batch 1 via the state store: the two-trigger
@@ -621,6 +631,7 @@ def test_transition_pairs_state_carries_across_batches(spark, sf_dir, tmp_path):
     assert straddling, "split must cut through some user's stream"
 
 
+@pytest.mark.slow
 def test_timeout_sessions_state_and_timeouts_across_batches(spark, sf_dir, tmp_path):
     """timeout_sessions must (a) carry open-session state across
     micro-batches — a session straddling the chunk boundary merges, so
@@ -696,6 +707,7 @@ def test_timeout_sessions_state_and_timeouts_across_batches(spark, sf_dir, tmp_p
     assert timeout_closed, "no final session was closed by the timeout path"
 
 
+@pytest.mark.slow
 def test_chained_stateful_recovery_across_restart(spark, sf_dir):
     """MULTI-STATEFUL checkpoint recovery: the dedup→window chain
     (dropDuplicatesWithinWatermark feeding a tumbling aggregation) must

@@ -1,9 +1,9 @@
-"""Dump .explain("formatted") for named queries into plans/r10/ files.
+"""Dump .explain("formatted") for named queries into plans/<round>/ files.
 
 Usage:
-    python tools/plan_snapshot.py --suffix before query [query ...]
+    python tools/plan_snapshot.py --suffix before [--round r11] query [...]
 
-Writes plans/r10/<query>_<suffix>.txt for each query (sf0.01 inputs —
+Writes plans/<round>/<query>_<suffix>.txt for each query (sf0.01 inputs —
 plan shape, not data volume, is what the snapshot records).
 """
 
@@ -24,10 +24,13 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--suffix", required=True)
+    ap.add_argument("--round", default="r11")
+    ap.add_argument("--out-root", default=None, help="repo to write plans under")
     ap.add_argument("queries", nargs="+")
     args = ap.parse_args()
 
-    out_dir = Path(__file__).resolve().parent.parent / "plans" / "r10"
+    out_root = Path(args.out_root) if args.out_root else Path(__file__).resolve().parent.parent
+    out_dir = out_root / "plans" / args.round
     out_dir.mkdir(parents=True, exist_ok=True)
     specs = all_specs()
     spark = get_spark("plan-snapshot")
