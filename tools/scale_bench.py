@@ -308,6 +308,10 @@ PREWARM_PROXY = frozenset({
     # substring decon: marginal = two split probes over the memoized
     # containment view (the profile op's un-prewarmed row is the build)
     "decontaminate_substring",
+    # round 11: semantic decon rides the shared srppairs view — its
+    # marginal op is the split-orientation join; the cascade's cold
+    # curve is srp_lsh_cosine_pairs_scaled's COLD_VIEW_BUILD row
+    "decontaminate_semantic",
 })
 
 
@@ -529,7 +533,16 @@ COLD_CASCADE = frozenset(
 # Main (10x) runner twin of COLD_CASCADE: only the view BUILDER runs
 # cold there — the consumers keep PREWARM_PROXY marginal-op rows (their
 # full-cascade curve lives in the dedup100 COLD_CASCADE artifact).
-COLD_VIEW_BUILD = frozenset({"dedup_minhash_lsh_scaled", "dedup_paragraph_minhash"})
+COLD_VIEW_BUILD = frozenset({
+    "dedup_minhash_lsh_scaled",
+    "dedup_paragraph_minhash",
+    # round 11: the scaled SRP pair set became the session-shared
+    # srppairs view — without a release, the base measurement reads the
+    # cache another query built and the row degenerates to a
+    # cold-vs-warm artifact (the r06 ×7.13 lesson); release before BOTH
+    # scales so the row prices the full cascade at each
+    "srp_lsh_cosine_pairs_scaled",
+})
 
 # Queries that read the embeddings table — trigger the 100x embeddings
 # proxy build (same sign-flip construction as the 10x proxy, second-level
