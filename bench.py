@@ -347,33 +347,52 @@ def main() -> None:
     # builder/consumer release discipline are unchanged — each (query,
     # rep) cell measures exactly what it did before, only the execution
     # ORDER changed.
+    # SPARK_GRAFT_BENCH_REP_ORDER=query restores the pre-round-11
+    # query-major ordering (3 reps back-to-back per query) for
+    # like-for-like comparison against older rounds' records: rep-major
+    # cells are systematically COLDER (each rep re-enters the query
+    # after the whole suite cycled the JVM/page caches, where
+    # query-major's reps 2-3 re-ran a just-warmed query), which is the
+    # point — the median now prices real cold costs and samples every
+    # host regime — but it breaks naive total-vs-total comparison with
+    # query-major-era numbers. Default stays rep-major.
+    rep_major = os.environ.get("SPARK_GRAFT_BENCH_REP_ORDER", "rep") != "query"
     raw: dict[str, list[float]] = {name: [] for name in names}
-    for _ in range(reps_n):
+
+    def _cell(name: str) -> None:
+        _reclaim_dead_blocks(spark)
+        # each rep must measure computation, not a cache read:
+        # release the per-run plugin intermediate caches (the one
+        # persist() query code creates). NOT a global clearCache —
+        # that evicted the session-shared views too, charging a full
+        # cascade rebuild to every rep of whichever queries compose
+        # the RAW pair view (measured round 7: signal_auc/
+        # leakage_audit 2.2× after the scaled-stage re-base) while
+        # components consumers dodged it via star contraction's
+        # localCheckpoint — neither marginal nor full-cascade, just
+        # inconsistent.
+        release_plugin_caches()
+        # Build-vs-marginal split, same discipline as scale_bench's
+        # COLD_VIEW_BUILD: the view BUILDER row measures the full
+        # build every rep (views released first), every consumer row
+        # measures its marginal op over the built view — exactly the
+        # amortization the driver's one-session gate sees. (Headline
+        # order puts every builder before its consumers, so each
+        # rep pass prices builds/marginals exactly as before.)
+        for kind in VIEW_BUILDER_KINDS.get(name, ()):
+            release_shared_views(spark, kind)
+        t0 = time.time()
+        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        raw[name].append(time.time() - t0)
+
+    if rep_major:
+        for _ in range(reps_n):
+            for name in names:
+                _cell(name)
+    else:
         for name in names:
-            _reclaim_dead_blocks(spark)
-            # each rep must measure computation, not a cache read:
-            # release the per-run plugin intermediate caches (the one
-            # persist() query code creates). NOT a global clearCache —
-            # that evicted the session-shared views too, charging a full
-            # cascade rebuild to every rep of whichever queries compose
-            # the RAW pair view (measured round 7: signal_auc/
-            # leakage_audit 2.2× after the scaled-stage re-base) while
-            # components consumers dodged it via star contraction's
-            # localCheckpoint — neither marginal nor full-cascade, just
-            # inconsistent.
-            release_plugin_caches()
-            # Build-vs-marginal split, same discipline as scale_bench's
-            # COLD_VIEW_BUILD: the view BUILDER row measures the full
-            # build every rep (views released first), every consumer row
-            # measures its marginal op over the built view — exactly the
-            # amortization the driver's one-session gate sees. (Headline
-            # order puts every builder before its consumers, so each
-            # rep pass prices builds/marginals exactly as before.)
-            for kind in VIEW_BUILDER_KINDS.get(name, ()):
-                release_shared_views(spark, kind)
-            t0 = time.time()
-            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            raw[name].append(time.time() - t0)
+            for _ in range(reps_n):
+                _cell(name)
     timings: dict[str, float] = {}
     spread: dict[str, list[float]] = {}
     for name in names:
